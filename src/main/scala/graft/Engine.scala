@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Local-mode knobs mirror the reference's physical-exec config
+  * (`/root/reference/config/settings.yaml:10-11`,
+  * `/root/reference/run.sh:43-55`: N pipelines x 4 cores, compact
+  * affinity): here parallelism = `local[N]` task slots and
+  * `spark.sql.shuffle.partitions`, sized to the machine rather than
+  * Spark's default 200. On a real cluster these come from
+  * spark-submit; everything else (AQE, broadcast threshold) is
+  * scale-oriented and carries over unchanged.
+  */
+object Engine {
+  def cpus: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+
+  def session(appName: String = "graft", master: String = ""): SparkSession = {
+    val m = if (master.nonEmpty) master else s"local[$cpus]"
+    SparkSession.builder()
+      .master(m)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+}
