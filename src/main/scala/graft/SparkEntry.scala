@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.Relational
+import graft.queries.{Relational, VideoQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,12 +14,17 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q1Agg(spark, "/root/testdata/sf0.001")
+    VideoQueries.v1Boxes(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> Relational.q1Agg,
     "q2_topk" -> Relational.q2TopK,
     "q6_filter_agg" -> Relational.q6FilterAgg,
+    "v1_boxes" -> VideoQueries.v1Boxes,
+    "v2_label_hist" -> VideoQueries.v2LabelHist,
+    "v3_rgb" -> VideoQueries.v3Rgb,
+    "v4_frame_stats" -> VideoQueries.v4FrameStats,
+    "v5_vdms_records" -> VideoQueries.v5VdmsRecords,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -38,5 +43,10 @@ object SparkEntry {
         |  count(*) AS n
         |FROM lineitem
         |WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "v1_boxes" -> VideoQueries.v1Sql,
+    "v2_label_hist" -> VideoQueries.v2Sql,
+    "v3_rgb" -> VideoQueries.v3Sql,
+    "v4_frame_stats" -> VideoQueries.v4Sql,
+    "v5_vdms_records" -> VideoQueries.v5Sql,
   )
 }

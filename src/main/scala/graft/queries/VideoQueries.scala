@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.ColorFunctions
+import graft.operators.DetectionPipeline
+import graft.sources.{Labels, Tables}
+
+/** Oracle-checkable form of the video-analytics pipeline.
+  *
+  * The testdata has no video frames, so the `events` table stands in
+  * as the frame stream (one event = one decoded frame) and a
+  * synthetic deterministic detection array — the same integer
+  * arithmetic as `operators.StubDetector`, restated in DuckDB SQL by
+  * the oracles — stands in for model output. Everything downstream of
+  * the detector is the REAL pipeline code (`DetectionPipeline`), so
+  * the driver's DuckDB gate checks the actual operators:
+  * mask(strict >0.7) → posexplode(_ref=i+1) → scale+int-truncate →
+  * broadcast label join (nation as the label dim).
+  */
+object VideoQueries {
+
+  /** Frame stream stand-in: events → (video_id, frame_id, ts, h, w). */
+  private def frames(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_type").as("video_id"),
+      col("event_id").as("frame_id"),
+      col("ts"),
+      (lit(480) + (col("event_id") % 3) * 240).cast("int").as("height"),
+      (lit(640) + (col("event_id") % 3) * 320).cast("int").as("width"))
+
+  /** Synthetic per-frame detection array (StubDetector formulas in
+    * DOUBLE precision, matching the SQL oracle exactly — integer
+    * modular arithmetic divided by literal constants, so both engines
+    * produce bit-identical doubles). */
+  private def withDetections(fr: DataFrame): DataFrame = {
+    def score(fid: Column, i: Column): Column = {
+      val k = (fid + i) % 5
+      when(k === 0, 0.5).when(k === 1, 0.69).when(k === 2, 0.7)
+        .when(k === 3, 0.71).otherwise(0.95)
+    }
+    fr.withColumn("detections",
+      transform(
+        filter(sequence(lit(0L), lit(4L)), i => i < col("frame_id") % 5),
+        i => struct(
+          (((col("frame_id") * 7 + i * 13) % 100) / 200.0).as("ymin"),
+          (((col("frame_id") * 11 + i * 17) % 100) / 200.0).as("xmin"),
+          ((((col("frame_id") * 7 + i * 13) % 100) / 200.0)
+            + (((col("frame_id") + i * 19) % 100 + 1) / 250.0)).as("ymax"),
+          ((((col("frame_id") * 11 + i * 17) % 100) / 200.0)
+            + (((col("frame_id") * 3 + i * 23) % 100 + 1) / 250.0)).as("xmax"),
+          score(col("frame_id"), i).as("score"),
+          ((col("frame_id") + i) % 25).cast("int").as("class_id"))))
+  }
+
+  /** Shared SQL CTE prefix for the oracles: the same synthetic
+    * detection stream, one row per (frame, box ordinal), pre-mask. */
+  val detSql: String =
+    """WITH det AS (
+      |  SELECT e.event_type AS video_id, e.event_id AS frame_id, e.ts,
+      |    480 + (e.event_id % 3) * 240 AS height,
+      |    640 + (e.event_id % 3) * 320 AS width,
+      |    t.i,
+      |    ((e.event_id * 7 + t.i * 13) % 100) / 200.0 AS ymin,
+      |    ((e.event_id * 11 + t.i * 17) % 100) / 200.0 AS xmin,
+      |    ((e.event_id * 7 + t.i * 13) % 100) / 200.0
+      |      + ((e.event_id + t.i * 19) % 100 + 1) / 250.0 AS ymax,
+      |    ((e.event_id * 11 + t.i * 17) % 100) / 200.0
+      |      + ((e.event_id * 3 + t.i * 23) % 100 + 1) / 250.0 AS xmax,
+      |    CASE (e.event_id + t.i) % 5 WHEN 0 THEN 0.5 WHEN 1 THEN 0.69
+      |      WHEN 2 THEN 0.7 WHEN 3 THEN 0.71 ELSE 0.95 END AS score,
+      |    CAST((e.event_id + t.i) % 25 AS INT) AS class_id
+      |  FROM events e CROSS JOIN (VALUES (0),(1),(2),(3),(4)) t(i)
+      |  WHERE t.i < e.event_id % 5
+      |), surv AS (
+      |  SELECT *, CAST(row_number() OVER
+      |      (PARTITION BY frame_id ORDER BY i) AS INT) AS box_ref
+      |  FROM det WHERE score > 0.7
+      |), boxes AS (
+      |  SELECT video_id, frame_id, ts, box_ref,
+      |    CAST(floor(ymin * height) AS INT) AS x,
+      |    CAST(floor(xmin * width) AS INT) AS y,
+      |    CAST(floor(ymax * height) AS INT) AS w,
+      |    CAST(floor(xmax * width) AS INT) AS h,
+      |    class_id AS label_id, score
+      |  FROM surv
+      |)
+      |""".stripMargin
+
+  /** v1: the flagship — full post-inference pipeline, flat records.
+    * One narrow chain + one broadcast join; zero shuffles besides the
+    * final presentation sort. */
+  def v1Boxes(spark: SparkSession, dir: String): DataFrame = {
+    val dets = withDetections(frames(spark, dir))
+    val boxes = DetectionPipeline.boxes(dets, threshold = 0.7)
+    DetectionPipeline.joinLabels(boxes, Labels.fromNation(spark, dir))
+      .select(col("video_id"), col("frame_id"), col("box_ref"),
+        col("x"), col("y"), col("w"), col("h"),
+        col("label_id"), col("label"), col("score"))
+      .orderBy(col("frame_id"), col("box_ref"))
+  }
+
+  val v1Sql: String = detSql +
+    """SELECT b.video_id, b.frame_id, b.box_ref, b.x, b.y, b.w, b.h,
+      |  b.label_id, n.n_name AS label, b.score
+      |FROM boxes b JOIN nation n ON b.label_id = n.n_nationkey
+      |ORDER BY b.frame_id, b.box_ref""".stripMargin
+
+  /** v2: A1-style aggregation over pipeline output — boxes per label
+    * name. 25 groups; partial agg makes the shuffle negligible. */
+  def v2LabelHist(spark: SparkSession, dir: String): DataFrame = {
+    val dets = withDetections(frames(spark, dir))
+    val boxes = DetectionPipeline.boxes(dets, threshold = 0.7)
+    DetectionPipeline.joinLabels(boxes, Labels.fromNation(spark, dir))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_boxes"),
+           round(avg(col("score")), 6).as("avg_score"))
+      .orderBy(col("n_boxes").desc, col("label"))
+  }
+
+  val v2Sql: String = detSql +
+    """SELECT n.n_name AS label, count(*) AS n_boxes,
+      |  round(avg(b.score), 6) AS avg_score
+      |FROM boxes b JOIN nation n ON b.label_id = n.n_nationkey
+      |GROUP BY 1 ORDER BY n_boxes DESC, label""".stripMargin
+
+  /** v3: P11 `int_to_rgb` as codegen'd bit-twiddling expressions over
+    * the distinct surviving label ids. */
+  def v3Rgb(spark: SparkSession, dir: String): DataFrame = {
+    val dets = withDetections(frames(spark, dir))
+    DetectionPipeline.boxes(dets, threshold = 0.7)
+      .select(col("label_id")).distinct()
+      .select(col("label_id"),
+        ColorFunctions.rgbR(col("label_id")).as("r"),
+        ColorFunctions.rgbG(col("label_id")).as("g"),
+        ColorFunctions.rgbB(col("label_id")).as("b"))
+      .orderBy(col("label_id"))
+  }
+
+  val v3Sql: String = detSql +
+    """SELECT label_id,
+      |  num & 255 AS r, (num >> 8) & 255 AS g, (num >> 16) & 255 AS b
+      |FROM (SELECT DISTINCT label_id,
+      |        CAST(floor(label_id / 80.0 * 255.0) AS INT) AS num
+      |      FROM boxes)
+      |ORDER BY label_id""".stripMargin
+
+  /** v4: A1/A4 frame + box rates per video per hour window — the
+    * fps-sink analog (`run.sh:34-37`) as an event-time windowed agg. */
+  def v4FrameStats(spark: SparkSession, dir: String): DataFrame = {
+    val dets = withDetections(frames(spark, dir))
+    dets
+      .withColumn("n_boxes",
+        size(filter(col("detections"), d => d("score") > lit(0.7))))
+      .groupBy(col("video_id"),
+        window(col("ts"), "1 hour").getField("start").as("ws"))
+      .agg(count(lit(1)).as("n_frames"),
+           sum(col("n_boxes")).as("n_boxes"))
+      .orderBy(col("video_id"), col("ws"))
+  }
+
+  val v4Sql: String =
+    """SELECT e.event_type AS video_id, date_trunc('hour', e.ts) AS ws,
+      |  count(*) AS n_frames,
+      |  sum((SELECT count(*) FROM (VALUES (0),(1),(2),(3),(4)) t(i)
+      |       WHERE t.i < e.event_id % 5
+      |         AND (CASE (e.event_id + t.i) % 5 WHEN 0 THEN 0.5
+      |              WHEN 1 THEN 0.69 WHEN 2 THEN 0.7 WHEN 3 THEN 0.71
+      |              ELSE 0.95 END) > 0.7)) AS n_boxes
+      |FROM events e
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** v5: P13 — the nested VDMS `AddBoundingBox` wire record as JSON
+    * (`gst-detection-tf.py:308-322`). */
+  def v5VdmsRecords(spark: SparkSession, dir: String): DataFrame = {
+    val dets = withDetections(frames(spark, dir))
+    val boxes = DetectionPipeline.boxes(dets, threshold = 0.7)
+    boxes
+      .select(col("frame_id"), col("box_ref"),
+        to_json(DetectionPipeline.vdmsRecord(boxes)).as("record"))
+      .orderBy(col("frame_id"), col("box_ref"))
+  }
+
+  val v5Sql: String = detSql +
+    """SELECT frame_id, box_ref,
+      |  '{"AddBoundingBox":{"_ref":' || box_ref
+      |  || ',"rectangle":{"x":' || x || ',"y":' || y
+      |  || ',"w":' || w || ',"h":' || h
+      |  || '}},"properties":{"label":' || label_id || '}}' AS record
+      |FROM boxes ORDER BY frame_id, box_ref""".stripMargin
+}

@@ -1,0 +1,26 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S8: label dimension loader. The reference reads `id:name` lines
+  * into an in-process dict (`gst-detection-tf.py:114-121`,
+  * `coco.label`); here it is a tiny DataFrame meant to be broadcast
+  * at the join site. */
+object Labels {
+  /** Load an `id:name` file (the reference's label format) into
+    * (label_id INT, label STRING). */
+  def fromIdNameFile(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("sep", ":")
+      .schema("label_id INT, label STRING")
+      .csv(path)
+      .select(col("label_id"), trim(col("label")).as("label"))
+
+  /** Label dim derived from the testdata `nation` table (25 rows) —
+    * used by the oracle-checked video queries so both engines join
+    * the same dimension. */
+  def fromNation(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("label_id"), col("n_name").as("label"))
+}

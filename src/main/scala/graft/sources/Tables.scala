@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Parquet table loaders for the driver-provided star schema
   * (`TESTDATA.md`): TPC-H-ish tables + `events` stream table +
@@ -26,7 +27,14 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  /** events.parquet stores ts as TIMESTAMP(NANOS); with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as LONG
+    * nanos — convert to a proper timestamp (micros) here. Integer
+    * `div` keeps the full 63-bit value exact (a double division would
+    * lose precision above 2^53 ns). */
+  def events(s: SparkSession, d: String): DataFrame =
+    load(s, d, "events").withColumn("ts",
+      timestamp_micros(expr("ts div 1000")))
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
