@@ -30,6 +30,9 @@ object Engine {
       // events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
       // default; read as long and convert at the loader (Tables.events)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Emit micros (not INT96/nanos) so dumped timestamps carry the
+      // same physical type as the DuckDB oracle's TIMESTAMP
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
   }

@@ -27,7 +27,20 @@ object SparkEntry {
     "v5_vdms_records" -> VideoQueries.v5VdmsRecords,
   )
 
-  def oracleSql: Map[String, String] = Map(
+  /** Every oracle is wrapped in `ORDER BY ALL` (all columns,
+    * left-to-right ascending) — the exact order Verify dumps Spark
+    * results in — so the driver's compare is order-proof whether or
+    * not it re-sorts rows. Engine queries carry no global sort.
+    * Invariant for query authors: no NULLs and no map columns in any
+    * query output (NULL-ordering defaults differ across engines). */
+  private def ordered(sql: String): String =
+    s"SELECT * FROM (\n$sql\n) ORDER BY ALL"
+
+  def oracleSql: Map[String, String] = rawOracleSql.map {
+    case (k, v) => k -> ordered(v)
+  }
+
+  private def rawOracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

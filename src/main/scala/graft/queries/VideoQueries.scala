@@ -67,8 +67,8 @@ object VideoQueries {
       |      + ((e.event_id + t.i * 19) % 100 + 1) / 250.0 AS ymax,
       |    ((e.event_id * 11 + t.i * 17) % 100) / 200.0
       |      + ((e.event_id * 3 + t.i * 23) % 100 + 1) / 250.0 AS xmax,
-      |    CASE (e.event_id + t.i) % 5 WHEN 0 THEN 0.5 WHEN 1 THEN 0.69
-      |      WHEN 2 THEN 0.7 WHEN 3 THEN 0.71 ELSE 0.95 END AS score,
+      |    CAST(CASE (e.event_id + t.i) % 5 WHEN 0 THEN 0.5 WHEN 1 THEN 0.69
+      |      WHEN 2 THEN 0.7 WHEN 3 THEN 0.71 ELSE 0.95 END AS DOUBLE) AS score,
       |    CAST((e.event_id + t.i) % 25 AS INT) AS class_id
       |  FROM events e CROSS JOIN (VALUES (0),(1),(2),(3),(4)) t(i)
       |  WHERE t.i < e.event_id % 5
@@ -88,8 +88,9 @@ object VideoQueries {
       |""".stripMargin
 
   /** v1: the flagship — full post-inference pipeline, flat records.
-    * One narrow chain + one broadcast join; zero shuffles besides the
-    * final presentation sort. */
+    * One narrow chain + one broadcast join; ZERO shuffles end-to-end
+    * (no global sort — the Verify dump orders for determinism, the
+    * engine path stays narrow; see SparkEntry.ordered). */
   def v1Boxes(spark: SparkSession, dir: String): DataFrame = {
     val dets = withDetections(frames(spark, dir))
     val boxes = DetectionPipeline.boxes(dets, threshold = 0.7)
@@ -97,14 +98,12 @@ object VideoQueries {
       .select(col("video_id"), col("frame_id"), col("box_ref"),
         col("x"), col("y"), col("w"), col("h"),
         col("label_id"), col("label"), col("score"))
-      .orderBy(col("frame_id"), col("box_ref"))
   }
 
   val v1Sql: String = detSql +
     """SELECT b.video_id, b.frame_id, b.box_ref, b.x, b.y, b.w, b.h,
       |  b.label_id, n.n_name AS label, b.score
-      |FROM boxes b JOIN nation n ON b.label_id = n.n_nationkey
-      |ORDER BY b.frame_id, b.box_ref""".stripMargin
+      |FROM boxes b JOIN nation n ON b.label_id = n.n_nationkey""".stripMargin
 
   /** v2: A1-style aggregation over pipeline output — boxes per label
     * name. 25 groups; partial agg makes the shuffle negligible. */
@@ -152,23 +151,32 @@ object VideoQueries {
     dets
       .withColumn("n_boxes",
         size(filter(col("detections"), d => d("score") > lit(0.7))))
+      // NTZ so parquet writes a plain (not UTC-adjusted) micros
+      // timestamp — the same physical+logical type as the oracle's
+      // TIMESTAMP; session TZ is UTC so the wall-clock value is equal.
       .groupBy(col("video_id"),
-        window(col("ts"), "1 hour").getField("start").as("ws"))
+        window(col("ts"), "1 hour").getField("start")
+          .cast("timestamp_ntz").as("ws"))
       .agg(count(lit(1)).as("n_frames"),
            sum(col("n_boxes")).as("n_boxes"))
       .orderBy(col("video_id"), col("ws"))
   }
 
+  /** Oracle casts: DuckDB's date_trunc over a nanos parquet column
+    * yields TIMESTAMP_NS and sum(BIGINT) yields HUGEINT — both cast
+    * back to Spark's physical types (micros TIMESTAMP / BIGINT) so
+    * the driver's type-sensitive hash matches. */
   val v4Sql: String =
-    """SELECT e.event_type AS video_id, date_trunc('hour', e.ts) AS ws,
+    """SELECT e.event_type AS video_id,
+      |  CAST(date_trunc('hour', e.ts) AS TIMESTAMP) AS ws,
       |  count(*) AS n_frames,
-      |  sum((SELECT count(*) FROM (VALUES (0),(1),(2),(3),(4)) t(i)
+      |  CAST(sum((SELECT count(*) FROM (VALUES (0),(1),(2),(3),(4)) t(i)
       |       WHERE t.i < e.event_id % 5
       |         AND (CASE (e.event_id + t.i) % 5 WHEN 0 THEN 0.5
       |              WHEN 1 THEN 0.69 WHEN 2 THEN 0.7 WHEN 3 THEN 0.71
-      |              ELSE 0.95 END) > 0.7)) AS n_boxes
+      |              ELSE 0.95 END) > 0.7)) AS BIGINT) AS n_boxes
       |FROM events e
-      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      |GROUP BY 1, 2""".stripMargin
 
   /** v5: P13 — the nested VDMS `AddBoundingBox` wire record as JSON
     * (`gst-detection-tf.py:308-322`). */
@@ -178,7 +186,6 @@ object VideoQueries {
     boxes
       .select(col("frame_id"), col("box_ref"),
         to_json(DetectionPipeline.vdmsRecord(boxes)).as("record"))
-      .orderBy(col("frame_id"), col("box_ref"))
   }
 
   val v5Sql: String = detSql +
@@ -187,5 +194,5 @@ object VideoQueries {
       |  || ',"rectangle":{"x":' || x || ',"y":' || y
       |  || ',"w":' || w || ',"h":' || h
       |  || '}},"properties":{"label":' || label_id || '}}' AS record
-      |FROM boxes ORDER BY frame_id, box_ref""".stripMargin
+      |FROM boxes""".stripMargin
 }

@@ -53,9 +53,21 @@ def main(sf_dir, out_dir):
     for name, sql in sorted(oracle.items()):
         try:
             got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            gtypes = {c: str(t) for c, t in zip(got.columns, got.types)}
             gcols, grows = canon(got.columns, got.fetchall())
             exp = con.sql(sql)
+            etypes = {c: str(t) for c, t in zip(exp.columns, exp.types)}
             ecols, erows = canon(exp.columns, exp.fetchall())
+            # The driver's hash is type-sensitive (e.g. DuckDB HUGEINT
+            # sum vs Spark BIGINT, TIMESTAMP_NS vs TIMESTAMP) — a
+            # string-normalized value match is NOT enough.
+            if gtypes != etypes:
+                mism = {c: (gtypes.get(c), etypes.get(c))
+                        for c in set(gtypes) | set(etypes)
+                        if gtypes.get(c) != etypes.get(c)}
+                print(f"FAIL {name}: column types differ {mism}")
+                n_fail += 1
+                continue
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
             n_fail += 1
