@@ -25,6 +25,7 @@ object SparkEntry {
     "v3_rgb" -> VideoQueries.v3Rgb,
     "v4_frame_stats" -> VideoQueries.v4FrameStats,
     "v5_vdms_records" -> VideoQueries.v5VdmsRecords,
+    "v6_detect" -> VideoQueries.v6Detect,
   )
 
   /** Every oracle is wrapped in `ORDER BY ALL` (all columns,
@@ -61,5 +62,6 @@ object SparkEntry {
     "v3_rgb" -> VideoQueries.v3Sql,
     "v4_frame_stats" -> VideoQueries.v4Sql,
     "v5_vdms_records" -> VideoQueries.v5Sql,
+    "v6_detect" -> VideoQueries.v6Sql,
   )
 }

@@ -51,14 +51,21 @@ object DetectionPipeline {
     * pixel when the float32 product rounds up across an integer
     * boundary (e.g. 0.9f*640: float32 → 576, double → 575). Double
     * is the more accurate result and matches the SQL oracle. */
-  def scaleBoxes(df: DataFrame): DataFrame =
+  def scaleBoxes(df: DataFrame): DataFrame = {
+    // Explicit double widening: when coords arrive as FLOAT (the real
+    // detector path), float32*int arithmetic would round differently
+    // than the DuckDB oracle's CAST(REAL AS DOUBLE)*INT; when they
+    // arrive as DOUBLE (synthetic path) the cast is a no-op.
+    def px(c: String, dim: String) =
+      (col(c).cast("double") * col(dim)).cast("int")
     df.select(
       col("video_id"), col("frame_id"), col("box_ref"),
-      (col("ymin") * col("height")).cast("int").as("x"),
-      (col("xmin") * col("width")).cast("int").as("y"),
-      (col("ymax") * col("height")).cast("int").as("w"),
-      (col("xmax") * col("width")).cast("int").as("h"),
+      px("ymin", "height").as("x"),
+      px("xmin", "width").as("y"),
+      px("ymax", "height").as("w"),
+      px("xmax", "width").as("h"),
       col("class_id").as("label_id"), col("score"))
+  }
 
   /** P10/J1: label id → name. The reference's in-process dict lookup
     * (`gst-detection-tf.py:394-396`) becomes a broadcast hash join —

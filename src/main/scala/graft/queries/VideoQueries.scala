@@ -188,6 +188,62 @@ object VideoQueries {
         to_json(DetectionPipeline.vdmsRecord(boxes)).as("record"))
   }
 
+  /** v6: the REAL inference operator on the oracle path — E2/M1/M2.
+    * Builds a typed `Dataset[Frame]` from events, runs
+    * `Detect.detect` (per-partition detector init + micro-batched
+    * scoring inside `mapPartitions`, `Detector.scala`), then the same
+    * post-inference pipeline as v1. Narrow end-to-end; pixels (empty
+    * here) never leave the partition. The oracle restates
+    * `StubDetector`'s float32 semantics: coordinates are computed in
+    * double, rounded to REAL (`.toFloat`), then re-widened for the
+    * pixel scale — bit-exact on both engines. */
+  def v6Detect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fr = frames(spark, dir)
+      .withColumn("data", lit(Array.empty[Byte]))
+      .as[graft.model.Frame]
+    val dets = graft.operators.Detect.detect(fr, () => graft.operators.StubDetector).toDF()
+    val boxes = DetectionPipeline.boxes(dets, threshold = 0.7)
+    DetectionPipeline.joinLabels(boxes, Labels.fromNation(spark, dir))
+      .select(col("video_id"), col("frame_id"), col("box_ref"),
+        col("x"), col("y"), col("w"), col("h"),
+        col("label_id"), col("label"), col("score"))
+  }
+
+  val v6Sql: String =
+    """WITH det AS (
+      |  SELECT e.event_type AS video_id, e.event_id AS frame_id,
+      |    480 + (e.event_id % 3) * 240 AS height,
+      |    640 + (e.event_id % 3) * 320 AS width,
+      |    t.i,
+      |    CAST(((e.event_id * 7 + t.i * 13) % 100) / 200 AS REAL) AS ymin,
+      |    CAST(((e.event_id * 11 + t.i * 17) % 100) / 200 AS REAL) AS xmin,
+      |    CAST(((e.event_id * 7 + t.i * 13) % 100) / 200
+      |      + ((e.event_id + t.i * 19) % 100 + 1) / 250 AS REAL) AS ymax,
+      |    CAST(((e.event_id * 11 + t.i * 17) % 100) / 200
+      |      + ((e.event_id * 3 + t.i * 23) % 100 + 1) / 250 AS REAL) AS xmax,
+      |    CAST(CASE (e.event_id + t.i) % 5 WHEN 0 THEN 0.5 WHEN 1 THEN 0.69
+      |      WHEN 2 THEN 0.7 WHEN 3 THEN 0.71 ELSE 0.95 END AS REAL) AS score,
+      |    CAST((e.event_id + t.i) % 25 AS INT) AS class_id
+      |  FROM events e CROSS JOIN (VALUES (0),(1),(2),(3),(4)) t(i)
+      |  WHERE t.i < e.event_id % 5
+      |), surv AS (
+      |  SELECT *, CAST(row_number() OVER
+      |      (PARTITION BY frame_id ORDER BY i) AS INT) AS box_ref
+      |  FROM det WHERE CAST(score AS DOUBLE) > 0.7
+      |), boxes AS (
+      |  SELECT video_id, frame_id, box_ref,
+      |    CAST(floor(CAST(ymin AS DOUBLE) * height) AS INT) AS x,
+      |    CAST(floor(CAST(xmin AS DOUBLE) * width) AS INT) AS y,
+      |    CAST(floor(CAST(ymax AS DOUBLE) * height) AS INT) AS w,
+      |    CAST(floor(CAST(xmax AS DOUBLE) * width) AS INT) AS h,
+      |    class_id AS label_id, score
+      |  FROM surv
+      |)
+      |SELECT b.video_id, b.frame_id, b.box_ref, b.x, b.y, b.w, b.h,
+      |  b.label_id, n.n_name AS label, b.score
+      |FROM boxes b JOIN nation n ON b.label_id = n.n_nationkey""".stripMargin
+
   val v5Sql: String = detSql +
     """SELECT frame_id, box_ref,
       |  '{"AddBoundingBox":{"_ref":' || box_ref
