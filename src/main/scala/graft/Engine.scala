@@ -23,6 +23,8 @@ object Engine {
     SparkSession.builder()
       .master(m)
       .appName(appName)
+      // custom codegen'd expressions (poly_hash, cosine_sim)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

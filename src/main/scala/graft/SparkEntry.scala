@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Relational, VideoQueries}
+import graft.queries.{LlmQueries, Relational, VideoQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,6 +26,18 @@ object SparkEntry {
     "v4_frame_stats" -> VideoQueries.v4FrameStats,
     "v5_vdms_records" -> VideoQueries.v5VdmsRecords,
     "v6_detect" -> VideoQueries.v6Detect,
+    "d1_exact_dedup" -> LlmQueries.d1ExactDedup,
+    "d2_near_dup" -> LlmQueries.d2NearDup,
+    "d3_simhash" -> LlmQueries.d3Simhash,
+    "d4_ngram_jaccard" -> LlmQueries.d4NgramJaccard,
+    "d5_embed_neardup" -> LlmQueries.d5EmbedNearDup,
+    "s1_knn" -> LlmQueries.s1Knn,
+    "s2_knn_lsh" -> LlmQueries.s2KnnLsh,
+    "x1_text_stats" -> LlmQueries.x1TextStats,
+    "x3_token_hist" -> LlmQueries.x3TokenHist,
+    "x4_fingerprint" -> LlmQueries.x4Fingerprint,
+    "x5_cardinality" -> LlmQueries.x5Cardinality,
+    "x6_approx_distinct" -> LlmQueries.x6ApproxDistinct,
   )
 
   /** Every oracle is wrapped in `ORDER BY ALL` (all columns,
@@ -63,5 +75,18 @@ object SparkEntry {
     "v4_frame_stats" -> VideoQueries.v4Sql,
     "v5_vdms_records" -> VideoQueries.v5Sql,
     "v6_detect" -> VideoQueries.v6Sql,
+    "d1_exact_dedup" -> LlmQueries.d1Sql,
+    "d2_near_dup" -> LlmQueries.d2Sql,
+    "d3_simhash" -> LlmQueries.d3Sql,
+    "d4_ngram_jaccard" -> LlmQueries.d4Sql,
+    "d5_embed_neardup" -> LlmQueries.d5Sql,
+    "s1_knn" -> LlmQueries.s1Sql,
+    "s2_knn_lsh" -> LlmQueries.s2Sql,
+    "x1_text_stats" -> LlmQueries.x1Sql,
+    "x3_token_hist" -> LlmQueries.x3Sql,
+    "x4_fingerprint" -> LlmQueries.x4Sql,
+    "x5_cardinality" -> LlmQueries.x5Sql,
+    // x6_approx_distinct: HLL sketches differ across engines — no
+    // SQL oracle on purpose (driver records a rows-only check)
   )
 }

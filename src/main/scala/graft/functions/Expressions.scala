@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom codegen'd Catalyst expressions (SURVEY.md §4 "custom
+  * pieces"). Both are deterministic, restatable in ANSI/DuckDB SQL
+  * for the oracle gate, and stay inside whole-stage codegen (the
+  * generated code is a single static call — same pattern as many
+  * Spark built-ins that delegate to UTF8String/ArrayData helpers).
+  */
+
+/** Rolling polynomial hash over a string's Unicode code points:
+  * h = fold(cp: h*31 + cp mod 1e9+7). The workhorse for shingle
+  * hashing, MinHash, SimHash and document fingerprinting; DuckDB
+  * restatement: list_reduce over ord() of string_split(s,'').
+  */
+case class PolyHash(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("poly_hash expects STRING")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    PolyHash.hash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PolyHash.hash($c)")
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+  override def prettyName: String = "poly_hash"
+}
+
+object PolyHash {
+  final val Mod = 1000000007L
+  /** Static helper the generated code calls. */
+  def hash(u: UTF8String): Long = {
+    val s = u.toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % Mod
+      i += Character.charCount(cp)
+    }
+    h
+  }
+}
+
+/** Cosine similarity over two ARRAY<FLOAT> embeddings, accumulated
+  * in double in ascending index order — the exact fold order the
+  * DuckDB oracle restates with list_reduce, so results are
+  * bit-identical. Returns NULL on length mismatch or zero norm.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def isFloatArray(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("cosine_sim expects two ARRAY<FLOAT>")
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CosineSim.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""Double r = graft.functions.CosineSim.cosine($a, $b);
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+         |""".stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "cosine_sim"
+}
+
+object CosineSim {
+  /** Static helper the generated code calls; java.lang.Double so the
+    * zero-norm / length-mismatch case can be NULL. */
+  def cosine(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}

@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector column builders (ARRAY<FLOAT> columns). All
+  * arithmetic is double with ascending-index sequential folds so the
+  * DuckDB oracle (list_reduce over range(dim)) is bit-identical.
+  */
+object VectorFunctions {
+
+  /** Deterministic integer hyperplane coefficient r[j][k] — the
+    * "random" projections of sign-LSH, derived from pure arithmetic
+    * so both engines can restate them: ((j*37 + k*101) mod 19) - 9,
+    * zero-mean over k. */
+  def planeCoef(j: Int, k: Int): Int = ((j * 37 + k * 101) % 19) - 9
+
+  /** Dot product of an embedding with integer hyperplane j, double
+    * accumulation ascending k. `dim` is the static embedding width. */
+  def planeDot(emb: Column, j: Int, dim: Int): Column = {
+    val terms = array((0 until dim).map { k =>
+      get(emb, lit(k)).cast("double") * planeCoef(j, k)
+    }: _*)
+    aggregate(terms, lit(0.0), (acc, x) => acc + x)
+  }
+
+  /** Sign-LSH bucket id from `planes` hyperplanes: MSB-first fold of
+    * the sign bits — vectors within a bucket are cosine-similar with
+    * high probability, so near-dup search joins on `bucket` instead
+    * of comparing all pairs. DuckDB restatement mirrors the fold. */
+  def lshBucket(emb: Column, planes: Int, dim: Int): Column = {
+    val bitsDesc = array((0 until planes).map { j =>
+      when(planeDot(emb, j, dim) > 0, 1L).otherwise(0L)
+    }: _*)
+    aggregate(bitsDesc, lit(0L), (acc, bit) => acc * 2 + bit)
+  }
+}

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Deduplication operators over a document corpus — the first
+  * LLM-data-pipeline family (BASELINE.json north star). Each method
+  * takes a DataFrame with (doc_id LONG, text STRING) and is designed
+  * for the 100 TB shape:
+  *
+  *  - per-document features (tokens, shingles, hashes) are computed
+  *    EXACTLY ONCE: shingle hashing goes through explode → partial
+  *    min-aggregation (map-side combine reduces each partition to one
+  *    row per doc before the shuffle), never through nested
+  *    higher-order expressions that Catalyst would re-evaluate per
+  *    band/per join row;
+  *  - candidate generation shuffles ONLY on the LSH band key (or an
+  *    explicit blocking key) — never an all-pairs cross join;
+  *  - pair verification intersects arrays of int64 feature hashes,
+  *    not strings — cheap set ops, identical Jaccard on both engines.
+  */
+object Dedup {
+
+  /** Exact dedup bookkeeping: group by content hash (md5 of the raw
+    * text), survivor = min doc_id. One partial-aggregated shuffle on
+    * a uniformly distributed 128-bit key — the canonical exact-dedup
+    * plan at any scale. */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+
+  /** Exact-dedup summary: total docs, distinct contents, removable
+    * copies. */
+  def exactSummary(docs: DataFrame): DataFrame =
+    exactGroups(docs).agg(
+      sum(col("n_copies")).as("n_docs"),
+      count(lit(1)).as("n_distinct"),
+      (sum(col("n_copies")) - count(lit(1))).as("n_removable"))
+
+  /** (doc_id, shingles ARRAY<BIGINT>): distinct word-3-shingle
+    * hashes per document. Row-local, one pass. */
+  def shingleHashSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(shingles3(tokens(col("text")))).as("s"))
+      .select(col("doc_id"), polyHash(col("s")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("h")).as("hashes"))
+
+  /** Per-document MinHash signature columns mh0..mh{k-1} over word
+    * 3-shingles: explode → hash once per shingle → k min-aggregates.
+    * Partial aggregation collapses to one row per doc per partition
+    * before the shuffle, so shuffle volume is O(docs × k), not
+    * O(shingles). */
+  def minhashSignatures(docs: DataFrame, k: Int = 12): DataFrame = {
+    val hashed = docs.select(col("doc_id"),
+        explode(shingles3(tokens(col("text")))).as("s"))
+      .select(col("doc_id"), polyHash(col("s")).as("h"))
+    val aggs = (0 until k).map { j =>
+      min((col("h") * (2 * j + 1) + lit(7919L * j)) % MinhashP).as(s"mh$j")
+    }
+    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: band the signature columns into (band,
+    * band_hash) rows and self-join on the band key — docs collide in
+    * a band iff all r=3 slots agree, so the join fan-out is the
+    * candidate set, not all pairs. Both join sides are the same
+    * subplan → Spark's ReuseExchange materializes the shuffle once.
+    * At scale: cap pathological buckets (a mega-cluster of
+    * boilerplate) before the join; AQE skew-split handles the rest. */
+  def lshCandidates(sigs: DataFrame, bands: Int = 4): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      val s1 = col(s"mh${3 * b}"); val s2 = col(s"mh${3 * b + 1}")
+      val s3 = col(s"mh${3 * b + 2}")
+      struct(lit(b).as("band"),
+        (((s1 * 31 + s2) % MinhashP * 31 + s3) % MinhashP).as("band_hash"))
+    }
+    val bandRows = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"),
+        col("bs.band_hash").as("band_hash"))
+    val a = bandRows.alias("a")
+    val b = bandRows.alias("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Near-dup pairs: LSH candidates verified with exact Jaccard over
+    * the shingle-hash sets, kept at >= `threshold`. */
+  def nearDupPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val cands = lshCandidates(minhashSignatures(docs))
+    val feats = shingleHashSets(docs)
+    cands
+      .join(feats.alias("x"), col("doc_a") === col("x.doc_id"))
+      .join(feats.alias("y"), col("doc_b") === col("y.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("x.hashes"), col("y.hashes")).as("jac"))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
+  }
+
+  /** Per-document 32-bit SimHash fingerprint over distinct token
+    * hashes. Row-local; near-dup = small Hamming distance (pairing
+    * via band-of-bits blocking, same pattern as lshCandidates). */
+  def simhashFingerprints(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("ts"))
+    toks.select(col("doc_id"),
+      size(col("ts")).as("n_tokens"),
+      simhash32(transform(array_distinct(col("ts")), t => polyHash(t)))
+        .as("simhash"))
+  }
+
+  /** (doc_id, lang, n_chars, gram hashes): distinct char-3-gram
+    * hashes per document, computed once per doc (explode + agg keeps
+    * the join sides cheap). */
+  private def charGramHashSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("n_chars"),
+        explode(charGrams3(col("text"))).as("g"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        polyHash(col("g")).as("h"))
+      .groupBy(col("doc_id"), col("lang"), col("n_chars"))
+      .agg(collect_set(col("h")).as("gs"))
+
+  /** Blocked character-n-gram Jaccard pairs: same lang, length
+    * within `lenBand`, exact char-3-gram Jaccard >= threshold.
+    *
+    * The length predicate is turned into an EQUI-join on (lang,
+    * length-bucket): one side joins on its own bucket, the other is
+    * exploded to its three neighboring buckets, so every qualifying
+    * pair is matched exactly once (a doc's bucket equals exactly one
+    * of the other's three neighbor keys) — no cross join, no
+    * distinct, and the per-group fan-out is bounded by the bucket
+    * population, not the corpus. */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double,
+      lenBand: Int = 20): DataFrame = {
+    val g = charGramHashSets(docs)
+      .withColumn("bucket", floor(col("n_chars") / lenBand))
+    val nbrs = g.withColumn("nbr",
+      explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)))
+    val a = g.alias("a"); val b = nbrs.alias("b")
+    a.join(b,
+        col("a.lang") === col("b.lang") &&
+        col("a.bucket") === col("b.nbr") &&
+        abs(col("a.n_chars") - col("b.n_chars")) <= lenBand &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        jaccard(col("a.gs"), col("b.gs")).as("jac"))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.cosineSim
+import graft.functions.VectorFunctions.lshBucket
+
+/** Similarity search over an embeddings table (vec_id LONG,
+  * embedding ARRAY<FLOAT>, label INT) — the second LLM-pipeline
+  * family. Two plans:
+  *
+  *  - brute-force top-k: broadcast the (small) query set against the
+  *    corpus — a broadcast nested loop whose inner work is one
+  *    codegen'd cosine per row; correct baseline at any corpus size
+  *    as long as the query set stays broadcastable;
+  *  - sign-LSH ANN: join queries to corpus on a hyperplane-sign
+  *    bucket — candidate set shrinks ~2^planes-fold, the 100 TB path
+  *    (the IVF analog: bucket = inverted-list key).
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector (brute
+    * force). The rank window partitions by query — fine for a
+    * bounded query set; for huge query sets switch to a partial
+    * per-partition top-k aggregation before the final rank. */
+  def knnBruteForce(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val joined = embeddings.alias("c")
+      .join(broadcast(queries.alias("q")),
+        col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        cosineSim(col("q.embedding"), col("c.embedding")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    joined.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  /** ANN top-k via sign-LSH: only candidates in the query's bucket
+    * are scored. Equi-join on bucket — no cross join anywhere in the
+    * plan. */
+  def knnLsh(embeddings: DataFrame, queries: DataFrame, k: Int,
+      planes: Int = 4, dim: Int = 64): DataFrame = {
+    val corpus = embeddings
+      .select(col("vec_id"), col("embedding"),
+        lshBucket(col("embedding"), planes, dim).as("bucket"))
+    val qs = queries
+      .select(col("vec_id"), col("embedding"),
+        lshBucket(col("embedding"), planes, dim).as("bucket"))
+    val joined = corpus.alias("c")
+      .join(broadcast(qs.alias("q")),
+        col("q.bucket") === col("c.bucket") &&
+        col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        cosineSim(col("q.embedding"), col("c.embedding")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    joined.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Embedding near-duplicate pairs: self-join on LSH bucket, verify
+    * with exact cosine >= threshold. The all-pairs comparison is
+    * confined to within-bucket groups. */
+  def embedNearDupPairs(embeddings: DataFrame, threshold: Double,
+      planes: Int = 4, dim: Int = 64): DataFrame = {
+    val b = embeddings.select(col("vec_id"), col("label"), col("embedding"),
+      lshBucket(col("embedding"), planes, dim).as("bucket"))
+    b.alias("a").join(b.alias("b"),
+        col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (col("a.label") === col("b.label")).as("same_label"),
+        cosineSim(col("a.embedding"), col("b.embedding")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("same_label"),
+        round(col("cos"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,296 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+
+/** LLM-data-pipeline queries (BASELINE.json north star): dedup,
+  * similarity search, and text analysis over the `documents` /
+  * `embeddings` tables, each with an exact DuckDB oracle.
+  *
+  * Oracle parity rules: integer arithmetic everywhere possible;
+  * doubles only via sequenced folds (list_reduce ↔ aggregate(), both
+  * ascending) or IEEE-exact ops (sqrt, division); round(...,6) at
+  * the output edge only.
+  */
+object LlmQueries {
+
+  // ---- shared DuckDB fragments ------------------------------------
+
+  /** tokens: lower, split \s+, drop empties (= TextFunctions.tokens) */
+  private val tsSql =
+    """list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"""
+
+  /** poly_hash(s) restated (= functions.PolyHash) */
+  private def polySql(s: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($s, ''), c -> CAST(ord(c) AS BIGINT))), " +
+      s"(a, b) -> (a*31 + b) % 1000000007)"
+
+  /** sequential double dot-product of two ARRAY<FLOAT>s (= CosineSim fold) */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(64), k -> CAST($a[k+1] AS DOUBLE) * $b[k+1])), " +
+      s"(x, y) -> x + y)"
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  /** sign-LSH bucket (= VectorFunctions.lshBucket, planes=4, dim=64) */
+  private def bucketSql(e: String, planes: Int = 4): String = {
+    val bits = (0 until planes).map { j =>
+      val dot = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(64), k -> CAST($e[k+1] AS DOUBLE) * " +
+        s"(($j*37 + k*101) % 19 - 9))), (x, y) -> x + y)"
+      s"CASE WHEN $dot > 0 THEN 1 ELSE 0 END"
+    }.mkString(", ")
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), [$bits]), (a, b) -> a*2 + b)"
+  }
+
+  /** word-3-shingle set CTE body (= TextFunctions.shingles3) */
+  private val shSql =
+    """CASE WHEN len(ts) >= 3 THEN list_distinct(list_transform(
+      |    range(1, len(ts) - 1), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+      |  ELSE [] END""".stripMargin
+
+  // ---- dedup -------------------------------------------------------
+
+  /** d1: exact dedup summary (hash-groupBy on md5(text)). */
+  def d1ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactSummary(Tables.documents(spark, dir))
+
+  val d1Sql: String =
+    """WITH g AS (
+      |  SELECT md5(text) AS h, count(*) AS c, min(doc_id) AS k
+      |  FROM documents GROUP BY 1
+      |)
+      |SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+      |  count(*) AS n_distinct,
+      |  CAST(sum(c) - count(*) AS BIGINT) AS n_removable
+      |FROM g""".stripMargin
+
+  /** d2: MinHash-LSH near-dup pairs (banded candidates, exact
+    * shingle-Jaccard verify at 0.8). */
+  def d2NearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupPairs(Tables.documents(spark, dir), threshold = 0.8)
+
+  val d2Sql: String =
+    s"""WITH toks AS (SELECT doc_id, $tsSql AS ts FROM documents),
+       |sh AS (SELECT doc_id, $shSql AS ss FROM toks),
+       |sig AS (SELECT doc_id, ss, list_transform(range(12), k ->
+       |    list_min(list_transform(ss, s ->
+       |      ((2*k + 1) * ${polySql("s")} + 7919*k) % 2147483647))) AS sg
+       |  FROM sh),
+       |band AS (SELECT doc_id, b,
+       |    ((sg[3*b+1]*31 + sg[3*b+2]) % 2147483647 * 31 + sg[3*b+3])
+       |      % 2147483647 AS bh
+       |  FROM sig CROSS JOIN range(4) r(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM band a JOIN band b
+       |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |hsets AS (SELECT doc_id,
+       |    list_distinct(list_transform(ss, s -> ${polySql("s")})) AS hs
+       |  FROM sh),
+       |ver AS (SELECT c.da, c.db,
+       |    CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+       |      / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) AS jac
+       |  FROM cand c JOIN hsets x ON c.da = x.doc_id
+       |    JOIN hsets y ON c.db = y.doc_id)
+       |SELECT da AS doc_a, db AS doc_b, round(jac, 6) AS jaccard
+       |FROM ver WHERE jac >= 0.8""".stripMargin
+
+  /** d3: per-document 32-bit SimHash fingerprints. */
+  def d3Simhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashFingerprints(Tables.documents(spark, dir))
+
+  val d3Sql: String =
+    s"""WITH toks AS (SELECT doc_id, $tsSql AS ts FROM documents),
+       |h AS (SELECT doc_id, CAST(len(ts) AS INT) AS n_tokens,
+       |    list_transform(list_distinct(ts), t -> ${polySql("t")}) AS hs
+       |  FROM toks)
+       |SELECT doc_id, n_tokens,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(range(31, -1, -1), b ->
+       |      CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(hs, h2 -> ((h2 >> b) & 1)*2 - 1)),
+       |        (x, y) -> x + y) > 0 THEN 1 ELSE 0 END)),
+       |    (a, b) -> a*2 + b) AS simhash
+       |FROM h""".stripMargin
+
+  /** d4: blocked char-3-gram Jaccard near-dup pairs (lang + length
+    * band blocking, verify at 0.7). */
+  def d4NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(spark, dir), threshold = 0.7)
+
+  val d4Sql: String =
+    s"""WITH g AS (SELECT doc_id, lang, n_chars,
+      |    CASE WHEN length(lower(text)) >= 3 THEN list_distinct(
+      |      list_transform(
+      |        list_transform(range(1, length(lower(text)) - 1),
+      |          i -> substr(lower(text), i, 3)),
+      |        gr -> ${polySql("gr")}))
+      |    ELSE [] END AS gs
+      |  FROM documents),
+      |p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+      |    CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+      |      / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) AS jac
+      |  FROM g a JOIN g b ON a.lang = b.lang
+      |    AND abs(a.n_chars - b.n_chars) <= 20 AND a.doc_id < b.doc_id)
+      |SELECT da AS doc_a, db AS doc_b, round(jac, 6) AS jaccard
+      |FROM p WHERE jac >= 0.7""".stripMargin
+
+  /** d5: embedding near-dup pairs via sign-LSH buckets + exact
+    * cosine verify at 0.40. */
+  def d5EmbedNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.embedNearDupPairs(Tables.embeddings(spark, dir), threshold = 0.40)
+
+  val d5Sql: String =
+    s"""WITH bk AS (SELECT vec_id, label, embedding,
+       |    ${bucketSql("embedding")} AS bucket
+       |  FROM embeddings)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  a.label = b.label AS same_label,
+       |  round(${cosSql("a.embedding", "b.embedding")}, 6) AS cosine
+       |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.40""".stripMargin
+
+  // ---- similarity search ------------------------------------------
+
+  private def queryVecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).filter(col("vec_id") < 5)
+
+  /** s1: brute-force cosine top-10 for query vectors (vec_id < 5). */
+  def s1Knn(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnBruteForce(Tables.embeddings(spark, dir),
+      queryVecs(spark, dir), k = 10)
+
+  val s1Sql: String =
+    s"""WITH p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 5),
+       |r AS (SELECT query_id, neighbor_id, CAST(row_number() OVER
+       |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rnk,
+       |    cos FROM p)
+       |SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cosine
+       |FROM r WHERE rnk <= 10""".stripMargin
+
+  /** s2: ANN top-3 via sign-LSH bucket join (no cross join in plan). */
+  def s2KnnLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnLsh(Tables.embeddings(spark, dir),
+      queryVecs(spark, dir), k = 3)
+
+  val s2Sql: String =
+    s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+       |  FROM embeddings),
+       |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM bk q JOIN bk c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 5),
+       |r AS (SELECT query_id, neighbor_id, CAST(row_number() OVER
+       |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rnk,
+       |    cos FROM p)
+       |SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cosine
+       |FROM r WHERE rnk <= 3""".stripMargin
+
+  // ---- text analysis ----------------------------------------------
+
+  /** x1: per-document quality metrics (token/stopword/punct counts,
+    * rational quality score — no transcendentals, parity-safe). */
+  def x1TextStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), col("text"),
+        TextFunctions.tokens(col("text")).as("ts"))
+    val nTok = size(col("ts"))
+    val nStop = size(filter(col("ts"),
+      t => t.isInCollection(TextFunctions.Stopwords)))
+    val nPunct = length(regexp_replace(col("text"), "[^.,;:!?]", ""))
+    docs.select(col("doc_id"),
+      nTok.as("n_tokens"), nStop.as("n_stop"), nPunct.as("n_punct"),
+      round(nStop.cast("double") / nTok, 6).as("stop_ratio"),
+      round(
+        least(lit(1.0), nTok.cast("double") / 100) * 0.6
+          + nStop.cast("double") / nTok * 0.2
+          + (lit(1.0) - nPunct.cast("double") / col("n_chars")) * 0.2,
+        6).as("quality"))
+  }
+
+  val x1Sql: String =
+    s"""WITH t AS (SELECT doc_id, n_chars, text, $tsSql AS ts FROM documents),
+       |m AS (SELECT doc_id, n_chars,
+       |    CAST(len(ts) AS INT) AS n_tokens,
+       |    CAST(len(list_filter(ts, s -> s IN
+       |      ('the','a','and','of','to','in','is','it'))) AS INT) AS n_stop,
+       |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS INT)
+       |      AS n_punct
+       |  FROM t)
+       |SELECT doc_id, n_tokens, n_stop, n_punct,
+       |  round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+       |  round(least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 100) * 0.6
+       |    + CAST(n_stop AS DOUBLE) / n_tokens * 0.2
+       |    + (1.0 - CAST(n_punct AS DOUBLE) / n_chars) * 0.2, 6) AS quality
+       |FROM m""".stripMargin
+
+  /** x3: corpus token histogram (explode → hash agg; partial
+    * map-side combine makes the shuffle proportional to vocabulary,
+    * not corpus). */
+  def x3TokenHist(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+
+  val x3Sql: String =
+    s"""SELECT t AS token, count(*) AS n FROM (
+       |  SELECT unnest($tsSql) AS t FROM documents
+       |) GROUP BY 1""".stripMargin
+
+  /** x4: rolling-hash document fingerprint (poly_hash of the 8-token
+    * prefix); groups with >1 doc = prefix-duplicate clusters. */
+  def x4Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextFunctions.polyHash(
+          concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 8)))
+          .as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .filter(col("n_docs") > 1)
+
+  val x4Sql: String =
+    s"""WITH t AS (SELECT doc_id, $tsSql AS ts FROM documents),
+       |fp AS (SELECT doc_id,
+       |    ${polySql("array_to_string(ts[1:8], ' ')")} AS fingerprint
+       |  FROM t)
+       |SELECT fingerprint, count(*) AS n_docs,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM fp GROUP BY 1 HAVING count(*) > 1""".stripMargin
+
+  /** x5: exact cardinality profile of the events stream (count,
+    * exact distinct users, active days). */
+  def x5Cardinality(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(to_date(col("ts"))).as("n_days"),
+        min(col("user_id")).as("min_user"), max(col("user_id")).as("max_user"))
+
+  val x5Sql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  count(DISTINCT user_id) AS n_users,
+      |  count(DISTINCT CAST(ts AS DATE)) AS n_days,
+      |  min(user_id) AS min_user, max(user_id) AS max_user
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** x6: HyperLogLog cardinality (approx_count_distinct) — sketch
+    * internals differ across engines, so no SQL oracle (driver
+    * records a rows-only check); the exact x5 covers correctness. */
+  def x6ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+}

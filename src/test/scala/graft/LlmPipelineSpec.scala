@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{PolyHash, TextFunctions}
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.unsafe.types.UTF8String
+
+class LlmPipelineSpec extends AnyFunSuite with SparkTestBase {
+  import testImplicits._
+
+  test("poly_hash matches the documented fold") {
+    // "ab" -> (0*31+97)*31+98
+    assert(PolyHash.hash(UTF8String.fromString("ab")) === 97L * 31 + 98)
+    assert(PolyHash.hash(UTF8String.fromString("")) === 0L)
+    val got = Seq("ab").toDF("s")
+      .select(TextFunctions.polyHash(col("s"))).head().getLong(0)
+    assert(got === 97L * 31 + 98)
+  }
+
+  test("cosine_sim: identical vectors ~1, opposite ~-1, null on mismatch") {
+    val df = Seq(
+      (Array(1f, 2f, 3f), Array(1f, 2f, 3f)),
+      (Array(1f, 0f, 0f), Array(-1f, 0f, 0f))
+    ).toDF("a", "b").select(TextFunctions.cosineSim(col("a"), col("b")).as("c"))
+    val rows = df.collect().map(_.getDouble(0))
+    assert(math.abs(rows(0) - 1.0) < 1e-12)
+    assert(math.abs(rows(1) + 1.0) < 1e-12)
+    val mismatch = Seq((Array(1f, 2f), Array(1f, 2f, 3f))).toDF("a", "b")
+      .select(TextFunctions.cosineSim(col("a"), col("b"))).head()
+    assert(mismatch.isNullAt(0))
+  }
+
+  test("tokens + shingles3: counts and short-doc guard") {
+    val byId = Seq((1L, "  The quick  brown fox jumps  "), (2L, "a b"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), size(col("ts")).as("n"),
+        size(TextFunctions.shingles3(col("ts"))).as("nsh"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(byId(1L) === ((5, 3))) // 5 tokens -> 3 shingles
+    assert(byId(2L) === ((2, 0))) // under 3 tokens -> no shingles
+  }
+
+  test("near-dup pairs: planted duplicate found, unrelated not paired") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = base + " lambda" // one-token edit: high shingle overlap
+    val other = "one two three four five six seven eight nine ten"
+    val docs = Seq((1L, base), (2L, near), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairs(docs, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("exact dedup summary counts copies") {
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "unique"))
+      .toDF("doc_id", "text")
+    val row = Dedup.exactSummary(docs).head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) === ((3L, 2L, 1L)))
+  }
+
+  test("simhash fingerprints: 32-bit range, identical docs collide") {
+    val docs = Seq((1L, "spark fast engine"), (2L, "spark fast engine"),
+      (3L, "totally different words here")).toDF("doc_id", "text")
+    val fp = Dedup.simhashFingerprints(docs)
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    assert(fp.values.forall(h => h >= 0 && h < (1L << 32)))
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(3L))
+  }
+
+  test("knn brute force returns k ranked neighbors per query") {
+    val vecs = (0L until 20L).map { i =>
+      (i, Array.tabulate(64)(k => ((i + k) % 7).toFloat - 3f), (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnBruteForce(vecs, vecs.filter(col("vec_id") < 2), 5)
+    val got = out.select("query_id", "rnk").as[(Long, Int)].collect()
+    assert(got.length === 10)
+    assert(got.groupBy(_._1).forall { case (_, rs) =>
+      rs.map(_._2).sorted.toSeq == Seq(1, 2, 3, 4, 5) })
+  }
+
+  test("lsh near-dup join never compares across buckets") {
+    val vecs = (0L until 30L).map { i =>
+      (i, Array.tabulate(64)(k => math.sin(i * 64 + k).toFloat), (i % 2).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    // threshold -1 keeps every in-bucket pair: pair count must be
+    // strictly below the all-pairs count if bucketing partitions at all
+    val pairs = Similarity.embedNearDupPairs(vecs, threshold = -1.0).count()
+    assert(pairs < 30L * 29 / 2)
+  }
+}

@@ -1,22 +1,14 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{SQLImplicits, SparkSession}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared session for all suites: one local SparkSession (lazy,
-  * process-wide via getOrCreate) keeps test startup cost O(1). */
+  * process-wide via getOrCreate) keeps test startup cost O(1).
+  * Routed through Engine.session so tests run with the engine's real
+  * config (UTC, AQE, nanosAsLong, GraftExtensions functions). */
 trait SparkTestBase extends AnyFunSuite {
-  lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  lazy val spark: SparkSession = Engine.session("graft-test", "local[4]")
+  protected lazy val testImplicits: SQLImplicits = spark.implicits
   val sf: String = "/root/testdata/sf0.001"
 }
