@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.model.Frame
+import graft.operators.StubDetector
+import graft.streaming.{DetectionStream, InMemoryStore, ObservedMetricsListener}
+
+class StreamingSpec extends SparkTestBase {
+
+  private def mkFrames(ids: Range): Seq[Frame] = ids.map { i =>
+    Frame("vid", i.toLong, new Timestamp(1700000000000L + i * 1000L),
+      480, 640, Array.empty[Byte])
+  }
+
+  private def labelsDf = {
+    import testImplicits._
+    (0 until 25).map(i => (i, s"label_$i")).toDF("label_id", "label")
+  }
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-stream-").toString
+
+  test("availableNow: streaming pipeline matches batch pipeline output") {
+    import testImplicits._
+    InMemoryStore.reset()
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Frame]
+    val frames = mkFrames(1 to 40)
+    mem.addData(frames)
+    val store = new InMemoryStore
+    val q = DetectionStream.runAvailableNow(mem.toDS(), labelsDf,
+      () => StubDetector, store, tmpDir())
+    q.awaitTermination(60000)
+    // batch reference: same operators on a static Dataset
+    val batchOut = DetectionStream.pipeline(
+      frames.toDS(), labelsDf, () => StubDetector, 0.7)
+      .collect().map(_.getString(0)).toSet
+    assert(batchOut.nonEmpty)
+    assert(InMemoryStore.all.toSet === batchOut)
+  }
+
+  test("checkpoint restart: committed batches are not re-applied") {
+    import testImplicits._
+    InMemoryStore.reset()
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Frame]
+    mem.addData(mkFrames(1 to 20))
+    val store = new InMemoryStore
+    val ckpt = tmpDir()
+    val q1 = DetectionStream.runAvailableNow(mem.toDS(), labelsDf,
+      () => StubDetector, store, ckpt)
+    q1.awaitTermination(60000)
+    val afterFirst = InMemoryStore.size
+    assert(afterFirst > 0)
+    // restart over the same checkpoint, no new data -> no change
+    val q2 = DetectionStream.runAvailableNow(mem.toDS(), labelsDf,
+      () => StubDetector, store, ckpt)
+    q2.awaitTermination(60000)
+    assert(InMemoryStore.size === afterFirst)
+    // new data after restart is processed exactly once
+    mem.addData(mkFrames(21 to 30))
+    val q3 = DetectionStream.runAvailableNow(mem.toDS(), labelsDf,
+      () => StubDetector, store, ckpt)
+    q3.awaitTermination(60000)
+    val batchAll = DetectionStream.pipeline(mkFrames(1 to 30).toDS(),
+      labelsDf, () => StubDetector, 0.7).collect().map(_.getString(0)).toSet
+    assert(InMemoryStore.all.toSet === batchAll)
+  }
+
+  test("frame limit stops the query after N frames") {
+    import testImplicits._
+    InMemoryStore.reset()
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Frame]
+    mem.addData(mkFrames(1 to 50))
+    val store = new InMemoryStore
+    val q = DetectionStream.runWithFrameLimit(spark, mem.toDS(), labelsDf,
+      () => StubDetector, store, tmpDir(), frameLimit = 7)
+    q.awaitTermination(60000)
+    assert(!q.isActive)
+    // exactly the first 7 frames' records (batch order = arrival order)
+    val expected = DetectionStream.pipeline(mkFrames(1 to 7).toDS(),
+      labelsDf, () => StubDetector, 0.7).collect().map(_.getString(0)).toSet
+    assert(InMemoryStore.all.toSet === expected)
+  }
+
+  test("fps window: watermarked event-time rate, finalized in append mode") {
+    import testImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Frame]
+    val q = DetectionStream.fpsWindow(mem.toDS())
+      .writeStream.format("memory").queryName("fps_out")
+      .outputMode("append").start()
+    // batch 1: three frames in second 0, one in second 1
+    mem.addData(Seq(0L, 200L, 400L, 1200L).zipWithIndex.map { case (ms, i) =>
+      Frame("vid", i.toLong, new Timestamp(1700000000000L + ms), 480, 640,
+        Array.empty[Byte])
+    })
+    q.processAllAvailable()
+    // batch 2: a frame far past the watermark horizon finalizes them
+    mem.addData(Seq(Frame("vid", 99L,
+      new Timestamp(1700000000000L + 60000L), 480, 640, Array.empty[Byte])))
+    q.processAllAvailable()
+    val rows = spark.table("fps_out")
+      .select(col("ws").cast("long"), col("n_frames")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    q.stop()
+    assert(rows(1700000000L) === 3L)
+    assert(rows(1700000001L) === 1L)
+  }
+
+  test("observed metrics reach the listener (A3/S5 analog)") {
+    import testImplicits._
+    InMemoryStore.reset()
+    implicit val sqlCtx = spark.sqlContext
+    val listener = new ObservedMetricsListener
+    spark.streams.addListener(listener)
+    try {
+      val mem = MemoryStream[Frame]
+      mem.addData(mkFrames(1 to 25))
+      val store = new InMemoryStore
+      val q = DetectionStream.runAvailableNow(mem.toDS(), labelsDf,
+        () => StubDetector, store, tmpDir())
+      q.awaitTermination(60000)
+      assert(listener.metric("graft_pipeline", "n_records")
+        .exists(_.asInstanceOf[Long] === InMemoryStore.size.toLong))
+      assert(listener.totalInputRows === 25L)
+    } finally spark.streams.removeListener(listener)
+  }
+}
