@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{LlmQueries, Relational, VideoQueries}
+import graft.queries.{LlmQueries, Relational, Relational2, VideoQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -38,6 +38,15 @@ object SparkEntry {
     "x4_fingerprint" -> LlmQueries.x4Fingerprint,
     "x5_cardinality" -> LlmQueries.x5Cardinality,
     "x6_approx_distinct" -> LlmQueries.x6ApproxDistinct,
+    "r10_rollup" -> Relational2.r10Rollup,
+    "r11_cube" -> Relational2.r11Cube,
+    "r12_setops" -> Relational2.r12SetOps,
+    "r13_rank_window" -> Relational2.r13RankWindow,
+    "r14_semi_anti" -> Relational2.r14SemiAnti,
+    "r15_string_date" -> Relational2.r15StringDate,
+    "r16_json" -> Relational2.r16Json,
+    "r17_star_join" -> Relational2.r17StarJoin,
+    "r18_analytic" -> Relational2.r18Analytic,
   )
 
   /** Every oracle is wrapped in `ORDER BY ALL` (all columns,
@@ -88,5 +97,14 @@ object SparkEntry {
     "x5_cardinality" -> LlmQueries.x5Sql,
     // x6_approx_distinct: HLL sketches differ across engines — no
     // SQL oracle on purpose (driver records a rows-only check)
+    "r10_rollup" -> Relational2.r10Sql,
+    "r11_cube" -> Relational2.r11Sql,
+    "r12_setops" -> Relational2.r12Sql,
+    "r13_rank_window" -> Relational2.r13Sql,
+    "r14_semi_anti" -> Relational2.r14Sql,
+    "r15_string_date" -> Relational2.r15Sql,
+    "r16_json" -> Relational2.r16Sql,
+    "r17_star_join" -> Relational2.r17Sql,
+    "r18_analytic" -> Relational2.r18Sql,
   )
 }

@@ -1,0 +1,249 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Relational breadth, batch 2 (SURVEY.md §7 step 4): rollup/cube,
+  * set operations, ranking + analytic windows, semi/anti joins,
+  * string/date/JSON scalars, and a multi-join star aggregation.
+  * All Spark built-ins — the engine work is the query surface, the
+  * oracle parity, and the plan-shape notes.
+  *
+  * Parity invariants (see SparkEntry.ordered): no NULL output cells
+  * (rollup/cube keys coalesced, lag defaults filled), doubles only
+  * via exact (min/max) or round-after-sum aggregates, BIGINT/INT
+  * alignment via casts on the DuckDB side.
+  */
+object Relational2 {
+
+  /** r10: ROLLUP over the region→nation hierarchy. Dims broadcast;
+    * rollup adds one extra partial-agg pass, shuffle stays tiny. */
+  def r10Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        min(col("c_acctbal")).as("min_bal"), max(col("c_acctbal")).as("max_bal"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_cust"), col("min_bal"), col("max_bal"))
+  }
+
+  val r10Sql: String =
+    """SELECT coalesce(r_name, 'ALL') AS region,
+      |  coalesce(n_name, 'ALL') AS nation,
+      |  count(*) AS n_cust, min(c_acctbal) AS min_bal,
+      |  max(c_acctbal) AS max_bal
+      |FROM customer c
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)""".stripMargin
+
+  /** r11: CUBE over two independent order dimensions. */
+  def r11Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("min_price"), col("max_price"))
+
+  val r11Sql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  count(*) AS n, min(o_totalprice) AS min_price,
+      |  max(o_totalprice) AS max_price
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** r12: set operations — INTERSECT / EXCEPT / UNION branches of
+    * two customer populations, tagged and unioned. Set ops shuffle
+    * on the full row — fine for key-only projections. */
+  def r12SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val seg = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+    val big = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 400000.0)
+      .select(col("o_custkey").as("custkey")).distinct()
+    seg.intersect(big).select(lit("both").as("op"), col("custkey"))
+      .unionAll(seg.except(big).select(lit("seg_only").as("op"), col("custkey")))
+      .unionAll(big.except(seg).select(lit("big_only").as("op"), col("custkey")))
+  }
+
+  val r12Sql: String =
+    """WITH seg AS (SELECT c_custkey AS custkey FROM customer
+      |    WHERE c_mktsegment = 'BUILDING'),
+      |big AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+      |    WHERE o_totalprice > 400000.0)
+      |SELECT 'both' AS op, custkey FROM (SELECT custkey FROM seg INTERSECT SELECT custkey FROM big)
+      |UNION ALL
+      |SELECT 'seg_only' AS op, custkey FROM (SELECT custkey FROM seg EXCEPT SELECT custkey FROM big)
+      |UNION ALL
+      |SELECT 'big_only' AS op, custkey FROM (SELECT custkey FROM big EXCEPT SELECT custkey FROM seg)""".stripMargin
+
+  /** r13: ranking windows — top-3 customers by balance per nation
+    * with row_number (tie-broken) plus rank/dense_rank (tie-aware). */
+  def r13RankWindow(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val base = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select(col("n_name").as("nation"), col("c_custkey"), col("c_acctbal"))
+    val wRn = Window.partitionBy(col("nation"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val wRk = Window.partitionBy(col("nation")).orderBy(col("c_acctbal").desc)
+    base.select(col("nation"), col("c_custkey"), col("c_acctbal"),
+        row_number().over(wRn).as("rn"),
+        rank().over(wRk).as("rk"),
+        dense_rank().over(wRk).as("drk"))
+      .filter(col("rn") <= 3)
+  }
+
+  val r13Sql: String =
+    """WITH base AS (SELECT n_name AS nation, c_custkey, c_acctbal
+      |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+      |w AS (SELECT nation, c_custkey, c_acctbal,
+      |  CAST(row_number() OVER (PARTITION BY nation
+      |    ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rn,
+      |  CAST(rank() OVER (PARTITION BY nation
+      |    ORDER BY c_acctbal DESC) AS INT) AS rk,
+      |  CAST(dense_rank() OVER (PARTITION BY nation
+      |    ORDER BY c_acctbal DESC) AS INT) AS drk
+      |  FROM base)
+      |SELECT nation, c_custkey, c_acctbal, rn, rk, drk
+      |FROM w WHERE rn <= 3""".stripMargin
+
+  /** r14: semi/anti joins — customers with vs without orders, per
+    * segment. Spark plans left-semi/left-anti hash joins; the probe
+    * never widens rows. */
+  def r14SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .select(lit("with_orders").as("mode"), col("c_mktsegment"), col("n"))
+    val noO = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .select(lit("no_orders").as("mode"), col("c_mktsegment"), col("n"))
+    withO.unionAll(noO)
+  }
+
+  val r14Sql: String =
+    """SELECT 'with_orders' AS mode, c_mktsegment, count(*) AS n
+      |FROM customer c WHERE EXISTS
+      |  (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |GROUP BY 2
+      |UNION ALL
+      |SELECT 'no_orders' AS mode, c_mktsegment, count(*) AS n
+      |FROM customer c WHERE NOT EXISTS
+      |  (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |GROUP BY 2""".stripMargin
+
+  /** r15: string + date scalar functions as a pushdown-friendly
+    * projection (the modulo filter reaches the scan). */
+  def r15StringDate(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey"),
+        upper(col("o_orderpriority")).as("pri_upper"),
+        substring(col("o_orderpriority"), 1, 1).as("pri_code"),
+        length(col("o_orderpriority")).as("pri_len"),
+        concat(col("o_orderstatus"), lit("-"), col("o_orderpriority"))
+          .as("status_pri"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_add(to_date(col("o_orderdate")), 30).as("due_date"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01"))
+          .as("days_since"))
+
+  val r15Sql: String =
+    """SELECT o_orderkey,
+      |  upper(o_orderpriority) AS pri_upper,
+      |  substr(o_orderpriority, 1, 1) AS pri_code,
+      |  CAST(length(o_orderpriority) AS INT) AS pri_len,
+      |  o_orderstatus || '-' || o_orderpriority AS status_pri,
+      |  CAST(year(o_orderdate) AS INT) AS yr,
+      |  CAST(month(o_orderdate) AS INT) AS mo,
+      |  CAST(day(o_orderdate) AS INT) AS dom,
+      |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
+      |  CAST(date_diff('day', DATE '1995-01-01',
+      |    CAST(o_orderdate AS DATE)) AS INT) AS days_since
+      |FROM orders WHERE o_orderkey % 97 = 0""".stripMargin
+
+  /** r16: JSON scalar extraction over the events props column. */
+  def r16Json(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"),
+        col("event_id"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), min(col("event_id")).as("first_event"))
+
+  val r16Sql: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+      |  count(*) AS n, min(event_id) AS first_event
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** r17: the multi-join star aggregation (TPC-H Q5 shape): fact
+    * joined through orders to the customer→nation→region hierarchy;
+    * dims broadcast, facts join on keys, 25-group aggregate. */
+  def r17StarJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+  }
+
+  val r17Sql: String =
+    """SELECT r_name AS region, n_name AS nation, count(*) AS n_items,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY 1, 2""".stripMargin
+
+  /** r18: analytic windows over the event stream — lag, rolling
+    * 3-row count/min, running sequence per user. */
+  def r18Analytic(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("user_id") < 10)
+      .select(col("user_id"), col("event_id"), col("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val w3 = w.rowsBetween(-2, 0)
+    e.select(col("user_id"), col("event_id"), col("value"),
+      coalesce(lag(col("event_id"), 1).over(w), lit(-1L)).as("prev_event"),
+      count(lit(1)).over(w3).as("cnt3"),
+      min(col("value")).over(w3).as("min3"),
+      row_number().over(w).as("seq"))
+  }
+
+  val r18Sql: String =
+    """WITH e AS (SELECT user_id, event_id, value FROM events
+      |  WHERE user_id < 10)
+      |SELECT user_id, event_id, value,
+      |  coalesce(lag(event_id, 1) OVER w, -1) AS prev_event,
+      |  count(*) OVER w3 AS cnt3,
+      |  min(value) OVER w3 AS min3,
+      |  CAST(row_number() OVER w AS INT) AS seq
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY event_id),
+      |  w3 AS (PARTITION BY user_id ORDER BY event_id
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin
+}
