@@ -38,4 +38,13 @@ object Engine {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
   }
+
+  /** S9: the debug-graph-dump sink analog
+    * (`/root/reference/run.sh:26-28`, `gst_graph=1` → .dot file):
+    * writes the formatted physical plan — Exchange/Sort/codegen
+    * boundaries visible — to a file for plan audits. */
+  def dumpPlan(df: org.apache.spark.sql.DataFrame, path: String): Unit =
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
 }

@@ -34,10 +34,12 @@ object SparkEntry {
     "s1_knn" -> LlmQueries.s1Knn,
     "s2_knn_lsh" -> LlmQueries.s2KnnLsh,
     "x1_text_stats" -> LlmQueries.x1TextStats,
+    "x2_lang_id" -> LlmQueries.x2LangId,
     "x3_token_hist" -> LlmQueries.x3TokenHist,
     "x4_fingerprint" -> LlmQueries.x4Fingerprint,
     "x5_cardinality" -> LlmQueries.x5Cardinality,
     "x6_approx_distinct" -> LlmQueries.x6ApproxDistinct,
+    "m1_multimodal" -> LlmQueries.m1Multimodal,
     "r10_rollup" -> Relational2.r10Rollup,
     "r11_cube" -> Relational2.r11Cube,
     "r12_setops" -> Relational2.r12SetOps,
@@ -92,11 +94,13 @@ object SparkEntry {
     "s1_knn" -> LlmQueries.s1Sql,
     "s2_knn_lsh" -> LlmQueries.s2Sql,
     "x1_text_stats" -> LlmQueries.x1Sql,
+    "x2_lang_id" -> LlmQueries.x2Sql,
     "x3_token_hist" -> LlmQueries.x3Sql,
     "x4_fingerprint" -> LlmQueries.x4Sql,
     "x5_cardinality" -> LlmQueries.x5Sql,
     // x6_approx_distinct: HLL sketches differ across engines — no
     // SQL oracle on purpose (driver records a rows-only check)
+    "m1_multimodal" -> LlmQueries.m1Sql,
     "r10_rollup" -> Relational2.r10Sql,
     "r11_cube" -> Relational2.r11Sql,
     "r12_setops" -> Relational2.r12Sql,

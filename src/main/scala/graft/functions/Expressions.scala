@@ -49,6 +49,17 @@ object PolyHash {
     }
     h
   }
+  /** Same fold over raw bytes (unsigned) — the multimodal payload
+    * checksum. */
+  def hashBytes(bytes: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h * 31 + (bytes(i) & 0xff)) % Mod
+      i += 1
+    }
+    h
+  }
 }
 
 /** Cosine similarity over two ARRAY<FLOAT> embeddings, accumulated

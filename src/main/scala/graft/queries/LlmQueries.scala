@@ -285,6 +285,81 @@ object LlmQueries {
       |  min(user_id) AS min_user, max(user_id) AS max_user
       |FROM events GROUP BY 1""".stripMargin
 
+  /** x2: n-gram-marker language ID. Each language gets a few marker
+    * n-grams; score = total marker characters matched (computed via
+    * replace-and-measure, identical left-to-right semantics on both
+    * engines); prediction = argmax with a fixed tiebreak order.
+    * Output: actual × predicted confusion counts. (The synthetic
+    * corpus is English-ish for every lang value, so accuracy is
+    * meaningless — the mechanism is what's under test.) */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " is ", " a "),
+    "de" -> Seq("sch", "ein", " der "),
+    "es" -> Seq(" los ", "ción", " es "),
+    "fr" -> Seq(" les ", " une ", "eau"),
+    "zh" -> Seq("的", "是"))
+
+  def x2LangId(spark: SparkSession, dir: String): DataFrame = {
+    val t = concat(lit(" "), lower(col("text")), lit(" "))
+    val scores = langMarkers.map { case (lang, ms) =>
+      lang -> ms.map(m => length(t) - length(replace(t, lit(m), lit(""))))
+        .reduce(_ + _)
+    }
+    val pred = scores.foldRight(lit(scores.last._1)) { case ((lang, s), els) =>
+      when(scores.filter(_._1 != lang).map(_._2)
+        .foldLeft(lit(true))((acc, o) => acc && s >= o), lang).otherwise(els)
+    }
+    Tables.documents(spark, dir)
+      .select(col("lang"), pred.as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val x2Sql: String = {
+    val scoreSql = langMarkers.map { case (lang, ms) =>
+      val terms = ms.map(m =>
+        s"(length(t) - length(replace(t, '$m', '')))").mkString(" + ")
+      s"($terms) AS s_$lang"
+    }.mkString(",\n    ")
+    val langs = langMarkers.map(_._1)
+    val caseSql = langs.map { lang =>
+      val conds = langs.filter(_ != lang).map(o => s"s_$lang >= s_$o")
+        .mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }.dropRight(1).mkString("\n    ")
+    s"""WITH t AS (SELECT lang, ' ' || lower(text) || ' ' AS t FROM documents),
+       |s AS (SELECT lang, $scoreSql FROM t),
+       |p AS (SELECT lang, CASE $caseSql ELSE '${langs.last}' END AS pred_lang
+       |  FROM s)
+       |SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2""".stripMargin
+  }
+
+  /** m1: multimodal columns — the payload rides as BINARY, metadata
+    * is typed, and the decode stage is the deterministic stub of
+    * operators.Multimodal (real plumbing, fake codec: the stub dims
+    * are pure arithmetic on the payload fingerprint so DuckDB can
+    * restate them). */
+  def m1Multimodal(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("data"))
+      .select(col("doc_id"), length(col("data")).as("byte_len"),
+        TextFunctions.polyHash(lower(hex(col("data")))).as("content_fp"))
+      .selectExpr("doc_id", "byte_len", "content_fp",
+        "CAST(64 + content_fp % 61 AS INT) AS width",
+        "CAST(64 + (content_fp div 61) % 53 AS INT) AS height",
+        "CAST(1 + content_fp % 7 AS INT) AS n_frames")
+
+  val m1Sql: String =
+    s"""WITH b AS (SELECT doc_id, encode(text) AS data FROM documents),
+       |f AS (SELECT doc_id, CAST(octet_length(data) AS INT) AS byte_len,
+       |    ${polySql("lower(hex(data))")} AS content_fp
+       |  FROM b)
+       |SELECT doc_id, byte_len, content_fp,
+       |  CAST(64 + content_fp % 61 AS INT) AS width,
+       |  CAST(64 + (content_fp // 61) % 53 AS INT) AS height,
+       |  CAST(1 + content_fp % 7 AS INT) AS n_frames
+       |FROM f""".stripMargin
+
   /** x6: HyperLogLog cardinality (approx_count_distinct) — sketch
     * internals differ across engines, so no SQL oracle (driver
     * records a rows-only check); the exact x5 covers correctness. */

@@ -9,13 +9,15 @@ import org.apache.spark.sql.functions._
   * at the join site. */
 object Labels {
   /** Load an `id:name` file (the reference's label format) into
-    * (label_id INT, label STRING). */
+    * (label_id INT, label STRING). Split on the FIRST ':' only —
+    * the reference keeps the first two fields
+    * (`gst-detection-tf.py:114-121`), so a name containing ':' is
+    * truncated, not nulled. */
   def fromIdNameFile(spark: SparkSession, path: String): DataFrame =
-    spark.read
-      .option("sep", ":")
-      .schema("label_id INT, label STRING")
-      .csv(path)
-      .select(col("label_id"), trim(col("label")).as("label"))
+    spark.read.text(path)
+      .select(split(col("value"), ":", 2).as("parts"))
+      .select(col("parts").getItem(0).cast("int").as("label_id"),
+        trim(col("parts").getItem(1)).as("label"))
 
   /** Label dim derived from the testdata `nation` table (25 rows) —
     * used by the oracle-checked video queries so both engines join
