@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, PolyHash}
+import graft.functions.{CosineSim, IntersectCount, PolyHash}
 
 /** Engine extension point, installed via
   * `spark.sql.extensions=graft.GraftExtensions` (Engine.session) —
@@ -20,5 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (args: Seq[Expression]) => CosineSim(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("intersect_count"),
+      new ExpressionInfo(classOf[IntersectCount].getName, "intersect_count"),
+      (args: Seq[Expression]) => IntersectCount(args(0), args(1))))
   }
 }

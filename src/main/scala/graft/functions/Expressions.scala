@@ -62,6 +62,51 @@ object PolyHash {
   }
 }
 
+/** Intersection cardinality of two SORTED, DISTINCT ARRAY<BIGINT>
+  * columns via a linear merge — the verification kernel of the dedup
+  * pipeline. Replaces array_intersect+size (hash-set allocation per
+  * row, interpreted) with a codegen'd counting loop; same value as
+  * DuckDB's len(list_intersect(a,b)) on distinct inputs.
+  */
+case class IntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def isLongArray(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(left.dataType) && isLongArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "intersect_count expects two ARRAY<BIGINT> (sorted, distinct)")
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    IntersectCount.count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.IntersectCount.count($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectCount =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "intersect_count"
+}
+
+object IntersectCount {
+  /** Linear merge over sorted distinct arrays. */
+  def count(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
 /** Cosine similarity over two ARRAY<FLOAT> embeddings, accumulated
   * in double in ascending index order — the exact fold order the
   * DuckDB oracle restates with list_reduce, so results are

@@ -21,6 +21,18 @@ object TextFunctions {
   /** cosine_sim as a Column (registered by GraftExtensions). */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
 
+  /** Evaluate `value` ONCE per row and reference it many times:
+    * binds the expression to a higher-order-function lambda variable
+    * (transform over a 1-element array). Without this, every
+    * reference to a computed array/string argument re-evaluates the
+    * full expression — e.g. element_at(split(...), i) re-splits the
+    * document per shingle element, turning an O(tokens) op into
+    * O(tokens²). Catalyst's CollapseProject would inline a plain
+    * projection alias, so the lambda binding is the reliable
+    * row-local CSE. */
+  def bind(value: Column, f: Column => Column): Column =
+    element_at(transform(array(value), f), 1)
+
   /** Whitespace tokenizer: lower, split on \s+, drop empties.
     * DuckDB: list_filter(string_split_regex(lower(t),'\s+'), x->x<>'') */
   def tokens(text: Column): Column =
@@ -30,64 +42,48 @@ object TextFunctions {
     * MinHash feature set. Docs under 3 tokens yield an empty set.
     * DuckDB: list_distinct(list_transform(range(1,len(ts)-1),
     *         i -> ts[i]||' '||ts[i+1]||' '||ts[i+2])) */
-  def shingles3(toks: Column): Column =
-    when(size(toks) >= 3,
-      array_distinct(transform(sequence(lit(1), size(toks) - 2),
+  def shingles3(toks: Column): Column = bind(toks, ts =>
+    when(size(ts) >= 3,
+      array_distinct(transform(sequence(lit(1), size(ts) - 2),
         i => concat_ws(" ",
-          element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
-      .otherwise(array().cast("array<string>"))
+          element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2)))))
+      .otherwise(array().cast("array<string>")))
 
   /** Distinct character 3-grams of lower(text). */
-  def charGrams3(text: Column): Column = {
-    val t = lower(text)
+  def charGrams3(text: Column): Column = bind(lower(text), t =>
     when(length(t) >= 3,
       array_distinct(transform(sequence(lit(1), length(t) - 2),
         i => t.substr(i, lit(3)))))
-      .otherwise(array().cast("array<string>"))
-  }
+      .otherwise(array().cast("array<string>")))
 
-  /** MinHash signature (k permutations) over an ARRAY<BIGINT> of
-    * feature hashes: sig[j] = min over h of ((2j+1)*h + 7919j) mod P,
-    * P = 2^31-1. Row-local; commutative min so feature order never
-    * matters. */
+  /** MinHash permutation modulus (2^31-1, prime). The signature
+    * itself is computed as k min-aggregates in Dedup.shingleFeatures
+    * (explode + partial agg — hashes computed once per corpus scan). */
   val MinhashP = 2147483647L
-  def minhashSig(hashes: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(hashes,
-        h => ((j * 2 + 1) * h + lit(7919) * j) % MinhashP)))
 
-  /** LSH band rows: one struct(band, band_hash) per band of r=3
-    * signature slots, band_hash = ordered 31-poly fold mod P.
-    * DuckDB: ((sg[3b+1]*31+sg[3b+2])%P*31+sg[3b+3])%P */
-  def bandStructs(sig: Column, bands: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)), b => {
-      val s1 = element_at(sig, b * 3 + 1)
-      val s2 = element_at(sig, b * 3 + 2)
-      val s3 = element_at(sig, b * 3 + 3)
-      struct(b.as("band"),
-        (((s1 * 31 + s2) % MinhashP * 31 + s3) % MinhashP).as("band_hash"))
-    })
-
-  /** Exact Jaccard similarity of two string-set columns (distinct
-    * arrays), computed as |∩| / (|a|+|b|-|∩|) in double. */
+  /** Exact Jaccard similarity of two SORTED DISTINCT ARRAY<BIGINT>
+    * columns: |∩| / (|a|+|b|-|∩|) in double, |∩| via the codegen'd
+    * intersect_count merge (no per-row hash-set allocation). */
   def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b))
+    val inter = call_function("intersect_count", a, b)
     inter.cast("double") / (size(a) + size(b) - inter)
   }
 
   /** 32-bit SimHash over an ARRAY<BIGINT> of feature hashes: bit b is
     * set iff Σ_h (2*((h>>b)&1)-1) > 0; folded MSB-first so the
     * fingerprint is Σ bit_b << b. Row-local, commutative sums. */
-  def simhash32(hashes: Column): Column = {
+  def simhash32(hashes: Column): Column = bind(hashes, hs => {
     // bit positions are static, so unroll at plan-build time (the
-    // shiftright(Column, Int) overload keeps everything codegen'd)
+    // shiftright(Column, Int) overload keeps everything codegen'd);
+    // `hs` is lambda-bound so the hash array is computed once, not
+    // once per bit
     val bitsDesc = array((31 to 0 by -1).map { b =>
-      val vote = aggregate(hashes, lit(0L),
+      val vote = aggregate(hs, lit(0L),
         (acc, h) => acc + (shiftright(h, b).bitwiseAND(1L) * 2 - 1))
       when(vote > 0, 1L).otherwise(0L)
     }: _*)
     aggregate(bitsDesc, lit(0L), (acc, bit) => acc * 2 + bit)
-  }
+  })
 
   /** Stopword membership set used by the quality metrics. */
   val Stopwords: Seq[String] =

@@ -38,28 +38,22 @@ object Dedup {
       count(lit(1)).as("n_distinct"),
       (sum(col("n_copies")) - count(lit(1))).as("n_removable"))
 
-  /** (doc_id, shingles ARRAY<BIGINT>): distinct word-3-shingle
-    * hashes per document. Row-local, one pass. */
-  def shingleHashSets(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-        explode(shingles3(tokens(col("text")))).as("s"))
-      .select(col("doc_id"), polyHash(col("s")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(collect_set(col("h")).as("hashes"))
-
-  /** Per-document MinHash signature columns mh0..mh{k-1} over word
-    * 3-shingles: explode → hash once per shingle → k min-aggregates.
-    * Partial aggregation collapses to one row per doc per partition
-    * before the shuffle, so shuffle volume is O(docs × k), not
-    * O(shingles). */
-  def minhashSignatures(docs: DataFrame, k: Int = 12): DataFrame = {
+  /** Single-scan per-document shingle features: ONE explode + ONE
+    * aggregation yields both the sorted distinct hash set (for exact
+    * Jaccard verification via intersect_count) and the k MinHash
+    * minima mh0..mh{k-1}. Partial aggregation combines map-side, and
+    * every downstream consumer (band rows ×2, verify sides ×2) reads
+    * the same shuffle via ReuseExchange — shingles are hashed exactly
+    * once per corpus scan. */
+  def shingleFeatures(docs: DataFrame, k: Int = 12): DataFrame = {
     val hashed = docs.select(col("doc_id"),
         explode(shingles3(tokens(col("text")))).as("s"))
       .select(col("doc_id"), polyHash(col("s")).as("h"))
-    val aggs = (0 until k).map { j =>
+    val minAggs = (0 until k).map { j =>
       min((col("h") * (2 * j + 1) + lit(7919L * j)) % MinhashP).as(s"mh$j")
     }
-    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    hashed.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("h"))).as("hashes"), minAggs: _*)
   }
 
   /** LSH candidate pairs: band the signature columns into (band,
@@ -91,10 +85,11 @@ object Dedup {
   }
 
   /** Near-dup pairs: LSH candidates verified with exact Jaccard over
-    * the shingle-hash sets, kept at >= `threshold`. */
+    * the sorted shingle-hash sets, kept at >= `threshold`. */
   def nearDupPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val cands = lshCandidates(minhashSignatures(docs))
-    val feats = shingleHashSets(docs)
+    val features = shingleFeatures(docs)
+    val cands = lshCandidates(features)
+    val feats = features.select(col("doc_id"), col("hashes"))
     cands
       .join(feats.alias("x"), col("doc_a") === col("x.doc_id"))
       .join(feats.alias("y"), col("doc_b") === col("y.doc_id"))
@@ -124,7 +119,7 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("n_chars"),
         polyHash(col("g")).as("h"))
       .groupBy(col("doc_id"), col("lang"), col("n_chars"))
-      .agg(collect_set(col("h")).as("gs"))
+      .agg(sort_array(collect_set(col("h"))).as("gs"))
 
   /** Blocked character-n-gram Jaccard pairs: same lang, length
     * within `lenBand`, exact char-3-gram Jaccard >= threshold.
