@@ -112,6 +112,27 @@ class StreamingSpec extends SparkTestBase {
     assert(rows(1700000001L) === 1L)
   }
 
+  test("file-based frame stream: parquet dir -> conform -> pipeline (S1/S3)") {
+    import testImplicits._
+    InMemoryStore.reset()
+    val dir = tmpDir()
+    val frames = mkFrames(1 to 12)
+    frames.toDS().write.mode("overwrite").parquet(dir)
+    val store = new InMemoryStore
+    val q = DetectionStream.runAvailableNow(
+      graft.sources.FrameSource.frameStream(spark, dir), labelsDf,
+      () => StubDetector, store, tmpDir())
+    q.awaitTermination(60000)
+    val expected = DetectionStream.pipeline(frames.toDS(), labelsDf,
+      () => StubDetector, 0.7).collect().map(_.getString(0)).toSet
+    assert(InMemoryStore.all.toSet === expected)
+    // caps filter rejects a stream missing contract columns
+    val bad = Seq((1L, "x")).toDF("frame_id", "video_id")
+    val err = intercept[IllegalArgumentException](
+      graft.sources.FrameSource.conform(bad))
+    assert(err.getMessage.contains("missing columns"))
+  }
+
   test("observed metrics reach the listener (A3/S5 analog)") {
     import testImplicits._
     InMemoryStore.reset()
