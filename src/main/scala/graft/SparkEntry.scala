@@ -49,6 +49,7 @@ object SparkEntry {
     "r16_json" -> Relational2.r16Json,
     "r17_star_join" -> Relational2.r17StarJoin,
     "r18_analytic" -> Relational2.r18Analytic,
+    "r19_sql_surface" -> Relational2.r19SqlSurface,
   )
 
   /** Every oracle is wrapped in `ORDER BY ALL` (all columns,
@@ -110,5 +111,6 @@ object SparkEntry {
     "r16_json" -> Relational2.r16Sql,
     "r17_star_join" -> Relational2.r17Sql,
     "r18_analytic" -> Relational2.r18Sql,
+    "r19_sql_surface" -> Relational2.r19Sql,
   )
 }

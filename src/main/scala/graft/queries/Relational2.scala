@@ -219,6 +219,25 @@ object Relational2 {
       |JOIN region r ON n.n_regionkey = r.r_regionkey
       |GROUP BY 1, 2""".stripMargin
 
+  /** r19: the SQL surface — ONE ANSI SQL text executed verbatim by
+    * both engines (spark.sql over temp views ↔ DuckDB over the same
+    * table names). CTE + join + aggregation; Catalyst plans it
+    * identically to the DataFrame variants. */
+  val r19Sql: String =
+    """WITH big AS (
+      |  SELECT o_custkey, count(*) AS n_big
+      |  FROM orders WHERE o_totalprice > 300000.0 GROUP BY 1
+      |)
+      |SELECT c.c_mktsegment, count(*) AS n_cust, max(b.n_big) AS max_big
+      |FROM customer c JOIN big b ON c.c_custkey = b.o_custkey
+      |GROUP BY 1""".stripMargin
+
+  def r19SqlSurface(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    spark.sql(r19Sql)
+  }
+
   /** r18: analytic windows over the event stream — lag, rolling
     * 3-row count/min, running sequence per user. */
   def r18Analytic(spark: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SkewJoin
+
+/** Scale-technique demonstrations: salted skew joins and bucketed
+  * co-located joins — the §2.8 answers to "would this hold at
+  * 1000× the data". */
+class ScaleTechniquesSpec extends SparkTestBase {
+  import testImplicits._
+
+  test("salted join: identical results to a plain join, salt spread out") {
+    // skew: 90% of fact rows share key 1
+    val fact = (1 to 1000).map(i => (if (i <= 900) 1 else i % 50, s"row$i"))
+      .toDF("k", "payload")
+    val dim = (0 until 50).map(i => (i, s"dim$i")).toDF("k", "name")
+    val plain = fact.join(dim, Seq("k")).select("k", "payload", "name")
+    val salted = SkewJoin.saltedJoin(fact, dim, "k", salts = 8)
+      .select("k", "payload", "name")
+    assert(salted.collect().toSet === plain.collect().toSet)
+    // the hot key's rows really do carry distinct salts
+    val saltsUsed = fact.withColumn("__salt",
+        pmod(hash(fact.columns.map(col).toIndexedSeq: _*), lit(8)))
+      .filter(col("k") === 1).select("__salt").distinct().count()
+    assert(saltsUsed > 1)
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange in plan") {
+    // default warehouse dir (spark-warehouse/, gitignored) — the
+    // warehouse location is a static conf, immutable per session
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    val o = (1 to 500).map(i => (i.toLong % 100, i.toLong)).toDF("custkey", "orderkey")
+    val c = (0 until 100).map(i => (i.toLong, s"cust$i")).toDF("custkey", "name")
+    o.write.bucketBy(8, "custkey").sortBy("custkey").saveAsTable("b_orders")
+    c.write.bucketBy(8, "custkey").sortBy("custkey").saveAsTable("b_customer")
+    val joined = spark.table("b_orders")
+      .join(spark.table("b_customer"), Seq("custkey"))
+    val plan = joined.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+    assert(joined.count() === 500L)
+  }
+}
