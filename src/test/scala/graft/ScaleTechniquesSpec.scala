@@ -25,11 +25,34 @@ class ScaleTechniquesSpec extends SparkTestBase {
     assert(saltsUsed > 1)
   }
 
+  test("partitioned write: directory layout prunes key-scoped reads") {
+    val out = java.nio.file.Files.createTempDirectory("graft-out-").toString
+    val df = (1 to 100).map(i => (s"vid${i % 4}", i.toLong, i * 2))
+      .toDF("video_id", "frame_id", "x")
+    graft.sources.Writers.writePartitioned(df, out, Seq("video_id"))
+    assert(new java.io.File(s"$out/video_id=vid1").isDirectory)
+    val read = spark.read.parquet(out).filter(col("video_id") === "vid1")
+    assert(read.count() === 25L)
+    // partition pruning: the scan's partition filters carry video_id
+    val scan = read.queryExecution.executedPlan.toString()
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("video_id"), scan)
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange in plan") {
     // default warehouse dir (spark-warehouse/, gitignored) — the
-    // warehouse location is a static conf, immutable per session
+    // warehouse location is a static conf, immutable per session;
+    // clear catalog entries AND any orphan dirs a crashed run left
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_customer")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    Seq("b_orders", "b_customer").foreach { t =>
+      val d = new java.io.File(wh, t)
+      if (d.exists()) {
+        d.listFiles().foreach(_.delete()); d.delete()
+      }
+    }
     val o = (1 to 500).map(i => (i.toLong % 100, i.toLong)).toDF("custkey", "orderkey")
     val c = (0 until 100).map(i => (i.toLong, s"cust$i")).toDF("custkey", "name")
     o.write.bucketBy(8, "custkey").sortBy("custkey").saveAsTable("b_orders")

@@ -133,6 +133,27 @@ class StreamingSpec extends SparkTestBase {
     assert(err.getMessage.contains("missing columns"))
   }
 
+  test("keyed state: running per-video frame counts across batches") {
+    import testImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Frame]
+    val q = graft.streaming.StatefulOps.runningFrameCounts(mem.toDS())
+      .writeStream.format("memory").queryName("state_out")
+      .outputMode("update").option("checkpointLocation", tmpDir()).start()
+    mem.addData(mkFrames(1 to 5).map(_.copy(video_id = "a"))
+      ++ mkFrames(1 to 3).map(_.copy(video_id = "b")))
+    q.processAllAvailable()
+    mem.addData(mkFrames(6 to 9).map(_.copy(video_id = "a")))
+    q.processAllAvailable()
+    val rows = spark.table("state_out")
+      .groupBy(col("video_id"))
+      .agg(max(col("frames_total")).as("n"), max(col("max_frame_id")).as("hi"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    q.stop()
+    assert(rows("a") === ((9L, 9L)))
+    assert(rows("b") === ((3L, 3L)))
+  }
+
   test("observed metrics reach the listener (A3/S5 analog)") {
     import testImplicits._
     InMemoryStore.reset()
