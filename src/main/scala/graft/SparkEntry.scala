@@ -33,6 +33,7 @@ object SparkEntry {
     "d5_embed_neardup" -> LlmQueries.d5EmbedNearDup,
     "s1_knn" -> LlmQueries.s1Knn,
     "s2_knn_lsh" -> LlmQueries.s2KnnLsh,
+    "s3_knn_ivf" -> LlmQueries.s3KnnIvf,
     "x1_text_stats" -> LlmQueries.x1TextStats,
     "x2_lang_id" -> LlmQueries.x2LangId,
     "x3_token_hist" -> LlmQueries.x3TokenHist,
@@ -94,6 +95,7 @@ object SparkEntry {
     "d5_embed_neardup" -> LlmQueries.d5Sql,
     "s1_knn" -> LlmQueries.s1Sql,
     "s2_knn_lsh" -> LlmQueries.s2Sql,
+    "s3_knn_ivf" -> LlmQueries.s3Sql,
     "x1_text_stats" -> LlmQueries.x1Sql,
     "x2_lang_id" -> LlmQueries.x2Sql,
     "x3_token_hist" -> LlmQueries.x3Sql,

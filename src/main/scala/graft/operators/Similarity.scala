@@ -63,6 +63,46 @@ object Similarity {
         round(col("cos"), 6).as("cosine"))
   }
 
+  /** IVF-style ANN: a coarse quantizer assigns every vector to its
+    * nearest centroid's cell (the inverted list); queries search only
+    * their own cell. Here the "trained" centroids are a deterministic
+    * stand-in (a fixed id-range of corpus vectors) so the oracle can
+    * restate the whole index build; a real deployment would feed
+    * k-means centroids through the same API. Plan shape: corpus ×
+    * broadcast(centroids) narrow scoring → per-vector argmax (window
+    * keyed by vec_id) → cell-keyed equi-join. No cross join between
+    * corpus and corpus. */
+  def knnIvf(embeddings: DataFrame, queries: DataFrame, centroids: DataFrame,
+      k: Int): DataFrame = {
+    def assign(vecs: DataFrame): DataFrame = {
+      val scored = vecs.alias("v")
+        .crossJoin(broadcast(centroids.select(
+          col("vec_id").as("centroid_id"), col("embedding").as("cemb"))))
+        .select(col("v.vec_id").as("vec_id"), col("v.embedding").as("embedding"),
+          col("centroid_id"),
+          cosineSim(col("v.embedding"), col("cemb")).as("ccos"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("centroid_id"))
+      scored.withColumn("crn", row_number().over(w))
+        .filter(col("crn") === 1)
+        .select(col("vec_id"), col("embedding"), col("centroid_id").as("cell"))
+    }
+    val corpusCells = assign(embeddings)
+    val queryCells = assign(queries)
+    val joined = corpusCells.alias("c")
+      .join(broadcast(queryCells.alias("q")),
+        col("q.cell") === col("c.cell") &&
+        col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        cosineSim(col("q.embedding"), col("c.embedding")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    joined.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
   /** Embedding near-duplicate pairs: self-join on LSH bucket, verify
     * with exact cosine >= threshold. The all-pairs comparison is
     * confined to within-bucket groups. */

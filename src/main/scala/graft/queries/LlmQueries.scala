@@ -195,6 +195,39 @@ object LlmQueries {
        |SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cosine
        |FROM r WHERE rnk <= 3""".stripMargin
 
+  /** s3: IVF-style ANN — centroids are a deterministic stand-in
+    * (vec_id < 8) so the full index build restates in SQL. */
+  def s3KnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.knnIvf(emb, queryVecs(spark, dir),
+      emb.filter(col("vec_id") < 8), k = 3)
+  }
+
+  val s3Sql: String = {
+    def assign(src: String) =
+      s"""SELECT vec_id, embedding, cell FROM (
+         |  SELECT v.vec_id, v.embedding, c.vec_id AS centroid_id,
+         |    CAST(row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      ${cosSql("v.embedding", "c.embedding")} DESC, c.vec_id)
+         |      AS INT) AS crn,
+         |    c.vec_id AS cell
+         |  FROM ($src) v CROSS JOIN cent c
+         |) WHERE crn = 1""".stripMargin
+    s"""WITH cent AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+       |corpus_cells AS (${assign("SELECT vec_id, embedding FROM embeddings")}),
+       |query_cells AS (${assign(
+      "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5")}),
+       |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM corpus_cells c JOIN query_cells q
+       |    ON q.cell = c.cell AND q.vec_id <> c.vec_id),
+       |r AS (SELECT query_id, neighbor_id, CAST(row_number() OVER
+       |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT)
+       |    AS rnk, cos FROM p)
+       |SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cosine
+       |FROM r WHERE rnk <= 3""".stripMargin
+  }
+
   // ---- text analysis ----------------------------------------------
 
   /** x1: per-document quality metrics (token/stopword/punct counts,

@@ -154,6 +154,23 @@ class StreamingSpec extends SparkTestBase {
     assert(rows("b") === ((3L, 3L)))
   }
 
+  test("streaming exact dedup: duplicate frames across batches dropped") {
+    import testImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Frame]
+    val q = mem.toDS().dropDuplicates("video_id", "frame_id")
+      .select(col("video_id"), col("frame_id"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").option("checkpointLocation", tmpDir()).start()
+    mem.addData(mkFrames(1 to 5))
+    q.processAllAvailable()
+    mem.addData(mkFrames(3 to 8)) // 3..5 are cross-batch duplicates
+    q.processAllAvailable()
+    val n = spark.table("dedup_out").count()
+    q.stop()
+    assert(n === 8L)
+  }
+
   test("observed metrics reach the listener (A3/S5 analog)") {
     import testImplicits._
     InMemoryStore.reset()
