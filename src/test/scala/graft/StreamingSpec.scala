@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.model.Frame
 import graft.operators.StubDetector
-import graft.streaming.{DetectionStream, InMemoryStore, ObservedMetricsListener}
+import graft.streaming.{DetectionStream, InMemoryStore, ObservedMetricsListener, PipelineConfig, VideoPipeline}
 
 class StreamingSpec extends SparkTestBase {
 
@@ -131,6 +131,36 @@ class StreamingSpec extends SparkTestBase {
     val err = intercept[IllegalArgumentException](
       graft.sources.FrameSource.conform(bad))
     assert(err.getMessage.contains("missing columns"))
+  }
+
+  test("config-driven pipeline: settings.yaml shape end to end") {
+    import testImplicits._
+    InMemoryStore.reset()
+    val framesDir = tmpDir(); val labelFile =
+      Files.createTempFile("labels-", ".label")
+    val frames = mkFrames(1 to 15)
+    frames.toDS().write.mode("overwrite").parquet(framesDir)
+    Files.writeString(labelFile,
+      (0 until 25).map(i => s"$i:label_$i").mkString("\n"))
+    val yaml =
+      s"""# reference-shaped flat config
+         |device: CPU
+         |preproc_fw: cv2
+         |data_type: FP32
+         |face_threshold: 0.7
+         |total_frames: -1
+         |video_path: $framesDir
+         |label_file: $labelFile
+         |""".stripMargin
+    val cfg = PipelineConfig.fromMap(PipelineConfig.fromYaml(yaml))
+    assert(cfg.preprocFw === "cv2" && cfg.faceThreshold === 0.7)
+    val store = new InMemoryStore
+    val q = VideoPipeline.run(spark, cfg, store)
+    q.awaitTermination(60000)
+    val expected = DetectionStream.pipeline(frames.toDS(),
+      graft.sources.Labels.fromIdNameFile(spark, labelFile.toString),
+      () => StubDetector, 0.7).collect().map(_.getString(0)).toSet
+    assert(InMemoryStore.all.toSet === expected)
   }
 
   test("keyed state: running per-video frame counts across batches") {
