@@ -40,6 +40,7 @@ object SparkEntry {
     "x4_fingerprint" -> LlmQueries.x4Fingerprint,
     "x5_cardinality" -> LlmQueries.x5Cardinality,
     "x6_approx_distinct" -> LlmQueries.x6ApproxDistinct,
+    "x7_token_counts" -> LlmQueries.x7TokenCounts,
     "m1_multimodal" -> LlmQueries.m1Multimodal,
     "r10_rollup" -> Relational2.r10Rollup,
     "r11_cube" -> Relational2.r11Cube,
@@ -103,6 +104,7 @@ object SparkEntry {
     "x5_cardinality" -> LlmQueries.x5Sql,
     // x6_approx_distinct: HLL sketches differ across engines — no
     // SQL oracle on purpose (driver records a rows-only check)
+    "x7_token_counts" -> LlmQueries.x7Sql,
     "m1_multimodal" -> LlmQueries.m1Sql,
     "r10_rollup" -> Relational2.r10Sql,
     "r11_cube" -> Relational2.r11Sql,

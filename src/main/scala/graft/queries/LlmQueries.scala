@@ -393,6 +393,30 @@ object LlmQueries {
        |  CAST(1 + content_fp % 7 AS INT) AS n_frames
        |FROM f""".stripMargin
 
+  /** x7: token counting two ways — whitespace tokens and a BPE-ish
+    * subword regex (runs of letters, runs of digits, single
+    * punctuation). The alternation classes are disjoint so Java
+    * regex and RE2 agree on every match boundary. */
+  def x7TokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    val sub = regexp_extract_all(lower(col("text")),
+      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+    Tables.documents(spark, dir).select(col("doc_id"),
+      size(TextFunctions.tokens(col("text"))).as("n_ws_tokens"),
+      size(sub).as("n_subword_tokens"),
+      round(size(sub).cast("double") /
+        size(TextFunctions.tokens(col("text"))), 6).as("subword_ratio"))
+  }
+
+  val x7Sql: String =
+    s"""SELECT doc_id,
+       |  CAST(len($tsSql) AS INT) AS n_ws_tokens,
+       |  CAST(len(regexp_extract_all(lower(text),
+       |    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS n_subword_tokens,
+       |  round(CAST(len(regexp_extract_all(lower(text),
+       |      '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS DOUBLE)
+       |    / len($tsSql), 6) AS subword_ratio
+       |FROM documents""".stripMargin
+
   /** x6: HyperLogLog cardinality (approx_count_distinct) — sketch
     * internals differ across engines, so no SQL oracle (driver
     * records a rows-only check); the exact x5 covers correctness. */
