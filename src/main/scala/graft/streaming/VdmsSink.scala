@@ -49,6 +49,7 @@ object InMemoryStore {
   private[streaming] val records = new ConcurrentHashMap[String, java.lang.Boolean]()
   private[streaming] val committed = new ConcurrentHashMap[Long, java.lang.Boolean]()
   def size: Int = records.size
+  def committedCount: Int = committed.size
   def all: Seq[String] = {
     val it = records.keys()
     val b = Seq.newBuilder[String]

@@ -163,6 +163,44 @@ class StreamingSpec extends SparkTestBase {
     assert(InMemoryStore.all.toSet === expected)
   }
 
+  test("backpressure: maxFilesPerTrigger bounds each micro-batch") {
+    import testImplicits._
+    InMemoryStore.reset()
+    val dir = tmpDir()
+    mkFrames(1 to 32).toDS().repartition(8)
+      .write.mode("overwrite").parquet(dir)
+    val store = new InMemoryStore
+    val q = DetectionStream.runAvailableNow(
+      graft.sources.FrameSource.frameStream(spark, dir,
+        maxFilesPerTrigger = 2),
+      labelsDf, () => StubDetector, store, tmpDir())
+    q.awaitTermination(60000)
+    // 8+ data files / 2 per trigger -> at least 4 committed batches
+    assert(InMemoryStore.committedCount >= 4)
+    val expected = DetectionStream.pipeline(mkFrames(1 to 32).toDS(),
+      labelsDf, () => StubDetector, 0.7).collect().map(_.getString(0)).toSet
+    assert(InMemoryStore.all.toSet === expected)
+  }
+
+  test("per-record error isolation: bad frames become data, not task failures") {
+    import testImplicits._
+    val frames = mkFrames(1 to 10)
+    val flaky: () => graft.operators.Detector = () =>
+      new graft.operators.Detector {
+        def detectBatch(fs: Seq[Frame]) = fs.map { f =>
+          if (f.frame_id == 4L) throw new IllegalStateException("corrupt frame")
+          StubDetector.detectOne(f.frame_id)
+        }
+      }
+    val out = graft.operators.Detect
+      .detectWithErrors(frames.toDS(), flaky, batchSize = 3)
+      .collect().map(r => r.frame_id -> r).toMap
+    assert(out.size === 10)
+    assert(out(4L).error.contains("corrupt frame") && out(4L).detections.isEmpty)
+    assert(out.filterNot(_._1 == 4L).values.forall(_.error.isEmpty))
+    assert(out(7L).detections === StubDetector.detectOne(7L))
+  }
+
   test("keyed state: running per-video frame counts across batches") {
     import testImplicits._
     implicit val sqlCtx = spark.sqlContext
