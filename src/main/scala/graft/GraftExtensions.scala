@@ -24,5 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("intersect_count"),
       new ExpressionInfo(classOf[IntersectCount].getName, "intersect_count"),
       (args: Seq[Expression]) => IntersectCount(args(0), args(1))))
+    // custom whole-operator plan node (DetectNode -> DetectExec)
+    ext.injectPlannerStrategy(_ => graft.plans.DetectStrategy)
   }
 }

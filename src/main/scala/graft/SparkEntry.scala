@@ -26,6 +26,7 @@ object SparkEntry {
     "v4_frame_stats" -> VideoQueries.v4FrameStats,
     "v5_vdms_records" -> VideoQueries.v5VdmsRecords,
     "v6_detect" -> VideoQueries.v6Detect,
+    "v7_detect_planned" -> VideoQueries.v7DetectPlanned,
     "d1_exact_dedup" -> LlmQueries.d1ExactDedup,
     "d2_near_dup" -> LlmQueries.d2NearDup,
     "d3_simhash" -> LlmQueries.d3Simhash,
@@ -89,6 +90,8 @@ object SparkEntry {
     "v4_frame_stats" -> VideoQueries.v4Sql,
     "v5_vdms_records" -> VideoQueries.v5Sql,
     "v6_detect" -> VideoQueries.v6Sql,
+    // v7 = v6's semantics through the custom plan-node route
+    "v7_detect_planned" -> VideoQueries.v6Sql,
     "d1_exact_dedup" -> LlmQueries.d1Sql,
     "d2_near_dup" -> LlmQueries.d2Sql,
     "d3_simhash" -> LlmQueries.d3Sql,

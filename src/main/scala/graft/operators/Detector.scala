@@ -86,6 +86,20 @@ object Detect {
     }
   }
 
+  /** The same operator as `detect`, but as a first-class Catalyst
+    * plan node (graft.plans.DetectNode/DetectExec, planned by the
+    * strategy GraftExtensions registers): the operator and its batch
+    * size appear in explain output. */
+  def detectPlanned(
+      frames: Dataset[Frame],
+      detectorFactory: () => Detector,
+      batchSize: Int = 32): org.apache.spark.sql.DataFrame = {
+    val node = graft.plans.DetectNode(
+      frames.queryExecution.logical, detectorFactory, batchSize)
+    org.apache.spark.sql.graftbridge.GraftSqlBridge.ofRows(
+      frames.sparkSession, node)
+  }
+
   /** §2.7 error handling, upgraded: the reference halts the pipeline
     * on the first bad frame (`gst-detection-tf.py:443-453` returns
     * FlowReturn.ERROR); at 100 TB one corrupt record must not kill

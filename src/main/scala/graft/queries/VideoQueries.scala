@@ -244,6 +244,23 @@ object VideoQueries {
       |  b.label_id, n.n_name AS label, b.score
       |FROM boxes b JOIN nation n ON b.label_id = n.n_nationkey""".stripMargin
 
+  /** v7: v6's semantics through the CUSTOM PLAN NODE path
+    * (DetectNode → DetectStrategy → DetectExec, injected by
+    * GraftExtensions) — same oracle, different planner route; the
+    * batch size is plan-visible in explain output. */
+  def v7DetectPlanned(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fr = frames(spark, dir)
+      .withColumn("data", lit(Array.empty[Byte]))
+      .as[graft.model.Frame]
+    val dets = graft.operators.Detect.detectPlanned(fr, () => graft.operators.StubDetector)
+    val boxes = DetectionPipeline.boxes(dets, threshold = 0.7)
+    DetectionPipeline.joinLabels(boxes, Labels.fromNation(spark, dir))
+      .select(col("video_id"), col("frame_id"), col("box_ref"),
+        col("x"), col("y"), col("w"), col("h"),
+        col("label_id"), col("label"), col("score"))
+  }
+
   val v5Sql: String = detSql +
     """SELECT frame_id, box_ref,
       |  '{"AddBoundingBox":{"_ref":' || box_ref

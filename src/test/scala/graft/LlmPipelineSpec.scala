@@ -80,6 +80,22 @@ class LlmPipelineSpec extends AnyFunSuite with SparkTestBase {
       rs.map(_._2).sorted.toSeq == Seq(1, 2, 3, 4, 5) })
   }
 
+  test("custom plan node: DetectExec matches mapPartitions detect") {
+    import java.sql.Timestamp
+    val frames = (1L to 20L).map(i =>
+      graft.model.Frame("v", i, new Timestamp(i * 1000), 480, 640,
+        Array.empty[Byte]))
+    val ds = spark.createDataset(frames)
+    val planned = graft.operators.Detect.detectPlanned(ds,
+      () => graft.operators.StubDetector, batchSize = 7)
+    assert(planned.queryExecution.executedPlan.toString()
+      .contains("DetectExec(batchSize=7)"))
+    val viaMapPartitions = graft.operators.Detect.detect(ds,
+      () => graft.operators.StubDetector).toDF()
+    assert(planned.collect().map(_.toString).sorted.toSeq ===
+      viaMapPartitions.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("lsh near-dup join never compares across buckets") {
     val vecs = (0L until 30L).map { i =>
       (i, Array.tabulate(64)(k => math.sin(i * 64 + k).toFloat), (i % 2).toInt)
