@@ -42,6 +42,7 @@ object SparkEntry {
     "x5_cardinality" -> LlmQueries.x5Cardinality,
     "x6_approx_distinct" -> LlmQueries.x6ApproxDistinct,
     "x7_token_counts" -> LlmQueries.x7TokenCounts,
+    "x8_percentiles" -> LlmQueries.x8Percentiles,
     "m1_multimodal" -> LlmQueries.m1Multimodal,
     "r10_rollup" -> Relational2.r10Rollup,
     "r11_cube" -> Relational2.r11Cube,
@@ -108,6 +109,7 @@ object SparkEntry {
     // x6_approx_distinct: HLL sketches differ across engines — no
     // SQL oracle on purpose (driver records a rows-only check)
     "x7_token_counts" -> LlmQueries.x7Sql,
+    "x8_percentiles" -> LlmQueries.x8Sql,
     "m1_multimodal" -> LlmQueries.m1Sql,
     "r10_rollup" -> Relational2.r10Sql,
     "r11_cube" -> Relational2.r11Sql,

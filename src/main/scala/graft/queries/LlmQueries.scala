@@ -417,6 +417,29 @@ object LlmQueries {
        |    / len($tsSql), 6) AS subword_ratio
        |FROM documents""".stripMargin
 
+  /** x8: exact interpolated percentiles of the event value stream —
+    * Spark `percentile` and DuckDB `quantile_cont` share the
+    * definition ((1-f)·a + f·b on the sorted values), so this is
+    * oracle-exact, unlike t-digest/GK sketch approximations. */
+  def x8Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"),
+        round(min(col("value")), 6).as("vmin"),
+        round(max(col("value")), 6).as("vmax"))
+
+  val x8Sql: String =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 6) AS p50,
+      |  round(quantile_cont(value, 0.9), 6) AS p90,
+      |  round(quantile_cont(value, 0.99), 6) AS p99,
+      |  round(min(value), 6) AS vmin,
+      |  round(max(value), 6) AS vmax
+      |FROM events GROUP BY 1""".stripMargin
+
   /** x6: HyperLogLog cardinality (approx_count_distinct) — sketch
     * internals differ across engines, so no SQL oracle (driver
     * records a rows-only check); the exact x5 covers correctness. */
