@@ -54,6 +54,7 @@ object SparkEntry {
     "r17_star_join" -> Relational2.r17StarJoin,
     "r18_analytic" -> Relational2.r18Analytic,
     "r19_sql_surface" -> Relational2.r19SqlSurface,
+    "r20_session_window" -> Relational2.r20SessionWindow,
   )
 
   /** Every oracle is wrapped in `ORDER BY ALL` (all columns,
@@ -121,5 +122,6 @@ object SparkEntry {
     "r17_star_join" -> Relational2.r17Sql,
     "r18_analytic" -> Relational2.r18Sql,
     "r19_sql_surface" -> Relational2.r19Sql,
+    "r20_session_window" -> Relational2.r20Sql,
   )
 }

@@ -238,6 +238,38 @@ object Relational2 {
     spark.sql(r19Sql)
   }
 
+  /** r20: session windows — gap-based event sessions per user
+    * (Spark's session_window; restated in SQL as the classic
+    * gaps-and-islands pattern). Ties in ts are safe: zero gaps can
+    * never split a session, so island ids are order-independent. */
+  def r20SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 30)
+      // group by the session_window STRUCT — extracting .start here
+      // would skip the session-merge aggregation entirely
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").cast("timestamp_ntz").as("session_start"),
+        col("n_events"))
+
+  val r20Sql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      |  WHERE user_id < 30),
+      |o AS (SELECT user_id, ts,
+      |    -- session window is [t, t+gap): an event exactly `gap`
+      |    -- after its predecessor starts a NEW session (>=, not >)
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (SELECT user_id, ts, sum(brk) OVER
+      |    (PARTITION BY user_id ORDER BY ts
+      |     ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o)
+      |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+      |FROM s GROUP BY user_id, sid""".stripMargin
+
   /** r18: analytic windows over the event stream — lag, rolling
     * 3-row count/min, running sequence per user. */
   def r18Analytic(spark: SparkSession, dir: String): DataFrame = {
