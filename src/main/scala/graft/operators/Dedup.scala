@@ -61,19 +61,30 @@ object Dedup {
     * a band iff all r=3 slots agree, so the join fan-out is the
     * candidate set, not all pairs. Both join sides are the same
     * subplan → Spark's ReuseExchange materializes the shuffle once.
-    * At scale: cap pathological buckets (a mega-cluster of
-    * boilerplate) before the join; AQE skew-split handles the rest. */
-  def lshCandidates(sigs: DataFrame, bands: Int = 4): DataFrame = {
+    *
+    * Mega-bucket guard: a bucket with more than `maxBucket` members
+    * is a boilerplate cluster whose pair fan-out is quadratic; those
+    * buckets are EXCLUDED from pair generation (the window count
+    * shares the join's partitioning, so the guard costs no extra
+    * shuffle). Exact dedup (d1) is the right tool for such clusters;
+    * AQE skew-split handles everything below the cap. */
+  def lshCandidates(sigs: DataFrame, bands: Int = 4,
+      maxBucket: Int = 64): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
       val s1 = col(s"mh${3 * b}"); val s2 = col(s"mh${3 * b + 1}")
       val s3 = col(s"mh${3 * b + 2}")
       struct(lit(b).as("band"),
         (((s1 * 31 + s2) % MinhashP * 31 + s3) % MinhashP).as("band_hash"))
     }
+    val bucketW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_hash"))
     val bandRows = sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"),
         col("bs.band_hash").as("band_hash"))
+      .withColumn("bucket_n", count(lit(1)).over(bucketW))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
     val a = bandRows.alias("a")
     val b = bandRows.alias("b")
     a.join(b,

@@ -83,10 +83,14 @@ object LlmQueries {
        |    list_min(list_transform(ss, s ->
        |      ((2*k + 1) * ${polySql("s")} + 7919*k) % 2147483647))) AS sg
        |  FROM sh),
-       |band AS (SELECT doc_id, b,
+       |band0 AS (SELECT doc_id, b,
        |    ((sg[3*b+1]*31 + sg[3*b+2]) % 2147483647 * 31 + sg[3*b+3])
        |      % 2147483647 AS bh
        |  FROM sig CROSS JOIN range(4) r(b)),
+       |band AS (SELECT doc_id, b, bh FROM (
+       |    SELECT doc_id, b, bh, count(*) OVER (PARTITION BY b, bh) AS bn
+       |    FROM band0)
+       |  WHERE bn <= 64),
        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
        |  FROM band a JOIN band b
        |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),

@@ -52,6 +52,15 @@ class LlmPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("mega-bucket guard: over-cap LSH buckets generate no pairs") {
+    // 5 identical docs: every band bucket has 5 members
+    val docs = (1L to 5L).map(i => (i, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.shingleFeatures(docs)
+    assert(Dedup.lshCandidates(sigs, maxBucket = 4).count() === 0L)
+    assert(Dedup.lshCandidates(sigs, maxBucket = 5).count() === 10L)
+  }
+
   test("exact dedup summary counts copies") {
     val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "unique"))
       .toDF("doc_id", "text")
