@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
 import org.apache.spark.sql.DataFrame
 
 /** S7: the VDMS batch sink re-expressed for Structured Streaming.
@@ -36,7 +36,7 @@ trait MetadataConnection {
 class InMemoryStore extends MetadataStore {
   def connect(): MetadataConnection = new MetadataConnection {
     def add(records: Seq[String]): Unit =
-      records.foreach(r => InMemoryStore.records.put(r, java.lang.Boolean.TRUE))
+      records.foreach(InMemoryStore.records.add)
     def close(): Unit = ()
   }
   def isCommitted(batchId: Long): Boolean =
@@ -46,14 +46,16 @@ class InMemoryStore extends MetadataStore {
 }
 
 object InMemoryStore {
-  private[streaming] val records = new ConcurrentHashMap[String, java.lang.Boolean]()
+  // a queue, not a set: identical wire records from different frames
+  // are distinct uploads and must both be stored
+  private[streaming] val records = new ConcurrentLinkedQueue[String]()
   private[streaming] val committed = new ConcurrentHashMap[Long, java.lang.Boolean]()
   def size: Int = records.size
   def committedCount: Int = committed.size
   def all: Seq[String] = {
-    val it = records.keys()
+    val it = records.iterator()
     val b = Seq.newBuilder[String]
-    while (it.hasMoreElements) b += it.nextElement()
+    while (it.hasNext) b += it.next()
     b.result()
   }
   def reset(): Unit = { records.clear(); committed.clear() }

@@ -34,12 +34,14 @@ class StreamingSpec extends SparkTestBase {
     val q = DetectionStream.runAvailableNow(mem.toDS(), labelsDf,
       () => StubDetector, store, tmpDir())
     q.awaitTermination(60000)
-    // batch reference: same operators on a static Dataset
+    // batch reference: same operators on a static Dataset; multiset
+    // compare — identical wire records from different frames are
+    // distinct uploads
     val batchOut = DetectionStream.pipeline(
       frames.toDS(), labelsDf, () => StubDetector, 0.7)
-      .collect().map(_.getString(0)).toSet
+      .collect().map(_.getString(0)).sorted.toSeq
     assert(batchOut.nonEmpty)
-    assert(InMemoryStore.all.toSet === batchOut)
+    assert(InMemoryStore.all.sorted.toSeq === batchOut)
   }
 
   test("checkpoint restart: committed batches are not re-applied") {
