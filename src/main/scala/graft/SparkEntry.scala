@@ -43,6 +43,7 @@ object SparkEntry {
     "x6_approx_distinct" -> LlmQueries.x6ApproxDistinct,
     "x7_token_counts" -> LlmQueries.x7TokenCounts,
     "x8_percentiles" -> LlmQueries.x8Percentiles,
+    "x9_profile" -> LlmQueries.x9Profile,
     "m1_multimodal" -> LlmQueries.m1Multimodal,
     "r10_rollup" -> Relational2.r10Rollup,
     "r11_cube" -> Relational2.r11Cube,
@@ -111,6 +112,7 @@ object SparkEntry {
     // SQL oracle on purpose (driver records a rows-only check)
     "x7_token_counts" -> LlmQueries.x7Sql,
     "x8_percentiles" -> LlmQueries.x8Sql,
+    "x9_profile" -> LlmQueries.x9Sql,
     "m1_multimodal" -> LlmQueries.m1Sql,
     "r10_rollup" -> Relational2.r10Sql,
     "r11_cube" -> Relational2.r11Sql,

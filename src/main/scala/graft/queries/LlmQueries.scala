@@ -444,6 +444,23 @@ object LlmQueries {
       |  round(max(value), 6) AS vmax
       |FROM events GROUP BY 1""".stripMargin
 
+  /** x9: corpus profiling — per-column exact stats over the fact
+    * table's numeric columns in ONE scan (unpivot + hash agg). */
+  def x9Profile(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiler.numericProfile(Tables.lineitem(spark, dir),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+
+  val x9Sql: String =
+    """WITH s AS (
+      |  SELECT 'l_quantity' AS col_name, CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+      |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+      |)
+      |SELECT col_name, count(*) AS n_rows, count(v) AS n_nonnull,
+      |  count(DISTINCT v) AS n_distinct, min(v) AS vmin, max(v) AS vmax
+      |FROM s GROUP BY 1""".stripMargin
+
   /** x6: HyperLogLog cardinality (approx_count_distinct) — sketch
     * internals differ across engines, so no SQL oracle (driver
     * records a rows-only check); the exact x5 covers correctness. */
