@@ -153,7 +153,12 @@ object Dedup {
         col("a.lang") === col("b.lang") &&
         col("a.bucket") === col("b.nbr") &&
         abs(col("a.n_chars") - col("b.n_chars")) <= lenBand &&
-        col("a.doc_id") < col("b.doc_id"))
+        col("a.doc_id") < col("b.doc_id") &&
+        // lossless prune: jaccard <= min(|A|,|B|)/max(|A|,|B|), so a
+        // size-ratio below the threshold can never verify — skip the
+        // merge entirely for such pairs
+        least(size(col("a.gs")), size(col("b.gs"))).cast("double") >=
+          lit(threshold) * greatest(size(col("a.gs")), size(col("b.gs"))))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         jaccard(col("a.gs"), col("b.gs")).as("jac"))
       .filter(col("jac") >= threshold)
