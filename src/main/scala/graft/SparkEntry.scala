@@ -44,6 +44,7 @@ object SparkEntry {
     "x7_token_counts" -> LlmQueries.x7TokenCounts,
     "x8_percentiles" -> LlmQueries.x8Percentiles,
     "x9_profile" -> LlmQueries.x9Profile,
+    "x10_curation" -> LlmQueries.x10Curation,
     "m1_multimodal" -> LlmQueries.m1Multimodal,
     "r10_rollup" -> Relational2.r10Rollup,
     "r11_cube" -> Relational2.r11Cube,
@@ -113,6 +114,7 @@ object SparkEntry {
     "x7_token_counts" -> LlmQueries.x7Sql,
     "x8_percentiles" -> LlmQueries.x8Sql,
     "x9_profile" -> LlmQueries.x9Sql,
+    "x10_curation" -> LlmQueries.x10Sql,
     "m1_multimodal" -> LlmQueries.m1Sql,
     "r10_rollup" -> Relational2.r10Sql,
     "r11_cube" -> Relational2.r11Sql,

@@ -461,6 +461,41 @@ object LlmQueries {
       |  count(DISTINCT v) AS n_distinct, min(v) AS vmin, max(v) AS vmax
       |FROM s GROUP BY 1""".stripMargin
 
+  /** x10: the capstone composition — corpus curation. The training
+    * set a reference user actually materializes: drop the younger
+    * side of every near-duplicate pair (d2's MinHash-LSH verified
+    * pairs), then gate on the x1 quality score. Demonstrates that
+    * the dedup + quality operators compose into one declarative
+    * plan Catalyst optimizes end to end. */
+  def x10Curation(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val dropIds = Dedup.nearDupPairs(docs, threshold = 0.8)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val stats = x1TextStats(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(dropIds, Seq("doc_id"), "left_anti")
+      .join(stats, Seq("doc_id"))
+      .filter(col("quality") >= 0.55)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
+  }
+
+  val x10Sql: String = {
+    // reuse d2's CTE chain up to `ver`, then gate on quality
+    val d2Ctes = d2Sql.substring(0, d2Sql.lastIndexOf("SELECT da AS doc_a"))
+    s"""${d2Ctes.trim},
+       |drop_ids AS (SELECT DISTINCT db AS doc_id FROM ver
+       |  WHERE jac >= 0.8),
+       |metrics AS (
+       |${x1Sql.linesIterator.map("  " + _).mkString("\n")}
+       |)
+       |SELECT d.doc_id, d.lang, q.n_tokens, q.quality
+       |FROM documents d
+       |JOIN metrics q ON d.doc_id = q.doc_id
+       |WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_ids)
+       |  AND q.quality >= 0.55""".stripMargin
+  }
+
   /** x6: HyperLogLog cardinality (approx_count_distinct) — sketch
     * internals differ across engines, so no SQL oracle (driver
     * records a rows-only check); the exact x5 covers correctness. */
