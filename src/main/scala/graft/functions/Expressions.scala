@@ -37,9 +37,23 @@ case class PolyHash(child: Expression)
 
 object PolyHash {
   final val Mod = 1000000007L
-  /** Static helper the generated code calls. */
+  /** Static helper the generated code calls. ASCII fast path: when
+    * byte count == char count the string is pure ASCII and each byte
+    * IS its code point — fold the UTF8 bytes directly, no String
+    * allocation (this is the hottest kernel in the dedup pipeline).
+    * Non-ASCII falls back to the code-point fold. */
   def hash(u: UTF8String): Long = {
-    val s = u.toString
+    val nb = u.numBytes()
+    if (nb == u.numChars()) {
+      val bytes = u.getBytes
+      var h = 0L
+      var i = 0
+      while (i < nb) { h = (h * 31 + bytes(i)) % Mod; i += 1 }
+      h
+    } else hashSlow(u.toString)
+  }
+
+  private def hashSlow(s: String): Long = {
     var h = 0L
     var i = 0
     while (i < s.length) {

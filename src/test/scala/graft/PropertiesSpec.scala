@@ -26,6 +26,22 @@ class PropertiesSpec extends AnyFunSuite {
       !== PolyHash.hash(UTF8String.fromString("ba")))
   }
 
+  test("poly_hash: ASCII byte fast path equals code-point fold; unicode works") {
+    // unicode strings exercise the slow path (numBytes != numChars)
+    check(Prop.forAll(Gen.listOf(Gen.oneOf(Gen.alphaNumChar,
+        Gen.oneOf('é', 'ß', '中', 'λ'))).map(_.mkString)) { s =>
+      val h = PolyHash.hash(UTF8String.fromString(s))
+      // reference implementation: explicit code-point fold
+      var ref = 0L; var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        ref = (ref * 31 + cp) % PolyHash.Mod
+        i += Character.charCount(cp)
+      }
+      h == ref
+    })
+  }
+
   test("hashBytes: matches char hash on ASCII, unsigned on high bytes") {
     check(Prop.forAll(Gen.asciiPrintableStr) { s =>
       PolyHash.hashBytes(s.getBytes("UTF-8")) ==
