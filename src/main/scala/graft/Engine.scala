@@ -28,6 +28,12 @@ object Engine {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // spill-aware sizing: scan splits capped so a task's working
+      // set (columns read × rows per split) stays well inside
+      // executor memory at any SF; shuffle partition count above is
+      // the cluster-side knob (cores here, data/200MB-ish on a real
+      // cluster), with AQE coalescing the small ones
+      .config("spark.sql.files.maxPartitionBytes", "134217728")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
       // default; read as long and convert at the loader (Tables.events)
