@@ -1,17 +1,28 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
-/** Bench main (BASELINE.md methodology: one preheat run, then one
-  * timed run per query ≈ `/root/reference/benchmark.sh:29-36`).
+/** Bench main (BASELINE.md methodology: one preheat run, then timed
+  * runs per query ≈ `/root/reference/benchmark.sh:29-36`).
   *
   * Each timed run executes the FULL plan by writing to the `noop`
   * sink — a `count()` would let Catalyst prune the very projections
-  * being timed. Failures are reported as errors, never as timings.
-  * Output: exactly one bare JSON line on stdout (sbt's forked-run
-  * output goes through StdoutOutput, see build.sbt, so the driver
-  * can parse it without an `[info] ` prefix).
+  * being timed. The reported figure is the MEDIAN of 3 timed
+  * iterations, so one sandbox-load spike can't contaminate the
+  * round's number. Per-query `rows` is the input row count (sum of
+  * the distinct parquet tables the plan scans, counted once each via
+  * a pruned zero-column count), so sec-per-row ratios are readable
+  * straight off the JSON. Failures are reported as errors, never as
+  * timings. Output: exactly one bare JSON line on stdout (sbt's
+  * forked-run output goes through StdoutOutput, see build.sbt, so
+  * the driver can parse it without an `[info] ` prefix); all numbers
+  * are formatted under Locale.ROOT so the line stays valid JSON on
+  * any JVM default locale.
   */
 object Bench {
+  private def num(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Engine.session("graft-bench")
@@ -24,20 +35,38 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // input rows: distinct file-source tables in the optimized plan,
+    // each counted once per bench process (column-pruned count — a
+    // metadata-cheap scan, outside the timed region)
+    val tableRows = scala.collection.mutable.Map[String, Long]()
+    def inputRows(fn: (SparkSession, String) => DataFrame): Long =
+      fn(spark, sfDir).queryExecution.optimizedPlan.collect {
+        case l: LogicalRelation => l.relation match {
+          case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+      }.flatten.distinct.map { p =>
+        tableRows.getOrElseUpdate(p, spark.read.parquet(p).count())
+      }.sum
+
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val rows = scala.collection.mutable.LinkedHashMap[String, Long]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
         runOnce(fn) // preheat: JVM/codegen/parquet-footer warm-up
-        timings(name) = runOnce(fn)
+        val ts = Seq.fill(3)(runOnce(fn)).sorted
+        timings(name) = ts(1) // median of 3
+        rows(name) = inputRows(fn)
       } catch { case e: Throwable =>
         errors(name) = e.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(200)
       }
     }
-    val qs = timings.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val qs = timings.map { case (k, v) => s""""$k":${num(v)}""" }.mkString("{", ",", "}")
+    val rs = rows.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val total = timings.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"rows":$rs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -26,8 +26,26 @@ object Verify {
         }
         df.orderBy(sortable.toIndexedSeq: _*).coalesce(1)
           .write.mode("overwrite").parquet(s"$outDir/$name")
+        // Enforce the ORDER BY ALL parity invariant (SparkEntry.ordered):
+        // a NULL cell sorts NULLS FIRST here but NULLS LAST under
+        // DuckDB's ORDER BY ALL default, so a NULL-emitting query must
+        // FAIL the dump loudly, not hash-mismatch mysteriously. The
+        // check reads the (small) dump back — no second query run.
+        val back = spark.read.parquet(s"$outDir/$name")
+        val nulls = back.columns.map(col(_).isNull)
+          .reduceOption(_ || _).map(p => back.filter(p).count()).getOrElse(0L)
+        if (nulls > 0)
+          throw new IllegalStateException(
+            s"$nulls rows contain NULL cells — violates the no-NULL " +
+              "output invariant that makes ORDER BY ALL order-proof")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // remove a partial/invalid dump so the driver records a clean
+        // failure instead of comparing rows we just declared unsafe
+        val dir = new java.io.File(s"$outDir/$name")
+        if (dir.exists()) {
+          dir.listFiles().foreach(_.delete()); dir.delete()
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -143,8 +143,12 @@ case class CosineSim(left: Expression, right: Expression)
     CosineSim.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      s"""Double r = graft.functions.CosineSim.cosine($a, $b);
-         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+      // fresh local name: two cosine_sim calls can land in the same
+      // codegen scope (both children non-nullable emits no braces),
+      // and a fixed `r` would collide and kill codegen for the stage
+      val r = ctx.freshName("cosRes")
+      s"""java.lang.Double $r = graft.functions.CosineSim.cosine($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
          |""".stripMargin
     })
   override protected def withNewChildrenInternal(

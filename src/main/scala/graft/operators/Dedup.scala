@@ -141,11 +141,26 @@ object Dedup {
     * pair is matched exactly once (a doc's bucket equals exactly one
     * of the other's three neighbor keys) — no cross join, no
     * distinct, and the per-group fan-out is bounded by the bucket
-    * population, not the corpus. */
+    * population, not the corpus.
+    *
+    * Mega-block guard (same pattern as lshCandidates' maxBucket): a
+    * (lang, length-bucket) block with more than `maxBlock` members
+    * would fan out quadratically in pair generation — and a single
+    * key's fan-out is unsplittable by AQE — so docs in such blocks
+    * are EXCLUDED from pairing on both sides (the window count shares
+    * side a's join partitioning, so the guard costs no extra
+    * shuffle). At 100 TB, common-length English buckets are exactly
+    * such blocks; exact dedup (d1) and MinHash (d2) are the right
+    * tools for them. The cap is restated in the d4 oracle. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
-      lenBand: Int = 20): DataFrame = {
+      lenBand: Int = 20, maxBlock: Int = 256): DataFrame = {
+    val blockW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("bucket"))
     val g = charGramHashSets(docs)
       .withColumn("bucket", floor(col("n_chars") / lenBand))
+      .withColumn("block_n", count(lit(1)).over(blockW))
+      .filter(col("block_n") <= maxBlock)
+      .drop("block_n")
     val nbrs = g.withColumn("nbr",
       explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)))
     val a = g.alias("a"); val b = nbrs.alias("b")

@@ -67,28 +67,19 @@ object Similarity {
     * nearest centroid's cell (the inverted list); queries search only
     * their own cell. Here the "trained" centroids are a deterministic
     * stand-in (a fixed id-range of corpus vectors) so the oracle can
-    * restate the whole index build; a real deployment would feed
-    * k-means centroids through the same API. Plan shape: corpus ×
-    * broadcast(centroids) narrow scoring → per-vector argmax (window
-    * keyed by vec_id) → cell-keyed equi-join. No cross join between
-    * corpus and corpus. */
+    * restate the whole index build; KMeans.train feeds real Lloyd's
+    * centroids through the same API. Plan shape: the whole centroid
+    * set folds into ONE broadcast row of (centroid_id, embedding)
+    * structs, and each vector's cell is a per-row argmax over that
+    * array — a NARROW projection (no exchange of corpus rows at all;
+    * the round-2 Window.partitionBy(vec_id) argmax shuffled
+    * |corpus|×|centroids| rows, which would dwarf the search itself
+    * at 100 TB) — then the cell-keyed equi-join. No cross join
+    * between corpus and corpus. */
   def knnIvf(embeddings: DataFrame, queries: DataFrame, centroids: DataFrame,
       k: Int): DataFrame = {
-    def assign(vecs: DataFrame): DataFrame = {
-      val scored = vecs.alias("v")
-        .crossJoin(broadcast(centroids.select(
-          col("vec_id").as("centroid_id"), col("embedding").as("cemb"))))
-        .select(col("v.vec_id").as("vec_id"), col("v.embedding").as("embedding"),
-          col("centroid_id"),
-          cosineSim(col("v.embedding"), col("cemb")).as("ccos"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("ccos").desc, col("centroid_id"))
-      scored.withColumn("crn", row_number().over(w))
-        .filter(col("crn") === 1)
-        .select(col("vec_id"), col("embedding"), col("centroid_id").as("cell"))
-    }
-    val corpusCells = assign(embeddings)
-    val queryCells = assign(queries)
+    val corpusCells = assignCells(embeddings, centroids)
+    val queryCells = assignCells(queries, centroids)
     val joined = corpusCells.alias("c")
       .join(broadcast(queryCells.alias("q")),
         col("q.cell") === col("c.cell") &&
@@ -101,6 +92,31 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
         round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Coarse-quantizer cell assignment, shuffle-free: centroids fold
+    * into a single broadcast row holding a (cid, cemb) struct array
+    * sorted ascending by cid; each vector scores the array in one
+    * `transform` (cosine evaluated once per centroid) and takes the
+    * argmax with a strict-`>` fold, so the FIRST maximum — the lowest
+    * cid — wins ties: the exact (cos DESC, centroid_id ASC) tiebreak
+    * of the oracle's row_number restatement. A NULL cosine
+    * (zero-norm) never beats the accumulator, matching the window's
+    * NULLS-LAST descending order. */
+  def assignCells(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val centArr = centroids
+      .select(struct(col("vec_id").as("cid"), col("embedding").as("cemb")).as("c"))
+      .agg(sort_array(collect_list(col("c"))).as("cents"))
+    vecs.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centArr))
+      .withColumn("scored", transform(col("cents"), c =>
+        struct(cosineSim(col("embedding"), c.getField("cemb")).as("cos"),
+          c.getField("cid").as("cell"))))
+      .withColumn("best", aggregate(col("scored"),
+        struct(lit(Double.NegativeInfinity).as("cos"), lit(-1L).as("cell")),
+        (acc, s) => when(s.getField("cos") > acc.getField("cos"), s)
+          .otherwise(acc)))
+      .select(col("vec_id"), col("embedding"), col("best.cell").as("cell"))
   }
 
   /** Embedding near-duplicate pairs: self-join on LSH bucket, verify

@@ -124,12 +124,14 @@ object LlmQueries {
        |FROM h""".stripMargin
 
   /** d4: blocked char-3-gram Jaccard near-dup pairs (lang + length
-    * band blocking, verify at 0.7). */
+    * band blocking, verify at 0.7). Blocks with > 256 members are
+    * excluded from pairing (Dedup.ngramJaccardPairs maxBlock) — the
+    * guard is restated below so both engines prune identically. */
   def d4NgramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(spark, dir), threshold = 0.7)
 
   val d4Sql: String =
-    s"""WITH g AS (SELECT doc_id, lang, n_chars,
+    s"""WITH g0 AS (SELECT doc_id, lang, n_chars,
       |    CASE WHEN length(lower(text)) >= 3 THEN list_distinct(
       |      list_transform(
       |        list_transform(range(1, length(lower(text)) - 1),
@@ -137,6 +139,11 @@ object LlmQueries {
       |        gr -> ${polySql("gr")}))
       |    ELSE [] END AS gs
       |  FROM documents),
+      |g AS (SELECT doc_id, lang, n_chars, gs FROM (
+      |    SELECT doc_id, lang, n_chars, gs,
+      |      count(*) OVER (PARTITION BY lang, n_chars // 20) AS bn
+      |    FROM g0)
+      |  WHERE bn <= 256),
       |p AS (SELECT a.doc_id AS da, b.doc_id AS db,
       |    CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
       |      / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) AS jac

@@ -9,13 +9,13 @@ import org.apache.spark.sql.functions._
   * at the join site. */
 object Labels {
   /** Load an `id:name` file (the reference's label format) into
-    * (label_id INT, label STRING). Split on the FIRST ':' only —
-    * the reference keeps the first two fields
-    * (`gst-detection-tf.py:114-121`), so a name containing ':' is
-    * truncated, not nulled. */
+    * (label_id INT, label STRING). The reference keeps only the
+    * first two ':'-separated fields (`gst-detection-tf.py:114-121`,
+    * `line.split(":")[:2]`), so a name containing a second ':' is
+    * TRUNCATED at it — split on every ':' and take field 1. */
   def fromIdNameFile(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
-      .select(split(col("value"), ":", 2).as("parts"))
+      .select(split(col("value"), ":").as("parts"))
       .select(col("parts").getItem(0).cast("int").as("label_id"),
         trim(col("parts").getItem(1)).as("label"))
 

@@ -71,11 +71,23 @@ object DetectionStream {
           val remaining = frameLimit - seen.get()
           if (remaining > 0) {
             // respect the limit inside the batch, like the per-frame
-            // check at gst-detection-tf.py:406-408
-            val take = batch.limit(remaining.toInt).as[Frame](frameEnc)
-            val out = pipeline(take, labels, detectorFactory, threshold)
-            VdmsSink.writeBatch(store)(out, batchId)
-            seen.addAndGet(take.count())
+            // check at gst-detection-tf.py:406-408; clamp so a
+            // >2^31 limit can't overflow to a negative limit(n)
+            val take = batch
+              .limit(math.min(remaining, Int.MaxValue.toLong).toInt)
+              .persist()
+            try {
+              // persist() pins ONE materialization of the limited
+              // batch: the rows the pipeline writes and the rows
+              // counted below are the same rows (limit over an
+              // unordered source is otherwise free to pick a
+              // different subset per execution), and the source +
+              // detector run once per batch, not twice
+              val out = pipeline(take.as[Frame](frameEnc), labels,
+                detectorFactory, threshold)
+              VdmsSink.writeBatch(store)(out, batchId)
+              seen.addAndGet(take.count())
+            } finally take.unpersist()
           } else store.commit(batchId)
           ()
         }

@@ -62,12 +62,14 @@ class MultimodalSpec extends SparkTestBase {
     assert(txt.contains("Range"))
   }
 
-  test("label file: first-colon split keeps ':' inside names") {
+  test("label file: name truncated at the second colon, like the reference") {
     val f = Files.createTempFile("labels-", ".label")
     Files.writeString(f, "1:person\n2:traffic light: small\n")
     val rows = graft.sources.Labels.fromIdNameFile(spark, f.toString)
       .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
     assert(rows(1) === "person")
-    assert(rows(2) === "traffic light: small")
+    // gst-detection-tf.py load_labels keeps line.split(":")[:2] — the
+    // text after a second ':' is dropped, not kept
+    assert(rows(2) === "traffic light")
   }
 }
