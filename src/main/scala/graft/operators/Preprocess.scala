@@ -159,18 +159,22 @@ final case class DetectorConfig(
     modelInput: Int = 1200)           // 1200x1200 (settings.yaml:17-18)
 
 object Detectors {
-  /** Resolve a detector factory from config. A real deployment
-    * plugs an ONNX/TF-Java session here (per-partition init, the
-    * model path broadcast); this container ships no runtime, so any
-    * configured modelPath fails fast and the deterministic stub
-    * serves tests/oracles. Precision (M3) selects the artifact —
-    * opaque to the engine, exactly as in the reference. */
+  /** Resolve a detector factory from config. A `.gnet` model path
+    * loads the bundled pure-JVM runtime (GraftNetDetector: real
+    * per-partition weight load + real forward pass over the real
+    * preprocessing chain — the M1/M2 lifecycle of
+    * `gst-detection-tf.py:200-237` with a JVM scorer). Other
+    * artifact kinds (frozen TF graphs, ONNX) have no runtime in this
+    * container and fail fast. With no modelPath the deterministic
+    * stub serves tests/oracles. Precision (M3) selects the
+    * artifact — opaque to the engine, exactly as in the reference. */
   def forConfig(cfg: DetectorConfig): () => Detector = cfg.modelPath match {
+    case Some(p) if p.endsWith(".gnet") => () => new GraftNetDetector(p, cfg)
     case Some(p) =>
       throw new UnsupportedOperationException(
         s"no inference runtime bundled for model artifact $p " +
           s"(device=${cfg.device}, dtype=${cfg.dataType}); " +
-          "plug an ONNX/TF-Java Detector here")
+          "use a .gnet artifact or plug an ONNX/TF-Java Detector here")
     case None => () => new PreprocessingDetector(StubDetector, cfg)
   }
 }

@@ -1,0 +1,131 @@
+package graft
+
+import java.sql.Timestamp
+import graft.model.Frame
+import graft.operators.{Codecs, Detect, DetectorConfig, Detectors, GraftNet, GraftNetDetector, Multimodal}
+
+/** The real inference runtime (M1/M2) + real codec (S2): committed
+  * `.gnet` weights load per partition, BMP bytes decode to real
+  * pixels, and the P4–P8 preprocessing chain feeds a real forward
+  * pass. The oracle path stays on StubDetector (SQL-restatable);
+  * these specs pin the REAL path's behavior.
+  */
+class GraftNetSpec extends SparkTestBase {
+
+  /** Deterministic non-uniform test image: a gradient + box pattern
+    * so pooling/resize have real structure to see. */
+  private def rgbPattern(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 3
+      out(i) = ((x * 255 / math.max(1, w - 1)) ^ seed).toByte
+      out(i + 1) = (y * 255 / math.max(1, h - 1)).toByte
+      out(i + 2) = (if (x > w / 4 && x < 3 * w / 4 && y > h / 4 && y < 3 * h / 4) 200 + seed else 30).toByte
+    }
+    out
+  }
+
+  private def frame(id: Long, w: Int, h: Int, data: Array[Byte]): Frame =
+    Frame("vid", id, new Timestamp(1700000000000L + id * 1000L), h, w, data)
+
+  test("BMP codec: encode -> parse -> decode round-trips real bytes (S2)") {
+    // width 5: stride 15 pads to 16 — exercises the 4-byte row padding
+    val (w, h) = (5, 3)
+    val rgb = rgbPattern(w, h, 0)
+    val bmp = Codecs.BmpCodec.encodeRgb(w, h, rgb)
+    val hdr = Codecs.BmpCodec.parseHeader(bmp)
+    assert(hdr.width === w && hdr.height === h && hdr.bpp === 24)
+    assert(!hdr.topDown) // writer emits bottom-up rows, per spec default
+    val (dw, dh, back) = Codecs.BmpCodec.decodeRgb(bmp)
+    assert(dw === w && dh === h)
+    assert(back.toSeq === rgb.toSeq) // pixel-exact: BGR swap + flip undo
+    // malformed payloads fail loudly, not silently
+    intercept[IllegalArgumentException](
+      Codecs.BmpCodec.parseHeader("notabmp".getBytes))
+  }
+
+  test("decode stage runs the REAL codec on real payloads (AutoCodec)") {
+    import testImplicits._
+    val rgb = rgbPattern(8, 6, 1)
+    val bmp = Codecs.BmpCodec.encodeRgb(8, 6, rgb)
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "bmp", bmp),
+      Multimodal.MediaRecord(2L, "blob", Array[Byte](1, 2, 3, 4)))
+    val out = Multimodal.decode(recs.toDS(), () => Codecs.AutoCodec)
+      .collect().map(d => d.media_id -> d).toMap
+    // BMP record: dimensions parsed from actual header bytes
+    assert(out(1L).width === 8 && out(1L).height === 6)
+    assert(out(1L).n_frames === 1 && out(1L).channels === 3)
+    // non-BMP record: deterministic stub fallback still works
+    assert(out(2L).byte_len === 4)
+  }
+
+  test("gnet runtime: committed artifact loads; forward is deterministic") {
+    val net = GraftNet.load(GraftNet.BundledModel)
+    assert(net.inputSize === 192 && net.outputSize === 36)
+    val x = Array.tabulate(192)(i => ((i % 17) - 8) / 8.0f)
+    val y1 = net.forward(x)
+    val y2 = net.forward(x)
+    assert(y1.toSeq === y2.toSeq)
+    assert(y1.length === 36)
+    // ReLU hidden layer actually nonlinear: scaling input does not
+    // scale output linearly
+    val y3 = net.forward(x.map(_ * 2f))
+    assert(y3.toSeq !== y1.map(_ * 2f).toSeq)
+    intercept[IllegalArgumentException](net.forward(new Array[Float](5)))
+  }
+
+  test("real detector: BMP pixels -> P4-P8 preprocess -> forward -> boxes") {
+    import testImplicits._
+    val cfg = DetectorConfig(preprocFw = "np", modelInput = 32,
+      modelPath = Some(GraftNet.BundledModel))
+    val factory = Detectors.forConfig(cfg)
+    val frames = (1L to 6L).map { id =>
+      val (w, h) = (20 + id.toInt, 14 + id.toInt)
+      val (dw, dh, rgb) = Codecs.BmpCodec.decodeRgb(
+        Codecs.BmpCodec.encodeRgb(w, h, rgbPattern(w, h, id.toInt)))
+      frame(id, dw, dh, rgb)
+    }
+    val out = Detect.detect(frames.toDS(), factory, batchSize = 2)
+      .collect().map(r => r.frame_id -> r.detections).toMap
+    assert(out.size === 6)
+    out.values.foreach { dets =>
+      assert(dets.size === 6) // 6 heads
+      dets.foreach { d =>
+        assert(d.ymin >= 0f && d.ymax <= 1f && d.ymin <= d.ymax)
+        assert(d.xmin >= 0f && d.xmax <= 1f && d.xmin <= d.xmax)
+        assert(d.score >= 0f && d.score <= 1f)
+        assert(d.class_id >= 0 && d.class_id <= 24)
+      }
+    }
+    // the model reads the pixels: different frames -> different boxes
+    assert(out(1L).map(_.score).toSeq !== out(6L).map(_.score).toSeq)
+    // and is deterministic: a second run produces identical output
+    val again = Detect.detect(frames.toDS(), factory, batchSize = 3)
+      .collect().map(r => r.frame_id -> r.detections).toMap
+    assert(again === out)
+  }
+
+  test("forConfig: .gnet resolves the real runtime, others fail fast") {
+    val real = Detectors.forConfig(
+      DetectorConfig(modelPath = Some(GraftNet.BundledModel), modelInput = 16))
+    assert(real().isInstanceOf[GraftNetDetector])
+    intercept[UnsupportedOperationException](
+      Detectors.forConfig(DetectorConfig(modelPath = Some("/m/frozen.pb"))))
+    // missing artifact fails at load (per-partition init), loudly
+    intercept[IllegalArgumentException](
+      Detectors.forConfig(
+        DetectorConfig(modelPath = Some("/nonexistent/x.gnet")))())
+  }
+
+  test("grid pooling: cell means over a known tensor") {
+    val t = graft.operators.Preprocess.Tensor(4, 4, 3,
+      Array.tabulate(48)(i => (i / 3).toFloat)) // pixel p has value p in all channels
+    val pooled = GraftNetDetector.gridPool(t, 2)
+    assert(pooled.length === 12)
+    // top-left 2x2 cell holds pixels 0,1,4,5 -> mean 2.5
+    assert(pooled(0) === 2.5f)
+    // bottom-right cell holds pixels 10,11,14,15 -> mean 12.5
+    assert(pooled(9) === 12.5f)
+  }
+}

@@ -241,6 +241,62 @@ class StreamingSpec extends SparkTestBase {
     assert(n === 8L)
   }
 
+  test("frame limit executes the limited batch once (no double run)") {
+    import testImplicits._
+    InMemoryStore.reset()
+    implicit val sqlCtx = spark.sqlContext
+    val inits = spark.sparkContext.longAccumulator("detector_factory_inits")
+    val counting: () => graft.operators.Detector = () => {
+      inits.add(1)
+      StubDetector
+    }
+    val mem = MemoryStream[Frame]
+    mem.addData(mkFrames(1 to 50))
+    val store = new InMemoryStore
+    val q = DetectionStream.runWithFrameLimit(spark, mem.toDS(), labelsDf,
+      counting, store, tmpDir(), frameLimit = 7)
+    q.awaitTermination(60000)
+    assert(!q.isActive)
+    val expected = DetectionStream.pipeline(mkFrames(1 to 7).toDS(),
+      labelsDf, () => StubDetector, 0.7).collect().map(_.getString(0)).toSet
+    assert(InMemoryStore.all.toSet === expected)
+    // ONE batch hit the limit; the persisted limited batch is a single
+    // partition, so the detector factory initialized exactly once —
+    // the count() afterwards read the cache, not a second execution
+    assert(inits.value === 1L)
+  }
+
+  test("streaming near-dedup: LSH-keyed state drops near-duplicates across batches") {
+    import testImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup.verdicts(
+        mem.toDS().toDF("doc_id", "text"), threshold = 0.8)
+      .writeStream.format("memory").queryName("neardedup_out")
+      .outputMode("append").option("checkpointLocation", tmpDir()).start()
+    // batch 1: two distinct docs
+    mem.addData(Seq(1L -> base,
+      2L -> (1 to 40).map(i => s"other$i").mkString(" ")))
+    q.processAllAvailable()
+    // batch 2: a near-dup of doc 1 (one appended token, Jaccard ~0.97),
+    // a brand-new doc, and an in-batch near-dup pair (5L older, 6L newer)
+    val inBatch = (1 to 40).map(i => s"pair$i").mkString(" ")
+    mem.addData(Seq(3L -> (base + " extra"),
+      4L -> (1 to 40).map(i => s"fresh$i").mkString(" "),
+      5L -> inBatch, 6L -> (inBatch + " tail")))
+    q.processAllAvailable()
+    val verdicts = graft.streaming.StreamingDedup.combine(
+        spark.table("neardedup_out"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    q.stop()
+    assert(verdicts.size === 6)
+    assert(!verdicts(1L) && !verdicts(2L)) // originals survive
+    assert(verdicts(3L)) // cross-batch near-dup: state remembered doc 1
+    assert(!verdicts(4L)) // genuinely new doc survives
+    assert(!verdicts(5L) && verdicts(6L)) // in-batch: older doc_id survives
+  }
+
   test("observed metrics reach the listener (A3/S5 analog)") {
     import testImplicits._
     InMemoryStore.reset()
