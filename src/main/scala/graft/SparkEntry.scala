@@ -45,6 +45,8 @@ object SparkEntry {
     "x8_percentiles" -> LlmQueries.x8Percentiles,
     "x9_profile" -> LlmQueries.x9Profile,
     "x10_curation" -> LlmQueries.x10Curation,
+    "x11_split" -> LlmQueries.x11Split,
+    "x12_sample" -> LlmQueries.x12Sample,
     "m1_multimodal" -> LlmQueries.m1Multimodal,
     "r10_rollup" -> Relational2.r10Rollup,
     "r11_cube" -> Relational2.r11Cube,
@@ -115,6 +117,8 @@ object SparkEntry {
     "x8_percentiles" -> LlmQueries.x8Sql,
     "x9_profile" -> LlmQueries.x9Sql,
     "x10_curation" -> LlmQueries.x10Sql,
+    "x11_split" -> LlmQueries.x11Sql,
+    "x12_sample" -> LlmQueries.x12Sql,
     "m1_multimodal" -> LlmQueries.m1Sql,
     "r10_rollup" -> Relational2.r10Sql,
     "r11_cube" -> Relational2.r11Sql,

@@ -503,6 +503,55 @@ object LlmQueries {
        |  AND q.quality >= 0.55""".stripMargin
   }
 
+  /** x11: deterministic train/val/test split — the assignment every
+    * training-data pipeline makes before materializing a corpus.
+    * Hash-based (poly_hash of the doc id string, mod 10 → 80/10/10),
+    * so the split is stable across runs, machines and engines — no
+    * RNG, no sampling state, and a doc keeps its split when the
+    * corpus grows. Row-local projection + one small agg: at 100 TB
+    * the split is free (no shuffle of the docs themselves; the only
+    * exchange carries lang×split summary rows). */
+  def x11Split(spark: SparkSession, dir: String): DataFrame = {
+    val h = TextFunctions.polyHash(col("doc_id").cast("string")) % 10
+    val split = when(h < 8, "train").when(h === 8, "val").otherwise("test")
+    Tables.documents(spark, dir)
+      .select(col("lang"), split.as("split"), col("n_chars"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+  }
+
+  val x11Sql: String =
+    s"""WITH s AS (SELECT lang, n_chars,
+       |    ${polySql("CAST(doc_id AS VARCHAR)")} % 10 AS h
+       |  FROM documents)
+       |SELECT lang,
+       |  CASE WHEN h < 8 THEN 'train' WHEN h = 8 THEN 'val'
+       |    ELSE 'test' END AS split,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |FROM s GROUP BY 1, 2""".stripMargin
+
+  /** x12: stratified deterministic sampling — per-language rates
+    * (content-hash mod 100 under a per-lang percentage), the
+    * up/down-sampling step of corpus mixing. Pure narrow filter: the
+    * sample decision is row-local arithmetic on the content hash, so
+    * the plan is a filtered scan — no sort, no shuffle, and the
+    * sample is reproducible bit-for-bit (same doc set in or out)
+    * regardless of partitioning or cluster size. */
+  def x12Sample(spark: SparkSession, dir: String): DataFrame = {
+    val rate = when(col("lang") === "en", 20)
+      .when(col("lang") === "zh", 10).otherwise(5)
+    Tables.documents(spark, dir)
+      .filter(TextFunctions.polyHash(col("text")) % 100 < rate)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
+  val x12Sql: String =
+    s"""SELECT doc_id, lang, n_chars FROM documents
+       |WHERE ${polySql("text")} % 100 <
+       |  CASE WHEN lang = 'en' THEN 20 WHEN lang = 'zh' THEN 10
+       |    ELSE 5 END""".stripMargin
+
   /** x6: HyperLogLog cardinality (approx_count_distinct) — sketch
     * internals differ across engines, so no SQL oracle (driver
     * records a rows-only check); the exact x5 covers correctness. */

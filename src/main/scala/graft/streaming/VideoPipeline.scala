@@ -21,6 +21,7 @@ final case class PipelineConfig(
     dataType: String = "FP32",
     preprocFw: String = "np",          // settings.yaml:4
     modelPath: Option[String] = None,  // settings.yaml:17-18
+    modelInput: Int = 1200,            // model input edge (settings.yaml:17-18 names)
     checkpointDir: String = "")
 
 object PipelineConfig {
@@ -47,6 +48,7 @@ object PipelineConfig {
       dataType = m.getOrElse("data_type", "FP32"),
       preprocFw = m.getOrElse("preproc_fw", "np"),
       modelPath = m.get("model_path"),
+      modelInput = m.get("model_input").map(_.toInt).getOrElse(1200),
       checkpointDir = m.getOrElse("checkpoint_dir", ""))
 }
 
@@ -60,7 +62,8 @@ object VideoPipeline {
     val labels = Labels.fromIdNameFile(spark, cfg.labelFile)
     val detectorFactory = Detectors.forConfig(DetectorConfig(
       device = cfg.device, dataType = cfg.dataType,
-      preprocFw = cfg.preprocFw, modelPath = cfg.modelPath))
+      preprocFw = cfg.preprocFw, modelPath = cfg.modelPath,
+      modelInput = cfg.modelInput))
     val ckpt = if (cfg.checkpointDir.nonEmpty) cfg.checkpointDir
       else java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
     if (cfg.totalFrames > 0)
