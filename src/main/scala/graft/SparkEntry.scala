@@ -35,6 +35,8 @@ object SparkEntry {
     "s1_knn" -> LlmQueries.s1Knn,
     "s2_knn_lsh" -> LlmQueries.s2KnnLsh,
     "s3_knn_ivf" -> LlmQueries.s3KnnIvf,
+    "s4_knn_multiprobe" -> LlmQueries.s4KnnMultiProbe,
+    "x13_decontaminate" -> LlmQueries.x13Decontaminate,
     "x1_text_stats" -> LlmQueries.x1TextStats,
     "x2_lang_id" -> LlmQueries.x2LangId,
     "x3_token_hist" -> LlmQueries.x3TokenHist,
@@ -106,6 +108,8 @@ object SparkEntry {
     "s1_knn" -> LlmQueries.s1Sql,
     "s2_knn_lsh" -> LlmQueries.s2Sql,
     "s3_knn_ivf" -> LlmQueries.s3Sql,
+    "s4_knn_multiprobe" -> LlmQueries.s4Sql,
+    "x13_decontaminate" -> LlmQueries.x13Sql,
     "x1_text_stats" -> LlmQueries.x1Sql,
     "x2_lang_id" -> LlmQueries.x2Sql,
     "x3_token_hist" -> LlmQueries.x3Sql,

@@ -94,6 +94,40 @@ object Similarity {
         round(col("cos"), 6).as("cosine"))
   }
 
+  /** Multi-probe sign-LSH ANN: each query searches its own bucket
+    * PLUS the `planes` buckets at Hamming distance 1 (one sign bit
+    * flipped) — the standard recall fix for LSH's hard bucket
+    * boundaries. Cost model at 100 TB: the corpus side is untouched
+    * (same single bucketed scan); only the tiny broadcast query side
+    * fans out ×(planes+1), so recall is bought with broadcast rows,
+    * not corpus shuffle. Candidates from different probes are
+    * disjoint by construction (distinct XOR masks → distinct
+    * buckets), so no dedup step is needed before ranking. */
+  def knnLshMultiProbe(embeddings: DataFrame, queries: DataFrame, k: Int,
+      planes: Int = 4, dim: Int = 64): DataFrame = {
+    val corpus = embeddings
+      .select(col("vec_id"), col("embedding"),
+        lshBucket(col("embedding"), planes, dim).as("bucket"))
+    val probeMasks = array((0 until planes).map(b => lit(1L << b)) :+ lit(0L): _*)
+    val qs = queries
+      .select(col("vec_id"), col("embedding"),
+        explode(transform(probeMasks,
+          m => lshBucket(col("embedding"), planes, dim).bitwiseXOR(m)))
+          .as("bucket"))
+    val joined = corpus.alias("c")
+      .join(broadcast(qs.alias("q")),
+        col("q.bucket") === col("c.bucket") &&
+        col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        cosineSim(col("q.embedding"), col("c.embedding")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    joined.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
   /** Coarse-quantizer cell assignment, shuffle-free: centroids fold
     * into a single broadcast row holding a (cid, cemb) struct array
     * sorted ascending by cid; each vector scores the array in one

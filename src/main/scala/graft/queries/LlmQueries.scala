@@ -206,6 +206,31 @@ object LlmQueries {
        |SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cosine
        |FROM r WHERE rnk <= 3""".stripMargin
 
+  /** s4: multi-probe sign-LSH ANN — each query also probes the
+    * `planes` Hamming-distance-1 buckets, recovering neighbors that
+    * s2's hard bucket boundary loses; corpus side unchanged. */
+  def s4KnnMultiProbe(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnLshMultiProbe(Tables.embeddings(spark, dir),
+      queryVecs(spark, dir), k = 3)
+
+  val s4Sql: String =
+    s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+       |  FROM embeddings),
+       |qb AS (SELECT vec_id, embedding, bucket FROM bk WHERE vec_id < 5),
+       |qp AS (SELECT vec_id, embedding,
+       |    unnest([xor(bucket, CAST(1 AS BIGINT)), xor(bucket, CAST(2 AS BIGINT)),
+       |      xor(bucket, CAST(4 AS BIGINT)), xor(bucket, CAST(8 AS BIGINT)),
+       |      bucket]) AS pbucket
+       |  FROM qb),
+       |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM bk c JOIN qp q ON q.pbucket = c.bucket AND q.vec_id <> c.vec_id),
+       |r AS (SELECT query_id, neighbor_id, CAST(row_number() OVER
+       |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rnk,
+       |    cos FROM p)
+       |SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cosine
+       |FROM r WHERE rnk <= 3""".stripMargin
+
   /** s3: IVF-style ANN — centroids are a deterministic stand-in
     * (vec_id < 8) so the full index build restates in SQL. */
   def s3KnnIvf(spark: SparkSession, dir: String): DataFrame = {
@@ -551,6 +576,44 @@ object LlmQueries {
        |WHERE ${polySql("text")} % 100 <
        |  CASE WHEN lang = 'en' THEN 20 WHEN lang = 'zh' THEN 10
        |    ELSE 5 END""".stripMargin
+
+  /** x13: train/eval DECONTAMINATION — the step after splitting
+    * (x11): an eval doc whose 8-token-prefix fingerprint (x4's
+    * rolling hash) also appears in the train split is contaminated
+    * and must be reported/dropped before the eval set means
+    * anything. Composition of split assignment + fingerprinting +
+    * a fingerprint-keyed LEFT SEMI join — at 100 TB that is one
+    * row-local projection and one equi semi join on a 64-bit key
+    * (broadcastable whenever the train fingerprint set is small
+    * enough; hash join otherwise). */
+  def x13Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val h = TextFunctions.polyHash(col("doc_id").cast("string")) % 10
+    val split = when(h < 8, "train").when(h === 8, "val").otherwise("test")
+    val fp = TextFunctions.polyHash(
+      concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 8)))
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), split.as("split"),
+        fp.as("fingerprint"))
+    val trainFps = base.filter(col("split") === "train")
+      .select(col("fingerprint"))
+    base.filter(col("split") =!= "train")
+      .join(trainFps, Seq("fingerprint"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("split"), col("fingerprint"))
+  }
+
+  val x13Sql: String = {
+    val splitSql =
+      s"""CASE WHEN ${polySql("CAST(doc_id AS VARCHAR)")} % 10 < 8 THEN 'train'
+         |    WHEN ${polySql("CAST(doc_id AS VARCHAR)")} % 10 = 8 THEN 'val'
+         |    ELSE 'test' END""".stripMargin
+    s"""WITH tk AS (SELECT doc_id, lang, $tsSql AS ts FROM documents),
+       |b AS (SELECT doc_id, lang, $splitSql AS split,
+       |    ${polySql("array_to_string(ts[1:8], ' ')")} AS fingerprint
+       |  FROM tk)
+       |SELECT doc_id, lang, split, fingerprint FROM b
+       |WHERE split <> 'train'
+       |  AND fingerprint IN (SELECT fingerprint FROM b WHERE split = 'train')""".stripMargin
+  }
 
   /** x6: HyperLogLog cardinality (approx_count_distinct) — sketch
     * internals differ across engines, so no SQL oracle (driver

@@ -89,6 +89,29 @@ class LlmPipelineSpec extends AnyFunSuite with SparkTestBase {
       rs.map(_._2).sorted.toSeq == Seq(1, 2, 3, 4, 5) })
   }
 
+  test("multi-probe lsh: recall >= single-bucket lsh, candidates stay disjoint") {
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(64)(k => math.sin(i * 64 + k).toFloat), (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val qs = vecs.filter(col("vec_id") < 4)
+    val single = Similarity.knnLsh(vecs, qs, k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val multi = Similarity.knnLshMultiProbe(vecs, qs, k = 40)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    // probes never produce the same candidate twice (distinct buckets)
+    assert(multi.length === multi.distinct.length)
+    // with k wide open, the probed candidate set contains everything
+    // the single-bucket search could see
+    assert(single.subsetOf(multi.toSet))
+    // top-1 with probing is at least as good as without
+    def top1(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("rnk") === 1).select("query_id", "cosine")
+        .as[(Long, Double)].collect().toMap
+    val s = top1(Similarity.knnLsh(vecs, qs, k = 3))
+    val m = top1(Similarity.knnLshMultiProbe(vecs, qs, k = 3))
+    s.foreach { case (q, c) => assert(m(q) >= c - 1e-12) }
+  }
+
   test("custom plan node: DetectExec matches mapPartitions detect") {
     import java.sql.Timestamp
     val frames = (1L to 20L).map(i =>
