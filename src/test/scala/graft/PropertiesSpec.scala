@@ -103,4 +103,42 @@ class PropertiesSpec extends AnyFunSuite {
       }
     })
   }
+
+  test("BMP codec: encode/decode round-trips any RGB image exactly") {
+    import graft.operators.Codecs.BmpCodec
+    val gen = for {
+      w <- Gen.chooseNum(1, 9) // widths 1..9 sweep all stride paddings
+      h <- Gen.chooseNum(1, 7)
+      px <- Gen.listOfN(w * h * 3, Gen.chooseNum(-128, 127))
+    } yield (w, h, px.map(_.toByte).toArray)
+    check(Prop.forAll(gen) { case (w, h, rgb) =>
+      val (dw, dh, back) = BmpCodec.decodeRgb(BmpCodec.encodeRgb(w, h, rgb))
+      dw == w && dh == h && back.sameElements(rgb)
+    })
+  }
+
+  test("streaming jaccardSorted == batch set-based jaccard") {
+    import graft.streaming.StreamingDedup.jaccardSorted
+    val gen = for {
+      a <- Gen.listOf(Gen.chooseNum(0L, 40L))
+      b <- Gen.listOf(Gen.chooseNum(0L, 40L))
+    } yield (a.distinct.sorted.toArray, b.distinct.sorted.toArray)
+    check(Prop.forAll(gen) { case (a, b) =>
+      val inter = a.toSet.intersect(b.toSet).size
+      val union = a.toSet.union(b.toSet).size
+      val expect = if (union == 0) 1.0 else inter.toDouble / union
+      jaccardSorted(a, b) == expect
+    })
+  }
+
+  test("gnet forward: deterministic and batch-order-independent") {
+    val net = graft.operators.GraftNet.load(graft.operators.GraftNet.BundledModel)
+    val gen = Gen.listOfN(net.inputSize, Gen.chooseNum(-100, 100))
+      .map(_.map(_ / 50.0f).toArray)
+    check(Prop.forAll(gen) { x =>
+      val y = net.forward(x)
+      y.length == net.outputSize &&
+        y.sameElements(net.forward(x)) && y.forall(v => !v.isNaN)
+    })
+  }
 }
