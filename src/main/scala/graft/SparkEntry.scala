@@ -61,6 +61,7 @@ object SparkEntry {
     "r18_analytic" -> Relational2.r18Analytic,
     "r19_sql_surface" -> Relational2.r19SqlSurface,
     "r20_session_window" -> Relational2.r20SessionWindow,
+    "r21_asof" -> Relational2.r21Asof,
   )
 
   /** Every oracle is wrapped in `ORDER BY ALL` (all columns,
@@ -135,5 +136,6 @@ object SparkEntry {
     "r18_analytic" -> Relational2.r18Sql,
     "r19_sql_surface" -> Relational2.r19Sql,
     "r20_session_window" -> Relational2.r20Sql,
+    "r21_asof" -> Relational2.r21Sql,
   )
 }

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** AS-OF join — the temporal join Spark has no built-in for (the
+  * prompt's canonical "operator the engine must compose": for each
+  * left row, the most recent right row with the same key and
+  * rightTime <= leftTime; DuckDB ships it natively as ASOF JOIN,
+  * which is the oracle).
+  *
+  * Implementation is the scalable union-tag plan, NOT a windowed
+  * theta-join: both sides are tagged and unioned, shuffled ONCE on
+  * the key, sorted within the partition by (time, side) with right
+  * rows first on ties (= the `<=` bound), and a running
+  * `last(right_payload, ignoreNulls)` carries the latest right row
+  * forward onto every left row. Cost = one exchange + one
+  * in-partition sort — the sort-merge-join shape, linear in
+  * |left|+|right| per key, with no per-row range probe and no
+  * quadratic fan-out on popular keys.
+  *
+  * Contract: right rows must be unique per (key, rightTime)
+  * (pre-aggregate otherwise — ties there would make ANY as-of
+  * nondeterministic, DuckDB's included); left/right time columns
+  * must be union-compatible types. Inner semantics: left rows with
+  * no preceding right row are dropped (keeps engine outputs
+  * NULL-free per the parity invariant).
+  */
+object AsOfJoin {
+
+  /** Returns every left column plus an `asof` struct holding the
+    * matched right row (all right columns, including its time). */
+  def asOf(left: DataFrame, right: DataFrame,
+      key: String, leftTime: String, rightTime: String): DataFrame = {
+    val lpayT = StructType(left.schema.fields)
+    val rpayT = StructType(right.schema.fields)
+    val lU = left.select(
+      col(key).as("__k"), col(leftTime).as("__t"), lit(1).as("__side"),
+      struct(left.columns.map(col).toIndexedSeq: _*).as("__lpay"),
+      lit(null).cast(rpayT).as("__rpay"))
+    val rU = right.select(
+      col(key).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
+      lit(null).cast(lpayT).as("__lpay"),
+      struct(right.columns.map(col).toIndexedSeq: _*).as("__rpay"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lU.unionByName(rU)
+      .withColumn("__match", last(col("__rpay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1 && col("__match").isNotNull)
+      .select(col("__lpay.*") +: Seq(col("__match").as("asof")): _*)
+  }
+}

@@ -297,4 +297,38 @@ object Relational2 {
       |WINDOW w AS (PARTITION BY user_id ORDER BY event_id),
       |  w3 AS (PARTITION BY user_id ORDER BY event_id
       |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** r21: AS-OF join — each event matched to the user's most recent
+    * order on-or-before the event date (operators.AsOfJoin: one
+    * key shuffle + in-partition sort, vs DuckDB's native ASOF JOIN
+    * as the oracle). Right side pre-aggregated to one row per
+    * (custkey, date) so the match is deterministic on both engines;
+    * summary output keeps the hash gate integer-exact. */
+  def r21Asof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), to_date(col("ts")).as("d"))
+    val ord = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("user_id"),
+        to_date(col("o_orderdate")).as("od"))
+      .agg(max(col("o_orderkey")).as("okey"))
+    graft.operators.AsOfJoin.asOf(ev, ord, "user_id", "d", "od")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_matched"),
+        sum(datediff(col("d"), col("asof.od"))).as("total_gap_days"),
+        max(col("asof.okey")).as("max_okey"))
+  }
+
+  val r21Sql: String =
+    """WITH ev AS (SELECT event_type, user_id, CAST(ts AS DATE) AS d
+      |  FROM events),
+      |ord AS (SELECT o_custkey AS user_id, CAST(o_orderdate AS DATE) AS od,
+      |    max(o_orderkey) AS okey
+      |  FROM orders GROUP BY 1, 2),
+      |j AS (SELECT ev.event_type, ev.d, ord.od, ord.okey
+      |  FROM ev ASOF JOIN ord
+      |    ON ev.user_id = ord.user_id AND ev.d >= ord.od)
+      |SELECT event_type, count(*) AS n_matched,
+      |  CAST(sum(datediff('day', od, d)) AS BIGINT) AS total_gap_days,
+      |  max(okey) AS max_okey
+      |FROM j GROUP BY 1""".stripMargin
 }

@@ -22,4 +22,23 @@ class RelationalSpec extends SparkTestBase {
     assert(rows.length == 1)
     assert(rows(0).getAs[Long]("n") > 0)
   }
+
+  test("as-of join: latest right row at-or-before each left time, per key") {
+    import testImplicits._
+    val left = Seq( // (key, t, tag)
+      (1L, 10, "a"), (1L, 20, "b"), (1L, 5, "early"),
+      (2L, 15, "c"), (3L, 99, "lonely"))
+      .toDF("k", "t", "tag")
+    val right = Seq( // (key, t, payload) — unique per (key, t)
+      (1L, 10, "r10"), (1L, 18, "r18"), (2L, 15, "r15"), (4L, 1, "r-unused"))
+      .toDF("k", "t", "p")
+    val out = graft.operators.AsOfJoin.asOf(left, right, "k", "t", "t")
+      .select("tag", "asof.p").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // equal timestamps match (<= bound): left(1,10) takes right(1,10)
+    assert(out === Map("a" -> "r10", "b" -> "r18", "c" -> "r15"))
+    // "early" (t=5, before every right row) and "lonely" (no key
+    // match) are dropped — inner semantics, no NULL output
+    assert(!out.contains("early") && !out.contains("lonely"))
+  }
 }
