@@ -62,6 +62,7 @@ object SparkEntry {
     "r19_sql_surface" -> Relational2.r19SqlSurface,
     "r20_session_window" -> Relational2.r20SessionWindow,
     "r21_asof" -> Relational2.r21Asof,
+    "r22_range" -> Relational2.r22Range,
   )
 
   /** Every oracle is wrapped in `ORDER BY ALL` (all columns,
@@ -137,5 +138,6 @@ object SparkEntry {
     "r19_sql_surface" -> Relational2.r19Sql,
     "r20_session_window" -> Relational2.r20Sql,
     "r21_asof" -> Relational2.r21Sql,
+    "r22_range" -> Relational2.r22Sql,
   )
 }

@@ -331,4 +331,37 @@ object Relational2 {
       |  CAST(sum(datediff('day', od, d)) AS BIGINT) AS total_gap_days,
       |  max(okey) AS max_okey
       |FROM j GROUP BY 1""".stripMargin
+
+  /** r22: RANGE join — orders bucketized into overlapping price
+    * bands derived from the nation dim (operators.RangeJoin: equi-
+    * join on a bucket grid + residual range predicate — the big-big
+    * plan; DuckDB verifies with the plain inequality join). Cents
+    * are summed as integers (floor(price*100): identical doubles →
+    * identical floor on both engines, then exact integer addition —
+    * no order-dependent float accumulation in the hash gate). */
+  def r22Range(spark: SparkSession, dir: String): DataFrame = {
+    val bands = Tables.nation(spark, dir).select(
+      col("n_name").as("band"),
+      (col("n_nationkey").cast("long") * 20000L).as("lo"),
+      (col("n_nationkey").cast("long") * 20000L + 40000L).as("hi"))
+    val ords = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    graft.operators.RangeJoin
+      .bucketed(ords, bands, "o_totalprice", "lo", "hi", width = 20000L)
+      .groupBy(col("range.band").as("band"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+  }
+
+  val r22Sql: String =
+    """WITH bands AS (SELECT n_name AS band, n_nationkey * 20000 AS lo,
+      |    n_nationkey * 20000 + 40000 AS hi
+      |  FROM nation),
+      |j AS (SELECT b.band, o.o_totalprice
+      |  FROM orders o JOIN bands b
+      |    ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi)
+      |SELECT band, count(*) AS n_orders,
+      |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS cents
+      |FROM j GROUP BY 1""".stripMargin
 }

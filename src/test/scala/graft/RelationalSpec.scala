@@ -41,4 +41,27 @@ class RelationalSpec extends SparkTestBase {
     // match) are dropped — inner semantics, no NULL output
     assert(!out.contains("early") && !out.contains("lonely"))
   }
+
+  test("range join: bucket decomposition matches the plain inequality join") {
+    import testImplicits._
+    val pts = Seq((1L, 0L), (2L, 7L), (3L, 10L), (4L, 19L), (5L, 20L),
+      (6L, 25L), (7L, 999L)).toDF("id", "v")
+    val ranges = Seq(("a", 0L, 10L), ("b", 5L, 20L), ("c", 10L, 30L))
+      .toDF("name", "lo", "hi")
+    val got = graft.operators.RangeJoin
+      .bucketed(pts, ranges, "v", "lo", "hi", width = 8)
+      .select("id", "range.name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // reference: plain non-equi join (broadcast NLJ — fine for a spec)
+    val expect = pts.join(ranges,
+        pts("v") >= ranges("lo") && pts("v") < ranges("hi"))
+      .select("id", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === expect)
+    // boundary semantics: v=10 excluded from [0,10) but in [5,20)+[10,30);
+    // v=20 excluded from [5,20) but in [10,30); v=999 matches nothing
+    assert(got.filter(_._1 == 3L).map(_._2) === Set("b", "c"))
+    assert(got.filter(_._1 == 5L).map(_._2) === Set("c"))
+    assert(!got.exists(_._1 == 7L))
+  }
 }
