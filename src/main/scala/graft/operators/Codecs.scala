@@ -118,14 +118,219 @@ object Codecs {
     }
   }
 
-  /** Kind-dispatching codec: real BMP bytes decode for real,
-    * anything else falls back to the deterministic stub — the
+  /** YUV4MPEG2 — uncompressed video, the container a `decodebin`
+    * chain bottoms out at (`/root/reference/run.sh:53` ends in
+    * `video/x-raw`): a text header `YUV4MPEG2 W<w> H<h> F<n>:<d>...`,
+    * then per frame a `FRAME\n` marker + planar YUV 4:2:0 data. This
+    * is the on-theme codec for a VIDEO engine: it yields real
+    * multi-frame streams and real pixels (BT.601 YUV→RGB). */
+  object Y4mCodec extends Codec {
+    private val Magic = "YUV4MPEG2 "
+
+    final case class Y4mHeader(width: Int, height: Int,
+        dataStart: Int, frameBytes: Int)
+
+    def parseHeader(d: Array[Byte]): Y4mHeader = {
+      val headEnd = d.indexOf('\n'.toByte)
+      require(headEnd > 0, "not a Y4M: no header line")
+      val head = new String(d, 0, headEnd, "US-ASCII")
+      require(head.startsWith(Magic), "not a Y4M: missing YUV4MPEG2 magic")
+      def param(p: Char): Option[String] =
+        head.split(' ').collectFirst {
+          case t if t.nonEmpty && t.head == p => t.tail
+        }
+      val w = param('W').map(_.toInt).getOrElse(
+        throw new IllegalArgumentException("Y4M missing W"))
+      val h = param('H').map(_.toInt).getOrElse(
+        throw new IllegalArgumentException("Y4M missing H"))
+      require(w > 0 && h > 0 && w % 2 == 0 && h % 2 == 0,
+        s"bad/unsupported Y4M dims ${w}x$h (4:2:0 needs even dims)")
+      // 4:2:0 planar: Y (w*h) + U (w*h/4) + V (w*h/4)
+      Y4mHeader(w, h, headEnd + 1, w * h * 3 / 2)
+    }
+
+    private val FrameMarker = "FRAME".getBytes("US-ASCII")
+
+    /** Offsets of each frame's pixel data (after its FRAME line). */
+    def frameOffsets(d: Array[Byte]): Seq[Int] = {
+      val h = parseHeader(d)
+      val offs = Seq.newBuilder[Int]
+      var p = h.dataStart
+      while (p + FrameMarker.length <= d.length &&
+          FrameMarker.indices.forall(i => d(p + i) == FrameMarker(i))) {
+        val nl = d.indexOf('\n'.toByte, p)
+        require(nl > 0, "Y4M frame header unterminated")
+        require(nl + 1 + h.frameBytes <= d.length, "Y4M frame truncated")
+        offs += (nl + 1)
+        p = nl + 1 + h.frameBytes
+      }
+      offs.result()
+    }
+
+    private def clamp(v: Double): Byte =
+      math.max(0, math.min(255, math.round(v))).toByte
+
+    /** Extract frame `idx` as packed top-down RGB — full-range BT.601
+      * 4:2:0 upsampled by chroma-sample replication. */
+    def extractFrameRgb(d: Array[Byte], idx: Int): (Int, Int, Array[Byte]) = {
+      val h = parseHeader(d)
+      val offs = frameOffsets(d)
+      require(idx >= 0 && idx < offs.length,
+        s"frame $idx out of range (0..${offs.length - 1})")
+      val base = offs(idx)
+      val (w, ht) = (h.width, h.height)
+      val uBase = base + w * ht
+      val vBase = uBase + w * ht / 4
+      val out = new Array[Byte](w * ht * 3)
+      var y = 0
+      while (y < ht) {
+        var x = 0
+        while (x < w) {
+          val yy = (d(base + y * w + x) & 0xff).toDouble
+          val ci = (y / 2) * (w / 2) + (x / 2)
+          val cb = (d(uBase + ci) & 0xff) - 128.0
+          val cr = (d(vBase + ci) & 0xff) - 128.0
+          val t = (y * w + x) * 3
+          out(t) = clamp(yy + 1.402 * cr)
+          out(t + 1) = clamp(yy - 0.344136 * cb - 0.714136 * cr)
+          out(t + 2) = clamp(yy + 1.772 * cb)
+          x += 1
+        }
+        y += 1
+      }
+      (w, ht, out)
+    }
+
+    /** Fixture writer: packed RGB frames → Y4M (full-range BT.601
+      * RGB→YUV, 2×2 chroma averaging). Any Y4M player opens its
+      * output; the round-trip is near-lossless (±rounding) when each
+      * 2×2 block is chroma-uniform. */
+    def encodeRgbFrames(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+      require(w % 2 == 0 && h % 2 == 0, "4:2:0 needs even dims")
+      frames.foreach(f => require(f.length == w * h * 3, "rgb size mismatch"))
+      val head = s"YUV4MPEG2 W$w H$h F30:1 Ip A1:1 C420\n".getBytes("US-ASCII")
+      val frameBytes = w * h * 3 / 2
+      val out = java.nio.ByteBuffer.allocate(
+        head.length + frames.length * (6 + frameBytes))
+      out.put(head)
+      frames.foreach { rgb =>
+        out.put("FRAME\n".getBytes("US-ASCII"))
+        val yP = new Array[Byte](w * h)
+        val uP = new Array[Byte](w * h / 4); val vP = new Array[Byte](w * h / 4)
+        val uSum = new Array[Double](w * h / 4)
+        val vSum = new Array[Double](w * h / 4)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val s = (y * w + x) * 3
+            val (r, g, b) = ((rgb(s) & 0xff).toDouble,
+              (rgb(s + 1) & 0xff).toDouble, (rgb(s + 2) & 0xff).toDouble)
+            yP(y * w + x) = clamp(0.299 * r + 0.587 * g + 0.114 * b)
+            val ci = (y / 2) * (w / 2) + (x / 2)
+            uSum(ci) += (b - (0.299 * r + 0.587 * g + 0.114 * b)) / 1.772
+            vSum(ci) += (r - (0.299 * r + 0.587 * g + 0.114 * b)) / 1.402
+            x += 1
+          }
+          y += 1
+        }
+        var ci = 0
+        while (ci < uP.length) {
+          uP(ci) = clamp(uSum(ci) / 4 + 128); vP(ci) = clamp(vSum(ci) / 4 + 128)
+          ci += 1
+        }
+        out.put(yP); out.put(uP); out.put(vP)
+      }
+      out.array()
+    }
+
+    override def decode(rec: MediaRecord): DecodedMedia = {
+      val h = parseHeader(rec.data)
+      DecodedMedia(rec.media_id, rec.kind, rec.data.length,
+        PolyHash.hashBytes(rec.data), h.width, h.height,
+        channels = 3, n_frames = frameOffsets(rec.data).length)
+    }
+  }
+
+  /** PCM WAV (RIFF/WAVE) — the audio leg of the multimodal family.
+    * Header-only parse: the DecodedMedia mapping is documented as
+    * width = sample rate, height = bits per sample, channels =
+    * channel count, n_frames = sample frames (data bytes / block
+    * align) — every number read from real header fields. */
+  object WavCodec extends Codec {
+    private def u16(d: Array[Byte], o: Int): Int =
+      (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8)
+    private def i32(d: Array[Byte], o: Int): Int =
+      (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8) |
+        ((d(o + 2) & 0xff) << 16) | ((d(o + 3) & 0xff) << 24)
+    private def tag(d: Array[Byte], o: Int): String =
+      new String(d, o, 4, "US-ASCII")
+
+    final case class WavHeader(channels: Int, sampleRate: Int,
+        bitsPerSample: Int, nSampleFrames: Int)
+
+    def parseHeader(d: Array[Byte]): WavHeader = {
+      require(d.length >= 44, s"WAV too short: ${d.length}")
+      require(tag(d, 0) == "RIFF" && tag(d, 8) == "WAVE",
+        "not a WAV: missing RIFF/WAVE magic")
+      var p = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // ch, rate, bits, blockAlign
+      var dataLen = -1
+      while (p + 8 <= d.length && (fmt.isEmpty || dataLen < 0)) {
+        val id = tag(d, p); val len = i32(d, p + 4)
+        if (id == "fmt ") {
+          require(u16(d, p + 8) == 1, "only PCM WAV supported")
+          fmt = Some((u16(d, p + 10), i32(d, p + 12), u16(d, p + 22),
+            u16(d, p + 20)))
+        } else if (id == "data") dataLen = len
+        p += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      val (ch, rate, bits, block) = fmt.getOrElse(
+        throw new IllegalArgumentException("WAV missing fmt chunk"))
+      require(dataLen >= 0, "WAV missing data chunk")
+      require(block > 0, "WAV bad block align")
+      WavHeader(ch, rate, bits, dataLen / block)
+    }
+
+    /** Fixture writer: 16-bit PCM mono/stereo. */
+    def encodePcm16(sampleRate: Int, channels: Int,
+        samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+        .putInt(sampleRate * channels * 2)
+        .putShort((channels * 2).toShort).putShort(16)
+      out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(out.putShort)
+      out.array()
+    }
+
+    override def decode(rec: MediaRecord): DecodedMedia = {
+      val h = parseHeader(rec.data)
+      DecodedMedia(rec.media_id, rec.kind, rec.data.length,
+        PolyHash.hashBytes(rec.data), width = h.sampleRate,
+        height = h.bitsPerSample, channels = h.channels,
+        n_frames = h.nSampleFrames)
+    }
+  }
+
+  /** Magic-dispatching codec: real BMP / Y4M / WAV bytes decode for
+    * real, anything else falls back to the deterministic stub — the
     * `decodebin`-style auto-plugging seam, resolved once per
     * partition. */
   object AutoCodec extends Codec {
+    private def startsWith(d: Array[Byte], m: String): Boolean =
+      d.length >= m.length &&
+        m.indices.forall(i => d(i) == m.charAt(i).toByte)
+
     override def decode(rec: MediaRecord): DecodedMedia =
-      if (rec.data.length >= 2 && rec.data(0) == 'B' && rec.data(1) == 'M')
-        BmpCodec.decode(rec)
+      if (startsWith(rec.data, "BM")) BmpCodec.decode(rec)
+      else if (startsWith(rec.data, "YUV4MPEG2 ")) Y4mCodec.decode(rec)
+      else if (startsWith(rec.data, "RIFF")) WavCodec.decode(rec)
       else Multimodal.StubCodec.decode(rec)
   }
 }
