@@ -44,15 +44,20 @@ object KMeans {
     var it = 0
     while (it < iters) {
       val assigned = Similarity.assignCells(corpus, centroids)
-      val next = assigned
+      val means = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy(col("cell"), col("dim"))
         .agg(avg(col("v")).as("m"))
         .groupBy(col("cell"))
         .agg(transform(
           sort_array(collect_list(struct(col("dim"), col("m")))),
-          s => s.getField("m").cast("float")).as("embedding"))
-        .select(col("cell").as("vec_id"), col("embedding"))
+          s => s.getField("m").cast("float")).as("memb"))
+        .select(col("cell").as("vec_id"), col("memb"))
+      // a cell that captured no vectors this round keeps its previous
+      // centroid (classic empty-cluster guard) so k never shrinks
+      val next = centroids.join(means, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("memb"), col("embedding")).as("embedding"))
         .cache()
       next.count() // materialize before dropping the previous round
       centroids.unpersist()
