@@ -32,6 +32,7 @@ object SparkEntry {
     "d3_simhash" -> LlmQueries.d3Simhash,
     "d4_ngram_jaccard" -> LlmQueries.d4NgramJaccard,
     "d5_embed_neardup" -> LlmQueries.d5EmbedNearDup,
+    "d6_simhash_pairs" -> LlmQueries.d6SimhashPairs,
     "s1_knn" -> LlmQueries.s1Knn,
     "s2_knn_lsh" -> LlmQueries.s2KnnLsh,
     "s3_knn_ivf" -> LlmQueries.s3KnnIvf,
@@ -107,6 +108,7 @@ object SparkEntry {
     "d3_simhash" -> LlmQueries.d3Sql,
     "d4_ngram_jaccard" -> LlmQueries.d4Sql,
     "d5_embed_neardup" -> LlmQueries.d5Sql,
+    "d6_simhash_pairs" -> LlmQueries.d6Sql,
     "s1_knn" -> LlmQueries.s1Sql,
     "s2_knn_lsh" -> LlmQueries.s2Sql,
     "s3_knn_ivf" -> LlmQueries.s3Sql,

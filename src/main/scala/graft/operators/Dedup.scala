@@ -121,6 +121,44 @@ object Dedup {
         .as("simhash"))
   }
 
+  /** SimHash near-dup PAIRS — the dedup decision d3's fingerprints
+    * feed. Blocking: the 32-bit fingerprint splits into 4 byte
+    * bands; by pigeonhole, hamming(a,b) <= 3 implies at least one
+    * band is equal, so the band self-join has COMPLETE recall at the
+    * default threshold — no missed pairs, and the join is an
+    * equi-join on (band, byte) like every other dedup path here.
+    * Verification is one codegen'd bit_count(xor). Same mega-bucket
+    * guard as lshCandidates (a byte band has only 256 values, so
+    * popular bands are excluded rather than exploded). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 64): DataFrame = {
+    val fp = simhashFingerprints(docs).select(col("doc_id"), col("simhash"))
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), 8 * b).bitwiseAND(255L).as("bv"))
+    }
+    val bucketW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bv"))
+    val bandRows = fp
+      .select(col("doc_id"), col("simhash"),
+        explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("simhash"),
+        col("bs.band").as("band"), col("bs.bv").as("bv"))
+      .withColumn("bn", count(lit(1)).over(bucketW))
+      .filter(col("bn") <= maxBucket)
+      .drop("bn")
+    val a = bandRows.alias("a"); val b = bandRows.alias("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** (doc_id, lang, n_chars, gram hashes): distinct char-3-gram
     * hashes per document, computed once per doc (explode + agg keeps
     * the join sides cheap). */

@@ -109,19 +109,51 @@ object LlmQueries {
   def d3Simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashFingerprints(Tables.documents(spark, dir))
 
-  val d3Sql: String =
-    s"""WITH toks AS (SELECT doc_id, $tsSql AS ts FROM documents),
+  /** shared CTE chain: tokens → distinct token hashes → simhash */
+  private val simhashCtes: String =
+    s"""toks AS (SELECT doc_id, $tsSql AS ts FROM documents),
        |h AS (SELECT doc_id, CAST(len(ts) AS INT) AS n_tokens,
        |    list_transform(list_distinct(ts), t -> ${polySql("t")}) AS hs
-       |  FROM toks)
-       |SELECT doc_id, n_tokens,
-       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |    list_transform(range(31, -1, -1), b ->
-       |      CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |        list_transform(hs, h2 -> ((h2 >> b) & 1)*2 - 1)),
-       |        (x, y) -> x + y) > 0 THEN 1 ELSE 0 END)),
-       |    (a, b) -> a*2 + b) AS simhash
-       |FROM h""".stripMargin
+       |  FROM toks),
+       |sh AS (SELECT doc_id, n_tokens,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(31, -1, -1), b ->
+       |        CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |          list_transform(hs, h2 -> ((h2 >> b) & 1)*2 - 1)),
+       |          (x, y) -> x + y) > 0 THEN 1 ELSE 0 END)),
+       |      (a, b) -> a*2 + b) AS simhash
+       |  FROM h)""".stripMargin
+
+  val d3Sql: String =
+    s"WITH $simhashCtes\nSELECT doc_id, n_tokens, simhash FROM sh"
+
+  /** d6: SimHash near-dup pairs — byte-band blocking (complete
+    * recall at hamming <= 3 by pigeonhole), bit_count(xor) verify,
+    * d2-style bucket cap. Note: the synthetic corpus's uniform token
+    * statistics saturate a 32-bit fingerprint (pair counts are high
+    * and near-flat across hamming 0-3); the oracle verifies the
+    * banding/verification MECHANICS — d2's shingle-Jaccard is the
+    * precision path for actual curation (x10). */
+  def d6SimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(spark, dir))
+
+  val d6Sql: String =
+    s"""WITH $simhashCtes,
+       |band0 AS (SELECT doc_id, simhash, b,
+       |    (simhash >> (8*b)) & 255 AS bv
+       |  FROM sh CROSS JOIN range(4) r(b)),
+       |band AS (SELECT doc_id, simhash, b, bv FROM (
+       |    SELECT doc_id, simhash, b, bv,
+       |      count(*) OVER (PARTITION BY b, bv) AS bn
+       |    FROM band0)
+       |  WHERE bn <= 64),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+       |    a.simhash AS sa, b.simhash AS sb
+       |  FROM band a JOIN band b
+       |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |SELECT da AS doc_a, db AS doc_b,
+       |  CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin
 
   /** d4: blocked char-3-gram Jaccard near-dup pairs (lang + length
     * band blocking, verify at 0.7). Blocks with > 256 members are

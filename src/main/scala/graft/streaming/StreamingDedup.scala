@@ -66,6 +66,12 @@ object StreamingDedup {
         explode(col("s.bands")).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"),
         col("bs.band_hash").as("band_hash"), col("hashes"))
+      // a doc under 3 tokens has no shingles → NULL minhash/band:
+      // it cannot be a near-duplicate of anything and emits no band
+      // rows (exactly like the batch path, where empty feature sets
+      // never reach the candidate join) — callers treat "no verdict"
+      // as not-a-dup
+      .where(col("band_hash").isNotNull)
       .as[DocBand]
   }
 

@@ -297,6 +297,43 @@ class StreamingSpec extends SparkTestBase {
     assert(!verdicts(5L) && verdicts(6L)) // in-batch: older doc_id survives
   }
 
+  test("streaming curation: near-dedup verdicts + quality gate compose") {
+    import testImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the x10 batch capstone, incrementally: stream docs, drop LSH
+    // near-dups via keyed state, gate survivors on a row-local
+    // quality proxy (token count) inside the same micro-batch
+    val mem = MemoryStream[(Long, String)]
+    val collected = scala.collection.concurrent.TrieMap[Long, Boolean]()
+    val sink: (org.apache.spark.sql.Dataset[graft.streaming.StreamingDedup.BandVerdict], Long) => Unit =
+      (batch, _) => {
+        graft.streaming.StreamingDedup.combine(batch.toDF())
+          .collect().foreach(r => collected(r.getLong(0)) = r.getBoolean(1))
+        ()
+      }
+    val q = graft.streaming.StreamingDedup.verdicts(
+        mem.toDS().toDF("doc_id", "text"), threshold = 0.8)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmpDir())
+      .foreachBatch(sink).start()
+    val good = (1 to 40).map(i => s"w$i").mkString(" ")
+    mem.addData(Seq(10L -> good, 11L -> "too short"))
+    q.processAllAvailable()
+    mem.addData(Seq(12L -> (good + " tail"))) // near-dup of 10 across batches
+    q.processAllAvailable()
+    q.stop()
+    // survivors = not near-dup AND quality (>= 5 tokens) — the gate
+    // is a plain filter over the verdict stream joined back to docs;
+    // here token count stands in for the x1 quality score
+    val docs = Map(10L -> good, 11L -> "too short", 12L -> (good + " tail"))
+    // a shingle-less doc (11) emits no verdict -> not a dup by contract
+    val curated = docs.keys.filter(id =>
+      !collected.getOrElse(id, false) &&
+        docs(id).split("\\s+").length >= 5).toSet
+    assert(collected(12L)) // state caught the cross-batch near-dup
+    assert(curated === Set(10L)) // 11 fails quality, 12 is a dup
+  }
+
   test("observed metrics reach the listener (A3/S5 analog)") {
     import testImplicits._
     InMemoryStore.reset()
