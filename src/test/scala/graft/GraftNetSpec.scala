@@ -250,6 +250,33 @@ class GraftNetSpec extends SparkTestBase {
     assert(graft.streaming.InMemoryStore.all.toSet === expected)
   }
 
+  test("rasterize: box outlines painted on real pixels, BMP round-trip (P12)") {
+    import graft.operators.Rasterize
+    val (w, h) = (20, 16)
+    val black = new Array[Byte](w * h * 3)
+    val out = Rasterize.annotate(black, w, h,
+      Seq(Rasterize.Box(2, 3, 10, 12, 255, 0, 0),
+        Rasterize.Box(-5, -5, 4, 4, 0, 255, 0), // clamps safely
+        Rasterize.Box(100, 100, 200, 200, 9, 9, 9)), // fully outside: no-op
+      thickness = 1)
+    def px(y: Int, x: Int) = {
+      val i = (y * w + x) * 3
+      ((out(i) & 0xff), (out(i + 1) & 0xff), (out(i + 2) & 0xff))
+    }
+    assert(px(2, 3) === ((255, 0, 0)))   // corner on outline
+    assert(px(2, 7) === ((255, 0, 0)))   // top edge
+    assert(px(10, 12) === ((255, 0, 0))) // opposite corner
+    assert(px(6, 7) === ((0, 0, 0)))     // interior untouched
+    assert(px(4, 0) === ((0, 255, 0)))   // clamped box edge
+    assert(black.forall(_ == 0))         // original frame not mutated
+    // the artifact survives a real encode/decode round-trip
+    val (dw, dh, back) = Codecs.BmpCodec.decodeRgb(
+      Rasterize.annotateToBmp(black, w, h,
+        Seq(Rasterize.Box(2, 3, 10, 12, 255, 0, 0)), 1))
+    assert((dw, dh) === ((w, h)))
+    assert((back((2 * w + 3) * 3) & 0xff) === 255)
+  }
+
   test("grid pooling: cell means over a known tensor") {
     val t = graft.operators.Preprocess.Tensor(4, 4, 3,
       Array.tabulate(48)(i => (i / 3).toFloat)) // pixel p has value p in all channels
