@@ -37,6 +37,7 @@ object SparkEntry {
     "s2_knn_lsh" -> LlmQueries.s2KnnLsh,
     "s3_knn_ivf" -> LlmQueries.s3KnnIvf,
     "s4_knn_multiprobe" -> LlmQueries.s4KnnMultiProbe,
+    "s5_quantize" -> LlmQueries.s5Quantize,
     "x13_decontaminate" -> LlmQueries.x13Decontaminate,
     "x1_text_stats" -> LlmQueries.x1TextStats,
     "x2_lang_id" -> LlmQueries.x2LangId,
@@ -113,6 +114,7 @@ object SparkEntry {
     "s2_knn_lsh" -> LlmQueries.s2Sql,
     "s3_knn_ivf" -> LlmQueries.s3Sql,
     "s4_knn_multiprobe" -> LlmQueries.s4Sql,
+    "s5_quantize" -> LlmQueries.s5Sql,
     "x13_decontaminate" -> LlmQueries.x13Sql,
     "x1_text_stats" -> LlmQueries.x1Sql,
     "x2_lang_id" -> LlmQueries.x2Sql,

@@ -296,6 +296,46 @@ object LlmQueries {
        |FROM r WHERE rnk <= 3""".stripMargin
   }
 
+  /** s5: int8 scalar quantization quality — the storage-path op an
+    * embedding corpus runs before ANN serving (4× smaller vectors):
+    * per-vector symmetric scale 127/max|v|, q = floor(v·s + 0.5)
+    * (explicit floor — Spark round() and DuckDB round() disagree on
+    * halves, floor+0.5 is bit-identical), and the reconstruction
+    * error profile of dequantization. Entirely row-local: at 100 TB
+    * this is a narrow projection over the embedding scan. */
+  def s5Quantize(spark: SparkSession, dir: String): DataFrame = {
+    import TextFunctions.bind
+    val stats = bind(col("embedding"), v =>
+      bind(array_max(transform(v, x => abs(x.cast("double")))), ma => {
+        val scale = lit(127.0) / ma
+        val errs = transform(v, x => abs(x.cast("double") -
+          floor(x.cast("double") * scale + 0.5) / scale))
+        struct(round(ma, 6).as("max_abs"),
+          round(array_max(errs), 6).as("max_err"),
+          round(aggregate(errs, lit(0.0), (a, b) => a + b) / size(v), 6)
+            .as("mean_err"))
+      }))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), stats.as("s"))
+      .select(col("vec_id"), col("s.max_abs").as("max_abs"),
+        col("s.max_err").as("max_err"), col("s.mean_err").as("mean_err"))
+  }
+
+  val s5Sql: String =
+    """WITH b AS (SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding,
+      |      x -> abs(CAST(x AS DOUBLE)))) AS ma
+      |  FROM embeddings),
+      |er AS (SELECT vec_id, ma,
+      |    list_transform(embedding, x -> abs(CAST(x AS DOUBLE) -
+      |      floor(CAST(x AS DOUBLE) * (127.0/ma) + 0.5) / (127.0/ma))) AS errs
+      |  FROM b)
+      |SELECT vec_id, round(ma, 6) AS max_abs,
+      |  round(list_max(errs), 6) AS max_err,
+      |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE), errs),
+      |    (a, b) -> a + b) / len(errs), 6) AS mean_err
+      |FROM er""".stripMargin
+
   // ---- text analysis ----------------------------------------------
 
   /** x1: per-document quality metrics (token/stopword/punct counts,
