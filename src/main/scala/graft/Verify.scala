@@ -40,12 +40,15 @@ object Verify {
               "output invariant that makes ORDER BY ALL order-proof")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        // remove a partial/invalid dump so the driver records a clean
-        // failure instead of comparing rows we just declared unsafe
-        val dir = new java.io.File(s"$outDir/$name")
-        if (dir.exists()) {
-          dir.listFiles().foreach(_.delete()); dir.delete()
+        // remove a partial/invalid dump (recursively — parquet writes
+        // can leave nested _temporary dirs) so the driver records a
+        // clean failure instead of comparing rows we just declared
+        // unsafe
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
         }
+        rm(new java.io.File(s"$outDir/$name"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -36,8 +36,13 @@ object RangeJoin {
     val lB = left.withColumn("__b", floor(col(vCol) / width))
     // interval [s, e) covers buckets floor(s/w) .. floor((e-1)/w)
     // for integer bounds; ceil(e/w)-1 == floor((e-1)/w) there, and
-    // the residual filter makes any over-coverage harmless anyway
+    // the residual filter makes any over-coverage harmless anyway.
+    // Empty/inverted intervals (e <= s) are dropped up front —
+    // sequence(start, stop) DESCENDS when start > stop, which would
+    // fabricate junk bucket rows (harmless to results thanks to the
+    // residual filter, but wasted shuffle volume).
     val rB = right
+      .filter(col(startCol) < col(endCol))
       .withColumn("__b", explode(sequence(
         floor(col(startCol) / width),
         floor((col(endCol) - lit(1)) / width))))
