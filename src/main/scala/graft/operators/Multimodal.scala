@@ -13,12 +13,13 @@ import graft.functions.PolyHash
   * features early, never shuffle raw bytes (the reference drops
   * tensors right after `sess.run`, gst-detection-tf.py:288-289).
   *
-  * STUB NOTICE: this container has no image/audio codecs, so
-  * `StubCodec.decode` fabricates deterministic metadata from the
-  * payload bytes (clearly marked). The Spark-side plumbing — schema,
-  * Dataset signatures, partition lifecycle, batch shape — is real
-  * and unit-tested; a JavaCV/ffmpeg decoder drops into `Codec`
-  * without touching any caller.
+  * The `Codec` seam has REAL pure-JVM implementations in
+  * operators/Codecs.scala (BMP pixels, Y4M video frames, PCM WAV —
+  * `AutoCodec` magic-dispatches them); `StubCodec` remains the
+  * deterministic double for the DuckDB-restatable oracle path and
+  * for payloads no bundled codec handles (compressed formats would
+  * need a JavaCV/ffmpeg `Codec`, which drops in without touching
+  * any caller).
   */
 object Multimodal {
 
