@@ -64,4 +64,50 @@ class RelationalSpec extends SparkTestBase {
     assert(got.filter(_._1 == 5L).map(_._2) === Set("c"))
     assert(!got.exists(_._1 == 7L))
   }
+
+  test("as-of join: randomized parity with a naive per-row reference") {
+    import testImplicits._
+    val rnd = new scala.util.Random(4242)
+    // random keys/times, duplicate left times allowed; right unique
+    // per (key, time) as the operator contract requires
+    val left = Seq.tabulate(120)(i =>
+      (rnd.nextInt(6).toLong, rnd.nextInt(50), i.toLong))
+    val right = Seq.tabulate(60)(i =>
+      (rnd.nextInt(6).toLong, rnd.nextInt(50), i * 100L))
+      .groupBy(r => (r._1, r._2)).values.map(_.head).toSeq
+    val out = graft.operators.AsOfJoin.asOf(
+        left.toDF("k", "t", "lid"), right.toDF("k", "t", "rid"),
+        "k", "t", "t")
+      .select("lid", "asof.rid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // naive reference: latest right with same key and rt <= lt
+    left.foreach { case (k, t, lid) =>
+      val cand = right.filter(r => r._1 == k && r._2 <= t)
+      if (cand.isEmpty) assert(!out.contains(lid))
+      else assert(out(lid) === cand.maxBy(_._2)._3,
+        s"left $lid (k=$k, t=$t)")
+    }
+  }
+
+  test("range join: randomized parity across bucket widths") {
+    import testImplicits._
+    val rnd = new scala.util.Random(777)
+    val pts = Seq.tabulate(100)(i => (i.toLong, rnd.nextInt(200).toLong))
+    val ranges = Seq.tabulate(30) { i =>
+      val lo = rnd.nextInt(200).toLong
+      (s"r$i", lo, lo + rnd.nextInt(40).toLong) // includes empty (hi==lo)
+    }
+    val expect = (for {
+      (id, v) <- pts; (name, lo, hi) <- ranges
+      if v >= lo && v < hi
+    } yield (id, name)).toSet
+    Seq(1L, 7L, 64L).foreach { w =>
+      val got = graft.operators.RangeJoin
+        .bucketed(pts.toDF("id", "v"), ranges.toDF("name", "lo", "hi"),
+          "v", "lo", "hi", width = w)
+        .select("id", "range.name").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got === expect, s"width=$w")
+    }
+  }
 }
