@@ -89,6 +89,26 @@ class LlmPipelineSpec extends AnyFunSuite with SparkTestBase {
       rs.map(_._2).sorted.toSeq == Seq(1, 2, 3, 4, 5) })
   }
 
+  test("two cosine_sim in one codegen scope compile (fresh local names)") {
+    // regression for the fixed-variable collision: with fallback
+    // disabled, a janino compile failure throws instead of silently
+    // interpreting — so passing here proves the generated code for
+    // two cosine_sim calls in ONE projection actually compiles
+    val fallback = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq(
+        (Array(1f, 0f, 0f), Array(1f, 0f, 0f), Array(0f, 1f, 0f)))
+        .toDF("a", "b", "c")
+        .select(
+          graft.functions.TextFunctions.cosineSim(col("a"), col("b")).as("ab"),
+          graft.functions.TextFunctions.cosineSim(col("a"), col("c")).as("ac"))
+      val row = df.collect()(0)
+      assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
+      assert(math.abs(row.getDouble(1)) < 1e-12)
+    } finally spark.conf.set("spark.sql.codegen.fallback", fallback)
+  }
+
   test("multi-probe lsh: recall >= single-bucket lsh, candidates stay disjoint") {
     val vecs = (0L until 40L).map { i =>
       (i, Array.tabulate(64)(k => math.sin(i * 64 + k).toFloat), (i % 3).toInt)
