@@ -143,6 +143,12 @@ object Codecs {
         throw new IllegalArgumentException("Y4M missing W"))
       val h = param('H').map(_.toInt).getOrElse(
         throw new IllegalArgumentException("Y4M missing H"))
+      // the frame-size math below is 4:2:0-specific: a C422/C444/mono
+      // stream would parse "successfully" with wrong offsets and
+      // silently garble frame counts and pixels — reject instead
+      val cs = param('C').getOrElse("420")
+      require(cs.startsWith("420"),
+        s"only 4:2:0 Y4M supported, got colorspace C$cs")
       require(w > 0 && h > 0 && w % 2 == 0 && h % 2 == 0,
         s"bad/unsupported Y4M dims ${w}x$h (4:2:0 needs even dims)")
       // 4:2:0 planar: Y (w*h) + U (w*h/4) + V (w*h/4)
@@ -278,6 +284,9 @@ object Codecs {
       var dataLen = -1
       while (p + 8 <= d.length && (fmt.isEmpty || dataLen < 0)) {
         val id = tag(d, p); val len = i32(d, p + 4)
+        // a corrupt negative length would stall or reverse the walk —
+        // fail loudly like every other malformed-payload path
+        require(len >= 0, s"WAV chunk '$id' has negative length $len")
         if (id == "fmt ") {
           require(u16(d, p + 8) == 1, "only PCM WAV supported")
           fmt = Some((u16(d, p + 10), i32(d, p + 12), u16(d, p + 22),

@@ -29,7 +29,13 @@ object KMeans {
 
   /** Train `k` centroids with `iters` Lloyd's iterations; returns
     * (vec_id = cell id 0..k-1, embedding ARRAY<FLOAT>) — the exact
-    * input shape `knnIvf(centroids = ...)` expects. */
+    * input shape `knnIvf(centroids = ...)` expects.
+    *
+    * The returned DataFrame is CACHED (intermediate rounds are
+    * unpersisted as the loop advances, but the final centroids stay
+    * pinned so the caller's searches reuse them without recompute);
+    * a caller running many trains in one session should
+    * `.unpersist()` results it is done with. */
   def train(vecs: DataFrame, k: Int, iters: Int = 5): DataFrame = {
     val corpus = vecs.select(col("vec_id"), col("embedding"))
     // deterministic seed: the k lowest vec_ids, renumbered 0..k-1 so

@@ -34,18 +34,20 @@ object RangeJoin {
       width: Long): DataFrame = {
     require(width > 0, "bucket width must be positive")
     val lB = left.withColumn("__b", floor(col(vCol) / width))
-    // interval [s, e) covers buckets floor(s/w) .. floor((e-1)/w)
-    // for integer bounds; ceil(e/w)-1 == floor((e-1)/w) there, and
-    // the residual filter makes any over-coverage harmless anyway.
-    // Empty/inverted intervals (e <= s) are dropped up front —
+    // interval [s, e) covers buckets floor(s/w) .. floor(e/w): floor
+    // is monotone, so every v in [s, e) lands inside that range for
+    // ANY numeric bounds (not just integers — a tighter (e-1)/w last
+    // bucket would silently DROP matches for fractional bounds, and
+    // unlike over-coverage, under-coverage is not repaired by the
+    // residual filter; the one possibly-extra bucket at floor(e/w)
+    // is). Empty/inverted intervals (e <= s) are dropped up front —
     // sequence(start, stop) DESCENDS when start > stop, which would
-    // fabricate junk bucket rows (harmless to results thanks to the
-    // residual filter, but wasted shuffle volume).
+    // fabricate junk bucket rows.
     val rB = right
       .filter(col(startCol) < col(endCol))
       .withColumn("__b", explode(sequence(
         floor(col(startCol) / width),
-        floor((col(endCol) - lit(1)) / width))))
+        floor(col(endCol) / width))))
     val rStruct = struct(right.columns.map(c => col(s"__r.$c")).toIndexedSeq: _*)
     lB.alias("__l")
       .join(rB.alias("__r"),

@@ -135,8 +135,11 @@ object Similarity {
     * argmax with a strict-`>` fold, so the FIRST maximum — the lowest
     * cid — wins ties: the exact (cos DESC, centroid_id ASC) tiebreak
     * of the oracle's row_number restatement. A NULL cosine
-    * (zero-norm) never beats the accumulator, matching the window's
-    * NULLS-LAST descending order. */
+    * (zero-norm) never beats the accumulator; the accumulator is
+    * SEEDED with the lowest cid so an all-NULL vector still lands in
+    * that cell — exactly what the window's NULLS-LAST descending
+    * order + cid tiebreak assigns, instead of vanishing into a
+    * nonexistent cell. */
   def assignCells(vecs: DataFrame, centroids: DataFrame): DataFrame = {
     val centArr = centroids
       .select(struct(col("vec_id").as("cid"), col("embedding").as("cemb")).as("c"))
@@ -147,7 +150,8 @@ object Similarity {
         struct(cosineSim(col("embedding"), c.getField("cemb")).as("cos"),
           c.getField("cid").as("cell"))))
       .withColumn("best", aggregate(col("scored"),
-        struct(lit(Double.NegativeInfinity).as("cos"), lit(-1L).as("cell")),
+        struct(lit(Double.NegativeInfinity).as("cos"),
+          element_at(col("cents"), 1).getField("cid").as("cell")),
         (acc, s) => when(s.getField("cos") > acc.getField("cos"), s)
           .otherwise(acc)))
       .select(col("vec_id"), col("embedding"), col("best.cell").as("cell"))

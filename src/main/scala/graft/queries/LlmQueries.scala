@@ -172,9 +172,11 @@ object LlmQueries {
       |    ELSE [] END AS gs
       |  FROM documents),
       |g AS (SELECT doc_id, lang, n_chars, gs FROM (
+      |    -- count only gram-bearing docs, matching the engine: its
+      |    -- explode drops empty-gram docs BEFORE the block window
       |    SELECT doc_id, lang, n_chars, gs,
       |      count(*) OVER (PARTITION BY lang, n_chars // 20) AS bn
-      |    FROM g0)
+      |    FROM g0 WHERE len(gs) > 0)
       |  WHERE bn <= 256),
       |p AS (SELECT a.doc_id AS da, b.doc_id AS db,
       |    CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
@@ -310,10 +312,16 @@ object LlmQueries {
         val scale = lit(127.0) / ma
         val errs = transform(v, x => abs(x.cast("double") -
           floor(x.cast("double") * scale + 0.5) / scale))
-        struct(round(ma, 6).as("max_abs"),
+        // zero-vector guard: 127/0 = Inf -> 0*Inf = NaN would leak
+        // engine-specific NaN handling into the gate; quantizing the
+        // zero vector is exact, so its errors are zero by definition
+        when(ma === 0.0,
+          struct(lit(0.0).as("max_abs"), lit(0.0).as("max_err"),
+            lit(0.0).as("mean_err")))
+        .otherwise(struct(round(ma, 6).as("max_abs"),
           round(array_max(errs), 6).as("max_err"),
           round(aggregate(errs, lit(0.0), (a, b) => a + b) / size(v), 6)
-            .as("mean_err"))
+            .as("mean_err")))
       }))
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), stats.as("s"))
@@ -330,10 +338,12 @@ object LlmQueries {
       |    list_transform(embedding, x -> abs(CAST(x AS DOUBLE) -
       |      floor(CAST(x AS DOUBLE) * (127.0/ma) + 0.5) / (127.0/ma))) AS errs
       |  FROM b)
-      |SELECT vec_id, round(ma, 6) AS max_abs,
-      |  round(list_max(errs), 6) AS max_err,
-      |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE), errs),
-      |    (a, b) -> a + b) / len(errs), 6) AS mean_err
+      |SELECT vec_id,
+      |  CASE WHEN ma = 0 THEN 0.0 ELSE round(ma, 6) END AS max_abs,
+      |  CASE WHEN ma = 0 THEN 0.0 ELSE round(list_max(errs), 6) END AS max_err,
+      |  CASE WHEN ma = 0 THEN 0.0 ELSE
+      |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE), errs),
+      |      (a, b) -> a + b) / len(errs), 6) END AS mean_err
       |FROM er""".stripMargin
 
   // ---- text analysis ----------------------------------------------

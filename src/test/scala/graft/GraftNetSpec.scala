@@ -87,6 +87,9 @@ class GraftNetSpec extends SparkTestBase {
     }
     intercept[IllegalArgumentException](
       Codecs.Y4mCodec.parseHeader("MPEG".getBytes))
+    // non-4:2:0 colorspaces are rejected, not silently mis-sized
+    intercept[IllegalArgumentException](Codecs.Y4mCodec.parseHeader(
+      "YUV4MPEG2 W8 H8 F30:1 C444\nFRAME\n".getBytes("US-ASCII")))
   }
 
   test("WAV codec: PCM header fields parse from real bytes") {
@@ -100,6 +103,12 @@ class GraftNetSpec extends SparkTestBase {
     assert(stereo.channels === 2 && stereo.nSampleFrames === 32)
     intercept[IllegalArgumentException](
       Codecs.WavCodec.parseHeader("RIFFxxxxJUNK".getBytes))
+    // corrupt negative chunk length must fail loudly, not spin the
+    // chunk walk forever (len = -8 would leave the cursor in place)
+    val evil = Codecs.WavCodec.encodePcm16(8000, 1, new Array[Short](4))
+    evil(16) = 0xf8.toByte; evil(17) = 0xff.toByte
+    evil(18) = 0xff.toByte; evil(19) = 0xff.toByte // fmt len := -8
+    intercept[IllegalArgumentException](Codecs.WavCodec.parseHeader(evil))
   }
 
   test("multimodal decode dispatches all real codecs by magic (S2)") {

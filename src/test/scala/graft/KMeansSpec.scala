@@ -46,6 +46,24 @@ class KMeansSpec extends SparkTestBase {
     assert(asg1.values.toSet.subsetOf(Set(0L, 1L, 2L)))
   }
 
+  test("assignCells: zero-norm vector lands in the lowest cell, like the oracle") {
+    import testImplicits._
+    val cents = Seq(
+      (3L, Array(1f, 0f, 0f)), (7L, Array(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val vecs = Seq(
+      (100L, Array(0f, 0f, 0f)),   // zero norm: every cosine NULL
+      (101L, Array(0f, 2f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cells = Similarity.assignCells(vecs, cents)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the row_number restatement (cos DESC NULLS LAST, cid ASC)
+    // assigns an all-NULL vector to the lowest centroid id
+    assert(cells(100L) === 3L)
+    assert(cells(101L) === 7L)
+  }
+
   test("kmeans centroids drive knnIvf end to end") {
     val centroids = KMeans.train(emb, k = 4, iters = 2)
     val queries = emb.filter(col("vec_id") < 3)

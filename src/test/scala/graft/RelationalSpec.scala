@@ -65,6 +65,18 @@ class RelationalSpec extends SparkTestBase {
     assert(!got.exists(_._1 == 7L))
   }
 
+  test("range join: fractional bounds keep full coverage") {
+    import testImplicits._
+    // v=10.2 in [5.0, 10.5): the old floor((end-1)/w) last bucket
+    // would stop at bucket 0 and silently drop this match
+    val pts = Seq((1L, 10.2), (2L, 4.9), (3L, 10.5)).toDF("id", "v")
+    val ranges = Seq(("a", 5.0, 10.5)).toDF("name", "lo", "hi")
+    val got = graft.operators.RangeJoin
+      .bucketed(pts, ranges, "v", "lo", "hi", width = 10)
+      .select("id").as[Long].collect().toSet
+    assert(got === Set(1L)) // 4.9 below, 10.5 excluded (exclusive end)
+  }
+
   test("as-of join: randomized parity with a naive per-row reference") {
     import testImplicits._
     val rnd = new scala.util.Random(4242)
