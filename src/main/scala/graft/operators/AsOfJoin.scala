@@ -26,7 +26,23 @@ import org.apache.spark.sql.types.StructType
   * nondeterministic, DuckDB's included); left/right time columns
   * must be union-compatible types. Inner semantics: left rows with
   * no preceding right row are dropped (keeps engine outputs
-  * NULL-free per the parity invariant).
+  * NULL-free per the parity invariant). Rows with a NULL key or
+  * NULL time are dropped from BOTH sides up front: the as-of match
+  * is an equality predicate, and equality never matches NULL —
+  * without the filter, Window.partitionBy would group all NULL keys
+  * into one partition and pair them, diverging from ASOF-join
+  * semantics (DuckDB's included).
+  *
+  * Skew contract: the plan partitions by key alone, so one
+  * pathological hot key (a power-law user owning a large fraction
+  * of both sides) lands its entire history in a single task's sort.
+  * The cost is LINEAR in that key's row count (one sort + one
+  * running-last pass — never quadratic), so the operator degrades
+  * gracefully; when a single key's history exceeds a task's memory
+  * budget at extreme scale, pre-aggregate the right side per
+  * (key, coarse-time-bucket) first (the r21 query does exactly
+  * this: one right row per (custkey, date)), which bounds the
+  * per-key right volume before the union-tag shuffle.
   */
 object AsOfJoin {
 
@@ -36,11 +52,13 @@ object AsOfJoin {
       key: String, leftTime: String, rightTime: String): DataFrame = {
     val lpayT = StructType(left.schema.fields)
     val rpayT = StructType(right.schema.fields)
-    val lU = left.select(
+    val lf = left.filter(col(key).isNotNull && col(leftTime).isNotNull)
+    val rf = right.filter(col(key).isNotNull && col(rightTime).isNotNull)
+    val lU = lf.select(
       col(key).as("__k"), col(leftTime).as("__t"), lit(1).as("__side"),
       struct(left.columns.map(col).toIndexedSeq: _*).as("__lpay"),
       lit(null).cast(rpayT).as("__rpay"))
-    val rU = right.select(
+    val rU = rf.select(
       col(key).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
       lit(null).cast(lpayT).as("__lpay"),
       struct(right.columns.map(col).toIndexedSeq: _*).as("__rpay"))

@@ -170,6 +170,10 @@ object Codecs {
         offs += (nl + 1)
         p = nl + 1 + h.frameBytes
       }
+      // trailing garbage / a corrupted frame marker must be rejected
+      // loudly, not silently under-count n_frames
+      require(p == d.length,
+        s"trailing bytes after last Y4M frame (${d.length - p} at offset $p)")
       offs.result()
     }
 
@@ -288,6 +292,11 @@ object Codecs {
         // fail loudly like every other malformed-payload path
         require(len >= 0, s"WAV chunk '$id' has negative length $len")
         if (id == "fmt ") {
+          // the fields below sit at p+8..p+23: a truncated or crafted
+          // fmt chunk must fail the same clean require every other
+          // malformed-payload path produces, not AIOOBE
+          require(len >= 16 && p + 24 <= d.length,
+            s"WAV fmt chunk truncated (len=$len, ${d.length - p - 8} bytes left)")
           require(u16(d, p + 8) == 1, "only PCM WAV supported")
           fmt = Some((u16(d, p + 10), i32(d, p + 12), u16(d, p + 22),
             u16(d, p + 20)))

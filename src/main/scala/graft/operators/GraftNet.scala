@@ -129,6 +129,12 @@ final class GraftNetDetector(modelPath: String, cfg: DetectorConfig)
     gridPool(t, grid)
   }
 
+  // class-id domain comes from the config (= label-table size), not
+  // a hardcoded 25: a differently-sized label file would otherwise
+  // silently mis-bucket class ids
+  private val nLabels = cfg.labelDomain
+  require(nLabels > 0, s"labelDomain must be positive, got $nLabels")
+
   /** Decode one head of 6 logits into a detection: sigmoid-squashed
     * center/size box (always a valid [0,1] rectangle), sigmoid
     * score, class bucketed into the label-dim domain. */
@@ -138,7 +144,7 @@ final class GraftNetDetector(modelPath: String, cfg: DetectorConfig)
     val ymin = math.max(0.0, cy - bh / 2); val xmin = math.max(0.0, cx - bw / 2)
     val ymax = math.min(1.0, cy + bh / 2); val xmax = math.min(1.0, cx + bw / 2)
     val score = sigmoid(o(base + 4))
-    val cls = math.min(24, (sigmoid(o(base + 5)) * 25).toInt)
+    val cls = math.min(nLabels - 1, (sigmoid(o(base + 5)) * nLabels).toInt)
     RawDetection(ymin.toFloat, xmin.toFloat, ymax.toFloat, xmax.toFloat,
       score.toFloat, cls)
   }

@@ -156,7 +156,9 @@ final case class DetectorConfig(
     dataType: String = "FP32",        // FP32 | BF16 | INT8 — model-artifact choice
     preprocFw: String = "np",         // cv2 | np | tf
     modelPath: Option[String] = None, // frozen-graph / ONNX artifact
-    modelInput: Int = 1200)           // 1200x1200 (settings.yaml:17-18)
+    modelInput: Int = 1200,           // 1200x1200 (settings.yaml:17-18)
+    labelDomain: Int = 25)            // class-id domain = label-table size
+                                      // (sources/Labels default dim)
 
 object Detectors {
   /** Resolve a detector factory from config. A `.gnet` model path

@@ -349,9 +349,13 @@ object LlmQueries {
   // ---- text analysis ----------------------------------------------
 
   /** x1: per-document quality metrics (token/stopword/punct counts,
-    * rational quality score — no transcendentals, parity-safe). */
-  def x1TextStats(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    * rational quality score — no transcendentals, parity-safe).
+    * Zero-token docs (empty/whitespace text) score 0.0 on both
+    * ratios — without the guard the division would emit NULL and
+    * trip Verify's no-NULL gate on any future corpus that contains
+    * an empty document. */
+  def textStats(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn
       .select(col("doc_id"), col("n_chars"), col("text"),
         TextFunctions.tokens(col("text")).as("ts"))
     val nTok = size(col("ts"))
@@ -360,13 +364,17 @@ object LlmQueries {
     val nPunct = length(regexp_replace(col("text"), "[^.,;:!?]", ""))
     docs.select(col("doc_id"),
       nTok.as("n_tokens"), nStop.as("n_stop"), nPunct.as("n_punct"),
-      round(nStop.cast("double") / nTok, 6).as("stop_ratio"),
-      round(
+      when(nTok === 0, 0.0)
+        .otherwise(round(nStop.cast("double") / nTok, 6)).as("stop_ratio"),
+      when(nTok === 0, 0.0).otherwise(round(
         least(lit(1.0), nTok.cast("double") / 100) * 0.6
           + nStop.cast("double") / nTok * 0.2
           + (lit(1.0) - nPunct.cast("double") / col("n_chars")) * 0.2,
-        6).as("quality"))
+        6)).as("quality"))
   }
+
+  def x1TextStats(spark: SparkSession, dir: String): DataFrame =
+    textStats(Tables.documents(spark, dir))
 
   val x1Sql: String =
     s"""WITH t AS (SELECT doc_id, n_chars, text, $tsSql AS ts FROM documents),
@@ -378,10 +386,12 @@ object LlmQueries {
        |      AS n_punct
        |  FROM t)
        |SELECT doc_id, n_tokens, n_stop, n_punct,
-       |  round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
-       |  round(least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 100) * 0.6
-       |    + CAST(n_stop AS DOUBLE) / n_tokens * 0.2
-       |    + (1.0 - CAST(n_punct AS DOUBLE) / n_chars) * 0.2, 6) AS quality
+       |  CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+       |    round(CAST(n_stop AS DOUBLE) / n_tokens, 6) END AS stop_ratio,
+       |  CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+       |    round(least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 100) * 0.6
+       |      + CAST(n_stop AS DOUBLE) / n_tokens * 0.2
+       |      + (1.0 - CAST(n_punct AS DOUBLE) / n_chars) * 0.2, 6) END AS quality
        |FROM m""".stripMargin
 
   /** x3: corpus token histogram (explode → hash agg; partial

@@ -109,6 +109,28 @@ class GraftNetSpec extends SparkTestBase {
     evil(16) = 0xf8.toByte; evil(17) = 0xff.toByte
     evil(18) = 0xff.toByte; evil(19) = 0xff.toByte // fmt len := -8
     intercept[IllegalArgumentException](Codecs.WavCodec.parseHeader(evil))
+    // 'fmt ' chunk near the end of a truncated buffer: the declared
+    // fields extend past the data — clean require, not AIOOBE
+    val full = Codecs.WavCodec.encodePcm16(8000, 1, new Array[Short](4))
+    intercept[IllegalArgumentException](
+      Codecs.WavCodec.parseHeader(full.take(44 + 2).patch(16,
+        Array[Byte](100, 0, 0, 0), 4))) // fmt len 100 > bytes present
+    intercept[IllegalArgumentException]( // declared fmt len < 16
+      Codecs.WavCodec.parseHeader(full.patch(16, Array[Byte](8, 0, 0, 0), 4)))
+  }
+
+  test("Y4M: trailing garbage after the last frame is rejected (not under-counted)") {
+    val y4m = Codecs.Y4mCodec.encodeRgbFrames(4, 2,
+      Seq.fill(2)(new Array[Byte](24)))
+    assert(Codecs.Y4mCodec.frameOffsets(y4m).length === 2)
+    // corruption models a damaged FRAME marker: the bytes are still
+    // there but no longer parse — must fail, not report n_frames=1
+    val corrupted = y4m.clone()
+    val secondFrame = Codecs.Y4mCodec.frameOffsets(y4m)(1)
+    corrupted(secondFrame - 6) = 'X'.toByte // FRAME -> XRAME
+    intercept[IllegalArgumentException](Codecs.Y4mCodec.frameOffsets(corrupted))
+    intercept[IllegalArgumentException]( // plain appended garbage
+      Codecs.Y4mCodec.frameOffsets(y4m ++ Array[Byte](1, 2, 3)))
   }
 
   test("multimodal decode dispatches all real codecs by magic (S2)") {
@@ -205,6 +227,21 @@ class GraftNetSpec extends SparkTestBase {
     val again = Detect.detect(frames.toDS(), factory, batchSize = 3)
       .collect().map(r => r.frame_id -> r.detections).toMap
     assert(again === out)
+  }
+
+  test("class ids respect the configured label domain (not a hardcoded 25)") {
+    val mk = (domain: Int) => {
+      val det = new GraftNetDetector(GraftNet.BundledModel,
+        DetectorConfig(preprocFw = "np", modelInput = 32, labelDomain = domain))
+      det.detectBatch(Seq(frame(1L, 20, 14, rgbPattern(20, 14, 3)))).head
+    }
+    val d10 = mk(10); val d25 = mk(25)
+    assert(d10.forall(d => d.class_id >= 0 && d.class_id < 10))
+    assert(d25.forall(d => d.class_id >= 0 && d.class_id < 25))
+    // same logits, different bucketing: boxes/scores identical
+    assert(d10.map(d => (d.ymin, d.xmin, d.ymax, d.xmax, d.score)) ===
+      d25.map(d => (d.ymin, d.xmin, d.ymax, d.xmax, d.score)))
+    intercept[IllegalArgumentException](mk(0))
   }
 
   test("forConfig: .gnet resolves the real runtime, others fail fast") {

@@ -68,6 +68,19 @@ class LlmPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert((row.getLong(0), row.getLong(1), row.getLong(2)) === ((3L, 2L, 1L)))
   }
 
+  test("x1 text stats: zero-token doc scores 0.0, no NULL cells") {
+    val docs = Seq((1L, 0, ""), (2L, 3, "   "), (3L, 11, "the fox ran"))
+      .toDF("doc_id", "n_chars", "text")
+    val rows = graft.queries.LlmQueries.textStats(docs).collect()
+    // the guard exists to keep Verify's no-NULL gate safe on any corpus
+    assert(rows.forall(r => (0 until r.length).forall(i => !r.isNullAt(i))))
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[Double]("stop_ratio") === 0.0)
+    assert(byId(1L).getAs[Double]("quality") === 0.0)
+    assert(byId(2L).getAs[Double]("quality") === 0.0) // whitespace-only
+    assert(byId(3L).getAs[Double]("stop_ratio") > 0.0)
+  }
+
   test("simhash fingerprints: 32-bit range, identical docs collide") {
     val docs = Seq((1L, "spark fast engine"), (2L, "spark fast engine"),
       (3L, "totally different words here")).toDF("doc_id", "text")

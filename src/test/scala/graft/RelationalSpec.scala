@@ -77,6 +77,26 @@ class RelationalSpec extends SparkTestBase {
     assert(got === Set(1L)) // 4.9 below, 10.5 excluded (exclusive end)
   }
 
+  test("as-of join: NULL keys and NULL times never match (either side)") {
+    import testImplicits._
+    val left = Seq( // NULL key / NULL time left rows must vanish
+      (Option(1L), Option(10), "ok"),
+      (Option.empty[Long], Option(10), "null-key"),
+      (Option(1L), Option.empty[Int], "null-time"))
+      .toDF("k", "t", "tag")
+    val right = Seq( // NULL-keyed right row must never be matched
+      (Option(1L), Option(5), "r5"),
+      (Option.empty[Long], Option(1), "r-null"),
+      (Option(1L), Option.empty[Int], "r-null-t"))
+      .toDF("k", "t", "p")
+    val out = graft.operators.AsOfJoin.asOf(left, right, "k", "t", "t")
+      .select("tag", "asof.p").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // equality semantics: only the non-NULL row pairs with the
+    // non-NULL right row — DuckDB's ASOF JOIN does the same
+    assert(out === Map("ok" -> "r5"))
+  }
+
   test("as-of join: randomized parity with a naive per-row reference") {
     import testImplicits._
     val rnd = new scala.util.Random(4242)
