@@ -110,30 +110,43 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
   }
 
-  /** Per-document 32-bit SimHash fingerprint over distinct token
-    * hashes. Row-local; near-dup = small Hamming distance (pairing
-    * via band-of-bits blocking, same pattern as lshCandidates). */
+  /** Per-document 64-bit SimHash fingerprint over distinct token
+    * hashes (TextFunctions.simhash64 — permuted-parity bits, so all
+    * 64 bits carry signal; the round-3 32-bit fingerprint saturated
+    * on uniform corpora). Row-local; near-dup = small Hamming
+    * distance (pairing via band-of-bits blocking, same pattern as
+    * lshCandidates). */
   def simhashFingerprints(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("ts"))
     toks.select(col("doc_id"),
       size(col("ts")).as("n_tokens"),
-      simhash32(transform(array_distinct(col("ts")), t => polyHash(t)))
+      simhash64(transform(array_distinct(col("ts")), t => polyHash(t)))
         .as("simhash"))
   }
 
   /** SimHash near-dup PAIRS — the dedup decision d3's fingerprints
-    * feed. Blocking: the 32-bit fingerprint splits into 4 byte
-    * bands; by pigeonhole, hamming(a,b) <= 3 implies at least one
-    * band is equal, so the band self-join has COMPLETE recall at the
-    * default threshold — no missed pairs, and the join is an
+    * feed. Blocking: the 64-bit fingerprint splits into 8 byte
+    * bands; by pigeonhole, hamming(a,b) <= 7 implies at least one
+    * band is equal, so the band self-join has COMPLETE recall for
+    * any maxHamming <= 7 — no missed pairs, and the join is an
     * equi-join on (band, byte) like every other dedup path here.
     * Verification is one codegen'd bit_count(xor). Same mega-bucket
     * guard as lshCandidates (a byte band has only 256 values, so
     * popular bands are excluded rather than exploded). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 64): DataFrame =
+    simhashPairsFromFingerprints(
+      simhashFingerprints(docs).select(col("doc_id"), col("simhash")),
+      maxHamming, maxBucket)
+
+  /** The banding+verify core over a (doc_id, simhash BIGINT) frame —
+    * split out so the pigeonhole-recall property is testable on
+    * arbitrary fingerprints. */
+  def simhashPairsFromFingerprints(fp: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = 64): DataFrame = {
-    val fp = simhashFingerprints(docs).select(col("doc_id"), col("simhash"))
-    val bandStructs = (0 until 4).map { b =>
+    require(maxHamming <= 7,
+      s"8 byte-bands guarantee recall only to hamming 7, got $maxHamming")
+    val bandStructs = (0 until 8).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), 8 * b).bitwiseAND(255L).as("bv"))
     }

@@ -105,35 +105,45 @@ object LlmQueries {
        |SELECT da AS doc_a, db AS doc_b, round(jac, 6) AS jaccard
        |FROM ver WHERE jac >= 0.8""".stripMargin
 
-  /** d3: per-document 32-bit SimHash fingerprints. */
+  /** d3: per-document 64-bit SimHash fingerprints. */
   def d3Simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashFingerprints(Tables.documents(spark, dir))
 
-  /** shared CTE chain: tokens → distinct token hashes → simhash */
-  private val simhashCtes: String =
+  /** shared CTE chain: tokens → distinct token hashes → 64-bit
+    * simhash (TextFunctions.simhash64 restated: bit b = sign of the
+    * permuted-parity vote; the fingerprint is the plain SUM of the
+    * signed bit weights — exact, overflow-free, so DuckDB's checked
+    * arithmetic never trips even with bit 63 set). The 64 bit terms
+    * are unrolled with literal signed weights (1L << b). */
+  private val simhashCtes: String = {
+    val bitTerms = (0 until 64).map { b =>
+      val vote = s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(hs, h2 -> " +
+        s"(((h2*${2 * b + 1} + ${7919L * b}) % 2147483647) & 1)*2 - 1)), " +
+        s"(x, y) -> x + y)"
+      s"CASE WHEN $vote > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"
+    }.mkString(",\n      ")
     s"""toks AS (SELECT doc_id, $tsSql AS ts FROM documents),
        |h AS (SELECT doc_id, CAST(len(ts) AS INT) AS n_tokens,
        |    list_transform(list_distinct(ts), t -> ${polySql("t")}) AS hs
        |  FROM toks),
        |sh AS (SELECT doc_id, n_tokens,
-       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |      list_transform(range(31, -1, -1), b ->
-       |        CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |          list_transform(hs, h2 -> ((h2 >> b) & 1)*2 - 1)),
-       |          (x, y) -> x + y) > 0 THEN 1 ELSE 0 END)),
-       |      (a, b) -> a*2 + b) AS simhash
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), [
+       |      $bitTerms]),
+       |      (a, b) -> a + b) AS simhash
        |  FROM h)""".stripMargin
+  }
 
   val d3Sql: String =
     s"WITH $simhashCtes\nSELECT doc_id, n_tokens, simhash FROM sh"
 
-  /** d6: SimHash near-dup pairs — byte-band blocking (complete
-    * recall at hamming <= 3 by pigeonhole), bit_count(xor) verify,
-    * d2-style bucket cap. Note: the synthetic corpus's uniform token
-    * statistics saturate a 32-bit fingerprint (pair counts are high
-    * and near-flat across hamming 0-3); the oracle verifies the
-    * banding/verification MECHANICS — d2's shingle-Jaccard is the
-    * precision path for actual curation (x10). */
+  /** d6: SimHash near-dup pairs — 8 byte-band blocking over the
+    * 64-bit fingerprint (complete recall at hamming <= 7 by
+    * pigeonhole, so the <= 3 threshold loses nothing), bit_count(xor)
+    * verify, d2-style bucket cap. The round-3 32-bit fingerprint
+    * saturated on this corpus (6361 near-flat pairs at sf0.01); the
+    * 64 permuted-parity bits discriminate, so the pair set is the
+    * actual near-duplicate population. */
   def d6SimhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, dir))
 
@@ -141,7 +151,7 @@ object LlmQueries {
     s"""WITH $simhashCtes,
        |band0 AS (SELECT doc_id, simhash, b,
        |    (simhash >> (8*b)) & 255 AS bv
-       |  FROM sh CROSS JOIN range(4) r(b)),
+       |  FROM sh CROSS JOIN range(8) r(b)),
        |band AS (SELECT doc_id, simhash, b, bv FROM (
        |    SELECT doc_id, simhash, b, bv,
        |      count(*) OVER (PARTITION BY b, bv) AS bn

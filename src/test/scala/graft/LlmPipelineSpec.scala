@@ -81,14 +81,47 @@ class LlmPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(byId(3L).getAs[Double]("stop_ratio") > 0.0)
   }
 
-  test("simhash fingerprints: 32-bit range, identical docs collide") {
+  test("simhash fingerprints: identical docs collide, all 64 bits carry signal") {
     val docs = Seq((1L, "spark fast engine"), (2L, "spark fast engine"),
       (3L, "totally different words here")).toDF("doc_id", "text")
     val fp = Dedup.simhashFingerprints(docs)
       .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
-    assert(fp.values.forall(h => h >= 0 && h < (1L << 32)))
     assert(fp(1L) === fp(2L))
     assert(fp(1L) !== fp(3L))
+    // the permuted-parity family uses the high bits too (a raw-bit
+    // fold over ~2^30 poly hashes would pin bits 30..63 to zero and
+    // saturate, the round-3 defect); across a few distinct docs the
+    // high half must not be constant-zero
+    val moreFp = Dedup.simhashFingerprints(
+        (1L to 12L).map(i => (i, s"doc number $i with words ${i * 7}"))
+          .toDF("doc_id", "text"))
+      .select("simhash").as[Long].collect()
+    assert(moreFp.exists(h => (h >>> 32) != 0L))
+  }
+
+  test("simhash pairs: 8-band blocking has complete recall to hamming 7") {
+    // arbitrary 64-bit fingerprints with planted near-misses at
+    // hamming 1..8; brute force is the reference
+    val rnd = new scala.util.Random(20260812)
+    val base = Seq.fill(30)(rnd.nextLong())
+    val planted = base.zipWithIndex.flatMap { case (h, i) =>
+      val flips = i % 9 // 0..8 bit flips
+      val mutated = (0 until flips).foldLeft(h)((acc, j) =>
+        acc ^ (1L << ((i * 11 + j * 7) % 64)))
+      Seq(h, mutated)
+    }
+    val fp = planted.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+      .toDF("doc_id", "simhash")
+    val got = Dedup.simhashPairsFromFingerprints(fp, maxHamming = 7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val expect = (for {
+      (a, i) <- planted.zipWithIndex; (b, j) <- planted.zipWithIndex
+      if i < j && java.lang.Long.bitCount(a ^ b) <= 7
+    } yield (i.toLong, j.toLong)).toSet
+    assert(got === expect) // no missed pairs (pigeonhole), no extras
+    assert(expect.nonEmpty)
+    intercept[IllegalArgumentException](
+      Dedup.simhashPairsFromFingerprints(fp, maxHamming = 8))
   }
 
   test("knn brute force returns k ranked neighbors per query") {
