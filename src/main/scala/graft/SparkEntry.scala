@@ -65,6 +65,7 @@ object SparkEntry {
     "r20_session_window" -> Relational2.r20SessionWindow,
     "r21_asof" -> Relational2.r21Asof,
     "r22_range" -> Relational2.r22Range,
+    "r23_outer_join" -> Relational2.r23OuterJoin,
   )
 
   /** Every oracle is wrapped in `ORDER BY ALL` (all columns,
@@ -143,5 +144,6 @@ object SparkEntry {
     "r20_session_window" -> Relational2.r20Sql,
     "r21_asof" -> Relational2.r21Sql,
     "r22_range" -> Relational2.r22Sql,
+    "r23_outer_join" -> Relational2.r23Sql,
   )
 }

@@ -364,4 +364,54 @@ object Relational2 {
       |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
       |    AS cents
       |FROM j GROUP BY 1""".stripMargin
+
+  /** r23: OUTER joins — LEFT and FULL outer over two partially
+    * overlapping populations (every 7th customer vs customers with a
+    * big order), tagged and unioned so one query exercises all three
+    * row classes: matched, left-only (no big orders), right-only
+    * (big-order customer outside the key filter). Outer joins emit
+    * NULLs by construction, and the parity invariant forbids NULL
+    * output cells, so every nullable side is sentinel-coalesced
+    * (the r10/r18 pattern: 'NONE' / 0 / -1). Plan shape: both joins
+    * are key-shuffled sort-merge joins (full outer cannot broadcast;
+    * left outer of two already-aggregated sides has no small side
+    * here) — one exchange per side, reused by both branches when AQE
+    * reuses the subplan. */
+  def r23OuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val big = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 400000.0)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_big"), max(col("o_orderkey")).as("max_okey"))
+    def shape(mode: String, j: DataFrame): DataFrame =
+      j.select(lit(mode).as("mode"),
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        coalesce(col("c_mktsegment"), lit("NONE")).as("segment"),
+        coalesce(col("n_big"), lit(0L)).as("n_big"),
+        coalesce(col("max_okey"), lit(-1L)).as("max_okey"))
+    shape("left", cust.join(big,
+      cust("c_custkey") === big("o_custkey"), "left_outer"))
+      .unionAll(shape("full", cust.join(big,
+        cust("c_custkey") === big("o_custkey"), "full_outer")))
+  }
+
+  val r23Sql: String =
+    """WITH cust AS (SELECT c_custkey, c_mktsegment FROM customer
+      |    WHERE c_custkey % 7 = 0),
+      |big AS (SELECT o_custkey, count(*) AS n_big,
+      |    max(o_orderkey) AS max_okey
+      |  FROM orders WHERE o_totalprice > 400000.0 GROUP BY 1)
+      |SELECT 'left' AS mode, c.c_custkey AS custkey,
+      |  c.c_mktsegment AS segment,
+      |  coalesce(b.n_big, 0) AS n_big,
+      |  coalesce(b.max_okey, -1) AS max_okey
+      |FROM cust c LEFT JOIN big b ON c.c_custkey = b.o_custkey
+      |UNION ALL
+      |SELECT 'full' AS mode, coalesce(c.c_custkey, b.o_custkey) AS custkey,
+      |  coalesce(c.c_mktsegment, 'NONE') AS segment,
+      |  coalesce(b.n_big, 0) AS n_big,
+      |  coalesce(b.max_okey, -1) AS max_okey
+      |FROM cust c FULL JOIN big b ON c.c_custkey = b.o_custkey""".stripMargin
 }

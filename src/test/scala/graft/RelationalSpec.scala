@@ -77,6 +77,29 @@ class RelationalSpec extends SparkTestBase {
     assert(got === Set(1L)) // 4.9 below, 10.5 excluded (exclusive end)
   }
 
+  test("r23 outer joins: all three row classes present, no NULL cells") {
+    val rows = graft.queries.Relational2.r23OuterJoin(spark, sf).collect()
+    assert(rows.forall(r => (0 until r.length).forall(i => !r.isNullAt(i))))
+    val (left, full) = rows.partition(_.getAs[String]("mode") == "left")
+    assert(left.nonEmpty && full.length >= left.length)
+    // left branch: exactly the filtered customers, matched or not
+    assert(left.forall(_.getAs[Long]("custkey") % 7 == 0))
+    // full branch adds right-only rows: sentinel segment, real counts
+    val rightOnly = full.filter(_.getAs[String]("segment") == "NONE")
+    assert(rightOnly.nonEmpty)
+    assert(rightOnly.forall(r => r.getAs[Long]("custkey") % 7 != 0 &&
+      r.getAs[Long]("n_big") > 0 && r.getAs[Long]("max_okey") >= 0))
+    // left-only rows carry the 0 / -1 sentinels
+    val leftOnly = left.filter(_.getAs[Long]("n_big") == 0)
+    assert(leftOnly.forall(_.getAs[Long]("max_okey") == -1L))
+    // the full branch's left-class rows equal the left branch exactly
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("custkey"), r.getAs[String]("segment"),
+        r.getAs[Long]("n_big"), r.getAs[Long]("max_okey"))
+    assert(full.filter(_.getAs[String]("segment") != "NONE")
+      .map(key).toSet === left.map(key).toSet)
+  }
+
   test("as-of join: NULL keys and NULL times never match (either side)") {
     import testImplicits._
     val left = Seq( // NULL key / NULL time left rows must vanish
