@@ -38,6 +38,7 @@ object SparkEntry {
     "s3_knn_ivf" -> LlmQueries.s3KnnIvf,
     "s4_knn_multiprobe" -> LlmQueries.s4KnnMultiProbe,
     "s5_quantize" -> LlmQueries.s5Quantize,
+    "s6_knn_ivf_probe" -> LlmQueries.s6KnnIvfProbe,
     "x13_decontaminate" -> LlmQueries.x13Decontaminate,
     "x1_text_stats" -> LlmQueries.x1TextStats,
     "x2_lang_id" -> LlmQueries.x2LangId,
@@ -116,6 +117,7 @@ object SparkEntry {
     "s3_knn_ivf" -> LlmQueries.s3Sql,
     "s4_knn_multiprobe" -> LlmQueries.s4Sql,
     "s5_quantize" -> LlmQueries.s5Sql,
+    "s6_knn_ivf_probe" -> LlmQueries.s6Sql,
     "x13_decontaminate" -> LlmQueries.x13Sql,
     "x1_text_stats" -> LlmQueries.x1Sql,
     "x2_lang_id" -> LlmQueries.x2Sql,

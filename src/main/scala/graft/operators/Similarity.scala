@@ -157,6 +157,54 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("best.cell").as("cell"))
   }
 
+  /** IVF with query-side multi-cell probing: the corpus keeps its
+    * single-cell inverted lists (assignCells — one narrow pass), but
+    * each QUERY searches its `nprobe` nearest centroids' cells, the
+    * standard IVF recall fix for queries near a cell boundary (the
+    * same asymmetry as knnLshMultiProbe: recall is bought with
+    * broadcast query fan-out, never with corpus shuffle). Candidates
+    * from different probes are disjoint — a corpus vector lives in
+    * exactly one cell — so no dedup precedes the ranking. */
+  def knnIvfProbe(embeddings: DataFrame, queries: DataFrame,
+      centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val corpusCells = assignCells(embeddings, centroids)
+    val queryCells = assignCellsMulti(queries, centroids, nprobe)
+    val joined = corpusCells.alias("c")
+      .join(broadcast(queryCells.alias("q")),
+        col("q.cell") === col("c.cell") &&
+        col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        cosineSim(col("q.embedding"), col("c.embedding")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    joined.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Top-`nprobe` cell assignment: same single broadcast sorted
+    * centroid row as assignCells, but each vector explodes to its
+    * `nprobe` best cells. Ranking = lexicographic sort of
+    * (-cosine, cid) structs, so ties and NULL cosines (zero-norm,
+    * coalesced below every real score) break exactly like the
+    * oracle's row_number OVER (ORDER BY cos DESC, cid). */
+  def assignCellsMulti(vecs: DataFrame, centroids: DataFrame,
+      nprobe: Int): DataFrame = {
+    val centArr = centroids
+      .select(struct(col("vec_id").as("cid"), col("embedding").as("cemb")).as("c"))
+      .agg(sort_array(collect_list(col("c"))).as("cents"))
+    vecs.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centArr))
+      .withColumn("scored", transform(col("cents"), c =>
+        struct((-coalesce(cosineSim(col("embedding"), c.getField("cemb")),
+          lit(-2.0))).as("negcos"),
+          c.getField("cid").as("cell"))))
+      .select(col("vec_id"), col("embedding"),
+        explode(slice(sort_array(col("scored")), 1, nprobe)).as("p"))
+      .select(col("vec_id"), col("embedding"), col("p.cell").as("cell"))
+  }
+
   /** Embedding near-duplicate pairs: self-join on LSH bucket, verify
     * with exact cosine >= threshold. The all-pairs comparison is
     * confined to within-bucket groups. */

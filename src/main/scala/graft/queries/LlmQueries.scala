@@ -283,8 +283,11 @@ object LlmQueries {
       emb.filter(col("vec_id") < 8), k = 3)
   }
 
-  val s3Sql: String = {
-    def assign(src: String) =
+  /** shared s3/s6 oracle builder: IVF search with `nprobe` query-side
+    * cells (corpus side always crn = 1 — one inverted list per
+    * vector). */
+  private def ivfSql(nprobe: Int): String = {
+    def assign(src: String, maxCrn: Int) =
       s"""SELECT vec_id, embedding, cell FROM (
          |  SELECT v.vec_id, v.embedding, c.vec_id AS centroid_id,
          |    CAST(row_number() OVER (PARTITION BY v.vec_id ORDER BY
@@ -292,11 +295,11 @@ object LlmQueries {
          |      AS INT) AS crn,
          |    c.vec_id AS cell
          |  FROM ($src) v CROSS JOIN cent c
-         |) WHERE crn = 1""".stripMargin
+         |) WHERE crn <= $maxCrn""".stripMargin
     s"""WITH cent AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
-       |corpus_cells AS (${assign("SELECT vec_id, embedding FROM embeddings")}),
+       |corpus_cells AS (${assign("SELECT vec_id, embedding FROM embeddings", 1)}),
        |query_cells AS (${assign(
-      "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5")}),
+      "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5", nprobe)}),
        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |    ${cosSql("q.embedding", "c.embedding")} AS cos
        |  FROM corpus_cells c JOIN query_cells q
@@ -307,6 +310,20 @@ object LlmQueries {
        |SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cosine
        |FROM r WHERE rnk <= 3""".stripMargin
   }
+
+  val s3Sql: String = ivfSql(nprobe = 1)
+
+  /** s6: IVF ANN with nprobe = 2 — each query searches its two
+    * nearest centroids' cells (Similarity.knnIvfProbe), recovering
+    * the boundary-query neighbors a single-cell search loses (the
+    * IVF analog of s4's multi-probe LSH; corpus side untouched). */
+  def s6KnnIvfProbe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.knnIvfProbe(emb, queryVecs(spark, dir),
+      emb.filter(col("vec_id") < 8), k = 3, nprobe = 2)
+  }
+
+  val s6Sql: String = ivfSql(nprobe = 2)
 
   /** s5: int8 scalar quantization quality — the storage-path op an
     * embedding corpus runs before ANN serving (4× smaller vectors):

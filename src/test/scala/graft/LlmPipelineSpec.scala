@@ -155,6 +155,30 @@ class LlmPipelineSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.set("spark.sql.codegen.fallback", fallback)
   }
 
+  test("ivf multi-probe: nprobe=all-cells equals brute force; nprobe=2 never worse than 1") {
+    val rnd = new scala.util.Random(99)
+    def vec() = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val corpus = (0L until 40L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 4)
+    val cents = corpus.filter(col("vec_id") % 10 === 0) // 4 centroids
+    def collectKnn(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rnk").as[(Long, Long, Int)]
+        .collect().toSet
+    // probing every cell searches the whole corpus == brute force
+    val all = collectKnn(Similarity.knnIvfProbe(corpus, queries, cents,
+      k = 3, nprobe = 4))
+    val bf = collectKnn(Similarity.knnBruteForce(corpus, queries, k = 3))
+    assert(all === bf)
+    // per query, the best cosine found with nprobe=2 >= with nprobe=1
+    def bestCos(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("rnk") === 1).select("query_id", "cosine")
+        .as[(Long, Double)].collect().toMap
+    val one = bestCos(Similarity.knnIvf(corpus, queries, cents, k = 3))
+    val two = bestCos(Similarity.knnIvfProbe(corpus, queries, cents,
+      k = 3, nprobe = 2))
+    one.foreach { case (q, c) => assert(two(q) >= c, s"query $q regressed") }
+  }
+
   test("multi-probe lsh: recall >= single-bucket lsh, candidates stay disjoint") {
     val vecs = (0L until 40L).map { i =>
       (i, Array.tabulate(64)(k => math.sin(i * 64 + k).toFloat), (i % 3).toInt)
