@@ -53,6 +53,7 @@ object SparkEntry {
     "x11_split" -> LlmQueries.x11Split,
     "x12_sample" -> LlmQueries.x12Sample,
     "m1_multimodal" -> LlmQueries.m1Multimodal,
+    "m2_png_decode" -> LlmQueries.m2PngDecode,
     "r10_rollup" -> Relational2.r10Rollup,
     "r11_cube" -> Relational2.r11Cube,
     "r12_setops" -> Relational2.r12SetOps,
@@ -133,6 +134,7 @@ object SparkEntry {
     "x11_split" -> LlmQueries.x11Sql,
     "x12_sample" -> LlmQueries.x12Sql,
     "m1_multimodal" -> LlmQueries.m1Sql,
+    "m2_png_decode" -> LlmQueries.m2Sql,
     "r10_rollup" -> Relational2.r10Sql,
     "r11_cube" -> Relational2.r11Sql,
     "r12_setops" -> Relational2.r12Sql,

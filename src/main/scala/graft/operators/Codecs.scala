@@ -336,19 +336,95 @@ object Codecs {
     }
   }
 
-  /** Magic-dispatching codec: real BMP / Y4M / WAV bytes decode for
-    * real, anything else falls back to the deterministic stub — the
-    * `decodebin`-style auto-plugging seam, resolved once per
-    * partition. */
+  /** COMPRESSED image decode with zero new dependencies: the JDK
+    * itself ships JPEG and PNG codecs behind `javax.imageio` — the
+    * closest a pure-JVM build gets to the reference's `decodebin`
+    * auto-plugging of compressed media (`/root/reference/run.sh:53`).
+    * Decoded pixels are normalized to the engine's packed top-down
+    * RGB contract (same as BmpCodec.decodeRgb / Y4M extract), so a
+    * decoded JPEG frame feeds the real inference path unchanged. */
+  object ImageIoCodecs {
+    /** Decode any ImageIO-supported payload to (w, h, packed RGB). */
+    def decodeRgb(d: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(d))
+      require(img != null, "ImageIO found no decoder for payload")
+      val w = img.getWidth; val h = img.getHeight
+      require(w > 0 && h > 0, s"ImageIO decoded bad dims ${w}x$h")
+      // one bulk getRGB (sRGB int-packed) instead of per-pixel calls
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      val out = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < px.length) {
+        val v = px(i); val t = i * 3
+        out(t) = ((v >> 16) & 0xff).toByte
+        out(t + 1) = ((v >> 8) & 0xff).toByte
+        out(t + 2) = (v & 0xff).toByte
+        i += 1
+      }
+      (w, h, out)
+    }
+
+    /** Fixture/artifact writer: packed RGB → `format` ("png"/"jpg")
+      * bytes via the JDK encoder. PNG is lossless (exact round-trip);
+      * JPEG is lossy by design. */
+    def encodeRgb(format: String, w: Int, h: Int,
+        rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == w * h * 3, "rgb size mismatch")
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val px = new Array[Int](w * h)
+      var i = 0
+      while (i < px.length) {
+        val t = i * 3
+        px(i) = ((rgb(t) & 0xff) << 16) | ((rgb(t + 1) & 0xff) << 8) |
+          (rgb(t + 2) & 0xff)
+        i += 1
+      }
+      img.setRGB(0, 0, w, h, px, 0, w)
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, format, bos),
+        s"no ImageIO writer for format '$format'")
+      bos.toByteArray
+    }
+
+    private def meta(rec: MediaRecord): DecodedMedia = {
+      val (w, h, _) = decodeRgb(rec.data)
+      DecodedMedia(rec.media_id, rec.kind, rec.data.length,
+        PolyHash.hashBytes(rec.data), w, h, channels = 3, n_frames = 1)
+    }
+
+    /** JPEG (SOI magic FFD8). */
+    object JpegCodec extends Codec {
+      override def decode(rec: MediaRecord): DecodedMedia = meta(rec)
+    }
+
+    /** PNG (89 'PNG' magic). */
+    object PngCodec extends Codec {
+      override def decode(rec: MediaRecord): DecodedMedia = meta(rec)
+    }
+  }
+
+  /** Magic-dispatching codec: real BMP / Y4M / WAV / JPEG / PNG
+    * bytes decode for real, anything else falls back to the
+    * deterministic stub — the `decodebin`-style auto-plugging seam,
+    * resolved once per partition. */
   object AutoCodec extends Codec {
     private def startsWith(d: Array[Byte], m: String): Boolean =
       d.length >= m.length &&
         m.indices.forall(i => d(i) == m.charAt(i).toByte)
+    private def startsWithBytes(d: Array[Byte], m: Array[Byte]): Boolean =
+      d.length >= m.length && m.indices.forall(i => d(i) == m(i))
+    private val JpegMagic = Array(0xff, 0xd8).map(_.toByte)
+    private val PngMagic = Array(0x89, 0x50, 0x4e, 0x47).map(_.toByte)
 
     override def decode(rec: MediaRecord): DecodedMedia =
       if (startsWith(rec.data, "BM")) BmpCodec.decode(rec)
       else if (startsWith(rec.data, "YUV4MPEG2 ")) Y4mCodec.decode(rec)
       else if (startsWith(rec.data, "RIFF")) WavCodec.decode(rec)
+      else if (startsWithBytes(rec.data, JpegMagic))
+        ImageIoCodecs.JpegCodec.decode(rec)
+      else if (startsWithBytes(rec.data, PngMagic))
+        ImageIoCodecs.PngCodec.decode(rec)
       else Multimodal.StubCodec.decode(rec)
   }
 }

@@ -548,6 +548,50 @@ object LlmQueries {
        |  CAST(1 + content_fp % 7 AS INT) AS n_frames
        |FROM f""".stripMargin
 
+  /** m2: REAL compressed-image decode under the hash gate. Per doc:
+    * a deterministic RGB image (dims + pixels are arithmetic on
+    * doc_id) is encoded to a genuine PNG by the JDK encoder, and the
+    * engine's AutoCodec must magic-dispatch it and actually parse it
+    * back (ImageIO inflate) — the output reports the DECODED dims and
+    * a poly-hash of the DECODED pixels. PNG is lossless, so the
+    * oracle restates the expected values with pure arithmetic: any
+    * decoder defect (wrong dims, channel swap, row order, inflate
+    * bug) breaks the hash. Partition-scoped narrow map — pixels
+    * never shuffle (same shape as the S2 decode stage). JPEG rides
+    * the same seam but is lossy, so its pixel assertions live in
+    * specs (GraftNetSpec), not the SQL gate. */
+  def m2PngDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{Codecs, Multimodal}
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (8 + id % 13).toInt; val h = (8 + id % 7).toInt
+          val rgb = Array.tabulate(w * h * 3)(i =>
+            ((id * 7 + i * 13) % 256).toByte)
+          val png = Codecs.ImageIoCodecs.encodeRgb("png", w, h, rgb)
+          val dec = Codecs.AutoCodec.decode(
+            Multimodal.MediaRecord(id, "image", png))
+          val (dw, dh, back) = Codecs.ImageIoCodecs.decodeRgb(png)
+          require(dw == dec.width && dh == dec.height,
+            s"codec metadata/pixel disagreement for doc $id")
+          (id, dec.width, dec.height, dec.channels, dec.n_frames,
+            graft.functions.PolyHash.hashBytes(back))
+        }
+      }.toDF("doc_id", "width", "height", "channels", "n_frames", "pixel_fp")
+  }
+
+  val m2Sql: String =
+    """SELECT doc_id,
+      |  CAST(8 + doc_id % 13 AS INT) AS width,
+      |  CAST(8 + doc_id % 7 AS INT) AS height,
+      |  3 AS channels, 1 AS n_frames,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range((8 + doc_id % 13) * (8 + doc_id % 7) * 3),
+      |      i -> (doc_id*7 + i*13) % 256)),
+      |    (a, b) -> (a*31 + b) % 1000000007) AS pixel_fp
+      |FROM documents""".stripMargin
+
   /** x7: token counting two ways — whitespace tokens and a BPE-ish
     * subword regex (runs of letters, runs of digits, single
     * punctuation). The alternation classes are disjoint so Java

@@ -139,17 +139,79 @@ class GraftNetSpec extends SparkTestBase {
     val y4m = Codecs.Y4mCodec.encodeRgbFrames(4, 2,
       Seq.fill(5)(new Array[Byte](24)))
     val wav = Codecs.WavCodec.encodePcm16(8000, 1, new Array[Short](100))
+    val jpg = Codecs.ImageIoCodecs.encodeRgb("jpg", 6, 4, new Array[Byte](72))
+    val png = Codecs.ImageIoCodecs.encodeRgb("png", 5, 3, new Array[Byte](45))
     val recs = Seq(
       Multimodal.MediaRecord(1L, "image", bmp),
       Multimodal.MediaRecord(2L, "video", y4m),
       Multimodal.MediaRecord(3L, "audio", wav),
-      Multimodal.MediaRecord(4L, "blob", Array[Byte](9, 9)))
+      Multimodal.MediaRecord(4L, "blob", Array[Byte](9, 9)),
+      Multimodal.MediaRecord(5L, "image", jpg),
+      Multimodal.MediaRecord(6L, "image", png))
     val out = Multimodal.decode(recs.toDS(), () => Codecs.AutoCodec)
       .collect().map(d => d.media_id -> d).toMap
     assert(out(1L).width === 4 && out(1L).n_frames === 1)
     assert(out(2L).width === 4 && out(2L).n_frames === 5)   // real frame count
     assert(out(3L).width === 8000 && out(3L).n_frames === 100)
     assert(out(4L).byte_len === 2)                          // stub fallback
+    assert(out(5L).width === 6 && out(5L).height === 4)     // real JPEG parse
+    assert(out(6L).width === 5 && out(6L).height === 3)     // real PNG parse
+  }
+
+  test("PNG codec: JDK ImageIO encode -> decode is pixel-exact (compressed S2)") {
+    val (w, h) = (11, 7) // odd dims: no alignment luck
+    val rgb = rgbPattern(w, h, 4)
+    val png = Codecs.ImageIoCodecs.encodeRgb("png", w, h, rgb)
+    // genuine PNG container magic, then a genuine inflate back out
+    assert((png(0) & 0xff) === 0x89 && png(1) === 'P'.toByte)
+    val (dw, dh, back) = Codecs.ImageIoCodecs.decodeRgb(png)
+    assert(dw === w && dh === h)
+    assert(back.toSeq === rgb.toSeq) // lossless: bit-exact pixels
+    // malformed payloads fail loudly
+    intercept[IllegalArgumentException](
+      Codecs.ImageIoCodecs.decodeRgb("not an image".getBytes))
+  }
+
+  test("JPEG codec: real lossy decode — dims exact, pixels within tolerance") {
+    val (w, h) = (16, 16)
+    // smooth gradient: JPEG quantization error stays small without
+    // edge ringing
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      rgb((y * w + x) * 3 + c) = (60 + x * 4 + y * 4).toByte
+    val jpg = Codecs.ImageIoCodecs.encodeRgb("jpg", w, h, rgb)
+    assert((jpg(0) & 0xff) === 0xff && (jpg(1) & 0xff) === 0xd8) // SOI
+    val (dw, dh, back) = Codecs.ImageIoCodecs.decodeRgb(jpg)
+    assert(dw === w && dh === h)
+    val maxDiff = back.zip(rgb).map { case (a, b) =>
+      math.abs((a & 0xff) - (b & 0xff)) }.max
+    assert(maxDiff <= 24, s"JPEG round-trip drifted by $maxDiff")
+  }
+
+  test("compressed e2e: JPEG bytes -> real decode -> real inference") {
+    import testImplicits._
+    val (w, h) = (24, 18)
+    val jpgs = (0 until 3).map(i =>
+      Codecs.ImageIoCodecs.encodeRgb("jpg", w, h, rgbPattern(w, h, i)))
+    // decode stage announces real dims from the JPEG headers
+    val meta = Multimodal.decode(
+      jpgs.zipWithIndex.map { case (b, i) =>
+        Multimodal.MediaRecord(i.toLong, "image", b) }.toDS(),
+      () => Codecs.AutoCodec).collect()
+    assert(meta.forall(d => d.width === w && d.height === h))
+    // decoded pixels feed the REAL model — decodebin -> inference,
+    // all-JVM, on compressed input
+    val frames = jpgs.zipWithIndex.map { case (b, i) =>
+      val (fw, fh, rgb) = Codecs.ImageIoCodecs.decodeRgb(b)
+      frame(i.toLong, fw, fh, rgb)
+    }
+    val factory = Detectors.forConfig(DetectorConfig(preprocFw = "np",
+      modelInput = 32, modelPath = Some(GraftNet.BundledModel)))
+    val dets = Detect.detect(frames.toDS(), factory)
+      .collect().map(r => r.frame_id -> r.detections).toMap
+    assert(dets.size === 3)
+    assert(dets.values.forall(_.size === 6))
+    assert(dets(0L).map(_.score) !== dets(2L).map(_.score))
   }
 
   test("video end to end: Y4M bytes -> sampled frames -> real inference") {
