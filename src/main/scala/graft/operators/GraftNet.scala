@@ -58,6 +58,12 @@ object GraftNet {
     * for the deterministic generator that produced it). */
   val BundledModel = "resource:/graft/tiny_detector.gnet"
 
+  /** The same detector int8-quantized (s5 scheme: per-layer
+    * symmetric scale, dequantized storage) — precision is an
+    * artifact property, opaque to the runtime, exactly like the
+    * reference's per-dtype frozen graphs (`benchmark.sh:22-69`). */
+  val BundledModelInt8 = "resource:/graft/tiny_detector_int8.gnet"
+
   /** Load a `.gnet` artifact from a file path or, with a
     * `resource:` prefix, from the classpath (the bundled model). */
   def load(path: String): GraftNet = {

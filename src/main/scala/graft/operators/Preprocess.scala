@@ -179,6 +179,19 @@ object Detectors {
           "use a .gnet artifact or plug an ONNX/TF-Java Detector here")
     case None => () => new PreprocessingDetector(StubDetector, cfg)
   }
+
+  /** M3 precision → bundled artifact (the reference's benchmark.sh
+    * maps each precision to its own frozen graph, benchmark.sh:22-69;
+    * here FP32/INT8 map to the two committed .gnet files). BF16 has
+    * no JVM representation without an accelerated runtime — fail
+    * fast, like any other unbundled artifact kind. */
+  def bundledArtifact(dataType: String): String = dataType match {
+    case "FP32" => GraftNet.BundledModel
+    case "INT8" => GraftNet.BundledModelInt8
+    case other => throw new UnsupportedOperationException(
+      s"no bundled artifact for dtype $other (BF16 needs an " +
+        "accelerated runtime; see DEPLOYMENT.md)")
+  }
 }
 
 /** Decorator that runs the real preprocessing chain before

@@ -306,6 +306,41 @@ class GraftNetSpec extends SparkTestBase {
     intercept[IllegalArgumentException](mk(0))
   }
 
+  test("int8 artifact: really quantized, boxes track fp32 within tolerance (M3)") {
+    val fp32 = GraftNet.load(GraftNet.BundledModel)
+    val int8 = GraftNet.load(GraftNet.BundledModelInt8)
+    assert(int8.inputSize === fp32.inputSize)
+    assert(int8.outputSize === fp32.outputSize)
+    // the artifact is genuinely int8: each layer's weight tensor
+    // takes at most 255 distinct values (symmetric signed levels)
+    int8.layers.foreach { case (w, _) =>
+      assert(w.flatten.distinct.length <= 255)
+    }
+    // and not degenerate: still hundreds of distinct levels
+    assert(int8.layers.head._1.flatten.distinct.length > 100)
+    // accuracy: same frames through both artifacts, heads aligned
+    def boxesOf(path: String) = {
+      val det = new GraftNetDetector(path,
+        DetectorConfig(preprocFw = "np", modelInput = 32))
+      (1L to 8L).flatMap { id =>
+        det.detectBatch(Seq(frame(id, 24, 18, rgbPattern(24, 18, id.toInt)))).head
+      }
+    }
+    val (a, b) = (boxesOf(GraftNet.BundledModel),
+      boxesOf(GraftNet.BundledModelInt8))
+    val boxDrift = a.zip(b).flatMap { case (x, y) =>
+      Seq(x.ymin - y.ymin, x.xmin - y.xmin, x.ymax - y.ymax,
+        x.xmax - y.xmax).map(d => math.abs(d.toDouble)) }.max
+    val scoreDrift = a.zip(b).map { case (x, y) =>
+      math.abs((x.score - y.score).toDouble) }.max
+    assert(boxDrift <= 0.05, s"int8 box drift $boxDrift")
+    assert(scoreDrift <= 0.05, s"int8 score drift $scoreDrift")
+    // the dtype -> artifact mapping (benchmark.sh parity)
+    assert(Detectors.bundledArtifact("FP32") === GraftNet.BundledModel)
+    assert(Detectors.bundledArtifact("INT8") === GraftNet.BundledModelInt8)
+    intercept[UnsupportedOperationException](Detectors.bundledArtifact("BF16"))
+  }
+
   test("forConfig: .gnet resolves the real runtime, others fail fast") {
     val real = Detectors.forConfig(
       DetectorConfig(modelPath = Some(GraftNet.BundledModel), modelInput = 16))
