@@ -297,6 +297,42 @@ class StreamingSpec extends SparkTestBase {
     assert(!verdicts(5L) && verdicts(6L)) // in-batch: older doc_id survives
   }
 
+  test("stream-vs-batch dedup parity: identical survivor sets on the same corpus") {
+    import testImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the property that makes "incremental corpus = batch corpus"
+    // trustworthy: the SAME documents, streamed in id order across
+    // micro-batches, drop exactly the docs the batch path drops.
+    // Dup classes here are cliques (every member within threshold of
+    // every other), where the batch pairwise convention (drop every
+    // doc_b = every non-min id) and the streaming greedy convention
+    // (first-seen survivor absorbs the rest) provably coincide; a
+    // CHAIN (A~B~C, A!~C) would separate the two by design — the
+    // streaming path is the online greedy.
+    def words(p: String) = (1 to 40).map(i => s"$p$i").mkString(" ")
+    val corpus: Seq[(Long, String)] = Seq(
+      1L -> words("alpha"), 2L -> (words("alpha") + " x"),   // in-batch pair
+      3L -> words("beta"), 4L -> (words("beta") + " y"),     // cross-batch
+      5L -> (words("beta") + " z"),                          // 3-clique
+      6L -> words("gamma"),                                  // unique
+      7L -> words("delta"), 8L -> (words("delta") + " q"))   // final batch
+    val batchDrop = graft.operators.Dedup
+      .nearDupPairs(corpus.toDF("doc_id", "text"), threshold = 0.8)
+      .select("doc_b").distinct().as[Long].collect().toSet
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup.verdicts(
+        mem.toDS().toDF("doc_id", "text"), threshold = 0.8)
+      .writeStream.format("memory").queryName("parity_dedup_out")
+      .outputMode("append").option("checkpointLocation", tmpDir()).start()
+    corpus.grouped(3).foreach { b => mem.addData(b); q.processAllAvailable() }
+    val streamDrop = graft.streaming.StreamingDedup.combine(
+        spark.table("parity_dedup_out"))
+      .filter(col("is_dup")).select("doc_id").as[Long].collect().toSet
+    q.stop()
+    assert(batchDrop === Set(2L, 4L, 5L, 8L)) // every clique's non-min ids
+    assert(streamDrop === batchDrop) // the parity property
+  }
+
   test("streaming curation: near-dedup verdicts + quality gate compose") {
     import testImplicits._
     implicit val sqlCtx = spark.sqlContext
