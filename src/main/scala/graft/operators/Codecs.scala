@@ -151,6 +151,12 @@ object Codecs {
         s"only 4:2:0 Y4M supported, got colorspace C$cs")
       require(w > 0 && h > 0 && w % 2 == 0 && h % 2 == 0,
         s"bad/unsupported Y4M dims ${w}x$h (4:2:0 needs even dims)")
+      // cap dims so the frame-size arithmetic below cannot overflow
+      // Int (16384^2 * 1.5 < 2^31); a crafted W65536 H65536 header
+      // would otherwise wrap frameBytes to 0 and turn garbage into a
+      // "successful" decode
+      require(w <= 16384 && h <= 16384,
+        s"Y4M dims ${w}x$h exceed the 16384 support limit")
       // 4:2:0 planar: Y (w*h) + U (w*h/4) + V (w*h/4)
       Y4mHeader(w, h, headEnd + 1, w * h * 3 / 2)
     }
@@ -283,11 +289,15 @@ object Codecs {
       require(d.length >= 44, s"WAV too short: ${d.length}")
       require(tag(d, 0) == "RIFF" && tag(d, 8) == "WAVE",
         "not a WAV: missing RIFF/WAVE magic")
-      var p = 12
+      // Long cursor: a crafted chunk length near Int.MaxValue would
+      // wrap an Int cursor negative and index out of bounds — with a
+      // Long the walk simply runs past d.length and exits the loop
+      var p = 12L
       var fmt: Option[(Int, Int, Int, Int)] = None // ch, rate, bits, blockAlign
       var dataLen = -1
       while (p + 8 <= d.length && (fmt.isEmpty || dataLen < 0)) {
-        val id = tag(d, p); val len = i32(d, p + 4)
+        val o = p.toInt // safe: p + 8 <= d.length
+        val id = tag(d, o); val len = i32(d, o + 4)
         // a corrupt negative length would stall or reverse the walk —
         // fail loudly like every other malformed-payload path
         require(len >= 0, s"WAV chunk '$id' has negative length $len")
@@ -295,13 +305,13 @@ object Codecs {
           // the fields below sit at p+8..p+23: a truncated or crafted
           // fmt chunk must fail the same clean require every other
           // malformed-payload path produces, not AIOOBE
-          require(len >= 16 && p + 24 <= d.length,
-            s"WAV fmt chunk truncated (len=$len, ${d.length - p - 8} bytes left)")
-          require(u16(d, p + 8) == 1, "only PCM WAV supported")
-          fmt = Some((u16(d, p + 10), i32(d, p + 12), u16(d, p + 22),
-            u16(d, p + 20)))
+          require(len >= 16 && o + 24 <= d.length,
+            s"WAV fmt chunk truncated (len=$len, ${d.length - o - 8} bytes left)")
+          require(u16(d, o + 8) == 1, "only PCM WAV supported")
+          fmt = Some((u16(d, o + 10), i32(d, o + 12), u16(d, o + 22),
+            u16(d, o + 20)))
         } else if (id == "data") dataLen = len
-        p += 8 + len + (len & 1) // chunks are word-aligned
+        p += 8L + len + (len & 1) // chunks are word-aligned
       }
       val (ch, rate, bits, block) = fmt.getOrElse(
         throw new IllegalArgumentException("WAV missing fmt chunk"))
@@ -387,20 +397,31 @@ object Codecs {
       bos.toByteArray
     }
 
-    private def meta(rec: MediaRecord): DecodedMedia = {
-      val (w, h, _) = decodeRgb(rec.data)
-      DecodedMedia(rec.media_id, rec.kind, rec.data.length,
-        PolyHash.hashBytes(rec.data), w, h, channels = 3, n_frames = 1)
+    /** Header-only dims — like the other codecs' parseHeader, the
+      * metadata path must NOT inflate the raster: ImageReader reads
+      * just the image header off the stream. */
+    def dims(d: Array[Byte]): (Int, Int) = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(d))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, "ImageIO found no decoder for payload")
+        val r = readers.next()
+        try { r.setInput(iis); (r.getWidth(0), r.getHeight(0)) }
+        finally r.dispose()
+      } finally iis.close()
     }
 
-    /** JPEG (SOI magic FFD8). */
-    object JpegCodec extends Codec {
-      override def decode(rec: MediaRecord): DecodedMedia = meta(rec)
-    }
-
-    /** PNG (89 'PNG' magic). */
-    object PngCodec extends Codec {
-      override def decode(rec: MediaRecord): DecodedMedia = meta(rec)
+    /** JPEG + PNG metadata codec (one object — the formats share the
+      * entire ImageIO path; AutoCodec's magic dispatch is what
+      * distinguishes them). */
+    object ImageCodec extends Codec {
+      override def decode(rec: MediaRecord): DecodedMedia = {
+        val (w, h) = dims(rec.data)
+        require(w > 0 && h > 0, s"ImageIO decoded bad dims ${w}x$h")
+        DecodedMedia(rec.media_id, rec.kind, rec.data.length,
+          PolyHash.hashBytes(rec.data), w, h, channels = 3, n_frames = 1)
+      }
     }
   }
 
@@ -409,11 +430,10 @@ object Codecs {
     * deterministic stub — the `decodebin`-style auto-plugging seam,
     * resolved once per partition. */
   object AutoCodec extends Codec {
-    private def startsWith(d: Array[Byte], m: String): Boolean =
-      d.length >= m.length &&
-        m.indices.forall(i => d(i) == m.charAt(i).toByte)
     private def startsWithBytes(d: Array[Byte], m: Array[Byte]): Boolean =
       d.length >= m.length && m.indices.forall(i => d(i) == m(i))
+    private def startsWith(d: Array[Byte], m: String): Boolean =
+      startsWithBytes(d, m.getBytes("US-ASCII"))
     private val JpegMagic = Array(0xff, 0xd8).map(_.toByte)
     private val PngMagic = Array(0x89, 0x50, 0x4e, 0x47).map(_.toByte)
 
@@ -421,10 +441,9 @@ object Codecs {
       if (startsWith(rec.data, "BM")) BmpCodec.decode(rec)
       else if (startsWith(rec.data, "YUV4MPEG2 ")) Y4mCodec.decode(rec)
       else if (startsWith(rec.data, "RIFF")) WavCodec.decode(rec)
-      else if (startsWithBytes(rec.data, JpegMagic))
-        ImageIoCodecs.JpegCodec.decode(rec)
-      else if (startsWithBytes(rec.data, PngMagic))
-        ImageIoCodecs.PngCodec.decode(rec)
+      else if (startsWithBytes(rec.data, JpegMagic) ||
+        startsWithBytes(rec.data, PngMagic))
+        ImageIoCodecs.ImageCodec.decode(rec)
       else Multimodal.StubCodec.decode(rec)
   }
 }

@@ -119,6 +119,25 @@ class GraftNetSpec extends SparkTestBase {
       Codecs.WavCodec.parseHeader(full.patch(16, Array[Byte](8, 0, 0, 0), 4)))
   }
 
+  test("codec overflow hardening: huge declared sizes fail cleanly, never AIOOBE") {
+    // WAV: a chunk declaring a near-Int.MaxValue length must not wrap
+    // the cursor negative — the walk runs off the end and the missing
+    // fmt chunk is reported cleanly
+    val bb = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(56)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("JUNK".getBytes("US-ASCII")).putInt(0x7ffffff0)
+    val huge = bb.array()
+    val e = intercept[IllegalArgumentException](
+      Codecs.WavCodec.parseHeader(huge))
+    assert(e.getMessage.contains("fmt"))
+    // Y4M: dims whose frame-size arithmetic would overflow Int are
+    // rejected at the header, not decoded into garbage metadata
+    intercept[IllegalArgumentException](Codecs.Y4mCodec.parseHeader(
+      "YUV4MPEG2 W65536 H65536 C420\nFRAME\n".getBytes("US-ASCII")))
+  }
+
   test("Y4M: trailing garbage after the last frame is rejected (not under-counted)") {
     val y4m = Codecs.Y4mCodec.encodeRgbFrames(4, 2,
       Seq.fill(2)(new Array[Byte](24)))
