@@ -207,6 +207,67 @@ class GraftNetSpec extends SparkTestBase {
     assert(maxDiff <= 24, s"JPEG round-trip drifted by $maxDiff")
   }
 
+  test("MJPEG-AVI codec: compressed VIDEO container parse + real frame decode") {
+    val (w, h) = (16, 12)
+    // smooth per-frame gradients so the JPEG loss stays small
+    def smooth(seed: Int): Array[Byte] = {
+      val out = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        out((y * w + x) * 3 + c) = (40 + x * 5 + y * 5 + seed * 20).toByte
+      out
+    }
+    val rgbs = (0 until 4).map(smooth)
+    val jpegs = rgbs.map(Codecs.ImageIoCodecs.encodeRgb("jpg", w, h, _))
+    val avi = Codecs.AviMjpegCodec.encodeJpegFrames(w, h, jpegs)
+    // container facts parsed from real RIFF bytes
+    assert(Codecs.AviMjpegCodec.frameChunks(avi).length === 4)
+    val meta = Codecs.AviMjpegCodec.decode(
+      Multimodal.MediaRecord(9L, "video", avi))
+    assert(meta.width === w && meta.height === h && meta.n_frames === 4)
+    // each frame: genuine JPEG inflate, pixels near the source
+    (0 until 4).foreach { i =>
+      val (fw, fh, rgb) = Codecs.AviMjpegCodec.extractFrameRgb(avi, i)
+      assert(fw === w && fh === h)
+      val maxDiff = rgb.zip(rgbs(i)).map { case (a, b) =>
+        math.abs((a & 0xff) - (b & 0xff)) }.max
+      assert(maxDiff <= 32, s"frame $i drifted by $maxDiff")
+    }
+    // malformed payloads fail loudly
+    intercept[IllegalArgumentException](
+      Codecs.AviMjpegCodec.frameChunks("RIFF1234WAVE".getBytes))
+    val truncated = avi.take(avi.length - 10)
+    intercept[IllegalArgumentException](
+      Codecs.AviMjpegCodec.frameChunks(truncated))
+  }
+
+  test("compressed video e2e: AVI bytes -> decode stage -> sampled frames -> real inference") {
+    import testImplicits._
+    val (w, h) = (24, 18)
+    val jpegs = (0 until 6).map(i =>
+      Codecs.ImageIoCodecs.encodeRgb("jpg", w, h, rgbPattern(w, h, i)))
+    val avi = Codecs.AviMjpegCodec.encodeJpegFrames(w, h, jpegs)
+    // S2 decode announces real container metadata via magic dispatch
+    val meta = Multimodal.decode(
+      Seq(Multimodal.MediaRecord(3L, "video", avi)).toDS(),
+      () => Codecs.AutoCodec)
+    val sampled = Multimodal.sampleFrames(meta, step = 3)
+      .collect().map(_.getInt(1))
+    assert(sampled.toSeq === Seq(0, 3))
+    // sampled frames inflate through the real JPEG decoder and feed
+    // the real model: compressed video -> inference, all-JVM
+    val frameRows = sampled.zipWithIndex.map { case (idx, i) =>
+      val (fw, fh, rgb) = Codecs.AviMjpegCodec.extractFrameRgb(avi, idx)
+      frame(i.toLong, fw, fh, rgb)
+    }
+    val factory = Detectors.forConfig(DetectorConfig(preprocFw = "np",
+      modelInput = 32, modelPath = Some(GraftNet.BundledModel)))
+    val dets = Detect.detect(frameRows.toSeq.toDS(), factory)
+      .collect().map(r => r.frame_id -> r.detections).toMap
+    assert(dets.size === 2)
+    assert(dets.values.forall(_.size === 6))
+    assert(dets(0L).map(_.score) !== dets(1L).map(_.score))
+  }
+
   test("compressed e2e: JPEG bytes -> real decode -> real inference") {
     import testImplicits._
     val (w, h) = (24, 18)
