@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, IntersectCount, PolyHash}
+import graft.functions.{CosineSim, IntersectCount, PolyHash, SimHash64}
 
 /** Engine extension point, installed via
   * `spark.sql.extensions=graft.GraftExtensions` (Engine.session) —
@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("intersect_count"),
       new ExpressionInfo(classOf[IntersectCount].getName, "intersect_count"),
       (args: Seq[Expression]) => IntersectCount(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
     // custom whole-operator plan node (DetectNode -> DetectExec)
     ext.injectPlannerStrategy(_ => graft.plans.DetectStrategy)
   }

@@ -121,6 +121,59 @@ object IntersectCount {
   }
 }
 
+/** 64-bit SimHash over an ARRAY<BIGINT> of feature hashes, one pass:
+  * bit b is set iff Σ_h (2·parity_b(h) − 1) > 0 with parity_b(h) =
+  * ((2b+1)·h + 7919·b) mod 2^31−1, lowest bit — the MinHash-style
+  * permutation family (poly hashes live below 2^30, so raw bit
+  * extraction past bit 30 would be degenerate). Semantically
+  * identical to the 64 unrolled HOF folds it replaces (and to the
+  * DuckDB restatement in the d3/d6 oracles), but runs as ONE
+  * codegen'd JVM loop instead of 64 interpreted `aggregate` passes
+  * over the array — the hot per-document kernel of the SimHash
+  * family at corpus scale.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("simhash64 expects ARRAY<BIGINT>")
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash64.hash(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.hash($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
+object SimHash64 {
+  private final val P = 2147483647L
+  /** Static helper the generated code calls. */
+  def hash(a: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      val h = a.getLong(i)
+      var b = 0
+      while (b < 64) {
+        // parity of the permuted hash: vote +1 if odd, -1 if even
+        if ((((h * (2 * b + 1) + 7919L * b) % P) & 1L) == 1L) votes(b) += 1
+        else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) fp |= (1L << b); b += 1 }
+    fp
+  }
+}
+
 /** Cosine similarity over two ARRAY<FLOAT> embeddings, accumulated
   * in double in ascending index order — the exact fold order the
   * DuckDB oracle restates with list_reduce, so results are

@@ -69,33 +69,20 @@ object TextFunctions {
     inter.cast("double") / (size(a) + size(b) - inter)
   }
 
-  /** 64-bit SimHash over an ARRAY<BIGINT> of feature hashes. Bit b is
-    * set iff Σ_h (2·parity_b(h) − 1) > 0, where parity_b(h) =
-    * ((2b+1)·h + 7919·b) mod P, lowest bit — the MinHash-style
-    * permutation family. The permutation matters twice: poly hashes
-    * live below 2^30, so raw bit extraction past bit 30 would be
-    * degenerate (the round-3 32-bit version effectively had 30 bits
-    * and saturated on uniform corpora), and permuted parities
-    * decorrelate the bits so the fingerprint discriminates.
-    *
-    * The fingerprint is the SIGNED 64-bit value Σ bit_b · w_b with
-    * w_b = (1L << b) as a signed constant: plain addition is exact
-    * and overflow-free (bits 0..62 sum to < 2^63; adding the
-    * negative bit-63 weight lands in range), so the same fold is a
-    * checked-arithmetic-safe restatement in DuckDB. Row-local,
-    * commutative sums. */
-  def simhash64(hashes: Column): Column = bind(hashes, hs => {
-    // bit positions are static, so unroll at plan-build time; `hs`
-    // is lambda-bound so the hash array is computed once, not once
-    // per bit
-    val terms = array((0 until 64).map { b =>
-      val vote = aggregate(hs, lit(0L), (acc, h) =>
-        acc + (((h * (2 * b + 1) + lit(7919L * b)) % MinhashP)
-          .bitwiseAND(1L) * 2 - 1))
-      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
-    }: _*)
-    aggregate(terms, lit(0L), (acc, t) => acc + t)
-  })
+  /** 64-bit SimHash over an ARRAY<BIGINT> of feature hashes (the
+    * codegen'd functions.SimHash64 expression, registered by
+    * GraftExtensions). Bit b is set iff Σ_h (2·parity_b(h) − 1) > 0,
+    * where parity_b(h) = ((2b+1)·h + 7919·b) mod P, lowest bit — the
+    * MinHash-style permutation family. The permutation matters
+    * twice: poly hashes live below 2^30, so raw bit extraction past
+    * bit 30 would be degenerate (the round-3 32-bit version
+    * effectively had 30 bits and saturated on uniform corpora), and
+    * permuted parities decorrelate the bits so the fingerprint
+    * discriminates. One codegen'd pass per row — not 64 interpreted
+    * HOF folds. DuckDB restates the fingerprint as the plain sum of
+    * signed bit weights (1L << b), which is exact and overflow-free
+    * under checked arithmetic. */
+  def simhash64(hashes: Column): Column = call_function("simhash64", hashes)
 
   /** Stopword membership set used by the quality metrics. */
   val Stopwords: Seq[String] =
