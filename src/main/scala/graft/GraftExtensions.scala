@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, IntersectCount, PolyHash, SimHash64}
+import graft.functions.{CharGramHashes, CosineSim, IntersectCount, PolyHash, SimHash64}
 
 /** Engine extension point, installed via
   * `spark.sql.extensions=graft.GraftExtensions` (Engine.session) —
@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (args: Seq[Expression]) => SimHash64(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("char_gram_hashes"),
+      new ExpressionInfo(classOf[CharGramHashes].getName, "char_gram_hashes"),
+      (args: Seq[Expression]) => CharGramHashes(args.head)))
     // custom whole-operator plan node (DetectNode -> DetectExec)
     ext.injectPlannerStrategy(_ => graft.plans.DetectStrategy)
   }

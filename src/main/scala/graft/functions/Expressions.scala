@@ -174,6 +174,76 @@ object SimHash64 {
   }
 }
 
+/** Sorted distinct poly-hashes of a string's character 3-grams in
+  * one codegen'd pass — the d4 feature kernel. Equivalent to
+  * sort_array(collect_set(poly_hash(explode(charGrams3(s))))) but
+  * row-local: the explode-shuffle-reaggregate round trip (one row
+  * per gram through an exchange) collapses into a per-row loop, so
+  * the corpus's grams never leave their partition. Input must
+  * already be lowercased (the caller applies Spark's own `lower` so
+  * case folding stays parity-identical with the oracle's
+  * lower(text)). Gram hash = PolyHash fold of the gram's 3 code
+  * points; under-3-codepoint strings yield an empty array.
+  */
+case class CharGramHashes(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("char_gram_hashes expects STRING")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    CharGramHashes.hash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharGramHashes.hash($c)")
+  override protected def withNewChildInternal(newChild: Expression): CharGramHashes =
+    copy(child = newChild)
+  override def prettyName: String = "char_gram_hashes"
+}
+
+object CharGramHashes {
+  private final val Mod = PolyHash.Mod
+
+  /** Static helper the generated code calls. ASCII fast path folds
+    * UTF8 bytes directly (byte == code point); otherwise grams are
+    * windows of 3 Unicode code points, matching substring semantics
+    * on both engines. */
+  def hash(u: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val cps: Array[Int] =
+      if (u.numBytes() == u.numChars()) {
+        val bytes = u.getBytes
+        Array.tabulate(bytes.length)(i => bytes(i) & 0xff)
+      } else {
+        val s = u.toString
+        val out = new Array[Int](s.codePointCount(0, s.length))
+        var i = 0; var j = 0
+        while (i < s.length) {
+          val cp = s.codePointAt(i)
+          out(j) = cp; j += 1
+          i += Character.charCount(cp)
+        }
+        out
+      }
+    val n = math.max(0, cps.length - 2)
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hs(i) = ((cps(i).toLong * 31 + cps(i + 1)) % Mod * 31 + cps(i + 2)) % Mod
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    // dedupe in place over the sorted array
+    var w = 0
+    var r = 0
+    while (r < n) {
+      if (w == 0 || hs(r) != hs(w - 1)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(hs, w))
+  }
+}
+
 /** Cosine similarity over two ARRAY<FLOAT> embeddings, accumulated
   * in double in ascending index order — the exact fold order the
   * DuckDB oracle restates with list_reduce, so results are

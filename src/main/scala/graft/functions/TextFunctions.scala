@@ -56,6 +56,15 @@ object TextFunctions {
         i => t.substr(i, lit(3)))))
       .otherwise(array().cast("array<string>")))
 
+  /** SORTED DISTINCT poly-hashes of the character 3-grams of an
+    * ALREADY-LOWERED string, in one codegen'd pass (the
+    * functions.CharGramHashes expression) — equivalent to hashing
+    * charGrams3 gram by gram, but row-local: no explode, no
+    * reaggregation shuffle. The caller supplies lower(text) so case
+    * folding stays Spark's own. */
+  def charGramHashes(loweredText: Column): Column =
+    call_function("char_gram_hashes", loweredText)
+
   /** MinHash permutation modulus (2^31-1, prime). The signature
     * itself is computed as k min-aggregates in Dedup.shingleFeatures
     * (explode + partial agg — hashes computed once per corpus scan). */

@@ -172,16 +172,19 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** (doc_id, lang, n_chars, gram hashes): distinct char-3-gram
-    * hashes per document, computed once per doc (explode + agg keeps
-    * the join sides cheap). */
+  /** (doc_id, lang, n_chars, gram hashes): sorted distinct
+    * char-3-gram hashes per document, computed ROW-LOCALLY by the
+    * codegen'd CharGramHashes expression — the corpus's grams never
+    * leave their partition (the round-3 explode → collect_set plan
+    * shuffled one row per gram, ~1000× the doc count, just to
+    * rebuild per-doc sets). Empty-gram docs (under 3 chars) are
+    * filtered here, exactly where the old explode dropped them, so
+    * the d4 block-population window sees the same rows as the
+    * oracle's `WHERE len(gs) > 0`. */
   private def charGramHashSets(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("lang"), col("n_chars"),
-        explode(charGrams3(col("text"))).as("g"))
-      .select(col("doc_id"), col("lang"), col("n_chars"),
-        polyHash(col("g")).as("h"))
-      .groupBy(col("doc_id"), col("lang"), col("n_chars"))
-      .agg(sort_array(collect_set(col("h"))).as("gs"))
+        charGramHashes(lower(col("text"))).as("gs"))
+      .filter(size(col("gs")) > 0)
 
   /** Blocked character-n-gram Jaccard pairs: same lang, length
     * within `lenBand`, exact char-3-gram Jaccard >= threshold.

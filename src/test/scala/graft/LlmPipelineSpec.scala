@@ -68,6 +68,28 @@ class LlmPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert((row.getLong(0), row.getLong(1), row.getLong(2)) === ((3L, 2L, 1L)))
   }
 
+  test("char_gram_hashes: codegen'd kernel matches the composed gram+hash path") {
+    val texts = Seq("The quick brown fox", "aaaaaa", "ab", "", "  x  ",
+      "MiXeD CaSe PUNCT!?.,", "tab\tand\nnewline", "日本語のテキストです",
+      "ascii with 日本 mixed", "a" * 500)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextFunctions.charGramHashes(lower(col("text"))).as("gs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val ref = df.select(col("doc_id"), sort_array(array_distinct(
+        transform(TextFunctions.charGrams3(col("text")),
+          g => TextFunctions.polyHash(g)))).as("gs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    texts.indices.foreach { i =>
+      assert(got(i.toLong) === ref(i.toLong), s"text #$i: '${texts(i).take(30)}'")
+    }
+    // sorted distinct by construction
+    got.values.foreach { gs =>
+      assert(gs === gs.distinct.sorted)
+    }
+  }
+
   test("x1 text stats: zero-token doc scores 0.0, no NULL cells") {
     val docs = Seq((1L, 0, ""), (2L, 3, "   "), (3L, 11, "the fox ran"))
       .toDF("doc_id", "n_chars", "text")
