@@ -157,6 +157,9 @@ object SimHash64 {
     val n = a.numElements()
     var i = 0
     while (i < n) {
+      // the SQL surface admits ARRAY<BIGINT> with null slots;
+      // getLong on a null slot would silently fold garbage votes
+      require(!a.isNullAt(i), s"simhash64: NULL element at index $i")
       val h = a.getLong(i)
       var b = 0
       while (b < 64) {

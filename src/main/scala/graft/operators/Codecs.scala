@@ -14,6 +14,18 @@ import graft.operators.Multimodal.{Codec, DecodedMedia, MediaRecord}
   */
 object Codecs {
 
+  // shared little-endian field readers for the BMP/RIFF codec family
+  // (one definition — WAV, AVI and BMP read the same wire types)
+  private def tag(d: Array[Byte], o: Int): String =
+    new String(d, o, 4, "US-ASCII")
+  private def u16(d: Array[Byte], o: Int): Int =
+    (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8)
+  private def i32(d: Array[Byte], o: Int): Int =
+    (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8) |
+      ((d(o + 2) & 0xff) << 16) | ((d(o + 3) & 0xff) << 24)
+  private def u32(d: Array[Byte], o: Int): Long =
+    i32(d, o) & 0xffffffffL
+
   /** Parsed BMP dimensions + layout facts needed to unpack pixels. */
   final case class BmpHeader(width: Int, height: Int, bpp: Int,
       dataOffset: Int, topDown: Boolean)
@@ -22,12 +34,6 @@ object Codecs {
     * endian fields; rows stored bottom-up (positive height) with
     * each row padded to a 4-byte boundary; pixels are BGR. */
   object BmpCodec extends Codec {
-
-    private def u16(d: Array[Byte], off: Int): Int =
-      (d(off) & 0xff) | ((d(off + 1) & 0xff) << 8)
-    private def i32(d: Array[Byte], off: Int): Int =
-      (d(off) & 0xff) | ((d(off + 1) & 0xff) << 8) |
-        ((d(off + 2) & 0xff) << 16) | ((d(off + 3) & 0xff) << 24)
 
     def parseHeader(d: Array[Byte]): BmpHeader = {
       require(d.length >= 54, s"BMP too short: ${d.length} bytes")
@@ -274,14 +280,6 @@ object Codecs {
     * channel count, n_frames = sample frames (data bytes / block
     * align) — every number read from real header fields. */
   object WavCodec extends Codec {
-    private def u16(d: Array[Byte], o: Int): Int =
-      (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8)
-    private def i32(d: Array[Byte], o: Int): Int =
-      (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8) |
-        ((d(o + 2) & 0xff) << 16) | ((d(o + 3) & 0xff) << 24)
-    private def tag(d: Array[Byte], o: Int): String =
-      new String(d, o, 4, "US-ASCII")
-
     final case class WavHeader(channels: Int, sampleRate: Int,
         bitsPerSample: Int, nSampleFrames: Int)
 
@@ -435,54 +433,75 @@ object Codecs {
     * intra-frame-compressed ones a JVM can decode; inter-frame
     * codecs (H.264) remain the documented JavaCV seam. */
   object AviMjpegCodec extends Codec {
-    private def tag(d: Array[Byte], o: Int): String =
-      new String(d, o, 4, "US-ASCII")
-    private def u32(d: Array[Byte], o: Int): Long =
-      ((d(o) & 0xffL)) | ((d(o + 1) & 0xffL) << 8) |
-        ((d(o + 2) & 0xffL) << 16) | ((d(o + 3) & 0xffL) << 24)
-
-    /** (offset, length) of each frame chunk inside LIST 'movi',
-      * in stream order. Long cursors: declared sizes are unsigned
-      * 32-bit and must not wrap the walk. */
+    /** (offset, length) of each STREAM-0 frame chunk inside LIST
+      * 'movi', in stream order — including frames nested inside the
+      * 'LIST rec ' interleave groupings standard muxers emit. Long
+      * cursors: declared sizes are unsigned 32-bit and must not wrap
+      * the walk. Scope: the first video stream ('00dc'/'00db');
+      * multi-stream selection would be a stream-id parameter on top
+      * of the same walk. Truncation anywhere inside 'movi' fails
+      * loudly (same discipline as Y4mCodec's trailing-bytes check)
+      * rather than under-counting frames. */
     def frameChunks(d: Array[Byte]): IndexedSeq[(Int, Int)] = {
       require(d.length >= 12, s"AVI too short: ${d.length}")
       require(tag(d, 0) == "RIFF" && tag(d, 8) == "AVI ",
         "not an AVI: missing RIFF/'AVI ' magic")
       val out = IndexedSeq.newBuilder[(Int, Int)]
+
+      // walk the chunks in [from, end); recurse one level into
+      // 'LIST rec ' interleave groups
+      def walkFrames(from: Long, end: Long, depth: Int): Unit = {
+        var q = from
+        while (q + 8 <= end) {
+          val qo = q.toInt
+          val cid = tag(d, qo); val clen = u32(d, qo + 4)
+          require(q + 8 + clen <= end,
+            s"AVI chunk '$cid' truncated (declared $clen)")
+          if (cid == "LIST" && clen >= 4 && depth == 0 &&
+            tag(d, qo + 8) == "rec ")
+            walkFrames(q + 12, q + 8 + clen, depth + 1)
+          else if (cid == "00dc" || cid == "00db")
+            out += (((q + 8).toInt, clen.toInt))
+          q += 8 + clen + (clen & 1)
+        }
+        require(q == end,
+          s"trailing bytes in AVI list (${end - q} at offset $q)")
+      }
+
       var p = 12L
       while (p + 8 <= d.length) {
         val o = p.toInt
         val id = tag(d, o); val len = u32(d, o + 4)
         if (id == "LIST" && p + 12 <= d.length && tag(d, o + 8) == "movi") {
-          val end = math.min(p + 8 + len, d.length.toLong)
-          var q = p + 12
-          while (q + 8 <= end) {
-            val qo = q.toInt
-            val cid = tag(d, qo); val clen = u32(d, qo + 4)
-            require(q + 8 + clen <= d.length,
-              s"AVI chunk '$cid' truncated (declared $clen)")
-            // '00dc' = stream-0 compressed video, '00db' = uncompressed
-            if (cid.endsWith("dc") || cid.endsWith("db"))
-              out += (((q + 8).toInt, clen.toInt))
-            q += 8 + clen + (clen & 1)
-          }
+          val end = p + 8 + len
+          require(end <= d.length,
+            s"AVI 'movi' list truncated (declared $len, " +
+              s"${d.length - p - 8} bytes left)")
+          walkFrames(p + 12, end, 0)
         }
         p += 8 + len + (len & 1)
       }
       val frames = out.result()
-      require(frames.nonEmpty, "AVI contains no video frame chunks")
+      require(frames.nonEmpty, "AVI contains no stream-0 video frame chunks")
       frames
     }
 
-    /** Decode frame `idx` to packed top-down RGB via the JDK JPEG
-      * decoder — real inflate of real compressed video. */
-    def extractFrameRgb(d: Array[Byte], idx: Int): (Int, Int, Array[Byte]) = {
-      val chunks = frameChunks(d)
+    /** Decode frame `idx` of a precomputed chunk table to packed
+      * top-down RGB via the JDK JPEG decoder — real inflate of real
+      * compressed video. Callers extracting several frames should
+      * compute `frameChunks` once and pass it here (one container
+      * walk per payload, not per frame). */
+    def extractFrameRgb(d: Array[Byte], chunks: IndexedSeq[(Int, Int)],
+        idx: Int): (Int, Int, Array[Byte]) = {
       require(idx >= 0 && idx < chunks.length,
         s"frame $idx out of range (0..${chunks.length - 1})")
       val (off, len) = chunks(idx)
       ImageIoCodecs.decodeRgb(java.util.Arrays.copyOfRange(d, off, off + len))
     }
+
+    /** Single-frame convenience: walks the container, then decodes. */
+    def extractFrameRgb(d: Array[Byte], idx: Int): (Int, Int, Array[Byte]) =
+      extractFrameRgb(d, frameChunks(d), idx)
 
     override def decode(rec: MediaRecord): DecodedMedia = {
       val chunks = frameChunks(rec.data)
@@ -496,12 +515,15 @@ object Codecs {
 
     /** Fixture/artifact writer: JPEG frames → a minimal but
       * spec-conformant AVI ('hdrl' with avih/strh/strf, 'movi' with
-      * word-aligned '00dc' chunks) — any AVI player opens it. */
+      * word-aligned '00dc' chunks) — any AVI player opens it.
+      * `interleaved` wraps every frame in the 'LIST rec ' grouping
+      * standard interleaving muxers emit. */
     def encodeJpegFrames(w: Int, h: Int, jpegs: Seq[Array[Byte]],
-        fps: Int = 30): Array[Byte] = {
+        fps: Int = 30, interleaved: Boolean = false): Array[Byte] = {
       require(jpegs.nonEmpty, "need at least one frame")
       def pad(n: Int) = n + (n & 1)
-      val moviBody = 4 + jpegs.map(j => 8 + pad(j.length)).sum
+      val recOverhead = if (interleaved) 12 else 0 // LIST hdr + 'rec '
+      val moviBody = 4 + jpegs.map(j => recOverhead + 8 + pad(j.length)).sum
       val hdrlBody = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
       val riffBody = 4 + (8 + hdrlBody) + (8 + moviBody)
       val bb = java.nio.ByteBuffer.allocate(8 + riffBody)
@@ -525,6 +547,9 @@ object Codecs {
         .putInt(0).putInt(0)
       fourcc("LIST"); bb.putInt(moviBody); fourcc("movi")
       jpegs.foreach { j =>
+        if (interleaved) {
+          fourcc("LIST"); bb.putInt(4 + 8 + pad(j.length)); fourcc("rec ")
+        }
         fourcc("00dc"); bb.putInt(j.length); bb.put(j)
         if ((j.length & 1) == 1) bb.put(0.toByte)
       }

@@ -236,8 +236,24 @@ class GraftNetSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Codecs.AviMjpegCodec.frameChunks("RIFF1234WAVE".getBytes))
     val truncated = avi.take(avi.length - 10)
-    intercept[IllegalArgumentException](
+    intercept[IllegalArgumentException]( // mid-movi cut: loud, never undercounted
       Codecs.AviMjpegCodec.frameChunks(truncated))
+    // 'LIST rec ' interleave groupings (standard muxer layout) parse
+    // to the same frames
+    val inter = Codecs.AviMjpegCodec.encodeJpegFrames(w, h, jpegs,
+      interleaved = true)
+    val interChunks = Codecs.AviMjpegCodec.frameChunks(inter)
+    assert(interChunks.length === 4)
+    (0 until 4).foreach { i =>
+      val (_, _, a) = Codecs.AviMjpegCodec.extractFrameRgb(inter, interChunks, i)
+      val (_, _, b) = Codecs.AviMjpegCodec.extractFrameRgb(avi, i)
+      assert(a.toSeq === b.toSeq, s"frame $i differs between layouts")
+    }
+    // frames of OTHER streams ('01dc') are not stream 0's
+    val multi = avi.clone()
+    val secondOff = Codecs.AviMjpegCodec.frameChunks(avi)(1)._1
+    multi(secondOff - 7) = '1'.toByte // '00dc' -> '01dc'
+    assert(Codecs.AviMjpegCodec.frameChunks(multi).length === 3)
   }
 
   test("compressed video e2e: AVI bytes -> decode stage -> sampled frames -> real inference") {
@@ -254,9 +270,11 @@ class GraftNetSpec extends SparkTestBase {
       .collect().map(_.getInt(1))
     assert(sampled.toSeq === Seq(0, 3))
     // sampled frames inflate through the real JPEG decoder and feed
-    // the real model: compressed video -> inference, all-JVM
+    // the real model: compressed video -> inference, all-JVM (the
+    // container is walked ONCE, frames decode off the chunk table)
+    val chunks = Codecs.AviMjpegCodec.frameChunks(avi)
     val frameRows = sampled.zipWithIndex.map { case (idx, i) =>
-      val (fw, fh, rgb) = Codecs.AviMjpegCodec.extractFrameRgb(avi, idx)
+      val (fw, fh, rgb) = Codecs.AviMjpegCodec.extractFrameRgb(avi, chunks, idx)
       frame(i.toLong, fw, fh, rgb)
     }
     val factory = Detectors.forConfig(DetectorConfig(preprocFw = "np",

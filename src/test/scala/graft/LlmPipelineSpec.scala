@@ -119,6 +119,12 @@ class LlmPipelineSpec extends AnyFunSuite with SparkTestBase {
           .toDF("doc_id", "text"))
       .select("simhash").as[Long].collect()
     assert(moreFp.exists(h => (h >>> 32) != 0L))
+    // SQL-surface misuse: a NULL array element must fail loudly, not
+    // fold garbage votes (getLong on a null slot is undefined)
+    val err = intercept[Exception](
+      spark.sql("SELECT simhash64(array(CAST(NULL AS BIGINT), 1))").collect())
+    assert(err.toString.contains("NULL element") ||
+      Option(err.getCause).exists(_.toString.contains("NULL element")))
   }
 
   test("simhash pairs: 8-band blocking has complete recall to hamming 7") {
