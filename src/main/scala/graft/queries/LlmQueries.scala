@@ -20,11 +20,11 @@ object LlmQueries {
   // ---- shared DuckDB fragments ------------------------------------
 
   /** tokens: lower, split \s+, drop empties (= TextFunctions.tokens) */
-  private val tsSql =
+  private[queries] val tsSql =
     """list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"""
 
   /** poly_hash(s) restated (= functions.PolyHash) */
-  private def polySql(s: String): String =
+  private[queries] def polySql(s: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(string_split($s, ''), c -> CAST(ord(c) AS BIGINT))), " +
       s"(a, b) -> (a*31 + b) % 1000000007)"
