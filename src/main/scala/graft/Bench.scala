@@ -18,6 +18,16 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * the driver can parse it without an `[info] ` prefix); all numbers
   * are formatted under Locale.ROOT so the line stays valid JSON on
   * any JVM default locale.
+  *
+  * The harvester keeps only the LAST ~2000 bytes of the run's
+  * output, and sbt appends a `[success] Total time: …` trailer
+  * after our line — so the stdout line must stay well inside that
+  * window or its head is cut off and the round's bench goes
+  * unparsed (exactly what happened rounds 3-5 once the per-query
+  * `rows` map pushed the line past 2 KB). The stdout line therefore
+  * carries only metric/value/unit/queries/errors/sf; the full
+  * detail including per-query input rows goes to
+  * `target/bench_detail.json`.
   */
 object Bench {
   private def num(v: Double): String =
@@ -66,7 +76,16 @@ object Bench {
     val rs = rows.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"rows":$rs,"errors":$es,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+    val detail =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"rows":$rs,"errors":$es,"sf":"$sfDir","stdout_line_bytes":${line.length}}"""
+    val out = java.nio.file.Paths.get("target", "bench_detail.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, detail.getBytes("UTF-8"))
+    if (line.length > 1700)
+      System.err.println(s"WARN: bench stdout line ${line.length}B nears the 2000B harvest window")
+    println(line)
     spark.stop()
   }
 }
