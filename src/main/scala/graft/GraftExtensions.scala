@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CharGramHashes, CosineSim, IntersectCount, PolyHash, SimHash64}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import graft.functions.{CharGramHashes, CosineSim, IntersectCount, PolyHash, SimHash64, TopTokenCount}
 
 /** Engine extension point, installed via
   * `spark.sql.extensions=graft.GraftExtensions` (Engine.session) —
@@ -32,6 +33,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("char_gram_hashes"),
       new ExpressionInfo(classOf[CharGramHashes].getName, "char_gram_hashes"),
       (args: Seq[Expression]) => CharGramHashes(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("top_token_count"),
+      new ExpressionInfo(classOf[TopTokenCount].getName, "top_token_count"),
+      (args: Seq[Expression]) => TopTokenCount(args.head)))
+    // Spark's own bloom sketch aggregate + probe predicate (the pair
+    // its runtime bloom join injects), exposed at the SQL surface so
+    // a collected bloom_filter_agg sketch can prefilter a join's
+    // probe side; both live only in the INTERNAL function registry,
+    // so the engine registers them itself
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "bloom_filter_agg"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => new BloomFilterAggregate(c)
+        case Seq(c, n) => new BloomFilterAggregate(c, n)
+        case Seq(c, n, b) => new BloomFilterAggregate(c, n, b)
+        case _ => throw new IllegalArgumentException(
+          "bloom_filter_agg expects 1-3 arguments")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "might_contain"),
+      (args: Seq[Expression]) => BloomFilterMightContain(args(0), args(1))))
     // custom whole-operator plan node (DetectNode -> DetectExec)
     ext.injectPlannerStrategy(_ => graft.plans.DetectStrategy)
   }

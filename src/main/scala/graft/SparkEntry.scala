@@ -33,6 +33,7 @@ object SparkEntry {
     "d4_ngram_jaccard" -> LlmQueries.d4NgramJaccard,
     "d5_embed_neardup" -> LlmQueries.d5EmbedNearDup,
     "d6_simhash_pairs" -> LlmQueries.d6SimhashPairs,
+    "d7_semantic_dedup" -> LlmQueries.d7SemanticDedup,
     "s1_knn" -> LlmQueries.s1Knn,
     "s2_knn_lsh" -> LlmQueries.s2KnnLsh,
     "s3_knn_ivf" -> LlmQueries.s3KnnIvf,
@@ -54,6 +55,9 @@ object SparkEntry {
     "x12_sample" -> LlmQueries.x12Sample,
     "m1_multimodal" -> LlmQueries.m1Multimodal,
     "m2_png_decode" -> LlmQueries.m2PngDecode,
+    "m3_wav_decode" -> LlmQueries.m3WavDecode,
+    "x14_repetition" -> LlmQueries.x14Repetition,
+    "x15_bloom_decontaminate" -> LlmQueries.x15BloomDecontaminate,
     "r10_rollup" -> Relational2.r10Rollup,
     "r11_cube" -> Relational2.r11Cube,
     "r12_setops" -> Relational2.r12SetOps,
@@ -68,6 +72,7 @@ object SparkEntry {
     "r21_asof" -> Relational2.r21Asof,
     "r22_range" -> Relational2.r22Range,
     "r23_outer_join" -> Relational2.r23OuterJoin,
+    "r24_pivot" -> Relational2.r24Pivot,
   )
 
   /** Every oracle is wrapped in `ORDER BY ALL` (all columns,
@@ -113,6 +118,7 @@ object SparkEntry {
     "d4_ngram_jaccard" -> LlmQueries.d4Sql,
     "d5_embed_neardup" -> LlmQueries.d5Sql,
     "d6_simhash_pairs" -> LlmQueries.d6Sql,
+    "d7_semantic_dedup" -> LlmQueries.d7Sql,
     "s1_knn" -> LlmQueries.s1Sql,
     "s2_knn_lsh" -> LlmQueries.s2Sql,
     "s3_knn_ivf" -> LlmQueries.s3Sql,
@@ -135,6 +141,11 @@ object SparkEntry {
     "x12_sample" -> LlmQueries.x12Sql,
     "m1_multimodal" -> LlmQueries.m1Sql,
     "m2_png_decode" -> LlmQueries.m2Sql,
+    "m3_wav_decode" -> LlmQueries.m3Sql,
+    "x14_repetition" -> LlmQueries.x14Sql,
+    // x15 output ≡ x13 (the bloom is a pure prefilter; the exact
+    // semi join removes its false positives)
+    "x15_bloom_decontaminate" -> LlmQueries.x15Sql,
     "r10_rollup" -> Relational2.r10Sql,
     "r11_cube" -> Relational2.r11Sql,
     "r12_setops" -> Relational2.r12Sql,
@@ -149,5 +160,6 @@ object SparkEntry {
     "r21_asof" -> Relational2.r21Sql,
     "r22_range" -> Relational2.r22Sql,
     "r23_outer_join" -> Relational2.r23Sql,
+    "r24_pivot" -> Relational2.r24Sql,
   )
 }

@@ -247,6 +247,54 @@ object CharGramHashes {
   }
 }
 
+/** Highest single-token occurrence count in an ARRAY<STRING> token
+  * array, one codegen'd pass over an open hash map — the kernel of
+  * the Gopher-style repetition quality metrics (a document whose
+  * most frequent word dominates its length is boilerplate). DuckDB
+  * restatement: max(c) over unnest + GROUP BY (doc, word). Empty
+  * arrays yield 0. Row-local by construction: at corpus scale the
+  * repetition profile is a narrow projection, never a token shuffle
+  * (the explode + count + max restatement the oracle runs would
+  * shuffle one row per token).
+  */
+case class TopTokenCount(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("top_token_count expects ARRAY<STRING>")
+  }
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    TopTokenCount.top(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TopTokenCount.top($c)")
+  override protected def withNewChildInternal(newChild: Expression): TopTokenCount =
+    copy(child = newChild)
+  override def prettyName: String = "top_token_count"
+}
+
+object TopTokenCount {
+  /** Static helper the generated code calls. UTF8String keys hash
+    * and compare by bytes — no String materialization. */
+  def top(a: ArrayData): Int = {
+    val n = a.numElements()
+    if (n == 0) return 0
+    val counts = new java.util.HashMap[UTF8String, Integer](n * 2)
+    var best = 0
+    var i = 0
+    while (i < n) {
+      // the SQL surface admits ARRAY<STRING> with null slots; a null
+      // token is a caller bug, not a countable word
+      require(!a.isNullAt(i), s"top_token_count: NULL element at index $i")
+      val c = counts.merge(a.getUTF8String(i), 1, (x, y) => x + y)
+      if (c > best) best = c
+      i += 1
+    }
+    best
+  }
+}
+
 /** Cosine similarity over two ARRAY<FLOAT> embeddings, accumulated
   * in double in ascending index order — the exact fold order the
   * DuckDB oracle restates with list_reduce, so results are

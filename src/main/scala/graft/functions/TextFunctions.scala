@@ -93,6 +93,12 @@ object TextFunctions {
     * under checked arithmetic. */
   def simhash64(hashes: Column): Column = call_function("simhash64", hashes)
 
+  /** Highest single-token occurrence count of an ARRAY<STRING> (the
+    * codegen'd functions.TopTokenCount expression) — one row-local
+    * pass; the oracle restates it as max(c) over unnest + GROUP BY.
+    * Empty arrays yield 0. */
+  def topTokenCount(toks: Column): Column = call_function("top_token_count", toks)
+
   /** Stopword membership set used by the quality metrics. */
   val Stopwords: Seq[String] =
     Seq("the", "a", "and", "of", "to", "in", "is", "it")

@@ -342,6 +342,35 @@ object Codecs {
         height = h.bitsPerSample, channels = h.channels,
         n_frames = h.nSampleFrames)
     }
+
+    /** Full PCM16 decode: header plus the interleaved sample words
+      * of the data chunk, little-endian — the audio analog of
+      * BmpCodec.decodeRgb (metadata-only `decode` stays the cheap
+      * path; callers that need the waveform pay for it explicitly). */
+    def decodePcm16(d: Array[Byte]): (WavHeader, Array[Short]) = {
+      val h = parseHeader(d)
+      require(h.bitsPerSample == 16,
+        s"decodePcm16 expects 16-bit PCM, got ${h.bitsPerSample}")
+      // second chunk walk to locate the data payload (parseHeader
+      // validates structure; same Long-cursor overflow hardening)
+      var p = 12L
+      var off = -1L; var dataLen = -1
+      while (p + 8 <= d.length && off < 0) {
+        val o = p.toInt
+        val id = tag(d, o); val len = i32(d, o + 4)
+        if (id == "data") { off = o + 8L; dataLen = len }
+        else p += 8L + len + (len & 1)
+      }
+      require(off >= 0 && off + dataLen <= d.length,
+        s"WAV data chunk truncated (len=$dataLen)")
+      val n = dataLen / 2
+      val out = new Array[Short](n)
+      val bb = java.nio.ByteBuffer.wrap(d, off.toInt, dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < n) { out(i) = bb.getShort(); i += 1 }
+      (h, out)
+    }
   }
 
   /** COMPRESSED image decode with zero new dependencies: the JDK

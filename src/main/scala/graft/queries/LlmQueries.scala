@@ -786,4 +786,197 @@ object LlmQueries {
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id")).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
+
+  /** d7: SEMANTIC near-dedup (the SemDeDup recipe): block candidate
+    * pairs by IVF cell — the same trained-or-seeded coarse quantizer
+    * the ANN index uses (s3's deterministic vec_id<8 centroids, so
+    * the full pipeline restates in SQL) — then verify with exact
+    * cosine inside each cell. The cluster assignment is
+    * Similarity.assignCells' shuffle-free broadcast fold; the only
+    * exchange is the cell equi-join, and candidate population per
+    * cell is corpus_size/n_cells — at 100 TB the operator scales by
+    * raising n_cells (cells ≈ √N keeps per-cell pair counts flat),
+    * never by widening the join. Complements d5 (sign-LSH blocking):
+    * LSH buckets are geometry-oblivious hyperplane cuts, cells adapt
+    * to the corpus distribution. */
+  def d7SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cells = Similarity.assignCells(emb, emb.filter(col("vec_id") < 8))
+    val a = cells.select(col("cell"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"))
+    val b = cells.select(col("cell"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"))
+    a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", TextFunctions.cosineSim(col("ea"), col("eb")))
+      .filter(col("cos") >= 0.40)
+      .select(col("cell"), col("vec_a"), col("vec_b"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  val d7Sql: String =
+    s"""WITH cent AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+       |cc AS (SELECT vec_id, embedding, cell FROM (
+       |  SELECT v.vec_id, v.embedding, c.vec_id AS cell,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      ${cosSql("v.embedding", "c.embedding")} DESC, c.vec_id) AS crn
+       |  FROM embeddings v CROSS JOIN cent c) WHERE crn = 1)
+       |SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  round(${cosSql("a.embedding", "b.embedding")}, 6) AS cosine
+       |FROM cc a JOIN cc b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.40""".stripMargin
+
+  /** x14: repetition-quality profile (the Gopher-style repetition
+    * rules): duplicate-word fraction, most-frequent-word fraction and
+    * duplicate-bigram fraction per document — the filters that catch
+    * boilerplate/spam a stopword-ratio score (x1) misses. Entirely
+    * row-local: the top-word count is the codegen'd TopTokenCount
+    * expression (one hash-map pass per doc), so the corpus profile
+    * is a narrow projection — the oracle's unnest+GROUP BY
+    * restatement shuffles one row per TOKEN and is exactly the plan
+    * this engine avoids at 100 TB. */
+  def x14Repetition(spark: SparkSession, dir: String): DataFrame = {
+    import TextFunctions.bind
+    val stats = bind(TextFunctions.tokens(col("text")), ts => {
+      val nTok = size(ts)
+      val bigrams = when(nTok >= 2,
+        array_distinct(transform(sequence(lit(1), nTok - 1),
+          i => concat_ws(" ", element_at(ts, i), element_at(ts, i + 1)))))
+        .otherwise(array().cast("array<string>"))
+      struct(nTok.as("n_tok"),
+        size(array_distinct(ts)).as("n_distinct"),
+        TextFunctions.topTokenCount(ts).as("top_n"),
+        size(bigrams).as("n_dbig"))
+    })
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), stats.as("s"))
+      .select(col("doc_id"),
+        col("s.n_tok").as("n_tok"),
+        col("s.n_distinct").as("n_distinct"),
+        col("s.top_n").as("top_n"),
+        when(col("s.n_tok") === 0, 0.0).otherwise(
+          round((col("s.n_tok") - col("s.n_distinct")).cast("double") /
+            col("s.n_tok"), 6)).as("dup_word_frac"),
+        when(col("s.n_tok") === 0, 0.0).otherwise(
+          round(col("s.top_n").cast("double") / col("s.n_tok"), 6))
+          .as("top_word_frac"),
+        when(col("s.n_tok") < 2, 0.0).otherwise(
+          round((col("s.n_tok") - 1 - col("s.n_dbig")).cast("double") /
+            (col("s.n_tok") - 1), 6)).as("dup_bigram_frac"))
+  }
+
+  val x14Sql: String =
+    s"""WITH tk AS (SELECT doc_id, $tsSql AS ts FROM documents),
+       |b AS (SELECT doc_id, CAST(len(ts) AS INT) AS n_tok,
+       |    CAST(len(list_distinct(ts)) AS INT) AS n_distinct,
+       |    CAST(CASE WHEN len(ts) >= 2 THEN len(list_distinct(
+       |        list_transform(range(1, len(ts)),
+       |          i -> ts[i] || ' ' || ts[i+1])))
+       |      ELSE 0 END AS INT) AS n_dbig
+       |  FROM tk),
+       |fr AS (SELECT doc_id, max(c) AS top_c FROM (
+       |    SELECT doc_id, w, count(*) AS c FROM (
+       |      SELECT doc_id, unnest(ts) AS w FROM tk) GROUP BY 1, 2)
+       |  GROUP BY 1)
+       |SELECT b.doc_id, b.n_tok, b.n_distinct,
+       |  CAST(coalesce(f.top_c, 0) AS INT) AS top_n,
+       |  CASE WHEN b.n_tok = 0 THEN 0.0 ELSE
+       |    round(CAST(b.n_tok - b.n_distinct AS DOUBLE) / b.n_tok, 6)
+       |    END AS dup_word_frac,
+       |  CASE WHEN b.n_tok = 0 THEN 0.0 ELSE
+       |    round(CAST(coalesce(f.top_c, 0) AS DOUBLE) / b.n_tok, 6)
+       |    END AS top_word_frac,
+       |  CASE WHEN b.n_tok < 2 THEN 0.0 ELSE
+       |    round(CAST(b.n_tok - 1 - b.n_dbig AS DOUBLE) / (b.n_tok - 1), 6)
+       |    END AS dup_bigram_frac
+       |FROM b LEFT JOIN fr f ON b.doc_id = f.doc_id""".stripMargin
+
+  /** x15: decontamination with a BLOOM prefilter — x13's exact
+    * fingerprint semi-join, fronted by the sketch pattern Spark's own
+    * runtime bloom join uses: build one bloom_filter_agg sketch over
+    * the train-side fingerprints (a 1-row aggregate, collected once —
+    * megabytes at 100 TB), probe it with the codegen'd might_contain
+    * predicate on the scan side, and let the exact semi join verify
+    * the survivors (bloom false positives are removed, so the answer
+    * is bit-identical to x13 and shares its oracle). The win at
+    * scale: the probe side drops to the bloom's pass rate BEFORE the
+    * join exchange — most eval docs never shuffle. */
+  def x15BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val h = TextFunctions.polyHash(col("doc_id").cast("string")) % 10
+    val split = when(h < 8, "train").when(h === 8, "val").otherwise("test")
+    val fp = TextFunctions.polyHash(
+      concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 8)))
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), split.as("split"),
+        fp.as("fingerprint"))
+    val trainFps = base.filter(col("split") === "train")
+      .select(col("fingerprint"))
+    val bloom = trainFps
+      .agg(expr("bloom_filter_agg(xxhash64(fingerprint), " +
+        "CAST(100000 AS BIGINT), CAST(800000 AS BIGINT))").as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val probe = base.filter(col("split") =!= "train")
+    // empty train side → null sketch → nothing is contaminated
+    val prefiltered =
+      if (bloom == null) probe.filter(lit(false))
+      else probe.filter(call_function("might_contain",
+        lit(bloom), xxhash64(col("fingerprint"))))
+    prefiltered
+      .join(trainFps, Seq("fingerprint"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("split"), col("fingerprint"))
+  }
+
+  /** x15 output ≡ x13 output (the bloom is a pure prefilter). */
+  val x15Sql: String = x13Sql
+
+  /** m3: REAL audio decode under the hash gate (the WAV analog of
+    * m2's PNG path): a deterministic PCM16 waveform per doc is
+    * encoded to a genuine RIFF/WAVE payload, AutoCodec must
+    * magic-dispatch it, and the output reports stats computed from
+    * the DECODED samples (count, sum, min/max, rolling fingerprint).
+    * PCM is lossless, so the oracle restates the expected values
+    * with pure arithmetic — any header-walk or sample-extraction
+    * defect (endianness, offset, truncation) breaks the hash.
+    * Partition-scoped narrow map: waveforms never shuffle. */
+  def m3WavDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{Codecs, Multimodal}
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = (64 + id % 97).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((id * 31 + i.toLong * 97) % 65536) - 32768).toShort)
+          val wav = Codecs.WavCodec.encodePcm16(8000, 1, samples)
+          val meta = Codecs.AutoCodec.decode(
+            Multimodal.MediaRecord(id, "audio", wav))
+          val (h, back) = Codecs.WavCodec.decodePcm16(wav)
+          require(meta.n_frames == n && h.nSampleFrames == n,
+            s"wav sample count mismatch for doc $id")
+          var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+          var fp = 0L
+          back.foreach { s =>
+            sum += s; mn = math.min(mn, s); mx = math.max(mx, s)
+            fp = (fp * 31 + (s + 32768)) % 1000000007L
+          }
+          (id, n, h.sampleRate, sum, mn, mx, fp)
+        }
+      }.toDF("doc_id", "n_samples", "sample_rate", "sum_pcm",
+        "min_pcm", "max_pcm", "pcm_fp")
+  }
+
+  val m3Sql: String =
+    """WITH s AS (SELECT doc_id, CAST(64 + doc_id % 97 AS INT) AS n_samples,
+      |    list_transform(range(64 + doc_id % 97),
+      |      i -> (doc_id * 31 + i * 97) % 65536 - 32768) AS pcm
+      |  FROM documents)
+      |SELECT doc_id, n_samples, 8000 AS sample_rate,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), pcm),
+      |    (a, b) -> a + b) AS BIGINT) AS sum_pcm,
+      |  CAST(list_min(pcm) AS INT) AS min_pcm,
+      |  CAST(list_max(pcm) AS INT) AS max_pcm,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(pcm, s -> s + 32768)),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS pcm_fp
+      |FROM s""".stripMargin
 }

@@ -397,6 +397,41 @@ object Relational2 {
         cust("c_custkey") === big("o_custkey"), "full_outer")))
   }
 
+  /** r24: PIVOT — the order-status × priority matrix as columns
+    * (count + revenue cents per cell), the reshape every reporting
+    * layer runs. Spark's relational pivot with an EXPLICIT value
+    * list: no distinct-values pre-pass, one partial-agg shuffle on
+    * the priority key alone (the pivoted statuses ride as map-side
+    * conditional aggregates), so the plan is a plain hash aggregate
+    * at any scale. Cents via floor(×100+0.5) so the money sum is
+    * integer-exact and order-independent; empty cells coalesce to 0
+    * (the no-NULL gate invariant). */
+  def r24Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderpriority"),
+      col("o_orderstatus"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    val piv = o.groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+    def cell(s: String) = Seq(
+      coalesce(col(s"${s}_n"), lit(0L)).as(s"${s.toLowerCase}_n"),
+      coalesce(col(s"${s}_cents"), lit(0L)).as(s"${s.toLowerCase}_cents"))
+    piv.select(col("o_orderpriority") +:
+      (cell("F") ++ cell("O") ++ cell("P")): _*)
+  }
+
+  val r24Sql: String = {
+    def cell(s: String) =
+      s"""  coalesce(count(*) FILTER (WHERE o_orderstatus = '$s'), 0)
+         |    AS ${s.toLowerCase}_n,
+         |  CAST(coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+         |    FILTER (WHERE o_orderstatus = '$s'), 0) AS BIGINT)
+         |    AS ${s.toLowerCase}_cents""".stripMargin
+    s"""SELECT o_orderpriority,
+       |${Seq("F", "O", "P").map(cell).mkString(",\n")}
+       |FROM orders GROUP BY 1""".stripMargin
+  }
+
   val r23Sql: String =
     """WITH cust AS (SELECT c_custkey, c_mktsegment FROM customer
       |    WHERE c_custkey % 7 = 0),

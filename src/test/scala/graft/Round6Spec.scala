@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions, TopTokenCount}
+import graft.operators.Codecs
+import graft.queries.{LlmQueries, Relational2}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Round-6 additions: repetition quality (TopTokenCount), WAV PCM
+  * decode, bloom-prefiltered decontamination, semantic dedup, pivot.
+  */
+class Round6Spec extends SparkTestBase {
+  import testImplicits._
+
+  test("top_token_count: empty, ties, dominance, unicode") {
+    def arr(ts: String*): ArrayData =
+      ArrayData.toArrayData(ts.map(UTF8String.fromString).toArray)
+    assert(TopTokenCount.top(arr()) === 0)
+    assert(TopTokenCount.top(arr("a", "b", "c")) === 1)
+    assert(TopTokenCount.top(arr("a", "b", "a", "b")) === 2)
+    assert(TopTokenCount.top(arr("x", "x", "x", "y")) === 3)
+    assert(TopTokenCount.top(arr("ü", "ü", "u")) === 2)
+    // through the SQL surface (codegen path)
+    val got = Seq(Seq("w", "w", "v")).toDF("ts")
+      .select(TextFunctions.topTokenCount(col("ts"))).head().getInt(0)
+    assert(got === 2)
+  }
+
+  test("x14 repetition metrics on a hand-checked doc") {
+    val df = Seq((1L, "a a b"), (2L, ""), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = LlmQueries.x14Repetition(spark, sf) // signature check only
+    assert(out.columns.toSeq === Seq("doc_id", "n_tok", "n_distinct",
+      "top_n", "dup_word_frac", "top_word_frac", "dup_bigram_frac"))
+    // rerun the same projection over the fixture frame
+    val byId = {
+      // x14 reads Tables.documents(dir); restate its body on df via a
+      // temp view round-trip through the same column pipeline
+      import graft.functions.TextFunctions.bind
+      val stats = bind(TextFunctions.tokens(col("text")), ts => {
+        val nTok = size(ts)
+        val bigrams = when(nTok >= 2,
+          array_distinct(transform(sequence(lit(1), nTok - 1),
+            i => concat_ws(" ", element_at(ts, i), element_at(ts, i + 1)))))
+          .otherwise(array().cast("array<string>"))
+        struct(nTok.as("n_tok"), size(array_distinct(ts)).as("n_distinct"),
+          TextFunctions.topTokenCount(ts).as("top_n"),
+          size(bigrams).as("n_dbig"))
+      })
+      df.select(col("doc_id"), stats.as("s")).collect()
+        .map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    }
+    assert(byId(1L).getInt(0) === 3) // n_tok
+    assert(byId(1L).getInt(1) === 2) // n_distinct
+    assert(byId(1L).getInt(2) === 2) // top_n ("a" twice)
+    assert(byId(1L).getInt(3) === 2) // bigrams "a a","a b" both distinct
+    assert(byId(2L).getInt(0) === 0 && byId(2L).getInt(2) === 0)
+    assert(byId(3L).getInt(0) === 1 && byId(3L).getInt(3) === 0)
+  }
+
+  test("WavCodec.decodePcm16 round-trips arbitrary samples") {
+    val samples = Array[Short](0, 1, -1, Short.MaxValue, Short.MinValue, 12345)
+    val wav = Codecs.WavCodec.encodePcm16(16000, 1, samples)
+    val (h, back) = Codecs.WavCodec.decodePcm16(wav)
+    assert(h.sampleRate === 16000 && h.channels === 1 && h.bitsPerSample === 16)
+    assert(back.toSeq === samples.toSeq)
+    // stereo: frames = samples / channels, samples stay interleaved
+    val st = Codecs.WavCodec.encodePcm16(8000, 2, samples)
+    val (h2, back2) = Codecs.WavCodec.decodePcm16(st)
+    assert(h2.channels === 2 && h2.nSampleFrames === 3)
+    assert(back2.toSeq === samples.toSeq)
+    // truncated data chunk fails loudly
+    val cut = java.util.Arrays.copyOf(wav, wav.length - 2)
+    val e = intercept[IllegalArgumentException] {
+      Codecs.WavCodec.decodePcm16(cut)
+    }
+    assert(e.getMessage.contains("truncated") || e.getMessage.contains("WAV"))
+  }
+
+  test("might_contain: bloom built by bloom_filter_agg answers membership") {
+    val vals = (1L to 200L).map(i => i * 37)
+    val bloom = vals.toDF("v")
+      .agg(expr("bloom_filter_agg(xxhash64(v), " +
+        "CAST(1000 AS BIGINT), CAST(8000 AS BIGINT))").as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val probe = (vals ++ Seq(999999937L)).toDF("v")
+      .select(col("v"), call_function("might_contain",
+        lit(bloom), xxhash64(col("v"))).as("hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // no false negatives ever
+    vals.foreach(v => assert(probe(v), s"bloom missed member $v"))
+  }
+
+  test("x15 bloom decontamination ≡ x13 exact decontamination") {
+    val exact = LlmQueries.x13Decontaminate(spark, sf).collect()
+      .map(_.toSeq).toSet
+    val bloomed = LlmQueries.x15BloomDecontaminate(spark, sf).collect()
+      .map(_.toSeq).toSet
+    assert(exact.nonEmpty, "fixture should contain contamination")
+    assert(bloomed === exact)
+  }
+
+  test("d7 semantic dedup: ordered pairs, threshold, cell-consistency") {
+    val rows = LlmQueries.d7SemanticDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) < r.getLong(2), "pairs must be vec_a < vec_b")
+      assert(r.getDouble(3) >= 0.40 - 1e-9)
+    }
+    // spot-check: every reported pair's members share the reported cell
+    val cells = graft.operators.Similarity.assignCells(
+      graft.sources.Tables.embeddings(spark, sf),
+      graft.sources.Tables.embeddings(spark, sf).filter(col("vec_id") < 8))
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(cells(r.getLong(1)) === r.getLong(0))
+      assert(cells(r.getLong(2)) === r.getLong(0))
+    }
+  }
+
+  test("r24 pivot: cells partition the orders table") {
+    val out = Relational2.r24Pivot(spark, sf)
+    assert(out.columns.toSeq === Seq("o_orderpriority", "f_n", "f_cents",
+      "o_n", "o_cents", "p_n", "p_cents"))
+    val rows = out.collect()
+    val total = rows.map(r => r.getLong(1) + r.getLong(3) + r.getLong(5)).sum
+    val expected = graft.sources.Tables.orders(spark, sf).count()
+    assert(total === expected, "pivoted counts must partition the table")
+    // cents are non-negative and zero only alongside a zero count
+    rows.foreach { r =>
+      Seq((1, 2), (3, 4), (5, 6)).foreach { case (n, c) =>
+        if (r.getLong(n) == 0L) assert(r.getLong(c) === 0L)
+      }
+    }
+  }
+}
