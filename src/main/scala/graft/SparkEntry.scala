@@ -40,6 +40,7 @@ object SparkEntry {
     "s4_knn_multiprobe" -> LlmQueries.s4KnnMultiProbe,
     "s5_quantize" -> LlmQueries.s5Quantize,
     "s6_knn_ivf_probe" -> LlmQueries.s6KnnIvfProbe,
+    "s7_pq_adc" -> LlmQueries.s7PqAdc,
     "x13_decontaminate" -> LlmQueries.x13Decontaminate,
     "x1_text_stats" -> LlmQueries.x1TextStats,
     "x2_lang_id" -> LlmQueries.x2LangId,
@@ -125,6 +126,7 @@ object SparkEntry {
     "s4_knn_multiprobe" -> LlmQueries.s4Sql,
     "s5_quantize" -> LlmQueries.s5Sql,
     "s6_knn_ivf_probe" -> LlmQueries.s6Sql,
+    "s7_pq_adc" -> LlmQueries.s7Sql,
     "x13_decontaminate" -> LlmQueries.x13Sql,
     "x1_text_stats" -> LlmQueries.x1Sql,
     "x2_lang_id" -> LlmQueries.x2Sql,

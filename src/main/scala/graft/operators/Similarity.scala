@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions.cosineSim
@@ -203,6 +203,77 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
         explode(slice(sort_array(col("scored")), 1, nprobe)).as("p"))
       .select(col("vec_id"), col("embedding"), col("p.cell").as("cell"))
+  }
+
+  /** Product-quantization ANN (the IVF-PQ storage scheme): the
+    * corpus is ENCODED once — each vector becomes `m` small codes,
+    * the per-subspace argmin over a shared codebook — and queries
+    * rank candidates by ADC (asymmetric distance): the query keeps
+    * full precision, the corpus side is reconstructed from its
+    * codes. The 100 TB economics: an encoded 64-dim float vector
+    * shrinks from 256 B to `m` bytes (32× here), so the ADC scan
+    * reads codes, not embeddings, and the codebook rides along as
+    * ONE broadcast row — both the encode and the ADC scan are
+    * narrow projections over a broadcast (the assignCells shape),
+    * with the only exchange the final per-query top-k window
+    * (WindowGroupLimit-bounded). Like s3's centroids, the codebook
+    * is a deterministic stand-in (sub-vectors of a fixed id-range)
+    * so the oracle restates the full encode + search; a trained
+    * per-subspace k-means plugs into the same API.
+    *
+    * Parity contract: distances accumulate in double, ascending
+    * dimension order within a subspace and ascending subspace order
+    * across them (both engines fold sequentially); argmin and top-k
+    * tiebreaks are (distance ASC, id ASC) via lexicographic struct
+    * min / row_number. */
+  def knnPqAdc(embeddings: DataFrame, queries: DataFrame,
+      codebook: DataFrame, m: Int, k: Int, dim: Int = 64): DataFrame = {
+    val sub = dim / m
+    require(m * sub == dim, s"dim $dim not divisible by m $m")
+    val cbArr = codebook
+      .select(struct(col("vec_id").as("j"), col("embedding").as("cw")).as("c"))
+      .agg(sort_array(collect_list(col("c"))).as("cb"))
+
+    // squared L2 between vec and codeword over subspace mm's dims,
+    // double-accumulated ascending (floats widened BEFORE subtract)
+    def subDistSq(vec: Column, cw: Column, mm: Column): Column =
+      aggregate(sequence(lit(0), lit(sub - 1)), lit(0.0), (acc, d) => {
+        val idx = mm * sub + d + 1
+        val diff = element_at(vec, idx).cast("double") -
+          element_at(cw, idx).cast("double")
+        acc + diff * diff
+      })
+
+    // encode: codes[mm] = argmin_j subDistSq — lexicographic struct
+    // min gives the (dist ASC, j ASC) tiebreak of the oracle's
+    // row_number restatement
+    val encoded = embeddings.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cbArr))
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(m - 1)), mm =>
+          array_min(transform(col("cb"), c =>
+            struct(subDistSq(col("embedding"), c.getField("cw"), mm).as("d"),
+              c.getField("j").as("j")))).getField("j")).as("codes"))
+
+    // ADC scan: codes + broadcast queries + broadcast codebook; the
+    // full corpus embeddings are NOT read again
+    val pairs = encoded
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qemb"))),
+        col("query_id") =!= col("vec_id"))
+      .crossJoin(broadcast(cbArr))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, mm) => {
+          val cw = element_at(col("cb"),
+            (element_at(col("codes"), mm + 1) + 1).cast("int")).getField("cw")
+          acc + subDistSq(col("qemb"), cw, mm)
+        }).as("adist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id"))
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("adist"), 6).as("adist"))
   }
 
   /** Embedding near-duplicate pairs: self-join on LSH bucket, verify

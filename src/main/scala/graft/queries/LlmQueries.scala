@@ -325,6 +325,53 @@ object LlmQueries {
 
   val s6Sql: String = ivfSql(nprobe = 2)
 
+  /** s7: product-quantization ANN with ADC ranking (the IVF-PQ
+    * storage scheme): corpus encoded to m=8 one-byte codes per
+    * vector (32× smaller than float32), queries rank by asymmetric
+    * distance against codebook reconstructions. Codebook = the
+    * deterministic vec_id<16 stand-in (same convention as s3's
+    * centroids) so encode + search restate fully in SQL. */
+  def s7PqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.knnPqAdc(emb, queryVecs(spark, dir),
+      emb.filter(col("vec_id") < 16), m = 8, k = 3)
+  }
+
+  val s7Sql: String = {
+    // squared L2 over subspace m's 8 dims, double-accumulated in
+    // ascending dim order (floats widened before subtract) — the
+    // exact fold Similarity.knnPqAdc.subDistSq runs
+    def subSql(v: String, c: String, m: String): String = {
+      def d(arr: String) = s"CAST($arr[$m*8 + d + 1] AS DOUBLE)"
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(8), d -> (${d(v)} - ${d(c)}) * (${d(v)} - ${d(c)}))), " +
+        s"(x, y) -> x + y)"
+    }
+    s"""WITH cb AS (SELECT vec_id AS j, embedding AS cw FROM embeddings
+       |  WHERE vec_id < 16),
+       |ms AS (SELECT m FROM range(8) t(m)),
+       |enc AS (SELECT vec_id, list(code ORDER BY m) AS codes FROM (
+       |    SELECT v.vec_id, s.m, c.j AS code, row_number() OVER (
+       |      PARTITION BY v.vec_id, s.m
+       |      ORDER BY ${subSql("v.embedding", "c.cw", "s.m")} ASC, c.j ASC) AS rn
+       |    FROM embeddings v CROSS JOIN ms s CROSS JOIN cb c) WHERE rn = 1
+       |  GROUP BY vec_id),
+       |qd AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, s.m,
+       |    ${subSql("q.embedding", "c.cw", "s.m")} AS dm
+       |  FROM enc e CROSS JOIN ms s
+       |  JOIN cb c ON c.j = e.codes[s.m + 1]
+       |  JOIN embeddings q ON q.vec_id < 5 AND q.vec_id <> e.vec_id),
+       |ad AS (SELECT query_id, neighbor_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(dm ORDER BY m)),
+       |      (x, y) -> x + y) AS adist
+       |  FROM qd GROUP BY 1, 2),
+       |r AS (SELECT query_id, neighbor_id, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY adist ASC, neighbor_id) AS INT) AS rnk,
+       |    adist FROM ad)
+       |SELECT query_id, neighbor_id, rnk, round(adist, 6) AS adist
+       |FROM r WHERE rnk <= 3""".stripMargin
+  }
+
   /** s5: int8 scalar quantization quality — the storage-path op an
     * embedding corpus runs before ANN serving (4× smaller vectors):
     * per-vector symmetric scale 127/max|v|, q = floor(v·s + 0.5)

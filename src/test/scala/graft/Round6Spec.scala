@@ -120,6 +120,38 @@ class Round6Spec extends SparkTestBase {
     }
   }
 
+  test("s7 PQ-ADC with a self codebook recovers exact L2 ranking") {
+    import org.apache.spark.sql.expressions.Window
+    // when every corpus vector is its own codeword, encode assigns
+    // each vector to itself (distance 0) and ADC degenerates to the
+    // exact asymmetric L2 — the PQ analog of s6's "nprobe=all ==
+    // brute force" recovery property
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 100)
+    val queries = emb.filter(col("vec_id") < 3)
+    val pq = graft.operators.Similarity
+      .knnPqAdc(emb, queries, emb, m = 8, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = {
+      val joined = emb.alias("c")
+        .join(broadcast(queries.alias("q")),
+          col("q.vec_id") =!= col("c.vec_id"))
+        .select(col("q.vec_id").as("query_id"),
+          col("c.vec_id").as("neighbor_id"),
+          aggregate(sequence(lit(0), lit(63)), lit(0.0), (acc, d) => {
+            val diff =
+              element_at(col("q.embedding"), d + 1).cast("double") -
+              element_at(col("c.embedding"), d + 1).cast("double")
+            acc + diff * diff
+          }).as("dist"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("dist").asc, col("neighbor_id"))
+      joined.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    }
+    assert(pq === exact)
+  }
+
   test("r24 pivot: cells partition the orders table") {
     val out = Relational2.r24Pivot(spark, sf)
     assert(out.columns.toSeq === Seq("o_orderpriority", "f_n", "f_cents",

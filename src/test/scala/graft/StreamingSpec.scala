@@ -224,6 +224,37 @@ class StreamingSpec extends SparkTestBase {
     assert(rows("b") === ((3L, 3L)))
   }
 
+  test("stream-stream interval join: matches within window, drops beyond") {
+    import testImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    def ts(s: Long) = new Timestamp(t0 + s * 1000L)
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val joined = graft.streaming.StreamJoins.intervalJoin(
+      imps.toDF().toDF("imp_user", "imp_time"),
+      clicks.toDF().toDF("clk_user", "clk_time"),
+      "imp_user", "clk_user", "imp_time", "clk_time", "10 seconds")
+    val q = joined.select(col("imp_user"), col("imp_time"), col("clk_time"))
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").option("checkpointLocation", tmpDir()).start()
+    // user 1: click 5s after impression (joins); user 2: click 30s
+    // after (outside the interval, never joins); user 3: click with
+    // no impression
+    imps.addData((1L, ts(0)), (2L, ts(0)))
+    clicks.addData((1L, ts(5)), (2L, ts(30)), (3L, ts(6)))
+    q.processAllAvailable()
+    // advance both watermarks far past the interval so buffered state
+    // for users 2/3 is provably evictable, then flush
+    imps.addData((99L, ts(1000)))
+    clicks.addData((98L, ts(1000)))
+    q.processAllAvailable()
+    val rows = spark.table("ssj_out").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2).getTime - r.getTimestamp(1).getTime))
+    q.stop()
+    assert(rows.toSeq === Seq((1L, 5000L)))
+  }
+
   test("streaming exact dedup: duplicate frames across batches dropped") {
     import testImplicits._
     implicit val sqlCtx = spark.sqlContext
