@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.{CharGramHashes, CosineSim, IntersectCount, PolyHash, SimHash64, TopTokenCount}
+import graft.functions.{CharGramHashes, CosineSim, IntersectCount, PolyHash, PqAdc, PqCodes, SimHash64, TopTokenCount}
 
 /** Engine extension point, installed via
   * `spark.sql.extensions=graft.GraftExtensions` (Engine.session) —
@@ -33,6 +33,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("char_gram_hashes"),
       new ExpressionInfo(classOf[CharGramHashes].getName, "char_gram_hashes"),
       (args: Seq[Expression]) => CharGramHashes(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("pq_codes"),
+      new ExpressionInfo(classOf[PqCodes].getName, "pq_codes"),
+      (args: Seq[Expression]) => PqCodes(args(0), args(1), args(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("pq_adc"),
+      new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
+      (args: Seq[Expression]) => PqAdc(args(0), args(1), args(2))))
     ext.injectFunction((
       new FunctionIdentifier("top_token_count"),
       new ExpressionInfo(classOf[TopTokenCount].getName, "top_token_count"),

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -244,6 +244,140 @@ object CharGramHashes {
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
       .fromPrimitiveArray(java.util.Arrays.copyOf(hs, w))
+  }
+}
+
+/** Product-quantization ENCODE in one codegen'd pass: for each of
+  * `m` subspaces, the argmin codeword index over a FLATTENED
+  * codebook (k codewords × dim floats, position-ordered), squared-L2
+  * accumulated in double in ascending dim order with the
+  * (dist ASC, index ASC) tiebreak (strict `<` keeps the first
+  * minimum). Bit-identical to the interpreted HOF fold it replaces
+  * and to the DuckDB row_number restatement in the s7 oracle — but
+  * one JVM loop per vector instead of m×k interpreted `aggregate`
+  * lambdas (the encode pass dominates s7's cost at corpus scale).
+  */
+case class PqCodes(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  private def isFloatArray(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isFloatArray(first.dataType) && isFloatArray(second.dataType) &&
+        third.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "pq_codes expects (ARRAY<FLOAT> vec, ARRAY<FLOAT> flat codebook, INT m)")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any, cb: Any, m: Any): Any =
+    PqCodes.encode(v.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData],
+      m.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (v, cb, m) => s"graft.functions.PqCodes.encode($v, $cb, $m)")
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): PqCodes =
+    copy(first = newFirst, second = newSecond, third = newThird)
+  override def prettyName: String = "pq_codes"
+}
+
+object PqCodes {
+  /** Static helper the generated code calls. */
+  def encode(v: ArrayData, cb: ArrayData, m: Int): ArrayData = {
+    val dim = v.numElements()
+    require(m > 0 && dim % m == 0, s"pq_codes: dim $dim not divisible by m $m")
+    val sub = dim / m
+    require(cb.numElements() > 0 && cb.numElements() % dim == 0,
+      s"pq_codes: codebook length ${cb.numElements()} not a multiple of dim $dim")
+    val k = cb.numElements() / dim
+    val codes = new Array[Int](m)
+    var mm = 0
+    while (mm < m) {
+      var bestD = Double.PositiveInfinity
+      var bestJ = 0
+      var j = 0
+      while (j < k) {
+        var acc = 0.0
+        var d = 0
+        while (d < sub) {
+          val idx = mm * sub + d
+          val diff = v.getFloat(idx).toDouble - cb.getFloat(j * dim + idx).toDouble
+          acc += diff * diff
+          d += 1
+        }
+        if (acc < bestD) { bestD = acc; bestJ = j }
+        j += 1
+      }
+      codes(mm) = bestJ
+      mm += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(codes)
+  }
+}
+
+/** Asymmetric-distance computation (the PQ search kernel): squared
+  * L2 between a full-precision query and a corpus vector
+  * reconstructed from its PQ codes, one codegen'd pass. Per-subspace
+  * partial sums accumulate separately and add in ascending subspace
+  * order — the EXACT double-addition grouping of the oracle's
+  * list(dm ORDER BY m) fold, so results are bit-identical.
+  */
+case class PqAdc(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  private def isArr(t: DataType, e: DataType): Boolean = t match {
+    case ArrayType(`e`, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isArr(first.dataType, FloatType) && isArr(second.dataType, IntegerType) &&
+        isArr(third.dataType, FloatType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "pq_adc expects (ARRAY<FLOAT> query, ARRAY<INT> codes, ARRAY<FLOAT> flat codebook)")
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(q: Any, codes: Any, cb: Any): Any =
+    PqAdc.adc(q.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData],
+      cb.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (q, codes, cb) => s"graft.functions.PqAdc.adc($q, $codes, $cb)")
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): PqAdc =
+    copy(first = newFirst, second = newSecond, third = newThird)
+  override def prettyName: String = "pq_adc"
+}
+
+object PqAdc {
+  /** Static helper the generated code calls. */
+  def adc(q: ArrayData, codes: ArrayData, cb: ArrayData): Double = {
+    val dim = q.numElements()
+    val m = codes.numElements()
+    require(m > 0 && dim % m == 0, s"pq_adc: dim $dim not divisible by m $m")
+    val sub = dim / m
+    require(cb.numElements() % dim == 0,
+      s"pq_adc: codebook length ${cb.numElements()} not a multiple of dim $dim")
+    val k = cb.numElements() / dim
+    var total = 0.0
+    var mm = 0
+    while (mm < m) {
+      val j = codes.getInt(mm)
+      require(j >= 0 && j < k, s"pq_adc: code $j outside codebook of $k")
+      var acc = 0.0
+      var d = 0
+      while (d < sub) {
+        val idx = mm * sub + d
+        val diff = q.getFloat(idx).toDouble - cb.getFloat(j * dim + idx).toDouble
+        acc += diff * diff
+        d += 1
+      }
+      total += acc
+      mm += 1
+    }
+    total
   }
 }
 

@@ -224,36 +224,26 @@ object Similarity {
     * Parity contract: distances accumulate in double, ascending
     * dimension order within a subspace and ascending subspace order
     * across them (both engines fold sequentially); argmin and top-k
-    * tiebreaks are (distance ASC, id ASC) via lexicographic struct
-    * min / row_number. */
+    * tiebreaks are (distance ASC, id ASC) via first-minimum / row
+    * number. Both kernels are codegen'd expressions (PqCodes /
+    * PqAdc): one JVM loop per vector, not m×k interpreted HOF
+    * lambdas — the encode pass is the operator's dominant cost at
+    * corpus scale. */
   def knnPqAdc(embeddings: DataFrame, queries: DataFrame,
       codebook: DataFrame, m: Int, k: Int, dim: Int = 64): DataFrame = {
-    val sub = dim / m
-    require(m * sub == dim, s"dim $dim not divisible by m $m")
-    val cbArr = codebook
+    require(m > 0 && dim % m == 0, s"dim $dim not divisible by m $m")
+    // codebook folds to ONE broadcast row: codewords sorted by id,
+    // flattened to a position-indexed float array (k × dim)
+    val cbFlat = codebook
       .select(struct(col("vec_id").as("j"), col("embedding").as("cw")).as("c"))
       .agg(sort_array(collect_list(col("c"))).as("cb"))
+      .select(flatten(transform(col("cb"), c => c.getField("cw"))).as("cbf"))
 
-    // squared L2 between vec and codeword over subspace mm's dims,
-    // double-accumulated ascending (floats widened BEFORE subtract)
-    def subDistSq(vec: Column, cw: Column, mm: Column): Column =
-      aggregate(sequence(lit(0), lit(sub - 1)), lit(0.0), (acc, d) => {
-        val idx = mm * sub + d + 1
-        val diff = element_at(vec, idx).cast("double") -
-          element_at(cw, idx).cast("double")
-        acc + diff * diff
-      })
-
-    // encode: codes[mm] = argmin_j subDistSq — lexicographic struct
-    // min gives the (dist ASC, j ASC) tiebreak of the oracle's
-    // row_number restatement
     val encoded = embeddings.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(cbArr))
+      .crossJoin(broadcast(cbFlat))
       .select(col("vec_id"),
-        transform(sequence(lit(0), lit(m - 1)), mm =>
-          array_min(transform(col("cb"), c =>
-            struct(subDistSq(col("embedding"), c.getField("cw"), mm).as("d"),
-              c.getField("j").as("j")))).getField("j")).as("codes"))
+        call_function("pq_codes", col("embedding"), col("cbf"), lit(m))
+          .as("codes"))
 
     // ADC scan: codes + broadcast queries + broadcast codebook; the
     // full corpus embeddings are NOT read again
@@ -261,13 +251,10 @@ object Similarity {
       .join(broadcast(queries.select(col("vec_id").as("query_id"),
         col("embedding").as("qemb"))),
         col("query_id") =!= col("vec_id"))
-      .crossJoin(broadcast(cbArr))
+      .crossJoin(broadcast(cbFlat))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, mm) => {
-          val cw = element_at(col("cb"),
-            (element_at(col("codes"), mm + 1) + 1).cast("int")).getField("cw")
-          acc + subDistSq(col("qemb"), cw, mm)
-        }).as("adist"))
+        call_function("pq_adc", col("qemb"), col("codes"), col("cbf"))
+          .as("adist"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("neighbor_id"))
     pairs.withColumn("rnk", row_number().over(w))
