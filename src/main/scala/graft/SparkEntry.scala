@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{LlmQueries, Relational, Relational2, VideoQueries}
+import graft.queries.{CorpusQueries, LlmQueries, Relational, Relational2, VideoQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -34,6 +34,7 @@ object SparkEntry {
     "d5_embed_neardup" -> LlmQueries.d5EmbedNearDup,
     "d6_simhash_pairs" -> LlmQueries.d6SimhashPairs,
     "d7_semantic_dedup" -> LlmQueries.d7SemanticDedup,
+    "d8_repeated_ngrams" -> CorpusQueries.d8RepeatedNgrams,
     "s1_knn" -> LlmQueries.s1Knn,
     "s2_knn_lsh" -> LlmQueries.s2KnnLsh,
     "s3_knn_ivf" -> LlmQueries.s3KnnIvf,
@@ -59,6 +60,8 @@ object SparkEntry {
     "m3_wav_decode" -> LlmQueries.m3WavDecode,
     "x14_repetition" -> LlmQueries.x14Repetition,
     "x15_bloom_decontaminate" -> LlmQueries.x15BloomDecontaminate,
+    "x16_pack" -> CorpusQueries.x16Pack,
+    "x17_scrub" -> CorpusQueries.x17Scrub,
     "r10_rollup" -> Relational2.r10Rollup,
     "r11_cube" -> Relational2.r11Cube,
     "r12_setops" -> Relational2.r12SetOps,
@@ -120,6 +123,7 @@ object SparkEntry {
     "d5_embed_neardup" -> LlmQueries.d5Sql,
     "d6_simhash_pairs" -> LlmQueries.d6Sql,
     "d7_semantic_dedup" -> LlmQueries.d7Sql,
+    "d8_repeated_ngrams" -> CorpusQueries.d8Sql,
     "s1_knn" -> LlmQueries.s1Sql,
     "s2_knn_lsh" -> LlmQueries.s2Sql,
     "s3_knn_ivf" -> LlmQueries.s3Sql,
@@ -148,6 +152,8 @@ object SparkEntry {
     // x15 output ≡ x13 (the bloom is a pure prefilter; the exact
     // semi join removes its false positives)
     "x15_bloom_decontaminate" -> LlmQueries.x15Sql,
+    "x16_pack" -> CorpusQueries.x16Sql,
+    "x17_scrub" -> CorpusQueries.x17Sql,
     "r10_rollup" -> Relational2.r10Sql,
     "r11_cube" -> Relational2.r11Sql,
     "r12_setops" -> Relational2.r12Sql,

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   *
   * Patterns stay inside the RE2-compatible subset (no lookaround,
   * no backreferences): the same rule set runs unchanged on RE2-based
-  * engines and restates 1:1 in the DuckDB oracle (x16_scrub).
+  * engines and restates 1:1 in the DuckDB oracle (x17_scrub).
   */
 object Scrub {
 

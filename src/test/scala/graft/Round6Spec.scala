@@ -152,6 +152,54 @@ class Round6Spec extends SparkTestBase {
     assert(pq === exact)
   }
 
+  test("Scrub: PII rules mask email/ip/phone, rule order holds") {
+    import graft.operators.Scrub
+    // comma after the phone: the phone rule's optional trailer
+    // ([ -]?[0-9]{0,4}) would otherwise consume a following space
+    val txt = "mail a.b+c@ex.co or 10.0.0.1 call +1 555 0100, now 42"
+    val out = Seq(txt).toDF("t")
+      .select(Scrub.scrub(col("t"), Scrub.PiiRules :+ Scrub.NumberRule).as("s"),
+        Scrub.matchCount(col("t"), Scrub.NumberRule).as("nm"))
+      .head()
+    assert(out.getString(0) === "mail [EMAIL] or [IP] call [PHONE], now [NUM]")
+    // digit runs in the raw text: 10,0,0,1 + 1,555,0100 + 42
+    assert(out.getInt(1) === 8)
+  }
+
+  test("x16 packStats: hand-checked chunk and boundary accounting") {
+    import graft.queries.CorpusQueries
+    // one lang, one shard: token counts 4,4,4 at capacity 10 ->
+    // cum 4,8,12; doc3 spans the cut at 10 (chunk 0 -> 1)
+    val docs = Seq(
+      (1L, "en", "a b c d"), (2L, "en", "e f g h"), (3L, "en", "i j k l"))
+      .toDF("doc_id", "lang", "text")
+    val r = CorpusQueries.packStats(docs, capacity = 10, shards = 1).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getLong(2) === 3L)  // n_docs
+    assert(row.getLong(3) === 12L) // total_tokens
+    assert(row.getLong(4) === 2L)  // n_chunks
+    assert(row.getLong(5) === 1L)  // n_boundary_docs
+  }
+
+  test("d8 repeatedNgrams: shared 5-gram found, unique ones filtered") {
+    import graft.queries.CorpusQueries
+    val boiler = "all rights reserved by example corp"
+    val docs = Seq(
+      (1L, s"alpha beta $boiler"), (2L, s"$boiler gamma delta"),
+      (3L, "nothing shared here at all friends"))
+      .toDF("doc_id", "text")
+    val rows = CorpusQueries.repeatedNgrams(docs, n = 5, minDocs = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    // the 6-token boilerplate yields two 5-grams, each in docs 1 and 2
+    assert(rows.length === 2)
+    rows.foreach { case (gram, nDocs, firstDoc) =>
+      assert(gram.split(" ").length === 5)
+      assert(nDocs === 2L && firstDoc === 1L)
+      assert(boiler.contains(gram))
+    }
+  }
+
   test("r24 pivot: cells partition the orders table") {
     val out = Relational2.r24Pivot(spark, sf)
     assert(out.columns.toSeq === Seq("o_orderpriority", "f_n", "f_cents",
