@@ -281,7 +281,8 @@ object Codecs {
     * align) — every number read from real header fields. */
   object WavCodec extends Codec {
     final case class WavHeader(channels: Int, sampleRate: Int,
-        bitsPerSample: Int, nSampleFrames: Int)
+        bitsPerSample: Int, nSampleFrames: Int,
+        dataOffset: Int, dataLen: Int)
 
     def parseHeader(d: Array[Byte]): WavHeader = {
       require(d.length >= 44, s"WAV too short: ${d.length}")
@@ -292,6 +293,7 @@ object Codecs {
       // Long the walk simply runs past d.length and exits the loop
       var p = 12L
       var fmt: Option[(Int, Int, Int, Int)] = None // ch, rate, bits, blockAlign
+      var dataOff = -1
       var dataLen = -1
       while (p + 8 <= d.length && (fmt.isEmpty || dataLen < 0)) {
         val o = p.toInt // safe: p + 8 <= d.length
@@ -308,14 +310,19 @@ object Codecs {
           require(u16(d, o + 8) == 1, "only PCM WAV supported")
           fmt = Some((u16(d, o + 10), i32(d, o + 12), u16(d, o + 22),
             u16(d, o + 20)))
-        } else if (id == "data") dataLen = len
+        } else if (id == "data") { dataOff = o + 8; dataLen = len }
         p += 8L + len + (len & 1) // chunks are word-aligned
       }
       val (ch, rate, bits, block) = fmt.getOrElse(
         throw new IllegalArgumentException("WAV missing fmt chunk"))
       require(dataLen >= 0, "WAV missing data chunk")
       require(block > 0, "WAV bad block align")
-      WavHeader(ch, rate, bits, dataLen / block)
+      // declared payload must actually be present: a truncated data
+      // chunk fails here for every consumer, not just sample decode
+      require(dataOff.toLong + dataLen <= d.length,
+        s"WAV data chunk truncated (len=$dataLen, " +
+          s"${d.length - dataOff} bytes left)")
+      WavHeader(ch, rate, bits, dataLen / block, dataOff, dataLen)
     }
 
     /** Fixture writer: 16-bit PCM mono/stereo. */
@@ -346,26 +353,16 @@ object Codecs {
     /** Full PCM16 decode: header plus the interleaved sample words
       * of the data chunk, little-endian — the audio analog of
       * BmpCodec.decodeRgb (metadata-only `decode` stays the cheap
-      * path; callers that need the waveform pay for it explicitly). */
+      * path; callers that need the waveform pay for it explicitly).
+      * The data chunk's location comes from parseHeader's single
+      * validated walk — no second hand-maintained RIFF cursor. */
     def decodePcm16(d: Array[Byte]): (WavHeader, Array[Short]) = {
       val h = parseHeader(d)
       require(h.bitsPerSample == 16,
         s"decodePcm16 expects 16-bit PCM, got ${h.bitsPerSample}")
-      // second chunk walk to locate the data payload (parseHeader
-      // validates structure; same Long-cursor overflow hardening)
-      var p = 12L
-      var off = -1L; var dataLen = -1
-      while (p + 8 <= d.length && off < 0) {
-        val o = p.toInt
-        val id = tag(d, o); val len = i32(d, o + 4)
-        if (id == "data") { off = o + 8L; dataLen = len }
-        else p += 8L + len + (len & 1)
-      }
-      require(off >= 0 && off + dataLen <= d.length,
-        s"WAV data chunk truncated (len=$dataLen)")
-      val n = dataLen / 2
+      val n = h.dataLen / 2
       val out = new Array[Short](n)
-      val bb = java.nio.ByteBuffer.wrap(d, off.toInt, dataLen)
+      val bb = java.nio.ByteBuffer.wrap(d, h.dataOffset, h.dataLen)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       var i = 0
       while (i < n) { out(i) = bb.getShort(); i += 1 }

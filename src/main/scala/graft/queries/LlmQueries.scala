@@ -796,14 +796,23 @@ object LlmQueries {
     * row-local projection and one equi semi join on a 64-bit key
     * (broadcastable whenever the train fingerprint set is small
     * enough; hash join otherwise). */
-  def x13Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared x13/x15 derivation: the x11 split assignment plus the
+    * x4-style 8-token-prefix fingerprint per doc. ONE definition on
+    * purpose — x15's oracle contract is "output ≡ x13", which only
+    * holds while both queries derive splits and fingerprints
+    * identically. */
+  private def splitFingerprints(spark: SparkSession, dir: String): DataFrame = {
     val h = TextFunctions.polyHash(col("doc_id").cast("string")) % 10
     val split = when(h < 8, "train").when(h === 8, "val").otherwise("test")
     val fp = TextFunctions.polyHash(
       concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 8)))
-    val base = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), split.as("split"),
         fp.as("fingerprint"))
+  }
+
+  def x13Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val base = splitFingerprints(spark, dir)
     val trainFps = base.filter(col("split") === "train")
       .select(col("fingerprint"))
     base.filter(col("split") =!= "train")
@@ -882,7 +891,13 @@ object LlmQueries {
     * is a narrow projection — the oracle's unnest+GROUP BY
     * restatement shuffles one row per TOKEN and is exactly the plan
     * this engine avoids at 100 TB. */
-  def x14Repetition(spark: SparkSession, dir: String): DataFrame = {
+  def x14Repetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionProfile(Tables.documents(spark, dir))
+
+  /** DataFrame-taking core of x14 (docsIn: doc_id, text) — the unit
+    * specs assert on THIS, so a metric regression can't hide behind
+    * a test-local copy. */
+  def repetitionProfile(docsIn: DataFrame): DataFrame = {
     import TextFunctions.bind
     val stats = bind(TextFunctions.tokens(col("text")), ts => {
       val nTok = size(ts)
@@ -895,7 +910,7 @@ object LlmQueries {
         TextFunctions.topTokenCount(ts).as("top_n"),
         size(bigrams).as("n_dbig"))
     })
-    Tables.documents(spark, dir)
+    docsIn
       .select(col("doc_id"), stats.as("s"))
       .select(col("doc_id"),
         col("s.n_tok").as("n_tok"),
@@ -949,13 +964,7 @@ object LlmQueries {
     * scale: the probe side drops to the bloom's pass rate BEFORE the
     * join exchange — most eval docs never shuffle. */
   def x15BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val h = TextFunctions.polyHash(col("doc_id").cast("string")) % 10
-    val split = when(h < 8, "train").when(h === 8, "val").otherwise("test")
-    val fp = TextFunctions.polyHash(
-      concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 8)))
-    val base = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), split.as("split"),
-        fp.as("fingerprint"))
+    val base = splitFingerprints(spark, dir)
     val trainFps = base.filter(col("split") === "train")
       .select(col("fingerprint"))
     val bloom = trainFps

@@ -30,33 +30,19 @@ class Round6Spec extends SparkTestBase {
   test("x14 repetition metrics on a hand-checked doc") {
     val df = Seq((1L, "a a b"), (2L, ""), (3L, "solo"))
       .toDF("doc_id", "text")
-    val out = LlmQueries.x14Repetition(spark, sf) // signature check only
+    val out = LlmQueries.repetitionProfile(df)
     assert(out.columns.toSeq === Seq("doc_id", "n_tok", "n_distinct",
       "top_n", "dup_word_frac", "top_word_frac", "dup_bigram_frac"))
-    // rerun the same projection over the fixture frame
-    val byId = {
-      // x14 reads Tables.documents(dir); restate its body on df via a
-      // temp view round-trip through the same column pipeline
-      import graft.functions.TextFunctions.bind
-      val stats = bind(TextFunctions.tokens(col("text")), ts => {
-        val nTok = size(ts)
-        val bigrams = when(nTok >= 2,
-          array_distinct(transform(sequence(lit(1), nTok - 1),
-            i => concat_ws(" ", element_at(ts, i), element_at(ts, i + 1)))))
-          .otherwise(array().cast("array<string>"))
-        struct(nTok.as("n_tok"), size(array_distinct(ts)).as("n_distinct"),
-          TextFunctions.topTokenCount(ts).as("top_n"),
-          size(bigrams).as("n_dbig"))
-      })
-      df.select(col("doc_id"), stats.as("s")).collect()
-        .map(r => r.getLong(0) -> r.getStruct(1)).toMap
-    }
-    assert(byId(1L).getInt(0) === 3) // n_tok
-    assert(byId(1L).getInt(1) === 2) // n_distinct
-    assert(byId(1L).getInt(2) === 2) // top_n ("a" twice)
-    assert(byId(1L).getInt(3) === 2) // bigrams "a a","a b" both distinct
-    assert(byId(2L).getInt(0) === 0 && byId(2L).getInt(2) === 0)
-    assert(byId(3L).getInt(0) === 1 && byId(3L).getInt(3) === 0)
+    val byId = out.collect().map(r => r.getLong(0) -> r).toMap
+    val d1 = byId(1L) // "a a b": 3 tokens, 2 distinct, "a" twice
+    assert(d1.getInt(1) === 3 && d1.getInt(2) === 2 && d1.getInt(3) === 2)
+    assert(d1.getDouble(4) === math.rint(1.0 / 3 * 1e6) / 1e6) // dup_word_frac
+    assert(d1.getDouble(5) === math.rint(2.0 / 3 * 1e6) / 1e6) // top_word_frac
+    assert(d1.getDouble(6) === 0.0) // bigrams "a a","a b" both distinct
+    val d2 = byId(2L) // empty text: all zeros, no NULLs, no division
+    assert(d2.getInt(1) === 0 && d2.getInt(3) === 0 && d2.getDouble(4) === 0.0)
+    val d3 = byId(3L) // single token: bigram metrics guarded to 0
+    assert(d3.getInt(1) === 1 && d3.getDouble(6) === 0.0)
   }
 
   test("WavCodec.decodePcm16 round-trips arbitrary samples") {
