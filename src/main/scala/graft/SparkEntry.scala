@@ -42,6 +42,7 @@ object SparkEntry {
     "s5_quantize" -> LlmQueries.s5Quantize,
     "s6_knn_ivf_probe" -> LlmQueries.s6KnnIvfProbe,
     "s7_pq_adc" -> LlmQueries.s7PqAdc,
+    "s8_ivf_pq" -> LlmQueries.s8IvfPq,
     "x13_decontaminate" -> LlmQueries.x13Decontaminate,
     "x1_text_stats" -> LlmQueries.x1TextStats,
     "x2_lang_id" -> LlmQueries.x2LangId,
@@ -77,6 +78,7 @@ object SparkEntry {
     "r22_range" -> Relational2.r22Range,
     "r23_outer_join" -> Relational2.r23OuterJoin,
     "r24_pivot" -> Relational2.r24Pivot,
+    "r25_range_window" -> Relational2.r25RangeWindow,
   )
 
   /** Every oracle is wrapped in `ORDER BY ALL` (all columns,
@@ -131,6 +133,7 @@ object SparkEntry {
     "s5_quantize" -> LlmQueries.s5Sql,
     "s6_knn_ivf_probe" -> LlmQueries.s6Sql,
     "s7_pq_adc" -> LlmQueries.s7Sql,
+    "s8_ivf_pq" -> LlmQueries.s8Sql,
     "x13_decontaminate" -> LlmQueries.x13Sql,
     "x1_text_stats" -> LlmQueries.x1Sql,
     "x2_lang_id" -> LlmQueries.x2Sql,
@@ -169,5 +172,6 @@ object SparkEntry {
     "r22_range" -> Relational2.r22Sql,
     "r23_outer_join" -> Relational2.r23Sql,
     "r24_pivot" -> Relational2.r24Sql,
+    "r25_range_window" -> Relational2.r25Sql,
   )
 }

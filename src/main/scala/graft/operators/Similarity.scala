@@ -263,6 +263,45 @@ object Similarity {
         round(col("adist"), 6).as("adist"))
   }
 
+  /** The full IVF-PQ composition (s3's coarse quantizer × s7's
+    * product quantizer): corpus vectors land in an IVF cell AND
+    * carry PQ codes — one narrow pass computes both from the two
+    * broadcast rows — and each query ADC-ranks only its own cell's
+    * inverted list. This is the shape a production vector index
+    * actually serves: the candidate set shrinks by the cell count
+    * and the scanned bytes shrink by the PQ compression, stacking
+    * both economies; the only corpus exchange is the cell equi-join
+    * (queries broadcast), followed by the WindowGroupLimit-bounded
+    * top-k. */
+  def knnIvfPq(embeddings: DataFrame, queries: DataFrame,
+      centroids: DataFrame, codebook: DataFrame, m: Int, k: Int): DataFrame = {
+    val cbFlat = codebook
+      .select(struct(col("vec_id").as("j"), col("embedding").as("cw")).as("c"))
+      .agg(sort_array(collect_list(col("c"))).as("cb"))
+      .select(flatten(transform(col("cb"), c => c.getField("cw"))).as("cbf"))
+    val encoded = assignCells(embeddings, centroids)
+      .crossJoin(broadcast(cbFlat))
+      .select(col("vec_id"), col("cell"),
+        call_function("pq_codes", col("embedding"), col("cbf"), lit(m))
+          .as("codes"))
+    val queryCells = assignCells(queries, centroids)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qemb"),
+        col("cell"))
+    val pairs = encoded
+      .join(broadcast(queryCells), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .crossJoin(broadcast(cbFlat))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        call_function("pq_adc", col("qemb"), col("codes"), col("cbf"))
+          .as("adist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id"))
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("adist"), 6).as("adist"))
+  }
+
   /** Embedding near-duplicate pairs: self-join on LSH bucket, verify
     * with exact cosine >= threshold. The all-pairs comparison is
     * confined to within-bucket groups. */

@@ -372,6 +372,61 @@ object LlmQueries {
        |FROM r WHERE rnk <= 3""".stripMargin
   }
 
+  /** s8: the FULL IVF-PQ index (s3's coarse quantizer × s7's product
+    * quantizer): queries ADC-rank only their own IVF cell's inverted
+    * list, over PQ codes instead of raw floats — candidate count and
+    * scanned bytes shrink multiplicatively, the production serving
+    * shape. Same deterministic stand-ins as s3 (cells: vec_id<8) and
+    * s7 (codebook: vec_id<16) so the whole index restates in SQL. */
+  def s8IvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.knnIvfPq(emb, queryVecs(spark, dir),
+      emb.filter(col("vec_id") < 8), emb.filter(col("vec_id") < 16),
+      m = 8, k = 3)
+  }
+
+  val s8Sql: String = {
+    def subSql(v: String, c: String, m: String): String = {
+      def d(arr: String) = s"CAST($arr[$m*8 + d + 1] AS DOUBLE)"
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(8), d -> (${d(v)} - ${d(c)}) * (${d(v)} - ${d(c)}))), " +
+        s"(x, y) -> x + y)"
+    }
+    def assign(src: String) =
+      s"""SELECT vec_id, embedding, cell FROM (
+         |  SELECT v.vec_id, v.embedding, c.vec_id AS cell,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      ${cosSql("v.embedding", "c.embedding")} DESC, c.vec_id) AS crn
+         |  FROM ($src) v CROSS JOIN cent c) WHERE crn = 1""".stripMargin
+    s"""WITH cent AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+       |cb AS (SELECT vec_id AS j, embedding AS cw FROM embeddings
+       |  WHERE vec_id < 16),
+       |ms AS (SELECT m FROM range(8) t(m)),
+       |corpus_cells AS (${assign("SELECT vec_id, embedding FROM embeddings")}),
+       |query_cells AS (${assign(
+      "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5")}),
+       |enc AS (SELECT vec_id, cell, list(code ORDER BY m) AS codes FROM (
+       |    SELECT v.vec_id, v.cell, s.m, c.j AS code, row_number() OVER (
+       |      PARTITION BY v.vec_id, s.m
+       |      ORDER BY ${subSql("v.embedding", "c.cw", "s.m")} ASC, c.j ASC) AS rn
+       |    FROM corpus_cells v CROSS JOIN ms s CROSS JOIN cb c) WHERE rn = 1
+       |  GROUP BY vec_id, cell),
+       |qd AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, s.m,
+       |    ${subSql("q.embedding", "c.cw", "s.m")} AS dm
+       |  FROM enc e CROSS JOIN ms s
+       |  JOIN cb c ON c.j = e.codes[s.m + 1]
+       |  JOIN query_cells q ON q.cell = e.cell AND q.vec_id <> e.vec_id),
+       |ad AS (SELECT query_id, neighbor_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(dm ORDER BY m)),
+       |      (x, y) -> x + y) AS adist
+       |  FROM qd GROUP BY 1, 2),
+       |r AS (SELECT query_id, neighbor_id, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY adist ASC, neighbor_id) AS INT) AS rnk,
+       |    adist FROM ad)
+       |SELECT query_id, neighbor_id, rnk, round(adist, 6) AS adist
+       |FROM r WHERE rnk <= 3""".stripMargin
+  }
+
   /** s5: int8 scalar quantization quality — the storage-path op an
     * embedding corpus runs before ANN serving (4× smaller vectors):
     * per-vector symmetric scale 127/max|v|, q = floor(v·s + 0.5)

@@ -432,6 +432,40 @@ object Relational2 {
        |FROM orders GROUP BY 1""".stripMargin
   }
 
+  /** r25: RANGE-frame analytic window — the trailing-1-hour running
+    * aggregate every ops dashboard computes (distinct from r18's
+    * ROWS frames: the frame is bounded by VALUE distance, so peers
+    * and gaps behave per the SQL standard on both engines). Ordering
+    * key is exact epoch microseconds (BIGINT) and the summed measure
+    * is integer cents, so the window sum is order-independent and
+    * hash-stable. One shuffle on event_type + an in-partition sort —
+    * at scale the partition count is the event-type cardinality, so
+    * a skewed type would range-partition by (type, time-bucket) with
+    * boundary overlap; documented, not needed at test SF. */
+  def r25RangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"),
+      floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts_us"))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    ev.select(col("event_id"), col("event_type"), col("ts_us"),
+      count(lit(1)).over(w).as("n_1h"),
+      sum(col("cents")).over(w).as("cents_1h"))
+  }
+
+  val r25Sql: String =
+    """WITH e AS (SELECT event_id, event_type,
+      |    CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events)
+      |SELECT event_id, event_type, ts_us,
+      |  count(*) OVER w AS n_1h,
+      |  CAST(sum(cents) OVER w AS BIGINT) AS cents_1h
+      |FROM e
+      |WINDOW w AS (PARTITION BY event_type ORDER BY ts_us
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
+
   val r23Sql: String =
     """WITH cust AS (SELECT c_custkey, c_mktsegment FROM customer
       |    WHERE c_custkey % 7 = 0),

@@ -138,6 +138,42 @@ class Round6Spec extends SparkTestBase {
     assert(pq === exact)
   }
 
+  test("s8 IVF-PQ: one cell + self codebook degenerates to exact L2") {
+    // with a single centroid every vector shares one cell, and a
+    // self codebook makes ADC exact — so the full composition must
+    // reproduce knnPqAdc, which the s7 spec pins to brute-force L2
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 100)
+    val queries = emb.filter(col("vec_id") < 3)
+    val oneCell = emb.filter(col("vec_id") === 0)
+    val composed = graft.operators.Similarity
+      .knnIvfPq(emb, queries, oneCell, emb, m = 8, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSet
+    val flat = graft.operators.Similarity
+      .knnPqAdc(emb, queries, emb, m = 8, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSet
+    assert(composed === flat)
+  }
+
+  test("r25 range window: trailing-1h frame hand-checked") {
+    import org.apache.spark.sql.expressions.Window
+    // events at t=0s, 30m, 59m59s, 61m: the 61m row's 1h frame drops
+    // the t=0 row (61m - 1h > 0) but keeps 30m and 59m59s
+    val t0 = 1700000000000000L // epoch micros
+    val us = Seq(0L, 1800L * 1000000, 3599L * 1000000, 3660L * 1000000)
+    val ev = us.zipWithIndex.map { case (u, i) =>
+      (i.toLong, "click", new java.sql.Timestamp((t0 + u) / 1000), 1.0) }
+      .toDF("event_id", "event_type", "ts", "value")
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(unix_micros(col("ts"))).rangeBetween(-3600L * 1000000L, 0L)
+    val counts = ev.select(col("event_id"),
+        count(lit(1)).over(w).as("n_1h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts === Map(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 3L))
+  }
+
   test("Scrub: PII rules mask email/ip/phone, rule order holds") {
     import graft.operators.Scrub
     // comma after the phone: the phone rule's optional trailer
