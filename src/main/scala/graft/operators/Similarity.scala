@@ -229,16 +229,29 @@ object Similarity {
     * PqAdc): one JVM loop per vector, not m×k interpreted HOF
     * lambdas — the encode pass is the operator's dominant cost at
     * corpus scale. */
+  /** Codebook → ONE broadcast row: codewords sorted by id, flattened
+    * to a position-indexed float array (k × dim) — the shape the
+    * PqCodes/PqAdc kernels index. */
+  private def pqFlatCodebook(codebook: DataFrame): DataFrame = codebook
+    .select(struct(col("vec_id").as("j"), col("embedding").as("cw")).as("c"))
+    .agg(sort_array(collect_list(col("c"))).as("cb"))
+    .select(flatten(transform(col("cb"), c => c.getField("cw"))).as("cbf"))
+
+  /** ADC pairs → top-k per query: (adist ASC, neighbor_id ASC) rank,
+    * WindowGroupLimit-bounded. */
+  private def pqRank(pairs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id"))
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("adist"), 6).as("adist"))
+  }
+
   def knnPqAdc(embeddings: DataFrame, queries: DataFrame,
       codebook: DataFrame, m: Int, k: Int, dim: Int = 64): DataFrame = {
     require(m > 0 && dim % m == 0, s"dim $dim not divisible by m $m")
-    // codebook folds to ONE broadcast row: codewords sorted by id,
-    // flattened to a position-indexed float array (k × dim)
-    val cbFlat = codebook
-      .select(struct(col("vec_id").as("j"), col("embedding").as("cw")).as("c"))
-      .agg(sort_array(collect_list(col("c"))).as("cb"))
-      .select(flatten(transform(col("cb"), c => c.getField("cw"))).as("cbf"))
-
+    val cbFlat = pqFlatCodebook(codebook)
     val encoded = embeddings.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(cbFlat))
       .select(col("vec_id"),
@@ -255,12 +268,7 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         call_function("pq_adc", col("qemb"), col("codes"), col("cbf"))
           .as("adist"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adist").asc, col("neighbor_id"))
-    pairs.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"),
-        round(col("adist"), 6).as("adist"))
+    pqRank(pairs, k)
   }
 
   /** The full IVF-PQ composition (s3's coarse quantizer × s7's
@@ -274,11 +282,10 @@ object Similarity {
     * (queries broadcast), followed by the WindowGroupLimit-bounded
     * top-k. */
   def knnIvfPq(embeddings: DataFrame, queries: DataFrame,
-      centroids: DataFrame, codebook: DataFrame, m: Int, k: Int): DataFrame = {
-    val cbFlat = codebook
-      .select(struct(col("vec_id").as("j"), col("embedding").as("cw")).as("c"))
-      .agg(sort_array(collect_list(col("c"))).as("cb"))
-      .select(flatten(transform(col("cb"), c => c.getField("cw"))).as("cbf"))
+      centroids: DataFrame, codebook: DataFrame, m: Int, k: Int,
+      dim: Int = 64): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim $dim not divisible by m $m")
+    val cbFlat = pqFlatCodebook(codebook)
     val encoded = assignCells(embeddings, centroids)
       .crossJoin(broadcast(cbFlat))
       .select(col("vec_id"), col("cell"),
@@ -294,12 +301,7 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         call_function("pq_adc", col("qemb"), col("codes"), col("cbf"))
           .as("adist"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adist").asc, col("neighbor_id"))
-    pairs.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"),
-        round(col("adist"), 6).as("adist"))
+    pqRank(pairs, k)
   }
 
   /** Embedding near-duplicate pairs: self-join on LSH bucket, verify

@@ -337,16 +337,20 @@ object LlmQueries {
       emb.filter(col("vec_id") < 16), m = 8, k = 3)
   }
 
+  /** squared L2 over subspace m's 8 dims, double-accumulated in
+    * ascending dim order (floats widened before subtract) — the
+    * exact fold the PqCodes/PqAdc kernels run. ONE definition shared
+    * by the s7 and s8 oracles on purpose: the ADC fold is the
+    * parity-critical piece and must not diverge between them. */
+  private def pqSubSql(v: String, c: String, m: String): String = {
+    def d(arr: String) = s"CAST($arr[$m*8 + d + 1] AS DOUBLE)"
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(8), d -> (${d(v)} - ${d(c)}) * (${d(v)} - ${d(c)}))), " +
+      s"(x, y) -> x + y)"
+  }
+
   val s7Sql: String = {
-    // squared L2 over subspace m's 8 dims, double-accumulated in
-    // ascending dim order (floats widened before subtract) — the
-    // exact fold Similarity.knnPqAdc.subDistSq runs
-    def subSql(v: String, c: String, m: String): String = {
-      def d(arr: String) = s"CAST($arr[$m*8 + d + 1] AS DOUBLE)"
-      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-        s"list_transform(range(8), d -> (${d(v)} - ${d(c)}) * (${d(v)} - ${d(c)}))), " +
-        s"(x, y) -> x + y)"
-    }
+    def subSql(v: String, c: String, m: String) = pqSubSql(v, c, m)
     s"""WITH cb AS (SELECT vec_id AS j, embedding AS cw FROM embeddings
        |  WHERE vec_id < 16),
        |ms AS (SELECT m FROM range(8) t(m)),
@@ -386,12 +390,7 @@ object LlmQueries {
   }
 
   val s8Sql: String = {
-    def subSql(v: String, c: String, m: String): String = {
-      def d(arr: String) = s"CAST($arr[$m*8 + d + 1] AS DOUBLE)"
-      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-        s"list_transform(range(8), d -> (${d(v)} - ${d(c)}) * (${d(v)} - ${d(c)}))), " +
-        s"(x, y) -> x + y)"
-    }
+    def subSql(v: String, c: String, m: String) = pqSubSql(v, c, m)
     def assign(src: String) =
       s"""SELECT vec_id, embedding, cell FROM (
          |  SELECT v.vec_id, v.embedding, c.vec_id AS cell,

@@ -442,8 +442,14 @@ object Relational2 {
     * at scale the partition count is the event-type cardinality, so
     * a skewed type would range-partition by (type, time-bucket) with
     * boundary overlap; documented, not needed at test SF. */
-  def r25RangeWindow(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir).select(
+  def r25RangeWindow(spark: SparkSession, dir: String): DataFrame =
+    trailingWindowStats(Tables.events(spark, dir))
+
+  /** DataFrame-taking core of r25 (eventsIn: event_id, event_type,
+    * ts, value) — the unit spec asserts on THIS, so a frame-bound or
+    * rounding regression can't hide behind a test-local copy. */
+  def trailingWindowStats(eventsIn: DataFrame): DataFrame = {
+    val ev = eventsIn.select(
       col("event_id"), col("event_type"),
       unix_micros(col("ts")).as("ts_us"),
       floor(col("value") * 100 + 0.5).cast("long").as("cents"))

@@ -158,20 +158,19 @@ class Round6Spec extends SparkTestBase {
   }
 
   test("r25 range window: trailing-1h frame hand-checked") {
-    import org.apache.spark.sql.expressions.Window
     // events at t=0s, 30m, 59m59s, 61m: the 61m row's 1h frame drops
     // the t=0 row (61m - 1h > 0) but keeps 30m and 59m59s
     val t0 = 1700000000000000L // epoch micros
     val us = Seq(0L, 1800L * 1000000, 3599L * 1000000, 3660L * 1000000)
     val ev = us.zipWithIndex.map { case (u, i) =>
-      (i.toLong, "click", new java.sql.Timestamp((t0 + u) / 1000), 1.0) }
+      (i.toLong, "click", new java.sql.Timestamp((t0 + u) / 1000), 1.5) }
       .toDF("event_id", "event_type", "ts", "value")
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(unix_micros(col("ts"))).rangeBetween(-3600L * 1000000L, 0L)
-    val counts = ev.select(col("event_id"),
-        count(lit(1)).over(w).as("n_1h")).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(counts === Map(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 3L))
+    val rows = Relational2.trailingWindowStats(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    // value 1.5 -> 150 cents each, so cents_1h = 150 * n_1h pins the
+    // floor(x*100+0.5) derivation too
+    assert(rows === Map(0L -> ((1L, 150L)), 1L -> ((2L, 300L)),
+      2L -> ((3L, 450L)), 3L -> ((3L, 450L))))
   }
 
   test("Scrub: PII rules mask email/ip/phone, rule order holds") {
@@ -220,6 +219,27 @@ class Round6Spec extends SparkTestBase {
       assert(nDocs === 2L && firstDoc === 1L)
       assert(boiler.contains(gram))
     }
+  }
+
+  test("d7 with TRAINED centroids: k-means quantizer plugs into the same API") {
+    import graft.operators.{KMeans, Similarity}
+    import graft.functions.TextFunctions
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 200)
+    val trained = KMeans.train(emb, k = 4, iters = 3)
+    val cells = Similarity.assignCells(emb, trained)
+    // every vector lands in a trained cell, and within-cell pairing
+    // (the d7 shape) produces only ordered same-cell pairs
+    assert(cells.filter(col("cell").isNull).count() === 0)
+    val a = cells.select(col("cell"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"))
+    val b = cells.select(col("cell"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"))
+    val pairs = a.join(b, Seq("cell")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", TextFunctions.cosineSim(col("ea"), col("eb")))
+      .filter(col("cos") >= 0.35)
+    assert(pairs.filter(col("vec_a") >= col("vec_b")).count() === 0)
+    assert(pairs.count() > 0, "trained cells should yield candidate pairs")
   }
 
   test("r24 pivot: cells partition the orders table") {
