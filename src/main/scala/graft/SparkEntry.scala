@@ -63,6 +63,7 @@ object SparkEntry {
     "x15_bloom_decontaminate" -> LlmQueries.x15BloomDecontaminate,
     "x16_pack" -> CorpusQueries.x16Pack,
     "x17_scrub" -> CorpusQueries.x17Scrub,
+    "x18_string_profile" -> LlmQueries.x18StringProfile,
     "r10_rollup" -> Relational2.r10Rollup,
     "r11_cube" -> Relational2.r11Cube,
     "r12_setops" -> Relational2.r12SetOps,
@@ -157,6 +158,7 @@ object SparkEntry {
     "x15_bloom_decontaminate" -> LlmQueries.x15Sql,
     "x16_pack" -> CorpusQueries.x16Sql,
     "x17_scrub" -> CorpusQueries.x17Sql,
+    "x18_string_profile" -> LlmQueries.x18Sql,
     "r10_rollup" -> Relational2.r10Sql,
     "r11_cube" -> Relational2.r11Sql,
     "r12_setops" -> Relational2.r12Sql,

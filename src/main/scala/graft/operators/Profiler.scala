@@ -26,4 +26,27 @@ object Profiler {
       min(col("v")).as("vmin"),
       max(col("v")).as("vmax"))
   }
+
+  /** Profile string columns — same one-scan unpivot shape as
+    * numericProfile (the two profiles together cover a table's whole
+    * schema in two scans total, never one per column): cardinality,
+    * empty-value count, length bounds, and total bytes per column.
+    * Length is measured in CHARACTERS (Spark `length` ↔ DuckDB
+    * `length`), byte volume in UTF-8 bytes (`octet_length` on both
+    * engines) — the sizing numbers a storage planner actually wants. */
+  def stringProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val stacked = df.select(
+      explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*))
+        .as("e"))
+      .select(col("e.col_name").as("col_name"), col("e.v").as("v"))
+    stacked.groupBy(col("col_name")).agg(
+      count(lit(1)).as("n_rows"),
+      count(col("v")).as("n_nonnull"),
+      countDistinct(col("v")).as("n_distinct"),
+      count(when(col("v") === "", 1)).as("n_empty"),
+      min(length(col("v"))).as("len_min"),
+      max(length(col("v"))).as("len_max"),
+      sum(octet_length(col("v"))).as("total_bytes"))
+  }
 }

@@ -757,6 +757,29 @@ object LlmQueries {
       |  count(DISTINCT v) AS n_distinct, min(v) AS vmin, max(v) AS vmax
       |FROM s GROUP BY 1""".stripMargin
 
+  /** x18: string-column profile of the documents table — the
+    * companion to x9's numeric profile (together the two cover a
+    * table's full schema in two scans): per-column cardinality,
+    * empties, character-length bounds and UTF-8 byte volume, one
+    * unpivot + hash agg. */
+  def x18StringProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiler.stringProfile(Tables.documents(spark, dir),
+      Seq("text", "lang", "source"))
+
+  val x18Sql: String =
+    """WITH s AS (
+      |  SELECT 'text' AS col_name, text AS v FROM documents
+      |  UNION ALL SELECT 'lang', lang FROM documents
+      |  UNION ALL SELECT 'source', source FROM documents
+      |)
+      |SELECT col_name, count(*) AS n_rows, count(v) AS n_nonnull,
+      |  count(DISTINCT v) AS n_distinct,
+      |  count(*) FILTER (v = '') AS n_empty,
+      |  CAST(min(length(v)) AS INT) AS len_min,
+      |  CAST(max(length(v)) AS INT) AS len_max,
+      |  CAST(sum(octet_length(encode(v))) AS BIGINT) AS total_bytes
+      |FROM s GROUP BY 1""".stripMargin
+
   /** x10: the capstone composition — corpus curation. The training
     * set a reference user actually materializes: drop the younger
     * side of every near-duplicate pair (d2's MinHash-LSH verified
