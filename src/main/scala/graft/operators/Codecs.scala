@@ -378,8 +378,19 @@ object Codecs {
     * RGB contract (same as BmpCodec.decodeRgb / Y4M extract), so a
     * decoded JPEG frame feeds the real inference path unchanged. */
   object ImageIoCodecs {
+    /** ImageIO surfaces corrupt payloads as IOException subtypes
+      * (IIOException on a truncated PNG header, for instance); the
+      * codec contract is the same clean IllegalArgumentException
+      * every other malformed-payload path produces, so decode-side
+      * entry points wrap the JDK decoder. */
+    private def cleanly[T](what: String)(body: => T): T =
+      try body catch {
+        case e: java.io.IOException =>
+          throw new IllegalArgumentException(s"$what: ${e.getMessage}", e)
+      }
+
     /** Decode any ImageIO-supported payload to (w, h, packed RGB). */
-    def decodeRgb(d: Array[Byte]): (Int, Int, Array[Byte]) = {
+    def decodeRgb(d: Array[Byte]): (Int, Int, Array[Byte]) = cleanly("ImageIO pixel decode failed") {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(d))
       require(img != null, "ImageIO found no decoder for payload")
       val w = img.getWidth; val h = img.getHeight
@@ -424,7 +435,7 @@ object Codecs {
     /** Header-only dims — like the other codecs' parseHeader, the
       * metadata path must NOT inflate the raster: ImageReader reads
       * just the image header off the stream. */
-    def dims(d: Array[Byte]): (Int, Int) = {
+    def dims(d: Array[Byte]): (Int, Int) = cleanly("ImageIO header parse failed") {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(d))
       try {

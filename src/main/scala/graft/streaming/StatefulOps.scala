@@ -16,6 +16,20 @@ object StatefulOps {
   final case class VideoProgress(video_id: String, frames_total: Long,
       max_frame_id: Long)
 
+  /** Watermark-bounded streaming dedup via Spark's own
+    * `dropDuplicatesWithinWatermark`: exactly-once per key within
+    * the watermark horizon, with the dedup state EVICTED once the
+    * watermark passes — the bounded-state contract StreamingDedup
+    * implements by hand for near-dups, here for exact keys with
+    * zero custom state code. The right default for at-least-once
+    * upstreams (e.g. a redelivering frame source): duplicates
+    * arrive close together, so state stays proportional to the
+    * watermark window, not the stream's lifetime key count. */
+  def dedupWithinWatermark(frames: Dataset[Frame],
+      delay: String): Dataset[Frame] =
+    frames.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("video_id", "frame_id")
+
   /** A1 as keyed streaming state: running per-video frame count +
     * high-water frame id, emitted once per video per micro-batch
     * (update mode). */

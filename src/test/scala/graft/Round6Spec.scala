@@ -242,6 +242,50 @@ class Round6Spec extends SparkTestBase {
     assert(pairs.count() > 0, "trained cells should yield candidate pairs")
   }
 
+  test("codec fuzz: corrupted payloads fail cleanly, never AIOOBE/NPE") {
+    import graft.operators.{Codecs, Multimodal}
+    // deterministic corruptions of four valid payloads: truncations
+    // at every boundary region plus byte flips from a fixed LCG —
+    // every malformed input must surface as the codecs' contractual
+    // IllegalArgumentException (require), never an index/NPE crash
+    val wav = Codecs.WavCodec.encodePcm16(8000, 1,
+      Array.tabulate(64)(i => (i * 37 - 1000).toShort))
+    val bmp = Codecs.BmpCodec.encodeRgb(9, 7,
+      Array.tabulate(9 * 7 * 3)(i => (i * 29).toByte))
+    val png = Codecs.ImageIoCodecs.encodeRgb("png", 8, 5,
+      Array.tabulate(8 * 5 * 3)(i => (i * 31).toByte))
+    val y4m = Codecs.Y4mCodec.encodeRgbFrames(6, 4,
+      Seq(Array.tabulate(6 * 4 * 3)(i => (i * 13).toByte)))
+    var seed = 123456789L
+    def nextInt(bound: Int): Int = {
+      seed = (seed * 6364136223846793005L + 1442695040888963407L)
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    val payloads = Seq("wav" -> wav, "bmp" -> bmp, "png" -> png, "y4m" -> y4m)
+    for ((name, good) <- payloads) {
+      val cuts = Seq(1, 4, 11, good.length / 2, good.length - 1)
+      val flips = (1 to 20).map { _ =>
+        val b = good.clone(); val at = nextInt(good.length)
+        b(at) = (b(at) ^ (1 << nextInt(8))).toByte; b
+      }
+      for ((bad, i) <- (cuts.map(java.util.Arrays.copyOf(good, _)) ++ flips)
+          .zipWithIndex) {
+        try {
+          val dec = Codecs.AutoCodec.decode(
+            Multimodal.MediaRecord(i.toLong, "media", bad))
+          // surviving a flip is fine (payload may still be valid);
+          // the decode contract just has to hold
+          assert(dec.byte_len === bad.length)
+        } catch {
+          case _: IllegalArgumentException => // clean contractual failure
+          case e: Throwable =>
+            fail(s"$name corruption #$i leaked ${e.getClass.getName}: " +
+              s"${e.getMessage}")
+        }
+      }
+    }
+  }
+
   test("r24 pivot: cells partition the orders table") {
     val out = Relational2.r24Pivot(spark, sf)
     assert(out.columns.toSeq === Seq("o_orderpriority", "f_n", "f_cents",

@@ -255,6 +255,31 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.toSeq === Seq((1L, 5000L)))
   }
 
+  test("dropDuplicatesWithinWatermark: redelivered frames collapse, state bounded") {
+    import testImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Frame]
+    val q = graft.streaming.StatefulOps
+      .dedupWithinWatermark(mem.toDS(), "10 seconds")
+      .select(col("video_id"), col("frame_id"))
+      .writeStream.format("memory").queryName("wmdedup_out")
+      .outputMode("append").option("checkpointLocation", tmpDir()).start()
+    // batch 1: frames 1-3; batch 2 redelivers 2-3 (at-least-once
+    // upstream) plus new frame 4 — redeliveries must collapse
+    mem.addData(mkFrames(1 to 3))
+    q.processAllAvailable()
+    mem.addData(mkFrames(2 to 4))
+    q.processAllAvailable()
+    // advance the watermark far past the dedup horizon, then emit a
+    // fresh frame to flush finalized rows
+    mem.addData(mkFrames(1000 to 1000))
+    q.processAllAvailable()
+    val got = spark.table("wmdedup_out").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sorted
+    q.stop()
+    assert(got.map(_._2).toSeq === Seq(1L, 2L, 3L, 4L, 1000L))
+  }
+
   test("streaming exact dedup: duplicate frames across batches dropped") {
     import testImplicits._
     implicit val sqlCtx = spark.sqlContext
