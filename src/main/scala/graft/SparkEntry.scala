@@ -35,6 +35,7 @@ object SparkEntry {
     "d6_simhash_pairs" -> LlmQueries.d6SimhashPairs,
     "d7_semantic_dedup" -> LlmQueries.d7SemanticDedup,
     "d8_repeated_ngrams" -> CorpusQueries.d8RepeatedNgrams,
+    "d9_dedup_clusters" -> LlmQueries.d9DedupClusters,
     "s1_knn" -> LlmQueries.s1Knn,
     "s2_knn_lsh" -> LlmQueries.s2KnnLsh,
     "s3_knn_ivf" -> LlmQueries.s3KnnIvf,
@@ -127,6 +128,7 @@ object SparkEntry {
     "d6_simhash_pairs" -> LlmQueries.d6Sql,
     "d7_semantic_dedup" -> LlmQueries.d7Sql,
     "d8_repeated_ngrams" -> CorpusQueries.d8Sql,
+    "d9_dedup_clusters" -> LlmQueries.d9Sql,
     "s1_knn" -> LlmQueries.s1Sql,
     "s2_knn_lsh" -> LlmQueries.s2Sql,
     "s3_knn_ivf" -> LlmQueries.s3Sql,

@@ -757,6 +757,40 @@ object LlmQueries {
       |  count(DISTINCT v) AS n_distinct, min(v) AS vmin, max(v) AS vmax
       |FROM s GROUP BY 1""".stripMargin
 
+  /** d9: dedup CLUSTERS — the transitive closure of the d2 near-dup
+    * pairs via distributed connected components (iterative min-label
+    * propagation, operators.Components). Pair-based dropping (x10)
+    * under-merges chains: a~b and b~c never compare a to c, yet all
+    * three are one duplicate family — production curation clusters
+    * first, then keeps ONE survivor per cluster (the min doc_id).
+    * The oracle restates the fixpoint as a recursive CTE (min
+    * reachable node per node), so the distributed iteration is
+    * hash-checked against a declarative transitive closure. */
+  def d9DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.nearDupPairs(Tables.documents(spark, dir),
+      threshold = 0.8)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    graft.operators.Components.connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("cluster"),
+        (col("node") === col("cluster")).as("survivor"))
+  }
+
+  val d9Sql: String = {
+    val d2Ctes = d2Sql.substring(0, d2Sql.lastIndexOf("SELECT da AS doc_a"))
+      .trim.replaceFirst("^WITH ", "WITH RECURSIVE ")
+    s"""$d2Ctes,
+       |edges AS (SELECT da AS a, db AS b FROM ver WHERE jac >= 0.8),
+       |sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+       |reach(node, lab) AS (
+       |  SELECT DISTINCT a AS node, a AS lab FROM sym
+       |  UNION
+       |  SELECT s.a AS node, r.lab FROM sym s JOIN reach r ON r.node = s.b
+       |)
+       |SELECT node AS doc_id, min(lab) AS cluster,
+       |  node = min(lab) AS survivor
+       |FROM reach GROUP BY node""".stripMargin
+  }
+
   /** x18: string-column profile of the documents table — the
     * companion to x9's numeric profile (together the two cover a
     * table's full schema in two scans): per-column cardinality,

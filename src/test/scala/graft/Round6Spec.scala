@@ -286,6 +286,22 @@ class Round6Spec extends SparkTestBase {
     }
   }
 
+  test("connectedComponents: chains merge, islands stay apart, converges") {
+    import graft.operators.Components
+    // two components: {1,2,3,4} via a chain (1-2, 2-3, 3-4) that
+    // pairwise dropping would under-merge, and {10,11}; plus a
+    // self-contained edge (20,20)
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (20L, 20L))
+      .toDF("a", "b")
+    val got = Components.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+    // empty edge list → empty labeling, no iteration blow-up
+    assert(Components.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("a", "b")).count() === 0L)
+  }
+
   test("r24 pivot: cells partition the orders table") {
     val out = Relational2.r24Pivot(spark, sf)
     assert(out.columns.toSeq === Seq("o_orderpriority", "f_n", "f_cents",
