@@ -49,10 +49,15 @@ object Components {
         .localCheckpoint(true)
       val changed = next.alias("n").join(labels.alias("o"), Seq("node"))
         .filter(col("n.label") =!= col("o.label")).count()
+      // release the superseded round's snapshot NOW — without this,
+      // up to maxIters dead label tables pile up in storage memory
+      // until the driver's ContextCleaner happens to GC them
+      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
+    sym.unpersist()
     require(converged, s"connectedComponents did not converge in $maxIters rounds")
     labels.select(col("node"), col("label").as("cluster"))
   }

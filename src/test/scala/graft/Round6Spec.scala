@@ -270,18 +270,21 @@ class Round6Spec extends SparkTestBase {
       }
       for ((bad, i) <- (cuts.map(java.util.Arrays.copyOf(good, _)) ++ flips)
           .zipWithIndex) {
-        try {
-          val dec = Codecs.AutoCodec.decode(
-            Multimodal.MediaRecord(i.toLong, "media", bad))
-          // surviving a flip is fine (payload may still be valid);
-          // the decode contract just has to hold
-          assert(dec.byte_len === bad.length)
-        } catch {
-          case _: IllegalArgumentException => // clean contractual failure
-          case e: Throwable =>
-            fail(s"$name corruption #$i leaked ${e.getClass.getName}: " +
-              s"${e.getMessage}")
-        }
+        // decode outside the assertion: the catch must only classify
+        // codec exceptions, never swallow a failed assert (or a
+        // fatal VM error) into a misleading "leaked" report
+        val decoded =
+          try Some(Codecs.AutoCodec.decode(
+            Multimodal.MediaRecord(i.toLong, "media", bad)))
+          catch {
+            case _: IllegalArgumentException => None // clean contractual failure
+            case scala.util.control.NonFatal(e) =>
+              fail(s"$name corruption #$i leaked ${e.getClass.getName}: " +
+                s"${e.getMessage}")
+          }
+        // surviving a flip is fine (payload may still be valid);
+        // the decode contract just has to hold
+        decoded.foreach(dec => assert(dec.byte_len === bad.length))
       }
     }
   }
