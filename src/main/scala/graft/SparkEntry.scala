@@ -65,6 +65,7 @@ object SparkEntry {
     "x16_pack" -> CorpusQueries.x16Pack,
     "x17_scrub" -> CorpusQueries.x17Scrub,
     "x18_string_profile" -> LlmQueries.x18StringProfile,
+    "x19_mixing" -> LlmQueries.x19Mixing,
     "r10_rollup" -> Relational2.r10Rollup,
     "r11_cube" -> Relational2.r11Cube,
     "r12_setops" -> Relational2.r12SetOps,
@@ -161,6 +162,7 @@ object SparkEntry {
     "x16_pack" -> CorpusQueries.x16Sql,
     "x17_scrub" -> CorpusQueries.x17Sql,
     "x18_string_profile" -> LlmQueries.x18Sql,
+    "x19_mixing" -> LlmQueries.x19Sql,
     "r10_rollup" -> Relational2.r10Sql,
     "r11_cube" -> Relational2.r11Sql,
     "r12_setops" -> Relational2.r12Sql,

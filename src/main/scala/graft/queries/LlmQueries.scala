@@ -791,6 +791,45 @@ object LlmQueries {
        |FROM reach GROUP BY node""".stripMargin
   }
 
+  /** x19: corpus MIXING — the data-mixture rebalancing step: cap
+    * every source at a target character budget T by computing
+    * rate_s = min(1, T / total_chars_s) and keeping docs whose
+    * content hash falls under the integer threshold
+    * floor(rate·1e6 + 0.5) — deterministic, engine-exact, and stable
+    * as the corpus grows (x12's per-lang sampling with DATA-DRIVEN
+    * rates instead of fixed ones). Two-phase plan: the per-source
+    * totals aggregate is tiny (one row per source) and broadcasts
+    * back onto the scan, so the mixture decision is row-local — at
+    * 100 TB this is one small agg + one narrow filtered scan, the
+    * standard rate-computation shape. */
+  def x19Mixing(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val totals = docs.groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("total_chars"))
+      .withColumn("threshold",
+        floor(least(lit(1.0), lit(5000.0) / col("total_chars"))
+          * 1000000 + 0.5).cast("long"))
+    docs.join(broadcast(totals), Seq("source"))
+      .filter(TextFunctions.polyHash(col("text")) % 1000000
+        < col("threshold"))
+      .groupBy(col("source"), col("total_chars"), col("threshold"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+  }
+
+  val x19Sql: String =
+    s"""WITH t AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |  FROM documents GROUP BY 1),
+       |r AS (SELECT source, total_chars,
+       |    CAST(floor(least(CAST(1 AS DOUBLE),
+       |      CAST(5000 AS DOUBLE) / total_chars) * 1000000 + 0.5) AS BIGINT)
+       |      AS threshold
+       |  FROM t)
+       |SELECT d.source, r.total_chars, r.threshold,
+       |  count(*) AS n_kept, CAST(sum(d.n_chars) AS BIGINT) AS chars_kept
+       |FROM documents d JOIN r ON d.source = r.source
+       |WHERE ${polySql("d.text")} % 1000000 < r.threshold
+       |GROUP BY 1, 2, 3""".stripMargin
+
   /** x18: string-column profile of the documents table — the
     * companion to x9's numeric profile (together the two cover a
     * table's full schema in two scans): per-column cardinality,

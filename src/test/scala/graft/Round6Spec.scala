@@ -256,12 +256,17 @@ class Round6Spec extends SparkTestBase {
       Array.tabulate(8 * 5 * 3)(i => (i * 31).toByte))
     val y4m = Codecs.Y4mCodec.encodeRgbFrames(6, 4,
       Seq(Array.tabulate(6 * 4 * 3)(i => (i * 13).toByte)))
+    val avi = Codecs.AviMjpegCodec.encodeJpegFrames(8, 6,
+      Seq(Codecs.ImageIoCodecs.encodeRgb("jpg", 8, 6,
+        Array.tabulate(8 * 6 * 3)(i => (i * 17).toByte))),
+      interleaved = true)
     var seed = 123456789L
     def nextInt(bound: Int): Int = {
       seed = (seed * 6364136223846793005L + 1442695040888963407L)
       (((seed >>> 33) % bound).toInt + bound) % bound
     }
-    val payloads = Seq("wav" -> wav, "bmp" -> bmp, "png" -> png, "y4m" -> y4m)
+    val payloads = Seq("wav" -> wav, "bmp" -> bmp, "png" -> png,
+      "y4m" -> y4m, "avi" -> avi)
     for ((name, good) <- payloads) {
       val cuts = Seq(1, 4, 11, good.length / 2, good.length - 1)
       val flips = (1 to 20).map { _ =>

@@ -255,6 +255,34 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.toSeq === Seq((1L, 5000L)))
   }
 
+  test("streaming session windows: gap-merged sessions finalize in append mode") {
+    import testImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    def ts(s: Long) = new Timestamp(t0 + s * 1000L)
+    val mem = MemoryStream[(Long, Timestamp)]
+    val agg = mem.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "5 seconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"))
+    val q = agg.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").option("checkpointLocation", tmpDir()).start()
+    // user 1: events at 0s/3s/6s chain into ONE session (gaps < 5s);
+    // the 100s event opens a separate session. user 2: one event.
+    mem.addData((1L, ts(0)), (1L, ts(3)), (2L, ts(1)))
+    q.processAllAvailable()
+    mem.addData((1L, ts(6)), (1L, ts(100)))
+    q.processAllAvailable()
+    // push the watermark far past every session's close to finalize
+    mem.addData((9L, ts(1000)))
+    q.processAllAvailable()
+    val got = spark.table("sess_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    q.stop()
+    assert(got === Seq((1L, 1L), (1L, 3L), (2L, 1L)))
+  }
+
   test("dropDuplicatesWithinWatermark: redelivered frames collapse, state bounded") {
     import testImplicits._
     implicit val sqlCtx = spark.sqlContext
