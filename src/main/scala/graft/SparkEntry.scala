@@ -66,6 +66,7 @@ object SparkEntry {
     "x17_scrub" -> CorpusQueries.x17Scrub,
     "x18_string_profile" -> LlmQueries.x18StringProfile,
     "x19_mixing" -> LlmQueries.x19Mixing,
+    "x20_curation_v2" -> LlmQueries.x20CurationV2,
     "r10_rollup" -> Relational2.r10Rollup,
     "r11_cube" -> Relational2.r11Cube,
     "r12_setops" -> Relational2.r12SetOps,
@@ -163,6 +164,7 @@ object SparkEntry {
     "x17_scrub" -> CorpusQueries.x17Sql,
     "x18_string_profile" -> LlmQueries.x18Sql,
     "x19_mixing" -> LlmQueries.x19Sql,
+    "x20_curation_v2" -> LlmQueries.x20Sql,
     "r10_rollup" -> Relational2.r10Sql,
     "r11_cube" -> Relational2.r11Sql,
     "r12_setops" -> Relational2.r12Sql,

@@ -791,6 +791,41 @@ object LlmQueries {
        |FROM reach GROUP BY node""".stripMargin
   }
 
+  /** x20: curation capstone v2 — the round-6 operators composed into
+    * one declarative pipeline: cluster-aware dedup (keep only d9's
+    * per-cluster survivors, the transitive-closure discipline x10's
+    * pair-greedy drop lacks) + the x14 repetition gate, reported as
+    * a per-lang mixture summary. One optimized plan end to end:
+    * Catalyst sees the anti-join, the repetition projection and the
+    * final aggregate together. */
+  def x20CurationV2(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nonSurvivors = d9DedupClusters(spark, dir)
+      .filter(!col("survivor")).select(col("doc_id"))
+    val rep = repetitionProfile(docs)
+      .select(col("doc_id"), col("dup_word_frac"))
+    docs.join(nonSurvivors, Seq("doc_id"), "left_anti")
+      .join(rep, Seq("doc_id"))
+      .filter(col("dup_word_frac") <= 0.5)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+  }
+
+  // lazy: x14Sql is declared later in this object — an eager val
+  // would interpolate null at object-init time
+  lazy val x20Sql: String =
+    s"""SELECT d.lang, count(*) AS n_docs,
+       |  CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+       |FROM documents d
+       |JOIN (SELECT doc_id, dup_word_frac FROM (
+       |$x14Sql
+       |)) r ON d.doc_id = r.doc_id
+       |WHERE d.doc_id NOT IN (SELECT doc_id FROM (
+       |$d9Sql
+       |) WHERE NOT survivor)
+       |  AND r.dup_word_frac <= 0.5
+       |GROUP BY 1""".stripMargin
+
   /** x19: corpus MIXING — the data-mixture rebalancing step: cap
     * every source at a target character budget T by computing
     * rate_s = min(1, T / total_chars_s) and keeping docs whose
