@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.operators.{Dedup, Similarity}
@@ -794,18 +794,20 @@ object LlmQueries {
   /** x20: curation capstone v2 — the round-6 operators composed into
     * one declarative pipeline: cluster-aware dedup (keep only d9's
     * per-cluster survivors, the transitive-closure discipline x10's
-    * pair-greedy drop lacks) + the x14 repetition gate, reported as
-    * a per-lang mixture summary. One optimized plan end to end:
-    * Catalyst sees the anti-join, the repetition projection and the
-    * final aggregate together. */
+    * pair-greedy drop lacks) + the x14 repetition gate applied IN
+    * PLACE on the anti-joined scan (the gate is a pure per-row
+    * function, so it must not cost a documents self-join), reported
+    * as a per-lang mixture summary. Catalyst plans the anti-join +
+    * gate + aggregate together; the d9 cluster set itself is
+    * pre-materialized by the connectedComponents fixpoint (driver-
+    * side iteration at construction time — see PLANS.md's caveat). */
   def x20CurationV2(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val nonSurvivors = d9DedupClusters(spark, dir)
       .filter(!col("survivor")).select(col("doc_id"))
-    val rep = repetitionProfile(docs)
-      .select(col("doc_id"), col("dup_word_frac"))
     docs.join(nonSurvivors, Seq("doc_id"), "left_anti")
-      .join(rep, Seq("doc_id"))
+      .select(col("lang"), col("n_chars"),
+        dupWordFracFrom(repetitionStatsCol).as("dup_word_frac"))
       .filter(col("dup_word_frac") <= 0.5)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
@@ -1082,9 +1084,14 @@ object LlmQueries {
   /** DataFrame-taking core of x14 (docsIn: doc_id, text) — the unit
     * specs assert on THIS, so a metric regression can't hide behind
     * a test-local copy. */
-  def repetitionProfile(docsIn: DataFrame): DataFrame = {
+  /** The x14 stats struct as a row-local column over `text` — shared
+    * by repetitionProfile and any query (x20) that wants the metrics
+    * IN PLACE on an existing scan instead of via a doc_id self-join
+    * (a self-join would rescan and reshuffle the corpus to recompute
+    * a pure per-row function). */
+  private def repetitionStatsCol: Column = {
     import TextFunctions.bind
-    val stats = bind(TextFunctions.tokens(col("text")), ts => {
+    bind(TextFunctions.tokens(col("text")), ts => {
       val nTok = size(ts)
       val bigrams = when(nTok >= 2,
         array_distinct(transform(sequence(lit(1), nTok - 1),
@@ -1095,15 +1102,23 @@ object LlmQueries {
         TextFunctions.topTokenCount(ts).as("top_n"),
         size(bigrams).as("n_dbig"))
     })
+  }
+
+  /** dup_word_frac derivation from the stats struct (zero-token
+    * guard + round-at-edge), shared by profile and gate. */
+  private def dupWordFracFrom(s: Column): Column =
+    when(s.getField("n_tok") === 0, 0.0).otherwise(
+      round((s.getField("n_tok") - s.getField("n_distinct")).cast("double") /
+        s.getField("n_tok"), 6))
+
+  def repetitionProfile(docsIn: DataFrame): DataFrame = {
     docsIn
-      .select(col("doc_id"), stats.as("s"))
+      .select(col("doc_id"), repetitionStatsCol.as("s"))
       .select(col("doc_id"),
         col("s.n_tok").as("n_tok"),
         col("s.n_distinct").as("n_distinct"),
         col("s.top_n").as("top_n"),
-        when(col("s.n_tok") === 0, 0.0).otherwise(
-          round((col("s.n_tok") - col("s.n_distinct")).cast("double") /
-            col("s.n_tok"), 6)).as("dup_word_frac"),
+        dupWordFracFrom(col("s")).as("dup_word_frac"),
         when(col("s.n_tok") === 0, 0.0).otherwise(
           round(col("s.top_n").cast("double") / col("s.n_tok"), 6))
           .as("top_word_frac"),
