@@ -38,9 +38,15 @@ object Bench {
     val spark = Engine.session("graft-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Plan construction runs INSIDE the timed region: queries whose
+    // construction does real distributed work (d9's connected-components
+    // fixpoint, x15's bloom-sketch build, x20's embedded d9) must be
+    // charged for it, or their bench rows under-report by orders of
+    // magnitude. For every other query construction is milliseconds,
+    // so nothing else shifts.
     def runOnce(fn: (SparkSession, String) => DataFrame): Double = {
-      val df = fn(spark, sfDir)
       val t0 = System.nanoTime()
+      val df = fn(spark, sfDir)
       df.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }

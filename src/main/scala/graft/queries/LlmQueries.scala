@@ -697,14 +697,21 @@ object LlmQueries {
     * subword regex (runs of letters, runs of digits, single
     * punctuation). The alternation classes are disjoint so Java
     * regex and RE2 agree on every match boundary. */
-  def x7TokenCounts(spark: SparkSession, dir: String): DataFrame = {
+  def x7TokenCounts(spark: SparkSession, dir: String): DataFrame =
+    tokenCounts(Tables.documents(spark, dir))
+
+  def tokenCounts(docs: DataFrame): DataFrame = {
     val sub = regexp_extract_all(lower(col("text")),
       lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
-    Tables.documents(spark, dir).select(col("doc_id"),
-      size(TextFunctions.tokens(col("text"))).as("n_ws_tokens"),
+    val nWs = size(TextFunctions.tokens(col("text")))
+    // zero-token guard: an empty/whitespace-only doc would divide by
+    // zero → NULL on both engines → trips Verify's no-NULL gate
+    // (same defect class as x1's round-4 fix)
+    docs.select(col("doc_id"),
+      nWs.as("n_ws_tokens"),
       size(sub).as("n_subword_tokens"),
-      round(size(sub).cast("double") /
-        size(TextFunctions.tokens(col("text"))), 6).as("subword_ratio"))
+      when(nWs === 0, 0.0).otherwise(
+        round(size(sub).cast("double") / nWs, 6)).as("subword_ratio"))
   }
 
   val x7Sql: String =
@@ -712,9 +719,10 @@ object LlmQueries {
        |  CAST(len($tsSql) AS INT) AS n_ws_tokens,
        |  CAST(len(regexp_extract_all(lower(text),
        |    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS n_subword_tokens,
-       |  round(CAST(len(regexp_extract_all(lower(text),
-       |      '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS DOUBLE)
-       |    / len($tsSql), 6) AS subword_ratio
+       |  CASE WHEN len($tsSql) = 0 THEN 0.0 ELSE
+       |    round(CAST(len(regexp_extract_all(lower(text),
+       |        '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS DOUBLE)
+       |      / len($tsSql), 6) END AS subword_ratio
        |FROM documents""".stripMargin
 
   /** x8: exact interpolated percentiles of the event value stream —

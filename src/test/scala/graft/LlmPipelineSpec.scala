@@ -103,6 +103,20 @@ class LlmPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(byId(3L).getAs[Double]("stop_ratio") > 0.0)
   }
 
+  test("x7 token counts: zero-token doc gets ratio 0.0, no NULL cells") {
+    val docs = Seq((1L, ""), (2L, "   \t\n"), (3L, "the fox ran!"))
+      .toDF("doc_id", "text")
+    val rows = graft.queries.LlmQueries.tokenCounts(docs).collect()
+    // the guard keeps Verify's no-NULL gate safe on any corpus
+    assert(rows.forall(r => (0 until r.length).forall(i => !r.isNullAt(i))))
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[Double]("subword_ratio") === 0.0)
+    assert(byId(2L).getAs[Double]("subword_ratio") === 0.0)
+    assert(byId(3L).getAs[Int]("n_ws_tokens") === 3)
+    assert(byId(3L).getAs[Int]("n_subword_tokens") === 4) // "!" splits off
+    assert(byId(3L).getAs[Double]("subword_ratio") > 1.0)
+  }
+
   test("simhash fingerprints: identical docs collide, all 64 bits carry signal") {
     val docs = Seq((1L, "spark fast engine"), (2L, "spark fast engine"),
       (3L, "totally different words here")).toDF("doc_id", "text")
