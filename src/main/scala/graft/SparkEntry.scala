@@ -44,6 +44,7 @@ object SparkEntry {
     "s6_knn_ivf_probe" -> LlmQueries.s6KnnIvfProbe,
     "s7_pq_adc" -> LlmQueries.s7PqAdc,
     "s8_ivf_pq" -> LlmQueries.s8IvfPq,
+    "s9_knn_ivf_trained" -> LlmQueries.s9KnnIvfTrained,
     "x13_decontaminate" -> LlmQueries.x13Decontaminate,
     "x1_text_stats" -> LlmQueries.x1TextStats,
     "x2_lang_id" -> LlmQueries.x2LangId,
@@ -139,6 +140,11 @@ object SparkEntry {
     "s6_knn_ivf_probe" -> LlmQueries.s6Sql,
     "s7_pq_adc" -> LlmQueries.s7Sql,
     "s8_ivf_pq" -> LlmQueries.s8Sql,
+    // s9_knn_ivf_trained: trained-centroid float averages are
+    // summation-order-sensitive across engines — no SQL oracle on
+    // purpose (driver records a rows-only check); correctness is
+    // pinned by KMeansSpec (determinism, cost strictly below the
+    // stand-in quantizer's, recall parity at equal search budget)
     "x13_decontaminate" -> LlmQueries.x13Sql,
     "x1_text_stats" -> LlmQueries.x1Sql,
     "x2_lang_id" -> LlmQueries.x2Sql,

@@ -325,6 +325,25 @@ object LlmQueries {
 
   val s6Sql: String = ivfSql(nprobe = 2)
 
+  /** s9: the TRAINED coarse quantizer serving the IVF search — s6's
+    * exact plan (single-cell inverted lists, nprobe=2 query probing)
+    * but with centroids from `KMeans.train` (DataFrame-native
+    * spherical Lloyd's) instead of the vec_id<8 stand-in. This is the
+    * production index lifecycle: train once, then every search reuses
+    * the trained cells. No SQL oracle on purpose: the trained
+    * centroids are exact float averages whose summation ORDER differs
+    * across engines, so a cross-engine hash can flip on last-ulp
+    * drift — correctness is pinned instead by KMeansSpec (determinism,
+    * monotone cost, quantization cost strictly below the stand-in's,
+    * recall parity at the same search budget); the driver records a
+    * rows-only check, like x6. */
+  def s9KnnIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = graft.operators.KMeans.train(emb, k = 8, iters = 3)
+    Similarity.knnIvfProbe(emb, queryVecs(spark, dir), centroids,
+      k = 3, nprobe = 2)
+  }
+
   /** s7: product-quantization ANN with ADC ranking (the IVF-PQ
     * storage scheme): corpus encoded to m=8 one-byte codes per
     * vector (32× smaller than float32), queries rank by asymmetric
