@@ -45,6 +45,7 @@ object SparkEntry {
     "s7_pq_adc" -> LlmQueries.s7PqAdc,
     "s8_ivf_pq" -> LlmQueries.s8IvfPq,
     "s9_knn_ivf_trained" -> LlmQueries.s9KnnIvfTrained,
+    "s10_index_serve" -> LlmQueries.s10IndexServe,
     "x13_decontaminate" -> LlmQueries.x13Decontaminate,
     "x1_text_stats" -> LlmQueries.x1TextStats,
     "x2_lang_id" -> LlmQueries.x2LangId,
@@ -145,6 +146,9 @@ object SparkEntry {
     // purpose (driver records a rows-only check); correctness is
     // pinned by KMeansSpec (determinism, cost strictly below the
     // stand-in quantizer's, recall parity at equal search budget)
+    // s10 = s8's search served from the persisted cell-partitioned
+    // index; identical arithmetic, so the oracle is s8's
+    "s10_index_serve" -> LlmQueries.s8Sql,
     "x13_decontaminate" -> LlmQueries.x13Sql,
     "x1_text_stats" -> LlmQueries.x1Sql,
     "x2_lang_id" -> LlmQueries.x2Sql,

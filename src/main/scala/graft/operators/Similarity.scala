@@ -232,14 +232,14 @@ object Similarity {
   /** Codebook → ONE broadcast row: codewords sorted by id, flattened
     * to a position-indexed float array (k × dim) — the shape the
     * PqCodes/PqAdc kernels index. */
-  private def pqFlatCodebook(codebook: DataFrame): DataFrame = codebook
+  private[operators] def pqFlatCodebook(codebook: DataFrame): DataFrame = codebook
     .select(struct(col("vec_id").as("j"), col("embedding").as("cw")).as("c"))
     .agg(sort_array(collect_list(col("c"))).as("cb"))
     .select(flatten(transform(col("cb"), c => c.getField("cw"))).as("cbf"))
 
   /** ADC pairs → top-k per query: (adist ASC, neighbor_id ASC) rank,
     * WindowGroupLimit-bounded. */
-  private def pqRank(pairs: DataFrame, k: Int): DataFrame = {
+  private[operators] def pqRank(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("neighbor_id"))
     pairs.withColumn("rnk", row_number().over(w))
@@ -281,16 +281,24 @@ object Similarity {
     * both economies; the only corpus exchange is the cell equi-join
     * (queries broadcast), followed by the WindowGroupLimit-bounded
     * top-k. */
+  /** The IVF-PQ index payload: ONE narrow pass computes each corpus
+    * vector's coarse cell and PQ codes from the two broadcast rows —
+    * knnIvfPq's first stage and exactly what VectorIndex.build
+    * materializes to disk. */
+  def encodeIvfPq(embeddings: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, m: Int): DataFrame =
+    assignCells(embeddings, centroids)
+      .crossJoin(broadcast(pqFlatCodebook(codebook)))
+      .select(col("vec_id"), col("cell"),
+        call_function("pq_codes", col("embedding"), col("cbf"), lit(m))
+          .as("codes"))
+
   def knnIvfPq(embeddings: DataFrame, queries: DataFrame,
       centroids: DataFrame, codebook: DataFrame, m: Int, k: Int,
       dim: Int = 64): DataFrame = {
     require(m > 0 && dim % m == 0, s"dim $dim not divisible by m $m")
     val cbFlat = pqFlatCodebook(codebook)
-    val encoded = assignCells(embeddings, centroids)
-      .crossJoin(broadcast(cbFlat))
-      .select(col("vec_id"), col("cell"),
-        call_function("pq_codes", col("embedding"), col("cbf"), lit(m))
-          .as("codes"))
+    val encoded = encodeIvfPq(embeddings, centroids, codebook, m)
     val queryCells = assignCells(queries, centroids)
       .select(col("vec_id").as("query_id"), col("embedding").as("qemb"),
         col("cell"))

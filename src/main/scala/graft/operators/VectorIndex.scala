@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Writers
+
+/** Build-once / serve-many lifecycle for the IVF-PQ vector index —
+  * the missing half of s8, which re-encodes the corpus on every
+  * search. At 100 TB the encode pass (a full corpus scan) is hours of
+  * work amortized over millions of queries, so production indexes
+  * materialize it once.
+  *
+  * Layout: the index is parquet PARTITIONED BY the IVF cell — the
+  * on-disk analog of the inverted list. A search touches only its
+  * probed cells' directories: Spark's dynamic partition pruning turns
+  * the cell equi-join against the (broadcast) query cells into a
+  * directory-level prune, so serving reads `nprobe/n_cells` of the
+  * index bytes, and those bytes are PQ codes (m bytes/vector), not
+  * raw embeddings. Both economies of s8, now surviving process
+  * restarts.
+  *
+  * The payload is Similarity.encodeIvfPq — identical arithmetic to
+  * the in-memory path, so the s10 oracle IS the s8 oracle.
+  */
+object VectorIndex {
+
+  /** Materialize the index: (vec_id, codes) partitioned by cell, plus
+    * nothing else — centroids and codebook are deterministic
+    * functions of the corpus here; a deployment with trained
+    * quantizers would persist those small tables next to the index
+    * the same way. */
+  def build(embeddings: DataFrame, centroids: DataFrame, codebook: DataFrame,
+      m: Int, path: String): Unit =
+    Writers.writePartitioned(
+      Similarity.encodeIvfPq(embeddings, centroids, codebook, m),
+      path, Seq("cell"))
+
+  /** Serve a top-k ADC search from the saved index. The corpus side
+    * is the saved parquet scan (codes only — embeddings are never
+    * re-read); queries assign to cells against the broadcast
+    * centroid row and the cell equi-join prunes the scan to the
+    * probed cell directories. */
+  def serve(spark: SparkSession, path: String, queries: DataFrame,
+      centroids: DataFrame, codebook: DataFrame, m: Int, k: Int): DataFrame = {
+    val index = spark.read.parquet(path)
+      // the partition directory value parses back as INT; the join
+      // key is the centroid id (LONG) — normalize on the scan side
+      .select(col("vec_id"), col("cell").cast("long").as("cell"), col("codes"))
+    val queryCells = Similarity.assignCells(queries, centroids)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qemb"),
+        col("cell"))
+    val pairs = index
+      .join(broadcast(queryCells), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .crossJoin(broadcast(Similarity.pqFlatCodebook(codebook)))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        call_function("pq_adc", col("qemb"), col("codes"), col("cbf"))
+          .as("adist"))
+    Similarity.pqRank(pairs, k)
+  }
+}

@@ -408,6 +408,25 @@ object LlmQueries {
       m = 8, k = 3)
   }
 
+  /** s10: s8's IVF-PQ search served from a PERSISTED index — build
+    * materializes (vec_id, codes) partitioned by cell (the on-disk
+    * inverted list), serve reads it back and ADC-ranks only the
+    * probed cells' directories (dynamic partition pruning on the
+    * cell equi-join). Identical arithmetic to s8 end to end, so the
+    * oracle IS s8's — what s10 adds under the gate is the
+    * materialize/reload lifecycle: codes survive a parquet
+    * roundtrip and the pruned scan serves the same answer. */
+  def s10IndexServe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = emb.filter(col("vec_id") < 8)
+    val codebook = emb.filter(col("vec_id") < 16)
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_index_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    graft.operators.VectorIndex.build(emb, centroids, codebook, m = 8, path)
+    graft.operators.VectorIndex.serve(spark, path, queryVecs(spark, dir),
+      centroids, codebook, m = 8, k = 3)
+  }
+
   val s8Sql: String = {
     def subSql(v: String, c: String, m: String) = pqSubSql(v, c, m)
     def assign(src: String) =
