@@ -62,6 +62,7 @@ object SparkEntry {
     "m1_multimodal" -> LlmQueries.m1Multimodal,
     "m2_png_decode" -> LlmQueries.m2PngDecode,
     "m3_wav_decode" -> LlmQueries.m3WavDecode,
+    "m4_gif_decode" -> LlmQueries.m4GifDecode,
     "x14_repetition" -> LlmQueries.x14Repetition,
     "x15_bloom_decontaminate" -> LlmQueries.x15BloomDecontaminate,
     "x16_pack" -> CorpusQueries.x16Pack,
@@ -166,6 +167,7 @@ object SparkEntry {
     "m1_multimodal" -> LlmQueries.m1Sql,
     "m2_png_decode" -> LlmQueries.m2Sql,
     "m3_wav_decode" -> LlmQueries.m3Sql,
+    "m4_gif_decode" -> LlmQueries.m4Sql,
     "x14_repetition" -> LlmQueries.x14Sql,
     // x15 output ≡ x13 (the bloom is a pure prefilter; the exact
     // semi join removes its false positives)

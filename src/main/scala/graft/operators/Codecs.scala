@@ -458,6 +458,106 @@ object Codecs {
           PolyHash.hashBytes(rec.data), w, h, channels = 3, n_frames = 1)
       }
     }
+
+    /** Animated GIF — MULTI-FRAME compressed video through the JDK's
+      * own ImageIO reader. LZW compresses palette INDEXES losslessly,
+      * so decoded pixels are exact (unlike JPEG) and the codec sits
+      * under the hash gate like PNG (m2) while carrying the
+      * multi-frame dimension of Y4M/AVI: another slice of the
+      * reference's `decodebin` surface (/root/reference/run.sh:53)
+      * with zero new dependencies. The losslessness caveat lives in
+      * the WRITER: GIF is indexed color (≤256 entries/frame), so the
+      * fixture writer takes palette indexes + an explicit palette —
+      * an encoder fed true-color input would quantize and break the
+      * bit-exact contract. */
+    object GifCodec extends Codec {
+
+      private def withReader[T](d: Array[Byte])(
+          body: javax.imageio.ImageReader => T): T =
+        cleanly("GIF decode failed") {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(d))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            require(readers.hasNext, "no GIF decoder for payload")
+            val r = readers.next()
+            try { r.setInput(iis); body(r) } finally r.dispose()
+          } finally iis.close()
+        }
+
+      /** Frame count — getNumImages(allowSearch = true) walks every
+        * image block in the stream. */
+      def frameCount(d: Array[Byte]): Int =
+        withReader(d)(_.getNumImages(true))
+
+      /** Decode frame `idx` to (w, h, packed RGB). Frames decode as
+        * STORED (each frame's own raster), which for full-frame GIFs
+        * — everything the fixture writer emits — equals the displayed
+        * frame; a foreign GIF with partial-frame disposal would need
+        * compositing on top of this primitive. */
+      def extractFrameRgb(d: Array[Byte], idx: Int): (Int, Int, Array[Byte]) =
+        withReader(d) { r =>
+          val img = r.read(idx)
+          val w = img.getWidth; val h = img.getHeight
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          val out = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < px.length) {
+            val v = px(i); val t = i * 3
+            out(t) = ((v >> 16) & 0xff).toByte
+            out(t + 1) = ((v >> 8) & 0xff).toByte
+            out(t + 2) = (v & 0xff).toByte
+            i += 1
+          }
+          (w, h, out)
+        }
+
+      override def decode(rec: MediaRecord): DecodedMedia =
+        withReader(rec.data) { r =>
+          val n = r.getNumImages(true)
+          require(n > 0, "GIF stream holds no frames")
+          val (w, h) = (r.getWidth(0), r.getHeight(0))
+          require(w > 0 && h > 0, s"GIF decoded bad dims ${w}x$h")
+          DecodedMedia(rec.media_id, rec.kind, rec.data.length,
+            PolyHash.hashBytes(rec.data), w, h, channels = 3, n_frames = n)
+        }
+
+      /** Fixture/artifact writer: per-frame palette INDEXES + one
+        * shared palette → an animated GIF via the JDK encoder.
+        * Palette entries are written verbatim as the local color
+        * table and LZW is lossless over indexes, so
+        * extractFrameRgb(encode(...)) returns exactly
+        * palette(index) per pixel. */
+      def encodeIndexedFrames(w: Int, h: Int,
+          palR: Array[Byte], palG: Array[Byte], palB: Array[Byte],
+          frames: Seq[Array[Byte]]): Array[Byte] = {
+        require(palR.length == palG.length && palG.length == palB.length &&
+          palR.length > 1 && palR.length <= 256, "palette must be 2..256 entries")
+        require(frames.nonEmpty, "need at least one frame")
+        require(frames.forall(_.length == w * h), "frame size mismatch")
+        val cm = new java.awt.image.IndexColorModel(8, palR.length,
+          palR, palG, palB)
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("gif").next()
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        try {
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          frames.foreach { idxs =>
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+            img.getRaster.setDataElements(0, 0, w, h, idxs)
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+          }
+          writer.endWriteSequence()
+        } finally {
+          writer.dispose(); ios.close()
+        }
+        bos.toByteArray
+      }
+    }
   }
 
   /** Motion-JPEG video in an AVI (RIFF) container — COMPRESSED
@@ -595,7 +695,7 @@ object Codecs {
   }
 
   /** Magic-dispatching codec: real BMP / Y4M / WAV / MJPEG-AVI /
-    * JPEG / PNG bytes decode for real, anything else falls back to
+    * JPEG / PNG / animated-GIF bytes decode for real, anything else falls back to
     * the deterministic stub — the `decodebin`-style auto-plugging
     * seam, resolved once per partition. */
   object AutoCodec extends Codec {
@@ -616,6 +716,9 @@ object Codecs {
         riffFormat(rec.data) == "WAVE") WavCodec.decode(rec)
       else if (startsWith(rec.data, "RIFF") &&
         riffFormat(rec.data) == "AVI ") AviMjpegCodec.decode(rec)
+      else if (startsWith(rec.data, "GIF87a") ||
+        startsWith(rec.data, "GIF89a"))
+        ImageIoCodecs.GifCodec.decode(rec)
       else if (startsWithBytes(rec.data, JpegMagic) ||
         startsWithBytes(rec.data, PngMagic))
         ImageIoCodecs.ImageCodec.decode(rec)

@@ -731,6 +731,72 @@ object LlmQueries {
       |    (a, b) -> (a*31 + b) % 1000000007) AS pixel_fp
       |FROM documents""".stripMargin
 
+  /** m4: REAL multi-frame compressed-VIDEO decode under the hash
+    * gate. Per doc: an animated GIF (frame pixels are palette
+    * indexes, index and palette both arithmetic on doc_id) is
+    * written by the JDK encoder and the engine's AutoCodec must
+    * magic-dispatch it to the GIF codec, walk every frame, and
+    * inflate each one — the output reports DECODED dims/frame count
+    * and a poly-hash of ALL frames' decoded pixels concatenated in
+    * frame order. LZW over an explicit palette is lossless, so the
+    * oracle restates the expected pixels arithmetically: any defect
+    * in the frame walk, palette application or inflate breaks the
+    * hash. This closes the multi-frame compressed slice of the
+    * reference's `decodebin` (/root/reference/run.sh:53) that
+    * MJPEG-AVI (lossy JPEG, spec-only assertions) couldn't put
+    * under the gate. */
+  def m4GifDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{Codecs, Multimodal}
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val palR = Array.tabulate(256)(v => v.toByte)
+        val palG = Array.tabulate(256)(v => ((v * 37) % 256).toByte)
+        val palB = Array.tabulate(256)(v => ((v * 91) % 256).toByte)
+        it.map { id =>
+          val w = (6 + id % 9).toInt; val h = (6 + id % 5).toInt
+          val nf = (1 + id % 4).toInt
+          val frames = (0 until nf).map { f =>
+            Array.tabulate(w * h)(i =>
+              ((id * 7 + f * 31 + i * 13) % 256).toByte)
+          }
+          val gif = Codecs.ImageIoCodecs.GifCodec.encodeIndexedFrames(
+            w, h, palR, palG, palB, frames)
+          val dec = Codecs.AutoCodec.decode(
+            Multimodal.MediaRecord(id, "video", gif))
+          val all = new Array[Byte](dec.n_frames * w * h * 3)
+          var off = 0
+          (0 until dec.n_frames).foreach { f =>
+            val (fw, fh, rgb) = Codecs.ImageIoCodecs.GifCodec
+              .extractFrameRgb(gif, f)
+            require(fw == dec.width && fh == dec.height,
+              s"codec metadata/pixel disagreement for doc $id frame $f")
+            System.arraycopy(rgb, 0, all, off, rgb.length)
+            off += rgb.length
+          }
+          (id, dec.width, dec.height, dec.channels, dec.n_frames,
+            graft.functions.PolyHash.hashBytes(all))
+        }
+      }.toDF("doc_id", "width", "height", "channels", "n_frames", "pixel_fp")
+  }
+
+  val m4Sql: String =
+    """WITH g AS (SELECT doc_id,
+      |    6 + doc_id % 9 AS w, 6 + doc_id % 5 AS h,
+      |    1 + doc_id % 4 AS nf
+      |  FROM documents),
+      |px AS (SELECT doc_id, w, h, nf,
+      |    flatten(list_transform(
+      |      list_transform(range(nf * w * h),
+      |        p -> (doc_id*7 + (p // (w*h))*31 + (p % (w*h))*13) % 256),
+      |      v -> [v, (v*37) % 256, (v*91) % 256])) AS rgb
+      |  FROM g)
+      |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |  3 AS channels, CAST(nf AS INT) AS n_frames,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), rgb),
+      |    (a, b) -> (a*31 + b) % 1000000007) AS pixel_fp
+      |FROM px""".stripMargin
+
   /** x7: token counting two ways — whitespace tokens and a BPE-ish
     * subword regex (runs of letters, runs of digits, single
     * punctuation). The alternation classes are disjoint so Java

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-7 additions: animated-GIF codec (m4), packed-window map
+  * (x21).
+  */
+class Round7Spec extends SparkTestBase {
+
+  private def gifPalette: (Array[Byte], Array[Byte], Array[Byte]) = (
+    Array.tabulate(256)(v => v.toByte),
+    Array.tabulate(256)(v => ((v * 37) % 256).toByte),
+    Array.tabulate(256)(v => ((v * 91) % 256).toByte))
+
+  test("GIF: multi-frame roundtrip is bit-exact through the palette") {
+    import graft.operators.{Codecs, Multimodal}
+    val (w, h, nf) = (9, 6, 4)
+    val (pr, pg, pb) = gifPalette
+    val frames = (0 until nf).map { f =>
+      Array.tabulate(w * h)(i => ((7 + f * 31 + i * 13) % 256).toByte)
+    }
+    val gif = Codecs.ImageIoCodecs.GifCodec.encodeIndexedFrames(
+      w, h, pr, pg, pb, frames)
+    // magic dispatch must route GIF bytes to the GIF codec
+    val dec = Codecs.AutoCodec.decode(
+      Multimodal.MediaRecord(1L, "video", gif))
+    assert((dec.width, dec.height, dec.channels, dec.n_frames) ===
+      ((w, h, 3, nf)))
+    // every frame decodes to exactly palette(index) per pixel —
+    // LZW + explicit palette is lossless
+    for (f <- 0 until nf) {
+      val (fw, fh, rgb) = Codecs.ImageIoCodecs.GifCodec
+        .extractFrameRgb(gif, f)
+      assert((fw, fh) === ((w, h)))
+      for (i <- 0 until w * h) {
+        val idx = (7 + f * 31 + i * 13) % 256
+        assert(rgb(i * 3) === pr(idx), s"frame $f pixel $i R")
+        assert(rgb(i * 3 + 1) === pg(idx), s"frame $f pixel $i G")
+        assert(rgb(i * 3 + 2) === pb(idx), s"frame $f pixel $i B")
+      }
+    }
+    assert(Codecs.ImageIoCodecs.GifCodec.frameCount(gif) === nf)
+  }
+
+  test("GIF fuzz: corrupted payloads fail cleanly, never AIOOBE/NPE") {
+    import graft.operators.{Codecs, Multimodal}
+    val (pr, pg, pb) = gifPalette
+    val good = Codecs.ImageIoCodecs.GifCodec.encodeIndexedFrames(
+      8, 5, pr, pg, pb,
+      (0 until 3).map(f => Array.tabulate(40)(i => ((f * 31 + i * 13) % 256).toByte)))
+    var seed = 987654321L
+    def nextInt(bound: Int): Int = {
+      seed = (seed * 6364136223846793005L + 1442695040888963407L)
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    val cuts = Seq(1, 5, 13, good.length / 2, good.length - 1)
+    val flips = (1 to 20).map { _ =>
+      val b = good.clone(); val at = nextInt(good.length)
+      b(at) = (b(at) ^ (1 << nextInt(8))).toByte; b
+    }
+    for ((bad, i) <- (cuts.map(java.util.Arrays.copyOf(good, _)) ++ flips)
+        .zipWithIndex) {
+      val decoded =
+        try Some(Codecs.AutoCodec.decode(
+          Multimodal.MediaRecord(i.toLong, "media", bad)))
+        catch {
+          case _: IllegalArgumentException => None // clean contractual failure
+          case scala.util.control.NonFatal(e) =>
+            fail(s"gif corruption #$i leaked ${e.getClass.getName}: " +
+              s"${e.getMessage}")
+        }
+      decoded.foreach(dec => assert(dec.byte_len === bad.length))
+    }
+  }
+}
