@@ -66,6 +66,7 @@ object SparkEntry {
     "x14_repetition" -> LlmQueries.x14Repetition,
     "x15_bloom_decontaminate" -> LlmQueries.x15BloomDecontaminate,
     "x16_pack" -> CorpusQueries.x16Pack,
+    "x21_pack_map" -> CorpusQueries.x21PackMap,
     "x17_scrub" -> CorpusQueries.x17Scrub,
     "x18_string_profile" -> LlmQueries.x18StringProfile,
     "x19_mixing" -> LlmQueries.x19Mixing,
@@ -173,6 +174,7 @@ object SparkEntry {
     // semi join removes its false positives)
     "x15_bloom_decontaminate" -> LlmQueries.x15Sql,
     "x16_pack" -> CorpusQueries.x16Sql,
+    "x21_pack_map" -> CorpusQueries.x21Sql,
     "x17_scrub" -> CorpusQueries.x17Sql,
     "x18_string_profile" -> LlmQueries.x18Sql,
     "x19_mixing" -> LlmQueries.x19Sql,

@@ -117,6 +117,58 @@ object CorpusQueries {
        |  count(*) FILTER (chunk_last > chunk_first) AS n_boundary_docs
        |FROM c GROUP BY 1, 2""".stripMargin
 
+  // ---- x21: the materialized packing map --------------------------
+
+  /** x21: the doc→window assignment a trainer actually consumes —
+    * x16's window cursor WITHOUT the final aggregate: one row per
+    * document carrying its shard, its first-token offset in the
+    * shard's concatenated stream, and the chunk span [chunk_first,
+    * chunk_last] (a span crossing a cut means the doc is
+    * boundary-split). Same plan as x16 minus the groupBy: one scan,
+    * one bounded per-(lang, shard) running sum, zero extra
+    * shuffles — at 100 TB this IS the packing output, written
+    * partitioned by (lang, shard) next to the shard files.
+    *
+    * Zero-token docs occupy no tokens; their span is pinned to
+    * [chunk_first, chunk_first] (the `greatest` guards) — without
+    * the guard an empty doc at an exact chunk boundary would emit
+    * chunk_last < chunk_first, and Spark's `div` (truncate toward
+    * zero) would disagree with DuckDB's `//` (floor) on the cum=0
+    * corner. */
+  def packMap(docs: DataFrame, capacity: Int, shards: Int): DataFrame = {
+    val base = docs.select(col("lang"),
+      (TextFunctions.polyHash(col("doc_id").cast("string")) % shards)
+        .as("shard"),
+      col("doc_id"), size(TextFunctions.tokens(col("text"))).as("n_tok"))
+    val w = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("doc_id"))
+    base.withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("lang"), col("shard"), col("n_tok"),
+        (col("cum") - col("n_tok")).as("token_offset"),
+        expr(s"(cum - n_tok) div $capacity").as("chunk_first"),
+        expr(s"greatest((cum - n_tok) div $capacity," +
+          s" (greatest(cum, 1) - 1) div $capacity)").as("chunk_last"))
+  }
+
+  def x21PackMap(spark: SparkSession, dir: String): DataFrame =
+    packMap(Tables.documents(spark, dir), capacity = 256, shards = 8)
+
+  val x21Sql: String =
+    s"""WITH d AS (SELECT lang,
+       |    ${polySql("CAST(doc_id AS VARCHAR)")} % 8 AS shard, doc_id,
+       |    CAST(len($tsSql) AS INT) AS n_tok
+       |  FROM documents),
+       |w AS (SELECT lang, shard, doc_id, n_tok,
+       |    CAST(sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id)
+       |      AS BIGINT) AS cum
+       |  FROM d)
+       |SELECT doc_id, lang, shard, n_tok,
+       |  cum - n_tok AS token_offset,
+       |  (cum - n_tok) // 256 AS chunk_first,
+       |  greatest((cum - n_tok) // 256, (greatest(cum, 1) - 1) // 256)
+       |    AS chunk_last
+       |FROM w""".stripMargin
+
   // ---- x17: pattern scrub / extraction ----------------------------
 
   /** x17: pattern scrubbing + structured extraction over the event

@@ -42,6 +42,54 @@ class Round7Spec extends SparkTestBase {
     assert(Codecs.ImageIoCodecs.GifCodec.frameCount(gif) === nf)
   }
 
+  test("x21 packMap: hand-checked offsets, boundary spans, empty docs") {
+    import testImplicits._
+    import graft.queries.CorpusQueries
+    // one shard (shards=1), one lang: offsets are a plain running sum
+    // in doc_id order. capacity=5: doc 2 (4 tokens at offset 3)
+    // crosses the first cut; doc 3 is EMPTY at offset 7 inside
+    // chunk 1; doc 4 is empty exactly at cum=10 (a chunk boundary —
+    // the corner where an unguarded chunk_last would go below
+    // chunk_first).
+    val docs = Seq(
+      (1L, "en", "a b c"),
+      (2L, "en", "d e f g"),
+      (3L, "en", ""),
+      (4L, "en", "h i j"),
+      (5L, "en", "")).toDF("doc_id", "lang", "text")
+    val rows = CorpusQueries.packMap(docs, capacity = 5, shards = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("token_offset"), r.getAs[Long]("chunk_first"),
+          r.getAs[Long]("chunk_last")))).toMap
+    assert(rows(1L) === ((0L, 0L, 0L)))
+    assert(rows(2L) === ((3L, 0L, 1L))) // boundary-split across the cut
+    assert(rows(3L) === ((7L, 1L, 1L))) // empty doc, mid-chunk
+    assert(rows(4L) === ((7L, 1L, 1L)))
+    assert(rows(5L) === ((10L, 2L, 2L))) // empty doc AT the boundary
+  }
+
+  test("x21 packMap reconciles with x16 packStats on the real corpus") {
+    import graft.queries.CorpusQueries
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf)
+    val fromMap = CorpusQueries.packMap(docs, capacity = 256, shards = 8)
+      .groupBy(col("lang"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        count(when(col("chunk_last") > col("chunk_first"), 1))
+          .as("n_boundary_docs"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val fromStats = CorpusQueries.packStats(docs, capacity = 256, shards = 8)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+          r.getAs[Long]("n_boundary_docs")))).toMap
+    assert(fromMap === fromStats)
+    assert(fromMap.nonEmpty)
+  }
+
   test("GIF fuzz: corrupted payloads fail cleanly, never AIOOBE/NPE") {
     import graft.operators.{Codecs, Multimodal}
     val (pr, pg, pb) = gifPalette
