@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions._
   * (on a cluster: `checkpoint` to the reliable dir). The driver-side
   * `count()` per round is the convergence test every iterative
   * distributed algorithm pays.
+  *
+  * Contract: a pathological deep-chain corpus (each doc near-duping
+  * only the next) needs O(n) rounds and fails loudly at `maxIters`;
+  * if a real corpus ever trips that, the escalation is the
+  * alternating large-star/small-star formulation (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond"), which converges
+  * in O(log n) rounds on the same one-join-per-round shape.
   */
 object Components {
 

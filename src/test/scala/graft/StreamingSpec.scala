@@ -255,6 +255,47 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.toSeq === Seq((1L, 5000L)))
   }
 
+  test("interval join: checkpoint restart restores buffered state, no re-emits") {
+    import testImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    def ts(s: Long) = new Timestamp(t0 + s * 1000L)
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    def joined = graft.streaming.StreamJoins.intervalJoin(
+        imps.toDF().toDF("imp_user", "imp_time"),
+        clicks.toDF().toDF("clk_user", "clk_time"),
+        "imp_user", "clk_user", "imp_time", "clk_time", "10 seconds")
+      .select(col("imp_user"), col("imp_time"), col("clk_time"))
+    val ckpt = tmpDir()
+    val out = tmpDir()
+    // file sink: the one built-in sink with exactly-once recovery
+    // (its metadata log is what makes the no-re-emit claim checkable)
+    def start() = joined.writeStream.format("parquet")
+      .outputMode("append").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    // phase 1: user 1 matches and commits; user 2's impression is
+    // buffered in join state with no click yet
+    val q1 = start()
+    imps.addData((1L, ts(0)), (2L, ts(2)))
+    clicks.addData((1L, ts(5)))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(spark.read.parquet(out).collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // phase 2: restart over the same checkpoint. user 2's click can
+    // only match if the buffered impression was RESTORED from state;
+    // user 1's committed match must not be emitted again (the same
+    // trust property the dedup path's restart spec pins)
+    val q2 = start()
+    clicks.addData((2L, ts(7)))
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2).getTime - r.getTimestamp(1).getTime))
+      .sortBy(_._1)
+    assert(rows.toSeq === Seq((1L, 5000L), (2L, 5000L)))
+  }
+
   test("streaming session windows: gap-merged sessions finalize in append mode") {
     import testImplicits._
     implicit val sqlCtx = spark.sqlContext
