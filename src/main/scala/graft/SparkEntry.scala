@@ -63,10 +63,12 @@ object SparkEntry {
     "m2_png_decode" -> LlmQueries.m2PngDecode,
     "m3_wav_decode" -> LlmQueries.m3WavDecode,
     "m4_gif_decode" -> LlmQueries.m4GifDecode,
+    "m5_audio_features" -> LlmQueries.m5AudioFeatures,
     "x14_repetition" -> LlmQueries.x14Repetition,
     "x15_bloom_decontaminate" -> LlmQueries.x15BloomDecontaminate,
     "x16_pack" -> CorpusQueries.x16Pack,
     "x21_pack_map" -> CorpusQueries.x21PackMap,
+    "x22_decontam_ngram" -> CorpusQueries.x22NgramDecontaminate,
     "x17_scrub" -> CorpusQueries.x17Scrub,
     "x18_string_profile" -> LlmQueries.x18StringProfile,
     "x19_mixing" -> LlmQueries.x19Mixing,
@@ -169,12 +171,14 @@ object SparkEntry {
     "m2_png_decode" -> LlmQueries.m2Sql,
     "m3_wav_decode" -> LlmQueries.m3Sql,
     "m4_gif_decode" -> LlmQueries.m4Sql,
+    "m5_audio_features" -> LlmQueries.m5Sql,
     "x14_repetition" -> LlmQueries.x14Sql,
     // x15 output ≡ x13 (the bloom is a pure prefilter; the exact
     // semi join removes its false positives)
     "x15_bloom_decontaminate" -> LlmQueries.x15Sql,
     "x16_pack" -> CorpusQueries.x16Sql,
     "x21_pack_map" -> CorpusQueries.x21Sql,
+    "x22_decontam_ngram" -> CorpusQueries.x22Sql,
     "x17_scrub" -> CorpusQueries.x17Sql,
     "x18_string_profile" -> LlmQueries.x18Sql,
     "x19_mixing" -> LlmQueries.x19Sql,

@@ -63,6 +63,68 @@ object CorpusQueries {
        |  min(doc_id) AS first_doc
        |FROM gd GROUP BY 1 HAVING count(*) >= 2""".stripMargin
 
+  // ---- x22: n-gram-overlap decontamination ------------------------
+
+  /** x22: n-gram-OVERLAP decontamination — the published benchmark-
+    * contamination check (the 8-to-13-token-gram sweep of the GPT-3
+    * and PaLM data cards): an eval doc is contaminated if it shares
+    * ANY word 8-gram with ANY train doc, a far stricter net than
+    * x13/x15's whole-prefix fingerprint (which only catches
+    * near-verbatim copies). Output: one row per contaminated eval
+    * doc with how many of its distinct grams appear in train and the
+    * summed train-doc incidence of those grams.
+    *
+    * 100 TB shape: grams never leave their partition as text — each
+    * doc row-locally explodes to DISTINCT gram poly-hashes (8 bytes
+    * on the exchange, the d8 discipline taken one step further), the
+    * train side pre-aggregates to ONE row per distinct gram before
+    * the join, so the eval×train join fans out at most once per
+    * (eval doc, gram) no matter how boilerplate-common the gram is,
+    * and the final agg is a partial-agg groupBy on doc_id. No
+    * all-pairs doc comparison anywhere. */
+  def ngramDecontaminate(docs: DataFrame, n: Int): DataFrame = {
+    import TextFunctions.bind
+    val h = TextFunctions.polyHash(col("doc_id").cast("string")) % 10
+    val split = when(h < 8, "train").when(h === 8, "val").otherwise("test")
+    val gramHashes = bind(TextFunctions.tokens(col("text")), ts =>
+      when(size(ts) >= n,
+        array_distinct(transform(sequence(lit(1), size(ts) - (n - 1)), i =>
+          TextFunctions.polyHash(
+            concat_ws(" ", (0 until n).map(o => element_at(ts, i + o)): _*)))))
+        .otherwise(array().cast("array<bigint>")))
+    val g = docs.select(col("doc_id"), col("lang"), split.as("split"),
+      explode(gramHashes).as("gram"))
+    val trainGrams = g.filter(col("split") === "train")
+      .groupBy(col("gram")).agg(count(lit(1)).as("n_train_docs"))
+    g.filter(col("split") =!= "train")
+      .join(trainGrams, Seq("gram"))
+      .groupBy(col("doc_id"), col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_shared_grams"),
+        sum(col("n_train_docs")).as("contamination_weight"))
+  }
+
+  def x22NgramDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    ngramDecontaminate(Tables.documents(spark, dir), n = 8)
+
+  val x22Sql: String = {
+    val splitSql =
+      s"""CASE WHEN ${polySql("CAST(doc_id AS VARCHAR)")} % 10 < 8 THEN 'train'
+         |    WHEN ${polySql("CAST(doc_id AS VARCHAR)")} % 10 = 8 THEN 'val'
+         |    ELSE 'test' END""".stripMargin
+    s"""WITH tk AS (SELECT doc_id, lang, $splitSql AS split, $tsSql AS ts
+       |  FROM documents),
+       |g AS (SELECT DISTINCT doc_id, lang, split,
+       |    ${polySql("array_to_string(ts[i:i + 7], ' ')")} AS gram
+       |  FROM tk, unnest(range(1, len(ts) - 6)) r(i)
+       |  WHERE len(ts) >= 8),
+       |tg AS (SELECT gram, count(*) AS n_train_docs FROM g
+       |  WHERE split = 'train' GROUP BY 1)
+       |SELECT doc_id, lang, split, count(*) AS n_shared_grams,
+       |  CAST(sum(n_train_docs) AS BIGINT) AS contamination_weight
+       |FROM g JOIN tg USING (gram) WHERE split <> 'train'
+       |GROUP BY 1, 2, 3""".stripMargin
+  }
+
   // ---- x16: sequence packing into context windows -----------------
 
   /** x16: sequence packing — the concat-and-chunk step that turns a

@@ -1347,4 +1347,67 @@ object LlmQueries {
       |    list_transform(pcm, s -> s + 32768)),
       |    (a, b) -> (a * 31 + b) % 1000000007) AS pcm_fp
       |FROM s""".stripMargin
+
+  /** m5: audio FEATURE EXTRACTION — the feature stage downstream of
+    * m3's decode: each decoded waveform splits into fixed 32-sample
+    * windows and every window reports energy (exact sum of squares —
+    * the RMS numerator, kept integral so the hash gate is
+    * drift-free), zero-crossing count (the classic voicing/noisiness
+    * feature), and peak amplitude. The 1→N window explode happens
+    * INSIDE the partition-scoped decode map — samples never leave
+    * the partition, only (doc, window, features) rows do, which is
+    * the exact contract a 100 TB audio pipeline needs (features are
+    * ~1% of waveform bytes). PCM is lossless so the oracle restates
+    * every window arithmetically. */
+  def m5AudioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{Codecs, Multimodal}
+    val win = 32
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val n = (64 + id % 97).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((id * 31 + i.toLong * 97) % 65536) - 32768).toShort)
+          val wav = Codecs.WavCodec.encodePcm16(8000, 1, samples)
+          val meta = Codecs.AutoCodec.decode(
+            Multimodal.MediaRecord(id, "audio", wav))
+          val (_, back) = Codecs.WavCodec.decodePcm16(wav)
+          require(meta.n_frames == n && back.length == n,
+            s"wav sample count mismatch for doc $id")
+          (0 until (n + win - 1) / win).map { wi =>
+            val lo = wi * win; val hi = math.min((wi + 1) * win, n)
+            var energy = 0L; var zc = 0; var peak = 0
+            var i = lo
+            while (i < hi) {
+              val s = back(i).toInt
+              energy += s.toLong * s
+              peak = math.max(peak, math.abs(s))
+              if (i > lo && ((back(i - 1) < 0) != (s < 0))) zc += 1
+              i += 1
+            }
+            (id, wi, hi - lo, energy, zc, peak)
+          }
+        }
+      }.toDF("doc_id", "window_idx", "n_in_window", "energy",
+        "n_zero_cross", "peak")
+  }
+
+  val m5Sql: String =
+    """WITH s AS (SELECT doc_id, CAST(64 + doc_id % 97 AS INT) AS n,
+      |    list_transform(range(64 + doc_id % 97),
+      |      i -> (doc_id * 31 + i * 97) % 65536 - 32768) AS pcm
+      |  FROM documents),
+      |w AS (SELECT doc_id, pcm, CAST(wi AS INT) AS window_idx,
+      |    CAST(wi * 32 + 1 AS INT) AS lo,
+      |    CAST(least((wi + 1) * 32, n) AS INT) AS hi
+      |  FROM s, unnest(range((n + 31) // 32)) r(wi))
+      |SELECT doc_id, window_idx,
+      |  CAST(hi - lo + 1 AS INT) AS n_in_window,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), pcm[lo:hi]),
+      |    (a, b) -> a + b * b) AS BIGINT) AS energy,
+      |  CAST(len(list_filter(range(lo + 1, hi + 1),
+      |    i -> (pcm[i - 1] < 0) <> (pcm[i] < 0))) AS INT) AS n_zero_cross,
+      |  CAST(list_max(list_transform(pcm[lo:hi], v -> abs(v))) AS INT) AS peak
+      |FROM w""".stripMargin
 }

@@ -90,6 +90,40 @@ class Round7Spec extends SparkTestBase {
     assert(fromMap.nonEmpty)
   }
 
+  test("x22 n-gram decontamination: hand-checked overlap on a planted corpus") {
+    import testImplicits._
+    import graft.queries.CorpusQueries
+    import graft.functions.TextFunctions
+    // pick real ids by their split hash so the fixture exercises the
+    // shipped split convention instead of stubbing it
+    val hashes = (1L to 60L).map { id =>
+      id -> spark.range(1).select(
+        (TextFunctions.polyHash(lit(id.toString)) % 10).as("h"))
+        .head().getLong(0)
+    }.toMap
+    val trainId = hashes.collectFirst { case (id, h) if h < 8 => id }.get
+    val train2Id = hashes.collectFirst {
+      case (id, h) if h < 8 && id != trainId => id }.get
+    val evalId = hashes.collectFirst { case (id, h) if h >= 8 => id }.get
+    val eval2Id = hashes.collectFirst {
+      case (id, h) if h >= 8 && id != evalId => id }.get
+    val shared = "one two three four five six seven eight" // one 8-gram
+    val docs = Seq(
+      (trainId, "en", s"$shared tail words here"),
+      (train2Id, "en", s"prefix $shared"), // the same gram, 2nd train doc
+      (evalId, "en", s"$shared and more"), // contaminated
+      (eval2Id, "en", "totally different words with no overlap at all ok"))
+      .toDF("doc_id", "lang", "text")
+    val rows = CorpusQueries.ngramDecontaminate(docs, n = 8).collect()
+    // only the contaminated eval doc surfaces; its one shared gram
+    // appears in two train docs -> weight 2
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[Long]("doc_id") === evalId)
+    assert(r.getAs[Long]("n_shared_grams") === 1L)
+    assert(r.getAs[Long]("contamination_weight") === 2L)
+  }
+
   test("GIF fuzz: corrupted payloads fail cleanly, never AIOOBE/NPE") {
     import graft.operators.{Codecs, Multimodal}
     val (pr, pg, pb) = gifPalette
