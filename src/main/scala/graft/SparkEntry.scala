@@ -89,6 +89,7 @@ object SparkEntry {
     "r23_outer_join" -> Relational2.r23OuterJoin,
     "r24_pivot" -> Relational2.r24Pivot,
     "r25_range_window" -> Relational2.r25RangeWindow,
+    "r26_distribution" -> Relational2.r26Distribution,
   )
 
   /** Every oracle is wrapped in `ORDER BY ALL` (all columns,
@@ -199,5 +200,6 @@ object SparkEntry {
     "r23_outer_join" -> Relational2.r23Sql,
     "r24_pivot" -> Relational2.r24Sql,
     "r25_range_window" -> Relational2.r25Sql,
+    "r26_distribution" -> Relational2.r26Sql,
   )
 }

@@ -472,6 +472,38 @@ object Relational2 {
       |WINDOW w AS (PARTITION BY event_type ORDER BY ts_us
       |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** r26: the DISTRIBUTION window family r13/r18 left out — ntile
+    * bucketing, percent_rank/cume_dist (exact rank ratios: same
+    * integer operands divide to bit-identical doubles on both
+    * engines, so no rounding is needed), lead and first_value. The
+    * window's ORDER BY is a total order (price, then key) so every
+    * function is deterministic; one partitioned sort, no other
+    * exchange. */
+  def r26Distribution(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_custkey") < 50)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    o.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+      ntile(4).over(w).as("quartile"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"),
+      coalesce(lead(col("o_orderkey"), 1).over(w), lit(-1L)).as("next_okey"),
+      first_value(col("o_orderkey")).over(w).as("cheapest_okey"))
+  }
+
+  val r26Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume,
+      |  coalesce(lead(o_orderkey, 1) OVER w, -1) AS next_okey,
+      |  first_value(o_orderkey) OVER w AS cheapest_okey
+      |FROM orders WHERE o_custkey < 50
+      |WINDOW w AS (PARTITION BY o_custkey
+      |  ORDER BY o_totalprice, o_orderkey)""".stripMargin
+
   val r23Sql: String =
     """WITH cust AS (SELECT c_custkey, c_mktsegment FROM customer
       |    WHERE c_custkey % 7 = 0),

@@ -31,4 +31,24 @@ object StreamJoins {
       s"$rightTime >= $leftTime AND " +
       s"$rightTime <= $leftTime + interval '$maxDelay'"))
   }
+
+  /** Interval LEFT OUTER join — the attribution shape ("every
+    * impression, with its click if one came"): matches emit as they
+    * arrive, and an unmatched left row emits with NULL right columns
+    * only once the right-side watermark has passed its interval's
+    * upper bound — the earliest moment "no match" is a fact rather
+    * than "not yet". Same watermark-derived state eviction as the
+    * inner join; the NULL-completion latency is the price of the
+    * outer contract and is bounded by maxDelay + watermark lag. */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      maxDelay: String): DataFrame = {
+    val l = left.withWatermark(leftTime, maxDelay)
+    val r = right.withWatermark(rightTime, maxDelay)
+    l.join(r, expr(
+      s"$leftKey = $rightKey AND " +
+      s"$rightTime >= $leftTime AND " +
+      s"$rightTime <= $leftTime + interval '$maxDelay'"), "left_outer")
+  }
 }

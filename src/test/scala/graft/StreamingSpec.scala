@@ -255,6 +255,44 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.toSeq === Seq((1L, 5000L)))
   }
 
+  test("interval LEFT OUTER join: unmatched rows NULL-complete after watermark") {
+    import testImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    def ts(s: Long) = new Timestamp(t0 + s * 1000L)
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val joined = graft.streaming.StreamJoins.intervalJoinLeftOuter(
+      imps.toDF().toDF("imp_user", "imp_time"),
+      clicks.toDF().toDF("clk_user", "clk_time"),
+      "imp_user", "clk_user", "imp_time", "clk_time", "10 seconds")
+    val q = joined.select(col("imp_user"),
+        coalesce(col("clk_user"), lit(-1L)).as("clk"))
+      .writeStream.format("memory").queryName("ssj_outer")
+      .outputMode("append").option("checkpointLocation", tmpDir()).start()
+    // user 1 clicks inside the interval; user 2 never clicks
+    imps.addData((1L, ts(0)), (2L, ts(0)))
+    clicks.addData((1L, ts(5)))
+    q.processAllAvailable()
+    // the match emits immediately; user 2's NULL row must NOT exist
+    // yet — "no click" only becomes a fact once the watermark passes
+    val early = spark.table("ssj_outer").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(early.toSet === Set((1L, 1L)))
+    // advance both watermarks far past the interval, then flush
+    imps.addData((99L, ts(1000)))
+    clicks.addData((98L, ts(1000)))
+    q.processAllAvailable()
+    imps.addData((97L, ts(2000)))
+    clicks.addData((96L, ts(2000)))
+    q.processAllAvailable()
+    val rows = spark.table("ssj_outer").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    // user 2 NULL-completed exactly once; user 1 not duplicated
+    assert(rows.contains((2L, -1L)))
+    assert(rows.count(_._1 == 1L) === 1)
+  }
+
   test("interval join: checkpoint restart restores buffered state, no re-emits") {
     import testImplicits._
     implicit val sqlCtx = spark.sqlContext
