@@ -90,6 +90,9 @@ object SparkEntry {
     "r24_pivot" -> Relational2.r24Pivot,
     "r25_range_window" -> Relational2.r25RangeWindow,
     "r26_distribution" -> Relational2.r26Distribution,
+    "x23_incremental_dedup" -> CorpusQueries.x23IncrementalDedup,
+    "x24_cluster_rep" -> CorpusQueries.x24ClusterRep,
+    "x25_token_budget" -> CorpusQueries.x25TokenBudget,
   )
 
   /** Every oracle is wrapped in `ORDER BY ALL` (all columns,
@@ -201,5 +204,8 @@ object SparkEntry {
     "r24_pivot" -> Relational2.r24Sql,
     "r25_range_window" -> Relational2.r25Sql,
     "r26_distribution" -> Relational2.r26Sql,
+    "x23_incremental_dedup" -> CorpusQueries.x23Sql,
+    "x24_cluster_rep" -> CorpusQueries.x24Sql,
+    "x25_token_budget" -> CorpusQueries.x25Sql,
   )
 }

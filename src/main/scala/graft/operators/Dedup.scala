@@ -30,6 +30,26 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
 
+  /** INCREMENTAL exact dedup — the ingest-time shape: a new `batch`
+    * of documents is admitted only where its content hash appears
+    * nowhere in the existing `corpus`, then deduplicated within
+    * itself (survivor = min doc_id, with the batch-duplicate count
+    * kept for the ingest ledger). Two equi-joins-worth of work on the
+    * 128-bit hash key: one LEFT ANTI against the corpus hash set and
+    * one partial-aggregated groupBy inside the (small) batch. At
+    * 100 TB the corpus side is a materialized, bucketed hash table —
+    * the anti-join then co-locates with zero corpus shuffle and only
+    * the day's batch moves; a bloom prefilter (the x15 build) in
+    * front drops the obvious non-members before the join. */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    val corpusHashes = corpus
+      .select(md5(col("text")).as("content_hash")).distinct()
+    batch.select(md5(col("text")).as("content_hash"), col("doc_id"))
+      .join(corpusHashes, Seq("content_hash"), "left_anti")
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_in_batch"))
+  }
+
   /** Exact-dedup summary: total docs, distinct contents, removable
     * copies. */
   def exactSummary(docs: DataFrame): DataFrame =

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
-import graft.operators.Scrub
+import graft.operators.{Dedup, Scrub}
 import graft.sources.Tables
 
 /** Corpus-curation operators begun in round 5 and wired in round 6 —
@@ -255,6 +255,118 @@ object CorpusQueries {
         sum(col("k")).as("k_sum"), min(col("k")).as("k_min"),
         max(col("k")).as("k_max"))
   }
+
+  // ---- x23: incremental (batch-vs-corpus) exact dedup --------------
+
+  /** x23: incremental ingest dedup — the daily-crawl shape: the new
+    * batch (here the doc_id%10==7 slice, standing in for today's
+    * ingestion) is admitted only where its content hash is absent
+    * from the existing corpus (every other doc), then deduplicated
+    * within itself (operators.Dedup.incrementalDedup). Unlike d1,
+    * which summarizes a whole-corpus dedup, this is the shape that
+    * RUNS REPEATEDLY: corpus hashes are a materialized bucketed
+    * table in production, so each day's anti-join co-locates and
+    * only the batch moves. */
+  def x23IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.incrementalDedup(
+      corpus = docs.filter(col("doc_id") % 10 =!= 7),
+      batch = docs.filter(col("doc_id") % 10 === 7))
+  }
+
+  val x23Sql: String =
+    """WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents)
+      |SELECT content_hash, min(doc_id) AS doc_id, count(*) AS n_in_batch
+      |FROM h WHERE doc_id % 10 = 7
+      |  AND content_hash NOT IN (
+      |    SELECT content_hash FROM h WHERE doc_id % 10 <> 7)
+      |GROUP BY 1""".stripMargin
+
+  // ---- x24: cluster representative by quality ----------------------
+
+  /** x24: cluster-representative selection — d9 gives the duplicate
+    * CLUSTERS, x1 gives per-doc quality; production curation keeps
+    * the BEST doc per cluster, not the lowest-id one (the min-id
+    * survivor is an arbitrary member; the argmax-quality member is
+    * the one worth training on). Quality rides IN PLACE on the
+    * documents scan (textStatsCol — never a self-join to re-attach a
+    * row-local metric) and the cluster map joins in as a broadcast:
+    * the CC output is tiny relative to the corpus (only docs that
+    * near-dup anything). Tiebreak (quality DESC, doc_id ASC) keeps
+    * the pick deterministic. */
+  def x24ClusterRep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val clusters = LlmQueries.d9DedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster"))
+    val quality = docs
+      .select(col("doc_id"), col("n_chars"), LlmQueries.textStatsCol.as("s"))
+      .select(col("doc_id"), LlmQueries.qualityFrom(col("s")).as("quality"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    quality.join(broadcast(clusters), Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("cluster"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("doc_id").as("rep_doc"),
+        col("quality").as("rep_quality"), col("n_members"))
+  }
+
+  val x24Sql: String =
+    s"""WITH ${LlmQueries.statsCtesSql()},
+       |q AS (SELECT doc_id, ${LlmQueries.qualitySql} AS quality FROM m),
+       |c AS (SELECT doc_id, cluster FROM (
+       |${LlmQueries.d9Sql}
+       |)),
+       |j AS (SELECT c.cluster, c.doc_id, q.quality,
+       |    row_number() OVER (PARTITION BY c.cluster
+       |      ORDER BY q.quality DESC, c.doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY c.cluster) AS n_members
+       |  FROM c JOIN q USING (doc_id))
+       |SELECT cluster, doc_id AS rep_doc, quality AS rep_quality, n_members
+       |FROM j WHERE rn = 1""".stripMargin
+
+  // ---- x25: token-budget data selection -----------------------------
+
+  /** x25: quality-ranked selection under a token budget — the "pick
+    * the best B tokens per source" step that turns scored corpora
+    * into a training mixture (the budget face of x19's rate-based
+    * mixing): per source, docs rank by (quality DESC, doc_id) and
+    * survive while the running token total stays within budget —
+    * a greedy prefix, deterministic and stable under corpus growth
+    * at the selection edge only. One scan (quality + token count are
+    * the same row-local stats struct), one per-source window sum —
+    * the exchange carries (source) partitions, and at 100 TB the
+    * per-source sort is the only super-linear piece, bounded by the
+    * largest single source (shard it further by the x16 cursor trick
+    * if one source dominates). */
+  def tokenBudgetSelect(docs: DataFrame, budget: Long): DataFrame = {
+    val base = docs
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        LlmQueries.textStatsCol.as("s"))
+      .select(col("source"), col("doc_id"),
+        col("s.n_tokens").as("n_tok"),
+        LlmQueries.qualityFrom(col("s")).as("quality"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    base.withColumn("cum_tokens", sum(col("n_tok")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
+  def x25TokenBudget(spark: SparkSession, dir: String): DataFrame =
+    tokenBudgetSelect(Tables.documents(spark, dir), budget = 300L)
+
+  val x25Sql: String =
+    s"""WITH ${LlmQueries.statsCtesSql("source")},
+       |q AS (SELECT source, doc_id, n_tokens AS n_tok,
+       |    ${LlmQueries.qualitySql} AS quality
+       |  FROM m),
+       |w AS (SELECT source, doc_id, n_tok, quality,
+       |    CAST(sum(n_tok) OVER (PARTITION BY source
+       |      ORDER BY quality DESC, doc_id) AS BIGINT) AS cum_tokens
+       |  FROM q)
+       |SELECT source, doc_id, n_tok, quality, cum_tokens
+       |FROM w WHERE cum_tokens <= 300""".stripMargin
 
   val x17Sql: String =
     """WITH s AS (SELECT event_type, props,

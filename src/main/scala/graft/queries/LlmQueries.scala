@@ -520,44 +520,78 @@ object LlmQueries {
     * ratios — without the guard the division would emit NULL and
     * trip Verify's no-NULL gate on any future corpus that contains
     * an empty document. */
+  /** The x1 stats struct as a row-local column over `text` — shared
+    * by textStats and any curation query that ranks or gates on
+    * quality (x24/x25) so the formula cannot diverge between the
+    * profile and its consumers (the repetitionStatsCol discipline),
+    * and so consumers never pay a doc_id self-join to re-attach a
+    * pure per-row metric. */
+  private[queries] def textStatsCol: Column = {
+    import TextFunctions.bind
+    bind(TextFunctions.tokens(col("text")), ts =>
+      struct(size(ts).as("n_tokens"),
+        size(filter(ts, t => t.isInCollection(TextFunctions.Stopwords)))
+          .as("n_stop"),
+        length(regexp_replace(col("text"), "[^.,;:!?]", "")).as("n_punct")))
+  }
+
+  /** quality derivation from the stats struct (zero-token guard +
+    * round-at-edge). Requires `n_chars` in scope at the same select
+    * level as the struct. */
+  private[queries] def qualityFrom(s: Column): Column = {
+    val nTok = s.getField("n_tokens")
+    when(nTok === 0, 0.0).otherwise(round(
+      least(lit(1.0), nTok.cast("double") / 100) * 0.6
+        + s.getField("n_stop").cast("double") / nTok * 0.2
+        + (lit(1.0) - s.getField("n_punct").cast("double") / col("n_chars"))
+          * 0.2, 6))
+  }
+
   def textStats(docsIn: DataFrame): DataFrame = {
     val docs = docsIn
-      .select(col("doc_id"), col("n_chars"), col("text"),
-        TextFunctions.tokens(col("text")).as("ts"))
-    val nTok = size(col("ts"))
-    val nStop = size(filter(col("ts"),
-      t => t.isInCollection(TextFunctions.Stopwords)))
-    val nPunct = length(regexp_replace(col("text"), "[^.,;:!?]", ""))
+      .select(col("doc_id"), col("n_chars"), textStatsCol.as("s"))
+    val nTok = col("s.n_tokens")
     docs.select(col("doc_id"),
-      nTok.as("n_tokens"), nStop.as("n_stop"), nPunct.as("n_punct"),
+      nTok.as("n_tokens"), col("s.n_stop").as("n_stop"),
+      col("s.n_punct").as("n_punct"),
       when(nTok === 0, 0.0)
-        .otherwise(round(nStop.cast("double") / nTok, 6)).as("stop_ratio"),
-      when(nTok === 0, 0.0).otherwise(round(
-        least(lit(1.0), nTok.cast("double") / 100) * 0.6
-          + nStop.cast("double") / nTok * 0.2
-          + (lit(1.0) - nPunct.cast("double") / col("n_chars")) * 0.2,
-        6)).as("quality"))
+        .otherwise(round(col("s.n_stop").cast("double") / nTok, 6))
+        .as("stop_ratio"),
+      qualityFrom(col("s")).as("quality"))
   }
 
   def x1TextStats(spark: SparkSession, dir: String): DataFrame =
     textStats(Tables.documents(spark, dir))
 
-  val x1Sql: String =
-    s"""WITH t AS (SELECT doc_id, n_chars, text, $tsSql AS ts FROM documents),
-       |m AS (SELECT doc_id, n_chars,
+  /** the x1 stats CTE pair over `documents` (per-doc n_tokens /
+    * n_stop / n_punct, n_chars and any `extra` passthrough columns
+    * carried along) — shared with the x24/x25 oracles so the
+    * restated formula matches x1Sql's exactly. */
+  private[queries] def statsCtesSql(extra: String*): String = {
+    val pass = extra.map(c => s"$c, ").mkString
+    s"""t AS (SELECT ${pass}doc_id, n_chars, text, $tsSql AS ts FROM documents),
+       |m AS (SELECT ${pass}doc_id, n_chars,
        |    CAST(len(ts) AS INT) AS n_tokens,
        |    CAST(len(list_filter(ts, s -> s IN
        |      ('the','a','and','of','to','in','is','it'))) AS INT) AS n_stop,
        |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS INT)
        |      AS n_punct
-       |  FROM t)
+       |  FROM t)""".stripMargin
+  }
+
+  /** the x1 quality CASE over the `m` CTE's columns (= qualityFrom) */
+  private[queries] val qualitySql: String =
+    """CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+      |    round(least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 100) * 0.6
+      |      + CAST(n_stop AS DOUBLE) / n_tokens * 0.2
+      |      + (1.0 - CAST(n_punct AS DOUBLE) / n_chars) * 0.2, 6) END""".stripMargin
+
+  val x1Sql: String =
+    s"""WITH ${statsCtesSql()}
        |SELECT doc_id, n_tokens, n_stop, n_punct,
        |  CASE WHEN n_tokens = 0 THEN 0.0 ELSE
        |    round(CAST(n_stop AS DOUBLE) / n_tokens, 6) END AS stop_ratio,
-       |  CASE WHEN n_tokens = 0 THEN 0.0 ELSE
-       |    round(least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 100) * 0.6
-       |      + CAST(n_stop AS DOUBLE) / n_tokens * 0.2
-       |      + (1.0 - CAST(n_punct AS DOUBLE) / n_chars) * 0.2, 6) END AS quality
+       |  $qualitySql AS quality
        |FROM m""".stripMargin
 
   /** x3: corpus token histogram (explode → hash agg; partial

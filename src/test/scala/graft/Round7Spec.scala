@@ -154,4 +154,68 @@ class Round7Spec extends SparkTestBase {
       decoded.foreach(dec => assert(dec.byte_len === bad.length))
     }
   }
+
+  test("incrementalDedup: corpus hits dropped, intra-batch dedup kept") {
+    import testImplicits._
+    import graft.operators.Dedup
+    val corpus = Seq(
+      (1L, "alpha beta"),
+      (2L, "gamma delta"),
+      (3L, "alpha beta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (107L, "alpha beta"),   // already in corpus -> dropped
+      (117L, "epsilon zeta"), // new, duplicated within the batch
+      (127L, "epsilon zeta"), //   -> one survivor (117), n_in_batch=2
+      (137L, "eta theta")     // new, unique
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(corpus, batch)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("n_in_batch"))).toSeq === Seq((117L, 2L), (137L, 1L)))
+  }
+
+  test("tokenBudgetSelect: greedy quality-ranked prefix per source") {
+    import testImplicits._
+    import graft.queries.CorpusQueries
+    // source A: quality order (by the x1 formula all-stopword text
+    // scores higher than none) is a1 > a2 > a3 by construction —
+    // token counts 4 + 3 fill a budget of 8; a3 (2 more tokens)
+    // would land at cum=9 and must be cut. source B fits entirely.
+    val docs = Seq(
+      ("A", 10L, "the a and of", 13L),   // 4 stopword tokens: quality high
+      ("A", 11L, "the a and", 9L),       // 3 stopword tokens
+      ("A", 12L, "zz yy", 5L),           // 2 non-stop tokens: lowest
+      ("B", 20L, "the of", 6L)
+    ).map { case (s, id, t, nc) => (id, s, t, nc) }
+      .toDF("doc_id", "source", "text", "n_chars")
+    val out = CorpusQueries.tokenBudgetSelect(docs, budget = 8L)
+      .orderBy("source", "doc_id").collect()
+    assert(out.map(r => (r.getAs[String]("source"),
+      r.getAs[Long]("doc_id"), r.getAs[Long]("cum_tokens"))).toSeq ===
+      Seq(("A", 10L, 4L), ("A", 11L, 7L), ("B", 20L, 2L)))
+  }
+
+  test("x24: the chosen representative has max quality in its cluster") {
+    import graft.queries.{CorpusQueries, LlmQueries}
+    val dir = "/root/testdata/sf0.001"
+    val reps = CorpusQueries.x24ClusterRep(spark, dir).collect()
+    assert(reps.nonEmpty)
+    val clusters = LlmQueries.d9DedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val quality = LlmQueries.textStats(
+      graft.sources.Tables.documents(spark, dir))
+      .select(col("doc_id"), col("quality")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (rep <- reps) {
+      val cl = rep.getAs[Long]("cluster")
+      val members = clusters.filter(_._2 == cl).keys.toSeq
+      assert(rep.getAs[Long]("n_members") === members.size)
+      val best = members.map(quality).max
+      assert(rep.getAs[Double]("rep_quality") === best)
+      // deterministic tiebreak: among max-quality members, min doc_id
+      assert(rep.getAs[Long]("rep_doc") ===
+        members.filter(m => quality(m) == best).min)
+    }
+  }
 }
