@@ -46,6 +46,8 @@ object SparkEntry {
     "s8_ivf_pq" -> LlmQueries.s8IvfPq,
     "s9_knn_ivf_trained" -> LlmQueries.s9KnnIvfTrained,
     "s10_index_serve" -> LlmQueries.s10IndexServe,
+    "s11_ivfpq_rerank" -> LlmQueries.s11IvfPqRerank,
+    "s12_ann_recall" -> LlmQueries.s12AnnRecall,
     "x13_decontaminate" -> LlmQueries.x13Decontaminate,
     "x1_text_stats" -> LlmQueries.x1TextStats,
     "x2_lang_id" -> LlmQueries.x2LangId,
@@ -157,6 +159,8 @@ object SparkEntry {
     // s10 = s8's search served from the persisted cell-partitioned
     // index; identical arithmetic, so the oracle is s8's
     "s10_index_serve" -> LlmQueries.s8Sql,
+    "s11_ivfpq_rerank" -> LlmQueries.s11Sql,
+    "s12_ann_recall" -> LlmQueries.s12Sql,
     "x13_decontaminate" -> LlmQueries.x13Sql,
     "x1_text_stats" -> LlmQueries.x1Sql,
     "x2_lang_id" -> LlmQueries.x2Sql,

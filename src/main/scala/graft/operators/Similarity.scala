@@ -312,6 +312,59 @@ object Similarity {
     pqRank(pairs, k)
   }
 
+  /** IVF-PQ with an exact RE-RANK refine stage — the two-stage shape
+    * every production vector index serves: the ADC scan over codes
+    * produces a `shortlist` of candidates per query (cheap,
+    * compressed-domain, slightly lossy), then ONLY those candidates
+    * are re-scored against their full-precision embeddings and the
+    * final top-k ranks by exact cosine. PQ's quantization error is
+    * confined to the shortlist boundary — the returned scores are
+    * exact. 100 TB economics: the refine join touches |Q|×shortlist
+    * rows, so the candidates BROADCAST onto the corpus scan (the
+    * corpus is read narrowly a second time for just the shortlisted
+    * vec_ids — in production that read is served by the row-group
+    * index of the persisted embedding table, not a full scan). */
+  def knnIvfPqRerank(embeddings: DataFrame, queries: DataFrame,
+      centroids: DataFrame, codebook: DataFrame, m: Int,
+      shortlist: Int, k: Int, dim: Int = 64): DataFrame = {
+    val short = knnIvfPq(embeddings, queries, centroids, codebook, m,
+      shortlist, dim)
+      .select(col("query_id"), col("neighbor_id"))
+    val qemb = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qemb"))
+    val pairs = embeddings
+      .join(broadcast(short), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(qemb), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSim(col("qemb"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Recall@k of an IVF-probe search against the brute-force ground
+    * truth, as a first-class QUERY — the evaluation loop an index
+    * owner runs after every (re)build: per query, the fraction of
+    * true top-k neighbors the ANN search returned. Both sides are
+    * top-k sets keyed (query_id, neighbor_id); the compare is a
+    * broadcast-sized left join (|Q|×k rows), so the evaluation costs
+    * two searches and nothing more. */
+  def annRecall(embeddings: DataFrame, queries: DataFrame,
+      centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val truth = knnBruteForce(embeddings, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val ann = knnIvfProbe(embeddings, queries, centroids, k, nprobe)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    truth.join(ann, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        round(col("n_hits") / k.toDouble, 6).as("recall"))
+  }
+
   /** Embedding near-duplicate pairs: self-join on LSH bucket, verify
     * with exact cosine >= threshold. The all-pairs comparison is
     * confined to within-bucket groups. */

@@ -427,7 +427,11 @@ object LlmQueries {
       centroids, codebook, m = 8, k = 3)
   }
 
-  val s8Sql: String = {
+  /** the s8 CTE chain up to the per-(query, candidate) ADC distance
+    * `ad` — ONE definition shared by the s8 and s11 oracles (s11 is
+    * s8's ADC stage + an exact re-rank; the compressed-domain
+    * arithmetic must not diverge between them). */
+  private def ivfPqAdcCtes: String = {
     def subSql(v: String, c: String, m: String) = pqSubSql(v, c, m)
     def assign(src: String) =
       s"""SELECT vec_id, embedding, cell FROM (
@@ -456,13 +460,76 @@ object LlmQueries {
        |ad AS (SELECT query_id, neighbor_id,
        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(dm ORDER BY m)),
        |      (x, y) -> x + y) AS adist
-       |  FROM qd GROUP BY 1, 2),
+       |  FROM qd GROUP BY 1, 2)""".stripMargin
+  }
+
+  val s8Sql: String =
+    s"""$ivfPqAdcCtes,
        |r AS (SELECT query_id, neighbor_id, CAST(row_number() OVER (
        |    PARTITION BY query_id ORDER BY adist ASC, neighbor_id) AS INT) AS rnk,
        |    adist FROM ad)
        |SELECT query_id, neighbor_id, rnk, round(adist, 6) AS adist
        |FROM r WHERE rnk <= 3""".stripMargin
+
+  /** s11: IVF-PQ with the exact RE-RANK refine stage — s8's ADC scan
+    * keeps only a top-10 shortlist per query, then the shortlist is
+    * re-scored against full-precision embeddings and the final top-3
+    * ranks by EXACT cosine (Similarity.knnIvfPqRerank). The scores a
+    * user sees are exact; PQ error can only cost shortlist-boundary
+    * recall — the production serve path (FAISS's refine, SCaNN's
+    * reordering) in one declarative plan. */
+  def s11IvfPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.knnIvfPqRerank(emb, queryVecs(spark, dir),
+      emb.filter(col("vec_id") < 8), emb.filter(col("vec_id") < 16),
+      m = 8, shortlist = 10, k = 3)
   }
+
+  val s11Sql: String =
+    s"""$ivfPqAdcCtes,
+       |sh AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY adist ASC, neighbor_id) AS srn
+       |    FROM ad) WHERE srn <= 10),
+       |rr AS (SELECT s.query_id, s.neighbor_id,
+       |    ${cosSql("qe.embedding", "ne.embedding")} AS cos
+       |  FROM sh s
+       |  JOIN embeddings ne ON ne.vec_id = s.neighbor_id
+       |  JOIN embeddings qe ON qe.vec_id = s.query_id),
+       |fr AS (SELECT query_id, neighbor_id, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rnk,
+       |    cos FROM rr)
+       |SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cosine
+       |FROM fr WHERE rnk <= 3""".stripMargin
+
+  /** s12: ANN quality measured AS A QUERY — per-query recall@3 of
+    * the nprobe=2 IVF search (s6's exact configuration) against the
+    * brute-force ground truth (Similarity.annRecall). This is the
+    * evaluation an index owner re-runs after every build/retrain;
+    * wiring it as a first-class query means the quality number comes
+    * from the same engine, same session, same scan as the searches
+    * it judges. */
+  def s12AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.annRecall(emb, queryVecs(spark, dir),
+      emb.filter(col("vec_id") < 8), k = 3, nprobe = 2)
+  }
+
+  val s12Sql: String =
+    s"""WITH bf AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rnk
+       |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |    WHERE q.vec_id < 5) WHERE rnk <= 3),
+       |iv AS (SELECT query_id, neighbor_id FROM (
+       |${ivfSql(nprobe = 2)}
+       |))
+       |SELECT bf.query_id, count(iv.neighbor_id) AS n_hits,
+       |  round(count(iv.neighbor_id) / 3.0, 6) AS recall
+       |FROM bf LEFT JOIN iv ON iv.query_id = bf.query_id
+       |  AND iv.neighbor_id = bf.neighbor_id
+       |GROUP BY 1""".stripMargin
 
   /** s5: int8 scalar quantization quality — the storage-path op an
     * embedding corpus runs before ANN serving (4× smaller vectors):

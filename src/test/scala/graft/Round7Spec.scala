@@ -195,6 +195,44 @@ class Round7Spec extends SparkTestBase {
       Seq(("A", 10L, 4L), ("A", 11L, 7L), ("B", 20L, 2L)))
   }
 
+  test("s11 rerank: with a shortlist covering the whole cell, " +
+      "rerank == exact IVF search (PQ error washes out)") {
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val qs = emb.filter(col("vec_id") < 5)
+    val cents = emb.filter(col("vec_id") < 8)
+    val cb = emb.filter(col("vec_id") < 16)
+    val reranked = Similarity.knnIvfPqRerank(emb, qs, cents, cb,
+      m = 8, shortlist = 1000000, k = 3)
+      .select("query_id", "neighbor_id", "rnk", "cosine")
+    val exact = Similarity.knnIvf(emb, qs, cents, k = 3)
+      .select("query_id", "neighbor_id", "rnk", "cosine")
+    assert(reranked.except(exact).isEmpty && exact.except(reranked).isEmpty)
+  }
+
+  test("s12 recall: monotone in nprobe; full probe budget == 1.0") {
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val qs = emb.filter(col("vec_id") < 5)
+    val cents = emb.filter(col("vec_id") < 8)
+    def recalls(nprobe: Int): Map[Long, Double] =
+      Similarity.annRecall(emb, qs, cents, k = 3, nprobe = nprobe)
+        .collect().map(r => r.getAs[Long]("query_id") ->
+          r.getAs[Double]("recall")).toMap
+    val r1 = recalls(1); val r2 = recalls(2); val rAll = recalls(8)
+    assert(r1.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    for (q <- r1.keys) {
+      assert(r1(q) >= 0.0 && r1(q) <= 1.0)
+      assert(r2(q) >= r1(q), s"query $q: nprobe=2 recall below nprobe=1")
+      // probing every cell searches the whole corpus: exact by def
+      assert(rAll(q) === 1.0, s"query $q: full probe budget not exact")
+    }
+  }
+
   test("x24: the chosen representative has max quality in its cluster") {
     import graft.queries.{CorpusQueries, LlmQueries}
     val dir = "/root/testdata/sf0.001"
