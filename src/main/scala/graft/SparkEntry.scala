@@ -66,6 +66,7 @@ object SparkEntry {
     "m3_wav_decode" -> LlmQueries.m3WavDecode,
     "m4_gif_decode" -> LlmQueries.m4GifDecode,
     "m5_audio_features" -> LlmQueries.m5AudioFeatures,
+    "m6_image_stats" -> LlmQueries.m6ImageStats,
     "x14_repetition" -> LlmQueries.x14Repetition,
     "x15_bloom_decontaminate" -> LlmQueries.x15BloomDecontaminate,
     "x16_pack" -> CorpusQueries.x16Pack,
@@ -92,6 +93,7 @@ object SparkEntry {
     "r24_pivot" -> Relational2.r24Pivot,
     "r25_range_window" -> Relational2.r25RangeWindow,
     "r26_distribution" -> Relational2.r26Distribution,
+    "r27_subqueries" -> Relational2.r27Subqueries,
     "x23_incremental_dedup" -> CorpusQueries.x23IncrementalDedup,
     "x24_cluster_rep" -> CorpusQueries.x24ClusterRep,
     "x25_token_budget" -> CorpusQueries.x25TokenBudget,
@@ -180,6 +182,7 @@ object SparkEntry {
     "m3_wav_decode" -> LlmQueries.m3Sql,
     "m4_gif_decode" -> LlmQueries.m4Sql,
     "m5_audio_features" -> LlmQueries.m5Sql,
+    "m6_image_stats" -> LlmQueries.m6Sql,
     "x14_repetition" -> LlmQueries.x14Sql,
     // x15 output ≡ x13 (the bloom is a pure prefilter; the exact
     // semi join removes its false positives)
@@ -208,6 +211,7 @@ object SparkEntry {
     "r24_pivot" -> Relational2.r24Sql,
     "r25_range_window" -> Relational2.r25Sql,
     "r26_distribution" -> Relational2.r26Sql,
+    "r27_subqueries" -> Relational2.r27Sql,
     "x23_incremental_dedup" -> CorpusQueries.x23Sql,
     "x24_cluster_rep" -> CorpusQueries.x24Sql,
     "x25_token_budget" -> CorpusQueries.x25Sql,

@@ -1511,4 +1511,66 @@ object LlmQueries {
       |    i -> (pcm[i - 1] < 0) <> (pcm[i] < 0))) AS INT) AS n_zero_cross,
       |  CAST(list_max(list_transform(pcm[lo:hi], v -> abs(v))) AS INT) AS peak
       |FROM w""".stripMargin
+
+  /** m6: image FEATURE EXTRACTION over real compressed decode — the
+    * stage after m2's decode in a multimodal pipeline (the
+    * "feature-extract" half of the decode/feature-extract contract):
+    * per image, integer channel sums and the peak BT.601 luminance
+    * (299R+587G+114B) computed from the DECODED pixels of a genuine
+    * PNG. Integer arithmetic end-to-end, so the oracle restates the
+    * features exactly (PNG is lossless) — a decoder defect shifts
+    * the sums and breaks the hash. Same narrow partition-scoped
+    * shape as m2/m5: pixels are decoded and reduced to features
+    * inside one partition pass, and only the tiny feature rows ever
+    * reach an exchange — at 100 TB the image bytes themselves never
+    * shuffle. */
+  def m6ImageStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{Codecs, Multimodal}
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (8 + id % 13).toInt; val h = (8 + id % 7).toInt
+          val rgb = Array.tabulate(w * h * 3)(i =>
+            ((id * 7 + i * 13) % 256).toByte)
+          val png = Codecs.ImageIoCodecs.encodeRgb("png", w, h, rgb)
+          val meta = Codecs.AutoCodec.decode(
+            Multimodal.MediaRecord(id, "image", png))
+          val (dw, dh, back) = Codecs.ImageIoCodecs.decodeRgb(png)
+          require(dw == meta.width && dh == meta.height,
+            s"codec metadata/pixel disagreement for doc $id")
+          var sr = 0L; var sg = 0L; var sb = 0L; var maxLum = 0L
+          var p = 0
+          while (p < dw * dh) {
+            val r = back(p * 3) & 0xff
+            val g = back(p * 3 + 1) & 0xff
+            val b = back(p * 3 + 2) & 0xff
+            sr += r; sg += g; sb += b
+            val lum = 299L * r + 587L * g + 114L * b
+            if (lum > maxLum) maxLum = lum
+            p += 1
+          }
+          (id, dw, dh, sr, sg, sb, maxLum)
+        }
+      }.toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b",
+        "max_lum")
+  }
+
+  val m6Sql: String =
+    """WITH g AS (SELECT doc_id,
+      |    8 + doc_id % 13 AS w, 8 + doc_id % 7 AS h
+      |  FROM documents),
+      |px AS (SELECT doc_id, w, h,
+      |    list_transform(range(w * h), p -> [
+      |      (doc_id*7 + (3*p)*13) % 256,
+      |      (doc_id*7 + (3*p + 1)*13) % 256,
+      |      (doc_id*7 + (3*p + 2)*13) % 256]) AS pxs
+      |  FROM g)
+      |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |  CAST(list_sum(list_transform(pxs, q -> q[1])) AS BIGINT) AS sum_r,
+      |  CAST(list_sum(list_transform(pxs, q -> q[2])) AS BIGINT) AS sum_g,
+      |  CAST(list_sum(list_transform(pxs, q -> q[3])) AS BIGINT) AS sum_b,
+      |  CAST(list_max(list_transform(pxs,
+      |    q -> 299*q[1] + 587*q[2] + 114*q[3])) AS BIGINT) AS max_lum
+      |FROM px""".stripMargin
 }

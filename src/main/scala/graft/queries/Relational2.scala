@@ -504,6 +504,38 @@ object Relational2 {
       |WINDOW w AS (PARTITION BY o_custkey
       |  ORDER BY o_totalprice, o_orderkey)""".stripMargin
 
+  /** r27: the correlated-subquery surface — EXISTS, NOT EXISTS and
+    * two correlated scalar subqueries in one statement, run through
+    * `spark.sql` so Catalyst's decorrelation does the planning
+    * (RewritePredicateSubquery turns the EXISTS pair into LEFT SEMI
+    * and LEFT ANTI joins; RewriteCorrelatedScalarSubquery turns each
+    * scalar into an aggregate + LEFT OUTER join — no per-row
+    * re-execution anywhere, which is what makes the declared form
+    * safe at 100 TB). ONE SQL string serves engine and oracle: the
+    * statement is ANSI-portable, and the selected scalars (count,
+    * max) are order-independent, so no float-summation parity risk.
+    * The same semantics hand-built from joins is r14/r19 territory;
+    * what r27 adds is the DECLARED subquery form a SQL user writes. */
+  val r27Sql: String =
+    """SELECT c.c_custkey, c.c_mktsegment,
+      |  (SELECT count(*) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+      |  coalesce((SELECT max(o.o_totalprice) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey), -1.0) AS max_price
+      |FROM customer c
+      |WHERE c.c_custkey < 500
+      |  AND EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+      |      AND o.o_totalprice > 400000.0)""".stripMargin
+
+  def r27Subqueries(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    spark.sql(r27Sql)
+  }
+
   val r23Sql: String =
     """WITH cust AS (SELECT c_custkey, c_mktsegment FROM customer
       |    WHERE c_custkey % 7 = 0),

@@ -233,6 +233,20 @@ class Round7Spec extends SparkTestBase {
     }
   }
 
+  test("r27: Catalyst decorrelates every subquery into joins") {
+    import graft.queries.Relational2
+    val df = Relational2.r27Subqueries(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.optimizedPlan.toString
+    // EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti, each scalar ->
+    // Aggregate + LeftOuter; nothing survives as a per-row subquery
+    assert(plan.contains("LeftSemi"), "EXISTS not decorrelated")
+    assert(plan.contains("LeftAnti"), "NOT EXISTS not decorrelated")
+    assert(!plan.contains("scalar-subquery"),
+      "correlated scalar subquery survived optimization")
+    assert(plan.split("Join LeftOuter").length - 1 === 2,
+      "expected one LEFT OUTER per scalar subquery")
+  }
+
   test("x24: the chosen representative has max quality in its cluster") {
     import graft.queries.{CorpusQueries, LlmQueries}
     val dir = "/root/testdata/sf0.001"
