@@ -97,6 +97,10 @@ object SparkEntry {
     "x23_incremental_dedup" -> CorpusQueries.x23IncrementalDedup,
     "x24_cluster_rep" -> CorpusQueries.x24ClusterRep,
     "x25_token_budget" -> CorpusQueries.x25TokenBudget,
+    "d10_substring_dedup" -> LlmQueries.d10SubstringDedup,
+    "s13_binary_rerank" -> LlmQueries.s13BinaryRerank,
+    "x26_bigram_lm" -> CorpusQueries.x26BigramLm,
+    "r28_grouping_sets" -> Relational2.r28GroupingSets,
   )
 
   /** Every oracle is wrapped in `ORDER BY ALL` (all columns,
@@ -215,5 +219,9 @@ object SparkEntry {
     "x23_incremental_dedup" -> CorpusQueries.x23Sql,
     "x24_cluster_rep" -> CorpusQueries.x24Sql,
     "x25_token_budget" -> CorpusQueries.x25Sql,
+    "d10_substring_dedup" -> LlmQueries.d10Sql,
+    "s13_binary_rerank" -> LlmQueries.s13Sql,
+    "x26_bigram_lm" -> CorpusQueries.x26Sql,
+    "r28_grouping_sets" -> Relational2.r28Sql,
   )
 }

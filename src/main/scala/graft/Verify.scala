@@ -13,11 +13,16 @@ import java.nio.file.{Files, Paths}
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional third arg (local iteration only — the driver passes
+    // two): comma-separated query names; restricts the dump AND the
+    // oracle manifest to just those queries.
+    val only = args.drop(2).headOption.map(_.split(',').toSet)
+    def keep(name: String) = only.forall(_.contains(name))
     val spark = Engine.session("graft-verify")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(e => keep(e._1)).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         val sortable = df.schema.fields.collect {
@@ -63,7 +68,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(e => keep(e._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

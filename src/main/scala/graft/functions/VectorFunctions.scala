@@ -34,4 +34,19 @@ object VectorFunctions {
     }: _*)
     aggregate(bitsDesc, lit(0L), (acc, bit) => acc * 2 + bit)
   }
+
+  /** Binary-quantization word: dims [lo, hi) packed MSB-first into
+    * one LONG, bit set iff the dimension is strictly positive — the
+    * 1-bit-per-dim storage scheme (64-dim float32 → 8 bytes, 32×).
+    * `hi - lo` must stay ≤ 63 so the acc*2 fold never touches the
+    * sign bit (a 64-dim vector packs into TWO 32-bit words, keeping
+    * every intermediate non-negative — DuckDB's checked BIGINT
+    * arithmetic would trap an overflowing fold). Row-local. */
+  def signWord(emb: Column, lo: Int, hi: Int): Column = {
+    require(hi - lo > 0 && hi - lo <= 63, s"word width ${hi - lo}")
+    val bitsDesc = array((lo until hi).map { k =>
+      when(get(emb, lit(k)).cast("double") > 0, 1L).otherwise(0L)
+    }: _*)
+    aggregate(bitsDesc, lit(0L), (acc, bit) => acc * 2 + bit)
+  }
 }

@@ -253,4 +253,39 @@ object Dedup {
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
   }
+
+  /** EXACT substring-match dedup (the Lee et al. 2022 "Deduplicating
+    * Training Data" criterion): document pairs sharing at least one
+    * verbatim substring of `windowLen` characters, with the count of
+    * distinct shared windows. Every length-L substring match equals a
+    * length-L sliding-window match, so the candidate generator is
+    * complete, not approximate: each doc emits its distinct windows
+    * row-locally (one `transform` over positions — windows never
+    * fan out before the distinct), then one groupBy per window key
+    * builds the tiny posting lists and pairs explode from lists of
+    * 2..`maxDocs` members — a single shuffle end to end, no
+    * self-join. Windows shared by more than `maxDocs` docs are
+    * boilerplate (licence headers, navigation chrome), excluded like
+    * d2/d4's mega-bucket caps: their quadratic fan-out is
+    * unsplittable and their signal belongs to d8's repeated-n-gram
+    * profile instead. At 100 TB the window STRING is the shuffle
+    * payload (L bytes/row); production would key the shuffle on
+    * poly_hash(window) and verify inside the group — kept verbatim
+    * here so the oracle restates the exact criterion byte for byte. */
+  def substringDupPairs(docs: DataFrame, windowLen: Int = 30,
+      maxDocs: Int = 64): DataFrame = {
+    val wins = docs.filter(length(col("text")) >= windowLen)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), length(col("text")) - (windowLen - 1)),
+          i => col("text").substr(i, lit(windowLen))))).as("g"))
+    wins.groupBy(col("g"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxDocs))
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
+          struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

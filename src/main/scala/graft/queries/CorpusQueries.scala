@@ -368,6 +368,73 @@ object CorpusQueries {
        |SELECT source, doc_id, n_tok, quality, cum_tokens
        |FROM w WHERE cum_tokens <= 300""".stripMargin
 
+  // ---- x26: corpus-trained bigram-LM quality scoring ----------------
+
+  /** x26: statistical language-model quality scoring — the CCNet/
+    * KenLM-style filter ranked by how plausible each document is
+    * under a model TRAINED ON THE CORPUS ITSELF: P(c2|c1) =
+    * count(c1c2) / count(c1·) over character bigrams, each doc scored
+    * by the average transition probability of its own bigrams plus
+    * the minimum (its single most surprising transition — the
+    * gibberish detector). Train and score are one pipeline: the
+    * bigram counts are a two-level hash agg like d8 (shuffle one row
+    * per distinct bigram — bounded by alphabet², a few KB at ANY
+    * corpus size), the finished model folds into ONE broadcast map
+    * row, and scoring is a row-local position-ordered fold over each
+    * doc's own text against that map — no second shuffle, no join of
+    * docs to grams. Probabilities are exact integer ratios and the
+    * per-doc fold runs in ascending position order on both engines,
+    * so the double sums are bit-identical (the x9/x21 parity rule). */
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    val bg = docs.filter(length(col("text")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), length(col("text")) - 1),
+        i => col("text").substr(i, lit(2)))).as("g"))
+    val model = bg.groupBy(col("g")).agg(count(lit(1)).as("c2"))
+      .withColumn("c1tot", sum(col("c2"))
+        .over(Window.partitionBy(substring(col("g"), 1, 1))))
+      .select(col("g"),
+        (col("c2").cast("double") / col("c1tot").cast("double")).as("p"))
+    val modelRow = model
+      .agg(map_from_entries(collect_list(struct(col("g"), col("p")))).as("m"))
+    val n = length(col("text")) - 1
+    val ps = transform(sequence(lit(1), n),
+      i => element_at(col("m"), col("text").substr(i, lit(2))))
+    docs.crossJoin(broadcast(modelRow))
+      .select(col("doc_id"),
+        when(length(col("text")) < 2, lit(0L))
+          .otherwise(n.cast("long")).as("n_bigrams"),
+        round(when(length(col("text")) < 2, lit(0.0))
+          .otherwise(aggregate(ps, lit(0.0), (acc, p) => acc + p)
+            / n.cast("double")), 6).as("avg_prob"),
+        round(when(length(col("text")) < 2, lit(0.0))
+          .otherwise(array_min(ps)), 6).as("min_prob"))
+  }
+
+  def x26BigramLm(spark: SparkSession, dir: String): DataFrame =
+    bigramLmScore(Tables.documents(spark, dir))
+
+  val x26Sql: String =
+    """WITH bg AS (SELECT doc_id, i, substr(text, i, 2) AS g
+      |  FROM documents, LATERAL (SELECT
+      |    unnest(generate_series(1, length(text) - 1)) AS i) t
+      |  WHERE length(text) >= 2),
+      |cnt2 AS (SELECT g, count(*) AS c2 FROM bg GROUP BY g),
+      |cnt1 AS (SELECT substr(g, 1, 1) AS c1, sum(c2) AS c1tot
+      |  FROM cnt2 GROUP BY 1),
+      |model AS (SELECT g, CAST(c2 AS DOUBLE) / CAST(c1tot AS DOUBLE) AS p
+      |  FROM cnt2 JOIN cnt1 ON substr(g, 1, 1) = c1),
+      |probs AS (SELECT doc_id, list(p ORDER BY i) AS ps
+      |  FROM bg JOIN model USING (g) GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(len(ps), 0) AS BIGINT) AS n_bigrams,
+      |  round(CASE WHEN len(ps) > 0 THEN
+      |      list_reduce(list_prepend(CAST(0 AS DOUBLE), ps), (x, y) -> x + y)
+      |        / len(ps)
+      |    ELSE 0.0 END, 6) AS avg_prob,
+      |  round(coalesce(list_aggregate(ps, 'min'), 0.0), 6) AS min_prob
+      |FROM documents d LEFT JOIN probs USING (doc_id)""".stripMargin
+
   val x17Sql: String =
     """WITH s AS (SELECT event_type, props,
       |    regexp_replace(props, '[0-9]+', '[NUM]', 'g') AS scrubbed,

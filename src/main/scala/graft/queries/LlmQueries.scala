@@ -531,6 +531,40 @@ object LlmQueries {
        |  AND iv.neighbor_id = bf.neighbor_id
        |GROUP BY 1""".stripMargin
 
+  /** s13: binary-quantization ANN — 1 bit per dimension (the third
+    * compression point after s5's int8 and s7's PQ: 64-dim float32 →
+    * 8 bytes, 32×), Hamming-distance shortlist (XOR + popcount — the
+    * cheapest candidate scan any index serves, and the one modern
+    * engines run over binary embeddings), exact-cosine re-rank of the
+    * top-10 shortlist (s11's refine shape). The oracle restates
+    * Hamming as the count of per-dimension sign disagreements —
+    * arithmetically identical to the engine's packed
+    * bit_count(w0^w0')+bit_count(w1^w1'), integer end to end. */
+  def s13BinaryRerank(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnBinaryRerank(Tables.embeddings(spark, dir),
+      queryVecs(spark, dir), shortlist = 10, k = 3)
+
+  val s13Sql: String =
+    s"""WITH p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    len(list_filter(range(64), k ->
+       |      (q.embedding[k+1] > 0) <> (c.embedding[k+1] > 0))) AS ham
+       |  FROM embeddings c
+       |  JOIN embeddings q ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+       |sh AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY ham ASC, neighbor_id) AS srn
+       |    FROM p) WHERE srn <= 10),
+       |rr AS (SELECT s.query_id, s.neighbor_id,
+       |    ${cosSql("qe.embedding", "ne.embedding")} AS cos
+       |  FROM sh s
+       |  JOIN embeddings ne ON ne.vec_id = s.neighbor_id
+       |  JOIN embeddings qe ON qe.vec_id = s.query_id),
+       |fr AS (SELECT query_id, neighbor_id, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rnk,
+       |    cos FROM rr)
+       |SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cosine
+       |FROM fr WHERE rnk <= 3""".stripMargin
+
   /** s5: int8 scalar quantization quality — the storage-path op an
     * embedding corpus runs before ANN serving (4× smaller vectors):
     * per-vector symmetric scale 127/max|v|, q = floor(v·s + 0.5)
@@ -1003,6 +1037,33 @@ object LlmQueries {
        |  node = min(lab) AS survivor
        |FROM reach GROUP BY node""".stripMargin
   }
+
+  /** d10: EXACT substring-match dedup (Lee et al. 2022's criterion,
+    * complementing d2/d4's set-similarity ones): pairs sharing a
+    * verbatim 30-char window, plus how many distinct windows they
+    * share — the dedup that catches a paragraph pasted into an
+    * otherwise-different document, which whole-document Jaccard
+    * misses. Candidate generation is complete (every length-L common
+    * substring IS a length-L common window); the >64-doc window cap
+    * routes boilerplate to d8's profile instead (restated in the
+    * oracle's HAVING). One groupBy shuffle, pairs explode from
+    * posting lists — no self-join. */
+  def d10SubstringDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringDupPairs(Tables.documents(spark, dir),
+      windowLen = 30, maxDocs = 64)
+
+  val d10Sql: String =
+    """WITH w AS (SELECT DISTINCT doc_id, substr(text, i, 30) AS g
+      |  FROM documents,
+      |    LATERAL (SELECT unnest(generate_series(1, length(text) - 29)) AS i) t
+      |  WHERE length(text) >= 30),
+      |gl AS (SELECT g FROM w
+      |  GROUP BY g HAVING count(*) BETWEEN 2 AND 64),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM w a JOIN gl ON a.g = gl.g
+      |  JOIN w b ON b.g = a.g AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, count(*) AS n_shared
+      |FROM p GROUP BY 1, 2""".stripMargin
 
   /** x20: curation capstone v2 — the round-6 operators composed into
     * one declarative pipeline: cluster-aware dedup (keep only d9's

@@ -536,6 +536,33 @@ object Relational2 {
     spark.sql(r27Sql)
   }
 
+  /** r28: explicit GROUPING SETS with GROUPING() markers — the
+    * general form r10's ROLLUP and r11's CUBE are special cases of:
+    * an asymmetric set list ((a,b),(a),(b),()) plus the grouping()
+    * bit that disambiguates a data NULL from a superaggregate row
+    * (the coalesce-to-'ALL' trick r10/r11 use breaks the moment a
+    * grouping column is nullable; grouping() is the correct contract
+    * and this query ships it). ONE ANSI SQL string serves engine and
+    * oracle (the r27 convention). Spark plans a single Expand +
+    * hash aggregate — one shuffle for all four set combinations, map-
+    * side partials over ≤ 4×|groups| rows regardless of input size;
+    * sum(l_quantity) is integer-valued double, so order-independent
+    * and hash-stable. */
+  val r28Sql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+      |  coalesce(l_linestatus, 'ALL') AS lstatus,
+      |  CAST(grouping(l_returnflag) AS INT) AS g_rflag,
+      |  CAST(grouping(l_linestatus) AS INT) AS g_lstatus,
+      |  count(*) AS n, sum(l_quantity) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |  (l_returnflag), (l_linestatus), ())""".stripMargin
+
+  def r28GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(r28Sql)
+  }
+
   val r23Sql: String =
     """WITH cust AS (SELECT c_custkey, c_mktsegment FROM customer
       |    WHERE c_custkey % 7 = 0),

@@ -270,4 +270,110 @@ class Round7Spec extends SparkTestBase {
         members.filter(m => quality(m) == best).min)
     }
   }
+
+  test("d10 substringDupPairs: planted shares found, boilerplate capped") {
+    import testImplicits._
+    import graft.operators.Dedup
+    val shared = "0123456789012345678901234567890123456789" // 40 chars
+    val boiler = "B" * 30 // exactly one window, shared by everyone
+    val docs = Seq(
+      (1L, s"alpha $shared omega"),
+      (2L, s"completely different prefix $shared"),
+      (3L, "no overlap with anything here, a fully distinct body"),
+      (4L, "short"), // below windowLen — never emits a window
+      (5L, s"another unrelated document body $boiler"),
+      (6L, s"yet another unrelated body text $boiler")
+    ).toDF("doc_id", "text")
+    // cap 1 excludes every shared window (all have >= 2 docs)
+    assert(Dedup.substringDupPairs(docs, windowLen = 30, maxDocs = 1)
+      .count() === 0)
+    val rows = Dedup.substringDupPairs(docs, windowLen = 30, maxDocs = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // docs 1,2 share the 40-char planted run (period 10, so its 11
+    // sliding windows collapse to 10 DISTINCT strings) plus the
+    // space-prefixed boundary window both docs happen to contain
+    assert(rows((1L, 2L)) === 11L)
+    // docs 5,6: the all-B window + its space-prefixed boundary window
+    assert(rows((5L, 6L)) === 2L)
+    assert(rows.size === 2) // nothing else pairs
+  }
+
+  test("s13 binary rerank: full shortlist reproduces brute force") {
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val qs = emb.filter(col("vec_id") < 5)
+    val n = emb.count().toInt
+    // shortlist = whole corpus → the Hamming stage filters nothing,
+    // so the exact-cosine re-rank must equal brute force top-k
+    val full = Similarity.knnBinaryRerank(emb, qs, shortlist = n, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val bf = Similarity.knnBruteForce(emb, qs, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    assert(full === bf)
+    // the real (shortlist=10) search returns k rows per query with
+    // exact cosines: each returned cosine must equal the brute-force
+    // cosine for the same pair
+    val bfCos = Similarity.knnBruteForce(emb, qs, k = n - 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val short = Similarity.knnBinaryRerank(emb, qs, shortlist = 10, k = 3)
+      .collect()
+    assert(short.length === 15)
+    for (r <- short)
+      assert(r.getDouble(3) === bfCos((r.getLong(0), r.getLong(1))))
+  }
+
+  test("signWord: hand-checked packing, strict-positive bit rule") {
+    import testImplicits._
+    import graft.functions.VectorFunctions
+    // dims 0..3: +,-,0,+  → MSB-first over [0,4) = 1,0,0,1 = 9
+    val df = Seq((Array(0.5f, -1f, 0f, 2f))).toDF("embedding")
+    val w = df.select(
+      VectorFunctions.signWord(col("embedding"), 0, 4).as("w")).head()
+    assert(w.getLong(0) === 9L)
+  }
+
+  test("x26 bigramLmScore: hand-checked model and per-doc fold") {
+    import testImplicits._
+    import graft.queries.CorpusQueries
+    // corpus bigrams: "abab" → ab,ba,ab ; "ab" → ab ; "" → none
+    // counts: ab=3, ba=1; P(b|a)=3/3=1? no — c1 totals: a→ab only
+    // (3), b→ba (1) ⇒ P(ab)=3/3=1.0, P(ba)=1/1=1.0
+    val docs = Seq((1L, "abab"), (2L, "ab"), (3L, "")).toDF("doc_id", "text")
+    val rows = CorpusQueries.bigramLmScore(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    assert(rows(1L) === ((3L, 1.0, 1.0)))
+    assert(rows(2L) === ((1L, 1.0, 1.0)))
+    assert(rows(3L) === ((0L, 0.0, 0.0))) // empty doc: guarded zeros
+    // a corpus with a genuinely split conditional: "ab", "ac" ⇒
+    // P(ab)=P(ac)=0.5 — each doc averages 0.5
+    val docs2 = Seq((1L, "ab"), (2L, "ac")).toDF("doc_id", "text")
+    val r2 = CorpusQueries.bigramLmScore(docs2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(r2(1L) === 0.5 && r2(2L) === 0.5)
+  }
+
+  test("r28 grouping sets: markers and superaggregate totals reconcile") {
+    import graft.queries.Relational2
+    val rows = Relational2.r28GroupingSets(spark, "/root/testdata/sf0.001")
+      .collect()
+    val grand = rows.filter(r =>
+      r.getAs[Int]("g_rflag") == 1 && r.getAs[Int]("g_lstatus") == 1)
+    assert(grand.length === 1)
+    val total = grand.head.getAs[Long]("n")
+    // every marker=1 column reads 'ALL'; each grouping-set level sums
+    // back to the grand total
+    for (r <- rows) {
+      if (r.getAs[Int]("g_rflag") == 1) assert(r.getAs[String]("rflag") === "ALL")
+      if (r.getAs[Int]("g_lstatus") == 1) assert(r.getAs[String]("lstatus") === "ALL")
+    }
+    def levelTotal(gr: Int, gl: Int) = rows.filter(r =>
+      r.getAs[Int]("g_rflag") == gr && r.getAs[Int]("g_lstatus") == gl)
+      .map(_.getAs[Long]("n")).sum
+    assert(levelTotal(0, 0) === total)
+    assert(levelTotal(0, 1) === total)
+    assert(levelTotal(1, 0) === total)
+  }
 }
