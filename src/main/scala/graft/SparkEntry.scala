@@ -101,6 +101,8 @@ object SparkEntry {
     "s13_binary_rerank" -> LlmQueries.s13BinaryRerank,
     "x26_bigram_lm" -> CorpusQueries.x26BigramLm,
     "r28_grouping_sets" -> Relational2.r28GroupingSets,
+    "s14_mrl_rerank" -> LlmQueries.s14MrlRerank,
+    "x27_temperature_mix" -> LlmQueries.x27TemperatureMix,
   )
 
   /** Every oracle is wrapped in `ORDER BY ALL` (all columns,
@@ -223,5 +225,7 @@ object SparkEntry {
     "s13_binary_rerank" -> LlmQueries.s13Sql,
     "x26_bigram_lm" -> CorpusQueries.x26Sql,
     "r28_grouping_sets" -> Relational2.r28Sql,
+    "s14_mrl_rerank" -> LlmQueries.s14Sql,
+    "x27_temperature_mix" -> LlmQueries.x27Sql,
   )
 }

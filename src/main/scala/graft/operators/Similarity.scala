@@ -416,6 +416,45 @@ object Similarity {
         round(col("cos"), 6).as("cosine"))
   }
 
+  /** Truncated-prefix (Matryoshka) ANN with exact re-rank: the
+    * shortlist stage scores cosine over only the FIRST `prefixDim`
+    * dimensions — the nested-prefix property MRL-trained embeddings
+    * are built for (a 16-dim prefix of a 64-dim vector is itself a
+    * usable embedding) — then the shortlist re-ranks by full-dim
+    * exact cosine (s11's refine shape). 100 TB economics: the
+    * first-stage scan reads prefixDim/dim of the embedding bytes
+    * (columnar layout makes the prefix slice nearly free) and the
+    * per-pair cost drops by the same factor; like s13, only
+    * (query_id, neighbor_id, score) rides the top-k exchange. */
+  def knnTruncatedRerank(embeddings: DataFrame, queries: DataFrame,
+      prefixDim: Int, shortlist: Int, k: Int): DataFrame = {
+    val corpus = embeddings.select(col("vec_id"),
+      slice(col("embedding"), 1, prefixDim).as("ct"))
+    val qs = queries.select(col("vec_id").as("query_id"),
+      slice(col("embedding"), 1, prefixDim).as("qt"))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("tcos").desc, col("neighbor_id"))
+    val short = corpus.join(broadcast(qs), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineSim(col("qt"), col("ct")).as("tcos"))
+      .withColumn("srn", row_number().over(ws))
+      .filter(col("srn") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val qemb = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qemb"))
+    val pairs = embeddings
+      .join(broadcast(short), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(qemb), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSim(col("qemb"), col("embedding")).as("cos"))
+    val wk = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    pairs.withColumn("rnk", row_number().over(wk))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
   /** Embedding near-duplicate pairs: self-join on LSH bucket, verify
     * with exact cosine >= threshold. The all-pairs comparison is
     * confined to within-bucket groups. */

@@ -29,14 +29,15 @@ object LlmQueries {
       s"list_transform(string_split($s, ''), c -> CAST(ord(c) AS BIGINT))), " +
       s"(a, b) -> (a*31 + b) % 1000000007)"
 
-  /** sequential double dot-product of two ARRAY<FLOAT>s (= CosineSim fold) */
-  private def dotSql(a: String, b: String): String =
+  /** sequential double dot-product of two ARRAY<FLOAT>s (= CosineSim
+    * fold); `dim` < 64 restates the truncated-prefix cosine (s14) */
+  private def dotSql(a: String, b: String, dim: Int = 64): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-      s"list_transform(range(64), k -> CAST($a[k+1] AS DOUBLE) * $b[k+1])), " +
+      s"list_transform(range($dim), k -> CAST($a[k+1] AS DOUBLE) * $b[k+1])), " +
       s"(x, y) -> x + y)"
 
-  private def cosSql(a: String, b: String): String =
-    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+  private def cosSql(a: String, b: String, dim: Int = 64): String =
+    s"(${dotSql(a, b, dim)} / (sqrt(${dotSql(a, a, dim)}) * sqrt(${dotSql(b, b, dim)})))"
 
   /** sign-LSH bucket (= VectorFunctions.lshBucket, planes=4, dim=64) */
   private def bucketSql(e: String, planes: Int = 4): String = {
@@ -553,6 +554,38 @@ object LlmQueries {
        |sh AS (SELECT query_id, neighbor_id FROM (
        |    SELECT query_id, neighbor_id, row_number() OVER (
        |      PARTITION BY query_id ORDER BY ham ASC, neighbor_id) AS srn
+       |    FROM p) WHERE srn <= 10),
+       |rr AS (SELECT s.query_id, s.neighbor_id,
+       |    ${cosSql("qe.embedding", "ne.embedding")} AS cos
+       |  FROM sh s
+       |  JOIN embeddings ne ON ne.vec_id = s.neighbor_id
+       |  JOIN embeddings qe ON qe.vec_id = s.query_id),
+       |fr AS (SELECT query_id, neighbor_id, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rnk,
+       |    cos FROM rr)
+       |SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cosine
+       |FROM fr WHERE rnk <= 3""".stripMargin
+
+  /** s14: truncated-prefix (Matryoshka) ANN — the shortlist scores
+    * cosine over only the FIRST 16 of 64 dimensions (the nested-
+    * prefix contract MRL-trained embeddings are built for: every
+    * prefix is itself a usable embedding), the top-10 shortlist
+    * re-ranks by full-dim exact cosine. The fourth compression point
+    * on the serving-cost curve (int8 s5, PQ s7, binary s13, prefix
+    * s14), and unlike the others it needs NO codebook or packing —
+    * just a column slice the scan can prune to. */
+  def s14MrlRerank(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnTruncatedRerank(Tables.embeddings(spark, dir),
+      queryVecs(spark, dir), prefixDim = 16, shortlist = 10, k = 3)
+
+  val s14Sql: String =
+    s"""WITH p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${cosSql("q.embedding", "c.embedding", 16)} AS tcos
+       |  FROM embeddings c
+       |  JOIN embeddings q ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+       |sh AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY tcos DESC, neighbor_id) AS srn
        |    FROM p) WHERE srn <= 10),
        |rr AS (SELECT s.query_id, s.neighbor_id,
        |    ${cosSql("qe.embedding", "ne.embedding")} AS cos
@@ -1140,6 +1173,67 @@ object LlmQueries {
        |FROM documents d JOIN r ON d.source = r.source
        |WHERE ${polySql("d.text")} % 1000000 < r.threshold
        |GROUP BY 1, 2, 3""".stripMargin
+
+  /** x27: TEMPERATURE-scaled corpus mixing — the multilingual/
+    * multi-source balancing act (the mT5/PaLM alpha-sampling recipe):
+    * sampling share q_s ∝ p_s^alpha flattens the source distribution
+    * so low-resource sources aren't drowned. alpha = 0.5, so the
+    * temperature weight is sqrt(n_s) — IEEE sqrt is correctly
+    * rounded, and the normalizer folds over the sources in sorted
+    * order, so both engines produce bit-identical rates with NO
+    * rounding slack anywhere before the output edge. Same two-phase
+    * shape as x19: one tiny per-source agg, the finished rate row
+    * broadcasts back onto a narrow filtered scan (membership =
+    * content poly-hash under the integer threshold — deterministic
+    * and stable as the corpus grows), one final per-source agg. */
+  def x27TemperatureMix(spark: SparkSession, dir: String): DataFrame =
+    temperatureMix(Tables.documents(spark, dir), budget = 300L)
+
+  /** DataFrame-taking core of x27 (docsIn: source, text) — the unit
+    * spec asserts the flattening property on THIS, so a rate-formula
+    * regression can't hide behind a test-local copy. */
+  def temperatureMix(docs: DataFrame, budget: Long): DataFrame = {
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    // normalizer: Σ_s sqrt(n_s), folded in sorted-source order
+    val z = counts
+      .select(struct(col("source"), col("n_docs")).as("c"))
+      .agg(sort_array(collect_list(col("c"))).as("cs"))
+      .select(aggregate(col("cs"), lit(0.0),
+        (acc, c) => acc + sqrt(c.getField("n_docs").cast("double"))).as("z"))
+    val rates = counts.crossJoin(broadcast(z))
+      .withColumn("rate", least(lit(1.0),
+        sqrt(col("n_docs").cast("double")) / col("z") * budget
+          / col("n_docs").cast("double")))
+      .withColumn("threshold", floor(col("rate") * 1000000 + 0.5).cast("long"))
+      .select(col("source"), col("n_docs"), col("rate"), col("threshold"))
+    val kept = docs.join(broadcast(rates), Seq("source"))
+      .filter(TextFunctions.polyHash(col("text")) % 1000000 < col("threshold"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq("source"), "left_outer")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        round(col("rate"), 6).as("rate"))
+  }
+
+  val x27Sql: String =
+    s"""WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+       |t AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY source)),
+       |    (x, y) -> x + y) AS z FROM c),
+       |r AS (SELECT source, n_docs,
+       |    least(CAST(1 AS DOUBLE),
+       |      sqrt(CAST(n_docs AS DOUBLE)) / z * 300 / n_docs) AS rate,
+       |    CAST(floor(least(CAST(1 AS DOUBLE),
+       |      sqrt(CAST(n_docs AS DOUBLE)) / z * 300 / n_docs)
+       |      * 1000000 + 0.5) AS BIGINT) AS threshold
+       |  FROM c, t),
+       |k AS (SELECT d.source, count(*) AS n_kept
+       |  FROM documents d JOIN r ON d.source = r.source
+       |  WHERE ${polySql("d.text")} % 1000000 < r.threshold
+       |  GROUP BY 1)
+       |SELECT r.source, r.n_docs, coalesce(k.n_kept, 0) AS n_kept,
+       |  round(r.rate, 6) AS rate
+       |FROM r LEFT JOIN k ON r.source = k.source""".stripMargin
 
   /** x18: string-column profile of the documents table — the
     * companion to x9's numeric profile (together the two cover a

@@ -355,6 +355,57 @@ class Round7Spec extends SparkTestBase {
     assert(r2(1L) === 0.5 && r2(2L) === 0.5)
   }
 
+  test("s14 MRL rerank: full shortlist reproduces brute force; " +
+    "returned scores are exact full-dim cosines") {
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val qs = emb.filter(col("vec_id") < 5)
+    val n = emb.count().toInt
+    val full = Similarity.knnTruncatedRerank(emb, qs, prefixDim = 16,
+      shortlist = n, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val bf = Similarity.knnBruteForce(emb, qs, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    assert(full === bf)
+    val bfCos = Similarity.knnBruteForce(emb, qs, k = n - 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val short = Similarity.knnTruncatedRerank(emb, qs, prefixDim = 16,
+      shortlist = 10, k = 3).collect()
+    assert(short.length === 15)
+    for (r <- short)
+      assert(r.getDouble(3) === bfCos((r.getLong(0), r.getLong(1))))
+  }
+
+  test("x27 temperature mix: sqrt weighting flattens source rates") {
+    import testImplicits._
+    import graft.queries.LlmQueries
+    // big: 100 docs, small: 25 → weights 10 and 5, z = 15; budget 60
+    // → targets 40 and 20 → rates 0.4 (big) and 0.8 (small): the
+    // low-resource source samples at DOUBLE the rate — the
+    // flattening alpha=0.5 buys. Linear (x19-style) allocation would
+    // give both the same rate.
+    val docs = ((1 to 100).map(i => ("big", s"doc body number $i")) ++
+      (1 to 25).map(i => ("small", s"small doc $i"))).toDF("source", "text")
+    val rows = LlmQueries.temperatureMix(docs, budget = 60L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows("big")._1 === 100L)
+    assert(rows("small")._1 === 25L)
+    assert(rows("big")._3 === 0.4)
+    assert(rows("small")._3 === 0.8)
+    // kept counts respect the hash threshold: n_kept <= n_docs and
+    // roughly rate-proportional (exactness is the oracle's job)
+    assert(rows("big")._2 <= 100L && rows("small")._2 <= 25L)
+    // a source big enough to cap: rate clamps at 1.0
+    val capped = LlmQueries.temperatureMix(
+      (1 to 10).map(i => ("only", s"d $i")).toDF("source", "text"),
+      budget = 100L).collect()
+    assert(capped.head.getDouble(3) === 1.0)
+    assert(capped.head.getLong(2) === 10L) // threshold 1e6 keeps all
+  }
+
   test("r28 grouping sets: markers and superaggregate totals reconcile") {
     import graft.queries.Relational2
     val rows = Relational2.r28GroupingSets(spark, "/root/testdata/sf0.001")
