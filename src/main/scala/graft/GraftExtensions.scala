@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.{CharGramHashes, CosineSim, IntersectCount, PolyHash, PqAdc, PqCodes, SimHash64, TopTokenCount}
+import graft.functions.{BigramScore, CharGramHashes, CharWindows, CosineSim, IntersectCount, PolyHash, PqAdc, PqCodes, SimHash64, TopTokenCount}
 
 /** Engine extension point, installed via
   * `spark.sql.extensions=graft.GraftExtensions` (Engine.session) —
@@ -45,6 +45,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("top_token_count"),
       new ExpressionInfo(classOf[TopTokenCount].getName, "top_token_count"),
       (args: Seq[Expression]) => TopTokenCount(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("bigram_score"),
+      new ExpressionInfo(classOf[BigramScore].getName, "bigram_score"),
+      (args: Seq[Expression]) => BigramScore(args(0), args(1), args(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("char_windows"),
+      new ExpressionInfo(classOf[CharWindows].getName, "char_windows"),
+      (args: Seq[Expression]) => CharWindows(args(0), args(1))))
     // Spark's own bloom sketch aggregate + probe predicate (the pair
     // its runtime bloom join injects), exposed at the SQL surface so
     // a collected bloom_filter_agg sketch can prefilter a join's

@@ -483,3 +483,131 @@ object CosineSim {
     else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 }
+
+/** Per-document bigram-LM scoring kernel (x26's hot loop): one JVM
+  * pass over the text against a small conditional-probability model
+  * passed as two ALIGNED broadcast arrays (sorted bigram strings +
+  * their P(c2|c1)). Returns ARRAY<DOUBLE> [n_bigrams, sum_prob,
+  * min_prob] — the position-ordered sequential sum, so the fold is
+  * bit-identical to the oracle's list_reduce. The naive HOF spelling
+  * (transform over positions + element_at on a MAP literal) costs
+  * O(|text| × |model|) per row because Catalyst map lookup is a
+  * linear scan — 14 s at sf0.1; this kernel is O(|model| + |text|)
+  * per row (the per-row model HashMap build is bounded by alphabet²
+  * BY CONSTRUCTION of a char-bigram model — a word-level model would
+  * hoist the build to a per-partition broadcast object instead).
+  * Contract: bigrams are UTF-16 code-unit pairs (identical to code
+  * points on the BMP; the corpus is plane-0 text). A bigram absent
+  * from the model scores 0.0 — with a model trained on the scored
+  * corpus itself this never fires.
+  */
+case class BigramScore(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  private def isArr(t: DataType, e: DataType): Boolean = t match {
+    case ArrayType(`e`, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == StringType && isArr(second.dataType, StringType) &&
+        isArr(third.dataType, DoubleType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "bigram_score expects (STRING text, ARRAY<STRING> grams, ARRAY<DOUBLE> probs)")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(t: Any, g: Any, p: Any): Any =
+    BigramScore.score(t.asInstanceOf[UTF8String],
+      g.asInstanceOf[ArrayData], p.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, g, p) => s"graft.functions.BigramScore.score($t, $g, $p)")
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): BigramScore =
+    copy(first = newFirst, second = newSecond, third = newThird)
+  override def prettyName: String = "bigram_score"
+}
+
+object BigramScore {
+  /** Static helper the generated code calls. */
+  def score(text: UTF8String, grams: ArrayData, probs: ArrayData): ArrayData = {
+    val n = grams.numElements()
+    require(probs.numElements() == n,
+      s"bigram_score: ${probs.numElements()} probs for $n grams")
+    val model = new java.util.HashMap[Integer, java.lang.Double](n * 2)
+    var i = 0
+    while (i < n) {
+      val g = grams.getUTF8String(i).toString
+      require(g.length == 2, s"bigram_score: gram '$g' is not 2 code units")
+      model.put(Integer.valueOf((g.charAt(0) << 16) | g.charAt(1)),
+        java.lang.Double.valueOf(probs.getDouble(i)))
+      i += 1
+    }
+    val s = text.toString
+    val m = s.length - 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array(0.0, 0.0, 0.0))
+    var sum = 0.0
+    var mn = java.lang.Double.POSITIVE_INFINITY
+    var j = 0
+    while (j < m) {
+      val p = model.get(Integer.valueOf((s.charAt(j) << 16) | s.charAt(j + 1)))
+      val d = if (p == null) 0.0 else p.doubleValue()
+      sum += d
+      if (d < mn) mn = d
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(m.toDouble, sum, mn))
+  }
+}
+
+/** Distinct sliding character windows (d10's extraction kernel): one
+  * JVM pass emits every DISTINCT length-n substring of the text —
+  * the complete candidate key set for exact substring-match dedup.
+  * The HOF spelling (transform over positions + substr +
+  * array_distinct) paid per-position Substring allocations plus an
+  * O(windows²)-ish distinct pass per row; this kernel is a single
+  * forward walk into a hash set. Window identity is the VERBATIM
+  * string (the shuffle key the oracle restates byte-for-byte);
+  * windows are UTF-16 code-unit spans — identical to code points on
+  * the BMP, same contract as bigram_score.
+  */
+case class CharWindows(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "char_windows expects (STRING text, INT window length)")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(t: Any, n: Any): Any =
+    CharWindows.windows(t.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, n) => s"graft.functions.CharWindows.windows($t, $n)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CharWindows =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "char_windows"
+}
+
+object CharWindows {
+  /** Static helper the generated code calls. */
+  def windows(text: UTF8String, n: Int): ArrayData = {
+    require(n > 0, s"char_windows: non-positive window $n")
+    val s = text.toString
+    val out = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + n <= s.length) {
+      out.add(s.substring(i, i + n))
+      i += 1
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = UTF8String.fromString(it.next()); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+}

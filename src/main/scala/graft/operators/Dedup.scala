@@ -274,11 +274,15 @@ object Dedup {
     * here so the oracle restates the exact criterion byte for byte. */
   def substringDupPairs(docs: DataFrame, windowLen: Int = 30,
       maxDocs: Int = 64): DataFrame = {
+    // extraction is the codegen'd char_windows kernel: one JVM walk
+    // into a hash set per doc. The first spelling (transform over
+    // positions + substr + array_distinct) paid per-position
+    // Substring allocations and a quadratic-ish distinct — 5.8 s at
+    // sf0.1 vs ~0.6 s for the kernel.
     val wins = docs.filter(length(col("text")) >= windowLen)
       .select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), length(col("text")) - (windowLen - 1)),
-          i => col("text").substr(i, lit(windowLen))))).as("g"))
+        explode(call_function("char_windows",
+          col("text"), lit(windowLen))).as("g"))
     wins.groupBy(col("g"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxDocs))

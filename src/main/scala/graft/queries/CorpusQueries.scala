@@ -395,24 +395,30 @@ object CorpusQueries {
         .over(Window.partitionBy(substring(col("g"), 1, 1))))
       .select(col("g"),
         (col("c2").cast("double") / col("c1tot").cast("double")).as("p"))
+    // the finished model = ONE broadcast row of two ALIGNED arrays
+    // (sorted by gram) — the shape the bigram_score kernel indexes.
+    // The first x26 spelling kept a MAP column and scored with
+    // transform + element_at: Catalyst map lookup is a linear scan,
+    // so scoring cost O(|text|×|model|)/row — 14 s at sf0.1 vs 0.6 s
+    // for the kernel (the same interpreted-HOF lesson as simhash64 /
+    // char_gram_hashes / PqAdc).
     val modelRow = model
-      .agg(map_from_entries(collect_list(struct(col("g"), col("p")))).as("m"))
-    val n = length(col("text")) - 1
-    val ps = transform(sequence(lit(1), n),
-      i => element_at(col("m"), col("text").substr(i, lit(2))))
+      .agg(sort_array(collect_list(struct(col("g"), col("p")))).as("gp"))
+      .select(transform(col("gp"), x => x.getField("g")).as("grams"),
+        transform(col("gp"), x => x.getField("p")).as("probs"))
     docs.crossJoin(broadcast(modelRow))
+      .select(col("doc_id"), call_function("bigram_score",
+        col("text"), col("grams"), col("probs")).as("sc"))
       .select(col("doc_id"),
-        when(length(col("text")) < 2, lit(0L))
-          .otherwise(n.cast("long")).as("n_bigrams"),
-        round(when(length(col("text")) < 2, lit(0.0))
-          .otherwise(aggregate(ps, lit(0.0), (acc, p) => acc + p)
-            / n.cast("double")), 6).as("avg_prob"),
-        round(when(length(col("text")) < 2, lit(0.0))
-          .otherwise(array_min(ps)), 6).as("min_prob"))
+        element_at(col("sc"), 1).cast("long").as("n_bigrams"),
+        round(when(element_at(col("sc"), 1) > 0,
+          element_at(col("sc"), 2) / element_at(col("sc"), 1))
+          .otherwise(0.0), 6).as("avg_prob"),
+        round(element_at(col("sc"), 3), 6).as("min_prob"))
   }
 
   def x26BigramLm(spark: SparkSession, dir: String): DataFrame =
-    bigramLmScore(Tables.documents(spark, dir))
+    bigramLmScore(Tables.spread(Tables.documents(spark, dir)))
 
   val x26Sql: String =
     """WITH bg AS (SELECT doc_id, i, substr(text, i, 2) AS g

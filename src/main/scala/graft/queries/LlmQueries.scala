@@ -870,7 +870,7 @@ object LlmQueries {
   def m2PngDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.operators.{Codecs, Multimodal}
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.spread(Tables.documents(spark, dir).select(col("doc_id"))).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val w = (8 + id % 13).toInt; val h = (8 + id % 7).toInt
@@ -916,7 +916,7 @@ object LlmQueries {
   def m4GifDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.operators.{Codecs, Multimodal}
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.spread(Tables.documents(spark, dir).select(col("doc_id"))).as[Long]
       .mapPartitions { it =>
         val palR = Array.tabulate(256)(v => v.toByte)
         val palG = Array.tabulate(256)(v => ((v * 37) % 256).toByte)
@@ -1082,7 +1082,7 @@ object LlmQueries {
     * oracle's HAVING). One groupBy shuffle, pairs explode from
     * posting lists — no self-join. */
   def d10SubstringDedup(spark: SparkSession, dir: String): DataFrame =
-    Dedup.substringDupPairs(Tables.documents(spark, dir),
+    Dedup.substringDupPairs(Tables.spread(Tables.documents(spark, dir)),
       windowLen = 30, maxDocs = 64)
 
   val d10Sql: String =
@@ -1565,7 +1565,7 @@ object LlmQueries {
   def m3WavDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.operators.{Codecs, Multimodal}
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.spread(Tables.documents(spark, dir).select(col("doc_id"))).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val n = (64 + id % 97).toInt
@@ -1619,7 +1619,7 @@ object LlmQueries {
     import spark.implicits._
     import graft.operators.{Codecs, Multimodal}
     val win = 32
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.spread(Tables.documents(spark, dir).select(col("doc_id"))).as[Long]
       .mapPartitions { it =>
         it.flatMap { id =>
           val n = (64 + id % 97).toInt
@@ -1682,7 +1682,7 @@ object LlmQueries {
   def m6ImageStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.operators.{Codecs, Multimodal}
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.spread(Tables.documents(spark, dir).select(col("doc_id"))).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val w = (8 + id % 13).toInt; val h = (8 + id % 7).toInt

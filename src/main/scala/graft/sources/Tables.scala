@@ -37,4 +37,22 @@ object Tables {
       timestamp_micros(expr("ts div 1000")))
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Small-relation parallelization for kernel-heavy per-row stages
+    * (codec decodes, window extraction, LM scoring): a relation whose
+    * whole footprint is a single parquet row group arrives as ONE
+    * scan partition, so a CPU-bound kernel downstream runs on one
+    * core no matter how many the session has. When the plan's size
+    * estimate says the relation is tiny (< cpus × 8 MB — i.e. there
+    * aren't even `cpus` healthy splits in it), redistribute rows
+    * round-robin across the session's cores; the shuffled bytes are
+    * by definition small. At production scale the estimate exceeds
+    * the threshold and this is a NO-OP — the scan's own splits
+    * provide the parallelism, and no full-corpus shuffle is ever
+    * introduced. */
+  def spread(df: DataFrame): DataFrame = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val threshold = BigInt(graft.Engine.cpus.toLong) * 8L * 1024 * 1024
+    if (bytes < threshold) df.repartition(graft.Engine.cpus) else df
+  }
 }

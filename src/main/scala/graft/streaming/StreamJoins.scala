@@ -32,6 +32,21 @@ object StreamJoins {
       s"$rightTime <= $leftTime + interval '$maxDelay'"))
   }
 
+  /** Stream-STATIC enrichment join — the dimension-lookup shape
+    * (every streaming detection picks up its label row, the P10
+    * operator running continuously): the static side is a bounded
+    * relation, so the join is STATELESS — each micro-batch hash-joins
+    * against the broadcast dim and nothing is buffered between
+    * batches (no watermark required, no state store at all; compare
+    * the interval joins below, which must buffer both sides). At
+    * 100 TB/day the dim broadcast is per-executor-once and the
+    * stream side never shuffles — the cheapest join Structured
+    * Streaming offers, and the default way to attach reference data
+    * to an event stream. */
+  def enrichJoin(stream: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key))
+
   /** Interval LEFT OUTER join — the attribution shape ("every
     * impression, with its click if one came"): matches emit as they
     * arrive, and an unmatched left row emits with NULL right columns

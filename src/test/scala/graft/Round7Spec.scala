@@ -334,6 +334,47 @@ class Round7Spec extends SparkTestBase {
     assert(w.getLong(0) === 9L)
   }
 
+  test("char_windows kernel: distinct windows match the HOF spelling") {
+    import testImplicits._
+    val docs = Seq((1L, "abcabcabc"), (2L, "xy"), (3L, ""),
+      (4L, "aaaaaaa"), (5L, "exact length here..............")
+    ).toDF("doc_id", "text")
+    val kernel = docs.select(col("doc_id"),
+      call_function("char_windows", col("text"), lit(3)).as("w"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[String](1).toSet).toMap
+    // reference: the straightforward HOF spelling
+    val ref = docs.select(col("doc_id"),
+      when(length(col("text")) >= 3,
+        array_distinct(transform(sequence(lit(1), length(col("text")) - 2),
+          i => col("text").substr(i, lit(3)))))
+        .otherwise(array().cast("array<string>")).as("w"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[String](1).toSet).toMap
+    assert(kernel === ref)
+    assert(kernel(4L) === Set("aaa")) // run of one char: one window
+    assert(kernel(2L) === Set.empty && kernel(3L) === Set.empty)
+  }
+
+  test("bigram_score kernel: matches a hand fold; empty and OOV rules") {
+    import testImplicits._
+    val model = Seq(("ab", 0.5), ("ba", 0.25), ("ac", 0.5))
+    val docs = Seq((1L, "abab"), (2L, "a"), (3L, ""), (4L, "azab"))
+      .toDF("doc_id", "text")
+    val g = typedLit(model.map(_._1))
+    val p = typedLit(model.map(_._2))
+    val rows = docs.select(col("doc_id"),
+      call_function("bigram_score", col("text"), g, p).as("sc"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // "abab": ab, ba, ab → n=3, sum=1.25, min=0.25
+    assert(rows(1L) === Seq(3.0, 1.25, 0.25))
+    // under 2 chars: all zeros
+    assert(rows(2L) === Seq(0.0, 0.0, 0.0))
+    assert(rows(3L) === Seq(0.0, 0.0, 0.0))
+    // "azab": az and za are OOV → contribute 0.0 to sum AND min
+    assert(rows(4L) === Seq(3.0, 0.5, 0.0))
+  }
+
   test("x26 bigramLmScore: hand-checked model and per-doc fold") {
     import testImplicits._
     import graft.queries.CorpusQueries

@@ -255,6 +255,37 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.toSeq === Seq((1L, 5000L)))
   }
 
+  test("stream-static enrichment join: stateless, matches the batch join") {
+    import testImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((0, "person"), (1, "car"), (2, "dog"))
+      .toDF("class_id", "label")
+    val det = MemoryStream[(Long, Int, Double)]
+    val enriched = graft.streaming.StreamJoins.enrichJoin(
+      det.toDF().toDF("frame_id", "class_id", "score"), dim, "class_id")
+    val q = enriched.select(col("frame_id"), col("label"), col("score"))
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").option("checkpointLocation", tmpDir()).start()
+    det.addData((1L, 0, 0.9), (2L, 1, 0.8))
+    q.processAllAvailable()
+    det.addData((3L, 2, 0.7), (4L, 1, 0.6))
+    q.processAllAvailable()
+    // stateless contract: the state-store metrics report NO keyed state
+    val progress = q.lastProgress
+    assert(progress.stateOperators.isEmpty,
+      "enrichment join must not create a state store")
+    val rows = spark.table("enrich_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    q.stop()
+    // parity with the batch join on the same inputs
+    val batch = Seq((1L, 0, 0.9), (2L, 1, 0.8), (3L, 2, 0.7), (4L, 1, 0.6))
+      .toDF("frame_id", "class_id", "score")
+      .join(dim, Seq("class_id"))
+      .select(col("frame_id"), col("label"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(rows === batch)
+  }
+
   test("interval LEFT OUTER join: unmatched rows NULL-complete after watermark") {
     import testImplicits._
     implicit val sqlCtx = spark.sqlContext
