@@ -67,6 +67,7 @@ object SparkEntry {
     "m4_gif_decode" -> LlmQueries.m4GifDecode,
     "m5_audio_features" -> LlmQueries.m5AudioFeatures,
     "m6_image_stats" -> LlmQueries.m6ImageStats,
+    "m7_frame_sample" -> LlmQueries.m7FrameSample,
     "x14_repetition" -> LlmQueries.x14Repetition,
     "x15_bloom_decontaminate" -> LlmQueries.x15BloomDecontaminate,
     "x16_pack" -> CorpusQueries.x16Pack,
@@ -189,6 +190,7 @@ object SparkEntry {
     "m4_gif_decode" -> LlmQueries.m4Sql,
     "m5_audio_features" -> LlmQueries.m5Sql,
     "m6_image_stats" -> LlmQueries.m6Sql,
+    "m7_frame_sample" -> LlmQueries.m7Sql,
     "x14_repetition" -> LlmQueries.x14Sql,
     // x15 output ≡ x13 (the bloom is a pure prefilter; the exact
     // semi join removes its false positives)

@@ -965,6 +965,79 @@ object LlmQueries {
       |    (a, b) -> (a*31 + b) % 1000000007) AS pixel_fp
       |FROM px""".stripMargin
 
+  /** m7: FRAME SAMPLING as a first-class query — the decode →
+    * frame-sample stage of the reference's video path (every 2nd
+    * frame of each decoded stream) run through the shipped
+    * `Multimodal.sampleFrames` operator and put under the hash gate:
+    * per SAMPLED frame, the decoded-pixel RGB sum of m4's animated
+    * GIF. Plan shape: one partition-scoped decode pass produces the
+    * stream metadata AND the per-frame sums (pixels never leave the
+    * partition — only the ≤4-element sums array does), sampleFrames
+    * explodes the sampled FrameRef rows from the metadata, and an
+    * equi-join on media_id attaches each sampled frame's decoded
+    * sum. In production the decoded metadata + per-frame stats table
+    * is materialized once and this join is exactly how a sampler
+    * consumes it; here both branches derive from the same scan. */
+  def m7FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{Codecs, Multimodal}
+    val stats = Tables.spread(Tables.documents(spark, dir)
+      .select(col("doc_id"))).as[Long]
+      .mapPartitions { it =>
+        val palR = Array.tabulate(256)(v => v.toByte)
+        val palG = Array.tabulate(256)(v => ((v * 37) % 256).toByte)
+        val palB = Array.tabulate(256)(v => ((v * 91) % 256).toByte)
+        it.map { id =>
+          val w = (6 + id % 9).toInt; val h = (6 + id % 5).toInt
+          val nf = (1 + id % 4).toInt
+          val frames = (0 until nf).map { f =>
+            Array.tabulate(w * h)(i =>
+              ((id * 7 + f * 31 + i * 13) % 256).toByte)
+          }
+          val gif = Codecs.ImageIoCodecs.GifCodec.encodeIndexedFrames(
+            w, h, palR, palG, palB, frames)
+          val dec = Codecs.AutoCodec.decode(
+            Multimodal.MediaRecord(id, "video", gif))
+          val sums = (0 until dec.n_frames).map { f =>
+            val (_, _, rgb) = Codecs.ImageIoCodecs.GifCodec
+              .extractFrameRgb(gif, f)
+            var s = 0L; var i = 0
+            while (i < rgb.length) { s += rgb(i) & 0xff; i += 1 }
+            s
+          }
+          (dec, sums)
+        }
+      }.toDF("dec", "frame_sums")
+      .select(col("dec.*"), col("frame_sums"))
+    val decoded = stats.select(col("media_id"), col("kind"),
+      col("byte_len"), col("checksum"), col("width"), col("height"),
+      col("channels"), col("n_frames")).as[Multimodal.DecodedMedia]
+    Multimodal.sampleFrames(decoded, step = 2)
+      .join(stats.select(col("media_id"), col("frame_sums")), Seq("media_id"))
+      .select(col("media_id").as("doc_id"), col("frame_idx"),
+        col("width"), col("height"),
+        element_at(col("frame_sums"), col("frame_idx") + 1).as("rgb_sum"))
+  }
+
+  val m7Sql: String =
+    """WITH g AS (SELECT doc_id,
+      |    6 + doc_id % 9 AS w, 6 + doc_id % 5 AS h,
+      |    1 + doc_id % 4 AS nf
+      |  FROM documents),
+      |f AS (SELECT doc_id, w, h, unnest(range(0, nf, 2)) AS frame_idx
+      |  FROM g),
+      |s AS (SELECT doc_id, w, h, frame_idx,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(w * h), i ->
+      |        (doc_id*7 + frame_idx*31 + i*13) % 256
+      |        + ((doc_id*7 + frame_idx*31 + i*13) % 256 * 37) % 256
+      |        + ((doc_id*7 + frame_idx*31 + i*13) % 256 * 91) % 256)),
+      |      (a, b) -> a + b) AS rgb_sum
+      |  FROM f)
+      |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+      |  CAST(w AS INT) AS width, CAST(h AS INT) AS height, rgb_sum
+      |FROM s""".stripMargin
+
   /** x7: token counting two ways — whitespace tokens and a BPE-ish
     * subword regex (runs of letters, runs of digits, single
     * punctuation). The alternation classes are disjoint so Java
