@@ -51,7 +51,8 @@ object CorpusQueries {
   }
 
   def d8RepeatedNgrams(spark: SparkSession, dir: String): DataFrame =
-    repeatedNgrams(Tables.documents(spark, dir), n = 5, minDocs = 2)
+    repeatedNgrams(Tables.spread(Tables.documents(spark, dir)),
+      n = 5, minDocs = 2)
 
   val d8Sql: String =
     s"""WITH t AS (SELECT doc_id, $tsSql AS ts FROM documents),
@@ -104,7 +105,7 @@ object CorpusQueries {
   }
 
   def x22NgramDecontaminate(spark: SparkSession, dir: String): DataFrame =
-    ngramDecontaminate(Tables.documents(spark, dir), n = 8)
+    ngramDecontaminate(Tables.spread(Tables.documents(spark, dir)), n = 8)
 
   val x22Sql: String = {
     val splitSql =

@@ -75,7 +75,8 @@ object LlmQueries {
   /** d2: MinHash-LSH near-dup pairs (banded candidates, exact
     * shingle-Jaccard verify at 0.8). */
   def d2NearDup(spark: SparkSession, dir: String): DataFrame =
-    Dedup.nearDupPairs(Tables.documents(spark, dir), threshold = 0.8)
+    Dedup.nearDupPairs(Tables.spread(Tables.documents(spark, dir)),
+      threshold = 0.8)
 
   val d2Sql: String =
     s"""WITH toks AS (SELECT doc_id, $tsSql AS ts FROM documents),
@@ -146,7 +147,7 @@ object LlmQueries {
     * 64 permuted-parity bits discriminate, so the pair set is the
     * actual near-duplicate population. */
   def d6SimhashPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(Tables.documents(spark, dir))
+    Dedup.simhashPairs(Tables.spread(Tables.documents(spark, dir)))
 
   val d6Sql: String =
     s"""WITH $simhashCtes,
@@ -171,7 +172,8 @@ object LlmQueries {
     * excluded from pairing (Dedup.ngramJaccardPairs maxBlock) — the
     * guard is restated below so both engines prune identically. */
   def d4NgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(Tables.documents(spark, dir), threshold = 0.7)
+    Dedup.ngramJaccardPairs(Tables.spread(Tables.documents(spark, dir)),
+      threshold = 0.7)
 
   val d4Sql: String =
     s"""WITH g0 AS (SELECT doc_id, lang, n_chars,
@@ -1096,7 +1098,8 @@ object LlmQueries {
   /** x9: corpus profiling — per-column exact stats over the fact
     * table's numeric columns in ONE scan (unpivot + hash agg). */
   def x9Profile(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Profiler.numericProfile(Tables.lineitem(spark, dir),
+    graft.operators.Profiler.numericProfile(
+      Tables.spread(Tables.lineitem(spark, dir)),
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
 
   val x9Sql: String =
@@ -1120,7 +1123,7 @@ object LlmQueries {
     * reachable node per node), so the distributed iteration is
     * hash-checked against a declarative transitive closure. */
   def d9DedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.nearDupPairs(Tables.documents(spark, dir),
+    val pairs = Dedup.nearDupPairs(Tables.spread(Tables.documents(spark, dir)),
       threshold = 0.8)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     graft.operators.Components.connectedComponents(pairs)
@@ -1182,7 +1185,7 @@ object LlmQueries {
     * pre-materialized by the connectedComponents fixpoint (driver-
     * side iteration at construction time — see PLANS.md's caveat). */
   def x20CurationV2(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.spread(Tables.documents(spark, dir))
     val nonSurvivors = d9DedupClusters(spark, dir)
       .filter(!col("survivor")).select(col("doc_id"))
     docs.join(nonSurvivors, Seq("doc_id"), "left_anti")
@@ -1338,7 +1341,7 @@ object LlmQueries {
     * the dedup + quality operators compose into one declarative
     * plan Catalyst optimizes end to end. */
   def x10Curation(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.spread(Tables.documents(spark, dir))
     val dropIds = Dedup.nearDupPairs(docs, threshold = 0.8)
       .select(col("doc_b").as("doc_id")).distinct()
     val stats = x1TextStats(spark, dir)
@@ -1520,7 +1523,7 @@ object LlmQueries {
     * restatement shuffles one row per TOKEN and is exactly the plan
     * this engine avoids at 100 TB. */
   def x14Repetition(spark: SparkSession, dir: String): DataFrame =
-    repetitionProfile(Tables.documents(spark, dir))
+    repetitionProfile(Tables.spread(Tables.documents(spark, dir)))
 
   /** DataFrame-taking core of x14 (docsIn: doc_id, text) — the unit
     * specs assert on THIS, so a metric regression can't hide behind

@@ -334,6 +334,23 @@ class Round7Spec extends SparkTestBase {
     assert(w.getLong(0) === 9L)
   }
 
+  test("spread: repartitions tiny relations, no-op above the threshold") {
+    import graft.sources.Tables
+    // tiny file-backed relation → spread must add an exchange
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val small = Tables.spread(docs)
+    assert(small.rdd.getNumPartitions === graft.Engine.cpus)
+    // a relation whose stats exceed cpus × 8 MB must pass through
+    // untouched — spread never introduces a full-corpus shuffle
+    val big = spark.range(1L << 32) // stats: 8 B × 4G rows = 32 GB
+    val spreadBig = Tables.spread(big.toDF())
+    assert(spreadBig.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical.Repartition => r
+      case r: org.apache.spark.sql.catalyst.plans.logical
+        .RepartitionByExpression => r
+    }.isEmpty, "spread must be a no-op on large relations")
+  }
+
   test("char_windows kernel: distinct windows match the HOF spelling") {
     import testImplicits._
     val docs = Seq((1L, "abcabcabc"), (2L, "xy"), (3L, ""),
