@@ -102,7 +102,9 @@ object SparkEntry {
     "s13_binary_rerank" -> LlmQueries.s13BinaryRerank,
     "x26_bigram_lm" -> CorpusQueries.x26BigramLm,
     "r28_grouping_sets" -> Relational2.r28GroupingSets,
+    "r29_lateral" -> Relational2.r29Lateral,
     "s14_mrl_rerank" -> LlmQueries.s14MrlRerank,
+    "s15_pq_trained" -> LlmQueries.s15PqTrained,
     "x27_temperature_mix" -> LlmQueries.x27TemperatureMix,
   )
 
@@ -165,6 +167,10 @@ object SparkEntry {
     // purpose (driver records a rows-only check); correctness is
     // pinned by KMeansSpec (determinism, cost strictly below the
     // stand-in quantizer's, recall parity at equal search budget)
+    // s15_pq_trained: same contract as s9 for the PQ codebook —
+    // trained codewords are float means, so no SQL oracle; the spec
+    // pins Lloyd's monotonicity (trained self-distortion ≤ the s7
+    // stand-in's, whose seed it is) and determinism
     // s10 = s8's search served from the persisted cell-partitioned
     // index; identical arithmetic, so the oracle is s8's
     "s10_index_serve" -> LlmQueries.s8Sql,
@@ -227,6 +233,7 @@ object SparkEntry {
     "s13_binary_rerank" -> LlmQueries.s13Sql,
     "x26_bigram_lm" -> CorpusQueries.x26Sql,
     "r28_grouping_sets" -> Relational2.r28Sql,
+    "r29_lateral" -> Relational2.r29Sql,
     "s14_mrl_rerank" -> LlmQueries.s14Sql,
     "x27_temperature_mix" -> LlmQueries.x27Sql,
   )

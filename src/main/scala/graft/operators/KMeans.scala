@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** DataFrame-native spherical k-means — the trained coarse quantizer
@@ -71,6 +71,92 @@ object KMeans {
       it += 1
     }
     centroids
+  }
+
+  /** Per-subspace L2 Lloyd's for the PRODUCT-quantizer codebook: the
+    * 64-dim space splits into `m` 8-dim subspaces and each trains its
+    * own `k` codewords independently (true PQ — unlike the shared
+    * stand-in, subspace j's codeword set adapts to subspace j's
+    * distribution). Assignment metric is SQUARED L2, the metric
+    * PqCodes/PqAdc rank by, so the trained codebook minimizes exactly
+    * the distortion the ADC scan pays. Seeds are the `vec_id < k`
+    * stand-in slices — the s7 codebook — so Lloyd's monotone descent
+    * guarantees the trained codebook's self-distortion is NEVER worse
+    * than the stand-in's (the property the spec pins). All `m`
+    * subspaces train in ONE DataFrame pipeline per iteration: the
+    * corpus explodes once to (subspace, subvector) rows, assignment
+    * is the usual narrow broadcast-fold argmin (over that subspace's
+    * codewords only), and the mean update is one partial-agg shuffle
+    * of ≤ m×k×sub rows. Returns (vec_id = j, embedding) full-width
+    * codewords reassembled from the subspace codewords — the exact
+    * shape knnPqAdc/pqFlatCodebook expect. Deterministic end to end. */
+  def trainPqCodebook(vecs: DataFrame, m: Int, k: Int, iters: Int,
+      dim: Int = 64): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim $dim not divisible by m $m")
+    val sub = dim / m
+    def subSlices(df: DataFrame) = df
+      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("ms"),
+        col("embedding"))
+      .select(col("ms"), col("vec_id"),
+        slice(col("embedding"), col("ms") * sub + 1, lit(sub)).as("sv"))
+    val corpus = subSlices(vecs.select(col("vec_id"), col("embedding")))
+    // squared-L2 between two sub-width float arrays, double fold in
+    // ascending dim order (the PqAdc kernel's exact arithmetic)
+    def l2(a: Column, b: Column): Column =
+      aggregate(sequence(lit(1), lit(sub)), lit(0.0), (acc, d) => {
+        val diff = element_at(a, d).cast("double") -
+          element_at(b, d).cast("double")
+        acc + diff * diff
+      })
+    var codebook = subSlices(vecs.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(k))
+      .select(col("ms"),
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("ms")).orderBy(col("vec_id"))) - 1).as("j"),
+        col("sv").as("csv"))
+      .cache()
+    codebook.count()
+    var it = 0
+    while (it < iters) {
+      val centArr = codebook
+        .select(struct(col("ms"), col("j"), col("csv")).as("c"))
+        .agg(sort_array(collect_list(col("c"))).as("cs"))
+      val assigned = corpus.crossJoin(broadcast(centArr))
+        .withColumn("mine", filter(col("cs"), c => c.getField("ms") === col("ms")))
+        .withColumn("best", aggregate(col("mine"),
+          struct(lit(Double.PositiveInfinity).as("d"), lit(-1).as("j")),
+          (acc, c) => {
+            val d = l2(col("sv"), c.getField("csv"))
+            when(d < acc.getField("d"),
+              struct(d.as("d"), c.getField("j").as("j"))).otherwise(acc)
+          }))
+        .select(col("ms"), col("best.j").as("j"), col("sv"))
+      val means = assigned
+        .select(col("ms"), col("j"), posexplode(col("sv")).as(Seq("dim", "v")))
+        .groupBy(col("ms"), col("j"), col("dim"))
+        .agg(avg(col("v")).as("mv"))
+        .groupBy(col("ms"), col("j"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("dim"), col("mv")))),
+          s => s.getField("mv").cast("float")).as("msv"))
+      // empty-cell guard: a codeword no subvector chose keeps its
+      // previous value, so k never shrinks per subspace
+      val next = codebook.join(means, Seq("ms", "j"), "left")
+        .select(col("ms"), col("j"),
+          coalesce(col("msv"), col("csv")).as("csv"))
+        .cache()
+      next.count()
+      codebook.unpersist()
+      codebook = next
+      it += 1
+    }
+    // reassemble: codeword j = its m subspace codewords concatenated
+    // in subspace order
+    codebook.groupBy(col("j"))
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("ms"), col("csv")))),
+        s => s.getField("csv"))).as("embedding"))
+      .select(col("j").cast("long").as("vec_id"), col("embedding"))
   }
 
   /** Clustering cost: mean cosine DISTANCE (1 - cos) of each vector

@@ -600,6 +600,24 @@ object LlmQueries {
        |SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cosine
        |FROM fr WHERE rnk <= 3""".stripMargin
 
+  /** s15: the TRAINED product-quantizer serving the ADC search —
+    * s7's exact plan but with the codebook from
+    * `KMeans.trainPqCodebook` (per-subspace L2 Lloyd's) instead of
+    * the vec_id<16 stand-in: the second half of the index-training
+    * lifecycle s9 opened (s9 trained the coarse cells; s15 trains
+    * the compression codewords). No SQL oracle on purpose — trained
+    * codewords are float means whose summation order differs across
+    * engines (the s9 precedent); correctness is pinned by the spec's
+    * Lloyd's-monotonicity property (the seed IS the s7 stand-in, so
+    * trained self-distortion ≤ stand-in self-distortion, provably)
+    * plus determinism; the driver records a rows-only check. */
+  def s15PqTrained(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cb = graft.operators.KMeans.trainPqCodebook(emb, m = 8, k = 16,
+      iters = 2)
+    Similarity.knnPqAdc(emb, queryVecs(spark, dir), cb, m = 8, k = 3)
+  }
+
   /** s5: int8 scalar quantization quality — the storage-path op an
     * embedding corpus runs before ANN serving (4× smaller vectors):
     * per-vector symmetric scale 127/max|v|, q = floor(v·s + 0.5)

@@ -563,6 +563,32 @@ object Relational2 {
     spark.sql(r28Sql)
   }
 
+  /** r29: the LATERAL correlated derived-table surface — "top 2
+    * orders per customer" in the declared SQL form (a correlated
+    * subquery in FROM with its own ORDER BY + LIMIT + window),
+    * completing the subquery family r27 opened. Catalyst
+    * DECORRELATES the lateral into a join against a
+    * WindowGroupLimit-bounded window — exactly the per-group top-k
+    * physical shape the engine's s-queries build by hand, so the
+    * declared form and the hand-built form meet at the same plan; no
+    * per-customer re-execution anywhere. ONE ANSI string serves
+    * engine and oracle (the r27/r28 convention). */
+  val r29Sql: String =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice, t.rk
+      |FROM customer c,
+      |  LATERAL (SELECT o.o_orderkey, o.o_totalprice,
+      |      CAST(row_number() OVER (ORDER BY o.o_totalprice DESC,
+      |        o.o_orderkey) AS INT) AS rk
+      |    FROM orders o WHERE o.o_custkey = c.c_custkey
+      |    ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2) t
+      |WHERE c.c_custkey < 200""".stripMargin
+
+  def r29Lateral(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    spark.sql(r29Sql)
+  }
+
   val r23Sql: String =
     """WITH cust AS (SELECT c_custkey, c_mktsegment FROM customer
       |    WHERE c_custkey % 7 = 0),

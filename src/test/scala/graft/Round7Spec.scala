@@ -464,6 +464,44 @@ class Round7Spec extends SparkTestBase {
     assert(capped.head.getLong(2) === 10L) // threshold 1e6 keeps all
   }
 
+  test("trained PQ codebook: self-distortion never worse than the " +
+    "stand-in seed; deterministic; serves the ADC search") {
+    import graft.operators.KMeans
+    import graft.sources.Tables
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    // mean ADC self-distortion (encode each vector, ADC it against
+    // its own codes) — exactly the k-means objective the trainer
+    // descends
+    def distortion(cb: org.apache.spark.sql.DataFrame): Double = {
+      val cbf = cb
+        .select(struct(col("vec_id").as("j"), col("embedding").as("cw")).as("c"))
+        .agg(sort_array(collect_list(col("c"))).as("cbs"))
+        .select(flatten(transform(col("cbs"), c => c.getField("cw"))).as("cbf"))
+      emb.crossJoin(broadcast(cbf))
+        .select(call_function("pq_adc", col("embedding"),
+          call_function("pq_codes", col("embedding"), col("cbf"), lit(8)),
+          col("cbf")).as("d"))
+        .agg(avg(col("d"))).head().getDouble(0)
+    }
+    val standin = emb.filter(col("vec_id") < 16)
+    val trained = KMeans.trainPqCodebook(emb, m = 8, k = 16, iters = 2)
+    val d0 = distortion(standin)
+    val d2 = distortion(trained)
+    assert(d2 <= d0,
+      s"trained distortion $d2 must not exceed stand-in $d0 (monotone Lloyd)")
+    assert(d2 < d0 * 0.9,
+      s"training should meaningfully improve on the seed: $d2 vs $d0")
+    // determinism: a second training run reproduces the codebook
+    val again = KMeans.trainPqCodebook(emb, m = 8, k = 16, iters = 2)
+    val a = trained.orderBy(col("vec_id")).collect().map(_.toString)
+    val b = again.orderBy(col("vec_id")).collect().map(_.toString)
+    assert(a.toSeq === b.toSeq)
+    // and the trained codebook plugs into the same search surface
+    val res = graft.queries.LlmQueries.s15PqTrained(spark, dir)
+    assert(res.count() === 15) // 5 queries × top-3
+  }
+
   test("r28 grouping sets: markers and superaggregate totals reconcile") {
     import graft.queries.Relational2
     val rows = Relational2.r28GroupingSets(spark, "/root/testdata/sf0.001")
