@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CorpusQueries, LlmQueries, Relational, Relational2, VideoQueries}
+import graft.queries.{CorpusQueries, LlmQueries, Relational, Relational2, RetrievalQueries, VideoQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -106,6 +106,9 @@ object SparkEntry {
     "s14_mrl_rerank" -> LlmQueries.s14MrlRerank,
     "s15_pq_trained" -> LlmQueries.s15PqTrained,
     "x27_temperature_mix" -> LlmQueries.x27TemperatureMix,
+    "x28_bm25" -> RetrievalQueries.x28Bm25,
+    "x29_tfidf_keywords" -> RetrievalQueries.x29TfidfKeywords,
+    "s16_filtered_ann" -> RetrievalQueries.s16FilteredAnn,
   )
 
   /** Every oracle is wrapped in `ORDER BY ALL` (all columns,
@@ -236,5 +239,8 @@ object SparkEntry {
     "r29_lateral" -> Relational2.r29Sql,
     "s14_mrl_rerank" -> LlmQueries.s14Sql,
     "x27_temperature_mix" -> LlmQueries.x27Sql,
+    "x28_bm25" -> RetrievalQueries.x28Sql,
+    "x29_tfidf_keywords" -> RetrievalQueries.x29Sql,
+    "s16_filtered_ann" -> RetrievalQueries.s16Sql,
   )
 }

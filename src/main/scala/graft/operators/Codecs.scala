@@ -378,6 +378,14 @@ object Codecs {
     * RGB contract (same as BmpCodec.decodeRgb / Y4M extract), so a
     * decoded JPEG frame feeds the real inference path unchanged. */
   object ImageIoCodecs {
+    // ImageIO's default ImageInputStream is FILE-cache-backed: every
+    // createImageInputStream (and every ImageIO.read(InputStream))
+    // creates, writes, and deletes a temp file — per IMAGE. Under a
+    // per-row decode workload that is thousands of filesystem round
+    // trips per partition for payloads that already sit in memory;
+    // memory-cached streams cut m4's decode wall time several-fold.
+    javax.imageio.ImageIO.setUseCache(false)
+
     /** ImageIO surfaces corrupt payloads as IOException subtypes
       * (IIOException on a truncated PNG header, for instance); the
       * codec contract is the same clean IllegalArgumentException
@@ -496,21 +504,34 @@ object Codecs {
         * frame; a foreign GIF with partial-frame disposal would need
         * compositing on top of this primitive. */
       def extractFrameRgb(d: Array[Byte], idx: Int): (Int, Int, Array[Byte]) =
+        withReader(d) { r => frameRgb(r, idx) }
+
+      /** Decode EVERY frame in one reader pass. Per-frame
+        * extractFrameRgb re-creates the reader and re-walks the
+        * stream for each frame — O(frames²) stream work per GIF —
+        * which is invisible on one artifact but dominates a per-row
+        * decode query (m4 spent most of its wall time there). */
+      def extractAllFramesRgb(d: Array[Byte]): IndexedSeq[(Int, Int, Array[Byte])] =
         withReader(d) { r =>
-          val img = r.read(idx)
-          val w = img.getWidth; val h = img.getHeight
-          val px = img.getRGB(0, 0, w, h, null, 0, w)
-          val out = new Array[Byte](w * h * 3)
-          var i = 0
-          while (i < px.length) {
-            val v = px(i); val t = i * 3
-            out(t) = ((v >> 16) & 0xff).toByte
-            out(t + 1) = ((v >> 8) & 0xff).toByte
-            out(t + 2) = (v & 0xff).toByte
-            i += 1
-          }
-          (w, h, out)
+          (0 until r.getNumImages(true)).map(i => frameRgb(r, i))
         }
+
+      private def frameRgb(r: javax.imageio.ImageReader,
+          idx: Int): (Int, Int, Array[Byte]) = {
+        val img = r.read(idx)
+        val w = img.getWidth; val h = img.getHeight
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        val out = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < px.length) {
+          val v = px(i); val t = i * 3
+          out(t) = ((v >> 16) & 0xff).toByte
+          out(t + 1) = ((v >> 8) & 0xff).toByte
+          out(t + 2) = (v & 0xff).toByte
+          i += 1
+        }
+        (w, h, out)
+      }
 
       override def decode(rec: MediaRecord): DecodedMedia =
         withReader(rec.data) { r =>

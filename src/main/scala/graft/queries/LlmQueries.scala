@@ -36,7 +36,7 @@ object LlmQueries {
       s"list_transform(range($dim), k -> CAST($a[k+1] AS DOUBLE) * $b[k+1])), " +
       s"(x, y) -> x + y)"
 
-  private def cosSql(a: String, b: String, dim: Int = 64): String =
+  private[queries] def cosSql(a: String, b: String, dim: Int = 64): String =
     s"(${dotSql(a, b, dim)} / (sqrt(${dotSql(a, a, dim)}) * sqrt(${dotSql(b, b, dim)})))"
 
   /** sign-LSH bucket (= VectorFunctions.lshBucket, planes=4, dim=64) */
@@ -952,13 +952,14 @@ object LlmQueries {
             w, h, palR, palG, palB, frames)
           val dec = Codecs.AutoCodec.decode(
             Multimodal.MediaRecord(id, "video", gif))
+          val decoded = Codecs.ImageIoCodecs.GifCodec.extractAllFramesRgb(gif)
+          require(decoded.length == dec.n_frames,
+            s"codec frame-count disagreement for doc $id")
           val all = new Array[Byte](dec.n_frames * w * h * 3)
           var off = 0
-          (0 until dec.n_frames).foreach { f =>
-            val (fw, fh, rgb) = Codecs.ImageIoCodecs.GifCodec
-              .extractFrameRgb(gif, f)
+          decoded.foreach { case (fw, fh, rgb) =>
             require(fw == dec.width && fh == dec.height,
-              s"codec metadata/pixel disagreement for doc $id frame $f")
+              s"codec metadata/pixel disagreement for doc $id")
             System.arraycopy(rgb, 0, all, off, rgb.length)
             off += rgb.length
           }
@@ -1018,13 +1019,12 @@ object LlmQueries {
             w, h, palR, palG, palB, frames)
           val dec = Codecs.AutoCodec.decode(
             Multimodal.MediaRecord(id, "video", gif))
-          val sums = (0 until dec.n_frames).map { f =>
-            val (_, _, rgb) = Codecs.ImageIoCodecs.GifCodec
-              .extractFrameRgb(gif, f)
-            var s = 0L; var i = 0
-            while (i < rgb.length) { s += rgb(i) & 0xff; i += 1 }
-            s
-          }
+          val sums = Codecs.ImageIoCodecs.GifCodec.extractAllFramesRgb(gif)
+            .map { case (_, _, rgb) =>
+              var s = 0L; var i = 0
+              while (i < rgb.length) { s += rgb(i) & 0xff; i += 1 }
+              s
+            }
           (dec, sums)
         }
       }.toDF("dec", "frame_sums")

@@ -1,0 +1,225 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** Lexical retrieval + filtered vector search — the query-time half
+  * of the corpus the d/x families curate. BM25 keyword search (x28)
+  * and TF-IDF keyword extraction (x29) are the classical lexical
+  * complement to the s-family's vector search; s16 is vector search
+  * under a metadata predicate (the "filtered ANN" every production
+  * vector store serves). Oracle parity follows LlmQueries' rules:
+  * integer arithmetic until the score edge, fixed-order double
+  * folds, round(...,6) at the output only, and ranking on the
+  * ROUNDED score so a last-ulp ln() divergence can never flip a
+  * rank boundary across engines.
+  */
+object RetrievalQueries {
+  import LlmQueries.{tsSql, cosSql}
+
+  // ---- x28: BM25 keyword search ------------------------------------
+
+  /** The fixed query-term set (sorted — score terms always add in
+    * this order on both engines). */
+  private[queries] val bm25Terms = Seq("hash", "merge", "spark", "window")
+
+  /** x28: BM25 ranked keyword search (k1=1.2, b=0.75, Lucene's
+    * +1-smoothed idf) for a small fixed term set — the lexical
+    * retrieval primitive next to the s-family's vector search.
+    *
+    * 100 TB shape: because the query-term set is small (search
+    * queries always are), NOTHING explodes — each doc computes
+    * (dl, tf per term) row-locally in ONE tokenize pass (the bind
+    * trick), the corpus statistics (N, total_dl, df per term) are
+    * ONE tiny global agg broadcast back, scoring is a narrow
+    * projection, and the top-20 is TakeOrderedAndProject (per-
+    * partition heaps + driver merge of 20-row heads, never a global
+    * sort). One scan + one scalar-row exchange end-to-end.
+    *
+    * Rank is computed on round(score, 6) with doc_id tiebreak so the
+    * cut at rank 20 is engine-stable even if ln() differs in the
+    * last ulp. */
+  def bm25(docs: DataFrame, terms: Seq[String], topK: Int): DataFrame = {
+    val ts = terms.sorted
+    val feat = docs.select(col("doc_id"),
+      TextFunctions.bind(TextFunctions.tokens(col("text")), t =>
+        struct(
+          (size(t).cast("long").as("dl") +:
+            ts.map(w => size(filter(t, x => x === lit(w)))
+              .cast("long").as(s"tf_$w"))): _*)).as("s"))
+      .select(col("doc_id") +: (col("s.dl").as("dl") +:
+        ts.map(w => col(s"s.tf_$w").as(s"tf_$w"))): _*)
+    val stats = feat.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).as("total_dl") +:
+        ts.map(w => count(when(col(s"tf_$w") > 0, 1)).as(s"df_$w"))): _*)
+    val avgdl = col("total_dl").cast("double") / col("n_docs").cast("double")
+    def contrib(w: String): Column = {
+      val tf = col(s"tf_$w"); val df = col(s"df_$w")
+      when(tf > 0,
+        log((col("n_docs") - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0)) *
+          (tf.cast("double") * lit(2.2)) /
+          (tf.cast("double") +
+            lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))))
+        .otherwise(lit(0.0))
+    }
+    val scored = feat.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"),
+        ts.map(w => when(col(s"tf_$w") > 0, 1L).otherwise(0L))
+          .reduce(_ + _).as("n_matched"),
+        round(ts.map(contrib).reduce(_ + _), 6).as("score"))
+      .filter(col("n_matched") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+    scored.withColumn("rnk",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+        .cast("int"))
+  }
+
+  def x28Bm25(spark: SparkSession, dir: String): DataFrame =
+    bm25(Tables.documents(spark, dir), bm25Terms, topK = 20)
+
+  val x28Sql: String = {
+    val ts = bm25Terms.sorted
+    val tfCols = ts.map(w =>
+      s"CAST(len(list_filter(ts, x -> x = '$w')) AS BIGINT) AS tf_$w")
+      .mkString(",\n    ")
+    val dfCols = ts.map(w => s"count(*) FILTER (tf_$w > 0) AS df_$w")
+      .mkString(",\n    ")
+    val avgdl = "(CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    val contribs = ts.map { w =>
+      s"""CASE WHEN tf_$w > 0 THEN
+         |      ln((n_docs - df_$w + 0.5) / (df_$w + 0.5) + 1.0) *
+         |        (CAST(tf_$w AS DOUBLE) * 2.2) /
+         |        (CAST(tf_$w AS DOUBLE) +
+         |          1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / $avgdl)))
+         |    ELSE 0.0 END""".stripMargin
+    }.mkString(" +\n    ")
+    val matched = ts.map(w => s"CASE WHEN tf_$w > 0 THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, $tsSql AS ts FROM documents),
+       |f AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl,
+       |    $tfCols
+       |  FROM t),
+       |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl,
+       |    $dfCols
+       |  FROM f),
+       |sc AS (SELECT doc_id, dl,
+       |    CAST($matched AS BIGINT) AS n_matched,
+       |    round($contribs, 6) AS score
+       |  FROM f CROSS JOIN st),
+       |r AS (SELECT doc_id, dl, n_matched, score,
+       |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rnk
+       |  FROM sc WHERE n_matched > 0)
+       |SELECT doc_id, dl, n_matched, score, rnk FROM r WHERE rnk <= 20""".stripMargin
+  }
+
+  // ---- x29: TF-IDF keyword extraction ------------------------------
+
+  /** x29: per-document keyword extraction — the top-3 terms of each
+    * doc by tf·idf (idf = ln(N/df), df over the whole corpus). The
+    * auto-tagging step of a corpus pipeline (and the document-side
+    * dual of x28: x28 scores docs for a query, x29 names each doc's
+    * most query-worthy terms).
+    *
+    * 100 TB shape: tokens explode row-locally and immediately
+    * partial-aggregate, so the shuffle carries one row per distinct
+    * (doc, term) — the d8 discipline; df is a second partial agg over
+    * those rows keyed by term (bounded by vocabulary); the df join is
+    * a keyed equi-join both sides of which are already term-clustered
+    * (ReuseExchange collapses the scan). Per-doc top-3 is a
+    * WindowGroupLimit, ranked on the ROUNDED score (term tiebreak) so
+    * the cut is engine-stable. */
+  def tfidfKeywords(docs: DataFrame, topK: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextFunctions.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"),
+        round(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")), 6)
+          .as("tfidf"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= topK)
+  }
+
+  def x29TfidfKeywords(spark: SparkSession, dir: String): DataFrame =
+    tfidfKeywords(Tables.spread(Tables.documents(spark, dir)), topK = 3)
+
+  val x29Sql: String =
+    s"""WITH t AS (SELECT doc_id, $tsSql AS ts FROM documents),
+       |tk AS (SELECT doc_id, unnest(ts) AS term FROM t),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |sc AS (SELECT doc_id, term, tf,
+       |    round(CAST(tf AS DOUBLE) *
+       |      ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+       |  FROM tf JOIN df USING (term) CROSS JOIN n),
+       |r AS (SELECT doc_id, term, tf, tfidf,
+       |    CAST(row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY tfidf DESC, term) AS INT) AS rnk
+       |  FROM sc)
+       |SELECT doc_id, term, tf, tfidf, rnk FROM r WHERE rnk <= 3""".stripMargin
+
+  // ---- s16: filtered ANN (metadata predicate + IVF) -----------------
+
+  /** s16: FILTERED vector search — s6's IVF nprobe=2 plan with a
+    * metadata predicate (label = 2) on the corpus side: the
+    * "filtered ANN" shape every production vector store serves
+    * (search only among vectors passing a structured filter).
+    *
+    * The predicate composes with the index instead of fighting it:
+    * cell assignment is per-row (a narrow argmax over one broadcast
+    * centroid row), so filtering the corpus BEFORE assignment is
+    * semantically identical to filtering the posting lists at serve
+    * time — and Catalyst pushes `label = 2` into the parquet scan
+    * (PushedFilters), so non-matching vectors are never even read.
+    * Queries stay unfiltered (vec_id < 5) and probe their 2 nearest
+    * cells as in s6. At 100 TB this is the high-selectivity regime
+    * where pre-filter beats post-filter: the filtered corpus is the
+    * thing the equi-join sees, so top-k can never come back short of
+    * matching candidates that exist. */
+  def s16FilteredAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.knnIvfProbe(
+      emb.filter(col("label") === 2),
+      emb.filter(col("vec_id") < 5),
+      emb.filter(col("vec_id") < 8), k = 3, nprobe = 2)
+  }
+
+  val s16Sql: String = {
+    def assign(src: String, maxCrn: Int) =
+      s"""SELECT vec_id, embedding, cell FROM (
+         |  SELECT v.vec_id, v.embedding,
+         |    CAST(row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      ${cosSql("v.embedding", "c.embedding")} DESC, c.vec_id)
+         |      AS INT) AS crn,
+         |    c.vec_id AS cell
+         |  FROM ($src) v CROSS JOIN cent c
+         |) WHERE crn <= $maxCrn""".stripMargin
+    s"""WITH cent AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+       |corpus_cells AS (${assign(
+      "SELECT vec_id, embedding FROM embeddings WHERE label = 2", 1)}),
+       |query_cells AS (${assign(
+      "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5", 2)}),
+       |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM corpus_cells c JOIN query_cells q
+       |    ON q.cell = c.cell AND q.vec_id <> c.vec_id),
+       |r AS (SELECT query_id, neighbor_id, CAST(row_number() OVER
+       |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT)
+       |    AS rnk, cos FROM p)
+       |SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cosine
+       |FROM r WHERE rnk <= 3""".stripMargin
+  }
+}

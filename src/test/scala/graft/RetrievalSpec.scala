@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval (x28/x29), filtered ANN (s16), and the
+  * one-pass GIF frame extraction m4/m7 decode through.
+  */
+class RetrievalSpec extends SparkTestBase {
+  import testImplicits._
+  import graft.queries.RetrievalQueries
+  import graft.operators.Similarity
+
+  private def round6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("x28 bm25: hand-checked scores, non-matching docs excluded") {
+    val docs = Seq(
+      (1L, "hash hash foo"),
+      (2L, "hash bar"),
+      (3L, "nope")).toDF("doc_id", "text")
+    val rows = RetrievalQueries.bm25(docs, Seq("hash"), topK = 10)
+      .select("doc_id", "dl", "n_matched", "score", "rnk")
+      .as[(Long, Long, Long, Double, Int)].collect().sortBy(_._1)
+    // N=3, total_dl=6, avgdl=2, df=2, idf=ln((3-2+0.5)/2.5+1)=ln(1.6)
+    val idf = math.log(1.6)
+    def score(tf: Long, dl: Long): Double =
+      round6(idf * (tf * 2.2) /
+        (tf + 1.2 * (0.25 + 0.75 * (dl / 2.0))))
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L)) // doc 3 never matches
+    val byDoc = rows.map(r => r._1 -> r).toMap
+    assert(byDoc(1L)._4 === score(2, 3))
+    assert(byDoc(2L)._4 === score(1, 2))
+    // doc 1 (tf=2) outranks doc 2 (tf=1) despite being longer
+    assert(byDoc(1L)._5 === 1 && byDoc(2L)._5 === 2)
+    assert(byDoc(1L)._3 === 1L && byDoc(2L)._3 === 1L)
+  }
+
+  test("x28 bm25: multi-term scores add in sorted-term order") {
+    val docs = Seq(
+      (1L, "alpha beta"),
+      (2L, "alpha alpha"),
+      (3L, "beta"),
+      (4L, "gamma")).toDF("doc_id", "text")
+    val got = RetrievalQueries.bm25(docs, Seq("beta", "alpha"), topK = 10)
+      .select("doc_id", "n_matched").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("x29 tfidf: unique terms outrank ubiquitous ones; ln(N/N) = 0") {
+    val docs = Seq(
+      (1L, "common rare rare"),
+      (2L, "common other"),
+      (3L, "common third")).toDF("doc_id", "text")
+    val rows = RetrievalQueries.tfidfKeywords(docs, topK = 2)
+      .select("doc_id", "term", "tfidf", "rnk")
+      .as[(Long, String, Double, Int)].collect()
+    val doc1 = rows.filter(_._1 == 1L).sortBy(_._4)
+    // "rare": tf=2, df=1 -> 2*ln(3); "common": df=3 -> tfidf 0
+    assert(doc1.head._2 === "rare")
+    assert(doc1.head._3 === round6(2.0 * math.log(3.0)))
+    val common = rows.filter(_._2 == "common")
+    assert(common.nonEmpty && common.forall(_._3 === 0.0))
+  }
+
+  test("s16 filtered ann: neighbors honor the predicate; nprobe=all " +
+    "equals brute force over the filtered corpus") {
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val corpus = (0L until 40L).map(i => (i, vec(), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val queries = corpus.filter(col("vec_id") < 4)
+    val cents = corpus.filter(col("vec_id") % 10 === 0)
+    val filtered = corpus.filter(col("label") === 2)
+    def knnSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rnk").as[(Long, Long, Int)]
+        .collect().toSet
+    val got = Similarity.knnIvfProbe(filtered, queries, cents,
+      k = 3, nprobe = 4)
+    // every neighbor passes the predicate
+    val labels = got.join(corpus.select(col("vec_id").as("neighbor_id"),
+      col("label")), Seq("neighbor_id")).select("label").as[Int].collect()
+    assert(labels.nonEmpty && labels.forall(_ == 2))
+    // probing every cell over the filtered corpus == brute force on it
+    assert(knnSet(got) ===
+      knnSet(Similarity.knnBruteForce(filtered, queries, k = 3)))
+  }
+
+  test("GIF extractAllFramesRgb equals per-frame extraction") {
+    import graft.operators.Codecs.ImageIoCodecs.GifCodec
+    val (pr, pg, pb) = (
+      Array.tabulate(256)(v => v.toByte),
+      Array.tabulate(256)(v => ((v * 37) % 256).toByte),
+      Array.tabulate(256)(v => ((v * 91) % 256).toByte))
+    val (w, h, nf) = (7, 5, 3)
+    val frames = (0 until nf).map { f =>
+      Array.tabulate(w * h)(i => ((11 + f * 31 + i * 13) % 256).toByte)
+    }
+    val gif = GifCodec.encodeIndexedFrames(w, h, pr, pg, pb, frames)
+    val all = GifCodec.extractAllFramesRgb(gif)
+    assert(all.length === nf)
+    for (f <- 0 until nf) {
+      val (fw, fh, rgb) = GifCodec.extractFrameRgb(gif, f)
+      assert((all(f)._1, all(f)._2) === ((fw, fh)))
+      assert(all(f)._3.toSeq === rgb.toSeq)
+    }
+  }
+}
