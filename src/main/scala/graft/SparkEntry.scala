@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CorpusQueries, LlmQueries, Relational, Relational2, RetrievalQueries, VideoQueries}
+import graft.queries.{CorpusQueries, LlmQueries, MediaQueries, Relational, Relational2, Relational3, RetrievalQueries, VideoQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -109,6 +109,9 @@ object SparkEntry {
     "x28_bm25" -> RetrievalQueries.x28Bm25,
     "x29_tfidf_keywords" -> RetrievalQueries.x29TfidfKeywords,
     "s16_filtered_ann" -> RetrievalQueries.s16FilteredAnn,
+    "r30_gap_fill" -> Relational3.r30GapFill,
+    "r31_compact_log" -> Relational3.r31CompactLog,
+    "m8_perceptual_hash" -> MediaQueries.m8PerceptualHash,
   )
 
   /** Every oracle is wrapped in `ORDER BY ALL` (all columns,
@@ -242,5 +245,8 @@ object SparkEntry {
     "x28_bm25" -> RetrievalQueries.x28Sql,
     "x29_tfidf_keywords" -> RetrievalQueries.x29Sql,
     "s16_filtered_ann" -> RetrievalQueries.s16Sql,
+    "r30_gap_fill" -> Relational3.r30Sql,
+    "r31_compact_log" -> Relational3.r31Sql,
+    "m8_perceptual_hash" -> MediaQueries.m8Sql,
   )
 }

@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Media-column queries beyond LlmQueries' m1–m7: perceptual image
+  * hashing (m8) — the image-side dedup primitive that ties the
+  * multimodal family to the d-family (byte-identity d1 can't group
+  * images that differ in encoding or carry invisible noise; a
+  * perceptual hash can).
+  */
+object MediaQueries {
+
+  /** m8: average-hash (aHash) image near-dup grouping over REAL
+    * compressed decode — each doc synthesizes its deterministic RGB
+    * image (docs sharing `doc_id % 37` draw the SAME image; odd docs
+    * additionally carry a +1 perturbation on odd pixels — visually
+    * identical, byte-different after encoding), encodes it as a
+    * genuine PNG, REALLY decodes it back, and computes the classic
+    * aHash over the decoded pixels: nearest-neighbor 8×8 subsample →
+    * integer BT.601 luminance → threshold each sample against the
+    * 64-sample mean (kept integral: `gray*64 > total`) → a 64-bit
+    * fingerprint (emitted as a 64-char bitstring — no sign-bit
+    * overflow, trivially restatable). Grouping by the hash then
+    * recovers the perceptual duplicate classes INCLUDING the
+    * perturbed members byte-level dedup misses — `n_perturbed`
+    * counts them per group.
+    *
+    * 100 TB shape: the pixels live and die inside one partition-
+    * scoped decode pass (the m2/m5/m6 contract); only the 64-char
+    * hash reaches the exchange, and the grouping is one partial-agg
+    * shuffle on the hash. PNG is lossless, so the oracle restates
+    * subsample, luminance, threshold, and grouping arithmetically —
+    * a decoder defect shifts a gray value and breaks the hash. */
+  def m8PerceptualHash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{Codecs, Multimodal}
+    Tables.spread(Tables.documents(spark, dir).select(col("doc_id"))).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val key = id % 37
+          val w = (8 + key % 13).toInt; val h = (8 + key % 7).toInt
+          val rgb = Array.tabulate(w * h * 3) { i =>
+            val p = i / 3
+            ((key * 7 + i * 13 + (id % 2) * (p % 2)) % 256).toByte
+          }
+          val png = Codecs.ImageIoCodecs.encodeRgb("png", w, h, rgb)
+          val dec = Codecs.AutoCodec.decode(
+            Multimodal.MediaRecord(id, "image", png))
+          val (dw, dh, back) = Codecs.ImageIoCodecs.decodeRgb(png)
+          require(dw == dec.width && dh == dec.height && dw == w && dh == h,
+            s"codec metadata/pixel disagreement for doc $id")
+          val grays = new Array[Long](64)
+          var total = 0L
+          var q = 0
+          while (q < 64) {
+            val sp = (q / 8) * h / 8 * w + (q % 8) * w / 8
+            val g = 299L * (back(sp * 3) & 0xff) +
+              587L * (back(sp * 3 + 1) & 0xff) +
+              114L * (back(sp * 3 + 2) & 0xff)
+            grays(q) = g; total += g; q += 1
+          }
+          val sb = new StringBuilder(64)
+          q = 0
+          while (q < 64) {
+            sb.append(if (grays(q) * 64 > total) '1' else '0'); q += 1
+          }
+          (id, w, h, sb.toString)
+        }
+      }.toDF("doc_id", "width", "height", "phash")
+      .groupBy(col("phash"), col("width"), col("height"))
+      .agg(count(lit(1)).as("n_images"),
+        min(col("doc_id")).as("first_doc"),
+        count(when(col("doc_id") % 2 === 1, 1)).as("n_perturbed"))
+  }
+
+  val m8Sql: String =
+    """WITH g AS (SELECT doc_id, doc_id % 37 AS key,
+      |    CAST(8 + (doc_id % 37) % 13 AS INT) AS w,
+      |    CAST(8 + (doc_id % 37) % 7 AS INT) AS h
+      |  FROM documents),
+      |s AS (SELECT doc_id, w, h,
+      |    list_transform(range(64), q ->
+      |      [(key*7 + (3*((q // 8) * h // 8 * w + (q % 8) * w // 8))*13
+      |          + (doc_id % 2) * (((q // 8) * h // 8 * w + (q % 8) * w // 8) % 2))
+      |          % 256,
+      |       (key*7 + (3*((q // 8) * h // 8 * w + (q % 8) * w // 8) + 1)*13
+      |          + (doc_id % 2) * (((q // 8) * h // 8 * w + (q % 8) * w // 8) % 2))
+      |          % 256,
+      |       (key*7 + (3*((q // 8) * h // 8 * w + (q % 8) * w // 8) + 2)*13
+      |          + (doc_id % 2) * (((q // 8) * h // 8 * w + (q % 8) * w // 8) % 2))
+      |          % 256]) AS pxs
+      |  FROM g),
+      |gr AS (SELECT doc_id, w, h,
+      |    list_transform(pxs, v -> 299*v[1] + 587*v[2] + 114*v[3]) AS grays
+      |  FROM s),
+      |ph AS (SELECT doc_id, w, h,
+      |    list_reduce(list_transform(grays,
+      |        x -> CASE WHEN x * 64 > list_sum(grays) THEN '1' ELSE '0' END),
+      |      (a, b) -> a || b) AS phash
+      |  FROM gr)
+      |SELECT phash, w AS width, h AS height, count(*) AS n_images,
+      |  min(doc_id) AS first_doc,
+      |  count(*) FILTER (doc_id % 2 = 1) AS n_perturbed
+      |FROM ph GROUP BY 1, 2, 3""".stripMargin
+}

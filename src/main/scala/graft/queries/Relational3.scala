@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Time-series relational surface, round 7: gap-filled regular grids
+  * (r30) and change-data compaction (r31) over the `events` table —
+  * the two shapes every operational store asks of an analytics
+  * engine that the r10–r29 families don't cover: "give me a dense
+  * hourly series even where nothing happened" and "give me the
+  * current state per key from an append-only change log".
+  *
+  * Oracle parity rules are Relational2's: timestamps leave the plan
+  * as epoch micros (BIGINT), money as integer cents, so every hash
+  * is drift-free.
+  */
+object Relational3 {
+
+  // ---- r30: gap-filled hourly series with forward fill -------------
+
+  /** r30: time-series GAP FILL — per event type, the dense hourly
+    * grid from the corpus' first hour to its last, each hour carrying
+    * its event count and cents sum, and gap hours (no events) carry
+    * the FORWARD-FILLED last observed cents sum (`last(ignoreNulls)`
+    * over an unbounded-preceding ROWS frame) — the
+    * observation-carried-forward contract every dashboard and
+    * feature-store join expects.
+    *
+    * 100 TB shape: the aggregate is one partial-agg shuffle keyed by
+    * (type, hour) — the raw events collapse map-side, so the exchange
+    * carries at most |types|×|hours| rows no matter the event volume.
+    * The dense grid is generated (sequence + explode over one
+    * broadcast min/max row × the distinct-type dim), never scanned;
+    * the outer join against the collapsed aggregate is dim-sized.
+    * The forward fill partitions by type — one in-partition sort of
+    * |hours| rows per type, the same bounded-width contract as r25
+    * (a year is 8 760 rows per type regardless of data volume). */
+  def gapFillHourly(eventsIn: DataFrame): DataFrame = {
+    val ev = eventsIn.select(col("event_type"),
+      date_trunc("hour", col("ts")).as("h"),
+      floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val actual = ev.groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+    val hours = ev.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 hour"))).as("h"))
+    val grid = ev.select(col("event_type")).distinct().crossJoin(hours)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(actual, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"), col("n"), col("c"),
+        last(col("c"), ignoreNulls = true).over(w).as("ff"))
+      .select(col("event_type"), unix_micros(col("h")).as("hour_us"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        coalesce(col("c"), lit(0L)).as("cents"),
+        coalesce(col("ff"), lit(0L)).as("filled_cents"),
+        col("n").isNull.as("is_gap"))
+  }
+
+  def r30GapFill(spark: SparkSession, dir: String): DataFrame =
+    gapFillHourly(Tables.events(spark, dir))
+
+  val r30Sql: String =
+    """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS h,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |a AS (SELECT event_type, h, count(*) AS n,
+      |    CAST(sum(cents) AS BIGINT) AS c
+      |  FROM e GROUP BY 1, 2),
+      |b AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+      |hrs AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      |  FROM b),
+      |g AS (SELECT event_type, h
+      |  FROM (SELECT DISTINCT event_type FROM e) CROSS JOIN hrs),
+      |j AS (SELECT g.event_type, g.h, a.n, a.c
+      |  FROM g LEFT JOIN a ON g.event_type = a.event_type AND g.h = a.h)
+      |SELECT event_type, CAST(epoch_us(h) AS BIGINT) AS hour_us,
+      |  coalesce(n, 0) AS n_events,
+      |  coalesce(c, 0) AS cents,
+      |  coalesce(last_value(c IGNORE NULLS) OVER (PARTITION BY event_type
+      |    ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+      |    AS filled_cents,
+      |  n IS NULL AS is_gap
+      |FROM j""".stripMargin
+
+  // ---- r31: change-log compaction (latest state per key) ------------
+
+  /** r31: CDC COMPACTION — the events table read as an append-only
+    * change log keyed by user: the CURRENT state per user is the
+    * latest-timestamped event (event_id breaks exact-timestamp ties,
+    * later id wins), and a user whose LATEST change is an `error` is
+    * a tombstone — deleted from the compacted state. This is the
+    * latest-wins merge every mutable-upsert table (Delta/Hudi/
+    * Iceberg MERGE, Kafka compacted topic) performs, expressed as a
+    * query.
+    *
+    * 100 TB shape: ONE shuffle keyed by user_id; row_number and the
+    * per-key change count ride the same sort (a single Window
+    * exchange — WindowGroupLimit prunes non-head rows before the
+    * sort at scale since only rn=1 survives). The tombstone filter
+    * is a residual predicate on the head row. */
+  def compactLog(eventsIn: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val wc = Window.partitionBy(col("user_id"))
+    eventsIn
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_changes", count(lit(1)).over(wc))
+      .filter(col("rn") === 1 && col("event_type") =!= lit("error"))
+      .select(col("user_id"), col("event_type").as("last_type"),
+        unix_micros(col("ts")).as("last_ts_us"),
+        col("event_id").as("last_event"),
+        col("cents").as("last_cents"), col("n_changes"))
+  }
+
+  def r31CompactLog(spark: SparkSession, dir: String): DataFrame =
+    compactLog(Tables.events(spark, dir))
+
+  val r31Sql: String =
+    """WITH e AS (SELECT user_id, event_type, ts, event_id,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n_changes
+      |  FROM events)
+      |SELECT user_id, event_type AS last_type,
+      |  CAST(epoch_us(ts) AS BIGINT) AS last_ts_us,
+      |  event_id AS last_event, cents AS last_cents, n_changes
+      |FROM e WHERE rn = 1 AND event_type <> 'error'""".stripMargin
+}

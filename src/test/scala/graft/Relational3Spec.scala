@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+/** r30 gap fill, r31 CDC compaction, m8 perceptual hash. */
+class Relational3Spec extends SparkTestBase {
+  import testImplicits._
+  import graft.queries.Relational3
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("r30 gapFill: dense grid, forward fill across gaps, gap flags") {
+    // type A: events in hours 0 and 3 of a 4-hour span; type B: hour 1
+    // only. Grid = 2 types x 4 hours; gaps carry the last seen cents.
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:10:00"), 1L, "A", 1.00, "{}"),
+      (2L, ts("2024-01-01 00:40:00"), 1L, "A", 2.00, "{}"),
+      (3L, ts("2024-01-01 03:05:00"), 2L, "A", 5.00, "{}"),
+      (4L, ts("2024-01-01 01:30:00"), 3L, "B", 7.50, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Relational3.gapFillHourly(ev)
+      .select("event_type", "hour_us", "n_events", "cents",
+        "filled_cents", "is_gap")
+      .as[(String, Long, Long, Long, Long, Boolean)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(got.length === 8) // 2 types x 4 hours
+    val a = got.filter(_._1 == "A")
+    assert(a.map(_._3).toSeq === Seq(2L, 0L, 0L, 1L)) // counts per hour
+    assert(a.map(_._4).toSeq === Seq(300L, 0L, 0L, 500L)) // cents
+    assert(a.map(_._5).toSeq === Seq(300L, 300L, 300L, 500L)) // fill
+    assert(a.map(_._6).toSeq === Seq(false, true, true, false))
+    val b = got.filter(_._1 == "B")
+    // B's hour-0 precedes its first event: filled stays 0 (coalesced)
+    assert(b.map(_._5).toSeq === Seq(0L, 750L, 750L, 750L))
+    assert(b.map(_._3).toSeq === Seq(0L, 1L, 0L, 0L))
+  }
+
+  test("r31 compactLog: latest wins, ties break by event_id, " +
+    "tombstoned users dropped") {
+    val ev = Seq(
+      // user 1: two updates, latest (by ts) is purchase @200
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view", 1.00, "{}"),
+      (2L, ts("2024-01-01 02:00:00"), 1L, "purchase", 2.00, "{}"),
+      // user 2: latest change is an error -> tombstone, dropped
+      (3L, ts("2024-01-01 00:00:00"), 2L, "view", 3.00, "{}"),
+      (4L, ts("2024-01-01 05:00:00"), 2L, "error", 4.00, "{}"),
+      // user 3: exact-timestamp tie -> higher event_id wins
+      (5L, ts("2024-01-01 01:00:00"), 3L, "view", 5.00, "{}"),
+      (6L, ts("2024-01-01 01:00:00"), 3L, "click", 6.00, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Relational3.compactLog(ev)
+      .select("user_id", "last_type", "last_event", "last_cents",
+        "n_changes")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq === Seq(1L, 3L)) // user 2 tombstoned
+    assert(got(0) === ((1L, "purchase", 2L, 200L, 2L)))
+    assert(got(1) === ((3L, "click", 6L, 600L, 2L)))
+  }
+
+  test("m8: perturbed odd docs group with their clean twins") {
+    import graft.queries.MediaQueries
+    val got = MediaQueries.m8PerceptualHash(spark, sf)
+      .select("phash", "n_images", "n_perturbed")
+      .as[(String, Long, Long)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_._1.length == 64))
+    assert(got.forall(r => r._1.forall(c => c == '0' || c == '1')))
+    // at least one group mixes clean and perturbed members — the
+    // perceptual grouping byte-identity dedup cannot produce
+    assert(got.exists(r => r._3 > 0 && r._3 < r._2))
+    // aHash always has both 0 and 1 bits (some sample above the
+    // mean, some below) except for perfectly flat images
+    assert(got.forall(r => r._1.contains('1')))
+  }
+}
