@@ -112,6 +112,7 @@ object SparkEntry {
     "r30_gap_fill" -> Relational3.r30GapFill,
     "r31_compact_log" -> Relational3.r31CompactLog,
     "m8_perceptual_hash" -> MediaQueries.m8PerceptualHash,
+    "s17_index_update" -> LlmQueries.s17IndexUpdate,
   )
 
   /** Every oracle is wrapped in `ORDER BY ALL` (all columns,
@@ -248,5 +249,8 @@ object SparkEntry {
     "r30_gap_fill" -> Relational3.r30Sql,
     "r31_compact_log" -> Relational3.r31Sql,
     "m8_perceptual_hash" -> MediaQueries.m8Sql,
+    // s17 = s8's full-corpus search served from the incrementally
+    // appended index; identical arithmetic, so the oracle is s8's
+    "s17_index_update" -> LlmQueries.s8Sql,
   )
 }

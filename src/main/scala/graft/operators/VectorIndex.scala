@@ -35,6 +35,21 @@ object VectorIndex {
       Similarity.encodeIvfPq(embeddings, centroids, codebook, m),
       path, Seq("cell"))
 
+  /** Incremental UPDATE: encode only the new batch and append its
+    * rows under the existing cell directories — the daily-ingest
+    * half of the lifecycle (the x23 shape for the vector index).
+    * Quantizers are frozen at build time, so the appended codes use
+    * the same centroid/codebook broadcast and the updated index is
+    * bit-identical to a from-scratch rebuild over (old ∪ batch); a
+    * deployment re-trains quantizers only when drift warrants a full
+    * rebuild. Cost is one narrow encode pass over the BATCH — the
+    * standing corpus is never re-read. */
+  def append(batch: DataFrame, centroids: DataFrame, codebook: DataFrame,
+      m: Int, path: String): Unit =
+    Writers.writePartitioned(
+      Similarity.encodeIvfPq(batch, centroids, codebook, m),
+      path, Seq("cell"), mode = "append")
+
   /** Serve a top-k ADC search from the saved index. The corpus side
     * is the saved parquet scan (codes only — embeddings are never
     * re-read); queries assign to cells against the broadcast

@@ -430,6 +430,32 @@ object LlmQueries {
       centroids, codebook, m = 8, k = 3)
   }
 
+  /** s17: INCREMENTAL index update — s10's lifecycle plus the
+    * daily-ingest step: the standing index is built from the corpus
+    * minus today's batch (vec_id % 10 == 3 stands in for the new
+    * vectors), the batch alone is encoded and APPENDED under the
+    * same cell directories (quantizers frozen at build time), and
+    * the search serves from the updated index. Because the appended
+    * codes use the identical centroid/codebook arithmetic, the
+    * updated index is bit-identical to a full rebuild — so the
+    * oracle is s8's full-corpus search, and a drifted append (stale
+    * codebook, wrong cell routing, lost rows) breaks the hash. Cost
+    * at 100 TB: one narrow encode pass over the BATCH; the standing
+    * corpus is never re-read. */
+  def s17IndexUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = emb.filter(col("vec_id") < 8)
+    val codebook = emb.filter(col("vec_id") < 16)
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_incr_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    graft.operators.VectorIndex.build(
+      emb.filter(col("vec_id") % 10 =!= 3), centroids, codebook, m = 8, path)
+    graft.operators.VectorIndex.append(
+      emb.filter(col("vec_id") % 10 === 3), centroids, codebook, m = 8, path)
+    graft.operators.VectorIndex.serve(spark, path, queryVecs(spark, dir),
+      centroids, codebook, m = 8, k = 3)
+  }
+
   /** the s8 CTE chain up to the per-(query, candidate) ADC distance
     * `ad` — ONE definition shared by the s8 and s11 oracles (s11 is
     * s8's ADC stage + an exact re-rank; the compressed-domain

@@ -12,9 +12,10 @@ import org.apache.spark.sql.DataFrame
   */
 object Writers {
   def writePartitioned(df: DataFrame, path: String,
-      partitionCols: Seq[String], maxRecordsPerFile: Long = 1000000L): Unit =
+      partitionCols: Seq[String], maxRecordsPerFile: Long = 1000000L,
+      mode: String = "overwrite"): Unit =
     df.write
-      .mode("overwrite")
+      .mode(mode)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCols: _*)
       .parquet(path)

@@ -30,6 +30,50 @@ object StatefulOps {
     frames.withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("video_id", "frame_id")
 
+  final case class EventChange(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, cents: Long)
+
+  final case class CompactState(user_id: Long, last_ts_us: Long,
+      last_event: Long, last_type: String, last_cents: Long,
+      n_changes: Long)
+
+  /** r31's CDC compaction as KEYED STREAMING STATE — the standing
+    * latest-wins merge a compacted topic runs continuously instead
+    * of as a batch query. Per user the state is the latest change by
+    * (ts, event_id); late or out-of-order arrivals fold in by the
+    * same comparison the batch window sort applies, so replaying the
+    * log through micro-batches converges to exactly the batch
+    * `Relational3.compactLog` state (the parity spec's property —
+    * n_changes grows monotonically, so the final state per key is
+    * the emitted row with the highest n_changes). Tombstone
+    * semantics stay in the CONSUMER (filter last_type = 'error'
+    * downstream), matching the batch query's residual filter. */
+  def compactState(events: Dataset[EventChange]): Dataset[CompactState] = {
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val stateEnc = Encoders.product[CompactState]
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[CompactState, CompactState](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[EventChange], state: GroupState[CompactState]) =>
+          var s = state.getOption.getOrElse(
+            CompactState(uid, Long.MinValue, Long.MinValue, "", 0L, 0L))
+          it.foreach { e =>
+            // exact micros: getTime carries millis; the sub-milli
+            // remainder lives in getNanos (the events table is
+            // microsecond-resolution, so millis alone would collide)
+            val ts = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+            val newer = ts > s.last_ts_us ||
+              (ts == s.last_ts_us && e.event_id > s.last_event)
+            s =
+              if (newer) CompactState(uid, ts, e.event_id, e.event_type,
+                e.cents, s.n_changes + 1)
+              else s.copy(n_changes = s.n_changes + 1)
+          }
+          state.update(s)
+          s
+      }
+  }
+
   /** A1 as keyed streaming state: running per-video frame count +
     * high-water frame id, emitted once per video per micro-batch
     * (update mode). */
