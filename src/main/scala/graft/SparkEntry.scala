@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CorpusQueries, LlmQueries, MediaQueries, Relational, Relational2, Relational3, RetrievalQueries, VideoQueries}
+import graft.queries.{CorpusQueries, GraphQueries, LlmQueries, MediaQueries, Relational, Relational2, Relational3, RetrievalQueries, VideoQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -113,6 +113,8 @@ object SparkEntry {
     "r31_compact_log" -> Relational3.r31CompactLog,
     "m8_perceptual_hash" -> MediaQueries.m8PerceptualHash,
     "s17_index_update" -> LlmQueries.s17IndexUpdate,
+    "g1_pagerank" -> GraphQueries.g1PageRank,
+    "g2_triangles" -> GraphQueries.g2Triangles,
   )
 
   /** Every oracle is wrapped in `ORDER BY ALL` (all columns,
@@ -252,5 +254,7 @@ object SparkEntry {
     // s17 = s8's full-corpus search served from the incrementally
     // appended index; identical arithmetic, so the oracle is s8's
     "s17_index_update" -> LlmQueries.s8Sql,
+    "g1_pagerank" -> GraphQueries.g1Sql,
+    "g2_triangles" -> GraphQueries.g2Sql,
   )
 }

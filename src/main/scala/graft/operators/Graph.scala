@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative/combinatorial graph analytics over pair lists — the
+  * second and third graph operators after Components' connected
+  * components (d9): PageRank centrality and triangle counting, both
+  * over the near-dup pair graphs the d-family emits. Like
+  * Components, everything is DataFrame joins + partial-agg groupBys
+  * (one keyed shuffle per round), with `localCheckpoint` lineage
+  * truncation between rounds and eager release of superseded
+  * snapshots.
+  *
+  * Both operators are INTEGER-exact by construction (ranks live in
+  * micro-units, every division is a floor division of non-negative
+  * longs), so a DuckDB oracle can restate the full iteration
+  * arithmetically and the driver's hash gate applies — unusual for
+  * PageRank, whose floating-point spelling is summation-order-
+  * sensitive and cross-engine-unhashable.
+  */
+object Graph {
+
+  /** Fixed-iteration integer PageRank over an undirected pair list
+    * (columns `doc_a`, `doc_b`). Ranks are micro-units (node starts
+    * at `scale` = 1e6); one round is
+    *   r'(v) = (15·scale + 85·Σ_{u→v} (r(u) div deg(u))) div 100
+    * — the damping-0.85 update with every operation a non-negative
+    * integer op, identical on any engine. Symmetric edges mean every
+    * node has in- and out-degree ≥ 1, so there is no dangling-mass
+    * term (documented contract; a directed variant would add the
+    * standard redistribution).
+    *
+    * 100 TB shape: degrees and the (src, dst, deg) edge relation are
+    * computed once and cached; each round is ONE equi-join of edges
+    * against the current ranks plus one partial-agg groupBy on dst —
+    * the Components discipline. `iters` is fixed (PageRank is used
+    * here as a ranking, not a fixpoint), so the plan is bounded. */
+  def pageRank(pairs: DataFrame, iters: Int, scale: Long = 1000000L): DataFrame = {
+    val sym = pairs
+      .select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
+      .union(pairs
+        .select(col("doc_b").cast("long").as("src"), col("doc_a").cast("long").as("dst")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edges = sym.join(deg, Seq("src")).localCheckpoint(true)
+    var rank = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(scale).as("pr"))
+      .localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      val next = edges.join(rank, edges("src") === rank("node"))
+        .select(col("dst"), expr("pr div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        .select(col("dst").as("node"),
+          expr(s"(15 * CAST($scale AS BIGINT) + 85 * s) div 100").as("pr"))
+        .localCheckpoint(true)
+      rank.unpersist()
+      rank = next
+    }
+    edges.unpersist()
+    rank.select(col("node").as("doc_id"), col("pr").as("rank_micro"))
+  }
+
+  /** Per-node triangle counts over an undirected pair list (columns
+    * `doc_a`, `doc_b`) via DEGREE-ORDERED orientation: each edge
+    * points from its (deg, id)-smaller endpoint to the larger, every
+    * triangle is generated exactly once as two out-edges of its
+    * smallest vertex plus the closing oriented edge, and each
+    * participant gets credited by an explode + partial-agg groupBy.
+    *
+    * The orientation is the scale story: out-degree under
+    * (deg, id) order is O(√m) even on power-law graphs, so the
+    * wedge join (e1 ⋈ e2 on src) fans out per-vertex by a bounded
+    * factor instead of deg² on hubs, and the closing check is an
+    * equi-join against the oriented edge list itself. */
+  def triangleCounts(pairs: DataFrame): DataFrame = {
+    val sym = pairs
+      .select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
+      .union(pairs
+        .select(col("doc_b").cast("long").as("src"), col("doc_a").cast("long").as("dst")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // orient: keep (u, v) iff (deg_u, u) < (deg_v, v)
+    val withDegs = sym
+      .join(deg.select(col("src"), col("deg").as("sdeg")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("deg").as("ddeg")), Seq("dst"))
+    val oriented = withDegs.filter(
+      col("sdeg") < col("ddeg") ||
+        (col("sdeg") === col("ddeg") && col("src") < col("dst")))
+      .select(col("src"), col("dst")).localCheckpoint(true)
+    // wedges from the smallest vertex u: unordered pair {v, w} shows
+    // up as both (v, w) and (w, v), but the closing equi-join against
+    // the ORIENTED edge list matches exactly one of them — so every
+    // triangle is produced exactly once, no dedup needed
+    val e1 = oriented.select(col("src").as("u"), col("dst").as("v"))
+    val e2 = oriented.select(col("src").as("u"), col("dst").as("w"))
+    val wedges = e1.join(e2, Seq("u")).filter(col("v") =!= col("w"))
+    val tris = wedges.join(
+      oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+    val credited = tris.select(explode(array(col("u"), col("v"), col("w")))
+      .as("doc_id"))
+    oriented.unpersist()
+    credited.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+import graft.sources.Tables
+
+/** Graph analytics over the near-dup pair graph (SURVEY LLM-1's
+  * d-family emits the edges; d9 already clusters them) — PageRank
+  * centrality (g1) and triangle counting (g2), the canonical-doc
+  * ranking and cohesion measures a curation pipeline derives from
+  * its duplicate graph. Both oracles restate the FULL iteration /
+  * combinatorics arithmetically (integer micro-unit ranks, unrolled
+  * iterations; orientation-ordered wedge joins), so the driver's
+  * hash gate applies to iterative graph analytics — the same
+  * standard d9's recursive-CTE closure set.
+  */
+object GraphQueries {
+
+  /** g1: PageRank over the d6 SimHash near-dup graph, 5 integer-
+    * exact iterations — "which documents sit at the center of a
+    * near-duplication neighborhood" (the authority score x24-style
+    * representative selection would consult at corpus scale).
+    * Oracle: d6's pair SQL nested as a CTE + the 5 rounds unrolled
+    * (aggregates are not allowed in a recursive CTE term, and the
+    * iteration count is a fixed parameter anyway). */
+  def g1PageRank(spark: SparkSession, dir: String): DataFrame =
+    Graph.pageRank(LlmQueries.d6SimhashPairs(spark, dir), iters = 5)
+
+  val g1Sql: String = {
+    val rounds = (1 to 5).map { i =>
+      s"""r$i AS (SELECT e.d AS node,
+         |    CAST((15 * 1000000 + 85 * sum(r.pr // g.deg)) // 100 AS BIGINT)
+         |      AS pr
+         |  FROM sym e JOIN r${i - 1} r ON r.node = e.s
+         |    JOIN deg g ON g.s = e.s
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (SELECT doc_a, doc_b FROM (
+       |${LlmQueries.d6Sql}
+       |)),
+       |sym AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |deg AS (SELECT s, count(*) AS deg FROM sym GROUP BY 1),
+       |r0 AS (SELECT s AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+       |$rounds
+       |SELECT node AS doc_id, pr AS rank_micro FROM r5""".stripMargin
+  }
+
+  /** g2: per-document triangle counts in the same graph — the local
+    * cohesion signal (a doc in many triangles sits in a dense
+    * duplicate clique, not a chain of pairwise accidents; exactly
+    * the distinction d9's components cannot make). */
+  def g2Triangles(spark: SparkSession, dir: String): DataFrame =
+    Graph.triangleCounts(LlmQueries.d6SimhashPairs(spark, dir))
+
+  val g2Sql: String =
+    s"""WITH pairs AS (SELECT doc_a, doc_b FROM (
+       |${LlmQueries.d6Sql}
+       |)),
+       |sym AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |deg AS (SELECT s, count(*) AS deg FROM sym GROUP BY 1),
+       |ornt AS (SELECT e.s AS src, e.d AS dst
+       |  FROM sym e JOIN deg a ON a.s = e.s JOIN deg b ON b.s = e.d
+       |  WHERE a.deg < b.deg OR (a.deg = b.deg AND e.s < e.d)),
+       |tri AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+       |  FROM ornt e1 JOIN ornt e2 ON e1.src = e2.src
+       |  JOIN ornt e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+       |  WHERE e1.dst <> e2.dst),
+       |cr AS (SELECT unnest([u, v, w]) AS doc_id FROM tri)
+       |SELECT doc_id, count(*) AS n_triangles FROM cr GROUP BY 1""".stripMargin
+}

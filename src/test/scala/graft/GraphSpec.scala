@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+/** Integer-exact PageRank (g1) and degree-ordered triangle counting
+  * (g2) on hand-checked graphs + a reference-fold parity check.
+  */
+class GraphSpec extends SparkTestBase {
+  import testImplicits._
+
+  test("pageRank: hand-checked one round on a path graph") {
+    // 1 - 2 - 3: deg(1)=deg(3)=1, deg(2)=2
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val got = Graph.pageRank(pairs, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    // r(2) = (15e6 + 85*(1e6 + 1e6)) / 100; r(1)=r(3)=(15e6+85*5e5)/100
+    assert(got === Map(1L -> 575000L, 2L -> 1850000L, 3L -> 575000L))
+  }
+
+  test("pageRank: multi-round matches an in-memory reference fold") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L),
+      (5L, 6L))
+    val pairs = edges.toDF("doc_a", "doc_b")
+    val got = Graph.pageRank(pairs, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    // reference: same integer recurrence over adjacency maps
+    val sym = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = sym.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    var r = deg.keys.map(_ -> 1000000L).toMap
+    (1 to 4).foreach { _ =>
+      val in = sym.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => r(u) / deg(u) }.sum
+      }
+      r = in.map { case (v, s) => v -> (15L * 1000000L + 85L * s) / 100L }
+    }
+    assert(got === r)
+  }
+
+  test("triangleCounts: shared-edge triangles, pendant excluded") {
+    // triangles {1,2,3} and {1,3,4}; node 5 pendant off 4
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L), (3L, 4L),
+      (4L, 5L)).toDF("doc_a", "doc_b")
+    val got = Graph.triangleCounts(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("triangleCounts: K4 gives every node 3 triangles") {
+    val nodes = Seq(1L, 2L, 3L, 4L)
+    val pairs = (for {
+      a <- nodes; b <- nodes if a < b
+    } yield (a, b)).toDF("doc_a", "doc_b")
+    val got = Graph.triangleCounts(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === nodes.map(_ -> 3L).toMap)
+  }
+
+  test("g1/g2 run on the real d6 graph and rank mass stays sane") {
+    import graft.queries.GraphQueries
+    val pr = GraphQueries.g1PageRank(spark, sf).as[(Long, Long)].collect()
+    assert(pr.nonEmpty)
+    // every rank >= the base (15% of scale) and bounded by total mass
+    assert(pr.forall(_._2 >= 150000L))
+    val tri = GraphQueries.g2Triangles(spark, sf).as[(Long, Long)].collect()
+    // triangle participants are a subset of ranked nodes
+    val nodes = pr.map(_._1).toSet
+    assert(tri.forall(t => nodes.contains(t._1)))
+  }
+}
