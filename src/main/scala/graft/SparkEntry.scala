@@ -115,6 +115,8 @@ object SparkEntry {
     "s17_index_update" -> LlmQueries.s17IndexUpdate,
     "g1_pagerank" -> GraphQueries.g1PageRank,
     "g2_triangles" -> GraphQueries.g2Triangles,
+    "r32_local_supplier" -> Relational3.r32LocalSupplier,
+    "x30_zipf_profile" -> CorpusQueries.x30ZipfProfile,
   )
 
   /** Every oracle is wrapped in `ORDER BY ALL` (all columns,
@@ -256,5 +258,7 @@ object SparkEntry {
     "s17_index_update" -> LlmQueries.s8Sql,
     "g1_pagerank" -> GraphQueries.g1Sql,
     "g2_triangles" -> GraphQueries.g2Sql,
+    "r32_local_supplier" -> Relational3.r32Sql,
+    "x30_zipf_profile" -> CorpusQueries.x30Sql,
   )
 }

@@ -442,6 +442,64 @@ object CorpusQueries {
       |  round(coalesce(list_aggregate(ps, 'min'), 0.0), 6) AS min_prob
       |FROM documents d LEFT JOIN probs USING (doc_id)""".stripMargin
 
+  // ---- x30: Zipf rank-frequency vocabulary profile -----------------
+
+  /** x30: the corpus VOCABULARY profile — top-30 terms by frequency
+    * with rank, corpus share, and cumulative share: the Zipf
+    * rank-frequency curve every corpus report opens with (and the
+    * empirical basis for stopword lists and tokenizer-vocabulary
+    * sizing). Shares stay integer until the output edge (freq and
+    * an ordered cumulative sum of freqs over the 30-row head,
+    * divided by the one total-token count and rounded) — the
+    * x9/x21 parity discipline.
+    *
+    * 100 TB shape: explode → immediate partial agg (one row per
+    * distinct term on the exchange, vocabulary-bounded), the
+    * top-30 cut is TakeOrderedAndProject on (freq DESC, term), and
+    * the rank/cumsum window runs over 30 rows. The total-token
+    * count is the same aggregate reused (ReuseExchange), broadcast
+    * as one row. */
+  def zipfProfile(docs: DataFrame, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val total = tf.agg(sum(col("freq")).as("total"))
+    val top = tf.orderBy(col("freq").desc, col("term")).limit(topK)
+    val w = Window.orderBy(col("freq").desc, col("term"))
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .withColumn("cum_freq",
+        sum(col("freq")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .select(col("term"), col("rank"), col("freq"),
+        round(col("freq").cast("double") / col("total").cast("double"), 6)
+          .as("share"),
+        round(col("cum_freq").cast("double") / col("total").cast("double"), 6)
+          .as("cum_share"))
+  }
+
+  def x30ZipfProfile(spark: SparkSession, dir: String): DataFrame =
+    zipfProfile(Tables.spread(Tables.documents(spark, dir)), topK = 30)
+
+  val x30Sql: String =
+    s"""WITH tk AS (SELECT unnest($tsSql) AS term FROM documents),
+       |tf AS (SELECT term, count(*) AS freq FROM tk GROUP BY 1),
+       |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM tf),
+       |top AS (SELECT term, freq FROM tf
+       |  ORDER BY freq DESC, term LIMIT 30),
+       |r AS (SELECT term, freq,
+       |    CAST(row_number() OVER (ORDER BY freq DESC, term) AS INT) AS rank,
+       |    CAST(sum(freq) OVER (ORDER BY freq DESC, term
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_freq
+       |  FROM top)
+       |SELECT term, rank, freq,
+       |  round(CAST(freq AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+       |  round(CAST(cum_freq AS DOUBLE) / CAST(total AS DOUBLE), 6)
+       |    AS cum_share
+       |FROM r CROSS JOIN tot""".stripMargin
+
   val x17Sql: String =
     """WITH s AS (SELECT event_type, props,
       |    regexp_replace(props, '[0-9]+', '[NUM]', 'g') AS scrubbed,

@@ -131,4 +131,53 @@ object Relational3 {
       |  CAST(epoch_us(ts) AS BIGINT) AS last_ts_us,
       |  event_id AS last_event, cents AS last_cents, n_changes
       |FROM e WHERE rn = 1 AND event_type <> 'error'""".stripMargin
+
+  // ---- r32: six-table join tree (TPC-H Q5 shape) --------------------
+
+  /** r32: the local-supplier revenue query — TPC-H Q5's six-table
+    * join tree over the full star schema: lineitem ⋈ orders ⋈
+    * customer ⋈ supplier (with the correlated c_nationkey =
+    * s_nationkey "local supplier" predicate) ⋈ nation ⋈ region,
+    * date-windowed, grouped by (region, nation). The deepest
+    * declared join tree on the surface — the point is what the
+    * engine does UNASKED: Catalyst orders the joins, broadcasts the
+    * dims (region/nation/supplier/customer under the AQE threshold),
+    * pushes the date window into the orders scan, and the only
+    * big-table exchange left is lineitem ⋈ orders. The revenue
+    * expression and rounding are exactly q1's (the hash-stable
+    * pattern since round 1). */
+  def r32LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val r32Sql: String =
+    """SELECT r_name, n_name,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY 1, 2""".stripMargin
 }

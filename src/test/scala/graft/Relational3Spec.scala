@@ -121,4 +121,31 @@ class Relational3Spec extends SparkTestBase {
     assert(incr === full)
     assert(incr.nonEmpty)
   }
+
+  test("r32: date filter reaches the orders scan, dims broadcast") {
+    import graft.queries.Relational3
+    val df = Relational3.r32LocalSupplier(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("o_orderdate"), "date window must reach the scan")
+    assert(plan.contains("BroadcastHashJoin"), "dims must broadcast")
+    val rows = df.select("r_name", "n_name", "revenue", "n_items")
+      .as[(String, String, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._3 > 0.0 && r._4 > 0L))
+  }
+
+  test("x30 zipf: hand-checked ranks and cumulative shares") {
+    import graft.queries.CorpusQueries
+    // 10 tokens total: a x4, b x3, c x2, d x1
+    val docs = Seq((1L, "a a b c"), (2L, "a b c d"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val got = CorpusQueries.zipfProfile(docs, topK = 3)
+      .select("term", "rank", "freq", "share", "cum_share")
+      .as[(String, Int, Long, Double, Double)].collect().sortBy(_._2)
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq ===
+      Seq(("a", 1, 4L), ("b", 2, 3L), ("c", 3, 2L)))
+    assert(got.map(_._4).toSeq === Seq(0.4, 0.3, 0.2))
+    assert(got.map(_._5).toSeq === Seq(0.4, 0.7, 0.9))
+  }
 }
