@@ -117,6 +117,9 @@ object SparkEntry {
     "g2_triangles" -> GraphQueries.g2Triangles,
     "r32_local_supplier" -> Relational3.r32LocalSupplier,
     "x30_zipf_profile" -> CorpusQueries.x30ZipfProfile,
+    "r33_funnel" -> Relational3.r33Funnel,
+    "r34_cohort" -> Relational3.r34Cohort,
+    "m9_scene_cuts" -> MediaQueries.m9SceneCuts,
   )
 
   /** Every oracle is wrapped in `ORDER BY ALL` (all columns,
@@ -260,5 +263,8 @@ object SparkEntry {
     "g2_triangles" -> GraphQueries.g2Sql,
     "r32_local_supplier" -> Relational3.r32Sql,
     "x30_zipf_profile" -> CorpusQueries.x30Sql,
+    "r33_funnel" -> Relational3.r33Sql,
+    "r34_cohort" -> Relational3.r34Sql,
+    "m9_scene_cuts" -> MediaQueries.m9Sql,
   )
 }

@@ -75,6 +75,76 @@ object MediaQueries {
         count(when(col("doc_id") % 2 === 1, 1)).as("n_perturbed"))
   }
 
+  /** m9: SCENE-CUT detection over real multi-frame video decode —
+    * the classic shot-boundary heuristic (sum of absolute per-byte
+    * RGB differences between consecutive decoded frames, flagged
+    * when the per-pixel average difference clears a threshold),
+    * computed from genuinely decoded GIF frames (the m4 fixture:
+    * same palette animation per doc). The diff is pure integer
+    * arithmetic and GIF is lossless, so the oracle restates every
+    * transition exactly; `is_cut` keeps the threshold integral
+    * (diff·4 > w·h·3·255 ⇔ mean byte diff > 63.75). Single-frame
+    * docs emit no transitions.
+    *
+    * 100 TB shape: the frame-pair differencing happens INSIDE the
+    * partition-scoped decode (frames never shuffle — the m5 window
+    * contract for video); one (doc, transition) row per frame pair
+    * leaves the partition. */
+  def m9SceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{Codecs, Multimodal}
+    Tables.spread(Tables.documents(spark, dir).select(col("doc_id"))).as[Long]
+      .mapPartitions { it =>
+        val palR = Array.tabulate(256)(v => v.toByte)
+        val palG = Array.tabulate(256)(v => ((v * 37) % 256).toByte)
+        val palB = Array.tabulate(256)(v => ((v * 91) % 256).toByte)
+        it.flatMap { id =>
+          val w = (6 + id % 9).toInt; val h = (6 + id % 5).toInt
+          val nf = (1 + id % 4).toInt
+          val frames = (0 until nf).map { f =>
+            Array.tabulate(w * h)(i =>
+              ((id * 7 + f * 31 + i * 13) % 256).toByte)
+          }
+          val gif = Codecs.ImageIoCodecs.GifCodec.encodeIndexedFrames(
+            w, h, palR, palG, palB, frames)
+          val dec = Codecs.AutoCodec.decode(
+            Multimodal.MediaRecord(id, "video", gif))
+          val rgb = Codecs.ImageIoCodecs.GifCodec.extractAllFramesRgb(gif)
+          require(rgb.length == dec.n_frames && dec.n_frames == nf,
+            s"codec frame-count disagreement for doc $id")
+          (1 until nf).map { f =>
+            val (pa, pb) = (rgb(f - 1)._3, rgb(f)._3)
+            var diff = 0L; var i = 0
+            while (i < pa.length) {
+              diff += math.abs((pa(i) & 0xff) - (pb(i) & 0xff)); i += 1
+            }
+            (id, f, diff, diff * 4 > w.toLong * h * 3 * 255)
+          }
+        }
+      }.toDF("doc_id", "frame_idx", "diff", "is_cut")
+  }
+
+  val m9Sql: String =
+    """WITH g AS (SELECT doc_id,
+      |    6 + doc_id % 9 AS w, 6 + doc_id % 5 AS h,
+      |    1 + doc_id % 4 AS nf
+      |  FROM documents),
+      |fr AS (SELECT doc_id, w, h, CAST(f AS INT) AS frame_idx
+      |  FROM g, unnest(range(1, nf)) r(f)),
+      |df AS (SELECT doc_id, w, h, frame_idx,
+      |    CAST(list_sum(list_transform(range(w * h), p ->
+      |      abs((doc_id*7 + (frame_idx-1)*31 + p*13) % 256
+      |        - (doc_id*7 + frame_idx*31 + p*13) % 256)
+      |      + abs(((doc_id*7 + (frame_idx-1)*31 + p*13) % 256) * 37 % 256
+      |        - ((doc_id*7 + frame_idx*31 + p*13) % 256) * 37 % 256)
+      |      + abs(((doc_id*7 + (frame_idx-1)*31 + p*13) % 256) * 91 % 256
+      |        - ((doc_id*7 + frame_idx*31 + p*13) % 256) * 91 % 256)))
+      |      AS BIGINT) AS diff
+      |  FROM fr)
+      |SELECT doc_id, frame_idx, diff,
+      |  diff * 4 > w * h * 3 * 255 AS is_cut
+      |FROM df""".stripMargin
+
   val m8Sql: String =
     """WITH g AS (SELECT doc_id, doc_id % 37 AS key,
       |    CAST(8 + (doc_id % 37) % 13 AS INT) AS w,

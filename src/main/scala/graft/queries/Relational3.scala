@@ -180,4 +180,119 @@ object Relational3 {
       |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
       |  AND o_orderdate < TIMESTAMP '1998-01-01'
       |GROUP BY 1, 2""".stripMargin
+
+  // ---- r33: ordered funnel analysis ---------------------------------
+
+  /** r33: the ORDERED FUNNEL — per user, how far through
+    * view → click → purchase did they get, where each stage must
+    * STRICTLY FOLLOW the previous one in time (a click before the
+    * first view doesn't count — the sequencing constraint that makes
+    * funnels harder than three filters). Stage times are conditional
+    * window minimums chained through three in-partition passes over
+    * ONE user-keyed exchange: t_view = min ts of views; t_click =
+    * min ts of clicks after t_view; t_purchase = min ts of purchases
+    * after t_click. Only timestamps (never "which event") enter the
+    * logic, so ties need no break — min over an identical set is
+    * engine-independent. Missing stages emit the -1 sentinel (the
+    * no-NULLs output contract).
+    *
+    * 100 TB shape: one shuffle keyed by user_id; the three Window
+    * operators share the exchange and run as consecutive
+    * in-partition passes; the final groupBy collapses per-user
+    * constants without a second exchange (partial agg on
+    * already-clustered keys). */
+  def funnel(eventsIn: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val ev = eventsIn.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"))
+    val staged = ev
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" &&
+          col("ts_us") > col("t_view"), col("ts_us"))).over(w))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" &&
+          col("ts_us") > col("t_click"), col("ts_us"))).over(w))
+    staged.groupBy(col("user_id"))
+      .agg(min(col("t_view")).as("tv"), min(col("t_click")).as("tc"),
+        min(col("t_purchase")).as("tp"))
+      .select(col("user_id"),
+        when(col("tp").isNotNull, "purchase")
+          .when(col("tc").isNotNull, "click")
+          .when(col("tv").isNotNull, "view")
+          .otherwise("none").as("reached"),
+        coalesce(col("tv"), lit(-1L)).as("t_view_us"),
+        coalesce(col("tc"), lit(-1L)).as("t_click_us"),
+        coalesce(col("tp"), lit(-1L)).as("t_purchase_us"))
+  }
+
+  def r33Funnel(spark: SparkSession, dir: String): DataFrame =
+    funnel(Tables.events(spark, dir))
+
+  val r33Sql: String =
+    """WITH e AS (SELECT user_id, event_type,
+      |    CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),
+      |s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END)
+      |    OVER (PARTITION BY user_id) AS t_view FROM e),
+      |s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts_us > t_view
+      |    THEN ts_us END) OVER (PARTITION BY user_id) AS t_click FROM s1),
+      |s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+      |      AND ts_us > t_click
+      |    THEN ts_us END) OVER (PARTITION BY user_id) AS t_purchase FROM s2),
+      |g AS (SELECT user_id, min(t_view) AS tv, min(t_click) AS tc,
+      |    min(t_purchase) AS tp
+      |  FROM s3 GROUP BY 1)
+      |SELECT user_id,
+      |  CASE WHEN tp IS NOT NULL THEN 'purchase'
+      |    WHEN tc IS NOT NULL THEN 'click'
+      |    WHEN tv IS NOT NULL THEN 'view'
+      |    ELSE 'none' END AS reached,
+      |  coalesce(tv, -1) AS t_view_us,
+      |  coalesce(tc, -1) AS t_click_us,
+      |  coalesce(tp, -1) AS t_purchase_us
+      |FROM g""".stripMargin
+
+  // ---- r34: cohort retention ----------------------------------------
+
+  /** r34: COHORT RETENTION — users grouped by first-seen ISO week,
+    * counted by how many distinct later weeks they came back
+    * (the week-offset activity matrix every growth dashboard draws).
+    * Week boundaries are date_trunc('week') (ISO Monday on both
+    * engines) and the offset is exact integer arithmetic on epoch
+    * micros (week boundaries are whole multiples apart).
+    *
+    * 100 TB shape: first-seen is one partial-agg groupBy on user;
+    * the (user, week) activity set is a second partial agg (one row
+    * per user-week on the wire); the cohort join broadcasts the
+    * per-user cohort map onto the activity rows only if small —
+    * here both sides stay keyed by user so it's one co-clustered
+    * equi-join; the final (cohort, offset) agg is dim-sized. */
+  def cohortRetention(eventsIn: DataFrame): DataFrame = {
+    val ev = eventsIn.select(col("user_id"),
+      unix_micros(date_trunc("week", col("ts"))).as("week_us"))
+    val cohort = ev.groupBy(col("user_id"))
+      .agg(min(col("week_us")).as("cohort_us"))
+    val activity = ev.select(col("user_id"), col("week_us")).distinct()
+    activity.join(cohort, Seq("user_id"))
+      .select(col("cohort_us"),
+        expr("(week_us - cohort_us) div 604800000000").as("week_offset"))
+      .groupBy(col("cohort_us"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  def r34Cohort(spark: SparkSession, dir: String): DataFrame =
+    cohortRetention(Tables.events(spark, dir))
+
+  val r34Sql: String =
+    """WITH e AS (SELECT user_id,
+      |    CAST(epoch_us(date_trunc('week', ts)) AS BIGINT) AS week_us
+      |  FROM events),
+      |c AS (SELECT user_id, min(week_us) AS cohort_us FROM e GROUP BY 1),
+      |a AS (SELECT DISTINCT user_id, week_us FROM e)
+      |SELECT cohort_us,
+      |  (week_us - cohort_us) // 604800000000 AS week_offset,
+      |  count(*) AS n_users
+      |FROM a JOIN c USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
 }

@@ -148,4 +148,74 @@ class Relational3Spec extends SparkTestBase {
     assert(got.map(_._4).toSeq === Seq(0.4, 0.3, 0.2))
     assert(got.map(_._5).toSeq === Seq(0.4, 0.7, 0.9))
   }
+
+  test("r33 funnel: ordering constraint enforced, sentinels for misses") {
+    import graft.queries.Relational3
+    val ev = Seq(
+      // user 1 completes in order
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view", 0.0, "{}"),
+      (2L, ts("2024-01-01 01:00:00"), 1L, "click", 0.0, "{}"),
+      (3L, ts("2024-01-01 02:00:00"), 1L, "purchase", 0.0, "{}"),
+      // user 2: click BEFORE first view -> stops at view
+      (4L, ts("2024-01-01 00:30:00"), 2L, "click", 0.0, "{}"),
+      (5L, ts("2024-01-01 01:30:00"), 2L, "view", 0.0, "{}"),
+      (6L, ts("2024-01-01 02:30:00"), 2L, "purchase", 0.0, "{}"),
+      // user 3: purchase before click-after-view -> stops at click
+      (7L, ts("2024-01-01 00:00:00"), 3L, "view", 0.0, "{}"),
+      (8L, ts("2024-01-01 00:10:00"), 3L, "purchase", 0.0, "{}"),
+      (9L, ts("2024-01-01 00:20:00"), 3L, "click", 0.0, "{}"),
+      // user 4: never views
+      (10L, ts("2024-01-01 00:00:00"), 4L, "signup", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Relational3.funnel(ev)
+      .select("user_id", "reached", "t_click_us", "t_purchase_us")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(r => r._1 -> r._2).toSeq ===
+      Seq(1L -> "purchase", 2L -> "view", 3L -> "click", 4L -> "none"))
+    assert(got(1)._3 === -1L) // user 2's early click doesn't count
+    assert(got(2)._4 === -1L) // user 3's early purchase doesn't count
+  }
+
+  test("r34 cohort: offsets are whole weeks from first-seen week") {
+    import graft.queries.Relational3
+    val ev = Seq(
+      // user 1 first seen week of Jan 1 (Mon), back 2 weeks later
+      (1L, ts("2024-01-02 10:00:00"), 1L, "view", 0.0, "{}"),
+      (2L, ts("2024-01-16 10:00:00"), 1L, "view", 0.0, "{}"),
+      // user 2 same cohort week, only week 0 (two events, one week)
+      (3L, ts("2024-01-03 10:00:00"), 2L, "view", 0.0, "{}"),
+      (4L, ts("2024-01-04 10:00:00"), 2L, "view", 0.0, "{}"),
+      // user 3 later cohort
+      (5L, ts("2024-01-10 10:00:00"), 3L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Relational3.cohortRetention(ev)
+      .as[(Long, Long, Long)].collect()
+      .map { case (c, o, n) => (c, o) -> n }.toMap
+    val w1 = ts("2024-01-01 00:00:00").getTime * 1000L
+    val w2 = ts("2024-01-08 00:00:00").getTime * 1000L
+    assert(got === Map((w1, 0L) -> 2L, (w1, 2L) -> 1L, (w2, 0L) -> 1L))
+  }
+
+  test("m9: scene diffs match a direct pixel-formula fold") {
+    import graft.queries.MediaQueries
+    val got = MediaQueries.m9SceneCuts(spark, sf)
+      .select("doc_id", "frame_idx", "diff", "is_cut")
+      .as[(Long, Int, Long, Boolean)].collect()
+    assert(got.nonEmpty)
+    // reference fold straight from the palette formula (no codec)
+    got.take(50).foreach { case (id, f, diff, cut) =>
+      val w = (6 + id % 9).toInt; val h = (6 + id % 5).toInt
+      var exp = 0L
+      (0 until w * h).foreach { p =>
+        val ia = ((id * 7 + (f - 1) * 31 + p * 13) % 256).toInt
+        val ib = ((id * 7 + f * 31 + p * 13) % 256).toInt
+        exp += math.abs(ia - ib) + math.abs(ia * 37 % 256 - ib * 37 % 256) +
+          math.abs(ia * 91 % 256 - ib * 91 % 256)
+      }
+      assert(diff === exp, s"doc $id frame $f")
+      assert(cut === (diff * 4 > w.toLong * h * 3 * 255))
+    }
+    // single-frame docs (id % 4 == 0) emit no transitions
+    assert(!got.exists(_._1 % 4 == 0))
+  }
 }
