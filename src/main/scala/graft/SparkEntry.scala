@@ -120,6 +120,9 @@ object SparkEntry {
     "r33_funnel" -> Relational3.r33Funnel,
     "r34_cohort" -> Relational3.r34Cohort,
     "m9_scene_cuts" -> MediaQueries.m9SceneCuts,
+    "r35_streaks" -> Relational3.r35Streaks,
+    "x31_corr_profile" -> CorpusQueries.x31CorrProfile,
+    "x32_equidepth_hist" -> CorpusQueries.x32EquiDepth,
   )
 
   /** Every oracle is wrapped in `ORDER BY ALL` (all columns,
@@ -266,5 +269,8 @@ object SparkEntry {
     "r33_funnel" -> Relational3.r33Sql,
     "r34_cohort" -> Relational3.r34Sql,
     "m9_scene_cuts" -> MediaQueries.m9Sql,
+    "r35_streaks" -> Relational3.r35Sql,
+    "x31_corr_profile" -> CorpusQueries.x31Sql,
+    "x32_equidepth_hist" -> CorpusQueries.x32Sql,
   )
 }

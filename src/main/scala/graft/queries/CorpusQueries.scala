@@ -500,6 +500,113 @@ object CorpusQueries {
        |    AS cum_share
        |FROM r CROSS JOIN tot""".stripMargin
 
+  // ---- x31: exact-moment correlation profile ----------------------
+
+  /** x31: per-language Pearson CORRELATION between document length
+    * (n_chars) and token count, plus the least-squares slope — the
+    * "are these two quality signals redundant?" question every
+    * curation pipeline asks before combining filters. The five
+    * moments (Σx, Σy, Σx², Σy², Σxy) accumulate as EXACT integer
+    * sums — commutative, so partition order can't shift them — and
+    * floats appear only in the final r = (nΣxy−ΣxΣy) /
+    * (√(nΣx²−Σx²)·√(nΣy²−Σy²)) step, computed identically from the
+    * same exact integers on both engines (the x1 parity discipline:
+    * integer until the rounded edge). Degenerate languages (a
+    * constant x or y) emit 0.0, not NULL.
+    *
+    * 100 TB shape: ONE partial-agg shuffle carrying five longs per
+    * language — the same cost as a count(*). At extreme scale the
+    * moment sums escalate to decimal(38,0) (still exact, still
+    * partial-aggregable); the formula is unchanged. */
+  def x31CorrProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("lang"),
+      col("n_chars").as("x"),
+      size(TextFunctions.tokens(col("text"))).cast("long").as("y"))
+    val g = docs.groupBy(col("lang")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val d1 = col("n") * col("sxx") - col("sx") * col("sx")
+    val d2 = col("n") * col("syy") - col("sy") * col("sy")
+    g.select(col("lang"), col("n"),
+      when(d1 === 0L || d2 === 0L, 0.0)
+        .otherwise(round(num.cast("double")
+          / (sqrt(d1.cast("double")) * sqrt(d2.cast("double"))), 6))
+        .as("corr_chars_tokens"),
+      when(d1 === 0L, 0.0)
+        .otherwise(round(num.cast("double") / d1.cast("double"), 6))
+        .as("tokens_per_char_slope"))
+  }
+
+  val x31Sql: String =
+    s"""WITH t AS (SELECT lang, n_chars AS x,
+       |    CAST(len($tsSql) AS BIGINT) AS y FROM documents),
+       |g AS (SELECT lang, count(*) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
+       |    CAST(sum(x*y) AS BIGINT) AS sxy
+       |  FROM t GROUP BY 1),
+       |d AS (SELECT lang, n, n*sxy - sx*sy AS num,
+       |    n*sxx - sx*sx AS d1, n*syy - sy*sy AS d2 FROM g)
+       |SELECT lang, n,
+       |  CASE WHEN d1 = 0 OR d2 = 0 THEN 0.0 ELSE
+       |    round(CAST(num AS DOUBLE) / (sqrt(CAST(d1 AS DOUBLE))
+       |      * sqrt(CAST(d2 AS DOUBLE))), 6) END AS corr_chars_tokens,
+       |  CASE WHEN d1 = 0 THEN 0.0 ELSE
+       |    round(CAST(num AS DOUBLE) / CAST(d1 AS DOUBLE), 6) END
+       |    AS tokens_per_char_slope
+       |FROM d""".stripMargin
+
+  // ---- x32: value-atomic equi-depth histogram ---------------------
+
+  /** x32: EQUI-DEPTH histogram of document length — 10 buckets of
+    * (approximately) equal population, the optimizer-statistics
+    * shape every engine builds for selectivity estimation. Ties are
+    * kept VALUE-ATOMIC: the histogram is computed over the distinct
+    * values with their counts, a value's whole population lands in
+    * the bucket of its cumulative-before rank (`cum_before·B div N`),
+    * and a value whose count spans several bucket widths simply
+    * leaves some buckets empty. That choice is what makes the
+    * operator scale-safe: the only ordered pass runs over DISTINCT
+    * values (bounded by the value domain, here document lengths),
+    * never over rows — the classic `ntile() OVER (ORDER BY ...)`
+    * formulation would drag every ROW through one global sort
+    * partition, the canonical 100 TB scale-killer.
+    *
+    * 100 TB shape: one partial-agg shuffle to (value, count); the
+    * cumulative window runs over ≤ |domain| rows; N broadcasts as a
+    * one-row fold. */
+  def x32EquiDepth(spark: SparkSession, dir: String): DataFrame = {
+    val vals = Tables.documents(spark, dir)
+      .groupBy(col("n_chars").as("val")).agg(count(lit(1)).as("c"))
+    val total = vals.agg(sum(col("c")).as("n_total"))
+    val w = Window.orderBy(col("val"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vals.withColumn("cum", sum(col("c")).over(w))
+      .crossJoin(broadcast(total))
+      .select(col("val"), col("c"),
+        expr("(cum - c) * 10 div n_total").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(min(col("val")).as("lo"), max(col("val")).as("hi"),
+        sum(col("c")).as("n_docs"))
+  }
+
+  val x32Sql: String =
+    """WITH v AS (SELECT n_chars AS val, count(*) AS c
+      |  FROM documents GROUP BY 1),
+      |w AS (SELECT val, c, CAST(sum(c) OVER (ORDER BY val
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum FROM v),
+      |t AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM v),
+      |b AS (SELECT val, c, (cum - c) * 10 // n_total AS bucket
+      |  FROM w CROSS JOIN t)
+      |SELECT bucket, min(val) AS lo, max(val) AS hi,
+      |  CAST(sum(c) AS BIGINT) AS n_docs
+      |FROM b GROUP BY 1""".stripMargin
+
   val x17Sql: String =
     """WITH s AS (SELECT event_type, props,
       |    regexp_replace(props, '[0-9]+', '[NUM]', 'g') AS scrubbed,

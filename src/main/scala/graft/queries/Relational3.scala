@@ -295,4 +295,60 @@ object Relational3 {
       |  count(*) AS n_users
       |FROM a JOIN c USING (user_id)
       |GROUP BY 1, 2""".stripMargin
+
+  // ---- r35: gaps-and-islands activity streaks -----------------------
+
+  /** r35: GAPS-AND-ISLANDS — per user, consecutive-day activity
+    * streaks: collapse events to active days, mark each run of
+    * consecutive days with the classic `day_idx - row_number()`
+    * island key (constant within a run, distinct across runs), then
+    * reduce runs to per-user streak statistics. The canonical SQL
+    * pattern for "longest run" questions that three aggregates alone
+    * cannot express. Everything is exact integer arithmetic on epoch
+    * days, so no tie-break is ever needed.
+    *
+    * 100 TB shape: events collapse to (user, day) in ONE partial-agg
+    * shuffle — the exchange carries at most |users|×|retention days|
+    * rows no matter the event volume; the island window then runs
+    * per user over that bounded day list (≤ a few thousand rows per
+    * user for years of retention), and the two closing aggregates
+    * are partial-agg collapses of already-tiny run rows. */
+  def streaks(eventsIn: DataFrame): DataFrame = {
+    val days = eventsIn
+      .select(col("user_id"),
+        expr("unix_micros(date_trunc('DAY', ts)) div 86400000000")
+          .as("day_idx"))
+      .groupBy(col("user_id"), col("day_idx"))
+      .agg(count(lit(1)).as("n_ev"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day_idx"))
+    val runs = days
+      .withColumn("island", col("day_idx") - row_number().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"), sum(col("n_ev")).as("run_ev"))
+    runs.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_streaks"),
+        sum(col("len")).as("n_active_days"),
+        max(col("len")).as("longest_streak"),
+        sum(col("run_ev")).as("n_events"))
+  }
+
+  def r35Streaks(spark: SparkSession, dir: String): DataFrame =
+    streaks(Tables.events(spark, dir))
+
+  val r35Sql: String =
+    """WITH d AS (SELECT user_id,
+      |    epoch_us(date_trunc('day', ts)) // 86400000000 AS day_idx,
+      |    count(*) AS n_ev
+      |  FROM events GROUP BY 1, 2),
+      |i AS (SELECT user_id, day_idx, n_ev, day_idx - row_number()
+      |    OVER (PARTITION BY user_id ORDER BY day_idx) AS island
+      |  FROM d),
+      |r AS (SELECT user_id, island, count(*) AS len,
+      |    CAST(sum(n_ev) AS BIGINT) AS run_ev
+      |  FROM i GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_streaks,
+      |  CAST(sum(len) AS BIGINT) AS n_active_days,
+      |  max(len) AS longest_streak,
+      |  CAST(sum(run_ev) AS BIGINT) AS n_events
+      |FROM r GROUP BY 1""".stripMargin
 }

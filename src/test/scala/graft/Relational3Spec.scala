@@ -218,4 +218,65 @@ class Relational3Spec extends SparkTestBase {
     // single-frame docs (id % 4 == 0) emit no transitions
     assert(!got.exists(_._1 % 4 == 0))
   }
+
+  test("r35 streaks: islands split on day gaps, stats hand-checked") {
+    import graft.queries.Relational3
+    val ev = Seq(
+      // user 1: days 1,2,3 then 5,6 -> streaks of 3 and 2
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0, "{}"),
+      (2L, ts("2024-01-01 23:59:59"), 1L, "view", 0.0, "{}"),
+      (3L, ts("2024-01-02 00:00:01"), 1L, "view", 0.0, "{}"),
+      (4L, ts("2024-01-03 12:00:00"), 1L, "view", 0.0, "{}"),
+      (5L, ts("2024-01-05 12:00:00"), 1L, "view", 0.0, "{}"),
+      (6L, ts("2024-01-06 12:00:00"), 1L, "view", 0.0, "{}"),
+      // user 2: one day only
+      (7L, ts("2024-01-10 00:00:00"), 2L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Relational3.streaks(ev)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // (user, n_streaks, n_active_days, longest, n_events)
+    assert(got.toSeq === Seq((1L, 2L, 5L, 3L, 6L), (2L, 1L, 1L, 1L, 1L)))
+  }
+
+  test("x31 corr: perfectly linear y=2x gives r=1, slope=2; " +
+    "constant column gives 0") {
+    import graft.queries.CorpusQueries
+    val docs = Seq(
+      // lang "aa": token count is exactly n_chars/5 tokens of 4 chars
+      (1L, "aaaa bbbb", "aa", "s", 10L),
+      (2L, "aaaa bbbb cccc dddd", "aa", "s", 20L),
+      (3L, "aaaa bbbb cccc dddd eeee ffff", "aa", "s", 30L),
+      // lang "bb": constant n_chars -> d1 = 0 -> both metrics 0.0
+      (4L, "x", "bb", "s", 7L),
+      (5L, "y y", "bb", "s", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("x31t").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val res = graft.queries.CorpusQueries.x31CorrProfile(spark, tmp)
+      .as[(String, Long, Double, Double)].collect().sortBy(_._1)
+    assert(res.length === 2)
+    val aa = res(0); val bb = res(1)
+    assert(aa._1 === "aa" && aa._2 === 3L)
+    assert(aa._3 === 1.0)   // tokens grow perfectly linearly with chars
+    assert(aa._4 === 0.2)   // 2 tokens per 10 chars
+    assert(bb._3 === 0.0 && bb._4 === 0.0) // degenerate guard
+  }
+
+  test("x32 equi-depth: value-atomic buckets, empty buckets on " +
+    "massive ties, populations sum to N") {
+    val docs = (1 to 40).map(i =>
+      // value 100 appears 30 times (spans 7+ bucket widths), then
+      // ten distinct tail values
+      (i.toLong, "t", "aa", "s", if (i <= 30) 100L else 100L + i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("x32t").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.queries.CorpusQueries.x32EquiDepth(spark, tmp)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // value 100: cum_before=0 -> bucket 0 holds all 30 ties
+    assert(got.head === ((0L, 100L, 100L, 30L)))
+    assert(got.map(_._4).sum === 40L)
+    // buckets 1..6 are empty (skipped), tail values fill 7,8,9
+    assert(!got.map(_._1).toSet.exists(b => b >= 1 && b <= 6))
+  }
 }
