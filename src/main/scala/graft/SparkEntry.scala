@@ -123,6 +123,8 @@ object SparkEntry {
     "r35_streaks" -> Relational3.r35Streaks,
     "x31_corr_profile" -> CorpusQueries.x31CorrProfile,
     "x32_equidepth_hist" -> CorpusQueries.x32EquiDepth,
+    "d11_edit_distance" -> LlmQueries.d11EditDistanceDedup,
+    "m10_silence_segments" -> LlmQueries.m10SilenceSegments,
   )
 
   /** Every oracle is wrapped in `ORDER BY ALL` (all columns,
@@ -272,5 +274,7 @@ object SparkEntry {
     "r35_streaks" -> Relational3.r35Sql,
     "x31_corr_profile" -> CorpusQueries.x31Sql,
     "x32_equidepth_hist" -> CorpusQueries.x32Sql,
+    "d11_edit_distance" -> LlmQueries.d11Sql,
+    "m10_silence_segments" -> LlmQueries.m10Sql,
   )
 }

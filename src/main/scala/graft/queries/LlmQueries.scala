@@ -1218,6 +1218,52 @@ object LlmQueries {
       |SELECT doc_a, doc_b, count(*) AS n_shared
       |FROM p GROUP BY 1, 2""".stripMargin
 
+  /** d11: EDIT-DISTANCE fuzzy dedup — Levenshtein ≤ 4 over the
+    * normalized 24-char document prefix, the record-linkage
+    * primitive set-similarity dedup (d2/d4) can't express: character
+    * TRANSPOSITIONS and typos move every shingle, but barely move
+    * edit distance. All-pairs Levenshtein is quadratic and
+    * unshardable, so candidates come from PREFIX BLOCKING (exact
+    * first-8-char agreement — the standard record-linkage blocking
+    * key), with d2's population discipline: blocks over 64 docs are
+    * boilerplate routed to d8's profile, not pair-expanded
+    * (restated in the oracle's HAVING). The documented recall seam
+    * is edits inside the first 8 chars — the price of never
+    * comparing across blocks, same contract as d4's length buckets.
+    *
+    * 100 TB shape: one equi-join on the block key with a hard
+    * population cap, so pair fan-out is ≤ 64²/2 per block; the
+    * Levenshtein verify runs post-join on 24-char keys (bounded
+    * cost per pair, inside codegen — both engines implement the
+    * classic Wagner-Fischer unit-cost recurrence). */
+  def d11EditDistanceDedup(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        lower(substring(col("text"), 1, 24)).as("key"))
+      .withColumn("blk", substring(col("key"), 1, 8))
+    val blocks = keyed.groupBy(col("blk"))
+      .agg(count(lit(1)).as("n_in_block"))
+      .filter(col("n_in_block").between(2, 64))
+      .select(col("blk"))
+    val member = keyed.join(blocks, Seq("blk"))
+    member.as("a").join(member.as("b"),
+        col("a.blk") === col("b.blk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.key"), col("b.key")).as("dist"))
+      .filter(col("dist") <= 4)
+  }
+
+  val d11Sql: String =
+    """WITH k AS (SELECT doc_id, substr(lower(text), 1, 24) AS key,
+      |    substr(lower(text), 1, 8) AS blk FROM documents),
+      |c AS (SELECT blk FROM k GROUP BY blk HAVING count(*) BETWEEN 2 AND 64),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(levenshtein(a.key, b.key) AS INT) AS dist
+      |  FROM k a JOIN c USING (blk)
+      |  JOIN k b ON b.blk = a.blk AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, dist FROM p WHERE dist <= 4""".stripMargin
+
   /** x20: curation capstone v2 — the round-6 operators composed into
     * one declarative pipeline: cluster-aware dedup (keep only d9's
     * per-cluster survivors, the transitive-closure discipline x10's
@@ -1786,6 +1832,94 @@ object LlmQueries {
       |    i -> (pcm[i - 1] < 0) <> (pcm[i] < 0))) AS INT) AS n_zero_cross,
       |  CAST(list_max(list_transform(pcm[lo:hi], v -> abs(v))) AS INT) AS peak
       |FROM w""".stripMargin
+
+  /** m10: audio SILENCE SEGMENTATION — the voice-activity-detection
+    * shape downstream of m5's windowed features: windows whose
+    * energy falls under a threshold are silent, and consecutive
+    * silent windows group into SEGMENTS (start, end, width, energy),
+    * the unit an audio curation pipeline actually drops or splits
+    * on. The run-grouping walk happens INSIDE the partition-scoped
+    * decode, right where the samples already are — a row-local
+    * gaps-and-islands, emitting one tiny row per segment; the
+    * relational formulation (r35's island key over a shuffle) is
+    * only needed when runs span rows, which audio windows never do.
+    * The fixture interleaves quiet stretches (every 4-window period
+    * has 2 attenuated windows) so segments of width ≥ 2 exist; PCM
+    * is lossless and the threshold integral, so the oracle restates
+    * every segment exactly.
+    *
+    * 100 TB shape: identical to m5 — waveform bytes never leave the
+    * decode partition; only (doc, segment) rows reach the sink. */
+  def m10SilenceSegments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{Codecs, Multimodal}
+    val win = 32
+    Tables.spread(Tables.documents(spark, dir).select(col("doc_id"))).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val n = (64 + id % 97).toInt
+          val samples = Array.tabulate(n) { i =>
+            val base = ((id * 31 + i.toLong * 97) % 65536) - 32768
+            val quiet = (i / win + id) % 4 < 2
+            (if (quiet) base % 17 else base).toShort
+          }
+          val wav = Codecs.WavCodec.encodePcm16(8000, 1, samples)
+          val meta = Codecs.AutoCodec.decode(
+            Multimodal.MediaRecord(id, "audio", wav))
+          val (_, back) = Codecs.WavCodec.decodePcm16(wav)
+          require(meta.n_frames == n && back.length == n,
+            s"wav sample count mismatch for doc $id")
+          val nw = (n + win - 1) / win
+          val energy = Array.tabulate(nw) { wi =>
+            var e = 0L
+            var i = wi * win
+            val hi = math.min((wi + 1) * win, n)
+            while (i < hi) { e += back(i).toLong * back(i); i += 1 }
+            e
+          }
+          val segs = Seq.newBuilder[(Long, Int, Int, Int, Int, Long)]
+          var wi = 0; var seg = 0
+          while (wi < nw) {
+            if (energy(wi) < 32768L) {
+              val start = wi; var e = 0L
+              while (wi < nw && energy(wi) < 32768L) {
+                e += energy(wi); wi += 1
+              }
+              seg += 1
+              segs += ((id, seg, start, wi - 1, wi - start, e))
+            } else wi += 1
+          }
+          segs.result()
+        }
+      }.toDF("doc_id", "seg_idx", "w_start", "w_end", "n_windows",
+        "energy_sum")
+  }
+
+  val m10Sql: String =
+    """WITH s AS (SELECT doc_id, CAST(64 + doc_id % 97 AS INT) AS n,
+      |    list_transform(range(64 + doc_id % 97), i ->
+      |      CASE WHEN (i // 32 + doc_id) % 4 < 2
+      |        THEN ((doc_id * 31 + i * 97) % 65536 - 32768) % 17
+      |        ELSE (doc_id * 31 + i * 97) % 65536 - 32768 END) AS pcm
+      |  FROM documents),
+      |w AS (SELECT doc_id, CAST(wi AS INT) AS window_idx,
+      |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      pcm[wi * 32 + 1 : least((wi + 1) * 32, n)]),
+      |      (a, b) -> a + b * b) AS BIGINT) AS energy
+      |  FROM s, unnest(range((n + 31) // 32)) r(wi)),
+      |q AS (SELECT doc_id, window_idx, energy FROM w
+      |  WHERE energy < 32768),
+      |i AS (SELECT doc_id, window_idx, energy, window_idx - row_number()
+      |    OVER (PARTITION BY doc_id ORDER BY window_idx) AS isl FROM q),
+      |g AS (SELECT doc_id, isl, CAST(min(window_idx) AS INT) AS w_start,
+      |    CAST(max(window_idx) AS INT) AS w_end,
+      |    CAST(count(*) AS INT) AS n_windows,
+      |    CAST(sum(energy) AS BIGINT) AS energy_sum
+      |  FROM i GROUP BY 1, 2)
+      |SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY w_start) AS INT) AS seg_idx,
+      |  w_start, w_end, n_windows, energy_sum
+      |FROM g""".stripMargin
 
   /** m6: image FEATURE EXTRACTION over real compressed decode — the
     * stage after m2's decode in a multimodal pipeline (the

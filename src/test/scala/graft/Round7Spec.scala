@@ -523,4 +523,62 @@ class Round7Spec extends SparkTestBase {
     assert(levelTotal(0, 1) === total)
     assert(levelTotal(1, 0) === total)
   }
+
+  test("d11 edit distance: planted typo twins found, distances exact, " +
+    "mega-block capped") {
+    import testImplicits._
+    val planted = Seq(
+      (1L, "the quick brown fox jumps over", "en", "s", 30L),
+      (2L, "the quick brown fux jumps over", "en", "s", 30L), // 1 edit
+      (3L, "the quick brawn fex jumps", "en", "s", 25L),      // 2 edits
+      (4L, "completely different text", "en", "s", 25L)) ++
+      // 66 docs sharing a block -> over the 64 cap, no pairs emitted
+      (10L to 75L).map(i => (i, s"zzzzzzzz padding $i", "en", "s", 20L))
+    val tmp = java.nio.file.Files.createTempDirectory("d11t").toString
+    planted.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.queries.LlmQueries.d11EditDistanceDedup(spark, tmp)
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq === Seq((1L, 2L, 1), (1L, 3L, 2), (2L, 3L, 2)))
+  }
+
+  test("m10 silence segments: runs match a direct formula fold, " +
+    "multi-window segments exist") {
+    import testImplicits._
+    val got = graft.queries.LlmQueries
+      .m10SilenceSegments(spark, "/root/testdata/sf0.001")
+      .as[(Long, Int, Int, Int, Int, Long)].collect()
+    assert(got.nonEmpty)
+    assert(got.exists(_._5 >= 2)) // the fixture interleaves 2-window runs
+    // recompute the expected segment list straight from the formula
+    val byDoc = got.groupBy(_._1)
+    byDoc.take(30).foreach { case (id, segs) =>
+      val n = (64 + id % 97).toInt
+      val nw = (n + 31) / 32
+      val energy = Array.tabulate(nw) { wi =>
+        var e = 0L
+        var i = wi * 32
+        val hi = math.min((wi + 1) * 32, n)
+        while (i < hi) {
+          val base = ((id * 31 + i.toLong * 97) % 65536) - 32768
+          val s = if ((i / 32 + id) % 4 < 2) base % 17 else base
+          e += s * s; i += 1
+        }
+        e
+      }
+      val exp = Seq.newBuilder[(Int, Int, Int, Long)]
+      var wi = 0
+      while (wi < nw) {
+        if (energy(wi) < 32768L) {
+          val st = wi; var e = 0L
+          while (wi < nw && energy(wi) < 32768L) { e += energy(wi); wi += 1 }
+          exp += ((st, wi - 1, wi - st, e))
+        } else wi += 1
+      }
+      val gotSegs = segs.sortBy(_._2).map(s => (s._3, s._4, s._5, s._6)).toSeq
+      assert(gotSegs === exp.result(), s"doc $id")
+      // seg_idx is 1-based consecutive
+      assert(segs.sortBy(_._2).map(_._2).toSeq === (1 to segs.length))
+    }
+  }
 }
