@@ -125,6 +125,7 @@ object SparkEntry {
     "x32_equidepth_hist" -> CorpusQueries.x32EquiDepth,
     "d11_edit_distance" -> LlmQueries.d11EditDistanceDedup,
     "m10_silence_segments" -> LlmQueries.m10SilenceSegments,
+    "r36_bucketed_join" -> Relational3.r36BucketedJoin,
   )
 
   /** Every oracle is wrapped in `ORDER BY ALL` (all columns,
@@ -276,5 +277,6 @@ object SparkEntry {
     "x32_equidepth_hist" -> CorpusQueries.x32Sql,
     "d11_edit_distance" -> LlmQueries.d11Sql,
     "m10_silence_segments" -> LlmQueries.m10Sql,
+    "r36_bucketed_join" -> Relational3.r36Sql,
   )
 }

@@ -351,4 +351,60 @@ object Relational3 {
       |  max(len) AS longest_streak,
       |  CAST(sum(run_ev) AS BIGINT) AS n_events
       |FROM r GROUP BY 1""".stripMargin
+
+  // ---- r36: bucketed co-located join --------------------------------
+
+  /** r36: BUCKETED co-located join — the build-once/join-many
+    * lifecycle for a fact⋈dim pair both keyed by customer: write
+    * both sides `bucketBy(8, custkey).sortBy(custkey)` (hash-bucket
+    * layout persisted in the table catalog), then join the bucketed
+    * tables. Spark's bucketing metadata proves both sides are
+    * already co-partitioned on the join key, so the sort-merge join
+    * needs NO Exchange on either side (spec-asserted with broadcast
+    * disabled) — at 100 TB this is THE tool that turns every
+    * recurring fact⋈fact join from two full shuffles into a local
+    * merge, amortizing one layout write across every downstream
+    * join. The aggregate after the join shuffles only
+    * |segments| rows.
+    *
+    * The oracle restates the logical result (bucketing is a layout
+    * contract, not a semantics change): revenue cents per market
+    * segment over the plain join. */
+  def r36BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val n = 8
+    // the in-memory catalog is per-JVM but managed-table LOCATIONS
+    // persist in the warehouse dir: drop both, then clear any stale
+    // location a previous process left behind
+    for (t <- Seq("graft_bkt_orders", "graft_bkt_customer")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(n, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("graft_bkt_orders")
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(n, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("graft_bkt_customer")
+    spark.table("graft_bkt_orders")
+      .join(spark.table("graft_bkt_customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("cents")).as("revenue_cents"))
+  }
+
+  val r36Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |    AS BIGINT) AS revenue_cents
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin
 }

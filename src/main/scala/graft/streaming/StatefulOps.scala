@@ -74,6 +74,84 @@ object StatefulOps {
       }
   }
 
+  final case class FunnelEvent(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String)
+
+  /** The incrementally-maintained funnel state. `clicks`/`purchases`
+    * are sorted ascending and PRUNED: a candidate c2 is dropped once
+    * a smaller kept candidate c1 < c2 is already past the gate
+    * (c1 > vMin for clicks; p1 > current click answer for
+    * purchases) — the gate times only ever DECREASE as earlier
+    * events arrive, so a dropped candidate can never become the
+    * answer (eligibility only grows downward). State is therefore
+    * bounded by the stream's out-of-order depth per user, not by
+    * lifetime event count: in-order arrival keeps at most one
+    * candidate per stage. */
+  final case class FunnelBuf(user_id: Long, vMin: Long,
+      clicks: Seq[Long], purchases: Seq[Long], n_events: Long)
+
+  final case class FunnelSnap(user_id: Long, reached: String,
+      t_view_us: Long, t_click_us: Long, t_purchase_us: Long,
+      n_events: Long)
+
+  /** r33's ordered funnel as KEYED STREAMING STATE — the standing
+    * "how far did each user get" a product dashboard maintains
+    * continuously. Out-of-order arrivals are folded exactly: a late
+    * early view lowers t_view, which can re-qualify an earlier click
+    * the batch logic would have chosen — the pruned candidate lists
+    * retain exactly the prefix needed for that re-qualification, so
+    * replaying any permutation of the log converges to
+    * `Relational3.funnel`'s batch answer (the parity spec's
+    * property; n_events is monotone, so the final state per key is
+    * the emitted row with the highest n_events). */
+  def funnelState(events: Dataset[FunnelEvent]): Dataset[FunnelSnap] = {
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val snapEnc = Encoders.product[FunnelSnap]
+    implicit val bufEnc = Encoders.product[FunnelBuf]
+    val NONE = Long.MaxValue
+    def firstAfter(xs: Seq[Long], gate: Long): Long =
+      xs.find(_ > gate).getOrElse(NONE)
+    // keep everything <= the current answer; drop strictly-larger
+    def prune(xs: Seq[Long], gate: Long): Seq[Long] = {
+      val ans = firstAfter(xs, gate)
+      if (ans == NONE) xs else xs.filter(_ <= ans)
+    }
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelBuf, FunnelSnap](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelBuf]) =>
+          var s = state.getOption.getOrElse(
+            FunnelBuf(uid, NONE, Vector.empty, Vector.empty, 0L))
+          it.foreach { e =>
+            val ts = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+            s = e.event_type match {
+              case "view" =>
+                s.copy(vMin = math.min(s.vMin, ts), n_events = s.n_events + 1)
+              case "click" =>
+                s.copy(clicks = (s.clicks :+ ts).sorted,
+                  n_events = s.n_events + 1)
+              case "purchase" =>
+                s.copy(purchases = (s.purchases :+ ts).sorted,
+                  n_events = s.n_events + 1)
+              case _ => s.copy(n_events = s.n_events + 1)
+            }
+          }
+          val tClick = firstAfter(s.clicks, s.vMin)
+          s = s.copy(clicks = prune(s.clicks, s.vMin),
+            purchases = prune(s.purchases, tClick))
+          state.update(s)
+          val tPurch = firstAfter(s.purchases, tClick)
+          val reached =
+            if (tPurch != NONE) "purchase"
+            else if (tClick != NONE) "click"
+            else if (s.vMin != NONE) "view"
+            else "none"
+          def out(v: Long) = if (v == NONE) -1L else v
+          FunnelSnap(uid, reached, out(s.vMin), out(tClick), out(tPurch),
+            s.n_events)
+      }
+  }
+
   /** A1 as keyed streaming state: running per-video frame count +
     * high-water frame id, emitted once per video per micro-batch
     * (update mode). */

@@ -262,6 +262,70 @@ class Relational3Spec extends SparkTestBase {
     assert(bb._3 === 0.0 && bb._4 === 0.0) // degenerate guard
   }
 
+  test("r36 bucketed join: no Exchange feeds the join; result matches " +
+    "the plain join") {
+    import graft.queries.Relational3
+    val dir = sf
+    // with broadcast off, only bucketing can avoid the join shuffle
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Relational3.r36BucketedJoin(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, s"expected a sort-merge join:\n$plan")
+      // no shuffle anywhere below the join (the aggregate above it
+      // may exchange its |segments| rows)
+      assert(!plan.substring(joinIdx).contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      val got = df.as[(String, Long, Long)].collect().toSet
+      val plain = graft.sources.Tables.orders(spark, dir)
+        .join(graft.sources.Tables.customer(spark, dir),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("c"))
+        .as[(String, Long, Long)].collect().toSet
+      assert(got === plain && got.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
+  test("streaming funnelState converges to the batch funnel under " +
+    "out-of-order replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StatefulOps
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .as[StatefulOps.FunnelEvent].collect().toSeq
+    // adversarial order: reverse-ish shuffle so late-arriving EARLY
+    // views re-qualify earlier clicks in later micro-batches
+    val shuffled = ev.sortBy(e => -((e.event_id * 2654435761L) % 1000003L))
+    val mem = MemoryStream[StatefulOps.FunnelEvent]
+    val q = StatefulOps.funnelState(mem.toDS())
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-funnel-").toString)
+      .start()
+    shuffled.grouped(150).foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    val streamed = spark.table("funnel_out")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("user_id", "reached", "t_view_us", "t_click_us",
+        "t_purchase_us")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    val batch = graft.queries.Relational3
+      .funnel(graft.sources.Tables.events(spark, sf))
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("x32 equi-depth: value-atomic buckets, empty buckets on " +
     "massive ties, populations sum to N") {
     val docs = (1 to 40).map(i =>
