@@ -126,6 +126,9 @@ object SparkEntry {
     "d11_edit_distance" -> LlmQueries.d11EditDistanceDedup,
     "m10_silence_segments" -> LlmQueries.m10SilenceSegments,
     "r36_bucketed_join" -> Relational3.r36BucketedJoin,
+    "r37_small_quantity" -> Relational3.r37SmallQuantity,
+    "d12_minhash_accuracy" -> LlmQueries.d12MinhashAccuracy,
+    "g3_two_hop" -> GraphQueries.g3TwoHop,
   )
 
   /** Every oracle is wrapped in `ORDER BY ALL` (all columns,
@@ -278,5 +281,8 @@ object SparkEntry {
     "d11_edit_distance" -> LlmQueries.d11Sql,
     "m10_silence_segments" -> LlmQueries.m10Sql,
     "r36_bucketed_join" -> Relational3.r36Sql,
+    "r37_small_quantity" -> Relational3.r37Sql,
+    "d12_minhash_accuracy" -> LlmQueries.d12Sql,
+    "g3_two_hop" -> GraphQueries.g3Sql,
   )
 }

@@ -130,6 +130,35 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
   }
 
+  /** d12: MinHash ESTIMATOR accuracy — for every LSH candidate pair,
+    * the k=12-slot signature-agreement estimate ĵ = |{j : mhⱼ(a) =
+    * mhⱼ(b)}| / k next to the EXACT shingle Jaccard, with the
+    * absolute error. The estimator-evaluation query (s12's recall
+    * analog for the dedup family): it answers "how many signature
+    * slots does MY corpus need for the 0.8 threshold to be safe"
+    * from the data, instead of trusting the textbook variance bound.
+    * Same plan as nearDupPairs (features once, ReuseExchange on the
+    * band self-join) — the estimate adds 12 codegen'd column
+    * equality checks to the verify projection, nothing else. */
+  def minhashAccuracy(docs: DataFrame, k: Int = 12): DataFrame = {
+    val features = shingleFeatures(docs, k)
+    val cands = lshCandidates(features)
+    val feats = features
+    val agree = (0 until k).map(j =>
+      when(col(s"x.mh$j") === col(s"y.mh$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    cands
+      .join(feats.alias("x"), col("doc_a") === col("x.doc_id"))
+      .join(feats.alias("y"), col("doc_b") === col("y.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("x.hashes"), col("y.hashes")).as("jac"),
+        (agree.cast("double") / k).as("est"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jac"), 6).as("jaccard"),
+        round(col("est"), 6).as("mh_estimate"),
+        round(abs(col("est") - col("jac")), 6).as("abs_err"))
+  }
+
   /** Per-document 64-bit SimHash fingerprint over distinct token
     * hashes (TextFunctions.simhash64 — permuted-parity bits, so all
     * 64 bits carry signal; the round-3 32-bit fingerprint saturated

@@ -101,4 +101,31 @@ object Graph {
     credited.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Distinct ≤2-hop neighborhood size per node over an undirected
+    * pair list — the candidate-expansion primitive ("everything
+    * reachable through one intermediate") a curation pipeline uses
+    * to widen a near-dup seed set before re-verifying. One wedge
+    * self-join (a.d = b.s, self-loops filtered) + a distinct union
+    * with the 1-hop edges + one partial-agg groupBy.
+    *
+    * Scale contract: the wedge fan-out is Σ deg(v)² — bounded here
+    * because every d-family edge generator caps its blocking-bucket
+    * population (d6: 64), so deg is bounded by construction. On an
+    * uncapped graph the g2 degree-orientation trick does not apply
+    * (2-hop needs BOTH directions through the intermediate); the
+    * standard escalation is splitting high-degree intermediates
+    * (hub sampling), which changes semantics and stays out of scope. */
+  def twoHopCounts(pairs: DataFrame): DataFrame = {
+    val sym = pairs
+      .select(col("doc_a").cast("long").as("s"), col("doc_b").cast("long").as("d"))
+      .union(pairs
+        .select(col("doc_b").cast("long").as("s"), col("doc_a").cast("long").as("d")))
+    val two = sym.alias("a").join(sym.alias("b"), col("a.d") === col("b.s"))
+      .filter(col("b.d") =!= col("a.s"))
+      .select(col("a.s").as("s"), col("b.d").as("d"))
+    sym.union(two).distinct()
+      .groupBy(col("s")).agg(count(lit(1)).as("n_within_2"))
+      .select(col("s").as("doc_id"), col("n_within_2"))
+  }
 }

@@ -70,4 +70,22 @@ object GraphQueries {
        |  WHERE e1.dst <> e2.dst),
        |cr AS (SELECT unnest([u, v, w]) AS doc_id FROM tri)
        |SELECT doc_id, count(*) AS n_triangles FROM cr GROUP BY 1""".stripMargin
+
+  /** g3: distinct ≤2-hop neighborhood size in the same graph — the
+    * candidate-expansion count (how wide a near-dup family grows
+    * when widened through one intermediate; the breadth signal
+    * between g2's local cohesion and d9's full closure). */
+  def g3TwoHop(spark: SparkSession, dir: String): DataFrame =
+    Graph.twoHopCounts(LlmQueries.d6SimhashPairs(spark, dir))
+
+  val g3Sql: String =
+    s"""WITH pairs AS (SELECT doc_a, doc_b FROM (
+       |${LlmQueries.d6Sql}
+       |)),
+       |sym AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |two AS (SELECT a.s, b.d FROM sym a JOIN sym b ON a.d = b.s
+       |  WHERE b.d <> a.s),
+       |al AS (SELECT s, d FROM sym UNION SELECT s, d FROM two)
+       |SELECT s AS doc_id, count(*) AS n_within_2 FROM al GROUP BY 1""".stripMargin
 }

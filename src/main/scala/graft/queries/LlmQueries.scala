@@ -107,6 +107,32 @@ object LlmQueries {
        |SELECT da AS doc_a, db AS doc_b, round(jac, 6) AS jaccard
        |FROM ver WHERE jac >= 0.8""".stripMargin
 
+  /** d12: MinHash estimator accuracy over the d2 candidate set —
+    * signature-agreement estimate vs exact Jaccard per pair (the
+    * "how many slots does my corpus need" evaluation; see
+    * Dedup.minhashAccuracy). Oracle = d2's CTE chain with the
+    * estimate computed from the same restated signatures. */
+  def d12MinhashAccuracy(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashAccuracy(Tables.spread(Tables.documents(spark, dir)))
+
+  val d12Sql: String = {
+    val pre = d2Sql.substring(0, d2Sql.indexOf("ver AS"))
+    s"""${pre}est AS (SELECT c.da, c.db,
+       |    CAST(len(list_filter(range(12), k -> x.sg[k+1] = y.sg[k+1]))
+       |      AS BIGINT) AS n_agree,
+       |    CAST(len(list_intersect(hx.hs, hy.hs)) AS DOUBLE)
+       |      / (len(hx.hs) + len(hy.hs) - len(list_intersect(hx.hs, hy.hs)))
+       |      AS jac
+       |  FROM cand c JOIN sig x ON c.da = x.doc_id
+       |    JOIN sig y ON c.db = y.doc_id
+       |    JOIN hsets hx ON c.da = hx.doc_id
+       |    JOIN hsets hy ON c.db = hy.doc_id)
+       |SELECT da AS doc_a, db AS doc_b, round(jac, 6) AS jaccard,
+       |  round(CAST(n_agree AS DOUBLE) / 12, 6) AS mh_estimate,
+       |  round(abs(CAST(n_agree AS DOUBLE) / 12 - jac), 6) AS abs_err
+       |FROM est""".stripMargin
+  }
+
   /** d3: per-document 64-bit SimHash fingerprints. */
   def d3Simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashFingerprints(Tables.documents(spark, dir))

@@ -407,4 +407,49 @@ object Relational3 {
       |    AS BIGINT) AS revenue_cents
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1""".stripMargin
+
+  // ---- r37: small-quantity revenue (TPC-H Q17 shape) ----------------
+
+  /** r37: the TPC-H Q17 shape — revenue locked in "small" line items,
+    * where small means quantity under 20% of the part's own average:
+    * a fact-vs-its-own-aggregate comparison (the correlated-scalar
+    * pattern Catalyst decorrelates in r27, here declared directly as
+    * the aggregate+join it decorrelates TO). The threshold compare is
+    * kept INTEGER-exact: qty < 0.2·(sum/cnt) ⇔ 5·qty·cnt < sum — no
+    * float division ever happens, so the boundary rows can't drift
+    * between engines.
+    *
+    * 100 TB shape: the per-part aggregate is one partial-agg shuffle
+    * keyed by partkey; the join back re-uses the same key, so AQE
+    * plans a co-partitioned sort-merge (the aggregate side is
+    * already hash-partitioned by partkey — no second shuffle of the
+    * small side); the final global agg collapses to one row. */
+  def smallQuantity(liIn: DataFrame): DataFrame = {
+    val li = liIn.select(col("l_partkey"),
+      col("l_quantity").cast("long").as("qty"),
+      floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+    val perPart = li.groupBy(col("l_partkey"))
+      .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("cnt"))
+    li.join(perPart, Seq("l_partkey"))
+      .filter(col("qty") * col("cnt") * 5 < col("sum_qty"))
+      .agg(count(lit(1)).as("n_small"),
+        // empty-match guard: sum over zero rows is NULL on both
+        // engines; the output contract is no NULLs
+        coalesce(sum(col("cents")), lit(0L)).as("revenue_cents"))
+  }
+
+  def r37SmallQuantity(spark: SparkSession, dir: String): DataFrame =
+    smallQuantity(Tables.lineitem(spark, dir))
+
+  val r37Sql: String =
+    """WITH li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+      |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM lineitem),
+      |p AS (SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sum_qty,
+      |    count(*) AS cnt
+      |  FROM li GROUP BY 1)
+      |SELECT count(*) AS n_small,
+      |  coalesce(CAST(sum(cents) AS BIGINT), 0) AS revenue_cents
+      |FROM li JOIN p USING (l_partkey)
+      |WHERE qty * cnt * 5 < sum_qty""".stripMargin
 }

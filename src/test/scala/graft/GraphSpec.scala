@@ -56,6 +56,18 @@ class GraphSpec extends SparkTestBase {
     assert(got === nodes.map(_ -> 3L).toMap)
   }
 
+  test("twoHopCounts: path graph hand-check, triangle saturates") {
+    // path 1-2-3-4: within-2 of 1 = {2,3}; of 2 = {1,3,4};
+    // of 3 = {1,2,4}; of 4 = {2,3}
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val got = Graph.twoHopCounts(path).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L, 2L -> 3L, 3L -> 3L, 4L -> 2L))
+    // triangle 1-2-3: everyone reaches everyone in <= 2
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val got2 = Graph.twoHopCounts(tri).as[(Long, Long)].collect().toMap
+    assert(got2 === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("g1/g2 run on the real d6 graph and rank mass stays sane") {
     import graft.queries.GraphQueries
     val pr = GraphQueries.g1PageRank(spark, sf).as[(Long, Long)].collect()

@@ -326,6 +326,26 @@ class Relational3Spec extends SparkTestBase {
     assert(batch.nonEmpty)
   }
 
+  test("r37 small quantity: integer threshold matches the 0.2*avg " +
+    "definition, boundary row excluded") {
+    import graft.queries.Relational3
+    // part 1: quantities 1,9,10,20 -> sum=40, cnt=4, avg=10:
+    //   qty < 2 qualifies only qty=1 (5*1*4=20 < 40)
+    // part 2: all equal -> none qualify
+    // part 3: quantities 1,9 -> avg=5, 0.2*avg=1: qty=1 sits EXACTLY
+    //   on the boundary (5*1*2 = 10 = sum) and must be excluded
+    //   (strict <)
+    val li = Seq(
+      (1L, 1.0, 10.00), (1L, 9.0, 20.00), (1L, 10.0, 30.00),
+      (1L, 20.0, 40.00),
+      (2L, 5.0, 11.00), (2L, 5.0, 12.00),
+      (3L, 1.0, 99.00), (3L, 9.0, 7.00))
+      .toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val got = Relational3.smallQuantity(li)
+      .as[(Long, Long)].collect().head
+    assert(got === ((1L, 1000L))) // one row, 10.00 -> 1000 cents
+  }
+
   test("x32 equi-depth: value-atomic buckets, empty buckets on " +
     "massive ties, populations sum to N") {
     val docs = (1 to 40).map(i =>

@@ -542,6 +542,31 @@ class Round7Spec extends SparkTestBase {
     assert(got.toSeq === Seq((1L, 2L, 1), (1L, 3L, 2), (2L, 3L, 2)))
   }
 
+  test("d12 minhash accuracy: identical docs estimate 1.0 with zero " +
+    "error; estimates are 12ths consistent with the exact jaccard") {
+    import testImplicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (1L, base), (2L, base),                       // exact twins
+      (3L, base + " extra trailing words here now"), // high overlap
+      (4L, "totally unrelated content with nothing shared at all " +
+        "among these particular tokens whatsoever"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.minhashAccuracy(docs)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(got.nonEmpty)
+    val twins = got.find(r => r._1 == 1L && r._2 == 2L).get
+    assert(twins._3 === 1.0 && twins._4 === 1.0 && twins._5 === 0.0)
+    got.foreach { case (_, _, jac, est, err) =>
+      assert(est >= 0.0 && est <= 1.0 && jac > 0.0 && jac <= 1.0)
+      // estimate is a multiple of 1/12 (rounded to 6)
+      val twelfths = math.round(est * 12)
+      assert(math.abs(est - twelfths / 12.0) < 1e-6)
+      assert(math.abs(err - math.abs(est - jac)) < 2e-6)
+    }
+  }
+
   test("m10 silence segments: runs match a direct formula fold, " +
     "multi-window segments exist") {
     import testImplicits._
