@@ -129,6 +129,7 @@ object SparkEntry {
     "r37_small_quantity" -> Relational3.r37SmallQuantity,
     "d12_minhash_accuracy" -> LlmQueries.d12MinhashAccuracy,
     "g3_two_hop" -> GraphQueries.g3TwoHop,
+    "x33_cluster_split" -> LlmQueries.x33ClusterSplit,
   )
 
   /** Every oracle is wrapped in `ORDER BY ALL` (all columns,
@@ -284,5 +285,6 @@ object SparkEntry {
     "r37_small_quantity" -> Relational3.r37Sql,
     "d12_minhash_accuracy" -> LlmQueries.d12Sql,
     "g3_two_hop" -> GraphQueries.g3Sql,
+    "x33_cluster_split" -> LlmQueries.x33Sql,
   )
 }

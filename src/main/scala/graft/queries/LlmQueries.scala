@@ -1513,6 +1513,63 @@ object LlmQueries {
        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
        |FROM s GROUP BY 1, 2""".stripMargin
 
+  /** Doc-level CLUSTER-AWARE split assignment: the split hash runs
+    * over the d9 cluster id (the doc's own id for singletons), so an
+    * entire near-dup family always lands in ONE split — x11's
+    * per-doc hash can put a doc in train and its 0.9-Jaccard twin in
+    * test, and the eval set then scores memorization, not
+    * generalization (the leakage mode x13 can't catch: the eval twin
+    * is not an EXACT fingerprint match). Split out so the
+    * no-pair-spans-splits property is spec-testable doc-level. */
+  def clusterSplitAssign(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val ck = docs.join(clusters.select(col("doc_id"), col("cluster")),
+        Seq("doc_id"), "left")
+      .withColumn("ck", coalesce(col("cluster"), col("doc_id")))
+    val h = TextFunctions.polyHash(col("ck").cast("string")) % 10
+    ck.withColumn("split",
+      when(h < 8, "train").when(h === 8, "val").otherwise("test"))
+  }
+
+  /** x33: LEAKAGE-SAFE train/val/test split — x11's deterministic
+    * hash split with the hash keyed by near-dup CLUSTER instead of
+    * doc, composed from d9's connected components. Reported like x11
+    * (per lang × split totals) plus n_clustered, the count of docs
+    * whose split was decided by a family rather than themselves.
+    *
+    * 100 TB shape: one left join of the corpus against the (small)
+    * clustered-doc relation on doc_id — broadcastable while the
+    * near-dup population fits, hash join beyond — then row-local
+    * hash arithmetic and the same tiny partial agg as x11. The d9
+    * fixpoint cost is the price of the guarantee and is charged to
+    * this query's construction (the x20/x24 precedent). */
+  def x33ClusterSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, dir))
+    val clusters = d9DedupClusters(spark, dir)
+    clusterSplitAssign(docs, clusters)
+      .select(col("lang"), col("split"), col("n_chars"),
+        col("cluster").isNotNull.as("clustered"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        count(when(col("clustered"), 1)).as("n_clustered"))
+  }
+
+  lazy val x33Sql: String =
+    s"""WITH cl AS (SELECT doc_id, cluster FROM (
+       |$d9Sql
+       |)),
+       |a AS (SELECT d.lang, d.n_chars, cl.cluster IS NOT NULL AS clustered,
+       |    ${polySql("CAST(coalesce(cl.cluster, d.doc_id) AS VARCHAR)")} % 10
+       |      AS h
+       |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+       |SELECT lang,
+       |  CASE WHEN h < 8 THEN 'train' WHEN h = 8 THEN 'val'
+       |    ELSE 'test' END AS split,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  count(*) FILTER (clustered) AS n_clustered
+       |FROM a GROUP BY 1, 2""".stripMargin
+
   /** x12: stratified deterministic sampling — per-language rates
     * (content-hash mod 100 under a per-lang percentage), the
     * up/down-sampling step of corpus mixing. Pure narrow filter: the

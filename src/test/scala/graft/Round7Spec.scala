@@ -567,6 +567,43 @@ class Round7Spec extends SparkTestBase {
     }
   }
 
+  test("x33 cluster split: no near-dup pair ever spans splits; " +
+    "x11's per-doc hash does (the leakage x33 closes)") {
+    import testImplicits._
+    import graft.queries.LlmQueries
+    import graft.functions.TextFunctions
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val clusters = LlmQueries.d9DedupClusters(spark, dir)
+    val assign = LlmQueries.clusterSplitAssign(docs, clusters)
+      .select(col("doc_id"), col("split"))
+    val pairs = graft.operators.Dedup.nearDupPairs(docs, threshold = 0.8)
+      .select(col("doc_a"), col("doc_b"))
+    assert(pairs.count() > 0, "fixture must contain near-dup pairs")
+    val spanning = pairs
+      .join(assign.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("split", "sa"), Seq("doc_a"))
+      .join(assign.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("split", "sb"), Seq("doc_b"))
+      .filter(col("sa") =!= col("sb"))
+    assert(spanning.count() === 0L)
+    // contrast: the per-doc hash (x11's rule) DOES split at least one
+    // pair on this corpus — the exact leakage x33 exists to prevent
+    val perDoc = docs.select(col("doc_id"),
+      (TextFunctions.polyHash(col("doc_id").cast("string")) % 10)
+        .as("h"))
+    val perDocSplit = perDoc.select(col("doc_id"),
+      when(col("h") < 8, "train").when(col("h") === 8, "val")
+        .otherwise("test").as("split"))
+    val spanningPerDoc = pairs
+      .join(perDocSplit.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("split", "sa"), Seq("doc_a"))
+      .join(perDocSplit.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("split", "sb"), Seq("doc_b"))
+      .filter(col("sa") =!= col("sb"))
+    assert(spanningPerDoc.count() > 0L)
+  }
+
   test("m10 silence segments: runs match a direct formula fold, " +
     "multi-window segments exist") {
     import testImplicits._
