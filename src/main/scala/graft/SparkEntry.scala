@@ -130,6 +130,9 @@ object SparkEntry {
     "d12_minhash_accuracy" -> LlmQueries.d12MinhashAccuracy,
     "g3_two_hop" -> GraphQueries.g3TwoHop,
     "x33_cluster_split" -> LlmQueries.x33ClusterSplit,
+    "r38_scd2" -> Relational3.r38Scd2,
+    "x34_cross_source" -> LlmQueries.x34CrossSourceDup,
+    "s18_index_delete" -> LlmQueries.s18IndexDelete,
   )
 
   /** Every oracle is wrapped in `ORDER BY ALL` (all columns,
@@ -286,5 +289,8 @@ object SparkEntry {
     "d12_minhash_accuracy" -> LlmQueries.d12Sql,
     "g3_two_hop" -> GraphQueries.g3Sql,
     "x33_cluster_split" -> LlmQueries.x33Sql,
+    "r38_scd2" -> Relational3.r38Sql,
+    "x34_cross_source" -> LlmQueries.x34Sql,
+    "s18_index_delete" -> LlmQueries.s18Sql,
   )
 }

@@ -50,6 +50,35 @@ object VectorIndex {
       Similarity.encodeIvfPq(batch, centroids, codebook, m),
       path, Seq("cell"), mode = "append")
 
+  /** Serve with TOMBSTONES: identical to `serve`, with a deletion
+    * set anti-joined against the index scan before ranking — the
+    * soft-delete pattern every production vector store runs between
+    * compactions (FAISS IDSelector, Lucene liveDocs): deletions are
+    * a tiny side relation consulted at serve time, the index files
+    * stay immutable, and a periodic compaction (rebuild without the
+    * tombstoned rows) reclaims the space. The anti-join key is
+    * vec_id — broadcastable while deletions are a small fraction,
+    * which is the regime the pattern exists for. */
+  def serveWithDeletes(spark: SparkSession, path: String, queries: DataFrame,
+      centroids: DataFrame, codebook: DataFrame, m: Int, k: Int,
+      deletes: DataFrame): DataFrame = {
+    val index = spark.read.parquet(path)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"), col("codes"))
+      .join(broadcast(deletes.select(col("vec_id"))), Seq("vec_id"),
+        "left_anti")
+    val queryCells = Similarity.assignCells(queries, centroids)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qemb"),
+        col("cell"))
+    val pairs = index
+      .join(broadcast(queryCells), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .crossJoin(broadcast(Similarity.pqFlatCodebook(codebook)))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        call_function("pq_adc", col("qemb"), col("codes"), col("cbf"))
+          .as("adist"))
+    Similarity.pqRank(pairs, k)
+  }
+
   /** Serve a top-k ADC search from the saved index. The corpus side
     * is the saved parquet scan (codes only — embeddings are never
     * re-read); queries assign to cells against the broadcast

@@ -133,6 +133,50 @@ object LlmQueries {
        |FROM est""".stripMargin
   }
 
+  /** x34: CROSS-SOURCE duplication matrix — d2's verified near-dup
+    * pairs pivoted by (source, source): how much of source A is a
+    * near-copy of source B, the data-governance report that decides
+    * which feed to drop when two scrapes overlap. Pair mass is
+    * reported as exact counts plus the micro-unit Jaccard sum
+    * (floor(jac·1e6 + 0.5) summed as LONGS — order-independent,
+    * unlike a float avg). Source pairs are canonicalized
+    * least/greatest so the matrix is upper-triangular.
+    *
+    * 100 TB shape: two doc_id equi-joins to attach sources to the
+    * (already capped) d2 pair list + one tiny (source × source)
+    * partial agg. */
+  def x34CrossSourceDup(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+    val pairs = Dedup.nearDupPairs(
+      Tables.spread(Tables.documents(spark, dir)), threshold = 0.8)
+    pairs
+      .join(src.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("source", "sa"), Seq("doc_a"))
+      .join(src.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("source", "sb"), Seq("doc_b"))
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(floor(col("jaccard") * 1000000 + 0.5).cast("long"))
+          .as("sum_jac_micro"))
+  }
+
+  val x34Sql: String = {
+    val pre = d2Sql.substring(0, d2Sql.lastIndexOf("SELECT da AS doc_a")).trim
+    s"""$pre,
+       |pp AS (SELECT da, db, round(jac, 6) AS jaccard FROM ver
+       |  WHERE jac >= 0.8),
+       |js AS (SELECT least(x.source, y.source) AS source_a,
+       |    greatest(x.source, y.source) AS source_b,
+       |    CAST(floor(jaccard * 1000000 + 0.5) AS BIGINT) AS jm
+       |  FROM pp JOIN documents x ON pp.da = x.doc_id
+       |    JOIN documents y ON pp.db = y.doc_id)
+       |SELECT source_a, source_b, count(*) AS n_pairs,
+       |  CAST(sum(jm) AS BIGINT) AS sum_jac_micro
+       |FROM js GROUP BY 1, 2""".stripMargin
+  }
+
   /** d3: per-document 64-bit SimHash fingerprints. */
   def d3Simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashFingerprints(Tables.documents(spark, dir))
@@ -242,7 +286,7 @@ object LlmQueries {
 
   // ---- similarity search ------------------------------------------
 
-  private def queryVecs(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def queryVecs(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).filter(col("vec_id") < 5)
 
   /** s1: brute-force cosine top-10 for query vectors (vec_id < 5). */
@@ -481,6 +525,33 @@ object LlmQueries {
     graft.operators.VectorIndex.serve(spark, path, queryVecs(spark, dir),
       centroids, codebook, m = 8, k = 3)
   }
+
+  /** s18: index serving with DELETIONS — s10's persisted index with
+    * a tombstone set (vec_id % 17 == 3 stands in for deleted
+    * vectors) anti-joined at serve time
+    * (VectorIndex.serveWithDeletes): the soft-delete lifecycle step
+    * between s17's append and the eventual compaction. The oracle is
+    * s8's search with the deleted ids excluded from the candidate
+    * side only — queries still search (a deleted vector can still
+    * BE a query), cell assignment and codes are untouched (frozen
+    * quantizers), so a tombstone leak into encoding or query
+    * routing breaks the hash. */
+  def s18IndexDelete(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = emb.filter(col("vec_id") < 8)
+    val codebook = emb.filter(col("vec_id") < 16)
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_del_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    graft.operators.VectorIndex.build(emb, centroids, codebook, m = 8, path)
+    graft.operators.VectorIndex.serveWithDeletes(spark, path,
+      queryVecs(spark, dir), centroids, codebook, m = 8, k = 3,
+      deletes = emb.filter(col("vec_id") % 17 === 3))
+  }
+
+  lazy val s18Sql: String = s8Sql.replace(
+    "JOIN query_cells q ON q.cell = e.cell AND q.vec_id <> e.vec_id",
+    "JOIN query_cells q ON q.cell = e.cell AND q.vec_id <> e.vec_id " +
+      "AND e.vec_id % 17 <> 3")
 
   /** the s8 CTE chain up to the per-(query, candidate) ADC distance
     * `ad` — ONE definition shared by the s8 and s11 oracles (s11 is

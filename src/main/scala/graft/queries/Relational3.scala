@@ -452,4 +452,50 @@ object Relational3 {
       |  coalesce(CAST(sum(cents) AS BIGINT), 0) AS revenue_cents
       |FROM li JOIN p USING (l_partkey)
       |WHERE qty * cnt * 5 < sum_qty""".stripMargin
+
+  // ---- r38: SCD type-2 validity intervals ---------------------------
+
+  /** r38: SLOWLY-CHANGING-DIMENSION type 2 — the change log unrolled
+    * into validity intervals: each change row becomes
+    * [valid_from, valid_to) where valid_to is the NEXT change's
+    * timestamp for the same user (the -1 sentinel marks the current
+    * version). r31 compacts the log to latest-wins state; r38 keeps
+    * the full history queryable by time — the warehouse MERGE
+    * pattern's second half, and the input every as-of join (r21)
+    * against a dimension expects. Ordering is total per user
+    * ((ts, event_id) — the r31 tie-break), so intervals are
+    * deterministic; same-timestamp changes produce zero-width
+    * intervals, the standard SCD-2 convention for intra-batch
+    * supersession.
+    *
+    * 100 TB shape: ONE shuffle keyed by user; lead() and is_current
+    * share the single in-partition sort. */
+  def scd2(eventsIn: DataFrame): DataFrame = {
+    val ev = eventsIn.select(col("user_id"), col("event_id"),
+      col("event_type"),
+      unix_micros(col("ts")).as("ts_us"),
+      floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    ev.select(col("user_id"), col("event_id"),
+      col("ts_us").as("valid_from_us"),
+      coalesce(lead(col("ts_us"), 1).over(w), lit(-1L)).as("valid_to_us"),
+      lead(col("ts_us"), 1).over(w).isNull.as("is_current"),
+      col("event_type"), col("cents"))
+  }
+
+  def r38Scd2(spark: SparkSession, dir: String): DataFrame =
+    scd2(Tables.events(spark, dir))
+
+  val r38Sql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |    CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events)
+      |SELECT user_id, event_id, ts_us AS valid_from_us,
+      |  coalesce(lead(ts_us) OVER w, -1) AS valid_to_us,
+      |  lead(ts_us) OVER w IS NULL AS is_current,
+      |  event_type, cents
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""".stripMargin
 }

@@ -346,6 +346,33 @@ class Relational3Spec extends SparkTestBase {
     assert(got === ((1L, 1000L))) // one row, 10.00 -> 1000 cents
   }
 
+  test("r38 scd2: intervals chain, current row flagged, ties " +
+    "zero-width by event_id order") {
+    import graft.queries.Relational3
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "signup", 1.00, "{}"),
+      (2L, ts("2024-01-02 00:00:00"), 1L, "upgrade", 2.00, "{}"),
+      (3L, ts("2024-01-03 00:00:00"), 1L, "cancel", 0.00, "{}"),
+      // user 2: two changes at the SAME timestamp -> zero-width
+      // interval for the lower event_id
+      (4L, ts("2024-01-05 00:00:00"), 2L, "a", 1.00, "{}"),
+      (5L, ts("2024-01-05 00:00:00"), 2L, "b", 2.00, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Relational3.scd2(ev)
+      .select("user_id", "event_id", "valid_from_us", "valid_to_us",
+        "is_current")
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._2)
+    // user 1: each interval closes at the next change
+    assert(got(0)._4 === got(1)._3 && got(1)._4 === got(2)._3)
+    assert(got(2)._4 === -1L && got(2)._5)
+    assert(!got(0)._5 && !got(1)._5)
+    // user 2: tie -> event 4's interval is zero-width, event 5 current
+    assert(got(3)._3 === got(3)._4 && !got(3)._5)
+    assert(got(4)._4 === -1L && got(4)._5)
+    // exactly one current row per user
+    assert(got.count(_._5) === 2)
+  }
+
   test("x32 equi-depth: value-atomic buckets, empty buckets on " +
     "massive ties, populations sum to N") {
     val docs = (1 to 40).map(i =>

@@ -604,6 +604,47 @@ class Round7Spec extends SparkTestBase {
     assert(spanningPerDoc.count() > 0L)
   }
 
+  test("x34 cross-source matrix: pair sources reconcile with d2 pairs " +
+    "joined by hand; triangular canonicalization holds") {
+    import testImplicits._
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.LlmQueries.x34CrossSourceDup(spark, dir)
+      .as[(String, String, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, n, jm) =>
+      assert(a <= b)           // upper-triangular
+      assert(n > 0 && jm >= n * 800000L && jm <= n * 1000000L)
+    } // every pair's jaccard is in [0.8, 1.0] -> micro sum bounded
+    val totalPairs = got.map(_._3).sum
+    val d2n = graft.operators.Dedup.nearDupPairs(
+      graft.sources.Tables.documents(spark, dir), 0.8).count()
+    assert(totalPairs === d2n) // matrix partitions the pair list
+  }
+
+  test("s18 index delete: tombstoned vectors never appear as " +
+    "neighbors; empty tombstone set reproduces s10 exactly") {
+    import testImplicits._
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.LlmQueries.s18IndexDelete(spark, dir)
+    val neigh = got.select("neighbor_id").as[Long].collect()
+    assert(neigh.nonEmpty)
+    assert(!neigh.exists(_ % 17 == 3))
+    // sanity: with no deletions, serveWithDeletes == serve
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val centroids = emb.filter(col("vec_id") < 8)
+    val codebook = emb.filter(col("vec_id") < 16)
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_delspec"
+    graft.operators.VectorIndex.build(emb, centroids, codebook, 8, path)
+    val a = graft.operators.VectorIndex.serve(spark, path,
+      graft.queries.LlmQueries.queryVecs(spark, dir), centroids, codebook,
+      8, 3).collect().map(_.toString).sorted
+    val b = graft.operators.VectorIndex.serveWithDeletes(spark, path,
+      graft.queries.LlmQueries.queryVecs(spark, dir), centroids, codebook,
+      8, 3, deletes = emb.filter(lit(false))).collect()
+      .map(_.toString).sorted
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("m10 silence segments: runs match a direct formula fold, " +
     "multi-window segments exist") {
     import testImplicits._
