@@ -133,6 +133,8 @@ object SparkEntry {
     "r38_scd2" -> Relational3.r38Scd2,
     "x34_cross_source" -> LlmQueries.x34CrossSourceDup,
     "s18_index_delete" -> LlmQueries.s18IndexDelete,
+    "v8_track_continuity" -> VideoQueries.v8TrackContinuity,
+    "x35_dataset_card" -> CorpusQueries.x35DatasetCard,
   )
 
   /** Every oracle is wrapped in `ORDER BY ALL` (all columns,
@@ -292,5 +294,7 @@ object SparkEntry {
     "r38_scd2" -> Relational3.r38Sql,
     "x34_cross_source" -> LlmQueries.x34Sql,
     "s18_index_delete" -> LlmQueries.s18Sql,
+    "v8_track_continuity" -> VideoQueries.v8Sql,
+    "x35_dataset_card" -> CorpusQueries.x35Sql,
   )
 }

@@ -607,6 +607,66 @@ object CorpusQueries {
       |  CAST(sum(c) AS BIGINT) AS n_docs
       |FROM b GROUP BY 1""".stripMargin
 
+  // ---- x35: per-source dataset card -------------------------------
+
+  /** x35: the DATASET CARD — one row per source with the numbers a
+    * datasheet/nutrition-facts block reports: volume (docs, chars,
+    * tokens), language breadth, exact-duplicate mass, and quality
+    * mass (the x1 score in summed micro-units — LONGS, so partition
+    * order can't move the total). The capstone profiling query a
+    * data consumer reads before training on a source.
+    *
+    * 100 TB shape: deliberately NOT one agg with two COUNT(DISTINCT)s
+    * (that plans an Expand doubling every scanned row). Instead
+    * three partial-agg legs — per-source sums; per-(source, md5)
+    * then per-source; per-(source, lang) then per-source — joined on
+    * the |sources|-row key. Every exchange carries aggregated rows;
+    * the corpus is scanned once per leg with only the needed
+    * columns. */
+  def x35DatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val stats = docs
+      .select(col("source"), col("n_chars"),
+        LlmQueries.textStatsCol.as("s"))
+      .select(col("source"), col("n_chars"),
+        col("s.n_tokens").as("n_tokens"),
+        floor(LlmQueries.qualityFrom(col("s")) * 1000000 + 0.5)
+          .cast("long").as("q_micro"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"),
+        sum(col("q_micro")).as("quality_micro_sum"))
+    val distinctTexts = docs
+      .groupBy(col("source"), md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_distinct_texts"),
+        sum(col("c") - 1).as("n_exact_dup_docs"))
+    val langs = docs.select(col("source"), col("lang")).distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n_langs"))
+    stats.join(distinctTexts, Seq("source")).join(langs, Seq("source"))
+  }
+
+  val x35Sql: String =
+    s"""WITH ${LlmQueries.statsCtesSql("source")},
+       |st AS (SELECT source, count(*) AS n_docs,
+       |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |    CAST(sum(CAST(floor((${LlmQueries.qualitySql}) * 1000000 + 0.5)
+       |      AS BIGINT)) AS BIGINT) AS quality_micro_sum
+       |  FROM m GROUP BY 1),
+       |dh AS (SELECT source, md5(text) AS h, count(*) AS c
+       |  FROM documents GROUP BY 1, 2),
+       |dt AS (SELECT source, count(*) AS n_distinct_texts,
+       |    CAST(sum(c - 1) AS BIGINT) AS n_exact_dup_docs
+       |  FROM dh GROUP BY 1),
+       |lg AS (SELECT source, count(*) AS n_langs FROM
+       |  (SELECT DISTINCT source, lang FROM documents) GROUP BY 1)
+       |SELECT source, n_docs, total_chars, total_tokens,
+       |  quality_micro_sum, n_distinct_texts, n_exact_dup_docs, n_langs
+       |FROM st JOIN dt USING (source) JOIN lg USING (source)""".stripMargin
+
   val x17Sql: String =
     """WITH s AS (SELECT event_type, props,
       |    regexp_replace(props, '[0-9]+', '[NUM]', 'g') AS scrubbed,

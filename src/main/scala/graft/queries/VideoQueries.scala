@@ -268,4 +268,73 @@ object VideoQueries {
       |  || ',"w":' || w || ',"h":' || h
       |  || '}},"properties":{"label":' || label_id || '}}' AS record
       |FROM boxes""".stripMargin
+
+  /** v8: TRACK CONTINUITY — the first step of multi-object tracking
+    * over the detection stream: a box "continues" when the PREVIOUS
+    * frame of its video has a same-label box with IoU ≥ 0.3; per
+    * video the query reports box count, continued count, and track
+    * starts (boxes opening a new track). IoU stays INTEGER-exact on
+    * the pipeline's int box coords: 10·inter ≥ 3·union with inter
+    * and union both integer products — no float area ever, so the
+    * association decision can't drift between engines.
+    *
+    * 100 TB shape: frame adjacency is a lag() over the DISTINCT
+    * (video, frame) list (bounded by frame count, not box count);
+    * association is an equi-join on (video, prev_frame, label) —
+    * fan-out is boxes-per-frame-per-label, never cross-frame; the
+    * continued set dedups before the per-video partial agg. */
+  def v8TrackContinuity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dets = withDetections(frames(spark, dir))
+    val boxes = DetectionPipeline.boxes(dets, threshold = 0.7)
+      .select(col("video_id"), col("frame_id"), col("box_ref"),
+        col("x"), col("y"), col("w"), col("h"), col("label_id"))
+    val pf = boxes.select(col("video_id"), col("frame_id")).distinct()
+      .withColumn("prev_frame", lag(col("frame_id"), 1).over(
+        Window.partitionBy(col("video_id")).orderBy(col("frame_id"))))
+    val cur = boxes.join(pf, Seq("video_id", "frame_id"))
+    val prev = boxes.select(col("video_id"),
+      col("frame_id").as("prev_frame"), col("label_id"),
+      col("x").as("qx"), col("y").as("qy"),
+      col("w").as("qw"), col("h").as("qh"))
+    val iw = least(col("w"), col("qw")) - greatest(col("x"), col("qx"))
+    val ih = least(col("h"), col("qh")) - greatest(col("y"), col("qy"))
+    val inter = iw * ih
+    val union = (col("w") - col("x")) * (col("h") - col("y")) +
+      (col("qw") - col("qx")) * (col("qh") - col("qy")) - inter
+    val cont = cur.join(prev, Seq("video_id", "prev_frame", "label_id"))
+      .filter(iw > 0 && ih > 0 && inter * 10 >= union * 3)
+      .select(col("video_id"), col("frame_id"), col("box_ref"))
+      .distinct()
+      .withColumn("is_cont", lit(1))
+    cur.join(cont, Seq("video_id", "frame_id", "box_ref"), "left")
+      .groupBy(col("video_id"))
+      .agg(count(lit(1)).as("n_boxes"),
+        count(col("is_cont")).as("n_continued"),
+        (count(lit(1)) - count(col("is_cont"))).as("n_track_starts"))
+  }
+
+  val v8Sql: String = detSql +
+    """, pf AS (SELECT video_id, frame_id, lag(frame_id) OVER
+      |    (PARTITION BY video_id ORDER BY frame_id) AS prev_frame
+      |  FROM (SELECT DISTINCT video_id, frame_id FROM boxes)),
+      |cur AS (SELECT b.video_id, b.frame_id, b.box_ref, b.x, b.y, b.w,
+      |    b.h, b.label_id, p.prev_frame
+      |  FROM boxes b JOIN pf p USING (video_id, frame_id)),
+      |cont AS (SELECT DISTINCT c.video_id, c.frame_id, c.box_ref
+      |  FROM cur c JOIN boxes q ON q.video_id = c.video_id
+      |    AND q.frame_id = c.prev_frame AND q.label_id = c.label_id
+      |  WHERE least(c.w, q.w) > greatest(c.x, q.x)
+      |    AND least(c.h, q.h) > greatest(c.y, q.y)
+      |    AND 10 * (least(c.w, q.w) - greatest(c.x, q.x))
+      |          * (least(c.h, q.h) - greatest(c.y, q.y))
+      |      >= 3 * ((c.w - c.x) * (c.h - c.y) + (q.w - q.x) * (q.h - q.y)
+      |          - (least(c.w, q.w) - greatest(c.x, q.x))
+      |          * (least(c.h, q.h) - greatest(c.y, q.y))))
+      |SELECT c.video_id, count(*) AS n_boxes,
+      |  count(k.box_ref) AS n_continued,
+      |  count(*) - count(k.box_ref) AS n_track_starts
+      |FROM cur c LEFT JOIN cont k ON k.video_id = c.video_id
+      |  AND k.frame_id = c.frame_id AND k.box_ref = c.box_ref
+      |GROUP BY 1""".stripMargin
 }

@@ -645,6 +645,50 @@ class Round7Spec extends SparkTestBase {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("v8 track continuity: totals reconcile with the v1 box count; " +
+    "starts + continued = boxes") {
+    import testImplicits._
+    val dir = "/root/testdata/sf0.01"
+    val got = graft.queries.VideoQueries.v8TrackContinuity(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.length === 5) // one row per video (event_type)
+    got.foreach { case (_, n, c, s) =>
+      assert(c >= 0 && s >= 0 && c + s === n)
+    }
+    assert(got.map(_._3).sum > 0, "some continuity must exist at sf0.01")
+    val v1n = graft.queries.VideoQueries.v1Boxes(spark, dir).count()
+    assert(got.map(_._2).sum === v1n)
+  }
+
+  test("x35 dataset card: hand fixture counts; identities hold on " +
+    "the real corpus") {
+    import testImplicits._
+    val planted = Seq(
+      (1L, "aaaa bbbb cccc", "en", "web", 14L),
+      (2L, "aaaa bbbb cccc", "en", "web", 14L),  // exact dup of 1
+      (3L, "dddd eeee", "de", "web", 9L),
+      (4L, "unique text here", "en", "books", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("x35t").toString
+    planted.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.queries.CorpusQueries.x35DatasetCard(spark, tmp)
+      .select("source", "n_docs", "total_chars", "total_tokens",
+        "n_distinct_texts", "n_exact_dup_docs", "n_langs")
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toList
+    assert(got === List(
+      ("books", 1L, 16L, 3L, 1L, 0L, 1L),
+      ("web", 3L, 37L, 8L, 2L, 1L, 2L)))
+    // identity on the real corpus: dups = docs - distinct, per source
+    val real = graft.queries.CorpusQueries
+      .x35DatasetCard(spark, "/root/testdata/sf0.001")
+      .select("n_docs", "n_distinct_texts", "n_exact_dup_docs")
+      .as[(Long, Long, Long)].collect()
+    real.foreach { case (n, d, e) => assert(e === n - d) }
+    assert(real.map(_._1).sum ===
+      graft.sources.Tables.documents(spark, "/root/testdata/sf0.001").count())
+  }
+
   test("m10 silence segments: runs match a direct formula fold, " +
     "multi-window segments exist") {
     import testImplicits._
