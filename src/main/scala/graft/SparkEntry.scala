@@ -135,6 +135,7 @@ object SparkEntry {
     "s18_index_delete" -> LlmQueries.s18IndexDelete,
     "v8_track_continuity" -> VideoQueries.v8TrackContinuity,
     "x35_dataset_card" -> CorpusQueries.x35DatasetCard,
+    "m11_thumbnail" -> MediaQueries.m11Thumbnail,
   )
 
   /** Every oracle is wrapped in `ORDER BY ALL` (all columns,
@@ -296,5 +297,6 @@ object SparkEntry {
     "s18_index_delete" -> LlmQueries.s18Sql,
     "v8_track_continuity" -> VideoQueries.v8Sql,
     "x35_dataset_card" -> CorpusQueries.x35Sql,
+    "m11_thumbnail" -> MediaQueries.m11Sql,
   )
 }

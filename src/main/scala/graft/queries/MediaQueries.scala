@@ -145,6 +145,98 @@ object MediaQueries {
       |  diff * 4 > w * h * 3 * 255 AS is_cut
       |FROM df""".stripMargin
 
+  /** m11: the REAL bilinear resize kernel (P7,
+    * `Preprocess.resizeBilinear` — half-pixel centers, edge clamp)
+    * under the cross-engine hash gate: decode GIF frame 0, resize
+    * RGB to a fixed 4×5 thumbnail with the SHIPPED kernel, report
+    * order-fixed aggregates of the 60 resized values. Every
+    * float op is restated in the oracle — double weights, the
+    * `.toFloat` store replayed as CAST(.. AS REAL), the sum folded
+    * in the same ascending pixel order — so a kernel defect
+    * (weight order, clamp, center convention) breaks the hash.
+    * P2–P8 were spec-covered; this puts the interpolation
+    * arithmetic itself under the DuckDB gate.
+    *
+    * 100 TB shape: same as m2/m6 — decode + resize + reduce inside
+    * one partition pass; only (doc, 4 numbers) rows exit. */
+  def m11Thumbnail(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{Codecs, Multimodal, Preprocess}
+    val (oh, ow) = (4, 5)
+    Tables.spread(Tables.documents(spark, dir).select(col("doc_id"))).as[Long]
+      .mapPartitions { it =>
+        val palR = Array.tabulate(256)(v => v.toByte)
+        val palG = Array.tabulate(256)(v => ((v * 37) % 256).toByte)
+        val palB = Array.tabulate(256)(v => ((v * 91) % 256).toByte)
+        it.map { id =>
+          val w = (6 + id % 9).toInt; val h = (6 + id % 5).toInt
+          val nf = (1 + id % 4).toInt
+          val frames = (0 until nf).map { f =>
+            Array.tabulate(w * h)(i =>
+              ((id * 7 + f * 31 + i * 13) % 256).toByte)
+          }
+          val gif = Codecs.ImageIoCodecs.GifCodec.encodeIndexedFrames(
+            w, h, palR, palG, palB, frames)
+          val meta = Codecs.AutoCodec.decode(
+            Multimodal.MediaRecord(id, "video", gif))
+          require(meta.n_frames == nf, s"frame count mismatch for doc $id")
+          val (dw, dh, px) =
+            Codecs.ImageIoCodecs.GifCodec.extractAllFramesRgb(gif).head
+          require(dw == w && dh == h, s"dims mismatch for doc $id")
+          val t = Preprocess.Tensor(h, w, 3,
+            Array.tabulate(h * w * 3)(i => (px(i) & 0xff).toFloat))
+          val out = Preprocess.resizeBilinear(t, oh, ow).data
+          var s = 0.0; var mn = Float.MaxValue; var mx = Float.MinValue
+          out.foreach { v =>
+            s += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+          }
+          (id, w, h, s, mn.toDouble, mx.toDouble)
+        }
+      }.toDF("doc_id", "w", "h", "raw_sum", "min_px", "max_px")
+      // round at the edge with Spark's round (proven DuckDB parity),
+      // not a hand-rolled scalar rounding in the partition map
+      .select(col("doc_id"), col("w"), col("h"),
+        round(col("raw_sum"), 6).as("resized_sum"),
+        col("min_px"), col("max_px"))
+  }
+
+  val m11Sql: String = {
+    // palette channel value at pixel (yy, xx) of frame 0, as DOUBLE
+    def px(yy: String, xx: String, c: String): String = {
+      val idx = s"((doc_id*7 + (($yy)*w + ($xx))*13) % 256)"
+      s"CAST(CASE ($c) WHEN 0 THEN $idx WHEN 1 THEN $idx*37 % 256 " +
+        s"ELSE $idx*91 % 256 END AS DOUBLE)"
+    }
+    // the resize kernel replayed per output offset o in 0..59:
+    // y = o//15, x = (o%15)//3, c = o%3 (HWC ascending order)
+    val fy = "greatest(0.0, ((o // 15) + 0.5) * (h / 4.0) - 0.5)"
+    val fx = "greatest(0.0, (((o % 15) // 3) + 0.5) * (w / 5.0) - 0.5)"
+    val y0 = s"least(h - 1, CAST(floor($fy) AS INT))"
+    val y1 = s"least(h - 1, $y0 + 1)"
+    val wy = s"($fy - $y0)"
+    val x0 = s"least(w - 1, CAST(floor($fx) AS INT))"
+    val x1 = s"least(w - 1, $x0 + 1)"
+    val wx = s"($fx - $x0)"
+    val c = "(o % 3)"
+    val top = s"(${px(y0, x0, c)} * (1 - $wx) + ${px(y0, x1, c)} * $wx)"
+    val bot = s"(${px(y1, x0, c)} * (1 - $wx) + ${px(y1, x1, c)} * $wx)"
+    val v = s"CAST($top * (1 - $wy) + $bot * $wy AS REAL)"
+    s"""WITH g AS (SELECT doc_id, CAST(6 + doc_id % 9 AS INT) AS w,
+       |    CAST(6 + doc_id % 5 AS INT) AS h FROM documents),
+       |r AS (SELECT doc_id, w, h,
+       |    list_transform(range(60), o -> $v) AS vals
+       |  FROM g)
+       |SELECT doc_id, w, h,
+       |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(vals, x -> CAST(x AS DOUBLE))),
+       |    (a, b) -> a + b), 6) AS resized_sum,
+       |  CAST(list_min(vals) AS DOUBLE) AS min_px,
+       |  CAST(list_max(vals) AS DOUBLE) AS max_px
+       |FROM r""".stripMargin
+  }
+
   val m8Sql: String =
     """WITH g AS (SELECT doc_id, doc_id % 37 AS key,
       |    CAST(8 + (doc_id % 37) % 13 AS INT) AS w,

@@ -689,6 +689,33 @@ class Round7Spec extends SparkTestBase {
       graft.sources.Tables.documents(spark, "/root/testdata/sf0.001").count())
   }
 
+  test("m11 thumbnail: query output equals a direct kernel run on " +
+    "palette-built tensors (codec path adds nothing)") {
+    import testImplicits._
+    val got = graft.queries.MediaQueries
+      .m11Thumbnail(spark, "/root/testdata/sf0.001")
+      .as[(Long, Int, Int, Double, Double, Double)].collect()
+    assert(got.nonEmpty)
+    got.take(40).foreach { case (id, w, h, sum, mn, mx) =>
+      val t = graft.operators.Preprocess.Tensor(h, w, 3,
+        Array.tabulate(h * w * 3) { i =>
+          val p = i / 3
+          val idx = ((id * 7 + p * 13) % 256).toInt
+          val v = (i % 3) match {
+            case 0 => idx
+            case 1 => idx * 37 % 256
+            case _ => idx * 91 % 256
+          }
+          v.toFloat
+        })
+      val out = graft.operators.Preprocess.resizeBilinear(t, 4, 5).data
+      var s = 0.0
+      out.foreach(s += _)
+      assert(math.abs(sum - s) < 1e-6, s"doc $id sum")
+      assert(mn === out.min.toDouble && mx === out.max.toDouble, s"doc $id")
+    }
+  }
+
   test("m10 silence segments: runs match a direct formula fold, " +
     "multi-window segments exist") {
     import testImplicits._
