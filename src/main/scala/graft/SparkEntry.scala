@@ -136,6 +136,7 @@ object SparkEntry {
     "v8_track_continuity" -> VideoQueries.v8TrackContinuity,
     "x35_dataset_card" -> CorpusQueries.x35DatasetCard,
     "m11_thumbnail" -> MediaQueries.m11Thumbnail,
+    "d13_neardup_index" -> LlmQueries.d13NearDupIndex,
   )
 
   /** Every oracle is wrapped in `ORDER BY ALL` (all columns,
@@ -298,5 +299,6 @@ object SparkEntry {
     "v8_track_continuity" -> VideoQueries.v8Sql,
     "x35_dataset_card" -> CorpusQueries.x35Sql,
     "m11_thumbnail" -> MediaQueries.m11Sql,
+    "d13_neardup_index" -> LlmQueries.d13Sql,
   )
 }

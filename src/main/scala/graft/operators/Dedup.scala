@@ -88,23 +88,36 @@ object Dedup {
     * shares the join's partitioning, so the guard costs no extra
     * shuffle). Exact dedup (d1) is the right tool for such clusters;
     * AQE skew-split handles everything below the cap. */
-  def lshCandidates(sigs: DataFrame, bands: Int = 4,
-      maxBucket: Int = 64): DataFrame = {
+  /** The (doc_id, band, band_hash) rows of a signature frame, with
+    * an optional bucket-population cap (the d2 mega-bucket guard).
+    * Shared by the self-join candidate path and the persisted-index
+    * build (d13). */
+  def bandRowsOf(sigs: DataFrame, bands: Int = 4,
+      maxBucket: Option[Int] = None): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
       val s1 = col(s"mh${3 * b}"); val s2 = col(s"mh${3 * b + 1}")
       val s3 = col(s"mh${3 * b + 2}")
       struct(lit(b).as("band"),
         (((s1 * 31 + s2) % MinhashP * 31 + s3) % MinhashP).as("band_hash"))
     }
-    val bucketW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("band_hash"))
-    val bandRows = sigs
+    val rows = sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"),
         col("bs.band_hash").as("band_hash"))
-      .withColumn("bucket_n", count(lit(1)).over(bucketW))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+    maxBucket match {
+      case Some(m) =>
+        val bucketW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_hash"))
+        rows.withColumn("bucket_n", count(lit(1)).over(bucketW))
+          .filter(col("bucket_n") <= m)
+          .drop("bucket_n")
+      case None => rows
+    }
+  }
+
+  def lshCandidates(sigs: DataFrame, bands: Int = 4,
+      maxBucket: Int = 64): DataFrame = {
+    val bandRows = bandRowsOf(sigs, bands, Some(maxBucket))
     val a = bandRows.alias("a")
     val b = bandRows.alias("b")
     a.join(b,
@@ -128,6 +141,54 @@ object Dedup {
         jaccard(col("x.hashes"), col("y.hashes")).as("jac"))
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
+  }
+
+  /** Persisted NEAR-DUP INDEX, build half (d13 — the s10 lifecycle
+    * for dedup): materialize the corpus' LSH band table (partitioned
+    * by band — the on-disk posting list) and its verify features
+    * (doc_id, hashes), once. Daily batches then probe the stored
+    * tables without recomputing anything corpus-side. The
+    * mega-bucket cap is applied at BUILD time over the corpus
+    * population — a boilerplate bucket is excluded from the index
+    * the same way d2 excludes it from pairing. */
+  def nearDupIndexBuild(corpus: DataFrame, path: String,
+      maxBucket: Int = 64): Unit = {
+    val features = shingleFeatures(corpus)
+    graft.sources.Writers.writePartitioned(
+      bandRowsOf(features, maxBucket = Some(maxBucket)),
+      s"$path/bands", Seq("band"))
+    graft.sources.Writers.writePartitioned(
+      features.select(col("doc_id"), col("hashes")),
+      s"$path/features", Seq.empty)
+  }
+
+  /** Probe half: the batch's band rows (uncapped — the cap is a
+    * corpus-population property, already baked into the stored
+    * table) equi-join the stored posting list; verification joins
+    * the stored hash sets against the batch's. ONE narrow feature
+    * pass over the batch + two keyed joins; the standing corpus is
+    * never re-scanned — the x23 incremental-dedup shape upgraded
+    * from exact to NEAR duplicates. */
+  def nearDupIndexProbe(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, threshold: Double): DataFrame = {
+    val bf = shingleFeatures(batch)
+    val stored = spark.read.parquet(s"$path/bands")
+      .select(col("doc_id").as("doc_corpus"), col("band").cast("int").as("band"),
+        col("band_hash"))
+    val batchBands = bandRowsOf(bf)
+      .select(col("doc_id").as("doc_batch"), col("band"), col("band_hash"))
+    val cands = stored.join(batchBands, Seq("band", "band_hash"))
+      .select(col("doc_corpus"), col("doc_batch")).distinct()
+    val storedH = spark.read.parquet(s"$path/features")
+      .select(col("doc_id").as("doc_corpus"), col("hashes").as("hc"))
+    cands.join(storedH, Seq("doc_corpus"))
+      .join(bf.select(col("doc_id").as("doc_batch"),
+        col("hashes").as("hb")), Seq("doc_batch"))
+      .select(col("doc_corpus"), col("doc_batch"),
+        jaccard(col("hc"), col("hb")).as("jac"))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_corpus"), col("doc_batch"),
+        round(col("jac"), 6).as("jaccard"))
   }
 
   /** d12: MinHash ESTIMATOR accuracy — for every LSH candidate pair,

@@ -177,6 +177,45 @@ object LlmQueries {
        |FROM js GROUP BY 1, 2""".stripMargin
   }
 
+  /** d13: the PERSISTED near-dup index lifecycle — build the LSH
+    * band table + verify features for the standing corpus (doc_id %
+    * 10 != 7) once, then probe with the day's batch (% 10 == 7):
+    * the s10/s17 build-once/serve-many shape for dedup, upgrading
+    * x23's incremental EXACT dedup to NEAR duplicates. The oracle
+    * restates both sides from the d2 CTE chain with the bucket cap
+    * applied to the CORPUS population only (the cap is a build-time
+    * index property, not a probe-time one). */
+  def d13NearDupIndex(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, dir))
+    val path = s"${sys.props("java.io.tmpdir")}/graft_neardup_index_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    Dedup.nearDupIndexBuild(docs.filter(col("doc_id") % 10 =!= 7), path)
+    Dedup.nearDupIndexProbe(spark, path,
+      docs.filter(col("doc_id") % 10 === 7), threshold = 0.8)
+  }
+
+  val d13Sql: String = {
+    val pre = d2Sql.substring(0, d2Sql.indexOf("band AS")).trim
+    s"""$pre
+       |bandq AS (SELECT doc_id, b, bh FROM band0),
+       |cbk AS (SELECT b, bh FROM bandq WHERE doc_id % 10 <> 7
+       |  GROUP BY b, bh HAVING count(*) <= 64),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, bb.doc_id AS db
+       |  FROM bandq a JOIN cbk ON a.b = cbk.b AND a.bh = cbk.bh
+       |  JOIN bandq bb ON bb.b = a.b AND bb.bh = a.bh
+       |  WHERE a.doc_id % 10 <> 7 AND bb.doc_id % 10 = 7),
+       |hsets AS (SELECT doc_id,
+       |    list_distinct(list_transform(ss, s -> ${polySql("s")})) AS hs
+       |  FROM sh),
+       |ver AS (SELECT c.da, c.db,
+       |    CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+       |      / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) AS jac
+       |  FROM cand c JOIN hsets x ON c.da = x.doc_id
+       |    JOIN hsets y ON c.db = y.doc_id)
+       |SELECT da AS doc_corpus, db AS doc_batch, round(jac, 6) AS jaccard
+       |FROM ver WHERE jac >= 0.8""".stripMargin
+  }
+
   /** d3: per-document 64-bit SimHash fingerprints. */
   def d3Simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashFingerprints(Tables.documents(spark, dir))

@@ -716,6 +716,39 @@ class Round7Spec extends SparkTestBase {
     }
   }
 
+  test("d13 near-dup index: planted batch twin found via the stored " +
+    "posting list; sides are disjoint on the real corpus") {
+    import testImplicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val corpus = Seq(
+      (10L, base),
+      (20L, "completely different corpus text with many other words " +
+        "that share no shingles at all with anything else here"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (97L, base + " tail"),  // near-dup of 10
+      (87L, "unrelated probe document containing its own fresh " +
+        "vocabulary entirely disjoint from the corpus texts"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("d13t").toString + "/idx"
+    graft.operators.Dedup.nearDupIndexBuild(corpus, path)
+    val got = graft.operators.Dedup
+      .nearDupIndexProbe(spark, path, batch, threshold = 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length === 1)
+    assert(got.head._1 === 10L && got.head._2 === 97L)
+    assert(got.head._3 >= 0.8)
+    // real corpus: probe output sides respect the corpus/batch split
+    val real = graft.queries.LlmQueries
+      .d13NearDupIndex(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Double)].collect()
+    real.foreach { case (c, b, _) =>
+      assert(c % 10 != 7 && b % 10 == 7)
+    }
+  }
+
   test("m10 silence segments: runs match a direct formula fold, " +
     "multi-window segments exist") {
     import testImplicits._
