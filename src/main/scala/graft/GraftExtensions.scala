@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.{BigramScore, CharGramHashes, CharWindows, CosineSim, IntersectCount, PolyHash, PqAdc, PqCodes, SimHash64, TopTokenCount}
+import graft.functions.{BigramScore, CharGramHashes, CharWindows, CosineSim, IntersectCount, MisraGries, PolyHash, PqAdc, PqCodes, SimHash64, TopTokenCount}
 
 /** Engine extension point, installed via
   * `spark.sql.extensions=graft.GraftExtensions` (Engine.session) —
@@ -53,6 +53,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("char_windows"),
       new ExpressionInfo(classOf[CharWindows].getName, "char_windows"),
       (args: Seq[Expression]) => CharWindows(args(0), args(1))))
+    // bounded-memory frequent-items sketch aggregate (the candidate
+    // half of the two-pass heavy-hitters recipe; x36)
+    ext.injectFunction((
+      new FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[MisraGries].getName, "misra_gries"),
+      (args: Seq[Expression]) => MisraGries.fromArgs(args)))
     // Spark's own bloom sketch aggregate + probe predicate (the pair
     // its runtime bloom join injects), exposed at the SQL surface so
     // a collected bloom_filter_agg sketch can prefilter a join's

@@ -137,6 +137,7 @@ object SparkEntry {
     "x35_dataset_card" -> CorpusQueries.x35DatasetCard,
     "m11_thumbnail" -> MediaQueries.m11Thumbnail,
     "d13_neardup_index" -> LlmQueries.d13NearDupIndex,
+    "x36_heavy_hitters" -> CorpusQueries.x36HeavyHitters,
   )
 
   /** Every oracle is wrapped in `ORDER BY ALL` (all columns,
@@ -280,6 +281,7 @@ object SparkEntry {
     "g2_triangles" -> GraphQueries.g2Sql,
     "r32_local_supplier" -> Relational3.r32Sql,
     "x30_zipf_profile" -> CorpusQueries.x30Sql,
+    "x36_heavy_hitters" -> CorpusQueries.x36Sql,
     "r33_funnel" -> Relational3.r33Sql,
     "r34_cohort" -> Relational3.r34Sql,
     "m9_scene_cuts" -> MediaQueries.m9Sql,

@@ -667,6 +667,50 @@ object CorpusQueries {
        |  quality_micro_sum, n_distinct_texts, n_exact_dup_docs, n_langs
        |FROM st JOIN dt USING (source) JOIN lg USING (source)""".stripMargin
 
+  // ---- x36: two-pass heavy hitters (Misra–Gries + exact verify) ---
+
+  /** x36: corpus HEAVY HITTERS with bounded memory — which terms
+    * exceed 1/64 of all token occurrences. Pass 1 runs the custom
+    * `misra_gries(term, 256)` Catalyst aggregate (Sketches.scala):
+    * O(256) state per partition partial regardless of vocabulary
+    * size, merged associatively, yielding a candidate list that
+    * provably contains every term with frequency > n/257 — a strict
+    * superset of the n/64 report threshold. Pass 2 re-scans with
+    * `term.isin(candidates)` and exact-counts only those terms, so
+    * the final output is exact and deterministic even though the
+    * sketch itself is merge-order dependent.
+    *
+    * 100 TB shape: this is the groupBy-free answer to "top terms of
+    * an unbounded vocabulary" — x30's zipf profile shuffles one row
+    * per DISTINCT term (fine for a bounded vocabulary, unbounded
+    * cost for URLs/IDs/code tokens); x36's exchange carries one
+    * 256-entry sketch row per partition, and the verify pass's
+    * filter prunes to candidate rows at the scan. The one-row
+    * driver fold of the sketch is the x15 bloom pattern: O(k) bytes,
+    * disclosed, and charged to the bench's timed region. */
+  def x36HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.spread(Tables.documents(spark, dir))
+      .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+    val sketch = toks.agg(
+      expr("misra_gries(term, 256)").as("cands"),
+      count(lit(1)).as("n")).head()
+    val cands = sketch.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    val n = sketch.getLong(1)
+    toks.where(col("term").isin(cands: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * lit(64L) >= lit(n))
+      .select(col("term"), col("cnt"),
+        round(col("cnt").cast("double") / lit(n.toDouble), 6).as("share"))
+  }
+
+  val x36Sql: String =
+    s"""WITH tk AS (SELECT unnest($tsSql) AS term FROM documents),
+       |tot AS (SELECT count(*) AS n FROM tk),
+       |tf AS (SELECT term, count(*) AS cnt FROM tk GROUP BY 1)
+       |SELECT term, CAST(cnt AS BIGINT) AS cnt,
+       |  round(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share
+       |FROM tf CROSS JOIN tot WHERE cnt * 64 >= n""".stripMargin
+
   val x17Sql: String =
     """WITH s AS (SELECT event_type, props,
       |    regexp_replace(props, '[0-9]+', '[NUM]', 'g') AS scrubbed,
