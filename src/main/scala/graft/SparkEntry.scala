@@ -138,6 +138,7 @@ object SparkEntry {
     "m11_thumbnail" -> MediaQueries.m11Thumbnail,
     "d13_neardup_index" -> LlmQueries.d13NearDupIndex,
     "x36_heavy_hitters" -> CorpusQueries.x36HeavyHitters,
+    "x37_perplexity_filter" -> CorpusQueries.x37PerplexityFilter,
   )
 
   /** Every oracle is wrapped in `ORDER BY ALL` (all columns,
@@ -282,6 +283,7 @@ object SparkEntry {
     "r32_local_supplier" -> Relational3.r32Sql,
     "x30_zipf_profile" -> CorpusQueries.x30Sql,
     "x36_heavy_hitters" -> CorpusQueries.x36Sql,
+    "x37_perplexity_filter" -> CorpusQueries.x37Sql,
     "r33_funnel" -> Relational3.r33Sql,
     "r34_cohort" -> Relational3.r34Sql,
     "m9_scene_cuts" -> MediaQueries.m9Sql,

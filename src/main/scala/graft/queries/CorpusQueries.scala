@@ -386,9 +386,17 @@ object CorpusQueries {
     * docs to grams. Probabilities are exact integer ratios and the
     * per-doc fold runs in ascending position order on both engines,
     * so the double sums are bit-identical (the x9/x21 parity rule). */
-  def bigramLmScore(docs: DataFrame): DataFrame = {
-    val bg = docs.filter(length(col("text")) >= 2)
-      .select(col("doc_id"), explode(transform(
+  /** Char-bigram MLE model P(c2|c1) from a training slice, folded to
+    * ONE broadcast row of two ALIGNED arrays (sorted by gram) — the
+    * shape the bigram_score kernel indexes. The first x26 spelling
+    * kept a MAP column and scored with transform + element_at:
+    * Catalyst map lookup is a linear scan, so scoring cost
+    * O(|text|×|model|)/row — 14 s at sf0.1 vs 0.6 s for the kernel
+    * (the same interpreted-HOF lesson as simhash64 /
+    * char_gram_hashes / PqAdc). */
+  def bigramModelRow(train: DataFrame): DataFrame = {
+    val bg = train.filter(length(col("text")) >= 2)
+      .select(explode(transform(
         sequence(lit(1), length(col("text")) - 1),
         i => col("text").substr(i, lit(2)))).as("g"))
     val model = bg.groupBy(col("g")).agg(count(lit(1)).as("c2"))
@@ -396,17 +404,14 @@ object CorpusQueries {
         .over(Window.partitionBy(substring(col("g"), 1, 1))))
       .select(col("g"),
         (col("c2").cast("double") / col("c1tot").cast("double")).as("p"))
-    // the finished model = ONE broadcast row of two ALIGNED arrays
-    // (sorted by gram) — the shape the bigram_score kernel indexes.
-    // The first x26 spelling kept a MAP column and scored with
-    // transform + element_at: Catalyst map lookup is a linear scan,
-    // so scoring cost O(|text|×|model|)/row — 14 s at sf0.1 vs 0.6 s
-    // for the kernel (the same interpreted-HOF lesson as simhash64 /
-    // char_gram_hashes / PqAdc).
-    val modelRow = model
+    model
       .agg(sort_array(collect_list(struct(col("g"), col("p")))).as("gp"))
       .select(transform(col("gp"), x => x.getField("g")).as("grams"),
         transform(col("gp"), x => x.getField("p")).as("probs"))
+  }
+
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    val modelRow = bigramModelRow(docs)
     docs.crossJoin(broadcast(modelRow))
       .select(col("doc_id"), call_function("bigram_score",
         col("text"), col("grams"), col("probs")).as("sc"))
@@ -710,6 +715,91 @@ object CorpusQueries {
        |SELECT term, CAST(cnt AS BIGINT) AS cnt,
        |  round(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share
        |FROM tf CROSS JOIN tot WHERE cnt * 64 >= n""".stripMargin
+
+  // ---- x37: cross-corpus perplexity filter (CCNet shape) ----------
+
+  /** x37: PERPLEXITY-style quality filtering against a REFERENCE
+    * model — the CCNet recipe (Wenzek et al. 2020): train a small LM
+    * on a trusted slice (here the `src0` source), score every
+    * document against it, and flag documents whose likelihood falls
+    * below half the reference slice's own mean. x26 scores a corpus
+    * against ITSELF (self-perplexity); x37 is the cross-corpus form
+    * a curation pipeline actually runs — "which sources drift from
+    * the reference distribution, and how much of each would a
+    * perplexity gate drop?" Out-of-vocabulary bigrams score 0
+    * (bigram_score's contract), so unseen-alphabet text is maximally
+    * penalized — exactly the behavior wanted from a drift gate.
+    *
+    * Cross-engine exactness: each doc's mean bigram probability is
+    * quantized to integer MICRO units (floor(p*1e6+0.5), the x35
+    * discipline) the moment it leaves the kernel; the reference mean
+    * and the flag predicate (2*score*ref_n < ref_sum) then stay in
+    * exact integer arithmetic, immune to cross-engine double
+    * summation order.
+    *
+    * 100 TB shape: the model is ONE broadcast row (vocab² bounded);
+    * scoring is a narrow codegen'd projection over the scan; the
+    * reference stats fold to a second one-row broadcast; the only
+    * exchange is the final per-source partial agg. Training scans
+    * only the reference slice (source pushed to the scan). */
+  def x37PerplexityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, dir))
+    val model = bigramModelRow(docs.filter(col("source") === "src0"))
+    val scored = docs.crossJoin(broadcast(model))
+      .select(col("doc_id"), col("source"), call_function("bigram_score",
+        col("text"), col("grams"), col("probs")).as("sc"))
+      .select(col("doc_id"), col("source"),
+        when(element_at(col("sc"), 1) > 0,
+          floor(element_at(col("sc"), 2) / element_at(col("sc"), 1)
+            * lit(1000000.0) + lit(0.5)))
+          .otherwise(0L).cast("long").as("score_micro"))
+    val ref = scored.where(col("source") === "src0")
+      .agg(sum(col("score_micro")).as("ref_sum"),
+        count(lit(1)).as("ref_n"))
+    scored.crossJoin(broadcast(ref))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("score_micro")).as("score_micro_sum"),
+        sum(when(col("score_micro") * lit(2L) * col("ref_n") < col("ref_sum"),
+          1L).otherwise(0L)).as("n_flagged"))
+      .select(col("source"), col("n_docs"), col("score_micro_sum"),
+        col("n_flagged"),
+        round(col("n_flagged").cast("double") / col("n_docs").cast("double"),
+          6).as("flag_rate"))
+  }
+
+  val x37Sql: String =
+    """WITH bgm AS (SELECT substr(text, i, 2) AS g
+      |  FROM documents, LATERAL (SELECT
+      |    unnest(generate_series(1, length(text) - 1)) AS i) t
+      |  WHERE source = 'src0' AND length(text) >= 2),
+      |cnt2 AS (SELECT g, count(*) AS c2 FROM bgm GROUP BY g),
+      |cnt1 AS (SELECT substr(g, 1, 1) AS c1, sum(c2) AS c1tot
+      |  FROM cnt2 GROUP BY 1),
+      |model AS (SELECT g, CAST(c2 AS DOUBLE) / CAST(c1tot AS DOUBLE) AS p
+      |  FROM cnt2 JOIN cnt1 ON substr(g, 1, 1) = c1),
+      |bg AS (SELECT doc_id, i, substr(text, i, 2) AS g
+      |  FROM documents, LATERAL (SELECT
+      |    unnest(generate_series(1, length(text) - 1)) AS i) t
+      |  WHERE length(text) >= 2),
+      |probs AS (SELECT doc_id, list(coalesce(p, 0.0) ORDER BY i) AS ps
+      |  FROM bg LEFT JOIN model USING (g) GROUP BY doc_id),
+      |sc AS (SELECT d.doc_id, d.source,
+      |    CASE WHEN coalesce(len(ps), 0) > 0 THEN
+      |      CAST(floor(list_reduce(list_prepend(CAST(0 AS DOUBLE), ps),
+      |        (x, y) -> x + y) / len(ps) * 1000000 + 0.5) AS BIGINT)
+      |    ELSE 0 END AS score_micro
+      |  FROM documents d LEFT JOIN probs USING (doc_id)),
+      |refstat AS (SELECT CAST(sum(score_micro) AS BIGINT) AS ref_sum,
+      |    count(*) AS ref_n
+      |  FROM sc WHERE source = 'src0')
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(score_micro) AS BIGINT) AS score_micro_sum,
+      |  CAST(count(*) FILTER (score_micro * 2 * ref_n < ref_sum)
+      |    AS BIGINT) AS n_flagged,
+      |  round(CAST(count(*) FILTER (score_micro * 2 * ref_n < ref_sum)
+      |    AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS flag_rate
+      |FROM sc CROSS JOIN refstat GROUP BY source""".stripMargin
 
   val x17Sql: String =
     """WITH s AS (SELECT event_type, props,
