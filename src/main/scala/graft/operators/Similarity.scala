@@ -183,6 +183,34 @@ object Similarity {
         round(col("cos"), 6).as("cosine"))
   }
 
+  /** RANGE search — the other half of the vector-search API: not
+    * "the k nearest" but "EVERY neighbor at least `tau` similar"
+    * (radius/threshold query: duplicate detection at a fixed
+    * similarity bar, recall sweeps, graph building). Served from the
+    * same IVF layout as knnIvfProbe: corpus vectors live in one cell
+    * each, queries probe their `nprobe` nearest cells, and the
+    * threshold filter replaces the top-k window — so the plan has NO
+    * sort and NO window at all, just the cell equi-join and a
+    * codegen'd filter. At 100 TB that matters: a top-k needs a
+    * per-query ranking pass; a range query streams join output
+    * straight through the predicate. Result-size control is the
+    * caller's tau (plus nprobe), exactly like production vector
+    * stores' radius search. */
+  def rangeSearch(embeddings: DataFrame, queries: DataFrame,
+      centroids: DataFrame, tau: Double, nprobe: Int): DataFrame = {
+    val corpusCells = assignCells(embeddings, centroids)
+    val queryCells = assignCellsMulti(queries, centroids, nprobe)
+    corpusCells.alias("c")
+      .join(broadcast(queryCells.alias("q")),
+        col("q.cell") === col("c.cell") &&
+        col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        cosineSim(col("q.embedding"), col("c.embedding")).as("cos"))
+      .filter(col("cos") >= tau)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
   /** Top-`nprobe` cell assignment: same single broadcast sorted
     * centroid row as assignCells, but each vector explodes to its
     * `nprobe` best cells. Ranking = lexicographic sort of

@@ -437,6 +437,45 @@ object LlmQueries {
 
   val s6Sql: String = ivfSql(nprobe = 2)
 
+  /** s19: RANGE search over the same IVF layout as s6 — every
+    * neighbor with cosine >= 0.25 within the query's two probed
+    * cells (Similarity.rangeSearch). Completes the vector-search API
+    * surface: s1–s18 answer "the k best", s19 answers "all above a
+    * similarity bar", the primitive behind fixed-threshold duplicate
+    * sweeps and similarity-graph construction (d5 is exactly this
+    * shape inlined; s19 is the served-index form). Plan has no sort
+    * and no window — cell equi-join + codegen'd threshold filter. */
+  def s19RangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.rangeSearch(emb, queryVecs(spark, dir),
+      emb.filter(col("vec_id") < 8), tau = 0.25, nprobe = 2)
+  }
+
+  val s19Sql: String =
+    s"""WITH cent AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+       |corpus_cells AS (SELECT vec_id, embedding, cell FROM (
+       |  SELECT v.vec_id, v.embedding,
+       |    CAST(row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      ${cosSql("v.embedding", "c.embedding")} DESC, c.vec_id)
+       |      AS INT) AS crn,
+       |    c.vec_id AS cell
+       |  FROM embeddings v CROSS JOIN cent c
+       |) WHERE crn <= 1),
+       |query_cells AS (SELECT vec_id, embedding, cell FROM (
+       |  SELECT v.vec_id, v.embedding,
+       |    CAST(row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      ${cosSql("v.embedding", "c.embedding")} DESC, c.vec_id)
+       |      AS INT) AS crn,
+       |    c.vec_id AS cell
+       |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5)
+       |    v CROSS JOIN cent c
+       |) WHERE crn <= 2)
+       |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  round(${cosSql("q.embedding", "c.embedding")}, 6) AS cosine
+       |FROM corpus_cells c JOIN query_cells q
+       |  ON q.cell = c.cell AND q.vec_id <> c.vec_id
+       |WHERE ${cosSql("q.embedding", "c.embedding")} >= 0.25""".stripMargin
+
   /** s9: the TRAINED coarse quantizer serving the IVF search — s6's
     * exact plan (single-cell inverted lists, nprobe=2 query probing)
     * but with centroids from `KMeans.train` (DataFrame-native

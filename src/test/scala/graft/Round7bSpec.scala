@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** Round-7 continuation specs: range search (s19) and later
+  * additions from the same session. */
+class Round7bSpec extends SparkTestBase {
+  import testImplicits._
+
+  test("s19 range search: probing ALL cells equals brute-force threshold filter") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 5)
+    val cents = emb.filter(col("vec_id") < 8)
+    val tau = 0.2
+    // nprobe = 8 = every centroid -> blocking loses nothing
+    val got = Similarity.rangeSearch(emb, queries, cents, tau, nprobe = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    val brute = emb.alias("c").join(queries.alias("q"),
+        col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        graft.functions.TextFunctions.cosineSim(
+          col("q.embedding"), col("c.embedding")).as("cos"))
+      .filter(col("cos") >= tau)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == brute)
+    assert(got.nonEmpty, "tau=0.2 should catch at least one pair at sf0.001")
+  }
+
+  test("s19 range search results are a subset of brute force at nprobe=2") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 5)
+    val cents = emb.filter(col("vec_id") < 8)
+    val got = Similarity.rangeSearch(emb, queries, cents, 0.2, nprobe = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    val all = Similarity.rangeSearch(emb, queries, cents, 0.2, nprobe = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.subsetOf(all))
+    // every returned cosine respects the bar
+    got.foreach { case (_, _, c) => assert(c >= 0.2 - 1e-9) }
+  }
+
+  test("s19 plan has no sort and no window (threshold replaces top-k)") {
+    val df = graft.queries.LlmQueries.s19RangeSearch(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "range search must not rank")
+    assert(!plan.contains("Sort"), s"range search must not sort:\n$plan")
+  }
+}
