@@ -498,4 +498,102 @@ object Relational3 {
       |  event_type, cents
       |FROM e
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""".stripMargin
+
+  // ---- r39: shipping-priority top-10 (TPC-H Q3 shape) --------------
+
+  /** r39: the Q3 SHAPE — unshipped-revenue top-10 for one market
+    * segment: customer⋈orders⋈lineitem with disjoint date predicates
+    * on BOTH fact tables (orders before the cutoff, line items
+    * shipped after it), revenue agg keyed by order, then a global
+    * top-10. The segment filter prunes the customer build side
+    * before the join; both date predicates push to their scans
+    * (PushedFilters), so the join touches only the candidate window.
+    * The top-10 is TakeOrderedAndProject — per-partition heaps + one
+    * 10-row driver merge, never a global sort. o_orderpriority
+    * stands in for the spec's o_shippriority (not in this schema). */
+  def r39ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cut = "1999-06-30"
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < lit(cut))
+    val li = Tables.lineitem(spark, dir).filter(col("l_shipdate") > lit(cut))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
+        col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate_us"),
+        col("o_orderpriority"))
+  }
+
+  val r39Sql: String =
+    """SELECT l_orderkey,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us,
+      |  o_orderpriority
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1999-06-30'
+      |  AND l_shipdate > TIMESTAMP '1999-06-30'
+      |GROUP BY 1, 3, 4
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  // ---- r40: bilateral volume shipping (TPC-H Q7 shape) -------------
+
+  /** r40: the Q7 SHAPE — annual trade volume between two specific
+    * nations, in both directions: the nation table joins TWICE under
+    * different roles (supplier's nation, customer's nation), with the
+    * bilateral-pair predicate across both roles and a per-year
+    * breakdown. Both nation sides broadcast (25 rows); the pair
+    * predicate survives as a post-join filter over the two broadcast
+    * dimensions, so the only exchange is the final (nation, nation,
+    * year) partial agg. Year extraction happens once in the
+    * projection, not per aggregate row. */
+  def r40VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val r40Sql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS INT) AS l_year,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |GROUP BY 1, 2, 3""".stripMargin
 }

@@ -42,6 +42,28 @@ class Round7bSpec extends SparkTestBase {
     got.foreach { case (_, _, c) => assert(c >= 0.2 - 1e-9) }
   }
 
+  test("r39 plan: top-10 is a TakeOrdered, date predicates reach the scans") {
+    val df = graft.queries.Relational3.r39ShippingPriority(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "global top-10 must be per-partition heaps, not a full sort")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("l_shipdate") && optimized.contains("o_orderdate"))
+    // rows respect both predicates and the segment
+    val rows = df.collect()
+    assert(rows.length <= 10)
+  }
+
+  test("r40: bilateral pair appears in both directions with broadcast nations") {
+    val df = graft.queries.Relational3.r40VolumeShipping(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "nation joins must broadcast")
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    rows.foreach { case (s, c) =>
+      assert(Set("NATION_1", "NATION_2").contains(s) && s != c)
+    }
+  }
+
   test("s19 plan has no sort and no window (threshold replaces top-k)") {
     val df = graft.queries.LlmQueries.s19RangeSearch(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
