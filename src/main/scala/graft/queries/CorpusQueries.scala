@@ -801,6 +801,94 @@ object CorpusQueries {
       |    AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS flag_rate
       |FROM sc CROSS JOIN refstat GROUP BY source""".stripMargin
 
+  // ---- x38: corpus drift (Jensen–Shannon divergence) --------------
+
+  /** x38: DISTRIBUTION DRIFT between two corpus snapshots — the
+    * monitoring primitive a continuously-ingesting pipeline runs
+    * before every training refresh: per language, the Jensen–Shannon
+    * divergence between the token distributions of snapshot A
+    * (even doc_ids — "yesterday's corpus") and snapshot B (odd —
+    * "today's"), plus the exact new-term / dropped-term counts.
+    * JSD is symmetric and bounded [0,1] (log2), so one threshold
+    * works for every language regardless of vocabulary size.
+    *
+    * Cross-engine exactness: each term's JSD contribution is a
+    * deterministic double expression over INTEGER counts, quantized
+    * to nano units (floor(c*1e9+0.5)) the moment it is computed;
+    * per-language totals are then exact integer sums — immune to
+    * summation order, the same discipline as x35/x37's micro units.
+    *
+    * 100 TB shape: one scan → explode → ONE (lang, term) partial agg
+    * with the A/B split folded into conditional sums (no second
+    * scan, no join between snapshots); language totals are a 5-row
+    * broadcast; contribution + quantization is a narrow projection;
+    * the final per-lang sum rides the same exchange. */
+  def x38Drift(spark: SparkSession, dir: String): DataFrame =
+    tokenDrift(Tables.spread(Tables.documents(spark, dir))
+      .withColumn("is_a", col("doc_id") % 2 === 0))
+
+  /** Core of x38 over any (lang, is_a, text) frame. */
+  def tokenDrift(docs: DataFrame): DataFrame = {
+    val tk = docs
+      .select(col("lang"), col("is_a"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+    val cnt = tk.groupBy(col("lang"), col("term")).agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+      sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+    val totals = cnt.groupBy(col("lang")).agg(
+      sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val p = when(col("na") > 0,
+      col("ca").cast("double") / col("na").cast("double")).otherwise(lit(0.0))
+    val q = when(col("nb") > 0,
+      col("cb").cast("double") / col("nb").cast("double")).otherwise(lit(0.0))
+    val contrib = lit(0.5) *
+      (when(col("ca") > 0, p * log2(p * lit(2.0) / (p + q))).otherwise(lit(0.0)) +
+       when(col("cb") > 0, q * log2(q * lit(2.0) / (p + q))).otherwise(lit(0.0)))
+    cnt.join(broadcast(totals), "lang")
+      .select(col("lang"), col("ca"), col("cb"), col("na"), col("nb"),
+        floor(contrib * lit(1000000000.0) + lit(0.5)).cast("long").as("nano"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(when(col("ca") === 0, 1L).otherwise(0L)).as("n_new_terms"),
+        sum(when(col("cb") === 0, 1L).otherwise(0L)).as("n_dropped_terms"),
+        first(col("na")).as("n_tokens_a"),
+        first(col("nb")).as("n_tokens_b"),
+        sum(col("nano")).as("jsd_nano"))
+      .select(col("lang"), col("n_terms"), col("n_new_terms"),
+        col("n_dropped_terms"), col("n_tokens_a"), col("n_tokens_b"),
+        col("jsd_nano"),
+        round(col("jsd_nano").cast("double") / lit(1000000000.0), 6).as("jsd"))
+  }
+
+  val x38Sql: String =
+    s"""WITH tk AS (SELECT lang, doc_id % 2 = 0 AS is_a, unnest($tsSql) AS term
+       |  FROM documents),
+       |cnt AS (SELECT lang, term,
+       |    CAST(count(*) FILTER (is_a) AS BIGINT) AS ca,
+       |    CAST(count(*) FILTER (NOT is_a) AS BIGINT) AS cb
+       |  FROM tk GROUP BY 1, 2),
+       |tot AS (SELECT lang, CAST(sum(ca) AS BIGINT) AS na,
+       |    CAST(sum(cb) AS BIGINT) AS nb FROM cnt GROUP BY 1),
+       |c2 AS (SELECT lang, ca, cb, na, nb,
+       |    CASE WHEN na > 0 THEN CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+       |      ELSE 0.0 END AS p,
+       |    CASE WHEN nb > 0 THEN CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)
+       |      ELSE 0.0 END AS q
+       |  FROM cnt JOIN tot USING (lang)),
+       |n3 AS (SELECT lang, ca, cb, na, nb,
+       |    CAST(floor(0.5 * (
+       |      CASE WHEN ca > 0 THEN p * log2(p * 2.0 / (p + q)) ELSE 0.0 END +
+       |      CASE WHEN cb > 0 THEN q * log2(q * 2.0 / (p + q)) ELSE 0.0 END)
+       |      * 1000000000.0 + 0.5) AS BIGINT) AS nano
+       |  FROM c2)
+       |SELECT lang, count(*) AS n_terms,
+       |  CAST(count(*) FILTER (ca = 0) AS BIGINT) AS n_new_terms,
+       |  CAST(count(*) FILTER (cb = 0) AS BIGINT) AS n_dropped_terms,
+       |  min(na) AS n_tokens_a, min(nb) AS n_tokens_b,
+       |  CAST(sum(nano) AS BIGINT) AS jsd_nano,
+       |  round(CAST(sum(nano) AS DOUBLE) / 1000000000.0, 6) AS jsd
+       |FROM n3 GROUP BY 1""".stripMargin
+
   val x17Sql: String =
     """WITH s AS (SELECT event_type, props,
       |    regexp_replace(props, '[0-9]+', '[NUM]', 'g') AS scrubbed,

@@ -64,6 +64,30 @@ class Round7bSpec extends SparkTestBase {
     }
   }
 
+  test("x38 JSD: identical snapshots diverge 0, disjoint alphabets diverge 1") {
+    import graft.queries.CorpusQueries.tokenDrift
+    // identical: same text on both sides -> jsd exactly 0
+    val same = Seq(("en", true, "a b c a"), ("en", false, "a b c a"))
+      .toDF("lang", "is_a", "text")
+    val r0 = tokenDrift(same).select("jsd_nano").as[Long].head()
+    assert(r0 == 0L)
+    // disjoint vocabularies -> jsd exactly 1 (log2 base)
+    val disj = Seq(("en", true, "a a b"), ("en", false, "x y y"))
+      .toDF("lang", "is_a", "text")
+    val r1 = tokenDrift(disj).select("jsd_nano").as[Long].head()
+    assert(r1 == 1000000000L, s"got $r1")
+    // symmetry: swapping snapshots leaves jsd unchanged
+    val ab = Seq(("en", true, "a a b c"), ("en", false, "a b b d"))
+      .toDF("lang", "is_a", "text")
+    val ba = ab.withColumn("is_a", !col("is_a"))
+    assert(tokenDrift(ab).select("jsd_nano").as[Long].head() ==
+      tokenDrift(ba).select("jsd_nano").as[Long].head())
+    // new/dropped term accounting
+    val row = tokenDrift(ab).select("n_new_terms", "n_dropped_terms")
+      .as[(Long, Long)].head()
+    assert(row == ((1L, 1L)), "d is new, c is dropped")
+  }
+
   test("s19 plan has no sort and no window (threshold replaces top-k)") {
     val df = graft.queries.LlmQueries.s19RangeSearch(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
