@@ -266,4 +266,76 @@ object MediaQueries {
       |  min(doc_id) AS first_doc,
       |  count(*) FILTER (doc_id % 2 = 1) AS n_perturbed
       |FROM ph GROUP BY 1, 2, 3""".stripMargin
+
+  // ---- m12: audio resampling (factor-2 linear upsample) -----------
+
+  /** m12: audio RESAMPLING under the hash gate — the rate-conversion
+    * stage between decode (m3) and feature extraction (m5): each
+    * document's 8 kHz PCM (the m3 synthetic waveform, really
+    * WAV-encoded and really decoded back) upsamples ×2 to 16 kHz by
+    * linear interpolation: out[2k] = s[k], out[2k+1] =
+    * (s[k]+s[k+1])/2 with truncating integer division — the
+    * midpoint stays integral, so the resampled fingerprint is
+    * restatable arithmetically (DuckDB `//` truncates toward zero
+    * exactly like JVM integer division, verified for negatives).
+    * Output length 2n−1 (no right-edge extrapolation — the contract
+    * a sample-aligned resampler wants).
+    *
+    * 100 TB shape: decode + resample + fingerprint all inside ONE
+    * partition-scoped map — waveforms never shuffle, one row of
+    * stats leaves per doc (the m3/m5 contract). */
+  def m12Resample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Codecs
+    Tables.spread(Tables.documents(spark, dir).select(col("doc_id"))).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = (64 + id % 97).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((id * 31 + i.toLong * 97) % 65536) - 32768).toShort)
+          val wav = Codecs.WavCodec.encodePcm16(8000, 1, samples)
+          val (h, back) = Codecs.WavCodec.decodePcm16(wav)
+          require(h.nSampleFrames == n, s"wav sample count mismatch for doc $id")
+          val m = 2 * n - 1
+          val out = new Array[Int](m)
+          var i = 0
+          while (i < m) {
+            out(i) =
+              if (i % 2 == 0) back(i / 2).toInt
+              else (back((i - 1) / 2) + back((i - 1) / 2 + 1)) / 2
+            i += 1
+          }
+          var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+          var fp = 0L
+          out.foreach { s =>
+            sum += s; mn = math.min(mn, s); mx = math.max(mx, s)
+            fp = (fp * 31 + (s + 32768)) % 1000000007L
+          }
+          (id, n, m, 16000, sum, mn, mx, fp)
+        }
+      }.toDF("doc_id", "n_in", "n_out", "rate_out", "sum_pcm",
+        "min_pcm", "max_pcm", "pcm_fp")
+  }
+
+  val m12Sql: String =
+    """WITH s AS (SELECT doc_id, CAST(64 + doc_id % 97 AS INT) AS n,
+      |    list_transform(range(64 + doc_id % 97),
+      |      i -> (doc_id * 31 + i * 97) % 65536 - 32768) AS pcm
+      |  FROM documents),
+      |r AS (SELECT doc_id, n,
+      |    list_transform(range(2 * n - 1), i -> CASE WHEN i % 2 = 0
+      |      THEN pcm[i // 2 + 1]
+      |      ELSE (pcm[(i - 1) // 2 + 1] + pcm[(i - 1) // 2 + 2]) // 2
+      |      END) AS up
+      |  FROM s)
+      |SELECT doc_id, n AS n_in, CAST(2 * n - 1 AS INT) AS n_out,
+      |  16000 AS rate_out,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), up),
+      |    (a, b) -> a + b) AS BIGINT) AS sum_pcm,
+      |  CAST(list_min(up) AS INT) AS min_pcm,
+      |  CAST(list_max(up) AS INT) AS max_pcm,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(up, v -> v + 32768)),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS pcm_fp
+      |FROM r""".stripMargin
 }

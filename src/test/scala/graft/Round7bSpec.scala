@@ -88,6 +88,26 @@ class Round7bSpec extends SparkTestBase {
     assert(row == ((1L, 1L)), "d is new, c is dropped")
   }
 
+  test("m12 resample: length contract and interpolation bounds hold per doc") {
+    val rows = graft.queries.MediaQueries.m12Resample(spark, sf)
+      .as[(Long, Int, Int, Int, Long, Int, Int, Long)].collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { case (id, nIn, nOut, rate, _, mn, mx, _) =>
+      assert(nOut == 2 * nIn - 1, s"doc $id: 2x upsample minus right edge")
+      assert(rate == 16000)
+      // interpolated midpoints can never escape the source range
+      assert(mn >= -32768 && mx <= 32767)
+    }
+    // spot-check one doc against a direct recomputation
+    val id = rows.head._1
+    val n = (64 + id % 97).toInt
+    val s = Array.tabulate(n)(i => (((id * 31 + i.toLong * 97) % 65536) - 32768).toInt)
+    val exp = (0 until 2 * n - 1).map(i =>
+      if (i % 2 == 0) s(i / 2) else (s((i - 1) / 2) + s((i - 1) / 2 + 1)) / 2)
+    val got = rows.find(_._1 == id).get
+    assert(got._5 == exp.map(_.toLong).sum && got._6 == exp.min && got._7 == exp.max)
+  }
+
   test("s19 plan has no sort and no window (threshold replaces top-k)") {
     val df = graft.queries.LlmQueries.s19RangeSearch(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
