@@ -102,6 +102,32 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Local CLUSTERING COEFFICIENT per node: cc(v) = 2·T(v) /
+    * (deg(v)·(deg(v)−1)) — how close each node's neighborhood is to
+    * a clique. On the near-dup graph this is the template-vs-chain
+    * discriminator: boilerplate families are near-cliques (cc ≈ 1,
+    * safe to collapse to one survivor), incidental chains have
+    * cc ≈ 0 (collapsing them over-merges — exactly the d9 caveat).
+    * Reuses triangleCounts' oriented-wedge plan (each triangle
+    * counted once, no dedup) plus the degree agg; nodes without
+    * triangles enter via a left join with an integer-zero default,
+    * and the single per-row division rounds at the edge (no
+    * cross-row double sums anywhere). */
+  def clusteringCoefficients(pairs: DataFrame): DataFrame = {
+    val sym = pairs
+      .select(col("doc_a").cast("long").as("doc_id"), col("doc_b"))
+      .union(pairs
+        .select(col("doc_b").cast("long").as("doc_id"), col("doc_a")))
+    val deg = sym.groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    val tri = triangleCounts(pairs)
+    deg.join(tri, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("cc", when(col("degree") >= 2,
+        round(lit(2.0) * col("n_triangles") /
+          (col("degree") * (col("degree") - 1)), 6)).otherwise(lit(0.0)))
+  }
+
   /** Distinct ≤2-hop neighborhood size per node over an undirected
     * pair list — the candidate-expansion primitive ("everything
     * reachable through one intermediate") a curation pipeline uses

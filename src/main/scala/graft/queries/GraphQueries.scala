@@ -88,4 +88,37 @@ object GraphQueries {
        |  WHERE b.d <> a.s),
        |al AS (SELECT s, d FROM sym UNION SELECT s, d FROM two)
        |SELECT s AS doc_id, count(*) AS n_within_2 FROM al GROUP BY 1""".stripMargin
+
+  /** g4: local clustering coefficient over the same near-dup graph —
+    * the template-vs-chain discriminator (Graph.
+    * clusteringCoefficients): near-clique families (cc → 1) are safe
+    * to collapse to one survivor; low-cc chains are the over-merge
+    * hazard d9's docs warn about. Same oriented-wedge triangle plan
+    * as g2 plus the degree agg; one row per graph node. */
+  def g4ClusteringCoeff(spark: SparkSession, dir: String): DataFrame =
+    Graph.clusteringCoefficients(LlmQueries.d6SimhashPairs(spark, dir))
+
+  val g4Sql: String =
+    s"""WITH pairs AS (SELECT doc_a, doc_b FROM (
+       |${LlmQueries.d6Sql}
+       |)),
+       |sym AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |deg AS (SELECT s AS doc_id, count(*) AS degree FROM sym GROUP BY 1),
+       |ornt AS (SELECT e.s AS src, e.d AS dst
+       |  FROM sym e JOIN deg a ON a.doc_id = e.s JOIN deg b ON b.doc_id = e.d
+       |  WHERE a.degree < b.degree OR (a.degree = b.degree AND e.s < e.d)),
+       |tri AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+       |  FROM ornt e1 JOIN ornt e2 ON e1.src = e2.src
+       |  JOIN ornt e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+       |  WHERE e1.dst <> e2.dst),
+       |cr AS (SELECT unnest([u, v, w]) AS doc_id FROM tri),
+       |tc AS (SELECT doc_id, count(*) AS n_triangles FROM cr GROUP BY 1)
+       |SELECT d.doc_id, d.degree,
+       |  CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       |  CASE WHEN d.degree >= 2 THEN
+       |    round(2.0 * coalesce(t.n_triangles, 0) /
+       |      (d.degree * (d.degree - 1)), 6)
+       |  ELSE 0.0 END AS cc
+       |FROM deg d LEFT JOIN tc t USING (doc_id)""".stripMargin
 }

@@ -108,6 +108,25 @@ class Round7bSpec extends SparkTestBase {
     assert(got._5 == exp.map(_.toLong).sum && got._6 == exp.min && got._7 == exp.max)
   }
 
+  test("g4 clustering coefficient: triangle=1.0, path=0, star center=0") {
+    import graft.operators.Graph
+    // triangle abc + pendant d on a; star center e with leaves f,g
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L), (5L, 6L), (5L, 7L))
+      .toDF("doc_a", "doc_b")
+    val cc = Graph.clusteringCoefficients(pairs)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // b and c: deg 2, 1 triangle -> cc = 1.0
+    assert(cc(2L)._4 == 1.0 && cc(3L)._4 == 1.0)
+    // a: deg 3, 1 triangle -> 2*1/(3*2) = 0.333333
+    assert(math.abs(cc(1L)._4 - 0.333333) < 1e-9)
+    // pendant d: deg 1 -> 0 by convention
+    assert(cc(4L)._4 == 0.0 && cc(4L)._2 == 1)
+    // star center e: deg 2, no triangle -> 0
+    assert(cc(5L)._4 == 0.0 && cc(5L)._3 == 0)
+    assert(cc.size == 7)
+  }
+
   test("s19 plan has no sort and no window (threshold replaces top-k)") {
     val df = graft.queries.LlmQueries.s19RangeSearch(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
