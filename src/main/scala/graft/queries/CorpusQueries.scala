@@ -903,4 +903,95 @@ object CorpusQueries {
       |  count(DISTINCT scrubbed) AS n_forms,
       |  CAST(sum(k) AS BIGINT) AS k_sum, min(k) AS k_min, max(k) AS k_max
       |FROM s GROUP BY 1""".stripMargin
+
+  // ---- d14: sub-document dedup with doc rewrite (C4 recipe) -------
+
+  /** Core of d14 over any (doc_id, text) frame: split each doc into
+    * fixed `chunkTokens`-token chunks ROW-LOCALLY (slices over the
+    * token array — no explode→groupBy round trip to rebuild chunks),
+    * keep each distinct chunk's FIRST corpus-wide occurrence in
+    * global (doc_id, idx) order, drop every later occurrence —
+    * across docs AND repeats within one doc — and reconstruct the
+    * retained document in chunk order.
+    *
+    * Determinism: the keeper is min(doc_id·100000 + idx), exact
+    * integer arithmetic (idx < 100000 is the documented bound; the
+    * extreme-scale escalation is a struct min). The rewrite
+    * fingerprint is md5 of kept chunks joined by ' ' in idx order;
+    * zero-kept docs fingerprint md5('') on both engines. */
+  def chunkDedup(docs: DataFrame, chunkTokens: Int): DataFrame = {
+    import TextFunctions.bind
+    val n = chunkTokens
+    val chunked = docs.select(col("doc_id"),
+      bind(TextFunctions.tokens(col("text")), ts =>
+        when(size(ts) > 0,
+          transform(
+            sequence(lit(0), ((size(ts) + lit(n - 1)) / lit(n)).cast("int") - 1),
+            i => concat_ws(" ", slice(ts, i * n + 1, lit(n)))))
+          .otherwise(array().cast("array<string>"))).as("chunks"))
+    val occ = chunked
+      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("idx", "chunk")))
+      .withColumn("ck", md5(col("chunk")))
+      .withColumn("ord", col("doc_id") * lit(100000L) + col("idx"))
+    val keeper = occ.groupBy(col("ck")).agg(min(col("ord")).as("keep_ord"))
+    val agg = occ.join(keeper, "ck")
+      .withColumn("kept", col("ord") === col("keep_ord"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), length(col("chunk"))).otherwise(lit(0)))
+          .as("kept_chars"),
+        md5(array_join(transform(array_sort(collect_list(
+          when(col("kept"), struct(col("idx"), col("chunk"))))),
+          s => s.getField("chunk")), " ")).as("kept_md5"))
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_chars"), lit(0L)).as("kept_chars"),
+        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+  }
+
+  /** d14: SUB-DOCUMENT dedup with document REWRITE — the C4/
+    * RefinedWeb line-dedup recipe adapted to unbroken text (fixed
+    * 12-token chunks standing in for lines). d10 DETECTS shared
+    * substrings (pairs + shared-window counts); d14 REMOVES them:
+    * the boilerplate-scrub step that actually changes the training
+    * corpus, with the retained text fingerprinted so the oracle
+    * checks the rewrite itself, not just the counts.
+    *
+    * 100 TB shape: chunking is row-local; the exchange carries one
+    * row per chunk occurrence (the operator's honest cost — the
+    * chunk IS the unit being deduped), then one partial-agg min per
+    * distinct chunk + one equi-join on the chunk key + the per-doc
+    * closing agg. At scale the md5 key would shrink to a 64-bit
+    * poly-hash before the exchange (the d8 note); md5 here keeps
+    * the oracle restatement byte-exact. */
+  def d14ChunkDedup(spark: SparkSession, dir: String): DataFrame =
+    chunkDedup(Tables.spread(Tables.documents(spark, dir)), 12)
+
+  val d14Sql: String =
+    s"""WITH toks AS (SELECT doc_id, $tsSql AS ts FROM documents),
+       |ch AS (SELECT doc_id, CAST(i AS INT) AS idx,
+       |    array_to_string(ts[i*12+1 : i*12+12], ' ') AS chunk
+       |  FROM toks, LATERAL (SELECT
+       |    unnest(range(CAST(ceil(len(ts)/12.0) AS INT))) AS i) t
+       |  WHERE len(ts) > 0),
+       |occ AS (SELECT doc_id, idx, chunk, md5(chunk) AS ck,
+       |    doc_id*100000 + idx AS ord FROM ch),
+       |keep AS (SELECT ck, min(ord) AS keep_ord FROM occ GROUP BY 1),
+       |k AS (SELECT o.doc_id, o.idx, o.chunk, o.ord = keep_ord AS kept
+       |  FROM occ o JOIN keep USING (ck)),
+       |agg AS (SELECT doc_id, count(*) AS n_chunks,
+       |    CAST(count(*) FILTER (kept) AS BIGINT) AS n_kept,
+       |    CAST(coalesce(sum(length(chunk)) FILTER (kept), 0) AS BIGINT)
+       |      AS kept_chars,
+       |    coalesce(md5(string_agg(chunk, ' ' ORDER BY idx) FILTER (kept)),
+       |      md5('')) AS kept_md5
+       |  FROM k GROUP BY 1)
+       |SELECT d.doc_id, coalesce(n_chunks, 0) AS n_chunks,
+       |  coalesce(n_kept, 0) AS n_kept,
+       |  coalesce(kept_chars, 0) AS kept_chars,
+       |  coalesce(kept_md5, md5('')) AS kept_md5
+       |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
 }

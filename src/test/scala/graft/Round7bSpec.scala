@@ -127,6 +127,26 @@ class Round7bSpec extends SparkTestBase {
     assert(cc.size == 7)
   }
 
+  test("d14 chunk dedup: cross-doc drop, within-doc drop, empty doc, rewrite md5") {
+    import graft.queries.CorpusQueries
+    def md5s(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = Seq(
+      (1L, "a b c d e f"),   // two chunks, both first occurrences
+      (2L, "a b c x y"),     // chunk "a b c" duplicates doc 1 -> dropped
+      (3L, "p q r p q r"),   // within-doc repeat -> second dropped
+      (4L, " ")              // zero tokens -> zero chunks
+    ).toDF("doc_id", "text")
+    val got = CorpusQueries.chunkDedup(docs, 3)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, 2L, 10L, md5s("a b c d e f"))))
+    assert(got(2L) == ((2L, 2L, 1L, 3L, md5s("x y"))))
+    assert(got(3L) == ((3L, 2L, 1L, 5L, md5s("p q r"))))
+    assert(got(4L) == ((4L, 0L, 0L, 0L, md5s(""))))
+  }
+
   test("s19 plan has no sort and no window (threshold replaces top-k)") {
     val df = graft.queries.LlmQueries.s19RangeSearch(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
