@@ -211,6 +211,41 @@ object Similarity {
         round(col("cos"), 6).as("cosine"))
   }
 
+  /** kNN-GRAPH construction: for EVERY corpus vector, its k nearest
+    * neighbors among the corpus itself — the all-source kNN join
+    * semantic clustering, label propagation, and graph-based dedup
+    * consume (d7 needs exactly this relation before its verify
+    * stage). Blocked by the IVF cell layout: neighbors are searched
+    * within the vector's own cell (the SemDeDup blocking); boundary
+    * loss is the documented recall contract, bought back by raising
+    * cell resolution or multi-assignment, never by widening the
+    * join. Unlike knnIvfProbe there is NO small query side to
+    * broadcast — both sides are the corpus, so the plan is a cell
+    * equi-SELF-join whose two assignment subplans are identical: in
+    * the shuffled-join regime (any real corpus) ReuseExchange
+    * computes the assignment ONCE (spec-asserted with broadcast
+    * disabled); at test SF AQE broadcasts one small side instead,
+    * which recomputes the tiny assignment — the right trade at that
+    * size. The per-source top-k is WindowGroupLimit-bounded so at
+    * most k candidates per vector per partition reach the ranking
+    * exchange. At 100 TB the join fan-out is Σ cell_pop² —
+    * controlled by n_cells ≈ √N, the same knob as d7, never
+    * all-pairs. */
+  def knnGraph(embeddings: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
+    val cells = assignCells(embeddings, centroids)
+    val joined = cells.alias("a")
+      .join(cells.alias("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src_id"), col("b.vec_id").as("dst_id"),
+        cosineSim(col("a.embedding"), col("b.embedding")).as("cos"))
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("cos").desc, col("dst_id"))
+    joined.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("src_id"), col("dst_id"), col("rnk"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
   /** Top-`nprobe` cell assignment: same single broadcast sorted
     * centroid row as assignCells, but each vector explodes to its
     * `nprobe` best cells. Ranking = lexicographic sort of

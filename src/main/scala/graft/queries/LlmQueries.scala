@@ -476,6 +476,38 @@ object LlmQueries {
        |  ON q.cell = c.cell AND q.vec_id <> c.vec_id
        |WHERE ${cosSql("q.embedding", "c.embedding")} >= 0.25""".stripMargin
 
+  /** s20: kNN-GRAPH construction over the corpus — every vector's
+    * top-3 neighbors within its own IVF cell
+    * (Similarity.knnGraph): the all-source kNN join that semantic
+    * clustering, label propagation, and graph dedup consume. The
+    * two cell-assignment subplans are identical, so the exchange is
+    * REUSED, and the per-source top-k is WindowGroupLimit-bounded;
+    * fan-out is Σ cell_pop², controlled by cell count (the d7 knob),
+    * never all-pairs. */
+  def s20KnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.knnGraph(emb, emb.filter(col("vec_id") < 8), k = 3)
+  }
+
+  val s20Sql: String =
+    s"""WITH cent AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+       |cc AS (SELECT vec_id, embedding, cell FROM (
+       |  SELECT v.vec_id, v.embedding,
+       |    CAST(row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      ${cosSql("v.embedding", "c.embedding")} DESC, c.vec_id)
+       |      AS INT) AS crn,
+       |    c.vec_id AS cell
+       |  FROM embeddings v CROSS JOIN cent c
+       |) WHERE crn <= 1)
+       |SELECT src_id, dst_id, rnk, cosine FROM (
+       |  SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+       |    CAST(row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |      ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id)
+       |      AS INT) AS rnk,
+       |    round(${cosSql("a.embedding", "b.embedding")}, 6) AS cosine
+       |  FROM cc a JOIN cc b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |) WHERE rnk <= 3""".stripMargin
+
   /** s9: the TRAINED coarse quantizer serving the IVF search — s6's
     * exact plan (single-cell inverted lists, nprobe=2 query probing)
     * but with centroids from `KMeans.train` (DataFrame-native

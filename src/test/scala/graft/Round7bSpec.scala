@@ -147,6 +147,41 @@ class Round7bSpec extends SparkTestBase {
     assert(got(4L) == ((4L, 0L, 0L, 0L, md5s(""))))
   }
 
+  test("s20 knn graph: single cell equals brute-force all-source top-k") {
+    val emb = Tables.embeddings(spark, sf)
+    // one centroid -> every vector in one cell -> blocking loses nothing
+    val got = Similarity.knnGraph(emb, emb.filter(col("vec_id") < 1), k = 3)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val brute = emb.alias("a").join(emb.alias("b"),
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src_id"), col("b.vec_id").as("dst_id"),
+        graft.functions.TextFunctions.cosineSim(
+          col("a.embedding"), col("b.embedding")).as("cos"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src_id"))
+          .orderBy(col("cos").desc, col("dst_id"))))
+      .filter(col("rnk") <= 3)
+      .select(col("src_id"), col("dst_id"), col("rnk"), round(col("cos"), 6))
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(got == brute && got.nonEmpty)
+    // every source with >= 3 candidates has exactly 3 neighbors
+    val counts = got.groupBy(_._1).map(_._2.size).toSet
+    assert(counts == Set(3))
+  }
+
+  test("s20 knn graph reuses the cell-assignment exchange in the shuffled-join regime") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val emb = Tables.embeddings(spark, sf)
+      val df = Similarity.knnGraph(emb, emb.filter(col("vec_id") < 8), k = 3)
+      df.collect() // let AQE finalize the plan (stage reuse happens at runtime)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange"),
+        "identical assignment subplans must share one exchange when neither broadcasts")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("s19 plan has no sort and no window (threshold replaces top-k)") {
     val df = graft.queries.LlmQueries.s19RangeSearch(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
