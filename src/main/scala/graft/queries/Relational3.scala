@@ -596,4 +596,91 @@ object Relational3 {
       |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
       |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
       |GROUP BY 1, 2, 3""".stripMargin
+
+  // ---- r41: large-order customers (TPC-H Q18 shape) ----------------
+
+  /** r41: the Q18 SHAPE — customers whose single orders exceed a
+    * quantity threshold: the HAVING-subquery membership test
+    * declared directly as its decorrelated form (aggregate lineitem
+    * per order, filter, join back — the plan Catalyst rewrites
+    * Q18's IN-subquery to). The per-order aggregate partial-aggs
+    * map-side before its one keyed shuffle; the filtered big-order
+    * set is tiny, so both the orders and customer joins broadcast
+    * it; the top-100 is TakeOrderedAndProject. sum(l_quantity) is a
+    * sum of integer-valued doubles — exact and order-independent,
+    * safe under the cross-engine hash. */
+  def r41LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 300.0)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val r41Sql: String =
+    """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300)
+      |SELECT c_name, c_custkey, o_orderkey,
+      |  CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us,
+      |  o_totalprice, total_qty
+      |FROM orders JOIN big ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  // ---- r42: dormant high-balance customers (TPC-H Q22 shape) -------
+
+  /** r42: the Q22 SHAPE — high-balance customers with NO recent
+    * orders, grouped by country code: a scalar-subquery threshold
+    * (balance above the positive-balance average of the selected
+    * codes) plus an ANTI join against recent orders. Q22's "no
+    * orders at all" set is empty in this corpus, so the anti-join
+    * probes orders after a cutoff — the dormancy variant, same plan
+    * shape. The average is never compared as a float: balances
+    * quantize to integer cents at the scan and the threshold is
+    * bal_cents·n > sum_cents (exact longs — the r37 discipline), so
+    * boundary customers cannot drift between engines. The stats fold
+    * to ONE broadcast row; the anti-join probes only the
+    * date-pruned orders scan; the closing agg is 5 partial-agg rows. */
+  def r42DormantCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cut = "1999-09-01"
+    val c = Tables.customer(spark, dir)
+      .withColumn("cntrycode", col("c_nationkey") % 10)
+      .filter(col("cntrycode").isin(1L, 3L, 5L, 7L, 9L))
+      .withColumn("bal_cents", round(col("c_acctbal") * 100).cast("long"))
+    val pos = c.filter(col("c_acctbal") > 0)
+      .agg(sum(col("bal_cents")).as("pos_sum"), count(lit(1)).as("pos_n"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(cut)).select(col("o_custkey"))
+    c.crossJoin(broadcast(pos))
+      .filter(col("bal_cents") * col("pos_n") > col("pos_sum"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("bal_cents")).as("totacctbal_cents"))
+      .select(col("cntrycode"), col("numcust"), col("totacctbal_cents"),
+        round(col("totacctbal_cents").cast("double") / 100.0, 2)
+          .as("totacctbal"))
+  }
+
+  val r42Sql: String =
+    """WITH c AS (SELECT c_custkey, c_nationkey % 10 AS cntrycode,
+      |    CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents, c_acctbal
+      |  FROM customer WHERE c_nationkey % 10 IN (1, 3, 5, 7, 9)),
+      |pos AS (SELECT CAST(sum(bal_cents) AS BIGINT) AS pos_sum,
+      |    count(*) AS pos_n FROM c WHERE c_acctbal > 0)
+      |SELECT cntrycode, count(*) AS numcust,
+      |  CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents,
+      |  round(CAST(sum(bal_cents) AS DOUBLE) / 100.0, 2) AS totacctbal
+      |FROM c CROSS JOIN pos
+      |WHERE bal_cents * pos_n > pos_sum
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey
+      |      AND o.o_orderdate >= TIMESTAMP '1999-09-01')
+      |GROUP BY 1""".stripMargin
 }

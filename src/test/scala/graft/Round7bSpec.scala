@@ -182,6 +182,17 @@ class Round7bSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("r41 top-100 plans as TakeOrderedAndProject; r42 plans a left anti join") {
+    val r41 = graft.queries.Relational3.r41LargeOrders(spark, sf)
+    assert(r41.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+    val r42 = graft.queries.Relational3.r42DormantCustomers(spark, sf)
+    val p42 = r42.queryExecution.executedPlan.toString
+    assert(p42.contains("LeftAnti"))
+    // threshold must be integer-exact: no double comparison in the filter
+    assert(p42.contains("bal_cents"))
+  }
+
   test("s19 plan has no sort and no window (threshold replaces top-k)") {
     val df = graft.queries.LlmQueries.s19RangeSearch(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
