@@ -393,6 +393,48 @@ class StreamingSpec extends SparkTestBase {
     assert(got === Seq((1L, 1L), (1L, 3L), (2L, 1L)))
   }
 
+  test("streaming session windows match the batch r20 sessions on the real events table") {
+    import testImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    // same declared query as r20's core: incremental execution must
+    // produce the identical session set (the parity property the
+    // dedup/CDC/funnel paths already carry)
+    val src = graft.sources.Tables.events(spark, sf)
+      .filter(col("user_id") < 30)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, Timestamp)].collect()
+    val expected = graft.sources.Tables.events(spark, sf)
+      .filter(col("user_id") < 30)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+      .as[(Long, Timestamp, Long)].collect().toSet
+    // adversarial replay: deterministic shuffle across 3 micro-batches;
+    // the huge watermark delay means no arrival order can drop events
+    val shuffled = new scala.util.Random(7).shuffle(src.toSeq)
+    val chunks = shuffled.grouped((shuffled.size + 2) / 3).toSeq
+    val mem = MemoryStream[(Long, Timestamp)]
+    val agg = mem.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "3650 days")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+    val q = agg.writeStream.format("memory").queryName("sess_parity")
+      .outputMode("append").option("checkpointLocation", tmpDir()).start()
+    chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+    // sentinel far past max_ts + gap + delay finalizes every session
+    val maxTs = src.map(_._2.getTime).max
+    mem.addData((999999L, new Timestamp(maxTs + 4000L * 86400 * 1000)))
+    q.processAllAvailable()
+    val got = spark.table("sess_parity")
+      .filter(col("user_id") < 30)
+      .as[(Long, Timestamp, Long)].collect().toSet
+    q.stop()
+    assert(got == expected && expected.nonEmpty)
+  }
+
   test("dropDuplicatesWithinWatermark: redelivered frames collapse, state bounded") {
     import testImplicits._
     implicit val sqlCtx = spark.sqlContext
