@@ -79,7 +79,10 @@ object Bench {
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val rows = scala.collection.mutable.LinkedHashMap[String, Long]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // local iteration only (the driver never sets it): comma-separated
+    // query names restrict the run, like Verify's optional third arg
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    SparkEntry.queries.filter(e => only.forall(_.contains(e._1))).foreach { case (name, fn) =>
       try {
         runOnce(fn) // preheat: JVM/codegen/parquet-footer warm-up
         val ts = Seq.fill(3)(runOnce(fn)).sorted

@@ -933,9 +933,13 @@ object CorpusQueries {
       .select(col("doc_id"), posexplode(col("chunks")).as(Seq("idx", "chunk")))
       .withColumn("ck", md5(col("chunk")))
       .withColumn("ord", col("doc_id") * lit(100000L) + col("idx"))
-    val keeper = occ.groupBy(col("ck")).agg(min(col("ord")).as("keep_ord"))
-    val agg = occ.join(keeper, "ck")
-      .withColumn("kept", col("ord") === col("keep_ord"))
+    // first-occurrence flag via a window min over the chunk key: ONE
+    // pass over the occurrence stream (an agg+join-back spelling
+    // recomputes the whole tokenize→chunk→hash subtree on both join
+    // sides — measured 2× the runtime at sf0.1)
+    val agg = occ
+      .withColumn("kept", col("ord") ===
+        min(col("ord")).over(Window.partitionBy(col("ck"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
