@@ -338,4 +338,70 @@ object MediaQueries {
       |    list_transform(up, v -> v + 32768)),
       |    (a, b) -> (a * 31 + b) % 1000000007) AS pcm_fp
       |FROM r""".stripMargin
+
+  // ---- m13: per-channel color histogram (real decode) -------------
+
+  /** m13: COLOR HISTOGRAM over real compressed decode — the
+    * dataset-level color-profiling primitive (tint/exposure drift,
+    * duplicate-palette detection, augmentation planning): per image,
+    * a 4-bin histogram per RGB channel computed from the DECODED
+    * pixels of a genuine PNG (bin = value >> 6 — exact integer
+    * binning, so the oracle restates the counts arithmetically and
+    * a decoder defect shifts bins and breaks the hash). Output is
+    * one row per NONZERO (doc, channel, bin) — sparse on both
+    * engines by construction.
+    *
+    * 100 TB shape: the m2/m6 contract — pixels are decoded and
+    * reduced to ≤12 count rows inside one partition pass; image
+    * bytes never reach an exchange. */
+  def m13ColorHist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{Codecs, Multimodal}
+    Tables.spread(Tables.documents(spark, dir).select(col("doc_id"))).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val w = (8 + id % 13).toInt; val h = (8 + id % 7).toInt
+          val rgb = Array.tabulate(w * h * 3)(i =>
+            ((id * 7 + i * 13) % 256).toByte)
+          val png = Codecs.ImageIoCodecs.encodeRgb("png", w, h, rgb)
+          val meta = Codecs.AutoCodec.decode(
+            Multimodal.MediaRecord(id, "image", png))
+          val (dw, dh, back) = Codecs.ImageIoCodecs.decodeRgb(png)
+          require(dw == meta.width && dh == meta.height,
+            s"codec metadata/pixel disagreement for doc $id")
+          val hist = Array.ofDim[Long](3, 4)
+          var p = 0
+          while (p < dw * dh) {
+            var c = 0
+            while (c < 3) {
+              hist(c)((back(p * 3 + c) & 0xff) >> 6) += 1
+              c += 1
+            }
+            p += 1
+          }
+          for {
+            c <- 0 until 3
+            b <- 0 until 4
+            if hist(c)(b) > 0
+          } yield (id, "rgb".charAt(c).toString, b, hist(c)(b))
+        }
+      }.toDF("doc_id", "channel", "bin", "cnt")
+  }
+
+  val m13Sql: String =
+    """WITH g AS (SELECT doc_id,
+      |    8 + doc_id % 13 AS w, 8 + doc_id % 7 AS h
+      |  FROM documents),
+      |px AS (SELECT doc_id,
+      |    list_transform(range(w * h), p -> [
+      |      (doc_id*7 + (3*p)*13) % 256,
+      |      (doc_id*7 + (3*p + 1)*13) % 256,
+      |      (doc_id*7 + (3*p + 2)*13) % 256]) AS pxs
+      |  FROM g),
+      |u AS (SELECT doc_id, 'r' AS channel, q[1] // 64 AS bin
+      |    FROM px, unnest(pxs) t(q)
+      |  UNION ALL SELECT doc_id, 'g', q[2] // 64 FROM px, unnest(pxs) t(q)
+      |  UNION ALL SELECT doc_id, 'b', q[3] // 64 FROM px, unnest(pxs) t(q))
+      |SELECT doc_id, channel, CAST(bin AS INT) AS bin, count(*) AS cnt
+      |FROM u GROUP BY 1, 2, 3""".stripMargin
 }

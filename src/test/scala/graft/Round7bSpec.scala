@@ -193,6 +193,20 @@ class Round7bSpec extends SparkTestBase {
     assert(p42.contains("bal_cents"))
   }
 
+  test("m13 color histogram: per-channel bins sum to the decoded pixel count") {
+    val hist = graft.queries.MediaQueries.m13ColorHist(spark, sf)
+      .groupBy(col("doc_id"), col("channel"))
+      .agg(sum(col("cnt")).as("n"))
+      .as[(Long, String, Long)].collect()
+    assert(hist.nonEmpty)
+    hist.foreach { case (id, _, n) =>
+      val expected = (8 + id % 13) * (8 + id % 7)
+      assert(n == expected, s"doc $id: $n != $expected")
+    }
+    // all three channels present per doc
+    assert(hist.groupBy(_._1).forall(_._2.map(_._2).toSet == Set("r", "g", "b")))
+  }
+
   test("s19 plan has no sort and no window (threshold replaces top-k)") {
     val df = graft.queries.LlmQueries.s19RangeSearch(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
