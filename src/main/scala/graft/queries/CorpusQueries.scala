@@ -998,4 +998,57 @@ object CorpusQueries {
        |  coalesce(kept_chars, 0) AS kept_chars,
        |  coalesce(kept_md5, md5('')) AS kept_md5
        |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
+
+  // ---- x39: incremental corpus profile (merge saved + batch) ------
+
+  /** Mergeable per-language corpus stats — every aggregate is
+    * associative (counts/sums add, bounds fold), which is the
+    * property that makes the incremental lifecycle exact. */
+  def mergeableStats(df: DataFrame): DataFrame =
+    df.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("chars_sum"),
+      sum(size(TextFunctions.tokens(col("text"))).cast("long"))
+        .as("tokens_sum"),
+      min(col("n_chars")).as("chars_min"),
+      max(col("n_chars")).as("chars_max"))
+
+  /** x39: INCREMENTAL corpus profiling — the refresh lifecycle s17
+    * gives the vector index, applied to the profiler: per-language
+    * MERGEABLE stats for the standing corpus (doc_id % 10 < 8) are
+    * materialized once, and each refresh profiles only the new
+    * batch (% 10 >= 8) and MERGES the partial rows — the standing
+    * corpus is never re-scanned. countDistinct-style stats are
+    * deliberately excluded: they don't merge (x5's exact
+    * cardinality and x6's HLL sketch cover that axis). The oracle
+    * computes the same stats over the FULL corpus directly, so a
+    * drifted merge (double count, lost language, wrong bound fold)
+    * breaks the hash. The standing-profile write is charged to the
+    * bench timed region (the s10/r36 build-once precedent).
+    *
+    * 100 TB shape: the saved profile is |langs| rows; the batch
+    * scan (one partial agg) is the only corpus work per refresh;
+    * the merge is a |langs|-row groupBy. */
+  def x39IncrementalProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, dir))
+    val path = s"${sys.props("java.io.tmpdir")}/graft_profile_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    mergeableStats(docs.filter(col("doc_id") % 10 < 8))
+      .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+      .unionByName(mergeableStats(docs.filter(col("doc_id") % 10 >= 8)))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("chars_sum")).as("chars_sum"),
+        sum(col("tokens_sum")).as("tokens_sum"),
+        min(col("chars_min")).as("chars_min"),
+        max(col("chars_max")).as("chars_max"))
+  }
+
+  val x39Sql: String =
+    s"""SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+       |  CAST(sum(len($tsSql)) AS BIGINT) AS tokens_sum,
+       |  min(n_chars) AS chars_min, max(n_chars) AS chars_max
+       |FROM documents GROUP BY 1""".stripMargin
 }

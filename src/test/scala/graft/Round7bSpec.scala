@@ -207,6 +207,16 @@ class Round7bSpec extends SparkTestBase {
     assert(hist.groupBy(_._1).forall(_._2.map(_._2).toSet == Set("r", "g", "b")))
   }
 
+  test("x39 merged incremental profile equals the direct full-corpus profile") {
+    import graft.queries.CorpusQueries
+    val docs = Tables.documents(spark, sf)
+    val direct = CorpusQueries.mergeableStats(docs)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val merged = CorpusQueries.x39IncrementalProfile(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(merged == direct && direct.nonEmpty)
+  }
+
   test("s19 plan has no sort and no window (threshold replaces top-k)") {
     val df = graft.queries.LlmQueries.s19RangeSearch(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
