@@ -683,4 +683,62 @@ object Relational3 {
       |    WHERE o.o_custkey = c.c_custkey
       |      AND o.o_orderdate >= TIMESTAMP '1999-09-01')
       |GROUP BY 1""".stripMargin
+
+  // ---- r43: full pricing summary (TPC-H Q1) ------------------------
+
+  /** r43: the FULL Q1 pricing summary — q1_agg covers only the
+    * quantity sum; this is the whole report: per (returnflag,
+    * linestatus), quantity/base-price/discounted/charged totals,
+    * counts, and averages. The money math never sums floats:
+    * price/discount/tax quantize to integer cents and percent at
+    * the scan (round(x·100) — identical IEEE doubles on both
+    * engines, so identical cents), and disc = cents·(100−d),
+    * charge = cents·(100−d)·(100+t) stay EXACT longs in cent·% and
+    * cent·%² units; dollar values and averages divide once at the
+    * edge. At extreme scale the cent·%² sum is the one column that
+    * outgrows int64 (~sf 10⁴) — decimal(38,0) is the documented
+    * escalation (the x31 note). One partial-agg shuffle into 6
+    * groups; the shuffle carries KBs at any input size. */
+  def r43PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select(
+      col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+      round(col("l_extendedprice") * 100).cast("long").as("base_cents"),
+      round(col("l_discount") * 100).cast("long").as("disc_pct"),
+      round(col("l_tax") * 100).cast("long").as("tax_pct"))
+    l.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"),
+        sum(col("base_cents")).as("base_cents_sum"),
+        sum(col("base_cents") * (lit(100L) - col("disc_pct")))
+          .as("disc_cp_sum"),
+        sum(col("base_cents") * (lit(100L) - col("disc_pct"))
+          * (lit(100L) + col("tax_pct"))).as("charge_cpp_sum"),
+        count(lit(1)).as("n_items"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        col("base_cents_sum"), col("disc_cp_sum"), col("charge_cpp_sum"),
+        col("n_items"),
+        round(col("sum_qty") / col("n_items"), 6).as("avg_qty"),
+        round(col("base_cents_sum").cast("double") / col("n_items") / 100.0, 6)
+          .as("avg_price"),
+        round(col("disc_cp_sum").cast("double") / 10000.0, 2).as("revenue"))
+  }
+
+  val r43Sql: String =
+    """WITH l AS (SELECT l_returnflag, l_linestatus, l_quantity,
+      |    CAST(round(l_extendedprice*100) AS BIGINT) AS base_cents,
+      |    CAST(round(l_discount*100) AS BIGINT) AS disc_pct,
+      |    CAST(round(l_tax*100) AS BIGINT) AS tax_pct
+      |  FROM lineitem)
+      |SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  CAST(sum(base_cents) AS BIGINT) AS base_cents_sum,
+      |  CAST(sum(base_cents*(100-disc_pct)) AS BIGINT) AS disc_cp_sum,
+      |  CAST(sum(base_cents*(100-disc_pct)*(100+tax_pct)) AS BIGINT)
+      |    AS charge_cpp_sum,
+      |  count(*) AS n_items,
+      |  round(sum(l_quantity) / count(*), 6) AS avg_qty,
+      |  round(CAST(sum(base_cents) AS DOUBLE) / count(*) / 100.0, 6)
+      |    AS avg_price,
+      |  round(CAST(sum(base_cents*(100-disc_pct)) AS DOUBLE) / 10000.0, 2)
+      |    AS revenue
+      |FROM l GROUP BY 1, 2""".stripMargin
 }
