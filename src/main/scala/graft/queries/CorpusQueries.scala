@@ -827,14 +827,26 @@ object CorpusQueries {
     tokenDrift(Tables.spread(Tables.documents(spark, dir))
       .withColumn("is_a", col("doc_id") % 2 === 0))
 
-  /** Core of x38 over any (lang, is_a, text) frame. */
-  def tokenDrift(docs: DataFrame): DataFrame = {
-    val tk = docs
-      .select(col("lang"), col("is_a"),
+  /** The x38 A/B conditional term counts — also the STREAMING drift
+    * monitor's state shape: run over a streaming frame in update
+    * mode, this same aggregation maintains the running snapshot
+    * incrementally (counts are monotone, one state row per
+    * (lang, term)), and driftFromCounts on the final snapshot equals
+    * the batch x38 exactly (spec-asserted parity). */
+  def termCounts(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), col("is_a"),
         explode(TextFunctions.tokens(col("text"))).as("term"))
-    val cnt = tk.groupBy(col("lang"), col("term")).agg(
-      sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
-      sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+      .groupBy(col("lang"), col("term")).agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+
+  /** Core of x38 over any (lang, is_a, text) frame. */
+  def tokenDrift(docs: DataFrame): DataFrame =
+    driftFromCounts(termCounts(docs))
+
+  /** JSD + new/dropped-term report from a (lang, term, ca, cb)
+    * count relation (batch-computed or a streamed snapshot). */
+  def driftFromCounts(cnt: DataFrame): DataFrame = {
     val totals = cnt.groupBy(col("lang")).agg(
       sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
     val p = when(col("na") > 0,

@@ -435,6 +435,41 @@ class StreamingSpec extends SparkTestBase {
     assert(got == expected && expected.nonEmpty)
   }
 
+  test("streaming drift monitor: final streamed term counts reproduce batch x38") {
+    import testImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .withColumn("is_a", col("doc_id") % 2 === 0)
+      .select(col("lang"), col("is_a"), col("text"))
+      .as[(String, Boolean, String)].collect()
+    val expected = graft.queries.CorpusQueries.x38Drift(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Double)]
+      .collect().toSet
+    // replay shuffled across micro-batches: the running (lang, term)
+    // count state is order-independent by construction
+    val shuffled = new scala.util.Random(11).shuffle(docs.toSeq)
+    val chunks = shuffled.grouped((shuffled.size + 2) / 3).toSeq
+    val mem = MemoryStream[(String, Boolean, String)]
+    val counts = graft.queries.CorpusQueries.termCounts(
+      mem.toDF().toDF("lang", "is_a", "text"))
+    val q = counts.writeStream.format("memory").queryName("drift_counts")
+      .outputMode("update").option("checkpointLocation", tmpDir()).start()
+    chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+    q.stop()
+    // update mode appends every state revision; counts are monotone,
+    // so the final snapshot per (lang, term) is the max
+    val snapshot = spark.table("drift_counts")
+      .groupBy(col("lang"), col("term"))
+      .agg(max(col("ca")).as("ca"), max(col("cb")).as("cb"))
+      // driftFromCounts self-joins the snapshot; cut the shared
+      // memory-sink view lineage so the two sides resolve separately
+      .localCheckpoint()
+    val got = graft.queries.CorpusQueries.driftFromCounts(snapshot)
+      .as[(String, Long, Long, Long, Long, Long, Long, Double)]
+      .collect().toSet
+    assert(got == expected && expected.nonEmpty)
+  }
+
   test("dropDuplicatesWithinWatermark: redelivered frames collapse, state bounded") {
     import testImplicits._
     implicit val sqlCtx = spark.sqlContext
