@@ -337,4 +337,102 @@ object VideoQueries {
       |FROM cur c LEFT JOIN cont k ON k.video_id = c.video_id
       |  AND k.frame_id = c.frame_id AND k.box_ref = c.box_ref
       |GROUP BY 1""".stripMargin
+
+  // ---- v9: greedy non-max suppression under the hash gate ----------
+
+  /** v9: per-frame greedy NON-MAX SUPPRESSION — the canonical
+    * detection post-processing step (suppress every box whose IoU
+    * with an already-kept higher-scoring box exceeds 0.15 — tuned to the synthetic box distribution, whose maximum pairwise IoU is ~0.25). The
+    * greedy fold runs ROW-LOCALLY over each frame's candidate array
+    * with HOFs (sort by (score DESC, ordinal) → aggregate carrying
+    * the kept list → posexplode), so boxes never shuffle for the
+    * algorithm — the same in-partition contract as the decode
+    * queries. The IoU decision is INTEGER-exact end-to-end
+    * (pixel coords from the v1 floor-cast, 20·inter > 3·union — no
+    * float ratio), which is what lets a greedy algorithm sit under
+    * the cross-engine hash gate: the oracle replays the identical
+    * fold in SQL (class-agnostic NMS; the per-class variant is the
+    * same fold keyed by class).
+    *
+    * Oracle note: DuckDB 1.0.0's list_reduce LOSES the accumulated
+    * prefix when an iteration returns the accumulator unchanged;
+    * the restatement therefore always concatenates (an empty list
+    * when suppressed) rather than returning acc — semantically
+    * identical, bug-proof. */
+  def v9Nms(spark: SparkSession, dir: String): DataFrame = {
+    val fr = withDetections(frames(spark, dir))
+    val cands = sort_array(
+      filter(
+        transform(col("detections"), (d, i) => struct(
+          (-d.getField("score")).as("ns"),
+          i.cast("long").as("i"),
+          floor(d.getField("ymin") * col("height")).cast("int").as("x"),
+          floor(d.getField("xmin") * col("width")).cast("int").as("y"),
+          floor(d.getField("ymax") * col("height")).cast("int").as("w"),
+          floor(d.getField("xmax") * col("width")).cast("int").as("h"),
+          d.getField("score").as("sc"),
+          d.getField("class_id").as("cls"))),
+        b => b.getField("sc") > 0.7))
+    def inter(k: Column, b: Column): Column =
+      greatest(lit(0), least(k.getField("w"), b.getField("w"))
+        - greatest(k.getField("x"), b.getField("x"))) *
+      greatest(lit(0), least(k.getField("h"), b.getField("h"))
+        - greatest(k.getField("y"), b.getField("y")))
+    def area(c: Column): Column =
+      (c.getField("w") - c.getField("x")) * (c.getField("h") - c.getField("y"))
+    def suppressed(k: Column, b: Column): Column =
+      lit(20) * inter(k, b) > lit(3) * (area(k) + area(b) - inter(k, b))
+    val kept = aggregate(col("cands"), slice(col("cands"), 1, 0),
+      (acc, b) => when(exists(acc, k => suppressed(k, b)), acc)
+        .otherwise(concat(acc, array(b))))
+    fr.select(col("video_id"), col("frame_id"), cands.as("cands"))
+      .select(col("video_id"), col("frame_id"),
+        size(col("cands")).cast("int").as("n_cands"), kept.as("kept"))
+      .select(col("video_id"), col("frame_id"), col("n_cands"),
+        posexplode(col("kept")).as(Seq("pos", "b")))
+      .select(col("video_id"), col("frame_id"), col("n_cands"),
+        (col("pos") + 1).cast("int").as("nms_rank"),
+        col("b.i").cast("int").as("det_idx"),
+        col("b.x").as("x"), col("b.y").as("y"),
+        col("b.w").as("w"), col("b.h").as("h"),
+        col("b.sc").as("score"), col("b.cls").as("label_id"))
+  }
+
+  val v9Sql: String = detSql.replace(
+    """), surv AS (""", """), cand AS (
+      |  SELECT video_id, frame_id,
+      |    {ns: -score, i: i,
+      |     x: CAST(floor(ymin * height) AS INT),
+      |     y: CAST(floor(xmin * width) AS INT),
+      |     w: CAST(floor(ymax * height) AS INT),
+      |     h: CAST(floor(xmax * width) AS INT),
+      |     sc: score, cls: class_id} AS b
+      |  FROM det WHERE score > 0.7
+      |), frame_arr AS (
+      |  SELECT video_id, frame_id, list_sort(list(b)) AS arr
+      |  FROM cand GROUP BY 1, 2
+      |), kept AS (
+      |  SELECT video_id, frame_id, len(arr) AS n_cands,
+      |    list_reduce(list_prepend(arr[1:0], list_transform(arr, b -> [b])),
+      |      (acc, bl) -> list_concat(acc,
+      |        CASE WHEN len(list_filter(acc, k ->
+      |          20 * (greatest(0, least(k.w, bl[1].w) - greatest(k.x, bl[1].x))
+      |              * greatest(0, least(k.h, bl[1].h) - greatest(k.y, bl[1].y)))
+      |          > 3 * ((k.w - k.x) * (k.h - k.y)
+      |              + (bl[1].w - bl[1].x) * (bl[1].h - bl[1].y)
+      |              - (greatest(0, least(k.w, bl[1].w) - greatest(k.x, bl[1].x))
+      |               * greatest(0, least(k.h, bl[1].h) - greatest(k.y, bl[1].y)))))) > 0
+      |        THEN bl[1:0] ELSE bl END)) AS ks
+      |  FROM frame_arr
+      |), surv AS (""").stripMargin + "\n" +
+    """SELECT video_id, frame_id, CAST(n_cands AS INT) AS n_cands,
+      |  CAST(p + 1 AS INT) AS nms_rank, CAST(b.i AS INT) AS det_idx,
+      |  b.x AS x, b.y AS y, b.w AS w, b.h AS h,
+      |  b.sc AS score, b.cls AS label_id
+      |FROM (
+      |  -- SELECT-clause unnests expand in lockstep (a FROM-clause
+      |  -- pair would cross-join)
+      |  SELECT video_id, frame_id, n_cands,
+      |    unnest(ks) AS b, unnest(range(len(ks))) AS p
+      |  FROM kept) u""".stripMargin
 }

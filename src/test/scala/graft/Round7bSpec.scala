@@ -217,6 +217,32 @@ class Round7bSpec extends SparkTestBase {
     assert(merged == direct && direct.nonEmpty)
   }
 
+  test("v9 NMS: kept boxes pairwise below IoU, ranks contiguous, suppression occurs") {
+    val rows = graft.queries.VideoQueries.v9Nms(spark, sf)
+      .select(col("video_id"), col("frame_id"), col("n_cands"),
+        col("nms_rank"), col("x"), col("y"), col("w"), col("h"))
+      .as[(String, Long, Int, Int, Int, Int, Int, Int)].collect()
+    assert(rows.nonEmpty)
+    val byFrame = rows.groupBy(r => (r._1, r._2))
+    def iouOver(a: (Int, Int, Int, Int), b: (Int, Int, Int, Int)): Boolean = {
+      val ix = math.max(0, math.min(a._3, b._3) - math.max(a._1, b._1))
+      val iy = math.max(0, math.min(a._4, b._4) - math.max(a._2, b._2))
+      val inter = ix.toLong * iy
+      val union = (a._3 - a._1).toLong * (a._4 - a._2) +
+        (b._3 - b._1).toLong * (b._4 - b._2) - inter
+      20 * inter > 3 * union
+    }
+    byFrame.foreach { case (_, fr) =>
+      val boxes = fr.sortBy(_._4).map(r => (r._5, r._6, r._7, r._8))
+      assert(fr.map(_._4).sorted.toSeq == (1 to fr.length), "ranks contiguous")
+      assert(fr.length <= fr.head._3, "kept <= candidates")
+      for (i <- boxes.indices; j <- 0 until i)
+        assert(!iouOver(boxes(j), boxes(i)), "kept boxes must not overlap > 0.15")
+    }
+    // the corpus must actually exercise suppression somewhere
+    assert(byFrame.exists { case (_, fr) => fr.length < fr.head._3 })
+  }
+
   test("s19 plan has no sort and no window (threshold replaces top-k)") {
     val df = graft.queries.LlmQueries.s19RangeSearch(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
