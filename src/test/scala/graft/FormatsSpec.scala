@@ -20,4 +20,26 @@ class FormatsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Formats.read(spark, "/tmp/x", "avro-nope", nation.schema))
   }
+
+  test("schema evolution: mergeSchema unions old and new parquet file schemas") {
+    import testImplicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve-").toString
+    // yesterday's files: (id, name); today's add a column (id, name, score)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.parquet(s"$dir/day=1")
+    Seq((3L, "c", 0.5)).toDF("id", "name", "score")
+      .write.parquet(s"$dir/day=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "name", "score", "day"))
+    val rows = merged.select("id", "score").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    // old files surface the new column as NULL; new files carry it
+    assert(rows(1L).isEmpty && rows(2L).isEmpty && rows(3L).contains(0.5))
+    // without mergeSchema Spark pins the first footer's schema — the
+    // default a 100 TB lake relies on for cheap planning; the merged
+    // read is the explicit opt-in migration path
+    val pinned = spark.read.parquet(dir)
+    assert(pinned.columns.toSet.subsetOf(Set("id", "name", "score", "day")))
+  }
 }
