@@ -222,4 +222,77 @@ object RetrievalQueries {
        |SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cosine
        |FROM r WHERE rnk <= 3""".stripMargin
   }
+
+  // ---- x40: persisted inverted index + BM25 serve ------------------
+
+  /** x40: the PERSISTED lexical index — the s10 build-once/serve-many
+    * lifecycle for BM25: postings (term, doc_id, tf) are materialized
+    * partitioned BY TERM alongside a doc-length table and a one-row
+    * corpus-stats table, and the x28 query is served FROM the saved
+    * index — the serve-path scan prunes to the query terms'
+    * partition directories and never touches the documents table.
+    * The oracle is x28's from-scratch SQL: a drifted index (stale
+    * stats, lost postings, wrong pruning) breaks the hash.
+    *
+    * Float discipline: per-term contributions are re-assembled into
+    * SORTED term order via conditional sums before the final add
+    * (each posting appears once per (doc, term), and adding the
+    * 0.0-valued absent terms is IEEE-exact), so the serve-path score
+    * is bit-identical to x28's fixed-order fold — summing posting
+    * rows in aggregation order would flip last-ulp ranks.
+    *
+    * 100 TB shape: the build is the d8-discipline two-level agg; the
+    * served scan reads |query terms| directories (at lake scale the
+    * partition key becomes a term-hash bucket — same pruning, no
+    * tiny-dir explosion); df re-derives from the pruned postings so
+    * serving needs no per-term stats row. The doclen join is keyed
+    * by doc_id (broadcastable while postings for a query are small —
+    * the high-selectivity regime an inverted index exists for). */
+  def x40LexIndexServe(spark: SparkSession, dir: String): DataFrame = {
+    val ts = bm25Terms.sorted
+    val docs = Tables.documents(spark, dir)
+    val base = s"${sys.props("java.io.tmpdir")}/graft_lexindex_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val toks = docs.select(col("doc_id"),
+      explode(TextFunctions.tokens(col("text"))).as("term"))
+    toks.groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .write.mode("overwrite").partitionBy("term").parquet(s"$base/postings")
+    docs.select(col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("dl"))
+      .write.mode("overwrite").parquet(s"$base/doclen")
+    docs.select(size(TextFunctions.tokens(col("text"))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+      .write.mode("overwrite").parquet(s"$base/stats")
+    // serve: pruned postings scan + df re-derivation + keyed doclen join
+    val post = spark.read.parquet(s"$base/postings")
+      .where(col("term").isin(ts: _*))
+    val dfs = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val joined = post.join(broadcast(dfs), "term")
+      .join(spark.read.parquet(s"$base/doclen"), "doc_id")
+      .crossJoin(broadcast(spark.read.parquet(s"$base/stats")))
+    val avgdl = col("total_dl").cast("double") / col("n_docs").cast("double")
+    val contrib =
+      log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+        + lit(1.0)) *
+      (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+    val scored = joined
+      .select(col("doc_id"), col("dl"), col("term"), contrib.as("c"))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("n_matched"),
+        ts.map(w => sum(when(col("term") === w, col("c")).otherwise(lit(0.0)))
+          .as(s"c_$w")): _*)
+      .select(col("doc_id"), col("dl"), col("n_matched"),
+        round(ts.map(w => coalesce(col(s"c_$w"), lit(0.0))).reduce(_ + _), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+    scored.withColumn("rnk",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+        .cast("int"))
+  }
+
+  /** Same answer as x28, by construction. */
+  val x40Sql: String = x28Sql
 }

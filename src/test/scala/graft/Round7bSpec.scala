@@ -243,6 +243,19 @@ class Round7bSpec extends SparkTestBase {
     assert(byFrame.exists { case (_, fr) => fr.length < fr.head._3 })
   }
 
+  test("x40 served index equals x28 from scratch; postings scan prunes by term") {
+    import graft.queries.RetrievalQueries
+    val served = RetrievalQueries.x40LexIndexServe(spark, sf)
+    val fresh = RetrievalQueries.x28Bm25(spark, sf)
+    val s = served.as[(Long, Long, Long, Double, Int)].collect().toSet
+    val f = fresh.as[(Long, Long, Long, Double, Int)].collect().toSet
+    assert(s == f && s.nonEmpty)
+    // the postings read must carry partition filters on term
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("term"),
+      "serve path must prune postings directories by query term")
+  }
+
   test("s19 plan has no sort and no window (threshold replaces top-k)") {
     val df = graft.queries.LlmQueries.s19RangeSearch(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
