@@ -295,4 +295,86 @@ object RetrievalQueries {
 
   /** Same answer as x28, by construction. */
   val x40Sql: String = x28Sql
+
+  // ---- x41: incremental lexical-index update -----------------------
+
+  /** x41: the daily-ingest half of the x40 lifecycle (s17's shape
+    * for the lexical index): the standing index is built from the
+    * corpus minus today's batch (doc_id % 10 == 3 stands in for the
+    * new docs), the batch alone is tokenized and its postings
+    * APPENDED under the same term directories, and the one-row stats
+    * table is REPLACED by the exact merge of old stats + batch
+    * partials (counts and sums add — the x39 property). df is
+    * re-derived from the pruned postings at serve time, so no
+    * per-term stats need maintenance. Because appended postings use
+    * the identical tokenize + count arithmetic, the updated index is
+    * bit-identical to a full rebuild — the oracle is x28's
+    * full-corpus SQL, and a drifted append (stale stats, lost
+    * postings, double-counted docs) breaks the hash. The standing
+    * corpus is never re-tokenized: the update cost is one narrow
+    * pass over the BATCH plus a one-row stats merge. */
+  def x41LexIndexUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val ts = bm25Terms.sorted
+    val docs = Tables.documents(spark, dir)
+    val standing = docs.filter(col("doc_id") % 10 =!= 3)
+    val batch = docs.filter(col("doc_id") % 10 === 3)
+    val base = s"${sys.props("java.io.tmpdir")}/graft_lexindex_inc_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    def postings(d: DataFrame) = d
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    def stats(d: DataFrame) = d
+      .select(size(TextFunctions.tokens(col("text"))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    def doclen(d: DataFrame) = d.select(col("doc_id"),
+      size(TextFunctions.tokens(col("text"))).cast("long").as("dl"))
+    // build (standing corpus only)
+    postings(standing).write.mode("overwrite")
+      .partitionBy("term").parquet(s"$base/postings")
+    doclen(standing).write.mode("overwrite").parquet(s"$base/doclen")
+    stats(standing).write.mode("overwrite").parquet(s"$base/stats")
+    // incremental update: batch-only passes, append + exact stats merge
+    postings(batch).write.mode("append")
+      .partitionBy("term").parquet(s"$base/postings")
+    doclen(batch).write.mode("append").parquet(s"$base/doclen")
+    val merged = spark.read.parquet(s"$base/stats")
+      .unionByName(stats(batch))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_dl")).as("total_dl"))
+      .collect()(0)
+    import spark.implicits._
+    Seq((merged.getLong(0), merged.getLong(1))).toDF("n_docs", "total_dl")
+      .write.mode("overwrite").parquet(s"$base/stats_merged")
+    // serve from the updated index (same path as x40)
+    val post = spark.read.parquet(s"$base/postings")
+      .where(col("term").isin(ts: _*))
+    val dfs = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val joined = post.join(broadcast(dfs), "term")
+      .join(spark.read.parquet(s"$base/doclen"), "doc_id")
+      .crossJoin(broadcast(spark.read.parquet(s"$base/stats_merged")))
+    val avgdl = col("total_dl").cast("double") / col("n_docs").cast("double")
+    val contrib =
+      log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+        + lit(1.0)) *
+      (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+    val scored = joined
+      .select(col("doc_id"), col("dl"), col("term"), contrib.as("c"))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("n_matched"),
+        ts.map(w => sum(when(col("term") === w, col("c")).otherwise(lit(0.0)))
+          .as(s"c_$w")): _*)
+      .select(col("doc_id"), col("dl"), col("n_matched"),
+        round(ts.map(w => coalesce(col(s"c_$w"), lit(0.0))).reduce(_ + _), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+    scored.withColumn("rnk",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+        .cast("int"))
+  }
+
+  /** Full-corpus x28 — the updated index must be indistinguishable
+    * from a fresh build. */
+  val x41Sql: String = x28Sql
 }

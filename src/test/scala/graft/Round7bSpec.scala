@@ -256,6 +256,15 @@ class Round7bSpec extends SparkTestBase {
       "serve path must prune postings directories by query term")
   }
 
+  test("x41 incrementally updated index equals a fresh full build (x40)") {
+    import graft.queries.RetrievalQueries
+    val updated = RetrievalQueries.x41LexIndexUpdate(spark, sf)
+      .as[(Long, Long, Long, Double, Int)].collect().toSet
+    val rebuilt = RetrievalQueries.x40LexIndexServe(spark, sf)
+      .as[(Long, Long, Long, Double, Int)].collect().toSet
+    assert(updated == rebuilt && updated.nonEmpty)
+  }
+
   test("s19 plan has no sort and no window (threshold replaces top-k)") {
     val df = graft.queries.LlmQueries.s19RangeSearch(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
