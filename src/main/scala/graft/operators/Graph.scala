@@ -154,4 +154,47 @@ object Graph {
       .groupBy(col("s")).agg(count(lit(1)).as("n_within_2"))
       .select(col("s").as("doc_id"), col("n_within_2"))
   }
+
+  /** Graph-level degree summary + DEGREE ASSORTATIVITY: the Pearson
+    * correlation between the degrees at the two ends of every
+    * (symmetrized) edge — the hub-structure diagnostic (r < 0:
+    * hub-and-spoke, high-degree nodes attach to low-degree ones;
+    * r > 0: degree-stratified cliques). On the near-dup graph this
+    * says whether duplicate mass concentrates in a few template hubs
+    * or spreads through uniform families — which decides whether the
+    * d-family's bucket caps or d9's components carry the load.
+    *
+    * Exactness: the five edge-degree moments are exact integer sums
+    * (the x31 discipline); the correlation divides once at the edge
+    * with sqrt over exact longs (IEEE sqrt is correctly rounded on
+    * both engines). Degenerate variance → 0.0, never NULL. One row
+    * out; two partial-agg shuffles (degree, then moments). */
+  def degreeAssortativity(pairs: DataFrame): DataFrame = {
+    val sym = pairs
+      .select(col("doc_a").cast("long").as("s"), col("doc_b").cast("long").as("d"))
+      .union(pairs
+        .select(col("doc_b").cast("long").as("s"), col("doc_a").cast("long").as("d")))
+    val deg = sym.groupBy(col("s")).agg(count(lit(1)).as("degree"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"),
+      max(col("degree")).as("max_degree"))
+    val edges = pairs.agg(count(lit(1)).as("n_edges"))
+    val mo = sym
+      .join(deg.select(col("s").as("su"), col("degree").as("du")),
+        col("s") === col("su"))
+      .join(deg.select(col("s").as("sv"), col("degree").as("dv")),
+        col("d") === col("sv"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("du")).as("sx"), sum(col("dv")).as("sy"),
+        sum(col("du") * col("du")).as("sxx"),
+        sum(col("dv") * col("dv")).as("syy"),
+        sum(col("du") * col("dv")).as("sxy"))
+    val varx = col("m") * col("sxx") - col("sx") * col("sx")
+    val vary = col("m") * col("syy") - col("sy") * col("sy")
+    nodes.crossJoin(edges).crossJoin(mo)
+      .select(col("n_nodes"), col("n_edges"), col("max_degree"),
+        when(varx > 0 && vary > 0,
+          round((col("m") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt(varx.cast("double")) * sqrt(vary.cast("double"))), 6))
+          .otherwise(lit(0.0)).as("assortativity"))
+  }
 }

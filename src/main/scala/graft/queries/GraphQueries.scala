@@ -121,4 +121,36 @@ object GraphQueries {
        |      (d.degree * (d.degree - 1)), 6)
        |  ELSE 0.0 END AS cc
        |FROM deg d LEFT JOIN tc t USING (doc_id)""".stripMargin
+
+  /** g5: degree assortativity of the near-dup graph
+    * (Graph.degreeAssortativity) — hub-and-spoke vs stratified
+    * structure, from five exact integer edge-degree moments with one
+    * rounded division at the edge. */
+  def g5Assortativity(spark: SparkSession, dir: String): DataFrame =
+    Graph.degreeAssortativity(LlmQueries.d6SimhashPairs(spark, dir))
+
+  val g5Sql: String =
+    s"""WITH pairs AS (SELECT doc_a, doc_b FROM (
+       |${LlmQueries.d6Sql}
+       |)),
+       |sym AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |deg AS (SELECT s, count(*) AS degree FROM sym GROUP BY 1),
+       |nd AS (SELECT count(*) AS n_nodes, max(degree) AS max_degree FROM deg),
+       |ed AS (SELECT count(*) AS n_edges FROM pairs),
+       |e AS (SELECT a.degree AS du, b.degree AS dv
+       |  FROM sym JOIN deg a ON a.s = sym.s JOIN deg b ON b.s = sym.d),
+       |mo AS (SELECT CAST(count(*) AS BIGINT) AS m,
+       |    CAST(sum(du) AS BIGINT) AS sx, CAST(sum(dv) AS BIGINT) AS sy,
+       |    CAST(sum(du*du) AS BIGINT) AS sxx,
+       |    CAST(sum(dv*dv) AS BIGINT) AS syy,
+       |    CAST(sum(du*dv) AS BIGINT) AS sxy
+       |  FROM e)
+       |SELECT n_nodes, n_edges, max_degree,
+       |  CASE WHEN m*sxx - sx*sx > 0 AND m*syy - sy*sy > 0 THEN
+       |    round(CAST(m*sxy - sx*sy AS DOUBLE) /
+       |      (sqrt(CAST(m*sxx - sx*sx AS DOUBLE)) *
+       |       sqrt(CAST(m*syy - sy*sy AS DOUBLE))), 6)
+       |  ELSE 0.0 END AS assortativity
+       |FROM nd CROSS JOIN ed CROSS JOIN mo""".stripMargin
 }

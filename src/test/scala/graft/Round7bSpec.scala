@@ -265,6 +265,20 @@ class Round7bSpec extends SparkTestBase {
     assert(updated == rebuilt && updated.nonEmpty)
   }
 
+  test("g5 assortativity: star is exactly -1, regular graph degenerates to 0") {
+    import graft.operators.Graph
+    // 3-star: center 0 with leaves 1,2,3 -> perfectly disassortative
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("doc_a", "doc_b")
+    val s = Graph.degreeAssortativity(star)
+      .as[(Long, Long, Long, Double)].head()
+    assert(s == ((4L, 3L, 3L, -1.0)))
+    // triangle: every degree equal -> zero variance -> 0.0 by contract
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val t = Graph.degreeAssortativity(tri)
+      .as[(Long, Long, Long, Double)].head()
+    assert(t == ((3L, 3L, 2L, 0.0)))
+  }
+
   test("s19 plan has no sort and no window (threshold replaces top-k)") {
     val df = graft.queries.LlmQueries.s19RangeSearch(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
