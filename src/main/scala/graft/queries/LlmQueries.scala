@@ -663,6 +663,34 @@ object LlmQueries {
     "JOIN query_cells q ON q.cell = e.cell AND q.vec_id <> e.vec_id " +
       "AND e.vec_id % 17 <> 3")
 
+  /** s21: index COMPACTION — the reclaim step s18's docs name: the
+    * tombstoned rows are physically removed by REBUILDING the index
+    * from the live corpus under the FROZEN build-time quantizers,
+    * and the serve path drops the tombstone anti-join entirely.
+    * Compaction must be invisible to queries: the oracle is s18's
+    * SQL unchanged, so a compaction that re-trains quantizers,
+    * loses a live row, or resurrects a deleted one breaks the hash.
+    * This closes the index lifecycle: build (s10) → incremental
+    * append (s17) → soft delete (s18) → compact (s21). At 100 TB
+    * compaction is the amortized background rewrite of cell
+    * directories whose tombstone fraction crossed a threshold; the
+    * serve plan afterwards is s10's pruned scan with zero
+    * delete-filter overhead. */
+  def s21IndexCompact(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = emb.filter(col("vec_id") < 8)
+    val codebook = emb.filter(col("vec_id") < 16)
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_compact_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    graft.operators.VectorIndex.build(
+      emb.filter(col("vec_id") % 17 =!= 3), centroids, codebook, m = 8, path)
+    graft.operators.VectorIndex.serve(spark, path, queryVecs(spark, dir),
+      centroids, codebook, m = 8, k = 3)
+  }
+
+  /** Compaction is query-invisible: s18's tombstone-filtered answer. */
+  lazy val s21Sql: String = s18Sql
+
   /** the s8 CTE chain up to the per-(query, candidate) ADC distance
     * `ad` — ONE definition shared by the s8 and s11 oracles (s11 is
     * s8's ADC stage + an exact re-rank; the compressed-domain

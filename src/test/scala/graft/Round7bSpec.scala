@@ -279,6 +279,15 @@ class Round7bSpec extends SparkTestBase {
     assert(t == ((3L, 3L, 2L, 0.0)))
   }
 
+  test("s21 compacted index answers exactly like s18's tombstone-filtered serve") {
+    import graft.queries.LlmQueries
+    val compacted = LlmQueries.s21IndexCompact(spark, sf)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val softDeleted = LlmQueries.s18IndexDelete(spark, sf)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(compacted == softDeleted && compacted.nonEmpty)
+  }
+
   test("s19 plan has no sort and no window (threshold replaces top-k)") {
     val df = graft.queries.LlmQueries.s19RangeSearch(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
