@@ -388,6 +388,62 @@ object MediaQueries {
       }.toDF("doc_id", "channel", "bin", "cnt")
   }
 
+  /** m14: audio LOUDNESS NORMALIZATION under the hash gate — the
+    * gain-staging step between decode (m3) and features (m5): each
+    * doc's decoded PCM is rescaled so its peak magnitude lands at
+    * 30000, with the gain applied in INTEGER arithmetic
+    * (s·30000 div maxabs, truncating division — DuckDB `//`
+    * truncates toward zero exactly like the JVM for the negative
+    * samples, the m12-verified property), so the normalized
+    * fingerprint restates exactly. Constant-zero signals pass
+    * through ungained (maxabs 0 guard). Decode + gain + fingerprint
+    * in ONE partition-scoped map; one stats row out per doc. */
+  def m14Normalize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Codecs
+    Tables.spread(Tables.documents(spark, dir).select(col("doc_id"))).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = (64 + id % 97).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((id * 31 + i.toLong * 97) % 65536) - 32768).toShort)
+          val wav = Codecs.WavCodec.encodePcm16(8000, 1, samples)
+          val (h, back) = Codecs.WavCodec.decodePcm16(wav)
+          require(h.nSampleFrames == n, s"wav sample count mismatch for doc $id")
+          var maxabs = 0L
+          back.foreach(s => maxabs = math.max(maxabs, math.abs(s.toLong)))
+          var peak = 0L; var fp = 0L
+          back.foreach { s =>
+            val v = if (maxabs == 0) s.toLong else s.toLong * 30000L / maxabs
+            peak = math.max(peak, math.abs(v))
+            fp = (fp * 31 + (v + 32768)) % 1000000007L
+          }
+          (id, n, maxabs, peak, fp)
+        }
+      }.toDF("doc_id", "n_samples", "max_abs_in", "peak_out", "norm_fp")
+  }
+
+  val m14Sql: String =
+    """WITH s AS (SELECT doc_id, CAST(64 + doc_id % 97 AS INT) AS n,
+      |    list_transform(range(64 + doc_id % 97),
+      |      i -> (doc_id * 31 + i * 97) % 65536 - 32768) AS pcm
+      |  FROM documents),
+      |m AS (SELECT doc_id, n, pcm,
+      |    CAST(list_max(list_transform(pcm, v -> abs(v))) AS BIGINT)
+      |      AS max_abs_in
+      |  FROM s),
+      |g AS (SELECT doc_id, n, max_abs_in,
+      |    list_transform(pcm, v -> CASE WHEN max_abs_in = 0 THEN v
+      |      ELSE (v * 30000) // max_abs_in END) AS norm
+      |  FROM m)
+      |SELECT doc_id, n AS n_samples, max_abs_in,
+      |  CAST(list_max(list_transform(norm, v -> abs(v))) AS BIGINT)
+      |    AS peak_out,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(norm, v -> v + 32768)),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS norm_fp
+      |FROM g""".stripMargin
+
   val m13Sql: String =
     """WITH g AS (SELECT doc_id,
       |    8 + doc_id % 13 AS w, 8 + doc_id % 7 AS h

@@ -288,6 +288,18 @@ class Round7bSpec extends SparkTestBase {
     assert(compacted == softDeleted && compacted.nonEmpty)
   }
 
+  test("m14 loudness normalization: peak lands at 30000, zero signal passes through") {
+    val rows = graft.queries.MediaQueries.m14Normalize(spark, sf)
+      .as[(Long, Int, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, _, maxIn, peakOut, _) =>
+      if (maxIn > 0) {
+        // integer truncation can land slightly under, never over
+        assert(peakOut <= 30000 && peakOut > 29000, s"doc $id peak $peakOut")
+      } else assert(peakOut == 0)
+    }
+  }
+
   test("s19 plan has no sort and no window (threshold replaces top-k)") {
     val df = graft.queries.LlmQueries.s19RangeSearch(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
