@@ -70,4 +70,33 @@ object AsOfJoin {
       .filter(col("__side") === 1 && col("__match").isNotNull)
       .select(col("__lpay.*") +: Seq(col("__match").as("asof")): _*)
   }
+
+  /** LEFT as-of: identical plan to [[asOf]] (union-tag + one keyed
+    * exchange + running last), but left rows WITHOUT any prior right
+    * row survive with a NULL `asof` payload — the attribution /
+    * enrichment contract ("every fact keeps its latest dimension
+    * state, facts before the first state keep none"). Callers must
+    * coalesce the NULL payload before the Verify gate. */
+  def asOfLeft(left: DataFrame, right: DataFrame,
+      key: String, leftTime: String, rightTime: String): DataFrame = {
+    val lpayT = StructType(left.schema.fields)
+    val rpayT = StructType(right.schema.fields)
+    val lf = left.filter(col(key).isNotNull && col(leftTime).isNotNull)
+    val rf = right.filter(col(key).isNotNull && col(rightTime).isNotNull)
+    val lU = lf.select(
+      col(key).as("__k"), col(leftTime).as("__t"), lit(1).as("__side"),
+      struct(left.columns.map(col).toIndexedSeq: _*).as("__lpay"),
+      lit(null).cast(rpayT).as("__rpay"))
+    val rU = rf.select(
+      col(key).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
+      lit(null).cast(lpayT).as("__lpay"),
+      struct(right.columns.map(col).toIndexedSeq: _*).as("__rpay"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lU.unionByName(rU)
+      .withColumn("__match", last(col("__rpay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__lpay.*") +: Seq(col("__match").as("asof")): _*)
+  }
 }

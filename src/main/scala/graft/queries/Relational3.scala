@@ -722,6 +722,51 @@ object Relational3 {
         round(col("disc_cp_sum").cast("double") / 10000.0, 2).as("revenue"))
   }
 
+  // ---- r44: last-touch attribution (LEFT as-of) --------------------
+
+  /** r44: LAST-TOUCH ATTRIBUTION — every purchase attributed to the
+    * user's most recent click at or before it (the marketing
+    * attribution primitive), reported as purchase counts per
+    * attribution-lag-day bucket with unattributed purchases kept
+    * under the -1 bucket. Declared through the LEFT variant of the
+    * as-of operator (AsOfJoin.asOfLeft — r21's union-tag + single
+    * keyed exchange + running-last plan, with no-prior-click
+    * purchases surviving as NULL matches). Clicks pre-aggregate to
+    * one row per (user, ts) (max event_id) so equal-timestamp ties
+    * are deterministic on both engines — the r21 discipline. */
+  def r44Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").as("cts"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id"), col("cts"), col("click_id"))
+    graft.operators.AsOfJoin.asOfLeft(purchases, clicks, "user_id", "ts", "cts")
+      .select(col("user_id"), col("ts"),
+        when(col("asof").isNull, lit(-1))
+          .otherwise(datediff(to_date(col("ts")), to_date(col("asof.cts"))))
+          .cast("int").as("lag_days"))
+      .groupBy(col("lag_days"))
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val r44Sql: String =
+    """WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts AS cts, max(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |a AS (SELECT p.user_id, p.ts, c.cts
+      |  FROM p ASOF LEFT JOIN c
+      |    ON p.user_id = c.user_id AND p.ts >= c.cts),
+      |l AS (SELECT user_id, CAST(CASE WHEN cts IS NULL THEN -1
+      |    ELSE date_diff('day', CAST(cts AS DATE), CAST(ts AS DATE))
+      |    END AS INT) AS lag_days
+      |  FROM a)
+      |SELECT lag_days, count(*) AS n_purchases,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM l GROUP BY 1""".stripMargin
+
   val r43Sql: String =
     """WITH l AS (SELECT l_returnflag, l_linestatus, l_quantity,
       |    CAST(round(l_extendedprice*100) AS BIGINT) AS base_cents,

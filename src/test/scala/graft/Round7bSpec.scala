@@ -300,6 +300,21 @@ class Round7bSpec extends SparkTestBase {
     }
   }
 
+  test("asOfLeft keeps unmatched left rows; ties at equal time attribute") {
+    import graft.operators.AsOfJoin
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val left = Seq((1L, ts(5), "early"), (1L, ts(20), "late"), (2L, ts(10), "tie"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, ts(10), 100L), (2L, ts(10), 200L))
+      .toDF("k", "rt", "rid")
+    val got = AsOfJoin.asOfLeft(left, right, "k", "t", "rt")
+      .select(col("tag"),
+        when(col("asof").isNull, -1L).otherwise(col("asof.rid")).as("rid"))
+      .as[(String, Long)].collect().toMap
+    // before any right row -> kept with NULL; after -> latest; equal t -> matches
+    assert(got == Map("early" -> -1L, "late" -> 100L, "tie" -> 200L))
+  }
+
   test("s19 plan has no sort and no window (threshold replaces top-k)") {
     val df = graft.queries.LlmQueries.s19RangeSearch(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
