@@ -1063,4 +1063,67 @@ object CorpusQueries {
        |  CAST(sum(len($tsSql)) AS BIGINT) AS tokens_sum,
        |  min(n_chars) AS chars_min, max(n_chars) AS chars_max
        |FROM documents GROUP BY 1""".stripMargin
+
+  // ---- x42: curation capstone v3 (per-source health report) -------
+
+  /** x42: curation capstone v3 — the round's new primitives composed
+    * into ONE per-source corpus-health report: sub-document
+    * duplicate mass from the d14 chunk-dedup core (how much of each
+    * source is boilerplate already seen elsewhere) next to the x37
+    * cross-corpus perplexity gate (how much a reference-LM quality
+    * filter would drop), closed with a combined clean_rate =
+    * (kept_chunks/chunks)·(unflagged/docs) — the number a data lead
+    * reads to decide which feed to renegotiate. x10/x20 compose the
+    * d9+x14 families; x42 is the same "it composes in one Catalyst
+    * plan" statement for the round-7 additions.
+    *
+    * Exactness: both inputs are already hash-gate-exact (d14 counts
+    * are integers; x37 flags come from micro-unit integer compares);
+    * clean_rate multiplies the two exact-integer ratios in the same
+    * written order on both engines and rounds once at the edge. */
+  def x42CurationV3(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, dir))
+    val chunkStats = chunkDedup(docs, 12)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(sum(col("n_chunks")).as("n_chunks"),
+        sum(col("n_kept")).as("n_kept_chunks"))
+    x37PerplexityFilter(spark, dir)
+      .select(col("source"), col("n_docs"), col("n_flagged"))
+      .join(chunkStats, "source")
+      .select(col("source"), col("n_docs"), col("n_chunks"),
+        col("n_kept_chunks"), col("n_flagged"),
+        when(col("n_chunks") > 0 && col("n_docs") > 0,
+          round((col("n_kept_chunks").cast("double") / col("n_chunks"))
+            * ((col("n_docs") - col("n_flagged")).cast("double")
+              / col("n_docs")), 6))
+          .otherwise(lit(0.0)).as("clean_rate"))
+  }
+
+  val x42Sql: String =
+    s"""WITH toks AS (SELECT doc_id, $tsSql AS ts FROM documents),
+       |ch AS (SELECT doc_id, CAST(i AS INT) AS idx,
+       |    array_to_string(ts[i*12+1 : i*12+12], ' ') AS chunk
+       |  FROM toks, LATERAL (SELECT
+       |    unnest(range(CAST(ceil(len(ts)/12.0) AS INT))) AS i) t
+       |  WHERE len(ts) > 0),
+       |occ AS (SELECT doc_id, md5(chunk) AS ck,
+       |    doc_id*100000 + idx AS ord FROM ch),
+       |keep AS (SELECT ck, min(ord) AS keep_ord FROM occ GROUP BY 1),
+       |cs AS (SELECT d.source,
+       |    CAST(count(*) AS BIGINT) AS n_chunks,
+       |    CAST(count(*) FILTER (o.ord = k.keep_ord) AS BIGINT)
+       |      AS n_kept_chunks
+       |  FROM occ o JOIN keep k USING (ck)
+       |  JOIN documents d USING (doc_id)
+       |  GROUP BY 1),
+       |ppl AS (SELECT source, n_docs, n_flagged FROM (
+       |${x37Sql}
+       |))
+       |SELECT source, n_docs, n_chunks, n_kept_chunks, n_flagged,
+       |  CASE WHEN n_chunks > 0 AND n_docs > 0 THEN
+       |    round((CAST(n_kept_chunks AS DOUBLE) / n_chunks)
+       |      * (CAST(n_docs - n_flagged AS DOUBLE) / n_docs), 6)
+       |  ELSE 0.0 END AS clean_rate
+       |FROM ppl JOIN cs USING (source)""".stripMargin
 }

@@ -315,6 +315,26 @@ class Round7bSpec extends SparkTestBase {
     assert(got == Map("early" -> -1L, "late" -> 100L, "tie" -> 200L))
   }
 
+  test("x42 capstone agrees with its d14 and x37 constituents per source") {
+    import graft.queries.CorpusQueries
+    val v3 = CorpusQueries.x42CurationV3(spark, sf)
+      .select("source", "n_chunks", "n_kept_chunks", "n_flagged")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val docs = Tables.documents(spark, sf)
+    val d14 = CorpusQueries.chunkDedup(Tables.spread(docs), 12)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(sum("n_chunks").as("c"), sum("n_kept").as("k"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val x37 = CorpusQueries.x37PerplexityFilter(spark, sf)
+      .select("source", "n_flagged").as[(String, Long)].collect().toMap
+    assert(v3.nonEmpty && v3.keySet == d14.keySet)
+    v3.foreach { case (s, (_, c, k, f)) =>
+      assert((c, k) == ((d14(s)._2, d14(s)._3)) && f == x37(s), s"source $s")
+    }
+  }
+
   test("s19 plan has no sort and no window (threshold replaces top-k)") {
     val df = graft.queries.LlmQueries.s19RangeSearch(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
