@@ -21,6 +21,27 @@ class FormatsSpec extends SparkTestBase {
       Formats.read(spark, "/tmp/x", "avro-nope", nation.schema))
   }
 
+  test("corrupt JSON records isolate into _corrupt_record, good rows survive") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-corrupt-").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/part.json"),
+      ("""{"id": 1, "name": "ok"}""" + "\n" +
+       """{"id": 2 "name": "missing-comma"}""" + "\n" +
+       """{"id": 3, "name": "fine"}""" + "\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("_corrupt_record", StringType)))
+    val df = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+    val rows = df.collect()
+    assert(rows.length == 3)
+    val bad = rows.filter(r => !r.isNullAt(2))
+    assert(bad.length == 1 && bad.head.getString(2).contains("missing-comma"))
+    assert(rows.filter(_.isNullAt(2)).map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+  }
+
   test("schema evolution: mergeSchema unions old and new parquet file schemas") {
     import testImplicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-evolve-").toString

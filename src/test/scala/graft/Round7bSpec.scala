@@ -335,6 +335,32 @@ class Round7bSpec extends SparkTestBase {
     }
   }
 
+  test("d14 randomized parity: distributed dedup equals an in-memory reference") {
+    import graft.queries.CorpusQueries
+    def md5s(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // 5-word vocabulary, short docs -> dense chunk collisions
+    val rnd = new scala.util.Random(42)
+    val vocab = Array("a", "b", "c", "d", "e")
+    val docs = (0L until 30L).map { id =>
+      val n = rnd.nextInt(21)
+      id -> Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    // reference: first-seen map over occurrences in (doc, idx) order
+    val seen = scala.collection.mutable.Set.empty[String]
+    val expected = docs.map { case (id, text) =>
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      val chunks = toks.grouped(3).map(_.mkString(" ")).toSeq
+      val kept = chunks.filter(c => seen.add(c))
+      (id, chunks.length.toLong, kept.length.toLong,
+        kept.map(_.length.toLong).sum, md5s(kept.mkString(" ")))
+    }.toSet
+    val got = CorpusQueries.chunkDedup(docs.toDF("doc_id", "text"), 3)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(got == expected)
+  }
+
   test("s19 plan has no sort and no window (threshold replaces top-k)") {
     val df = graft.queries.LlmQueries.s19RangeSearch(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
