@@ -289,6 +289,13 @@ object VideoQueries {
     val boxes = DetectionPipeline.boxes(dets, threshold = 0.7)
       .select(col("video_id"), col("frame_id"), col("box_ref"),
         col("x"), col("y"), col("w"), col("h"), col("label_id"))
+      // four consumers below (pf, cur, prev, the closing join) would
+      // each re-run the detection explode; materialize the small box
+      // relation once (charged to the timed region). The query's
+      // remaining cost is the shared v-family detection-explode
+      // baseline itself, not the join tree. At 100 TB this is the
+      // standard cache of a derived relation reused within one job.
+      .localCheckpoint()
     val pf = boxes.select(col("video_id"), col("frame_id")).distinct()
       .withColumn("prev_frame", lag(col("frame_id"), 1).over(
         Window.partitionBy(col("video_id")).orderBy(col("frame_id"))))
