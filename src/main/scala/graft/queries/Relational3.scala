@@ -722,6 +722,56 @@ object Relational3 {
         round(col("disc_cp_sum").cast("double") / 10000.0, 2).as("revenue"))
   }
 
+  // ---- r45: returned-item revenue report (TPC-H Q10 shape) ---------
+
+  /** r45: the Q10 SHAPE — top-20 customers by revenue lost to
+    * returned items in one quarter: customer⋈orders(date-window)⋈
+    * lineitem(returnflag)⋈nation. Both selective predicates push to
+    * their scans; nation broadcasts; the revenue sum uses the r43
+    * integer-cent·% discipline so the top-20 cut cannot drift on a
+    * last-ulp boundary; the cut itself is TakeOrderedAndProject. */
+  def r45ReturnedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1998-01-01") &&
+        col("o_orderdate") < lit("1998-04-01"))
+    val li = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (round(col("l_extendedprice") * 100).cast("long")
+          * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("rev_cp"))
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"),
+        col("c_acctbal"))
+      .agg(sum(col("rev_cp")).as("revenue_cp"), count(lit(1)).as("n_items"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("c_acctbal"), col("revenue_cp"), col("n_items"),
+        round(col("revenue_cp").cast("double") / 10000.0, 2).as("revenue"))
+      .orderBy(col("revenue_cp").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val r45Sql: String =
+    """WITH li AS (SELECT l_orderkey,
+      |    CAST(round(l_extendedprice*100) AS BIGINT)
+      |      * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev_cp
+      |  FROM lineitem WHERE l_returnflag = 'R')
+      |SELECT c_custkey, c_name, n_name, c_acctbal,
+      |  CAST(sum(rev_cp) AS BIGINT) AS revenue_cp,
+      |  count(*) AS n_items,
+      |  round(CAST(sum(rev_cp) AS DOUBLE) / 10000.0, 2) AS revenue
+      |FROM li
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-04-01'
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY revenue_cp DESC, c_custkey LIMIT 20""".stripMargin
+
   // ---- r44: last-touch attribution (LEFT as-of) --------------------
 
   /** r44: LAST-TOUCH ATTRIBUTION — every purchase attributed to the

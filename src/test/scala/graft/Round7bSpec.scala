@@ -361,6 +361,14 @@ class Round7bSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("r45 plan: top-20 is a TakeOrdered, returnflag and date reach the scans") {
+    val df = graft.queries.Relational3.r45ReturnedRevenue(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(plan.contains("l_returnflag") && plan.contains("o_orderdate"))
+    assert(df.collect().length <= 20)
+  }
+
   test("s19 plan has no sort and no window (threshold replaces top-k)") {
     val df = graft.queries.LlmQueries.s19RangeSearch(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
