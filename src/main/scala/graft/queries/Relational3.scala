@@ -722,6 +722,40 @@ object Relational3 {
         round(col("disc_cp_sum").cast("double") / 10000.0, 2).as("revenue"))
   }
 
+  // ---- r46: per-user hourly quota enforcement ----------------------
+
+  /** r46: QUOTA ENFORCEMENT — per user, how many events an
+    * N-per-hour rate limit (N=3) would accept vs reject: the
+    * admission-control/abuse-throttling primitive. Because accepted
+    * = "first N in the hour" under any total order, the accepted
+    * COUNT per hour is min(N, hour_count) independent of which
+    * events win — so the report is pure integer arithmetic over ONE
+    * (user, hour) partial agg + a per-user rollup, no window
+    * function and no ordering anywhere. The streaming form
+    * (StatefulOps.quotaState) maintains the same per-hour counts as
+    * keyed state and converges to these exact rows under adversarial
+    * replay (parity spec). */
+  def r46RateLimit(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 3600000000").as("hb"))
+    ev.groupBy(col("user_id"), col("hb")).agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n_events"),
+        sum(least(col("c"), lit(3L))).as("n_accepted"))
+      .select(col("user_id"), col("n_events"), col("n_accepted"),
+        (col("n_events") - col("n_accepted")).as("n_rejected"))
+  }
+
+  val r46Sql: String =
+    """WITH e AS (SELECT user_id,
+      |    CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hb FROM events),
+      |hc AS (SELECT user_id, hb, count(*) AS c FROM e GROUP BY 1, 2)
+      |SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+      |  CAST(sum(least(c, 3)) AS BIGINT) AS n_accepted,
+      |  CAST(sum(c) - sum(least(c, 3)) AS BIGINT) AS n_rejected
+      |FROM hc GROUP BY 1""".stripMargin
+
   // ---- r45: returned-item revenue report (TPC-H Q10 shape) ---------
 
   /** r45: the Q10 SHAPE — top-20 customers by revenue lost to

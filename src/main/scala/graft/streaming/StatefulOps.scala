@@ -37,6 +37,44 @@ object StatefulOps {
       last_event: Long, last_type: String, last_cents: Long,
       n_changes: Long)
 
+  final case class QuotaEvent(user_id: Long, hb: Long)
+  final case class QuotaState(user_id: Long, counts: Map[Long, Long])
+  final case class QuotaSnap(user_id: Long, n_events: Long,
+      n_accepted: Long, n_rejected: Long)
+
+  /** r46's hourly rate limit as KEYED STREAMING STATE — the
+    * admission-control counter a gateway runs continuously: per user
+    * the state is one count per hour bucket; accepted = Σ min(N, c)
+    * is recomputed from counts at each emit, so the snapshot is
+    * ORDER-INDEPENDENT (a late event in an already-full hour lands
+    * as rejected no matter when it arrives) and converges to the
+    * batch `Relational3.r46RateLimit` rows exactly — the parity
+    * spec's property; n_events grows monotonically so the final
+    * snapshot per key is the emitted row with the highest n_events.
+    * State is bounded by distinct ACTIVE hours per user; production
+    * adds an event-time timeout to evict hours past the watermark
+    * (the dedup path's pattern), which never changes totals. */
+  def quotaState(events: Dataset[QuotaEvent], perHour: Long = 3L)
+      : Dataset[QuotaSnap] = {
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val snapEnc = Encoders.product[QuotaSnap]
+    implicit val stEnc = Encoders.product[QuotaState]
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[QuotaState, QuotaSnap](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[QuotaEvent], state: GroupState[QuotaState]) =>
+          var counts = state.getOption.map(_.counts)
+            .getOrElse(Map.empty[Long, Long])
+          it.foreach { e =>
+            counts = counts.updated(e.hb, counts.getOrElse(e.hb, 0L) + 1L)
+          }
+          state.update(QuotaState(uid, counts))
+          val n = counts.valuesIterator.sum
+          val acc = counts.valuesIterator.map(c => math.min(c, perHour)).sum
+          QuotaSnap(uid, n, acc, n - acc)
+      }
+  }
+
   /** r31's CDC compaction as KEYED STREAMING STATE — the standing
     * latest-wins merge a compacted topic runs continuously instead
     * of as a batch query. Per user the state is the latest change by

@@ -470,6 +470,43 @@ class StreamingSpec extends SparkTestBase {
     assert(got == expected && expected.nonEmpty)
   }
 
+  test("streaming quota state converges to the batch r46 rate-limit rows") {
+    import testImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulOps.{QuotaEvent, QuotaSnap}
+    val src = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 3600000000").as("hb"))
+      .as[(Long, Long)].collect().map(t => QuotaEvent(t._1, t._2))
+    val expected = graft.queries.Relational3.r46RateLimit(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val shuffled = new scala.util.Random(23).shuffle(src.toSeq)
+    val chunks = shuffled.grouped((shuffled.size + 2) / 3).toSeq
+    val mem = MemoryStream[QuotaEvent]
+    val q = graft.streaming.StatefulOps.quotaState(mem.toDS())
+      .writeStream.format("memory").queryName("quota_out")
+      .outputMode("update").option("checkpointLocation", tmpDir()).start()
+    chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+    q.stop()
+    // n_events is monotone per key: the final snapshot is the max row
+    val got = spark.table("quota_out").as[QuotaSnap].collect()
+      .groupBy(_.user_id).values
+      .map(_.maxBy(_.n_events))
+      .map(s => (s.user_id, s.n_events, s.n_accepted, s.n_rejected)).toSet
+    assert(got == expected && expected.nonEmpty)
+    // rejection semantics on a deterministic burst: 5 events in one
+    // hour + 1 in the next -> 4 accepted, 2 rejected... (3 + 1)
+    val mem2 = MemoryStream[QuotaEvent]
+    val q2 = graft.streaming.StatefulOps.quotaState(mem2.toDS())
+      .writeStream.format("memory").queryName("quota_burst")
+      .outputMode("update").option("checkpointLocation", tmpDir()).start()
+    mem2.addData(Seq.fill(5)(QuotaEvent(7L, 100L)) :+ QuotaEvent(7L, 101L))
+    q2.processAllAvailable()
+    q2.stop()
+    val burst = spark.table("quota_burst").as[QuotaSnap].collect()
+      .maxBy(_.n_events)
+    assert(burst == QuotaSnap(7L, 6L, 4L, 2L))
+  }
+
   test("dropDuplicatesWithinWatermark: redelivered frames collapse, state bounded") {
     import testImplicits._
     implicit val sqlCtx = spark.sqlContext
