@@ -444,6 +444,67 @@ object MediaQueries {
       |    (a, b) -> (a * 31 + b) % 1000000007) AS norm_fp
       |FROM g""".stripMargin
 
+  /** m15: STEREO DOWNMIX under the hash gate — the channel-layout
+    * stage of an audio pipeline: a genuinely WAV-encoded 2-channel
+    * interleaved stream (L = the m3 synthetic waveform, R = its
+    * phase-shifted copy) is really decoded back (header channels=2
+    * verified) and downmixed to mono by the truncating integer
+    * midpoint (L+R) div 2 — the m12-verified JVM/DuckDB division
+    * parity — so the mono fingerprint restates arithmetically.
+    * Decode + downmix + fingerprint in ONE partition-scoped map. */
+  def m15Downmix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Codecs
+    Tables.spread(Tables.documents(spark, dir).select(col("doc_id"))).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = (64 + id % 97).toInt
+          def samp(i: Int): Short =
+            (((id * 31 + i.toLong * 97) % 65536) - 32768).toShort
+          val inter = new Array[Short](2 * n)
+          var i = 0
+          while (i < n) {
+            inter(2 * i) = samp(i)                 // L
+            inter(2 * i + 1) = samp((i + 7) % n)   // R: phase shift
+            i += 1
+          }
+          val wav = Codecs.WavCodec.encodePcm16(8000, 2, inter)
+          val (h, back) = Codecs.WavCodec.decodePcm16(wav)
+          require(h.channels == 2 && back.length == 2 * n,
+            s"stereo decode mismatch for doc $id")
+          var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+          var fp = 0L
+          var k = 0
+          while (k < n) {
+            val m = (back(2 * k) + back(2 * k + 1)) / 2
+            sum += m; mn = math.min(mn, m); mx = math.max(mx, m)
+            fp = (fp * 31 + (m + 32768)) % 1000000007L
+            k += 1
+          }
+          (id, n, 2, sum, mn, mx, fp)
+        }
+      }.toDF("doc_id", "n_frames", "channels_in", "sum_mono",
+        "min_mono", "max_mono", "mono_fp")
+  }
+
+  val m15Sql: String =
+    """WITH s AS (SELECT doc_id, CAST(64 + doc_id % 97 AS INT) AS n FROM documents),
+      |mx AS (SELECT doc_id, n,
+      |    list_transform(range(n), i -> (
+      |      ((doc_id * 31 + i * 97) % 65536 - 32768)
+      |      + ((doc_id * 31 + ((i + 7) % n) * 97) % 65536 - 32768)) // 2)
+      |      AS mono
+      |  FROM s)
+      |SELECT doc_id, n AS n_frames, CAST(2 AS INT) AS channels_in,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), mono),
+      |    (a, b) -> a + b) AS BIGINT) AS sum_mono,
+      |  CAST(list_min(mono) AS INT) AS min_mono,
+      |  CAST(list_max(mono) AS INT) AS max_mono,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(mono, v -> v + 32768)),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS mono_fp
+      |FROM mx""".stripMargin
+
   val m13Sql: String =
     """WITH g AS (SELECT doc_id,
       |    8 + doc_id % 13 AS w, 8 + doc_id % 7 AS h

@@ -369,6 +369,18 @@ class Round7bSpec extends SparkTestBase {
     assert(df.collect().length <= 20)
   }
 
+  test("m15 downmix: one doc re-derived in memory matches the pipeline row") {
+    val rows = graft.queries.MediaQueries.m15Downmix(spark, sf)
+      .as[(Long, Int, Int, Long, Int, Int, Long)].collect()
+    assert(rows.nonEmpty && rows.forall(_._3 == 2))
+    val (id, n, _, sum, mn, mx, fp) = rows.head
+    def samp(i: Int): Int = (((id * 31 + i.toLong * 97) % 65536) - 32768).toInt
+    val mono = (0 until n).map(i => (samp(i) + samp((i + 7) % n)) / 2)
+    assert(sum == mono.map(_.toLong).sum && mn == mono.min && mx == mono.max)
+    val expFp = mono.foldLeft(0L)((a, v) => (a * 31 + (v + 32768)) % 1000000007L)
+    assert(fp == expFp)
+  }
+
   test("s19 plan has no sort and no window (threshold replaces top-k)") {
     val df = graft.queries.LlmQueries.s19RangeSearch(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
