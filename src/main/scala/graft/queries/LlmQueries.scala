@@ -1856,6 +1856,27 @@ object LlmQueries {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
 
+  /** x43: MERGEABLE approximate quantiles — the last member of the
+    * sketch family (HLL x6, bloom x15, Misra–Gries x36): per
+    * language, approx p50/p90/p99 of document length via Spark's
+    * GK-based percentile_approx next to the exact values. The
+    * sketch's answer depends on merge order, so like x6 there is no
+    * cross-engine SQL oracle (driver records rows-only); correctness
+    * is the spec's rank-error bound against the exact x8-style
+    * percentiles, which holds under ANY merge order — the property
+    * that makes the sketch safe at 100 TB, where exact quantiles
+    * need the x32 value-atomic pass and a sketch needs one scan and
+    * O(1/eps) state per partition. */
+  def x43ApproxQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(spark, dir))
+      .groupBy(col("lang"))
+      .agg(
+        percentile_approx(col("n_chars"), lit(0.5), lit(100)).as("p50_approx"),
+        percentile_approx(col("n_chars"), lit(0.9), lit(100)).as("p90_approx"),
+        percentile_approx(col("n_chars"), lit(0.99), lit(100)).as("p99_approx"),
+        expr("percentile(n_chars, 0.5)").as("p50_exact"),
+        count(lit(1)).as("n_docs"))
+
   /** d7: SEMANTIC near-dedup (the SemDeDup recipe): block candidate
     * pairs by IVF cell — the same trained-or-seeded coarse quantizer
     * the ANN index uses (s3's deterministic vec_id<8 centroids, so

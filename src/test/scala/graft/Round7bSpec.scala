@@ -381,6 +381,27 @@ class Round7bSpec extends SparkTestBase {
     assert(fp == expFp)
   }
 
+  test("x43 approx quantiles respect the GK rank-error bound vs exact ranks") {
+    val approx = graft.queries.LlmQueries.x43ApproxQuantiles(spark, sf)
+      .select("lang", "p50_approx", "p90_approx", "p99_approx")
+      .as[(String, Double, Double, Double)].collect()
+    val byLang = Tables.documents(spark, sf)
+      .select(col("lang"), col("n_chars")).as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(approx.nonEmpty)
+    approx.foreach { case (lang, p50, p90, p99) =>
+      val xs = byLang(lang); val n = xs.length
+      def rankOk(v: Double, q: Double): Unit = {
+        val lo = xs.count(_ < v.toLong)   // rank window of the value
+        val hi = xs.count(_ <= v.toLong)
+        val target = q * n; val tol = n / 100.0 + 1
+        assert(lo - tol <= target && target <= hi + tol,
+          s"$lang q=$q v=$v rank [$lo,$hi] target $target")
+      }
+      rankOk(p50, 0.5); rankOk(p90, 0.9); rankOk(p99, 0.99)
+    }
+  }
+
   test("s19 plan has no sort and no window (threshold replaces top-k)") {
     val df = graft.queries.LlmQueries.s19RangeSearch(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
