@@ -1064,6 +1064,74 @@ object CorpusQueries {
        |  min(n_chars) AS chars_min, max(n_chars) AS chars_max
        |FROM documents GROUP BY 1""".stripMargin
 
+  // ---- x44: corpus snapshot diff (data versioning) ----------------
+
+  /** Core of x44 over two (doc_id, lang, text) snapshots: the
+    * doc-level DIFF report a versioned corpus store emits between
+    * crawls — per language, how many docs are unchanged / changed
+    * (same id, different content hash) / removed / added. One FULL
+    * OUTER join on doc_id comparing md5(text); every class is a
+    * conditional sum on the same |langs|-keyed partial agg. */
+  def snapshotDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    val av = a.select(col("doc_id"), col("lang").as("lang_a"),
+      md5(col("text")).as("ha"))
+    val bv = b.select(col("doc_id"), col("lang").as("lang_b"),
+      md5(col("text")).as("hb"))
+    av.join(bv, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("lang_a"), col("lang_b")).as("lang"),
+        col("ha"), col("hb"))
+      .groupBy(col("lang"))
+      .agg(
+        sum(when(col("ha").isNotNull && col("hb").isNotNull &&
+          col("ha") === col("hb"), 1L).otherwise(0L)).as("n_unchanged"),
+        sum(when(col("ha").isNotNull && col("hb").isNotNull &&
+          col("ha") =!= col("hb"), 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("hb").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("ha").isNull, 1L).otherwise(0L)).as("n_added"))
+  }
+
+  /** x44: SNAPSHOT DIFF between two corpus versions — snapshot B is
+    * a deterministic simulated next crawl of the documents table
+    * (doc_id % 11 == 0 removed, % 7 == 0 re-crawled with edited
+    * text, % 13 == 0 re-added under a new id): the report a data
+    * lead reads before promoting a new crawl, and the doc-level
+    * complement of x38's distribution drift. 100 TB shape: one
+    * id-keyed full-outer join (both sides hash-partitioned on the
+    * key), content compared by 128-bit hash — text never shuffles —
+    * and a |langs|-row closing agg. */
+  def x44SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, dir))
+    val a = docs.select(col("doc_id"), col("lang"), col("text"))
+    val b = docs.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" edited")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+          col("text")))
+    snapshotDiff(a, b)
+  }
+
+  val x44Sql: String =
+    """WITH a AS (SELECT doc_id, lang, md5(text) AS ha FROM documents),
+      |b AS (SELECT doc_id, lang,
+      |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' edited'
+      |      ELSE text END) AS hb
+      |  FROM documents WHERE doc_id % 11 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, lang, md5(text) FROM documents
+      |  WHERE doc_id % 13 = 0),
+      |j AS (SELECT coalesce(a.lang, b.lang) AS lang, ha, hb
+      |  FROM a FULL OUTER JOIN b USING (doc_id))
+      |SELECT lang,
+      |  CAST(count(*) FILTER (ha IS NOT NULL AND hb IS NOT NULL
+      |    AND ha = hb) AS BIGINT) AS n_unchanged,
+      |  CAST(count(*) FILTER (ha IS NOT NULL AND hb IS NOT NULL
+      |    AND ha <> hb) AS BIGINT) AS n_changed,
+      |  CAST(count(*) FILTER (hb IS NULL) AS BIGINT) AS n_removed,
+      |  CAST(count(*) FILTER (ha IS NULL) AS BIGINT) AS n_added
+      |FROM j GROUP BY 1""".stripMargin
+
   // ---- x42: curation capstone v3 (per-source health report) -------
 
   /** x42: curation capstone v3 — the round's new primitives composed

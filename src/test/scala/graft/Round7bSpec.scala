@@ -402,6 +402,19 @@ class Round7bSpec extends SparkTestBase {
     }
   }
 
+  test("x44 snapshot diff classifies a hand-built fixture exactly") {
+    import graft.queries.CorpusQueries
+    val a = Seq((1L, "en", "same"), (2L, "en", "old"), (3L, "de", "gone"))
+      .toDF("doc_id", "lang", "text")
+    val b = Seq((1L, "en", "same"), (2L, "en", "new"), (4L, "de", "fresh"))
+      .toDF("doc_id", "lang", "text")
+    val got = CorpusQueries.snapshotDiff(a, b)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("en") == (("en", 1L, 1L, 0L, 0L)))
+    assert(got("de") == (("de", 0L, 0L, 1L, 1L)))
+  }
+
   test("s19 plan has no sort and no window (threshold replaces top-k)") {
     val df = graft.queries.LlmQueries.s19RangeSearch(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
