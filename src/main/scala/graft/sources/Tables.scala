@@ -27,14 +27,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.parquet stores ts as TIMESTAMP(NANOS); with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as LONG
-    * nanos — convert to a proper timestamp (micros) here. Integer
-    * `div` keeps the full 63-bit value exact (a double division would
-    * lose precision above 2^53 ns). */
-  def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events").withColumn("ts",
-      timestamp_micros(expr("ts div 1000")))
+  /** events.parquet has shipped `ts` in three physical encodings
+    * across driver revisions: TIMESTAMP(NANOS) (which, under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, arrives as LONG
+    * nanos), TIMESTAMP(MICROS, isAdjustedToUTC=false) (which arrives
+    * as TimestampNTZType), and UTC-adjusted TIMESTAMP(MICROS) (a real
+    * TimestampType). Branch on the arrived dtype so the loader is
+    * correct under any of them: LONG nanos → integer `div 1000` (keeps
+    * the full 63-bit value exact; a double division would lose
+    * precision above 2^53 ns) → timestamp_micros; NTZ → cast to
+    * TimestampType, which is the identity on the stored micros because
+    * the session timezone is pinned to UTC in `Engine`; TimestampType
+    * passes through. Every downstream consumer (windows, `unix_micros`,
+    * watermarks) sees one canonical micros TimestampType. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
