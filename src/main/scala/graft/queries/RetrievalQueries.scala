@@ -377,4 +377,90 @@ object RetrievalQueries {
   /** Full-corpus x28 — the updated index must be indistinguishable
     * from a fresh build. */
   val x41Sql: String = x28Sql
+
+  // ---- s22: hybrid search via reciprocal-rank fusion ---------------
+
+  /** s22: HYBRID retrieval — the lexical leg (x28's BM25 top-20) and
+    * the vector leg (brute-force cosine top-20 against one query
+    * embedding) fused with reciprocal-rank fusion,
+    * score = Σ_legs 1/(60 + rank)  (Cormack & Clarke's k=60), the
+    * standard way production search serves "keyword AND semantic"
+    * without calibrating the two incomparable score scales. A doc
+    * absent from a leg contributes 0 from that leg (rank sentinel 0
+    * in the output). The fixed bm25Terms set is the lexical query;
+    * vec_id 0's embedding stands in for its encoder output — the
+    * corpus row itself is excluded from the vector leg (it IS the
+    * query), while the lexical leg keeps all docs.
+    *
+    * Exactness: both legs rank before any float mixing (BM25 on its
+    * rounded score, cosine on the exact fixed-order fold both engines
+    * restate), so the fused input is two INTEGER rank columns; the
+    * RRF score is the same two-term double sum from integers on both
+    * engines, rounded once at the edge, and the final rank breaks
+    * ties by doc_id.
+    *
+    * 100 TB shape: each leg ends in TakeOrderedAndProject (per-
+    * partition heaps, never a global sort), so the fusion input is
+    * ≤ 2·k rows — the full-outer join and re-rank are driver-scale
+    * no matter the corpus size. The query embedding broadcasts; the
+    * vector leg is one narrow projection over the embeddings scan. */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, terms: Seq[String],
+      kLeg: Int, kOut: Int): DataFrame = {
+    val lex = bm25(docs, terms, kLeg)
+      .select(col("doc_id"), col("rnk").as("lex_rnk"))
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    val vecTop = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        TextFunctions.cosineSim(col("embedding"), col("qe")).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(kLeg)
+      .withColumn("vec_rnk", row_number().over(
+        Window.orderBy(col("cos").desc, col("doc_id"))).cast("int"))
+      .select(col("doc_id"), col("vec_rnk"))
+    lex.join(vecTop, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("lex_rnk"), lit(0)).as("lex_rnk"),
+        coalesce(col("vec_rnk"), lit(0)).as("vec_rnk"))
+      .withColumn("rrf", round(
+        when(col("lex_rnk") > 0,
+          lit(1.0) / (lit(60.0) + col("lex_rnk").cast("double")))
+          .otherwise(lit(0.0)) +
+        when(col("vec_rnk") > 0,
+          lit(1.0) / (lit(60.0) + col("vec_rnk").cast("double")))
+          .otherwise(lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(kOut)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id"))).cast("int"))
+  }
+
+  def s22HybridRrf(spark: SparkSession, dir: String): DataFrame =
+    hybridRrf(Tables.documents(spark, dir), Tables.embeddings(spark, dir),
+      bm25Terms, kLeg = 20, kOut = 10)
+
+  val s22Sql: String =
+    s"""WITH lex AS (SELECT doc_id, rnk AS lex_rnk FROM ($x28Sql)),
+       |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |cand AS (SELECT vec_id AS doc_id,
+       |    ${cosSql("embedding", "qe")} AS cos
+       |  FROM embeddings CROSS JOIN qv WHERE vec_id <> 0),
+       |vtop AS (SELECT doc_id, cos FROM cand
+       |  ORDER BY cos DESC, doc_id LIMIT 20),
+       |vec AS (SELECT doc_id, CAST(row_number() OVER
+       |    (ORDER BY cos DESC, doc_id) AS INT) AS vec_rnk FROM vtop),
+       |f AS (SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+       |    coalesce(lex_rnk, 0) AS lex_rnk,
+       |    coalesce(vec_rnk, 0) AS vec_rnk
+       |  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id),
+       |sc AS (SELECT doc_id, lex_rnk, vec_rnk,
+       |    round((CASE WHEN lex_rnk > 0
+       |        THEN 1.0 / (60.0 + CAST(lex_rnk AS DOUBLE)) ELSE 0.0 END)
+       |      + (CASE WHEN vec_rnk > 0
+       |        THEN 1.0 / (60.0 + CAST(vec_rnk AS DOUBLE)) ELSE 0.0 END),
+       |      6) AS rrf
+       |  FROM f),
+       |r AS (SELECT doc_id, lex_rnk, vec_rnk, rrf, CAST(row_number()
+       |    OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rnk FROM sc)
+       |SELECT doc_id, lex_rnk, vec_rnk, rrf, rnk FROM r
+       |WHERE rnk <= 10""".stripMargin
 }

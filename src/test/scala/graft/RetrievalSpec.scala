@@ -104,4 +104,30 @@ class RetrievalSpec extends SparkTestBase {
       assert(all(f)._3.toSeq === rgb.toSeq)
     }
   }
+
+  test("s22 hybridRrf: overlap doc fuses both legs, single-leg docs " +
+    "carry the 0 sentinel, RRF order hand-checked") {
+    val docs = Seq(
+      (1L, "alpha alpha"),          // lex rank 1 (tf=2)
+      (2L, "alpha"),                // lex rank 2 AND vec rank 1
+      (3L, "other"),                // vec leg only
+      (4L, "alpha filler filler"))  // lex rank 3: cut by kLeg=2
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f)),      // the query embedding
+      (1L, Array(0f, 1f, 0f)),      // cos 0: cut
+      (2L, Array(1f, 0f, 0f)),      // cos 1      -> vec rank 1
+      (3L, Array(1f, 1f, 0f)),      // cos 1/sqrt2 -> vec rank 2
+      (4L, Array(0f, 0f, 1f)))      // cos 0: cut
+      .toDF("vec_id", "embedding")
+    val got = RetrievalQueries.hybridRrf(docs, emb, Seq("alpha"),
+      kLeg = 2, kOut = 5)
+      .select("doc_id", "lex_rnk", "vec_rnk", "rrf", "rnk")
+      .as[(Long, Int, Int, Double, Int)].collect().toSeq
+    // doc2 fuses 1/62 + 1/61; doc1 lex-only 1/61; doc3 vec-only 1/62
+    assert(got === Seq(
+      (2L, 2, 1, round6(1.0 / 62 + 1.0 / 61), 1),
+      (1L, 1, 0, round6(1.0 / 61), 2),
+      (3L, 0, 2, round6(1.0 / 62), 3)))
+  }
 }
