@@ -1132,6 +1132,89 @@ object CorpusQueries {
       |  CAST(count(*) FILTER (ha IS NULL) AS BIGINT) AS n_added
       |FROM j GROUP BY 1""".stripMargin
 
+  // ---- x45: linear quality classifier (per-source gate report) ----
+
+  /** x45: a fixed-weight LOGISTIC quality classifier over the x1
+    * feature family — the shape of the fastText/CCNet "keep or drop"
+    * model every production pretraining pipeline runs, with the
+    * learned weights replaced by a committed linear model (the
+    * container has no trainer; the SERVING dataflow is what the
+    * engine owns): z = −2 + 4·stop_ratio + 2·min(n_tokens,200)/200 −
+    * 3·punct_ratio, keep ⇔ z > 0.
+    *
+    * Exactness: the features are ratios of row-local INTEGER counts
+    * (identical IEEE doubles on both engines), z is the same
+    * left-associated +/· tree on both sides, and the KEEP DECISION
+    * compares z > 0 — pure arithmetic, never the sigmoid — so the
+    * gate cannot drift. Only the reported per-doc score touches
+    * exp(): it quantizes to micro-units immediately (the x37
+    * discipline) and sums as exact longs, order-independent.
+    *
+    * 100 TB shape: scoring is a narrow codegen'd projection over the
+    * documents scan (the tokenize pass is the shared bind-struct —
+    * ONE pass per doc); the only exchange is the ≤|sources|-row
+    * partial agg. A model upgrade (more features, an embedding
+    * dot-product) stays a projection: this operator never shuffles
+    * the corpus. */
+  def qualityClassifier(docsIn: DataFrame): DataFrame = {
+    val feat = docsIn
+      .select(col("source"), col("n_chars"),
+        LlmQueries.textStatsCol.as("s"))
+      .select(col("source"),
+        col("s.n_tokens").as("n_tokens"),
+        when(col("s.n_tokens") > 0,
+          col("s.n_stop").cast("double") / col("s.n_tokens"))
+          .otherwise(lit(0.0)).as("stop_ratio"),
+        when(col("n_chars") > 0,
+          col("s.n_punct").cast("double") / col("n_chars"))
+          .otherwise(lit(0.0)).as("punct_ratio"))
+    val z = lit(-2.0) + lit(4.0) * col("stop_ratio") +
+      lit(2.0) * (least(col("n_tokens"), lit(200)).cast("double") /
+        lit(200.0)) -
+      lit(3.0) * col("punct_ratio")
+    feat.withColumn("z", z)
+      .withColumn("score_micro",
+        floor(lit(1000000.0) / (lit(1.0) + exp(-col("z"))) + lit(0.5))
+          .cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("z") > 0, 1L).otherwise(0L)).as("n_pass"),
+        sum(col("score_micro")).as("score_micro_sum"))
+      .select(col("source"), col("n_docs"), col("n_pass"),
+        round(col("n_pass").cast("double") / col("n_docs").cast("double"), 6)
+          .as("pass_rate"),
+        col("score_micro_sum"))
+  }
+
+  def x45QualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    qualityClassifier(Tables.spread(Tables.documents(spark, dir)))
+
+  val x45Sql: String =
+    s"""WITH ${LlmQueries.statsCtesSql("source")},
+       |f AS (SELECT source, n_tokens,
+       |    CASE WHEN n_tokens > 0
+       |      THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END
+       |      AS stop_ratio,
+       |    CASE WHEN n_chars > 0
+       |      THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END
+       |      AS punct_ratio
+       |  FROM m),
+       |zt AS (SELECT source,
+       |    -2.0 + 4.0 * stop_ratio
+       |      + 2.0 * (CAST(least(n_tokens, 200) AS DOUBLE) / 200.0)
+       |      - 3.0 * punct_ratio AS z
+       |  FROM f),
+       |st AS (SELECT source, z,
+       |    CAST(floor(1000000.0 / (1.0 + exp(-z)) + 0.5) AS BIGINT)
+       |      AS score_micro
+       |  FROM zt)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN z > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       |  round(CAST(sum(CASE WHEN z > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 6) AS pass_rate,
+       |  CAST(sum(score_micro) AS BIGINT) AS score_micro_sum
+       |FROM st GROUP BY 1""".stripMargin
+
   // ---- x42: curation capstone v3 (per-source health report) -------
 
   /** x42: curation capstone v3 — the round's new primitives composed

@@ -1,0 +1,37 @@
+package graft
+
+/** Round-9 corpus operators: the x45 linear quality classifier. */
+class Round9Spec extends SparkTestBase {
+  import testImplicits._
+  import graft.queries.CorpusQueries
+
+  private def sigMicro(z: Double): Long =
+    math.floor(1e6 / (1.0 + math.exp(-z)) + 0.5).toLong
+
+  test("x45 qualityClassifier: z-gate hand-checked, empty doc fails " +
+    "closed, score sums in exact micro-units") {
+    // tokens are whitespace-split with punctuation attached, so
+    // stopword hits require bare words; n_chars is the raw length
+    val rows = Seq(
+      // all-stopword doc: z = -2 + 4*1 + 2*(4/200) = 2.04 -> pass
+      (1L, "the the the the", "s1"),
+      // empty doc: all ratios guard to 0, z = -2 -> fail closed
+      (2L, "", "s1"),
+      // no stopwords, no punct: z = -2 + 2*(2/200) = -1.98 -> fail
+      (3L, "zzz qqq", "s2"),
+      // eight bare stopwords: z = -2 + 4 + 2*(8/200) = 2.08 -> pass
+      (4L, "the of and is it to a in", "s2"))
+    val docs = rows.map { case (id, text, src) =>
+      (id, text, src, text.length.toLong)
+    }.toDF("doc_id", "text", "source", "n_chars")
+    val got = CorpusQueries.qualityClassifier(docs)
+      .as[(String, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("s1")._2 === 2L && got("s1")._3 === 1L)
+    assert(got("s1")._4 === 0.5)
+    assert(got("s1")._5 === sigMicro(2.04) + sigMicro(-2.0))
+    assert(got("s2")._2 === 2L && got("s2")._3 === 1L)
+    assert(got("s2")._4 === 0.5)
+    assert(got("s2")._5 === sigMicro(-1.98) + sigMicro(2.08))
+  }
+}
