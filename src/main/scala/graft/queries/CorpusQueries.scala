@@ -1215,6 +1215,59 @@ object CorpusQueries {
        |  CAST(sum(score_micro) AS BIGINT) AS score_micro_sum
        |FROM st GROUP BY 1""".stripMargin
 
+  // ---- x46: BPE merge candidates (vocabulary induction) -----------
+
+  /** x46: the first round of BPE VOCABULARY TRAINING — the top-K
+    * most frequent adjacent character pairs across the corpus,
+    * weighted by word frequency (each occurrence of "low" votes for
+    * "l o" and "o w"). This is the inner loop of byte-pair-encoding
+    * tokenizer training (Sennrich et al.) — the one corpus-scale
+    * computation a tokenizer build needs; the merge-apply-repeat
+    * driver loop is orchestration around repeated calls of exactly
+    * this query.
+    *
+    * 100 TB shape: the plan collapses the corpus to its VOCABULARY
+    * before any pair work — explode(tokens) feeds one partial-agg
+    * shuffle to (token, count), and pair extraction then runs over
+    * |vocab| rows (≈10⁵–10⁶ regardless of corpus size, Heaps' law),
+    * not over the corpus. The pair agg is a second tiny shuffle and
+    * the top-K is TakeOrderedAndProject. Counts are exact longs
+    * end-to-end; ordering ties break on the pair string. */
+  def bpeMergeCandidates(docsIn: DataFrame, topK: Int): DataFrame = {
+    val tf = docsIn
+      .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val pairs = tf.filter(length(col("tok")) >= 2)
+      .select(col("c"), explode(transform(
+        sequence(lit(1), length(col("tok")) - 1),
+        i => concat_ws(" ", col("tok").substr(i, lit(1)),
+          col("tok").substr(i + 1, lit(1))))).as("pair"))
+    pairs.groupBy(col("pair"))
+      .agg(sum(col("c")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(topK)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("n_occurrences").desc, col("pair"))).cast("int"))
+  }
+
+  def x46BpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeMergeCandidates(Tables.spread(Tables.documents(spark, dir)), 20)
+
+  val x46Sql: String =
+    s"""WITH t AS (SELECT $tsSql AS ts FROM documents),
+       |tok AS (SELECT unnest(ts) AS tok FROM t),
+       |tf AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+       |pr AS (SELECT substr(tok, i, 1) || ' ' || substr(tok, i + 1, 1)
+       |      AS pair, c
+       |  FROM tf, LATERAL (SELECT
+       |    unnest(range(1, length(tok))) AS i) x
+       |  WHERE length(tok) >= 2),
+       |agg AS (SELECT pair, CAST(sum(c) AS BIGINT) AS n_occurrences
+       |  FROM pr GROUP BY 1),
+       |r AS (SELECT pair, n_occurrences, CAST(row_number() OVER
+       |    (ORDER BY n_occurrences DESC, pair) AS INT) AS rnk FROM agg)
+       |SELECT pair, n_occurrences, rnk FROM r WHERE rnk <= 20""".stripMargin
+
   // ---- x42: curation capstone v3 (per-source health report) -------
 
   /** x42: curation capstone v3 — the round's new primitives composed

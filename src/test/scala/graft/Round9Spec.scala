@@ -1,6 +1,7 @@
 package graft
 
-/** Round-9 corpus operators: the x45 linear quality classifier. */
+/** Round-9 corpus operators: the x45 linear quality classifier and
+  * the x46 BPE merge-candidate counter. */
 class Round9Spec extends SparkTestBase {
   import testImplicits._
   import graft.queries.CorpusQueries
@@ -33,5 +34,20 @@ class Round9Spec extends SparkTestBase {
     assert(got("s2")._2 === 2L && got("s2")._3 === 1L)
     assert(got("s2")._4 === 0.5)
     assert(got("s2")._5 === sigMicro(-1.98) + sigMicro(2.08))
+  }
+
+  test("x46 bpeMergeCandidates: pairs weighted by word frequency, " +
+    "multiplicity within a word counted, ties break on pair string") {
+    // "low" x3, "lower" x1, "aa" x2 (pair 'a a' from a 2-char word),
+    // "x" contributes nothing (single char)
+    val docs = Seq(
+      (1L, "low low aa x"),
+      (2L, "low lower aa")).toDF("doc_id", "text")
+    val got = CorpusQueries.bpeMergeCandidates(docs, 10)
+      .as[(String, Long, Int)].collect().toSeq
+    // l o: 3+1=4; o w: 3+1=4; a a: 2; e r: 1; w e: 1
+    assert(got === Seq(
+      ("l o", 4L, 1), ("o w", 4L, 2), ("a a", 2L, 3),
+      ("e r", 1L, 4), ("w e", 1L, 5)))
   }
 }
