@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
@@ -1267,6 +1267,102 @@ object CorpusQueries {
        |r AS (SELECT pair, n_occurrences, CAST(row_number() OVER
        |    (ORDER BY n_occurrences DESC, pair) AS INT) AS rnk FROM agg)
        |SELECT pair, n_occurrences, rnk FROM r WHERE rnk <= 20""".stripMargin
+
+  // ---- x47: semantic outliers vs source centroid ------------------
+
+  /** x47: SEMANTIC OUTLIER detection — each document's cosine to its
+    * own source's embedding centroid, reported per source as an
+    * outlier rate (cos < 0.05): the curation signal that catches
+    * mislabeled feeds, scraper drift, and poisoned batches that
+    * lexical quality gates (x1/x45) cannot see. The cross-modal join
+    * (documents ⋈ embeddings on doc_id = vec_id) is the same id
+    * contract d5/d7 use.
+    *
+    * Exactness: embedding components quantize to micro-unit longs at
+    * the scan, so the per-source component sums are EXACT,
+    * order-independent integer aggregation (a float vector mean
+    * would depend on reduction order); cosine is then the fixed
+    * index-order double fold both engines restate identically
+    * (cosine is scale-invariant, so the un-normalized sums serve as
+    * the centroid directly), quantized back to micro-units before
+    * the threshold compare and the sum — integers from there on.
+    *
+    * 100 TB shape: one (source, dim) partial-agg shuffle — 64·
+    * |sources| rows out regardless of corpus size — then the ≤
+    * |sources|-row centroid relation BROADCASTS back onto the
+    * embeddings scan: scoring is a narrow projection, no second
+    * corpus shuffle. int64 component sums outgrow at ~10¹² docs
+    * per source (1e6-unit components × corpus): decimal(38,0) is
+    * the documented escalation. */
+  def semanticOutliers(embIn: DataFrame, docsIn: DataFrame,
+      tauMicro: Long): DataFrame = {
+    val e = embIn
+      .join(docsIn.select(col("doc_id"), col("source")),
+        col("vec_id") === col("doc_id"))
+      .select(col("source"), col("doc_id"),
+        transform(col("embedding"),
+          x => floor(x * lit(1000000.0) + lit(0.5)).cast("long")).as("em"))
+    val comp = e
+      .select(col("source"), posexplode(col("em")).as(Seq("dim", "v")))
+      .groupBy(col("source"), col("dim")).agg(sum(col("v")).as("s"))
+    val cent = comp.groupBy(col("source"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("s")))),
+        p => p.getField("s")).as("cm"))
+    def fold(arr: Column): Column =
+      aggregate(arr, lit(0.0), (acc, v) => acc + v)
+    def dot(a: Column, b: Column): Column =
+      fold(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+    e.join(broadcast(cent), Seq("source"))
+      .withColumn("cos", dot(col("em"), col("cm")) /
+        (sqrt(dot(col("em"), col("em"))) * sqrt(dot(col("cm"), col("cm")))))
+      .withColumn("cos_micro",
+        floor(col("cos") * lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cos_micro") < tauMicro, 1L).otherwise(0L))
+          .as("n_outliers"),
+        min(col("cos_micro")).as("min_cos_micro"),
+        sum(col("cos_micro")).as("cos_micro_sum"))
+      .select(col("source"), col("n_docs"), col("n_outliers"),
+        round(col("n_outliers").cast("double") / col("n_docs").cast("double"),
+          6).as("outlier_rate"),
+        col("min_cos_micro"),
+        round(col("cos_micro_sum").cast("double") /
+          col("n_docs").cast("double") / lit(1000000.0), 6).as("mean_cos"))
+  }
+
+  def x47SemanticOutliers(spark: SparkSession, dir: String): DataFrame =
+    semanticOutliers(Tables.embeddings(spark, dir),
+      Tables.documents(spark, dir), tauMicro = 50000L)
+
+  val x47Sql: String = {
+    import LlmQueries.cosSql
+    s"""WITH e AS (SELECT d.source, v.vec_id AS doc_id,
+       |    list_transform(v.embedding,
+       |      -- CAST to DOUBLE first: DuckDB types FLOAT * 1000000.0
+       |      -- as FLOAT (single-precision multiply), Spark as double
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+       |        AS BIGINT)) AS em
+       |  FROM embeddings v JOIN documents d ON v.vec_id = d.doc_id),
+       |comp AS (SELECT source, k AS dim, CAST(sum(em[k+1]) AS BIGINT) AS s
+       |  FROM e, LATERAL (SELECT unnest(range(64)) AS k) t
+       |  GROUP BY 1, 2),
+       |cent AS (SELECT source, list(s ORDER BY dim) AS cm
+       |  FROM comp GROUP BY 1),
+       |sc AS (SELECT e.source, e.doc_id,
+       |    CAST(floor(${cosSql("em", "cm")} * 1000000.0 + 0.5) AS BIGINT)
+       |      AS cos_micro
+       |  FROM e JOIN cent USING (source))
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN cos_micro < 50000 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_outliers,
+       |  round(CAST(sum(CASE WHEN cos_micro < 50000 THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / count(*), 6) AS outlier_rate,
+       |  CAST(min(cos_micro) AS BIGINT) AS min_cos_micro,
+       |  round(CAST(sum(cos_micro) AS DOUBLE) / count(*) / 1000000.0, 6)
+       |    AS mean_cos
+       |FROM sc GROUP BY 1""".stripMargin
+  }
 
   // ---- x42: curation capstone v3 (per-source health report) -------
 

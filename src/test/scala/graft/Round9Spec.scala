@@ -1,7 +1,8 @@
 package graft
 
-/** Round-9 corpus operators: the x45 linear quality classifier and
-  * the x46 BPE merge-candidate counter. */
+/** Round-9 corpus operators: the x45 linear quality classifier, the
+  * x46 BPE merge-candidate counter, and the x47 semantic-outlier
+  * report. */
 class Round9Spec extends SparkTestBase {
   import testImplicits._
   import graft.queries.CorpusQueries
@@ -49,5 +50,28 @@ class Round9Spec extends SparkTestBase {
     assert(got === Seq(
       ("l o", 4L, 1), ("o w", 4L, 2), ("a a", 2L, 3),
       ("e r", 1L, 4), ("w e", 1L, 5)))
+  }
+
+  test("x47 semanticOutliers: centroid from exact micro sums, " +
+    "orthogonal doc flagged, hand-checked cosines") {
+    val docs = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"), (5L, "B"))
+      .toDF("doc_id", "source")
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),    // cos to (2,2,0,0) = 1/sqrt2
+      (2L, Array(0f, 1f, 0f, 0f)),    // 1/sqrt2
+      (3L, Array(1f, 1f, 0f, 0f)),    // 1.0
+      (4L, Array(1f, 0f, 0f, 0f)),    // B centroid (0, .1): cos 0 -> outlier
+      (5L, Array(-1f, 0.1f, 0f, 0f))) // cos ~0.0995: kept
+      .toDF("vec_id", "embedding")
+    val got = CorpusQueries.semanticOutliers(emb, docs, tauMicro = 50000L)
+      .as[(String, Long, Long, Double, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("A")._2 === 3L && got("A")._3 === 0L)
+    assert(got("A")._5 === 707107L) // floor(1e6/sqrt(2) + 0.5)
+    assert(got("A")._6 === 0.804738) // (707107+707107+1000000)/3/1e6
+    assert(got("B")._2 === 2L && got("B")._3 === 1L)
+    assert(got("B")._4 === 0.5)
+    assert(got("B")._5 === 0L)
+    assert(got("B")._6 === 0.049752) // (0 + 99504)/2/1e6
   }
 }
