@@ -1294,20 +1294,26 @@ object CorpusQueries {
     * corpus shuffle. int64 component sums outgrow at ~10¹² docs
     * per source (1e6-unit components × corpus): decimal(38,0) is
     * the documented escalation. */
-  def semanticOutliers(embIn: DataFrame, docsIn: DataFrame,
-      tauMicro: Long): DataFrame = {
-    val e = embIn
-      .join(docsIn.select(col("doc_id"), col("source")),
-        col("vec_id") === col("doc_id"))
-      .select(col("source"), col("doc_id"),
-        transform(col("embedding"),
-          x => floor(x * lit(1000000.0) + lit(0.5)).cast("long")).as("em"))
-    val comp = e
-      .select(col("source"), posexplode(col("em")).as(Seq("dim", "v")))
+  /** micro-unit quantization of a float embedding column (the exact
+    * integer representation every x47 phase works over). */
+  private[graft] def emQuantize(c: Column): Column =
+    transform(c, x => floor(x * lit(1000000.0) + lit(0.5)).cast("long"))
+
+  /** per-source centroid as EXACT micro-unit component sums — e must
+    * carry (source, em). */
+  private[graft] def outlierCentroids(e: DataFrame): DataFrame =
+    e.select(col("source"), posexplode(col("em")).as(Seq("dim", "v")))
       .groupBy(col("source"), col("dim")).agg(sum(col("v")).as("s"))
-    val cent = comp.groupBy(col("source"))
+      .groupBy(col("source"))
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("s")))),
         p => p.getField("s")).as("cm"))
+
+  /** scores rows (source, em, …) against broadcast centroids,
+    * appending `cos_micro`. Pure stream-compatible projection: the
+    * join is stream-static with a broadcast build side and no state,
+    * so the SAME column tree serves batch x47 and the streaming
+    * ingest monitor (StreamingSpec parity test). */
+  private[graft] def outlierScores(e: DataFrame, cent: DataFrame): DataFrame = {
     def fold(arr: Column): Column =
       aggregate(arr, lit(0.0), (acc, v) => acc + v)
     def dot(a: Column, b: Column): Column =
@@ -1317,6 +1323,16 @@ object CorpusQueries {
         (sqrt(dot(col("em"), col("em"))) * sqrt(dot(col("cm"), col("cm")))))
       .withColumn("cos_micro",
         floor(col("cos") * lit(1000000.0) + lit(0.5)).cast("long"))
+  }
+
+  def semanticOutliers(embIn: DataFrame, docsIn: DataFrame,
+      tauMicro: Long): DataFrame = {
+    val e = embIn
+      .join(docsIn.select(col("doc_id"), col("source")),
+        col("vec_id") === col("doc_id"))
+      .select(col("source"), col("doc_id"),
+        emQuantize(col("embedding")).as("em"))
+    outlierScores(e, outlierCentroids(e))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("cos_micro") < tauMicro, 1L).otherwise(0L))

@@ -2295,4 +2295,38 @@ object LlmQueries {
       |  CAST(list_max(list_transform(pxs,
       |    q -> 299*q[1] + 587*q[2] + 114*q[3])) AS BIGINT) AS max_lum
       |FROM px""".stripMargin
+
+  /** s23: scalar-quantization (SQ8) search — train per-dim [min,max],
+    * encode to int8 codes, serve top-10 by cosine of the raw query
+    * against the reconstruction (`Similarity.knnSq8`). */
+  def s23KnnSq8(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnSq8(Tables.embeddings(spark, dir),
+      queryVecs(spark, dir), k = 10)
+
+  val s23Sql: String = {
+    val recon =
+      """dmin[i+1] + (CASE WHEN dmax[i+1] > dmin[i+1] THEN
+        |        floor((CAST(embedding[i+1] AS DOUBLE) - dmin[i+1])
+        |          / (dmax[i+1] - dmin[i+1]) * 255.0 + 0.5)
+        |      ELSE 0.0 END) * (dmax[i+1] - dmin[i+1]) / 255.0""".stripMargin
+    s"""WITH st AS (SELECT k AS dim,
+       |    min(CAST(embedding[k+1] AS DOUBLE)) AS lo,
+       |    max(CAST(embedding[k+1] AS DOUBLE)) AS hi
+       |  FROM embeddings, LATERAL (SELECT unnest(range(64)) AS k) t
+       |  GROUP BY 1),
+       |sa AS (SELECT list(lo ORDER BY dim) AS dmin,
+       |    list(hi ORDER BY dim) AS dmax FROM st),
+       |rc AS (SELECT vec_id,
+       |    list_transform(range(64), i -> $recon) AS xhat
+       |  FROM embeddings CROSS JOIN sa),
+       |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${cosSql("q.embedding", "c.xhat")} AS cos
+       |  FROM rc c JOIN embeddings q ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 5),
+       |r AS (SELECT query_id, neighbor_id, CAST(row_number() OVER
+       |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT)
+       |    AS rnk, cos FROM p)
+       |SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cosine_sq8
+       |FROM r WHERE rnk <= 10""".stripMargin
+  }
 }

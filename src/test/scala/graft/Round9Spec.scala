@@ -74,4 +74,25 @@ class Round9Spec extends SparkTestBase {
     assert(got("B")._5 === 0L)
     assert(got("B")._6 === 0.049752) // (0 + 99504)/2/1e6
   }
+
+  test("s23 knnSq8: on-grid vectors reconstruct exactly (ranks = brute " +
+    "force), off-grid snaps to the 255-step grid, constant dims safe") {
+    import graft.operators.Similarity
+    // dims 2,3 are constant 0 (max = min -> code 0, exact); dim0/dim1
+    // span [0, 255] so integer values sit exactly on the code grid
+    val emb = Seq(
+      (0L, Array(255f, 0f, 0f, 0f)),   // the query
+      (1L, Array(255f, 0f, 0f, 0f)),   // exact duplicate: cos 1
+      (2L, Array(0f, 255f, 0f, 0f)),   // orthogonal: cos 0
+      (3L, Array(128f, 128f, 0f, 0f)), // on-grid diagonal: cos 1/sqrt2
+      (4L, Array(100.4f, 0f, 0f, 0f))) // off-grid: snaps to 100, cos 1
+      .toDF("vec_id", "embedding")
+    val got = Similarity.knnSq8(emb, emb.filter($"vec_id" === 0), k = 4)
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    assert(got === Seq(
+      (0L, 1L, 1, 1.0),      // exact dup
+      (0L, 4L, 2, 1.0),      // reconstruction (100,0,0,0) collinear
+      (0L, 3L, 3, 0.707107), // 1/sqrt2 through exact reconstruction
+      (0L, 2L, 4, 0.0)))
+  }
 }

@@ -470,6 +470,48 @@ class StreamingSpec extends SparkTestBase {
     assert(got == expected && expected.nonEmpty)
   }
 
+  test("streaming outlier monitor: final streamed per-source counts " +
+    "reproduce batch x47") {
+    import testImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.CorpusQueries
+    // centroids train once on the standing corpus (batch side)
+    val eBatch = graft.sources.Tables.embeddings(spark, sf)
+      .join(graft.sources.Tables.documents(spark, sf)
+        .select(col("doc_id"), col("source")),
+        col("vec_id") === col("doc_id"))
+      .select(col("source"), CorpusQueries.emQuantize(col("embedding")).as("em"))
+    // materialize eagerly: the static build side of the stream-static
+    // join should not recompute per micro-batch
+    val cent = CorpusQueries.outlierCentroids(eBatch).localCheckpoint()
+    val expected = CorpusQueries.x47SemanticOutliers(spark, sf)
+      .select("source", "n_docs", "n_outliers")
+      .as[(String, Long, Long)].collect().toSet
+    // replay the corpus shuffled across micro-batches; the scored
+    // stream aggregates per source in update mode (monotone counts)
+    val src = eBatch.select(col("source"), col("em"))
+      .as[(String, Seq[Long])].collect()
+    val shuffled = new scala.util.Random(47).shuffle(src.toSeq)
+    val chunks = shuffled.grouped((shuffled.size + 2) / 3).toSeq
+    val mem = MemoryStream[(String, Seq[Long])]
+    val scored = CorpusQueries.outlierScores(
+      mem.toDF().toDF("source", "em"), cent)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cos_micro") < 50000L, 1L).otherwise(0L))
+          .as("n_outliers"))
+    val q = scored.writeStream.format("memory").queryName("outlier_mon")
+      .outputMode("update").option("checkpointLocation", tmpDir()).start()
+    chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("outlier_mon")
+      .groupBy(col("source"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        max(col("n_outliers")).as("n_outliers"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == expected && expected.nonEmpty)
+  }
+
   test("streaming quota state converges to the batch r46 rate-limit rows") {
     import testImplicits._
     implicit val sqlCtx = spark.sqlContext
