@@ -1380,6 +1380,86 @@ object CorpusQueries {
        |FROM sc GROUP BY 1""".stripMargin
   }
 
+  // ---- x48: character-entropy quality profile ---------------------
+
+  /** x48: per-document CHARACTER ENTROPY (Shannon, nats) profiled
+    * per source — the quality signal that catches what token-level
+    * gates (x1/x45) structurally miss: compressed/base64 blobs and
+    * random keys score HIGH (near-uniform characters), while
+    * repetitive boilerplate ("aaaa…", padded templates) scores LOW;
+    * both ends are cut candidates. H = ln(n) − Σ_c n_c·ln(n_c)/n
+    * over the doc's character histogram.
+    *
+    * Exactness: the histogram fold runs over the SORTED distinct
+    * character list (identical order on both engines — a hash-order
+    * fold would sum doubles in engine-specific order); counts are
+    * exact integers; per-doc H quantizes to micro-nats immediately
+    * and aggregates as exact longs. The char split mirrors the
+    * tokens discipline: trailing zero-width splits are filtered so
+    * the JVM and DuckDB lists agree.
+    *
+    * 100 TB shape: entirely ROW-LOCAL — one narrow projection over
+    * the scan (O(k·n) per doc with k = per-doc distinct chars,
+    * alphabet-bounded), then the |sources|-row partial agg. Nothing
+    * about the corpus is shuffled; a dedicated codegen'd
+    * char-histogram Expression (the top_token_count pattern) is the
+    * escalation if k·n per-doc cost ever dominates. */
+  def entropyProfile(docsIn: DataFrame): DataFrame = {
+    import TextFunctions.bind
+    val h = bind(filter(split(col("text"), ""), ch => ch =!= ""), chs =>
+      bind(array_sort(array_distinct(chs)), dcs => {
+        val n = size(chs).cast("double")
+        val contrib = aggregate(dcs, lit(0.0), (acc, c) =>
+          acc + bind(size(filter(chs, x => x === c)).cast("double"),
+            t => t * log(t)))
+        when(size(chs) === 0, lit(0.0))
+          .otherwise(log(n) - contrib / n)
+      }))
+    docsIn
+      .select(col("source"),
+        floor(h * lit(1000000.0) + lit(0.5)).cast("long").as("e_micro"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("e_micro") < 2750000L, 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("e_micro") > 2900000L, 1L).otherwise(0L)).as("n_high"),
+        min(col("e_micro")).as("min_e_micro"),
+        sum(col("e_micro")).as("e_micro_sum"))
+      .select(col("source"), col("n_docs"), col("n_low"), col("n_high"),
+        col("min_e_micro"),
+        round(col("e_micro_sum").cast("double") /
+          col("n_docs").cast("double") / lit(1000000.0), 6)
+          .as("mean_entropy"))
+  }
+
+  def x48Entropy(spark: SparkSession, dir: String): DataFrame =
+    entropyProfile(Tables.spread(Tables.documents(spark, dir)))
+
+  val x48Sql: String =
+    """WITH ch AS (SELECT source,
+      |    list_filter(string_split(text, ''), x -> x <> '') AS chs
+      |  FROM documents),
+      |e AS (SELECT source,
+      |    CASE WHEN len(chs) = 0 THEN 0.0 ELSE
+      |      ln(CAST(len(chs) AS DOUBLE)) -
+      |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |        list_transform(list_sort(list_distinct(chs)), c ->
+      |          CAST(len(list_filter(chs, x -> x = c)) AS DOUBLE) *
+      |          ln(CAST(len(list_filter(chs, x -> x = c)) AS DOUBLE)))),
+      |        (a, b) -> a + b) / CAST(len(chs) AS DOUBLE)
+      |    END AS h
+      |  FROM ch),
+      |m AS (SELECT source,
+      |    CAST(floor(h * 1000000.0 + 0.5) AS BIGINT) AS e_micro FROM e)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN e_micro < 2750000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_low,
+      |  CAST(sum(CASE WHEN e_micro > 2900000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_high,
+      |  CAST(min(e_micro) AS BIGINT) AS min_e_micro,
+      |  round(CAST(sum(e_micro) AS DOUBLE) / count(*) / 1000000.0, 6)
+      |    AS mean_entropy
+      |FROM m GROUP BY 1""".stripMargin
+
   // ---- x42: curation capstone v3 (per-source health report) -------
 
   /** x42: curation capstone v3 — the round's new primitives composed

@@ -521,4 +521,131 @@ object MediaQueries {
       |  UNION ALL SELECT doc_id, 'b', q[3] // 64 FROM px, unnest(pxs) t(q))
       |SELECT doc_id, channel, CAST(bin AS INT) AS bin, count(*) AS cnt
       |FROM u GROUP BY 1, 2, 3""".stripMargin
+
+  // ---- m16: image NEAR-dup via banded perceptual-hash join --------
+
+  /** m16: image NEAR-DEDUP — d2's band-join recipe applied to the
+    * media family: aHash fingerprints (the m8 kernel over REAL PNG
+    * encode→decode) matched under a HAMMING tolerance instead of
+    * equality, candidates found by splitting the 64-bit hash into
+    * 4×16-bit bands and equi-joining on any band (a pair within
+    * Hamming τ must agree exactly on ≥1 band whenever its flips
+    * cluster — the pigeonhole argument with ≤3 damaged bands; a
+    * uniform τ=20 spread can evade all four bands, the same recall
+    * contract MinHash banding makes). Odd docs carry a deterministic
+    * BRIGHT PATCH (red channel saturated on the rightmost quarter of
+    * each row) — a visible edit that flips several right-edge hash
+    * bits AND (through the raised global mean) possibly marginal
+    * bits elsewhere, so verified distances are genuinely nonzero —
+    * exactly what byte dedup (d1) and exact-hash grouping (m8) both
+    * miss. Output is the pair-distance histogram.
+    *
+    * 100 TB shape: pixels never leave the decode partition (the m2
+    * contract — only the 64-char hash reaches any exchange); the
+    * band explode is ×4; candidates are bounded by band-bucket
+    * population (the d2 cap argument applies verbatim if a bucket
+    * ever explodes); verification is a row-local 64-char compare. */
+  def m16ImageNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{Codecs, Multimodal}
+    val ph = Tables.spread(Tables.documents(spark, dir).select(col("doc_id")))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val key = id % 37
+          val w = (8 + key % 13).toInt; val h = (8 + key % 7).toInt
+          val rgb = Array.tabulate(w * h * 3) { i =>
+            val p = i / 3; val c = i % 3
+            val base = ((key * 7 + i * 13) % 256).toInt
+            val patched = id % 2 == 1 && (p % w) * 8 >= 6 * w && c == 0
+            (if (patched) 255 else base).toByte
+          }
+          val png = Codecs.ImageIoCodecs.encodeRgb("png", w, h, rgb)
+          val dec = Codecs.AutoCodec.decode(
+            Multimodal.MediaRecord(id, "image", png))
+          val (dw, dh, back) = Codecs.ImageIoCodecs.decodeRgb(png)
+          require(dw == dec.width && dh == dec.height && dw == w && dh == h,
+            s"codec metadata/pixel disagreement for doc $id")
+          val grays = new Array[Long](64)
+          var total = 0L
+          var q = 0
+          while (q < 64) {
+            val sp = (q / 8) * h / 8 * w + (q % 8) * w / 8
+            val g = 299L * (back(sp * 3) & 0xff) +
+              587L * (back(sp * 3 + 1) & 0xff) +
+              114L * (back(sp * 3 + 2) & 0xff)
+            grays(q) = g; total += g; q += 1
+          }
+          val sb = new StringBuilder(64)
+          q = 0
+          while (q < 64) {
+            sb.append(if (grays(q) * 64 > total) '1' else '0'); q += 1
+          }
+          (id, w, h, sb.toString)
+        }
+      }.toDF("doc_id", "width", "height", "phash")
+    val bands = ph.select(col("doc_id"), col("width"), col("height"),
+      col("phash"), explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bk", expr("substring(phash, band * 16 + 1, 16)"))
+    val cand = bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+        col("a.width") === col("b.width") &&
+        col("a.height") === col("b.height") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.phash").as("ph_a"), col("b.phash").as("ph_b"))
+      .distinct()
+    val ham = aggregate(
+      transform(sequence(lit(1), lit(64)), i =>
+        when(col("ph_a").substr(i, lit(1)) =!= col("ph_b").substr(i, lit(1)),
+          1L).otherwise(0L)),
+      lit(0L), (a, b) => a + b)
+    cand.withColumn("hamming", ham)
+      .filter(col("hamming") <= 20)
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("doc_a")).as("min_doc_a"))
+  }
+
+  val m16Sql: String =
+    """WITH g AS (SELECT doc_id, doc_id % 37 AS key,
+      |    CAST(8 + (doc_id % 37) % 13 AS INT) AS w,
+      |    CAST(8 + (doc_id % 37) % 7 AS INT) AS h
+      |  FROM documents),
+      |s AS (SELECT doc_id, w, h,
+      |    list_transform(range(64), q ->
+      |      [CASE WHEN doc_id % 2 = 1
+      |          AND (((q // 8) * h // 8 * w + (q % 8) * w // 8) % w) * 8
+      |            >= 6 * w
+      |        THEN 255
+      |        ELSE (key*7 + (3*((q // 8) * h // 8 * w + (q % 8) * w // 8))*13)
+      |          % 256 END,
+      |       (key*7 + (3*((q // 8) * h // 8 * w + (q % 8) * w // 8) + 1)*13)
+      |         % 256,
+      |       (key*7 + (3*((q // 8) * h // 8 * w + (q % 8) * w // 8) + 2)*13)
+      |         % 256]) AS pxs
+      |  FROM g),
+      |gr AS (SELECT doc_id, w, h,
+      |    list_transform(pxs, v -> 299*v[1] + 587*v[2] + 114*v[3]) AS grays
+      |  FROM s),
+      |ph AS (SELECT doc_id, w, h,
+      |    list_reduce(list_transform(grays,
+      |        x -> CASE WHEN x * 64 > list_sum(grays) THEN '1' ELSE '0' END),
+      |      (a, b) -> a || b) AS phash
+      |  FROM gr),
+      |bands AS (SELECT doc_id, w, h, phash, b,
+      |    substr(phash, b * 16 + 1, 16) AS bk
+      |  FROM ph, LATERAL (SELECT unnest(range(4)) AS b) t),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.phash AS ph_a, b.phash AS ph_b
+      |  FROM bands a JOIN bands b
+      |    ON a.b = b.b AND a.bk = b.bk AND a.w = b.w AND a.h = b.h
+      |    AND a.doc_id < b.doc_id),
+      |hd AS (SELECT doc_a, doc_b,
+      |    CAST(list_sum(list_transform(range(64), i ->
+      |      CASE WHEN substr(ph_a, i + 1, 1) <> substr(ph_b, i + 1, 1)
+      |        THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+      |  FROM cand)
+      |SELECT hamming, count(*) AS n_pairs, min(doc_a) AS min_doc_a
+      |FROM hd WHERE hamming <= 20 GROUP BY 1""".stripMargin
 }

@@ -75,6 +75,68 @@ class Round9Spec extends SparkTestBase {
     assert(got("B")._6 === 0.049752) // (0 + 99504)/2/1e6
   }
 
+  test("x48 entropyProfile: hand-checked entropies, empty doc is the " +
+    "zero floor, uniform-alphabet doc flags high") {
+    import graft.queries.CorpusQueries
+    def round6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Seq(
+      (1L, "aaaa", "s1"),                  // H = 0 -> low
+      (2L, "abab", "s1"),                  // H = ln 2 -> low
+      (3L, "abcd", "s2"),                  // H = ln 4 -> low
+      (4L, "", "s2"),                      // empty: H = 0 -> low
+      (5L, "abcdefghijklmnopqrst", "s2"))  // H = ln 20 > 2.9 -> high
+      .toDF("doc_id", "text", "source")
+    val got = CorpusQueries.entropyProfile(docs)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val ln2m = math.floor(math.log(2) * 1e6 + 0.5).toLong   // 693147
+    val ln4m = math.floor(math.log(4) * 1e6 + 0.5).toLong   // 1386294
+    val ln20m = math.floor(math.log(20) * 1e6 + 0.5).toLong // 2995732
+    assert(got("s1") === (("s1", 2L, 2L, 0L, 0L,
+      round6((0.0 + ln2m) / 2 / 1e6))))
+    assert(got("s2") === (("s2", 3L, 2L, 1L, 0L,
+      round6((ln4m + 0.0 + ln20m) / 3 / 1e6))))
+  }
+
+  test("m16 imageNearDup: histogram equals a direct pixel-formula " +
+    "recomputation (codec + banding + hamming end to end)") {
+    import graft.queries.MediaQueries
+    val ids = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id").as[Long].collect()
+    def phash(id: Long): (Int, Int, String) = {
+      val key = id % 37
+      val w = (8 + key % 13).toInt; val h = (8 + key % 7).toInt
+      val grays = Array.tabulate(64) { q =>
+        val sp = (q / 8) * h / 8 * w + (q % 8) * w / 8
+        def byte(c: Int): Long = {
+          val base = (key * 7 + (3 * sp + c) * 13) % 256
+          if (id % 2 == 1 && (sp % w) * 8 >= 6 * w && c == 0) 255L else base
+        }
+        299L * byte(0) + 587L * byte(1) + 114L * byte(2)
+      }
+      val total = grays.sum
+      (w, h, grays.map(g => if (g * 64 > total) '1' else '0').mkString)
+    }
+    val ph = ids.map(id => id -> phash(id)).toMap
+    val pairs = for {
+      a <- ids; b <- ids if a < b
+      (wa, ha, pa) = ph(a); (wb, hb, pb) = ph(b)
+      if wa == wb && ha == hb
+      if (0 until 4).exists(k => pa.substring(k * 16, k * 16 + 16) ==
+        pb.substring(k * 16, k * 16 + 16))
+      d = pa.zip(pb).count { case (x, y) => x != y }
+      if d <= 20
+    } yield d
+    val expected = pairs.groupBy(identity)
+      .map { case (d, xs) => (d.toLong, xs.length.toLong) }
+    val got = MediaQueries.m16ImageNearDup(spark, sf)
+      .select("hamming", "n_pairs").as[(Long, Long)].collect().toMap
+    assert(got === expected && expected.values.sum > 0)
+    // the patch produces genuinely nonzero verified distances
+    assert(expected.keys.exists(_ > 0))
+  }
+
   test("s23 knnSq8: on-grid vectors reconstruct exactly (ranks = brute " +
     "force), off-grid snaps to the 255-step grid, constant dims safe") {
     import graft.operators.Similarity
