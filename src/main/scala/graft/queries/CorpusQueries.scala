@@ -1156,6 +1156,24 @@ object CorpusQueries {
     * partial agg. A model upgrade (more features, an embedding
     * dot-product) stays a projection: this operator never shuffles
     * the corpus. */
+  /** the x45 logistic-gate linear term as a per-row column — docsIn
+    * must carry `text` and `n_chars`; shared with the x49 capstone. */
+  private[queries] def qualityZCol: Column = {
+    import TextFunctions.bind
+    bind(LlmQueries.textStatsCol, s => {
+      val stopRatio = when(s.getField("n_tokens") > 0,
+        s.getField("n_stop").cast("double") / s.getField("n_tokens"))
+        .otherwise(lit(0.0))
+      val punctRatio = when(col("n_chars") > 0,
+        s.getField("n_punct").cast("double") / col("n_chars"))
+        .otherwise(lit(0.0))
+      lit(-2.0) + lit(4.0) * stopRatio +
+        lit(2.0) * (least(s.getField("n_tokens"), lit(200)).cast("double") /
+          lit(200.0)) -
+        lit(3.0) * punctRatio
+    })
+  }
+
   def qualityClassifier(docsIn: DataFrame): DataFrame = {
     val feat = docsIn
       .select(col("source"), col("n_chars"),
@@ -1404,7 +1422,9 @@ object CorpusQueries {
     * about the corpus is shuffled; a dedicated codegen'd
     * char-histogram Expression (the top_token_count pattern) is the
     * escalation if k·n per-doc cost ever dominates. */
-  def entropyProfile(docsIn: DataFrame): DataFrame = {
+  /** the x48 per-doc entropy in micro-nats as a per-row column —
+    * docsIn must carry `text`; shared with the x49 capstone. */
+  private[queries] def entropyMicroCol: Column = {
     import TextFunctions.bind
     val h = bind(filter(split(col("text"), ""), ch => ch =!= ""), chs =>
       bind(array_sort(array_distinct(chs)), dcs => {
@@ -1415,9 +1435,12 @@ object CorpusQueries {
         when(size(chs) === 0, lit(0.0))
           .otherwise(log(n) - contrib / n)
       }))
+    floor(h * lit(1000000.0) + lit(0.5)).cast("long")
+  }
+
+  def entropyProfile(docsIn: DataFrame): DataFrame = {
     docsIn
-      .select(col("source"),
-        floor(h * lit(1000000.0) + lit(0.5)).cast("long").as("e_micro"))
+      .select(col("source"), entropyMicroCol.as("e_micro"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("e_micro") < 2750000L, 1L).otherwise(0L)).as("n_low"),
@@ -1459,6 +1482,115 @@ object CorpusQueries {
       |  round(CAST(sum(e_micro) AS DOUBLE) / count(*) / 1000000.0, 6)
       |    AS mean_entropy
       |FROM m GROUP BY 1""".stripMargin
+
+  // ---- x49: curation capstone v4 (clean-yield report) -------------
+
+  /** x49: curation capstone v4 — the round-9 gates composed into ONE
+    * per-source CLEAN-YIELD report: the x45 logistic quality gate
+    * (z > 0), the x48 entropy band (neither boilerplate-low nor
+    * blob-high), and the x47 semantic gate (not an outlier vs the
+    * source centroid), each counted per source alongside n_clean =
+    * docs passing ALL three — the number that says how much of a
+    * feed survives the full round-9 filter stack. The x10/x20/x42
+    * composition statement for this round's primitives.
+    *
+    * Exactness: all three gates are integer/exact-arithmetic
+    * compares (z > 0 is pure double arithmetic from exact ratios,
+    * the entropy band and cosine threshold compare micro-unit
+    * longs), so every count is drift-free.
+    *
+    * 100 TB shape: quality + entropy evaluate IN PLACE on the
+    * documents scan (one narrow projection, no self-join — the x20
+    * lesson); the semantic gate arrives through the one doc_id
+    * equi-join against the x47 scoring projection (centroids
+    * broadcast); the closing agg is |sources| rows. */
+  def x49CurationV4(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, dir))
+    val e = Tables.embeddings(spark, dir)
+      .join(docs.select(col("doc_id"), col("source")),
+        col("vec_id") === col("doc_id"))
+      .select(col("source"), col("doc_id"),
+        emQuantize(col("embedding")).as("em"))
+    val sem = outlierScores(e, outlierCentroids(e))
+      .select(col("doc_id"), (col("cos_micro") >= 50000L).as("s_ok"))
+    docs
+      .select(col("doc_id"), col("source"),
+        (qualityZCol > 0).as("q_ok"),
+        (entropyMicroCol >= 2750000L && entropyMicroCol <= 2900000L)
+          .as("h_ok"))
+      .join(sem, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("q_ok"), 1L).otherwise(0L)).as("n_quality_ok"),
+        sum(when(col("h_ok"), 1L).otherwise(0L)).as("n_entropy_ok"),
+        sum(when(col("s_ok"), 1L).otherwise(0L)).as("n_semantic_ok"),
+        sum(when(col("q_ok") && col("h_ok") && col("s_ok"), 1L)
+          .otherwise(0L)).as("n_clean"))
+      .select(col("source"), col("n_docs"), col("n_quality_ok"),
+        col("n_entropy_ok"), col("n_semantic_ok"), col("n_clean"),
+        round(col("n_clean").cast("double") / col("n_docs").cast("double"),
+          6).as("yield_rate"))
+  }
+
+  val x49Sql: String = {
+    import LlmQueries.cosSql
+    s"""WITH ${LlmQueries.statsCtesSql("source")},
+       |f AS (SELECT doc_id, source, n_tokens,
+       |    CASE WHEN n_tokens > 0
+       |      THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END
+       |      AS stop_ratio,
+       |    CASE WHEN n_chars > 0
+       |      THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END
+       |      AS punct_ratio
+       |  FROM m),
+       |zt AS (SELECT doc_id, source,
+       |    -2.0 + 4.0 * stop_ratio
+       |      + 2.0 * (CAST(least(n_tokens, 200) AS DOUBLE) / 200.0)
+       |      - 3.0 * punct_ratio AS z
+       |  FROM f),
+       |chx AS (SELECT doc_id,
+       |    list_filter(string_split(text, ''), x -> x <> '') AS chs
+       |  FROM documents),
+       |ex AS (SELECT doc_id, CAST(floor(
+       |    (CASE WHEN len(chs) = 0 THEN 0.0 ELSE
+       |      ln(CAST(len(chs) AS DOUBLE)) -
+       |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |        list_transform(list_sort(list_distinct(chs)), c ->
+       |          CAST(len(list_filter(chs, x -> x = c)) AS DOUBLE) *
+       |          ln(CAST(len(list_filter(chs, x -> x = c)) AS DOUBLE)))),
+       |        (a, b) -> a + b) / CAST(len(chs) AS DOUBLE)
+       |    END) * 1000000.0 + 0.5) AS BIGINT) AS e_micro
+       |  FROM chx),
+       |ee AS (SELECT d.source, v.vec_id AS doc_id,
+       |    list_transform(v.embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+       |        AS BIGINT)) AS em
+       |  FROM embeddings v JOIN documents d ON v.vec_id = d.doc_id),
+       |comp AS (SELECT source, k AS dim, CAST(sum(em[k+1]) AS BIGINT) AS s
+       |  FROM ee, LATERAL (SELECT unnest(range(64)) AS k) t
+       |  GROUP BY 1, 2),
+       |cent AS (SELECT source, list(s ORDER BY dim) AS cm
+       |  FROM comp GROUP BY 1),
+       |sc AS (SELECT ee.doc_id,
+       |    CAST(floor(${cosSql("em", "cm")} * 1000000.0 + 0.5) AS BIGINT)
+       |      AS cos_micro
+       |  FROM ee JOIN cent USING (source)),
+       |g AS (SELECT zt.source, zt.doc_id,
+       |    CASE WHEN z > 0 THEN 1 ELSE 0 END AS q_ok,
+       |    CASE WHEN e_micro >= 2750000 AND e_micro <= 2900000
+       |      THEN 1 ELSE 0 END AS h_ok,
+       |    CASE WHEN cos_micro >= 50000 THEN 1 ELSE 0 END AS s_ok
+       |  FROM zt JOIN ex USING (doc_id) JOIN sc USING (doc_id))
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(q_ok) AS BIGINT) AS n_quality_ok,
+       |  CAST(sum(h_ok) AS BIGINT) AS n_entropy_ok,
+       |  CAST(sum(s_ok) AS BIGINT) AS n_semantic_ok,
+       |  CAST(sum(CASE WHEN q_ok = 1 AND h_ok = 1 AND s_ok = 1
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+       |  round(CAST(sum(CASE WHEN q_ok = 1 AND h_ok = 1 AND s_ok = 1
+       |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS yield_rate
+       |FROM g GROUP BY 1""".stripMargin
+  }
 
   // ---- x42: curation capstone v3 (per-source health report) -------
 

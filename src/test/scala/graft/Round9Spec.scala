@@ -99,6 +99,31 @@ class Round9Spec extends SparkTestBase {
       round6((ln4m + 0.0 + ln20m) / 3 / 1e6))))
   }
 
+  test("x49 capstone agrees with its x45/x47/x48 constituents per source") {
+    import graft.queries.CorpusQueries
+    val v4 = CorpusQueries.x49CurationV4(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val x45 = CorpusQueries.x45QualityClassifier(spark, sf)
+      .select("source", "n_pass").as[(String, Long)].collect().toMap
+    val x48 = CorpusQueries.x48Entropy(spark, sf)
+      .select("source", "n_docs", "n_low", "n_high")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2 - r._3 - r._4)).toMap
+    val x47 = CorpusQueries.x47SemanticOutliers(spark, sf)
+      .select("source", "n_docs", "n_outliers")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2 - r._3)).toMap
+    assert(v4.nonEmpty)
+    v4.foreach { case (s, row) =>
+      assert(row._3 === x45(s), s"quality gate, source $s")
+      assert(row._4 === x48(s), s"entropy gate, source $s")
+      assert(row._5 === x47(s), s"semantic gate, source $s")
+      assert(row._6 <= Seq(row._3, row._4, row._5).min,
+        s"clean count bound, source $s")
+    }
+  }
+
   test("m16 imageNearDup: histogram equals a direct pixel-formula " +
     "recomputation (codec + banding + hamming end to end)") {
     import graft.queries.MediaQueries
