@@ -545,7 +545,10 @@ object MediaQueries {
     * band explode is ×4; candidates are bounded by band-bucket
     * population (the d2 cap argument applies verbatim if a bucket
     * ever explodes); verification is a row-local 64-char compare. */
-  def m16ImageNearDup(spark: SparkSession, dir: String): DataFrame = {
+  /** the verified (doc_a, doc_b, hamming) pair relation m16 and m17
+    * share — candidates via the 4×16-bit band join, Hamming verified
+    * row-locally. */
+  private[graft] def m16Pairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.operators.{Codecs, Multimodal}
     val ph = Tables.spread(Tables.documents(spark, dir).select(col("doc_id")))
@@ -603,8 +606,52 @@ object MediaQueries {
       lit(0L), (a, b) => a + b)
     cand.withColumn("hamming", ham)
       .filter(col("hamming") <= 20)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  def m16ImageNearDup(spark: SparkSession, dir: String): DataFrame =
+    m16Pairs(spark, dir)
       .groupBy(col("hamming"))
       .agg(count(lit(1)).as("n_pairs"), min(col("doc_a")).as("min_doc_a"))
+
+  // ---- m17: image dedup clusters (m16 pairs -> components) --------
+
+  /** m17: IMAGE DEDUP CLUSTERS — the d9 recipe on the media side:
+    * m16's verified near-dup pair graph closed into connected
+    * components (`Components.connectedComponents`, the alternating
+    * min-label propagation), one row per image in the graph with its
+    * cluster id and the min-id survivor flag — the keep/drop
+    * decision list an image-corpus curation run consumes. Families
+    * connect THROUGH perturbed members (even A ~ odd A' ~ even B
+    * chains), which per-pair grouping (m8) cannot see.
+    *
+    * 100 TB shape: the pair graph is band-bounded (m16), and the CC
+    * fixpoint shuffles one (node, label) row per graph node per
+    * round — O(diameter) rounds; large-star/small-star is the
+    * documented escalation for deep chains (Components scaladoc). */
+  def m17ImageClusters(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Components.connectedComponents(
+      m16Pairs(spark, dir)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .select(col("node").as("doc_id"), col("cluster"),
+        (col("node") === col("cluster")).as("survivor"))
+
+  lazy val m17Sql: String = {
+    val ctes = m16Sql.substring(0, m16Sql.lastIndexOf("SELECT hamming,"))
+      .trim.replaceFirst("^WITH ", "WITH RECURSIVE ")
+    s"""$ctes,
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM hd
+       |  WHERE hamming <= 20),
+       |sym AS (SELECT a, b FROM edges UNION
+       |  SELECT b AS a, a AS b FROM edges),
+       |reach(node, lab) AS (
+       |  SELECT DISTINCT a AS node, a AS lab FROM sym
+       |  UNION
+       |  SELECT s.a AS node, r.lab FROM sym s JOIN reach r ON r.node = s.b
+       |)
+       |SELECT node AS doc_id, min(lab) AS cluster,
+       |  node = min(lab) AS survivor
+       |FROM reach GROUP BY node""".stripMargin
   }
 
   val m16Sql: String =

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -369,4 +370,92 @@ object Relational4 {
       |      ELSE 0 END) AS DOUBLE) / CAST(sum(cp) AS DOUBLE), 6)
       |  ELSE 0.0 END AS mkt_share
       |FROM rev GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- r53: winsorized robust statistics ---------------------------
+
+  /** r53: WINSORIZED robust aggregation — per event type, clamp the
+    * value distribution to its own [p5, p95] and report the robust
+    * mean/variance next to the clamp counts: the outlier-resistant
+    * metrics every monitoring pipeline wants when a single bad
+    * reading would drag a plain mean. The percentiles are DISCRETE
+    * (the sorted multiset's element at index ⌊p·(n−1)/100⌋) — pure
+    * INTEGER index arithmetic, deliberately not the interpolating
+    * percentile: an interpolated threshold is a derived float and
+    * its last ulp could flip clamp decisions between engines,
+    * while a selected data value is exact. Values quantize to cents
+    * at the scan, so every sum (including the squared sum feeding
+    * the variance) is an exact long; the two float divisions happen
+    * once per group at the edge.
+    *
+    * 100 TB shape: ONE event_type-keyed exchange shared by the rank
+    * window and the count; the per-type bound rows fold to
+    * |types|·2 values that join back BROADCAST onto the same sorted
+    * partitions; the closing agg is |types| rows. The n²·s2 terms
+    * outgrow int64 around 10⁹ rows·type at cent precision —
+    * decimal(38,0) is the documented escalation (the r43/x31 note). */
+  def winsorized(eventsIn: DataFrame): DataFrame = {
+    val ev = eventsIn.select(col("event_type"),
+      floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val rk = ev
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("cents")))
+        .cast("long") - 1L)
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+    val bounds = rk.groupBy(col("event_type"))
+      .agg(
+        min(when(col("rn") === expr("(n - 1) * 5 div 100"), col("cents")))
+          .as("lo_cents"),
+        min(when(col("rn") === expr("(n - 1) * 95 div 100"), col("cents")))
+          .as("hi_cents"))
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .withColumn("c", greatest(col("lo_cents"),
+        least(col("hi_cents"), col("cents"))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("lo_cents")).as("lo_cents"),
+        min(col("hi_cents")).as("hi_cents"),
+        sum(when(col("cents") < col("lo_cents"), 1L).otherwise(0L))
+          .as("n_clamped_low"),
+        sum(when(col("cents") > col("hi_cents"), 1L).otherwise(0L))
+          .as("n_clamped_high"),
+        sum(col("c")).as("s1"),
+        sum(col("c") * col("c")).as("s2"))
+      .select(col("event_type"), col("n"), col("lo_cents"), col("hi_cents"),
+        col("n_clamped_low"), col("n_clamped_high"),
+        round(col("s1").cast("double") / col("n").cast("double") / 100.0, 6)
+          .as("wmean"),
+        round((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+          (col("n") * col("n")).cast("double") / 10000.0, 6).as("wvar"))
+  }
+
+  def r53Winsorized(spark: SparkSession, dir: String): DataFrame =
+    winsorized(Tables.events(spark, dir))
+
+  val r53Sql: String =
+    """WITH ev AS (SELECT event_type,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+      |rk AS (SELECT event_type, cents,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY cents)
+      |      AS BIGINT) - 1 AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM ev),
+      |bd AS (SELECT event_type,
+      |    min(CASE WHEN rn = (n - 1) * 5 // 100 THEN cents END) AS lo_cents,
+      |    min(CASE WHEN rn = (n - 1) * 95 // 100 THEN cents END) AS hi_cents
+      |  FROM rk GROUP BY 1),
+      |cl AS (SELECT ev.event_type, cents, lo_cents, hi_cents,
+      |    greatest(lo_cents, least(hi_cents, cents)) AS c
+      |  FROM ev JOIN bd USING (event_type))
+      |SELECT event_type, count(*) AS n,
+      |  CAST(min(lo_cents) AS BIGINT) AS lo_cents,
+      |  CAST(min(hi_cents) AS BIGINT) AS hi_cents,
+      |  CAST(sum(CASE WHEN cents < lo_cents THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clamped_low,
+      |  CAST(sum(CASE WHEN cents > hi_cents THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clamped_high,
+      |  round(CAST(sum(c) AS DOUBLE) / count(*) / 100.0, 6) AS wmean,
+      |  round(CAST(count(*) * sum(c * c) - sum(c) * sum(c) AS DOUBLE) /
+      |    CAST(count(*) * count(*) AS DOUBLE) / 10000.0, 6) AS wvar
+      |FROM cl GROUP BY 1""".stripMargin
 }

@@ -162,6 +162,47 @@ class Round9Spec extends SparkTestBase {
     assert(expected.keys.exists(_ > 0))
   }
 
+  test("r53 winsorized: discrete p5/p95 bounds, both clamp directions, " +
+    "hand-checked robust mean and variance") {
+    import graft.queries.Relational4
+    // type A: 0..20 dollars, n=21 -> lo idx 1 (=100c), hi idx 19 (=1900c)
+    val ev = (0 to 20).map(v => ("A", v.toDouble))
+      .toDF("event_type", "value")
+    val got = Relational4.winsorized(ev)
+      .as[(String, Long, Long, Long, Long, Long, Double, Double)]
+      .collect()
+    assert(got.length === 1)
+    val r = got(0)
+    assert((r._2, r._3, r._4) === ((21L, 100L, 1900L)))
+    assert((r._5, r._6) === ((1L, 1L))) // 0 clamps up, 2000 clamps down
+    assert(r._7 === 10.0)      // 21000 cents / 21 / 100
+    assert(r._8 === 34.857143) // (21*28320000 - 21000^2)/441/10000
+  }
+
+  test("m17 imageClusters: clusters equal a union-find closure of the " +
+    "m16 pair graph, survivors are min ids") {
+    import graft.queries.MediaQueries
+    val pairs = MediaQueries.m16Pairs(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(n => n -> find(n)).toMap
+    val got = MediaQueries.m17ImageClusters(spark, sf)
+      .as[(Long, Long, Boolean)].collect()
+    assert(got.nonEmpty && got.length === expected.size)
+    got.foreach { case (doc, cluster, survivor) =>
+      assert(cluster === expected(doc), s"doc $doc")
+      assert(survivor === (doc == cluster))
+    }
+  }
+
   test("s23 knnSq8: on-grid vectors reconstruct exactly (ranks = brute " +
     "force), off-grid snaps to the 255-step grid, constant dims safe") {
     import graft.operators.Similarity
