@@ -1592,6 +1592,61 @@ object CorpusQueries {
        |FROM g GROUP BY 1""".stripMargin
   }
 
+  // ---- x50: sequence-length bucketing (padding-waste report) ------
+
+  /** x50: SEQUENCE-LENGTH BUCKETING — docs grouped into power-of-two
+    * token-length buckets with the padding waste each bucket pays if
+    * batched at its ceiling: the batching-efficiency report behind
+    * every bucketed-batching / packing decision (x16 packs greedily;
+    * x50 quantifies what plain padded batching would cost instead —
+    * together they are the trade a training-input pipeline actually
+    * evaluates). Zero-token docs land in the size-1 bucket by
+    * definition.
+    *
+    * Exactness: the bucket ceiling is selected from an explicit
+    * power-of-two list (integer compare — deliberately not
+    * ceil(log2(n)), whose float round-trip can mis-bucket exact
+    * powers of two); counts/sums are exact longs; the waste ratio
+    * divides once at the edge.
+    *
+    * 100 TB shape: one tokenize pass row-local on the scan, then a
+    * ≤14-row partial agg — count(*) cost. */
+  def lengthBuckets(docsIn: DataFrame): DataFrame = {
+    val pows = typedLit((0 to 13).map(k => 1L << k)) // 1 .. 8192
+    val nTok = size(TextFunctions.tokens(col("text"))).cast("long")
+    docsIn
+      .select(greatest(nTok, lit(1L)).as("n_tokens"))
+      .withColumn("bucket_max",
+        array_min(filter(pows, p => p >= col("n_tokens"))))
+      .groupBy(col("bucket_max"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .select(col("bucket_max"), col("n_docs"), col("total_tokens"),
+        (col("bucket_max") * col("n_docs")).as("padded_tokens"),
+        round(lit(1.0) - col("total_tokens").cast("double") /
+          (col("bucket_max") * col("n_docs")).cast("double"), 6)
+          .as("waste_rate"))
+  }
+
+  def x50LengthBuckets(spark: SparkSession, dir: String): DataFrame =
+    lengthBuckets(Tables.spread(Tables.documents(spark, dir)))
+
+  val x50Sql: String = {
+    val pows = (0 to 13).map(k => 1L << k).mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT greatest(CAST(len($tsSql) AS BIGINT), 1)
+       |    AS n_tokens FROM documents),
+       |b AS (SELECT n_tokens,
+       |    CAST(list_min(list_filter($pows, p -> p >= n_tokens)) AS BIGINT)
+       |      AS bucket_max
+       |  FROM t)
+       |SELECT bucket_max, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(bucket_max * count(*) AS BIGINT) AS padded_tokens,
+       |  round(1.0 - CAST(sum(n_tokens) AS DOUBLE) /
+       |    CAST(bucket_max * count(*) AS DOUBLE), 6) AS waste_rate
+       |FROM b GROUP BY 1""".stripMargin
+  }
+
   // ---- x42: curation capstone v3 (per-source health report) -------
 
   /** x42: curation capstone v3 — the round's new primitives composed

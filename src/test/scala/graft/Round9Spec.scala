@@ -162,6 +162,26 @@ class Round9Spec extends SparkTestBase {
     assert(expected.keys.exists(_ > 0))
   }
 
+  test("x50 lengthBuckets: pow-2 ceilings exact at boundaries, " +
+    "zero-token docs in the unit bucket, waste hand-checked") {
+    import graft.queries.CorpusQueries
+    val docs = Seq(
+      (1L, ""),                                 // 0 tokens -> bucket 1
+      (2L, "a"),                                // 1 -> bucket 1
+      (3L, "a b"),                              // 2 -> bucket 2 (exact pow)
+      (4L, "a b c"),                            // 3 -> bucket 4
+      (5L, "a b c d"),                          // 4 -> bucket 4 (exact pow)
+      (6L, (1 to 5).map(_ => "w").mkString(" "))) // 5 -> bucket 8
+      .toDF("doc_id", "text")
+    val got = CorpusQueries.lengthBuckets(docs)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 2L, 2L, 2L, 0.0)))
+    assert(got(2L) === ((2L, 1L, 2L, 2L, 0.0)))
+    assert(got(4L) === ((4L, 2L, 7L, 8L, 0.125)))
+    assert(got(8L) === ((8L, 1L, 5L, 8L, 0.375)))
+  }
+
   test("r53 winsorized: discrete p5/p95 bounds, both clamp directions, " +
     "hand-checked robust mean and variance") {
     import graft.queries.Relational4
