@@ -451,4 +451,102 @@ object VideoQueries {
       |  SELECT video_id, frame_id, n_cands,
       |    unnest(ks) AS b, unnest(range(len(ks))) AS p
       |  FROM kept) u""".stripMargin
+
+  // ---- v10: track gap interpolation --------------------------------
+
+  /** v10: TRACK GAP INTERPOLATION — the temporal-smoothing step after
+    * v8's association: per (video, label) take the representative box
+    * per frame (min box_ref — a deterministic pick), find frame GAPS
+    * between consecutive appearances, and fill each gap frame with
+    * the LINEAR interpolation of the flanking boxes — the standard
+    * fix for detector flicker before dwell/zone analytics consume
+    * the track. Reported per video: gap segments, gap frames filled,
+    * and the exact interpolated-area mass.
+    *
+    * Exactness: interpolation is exact INTEGER rational arithmetic —
+    * coord_milli = (c·(nf−f) + nc·(f−pf))·1000 div (nf−pf) — no
+    * float ever appears, so the filled boxes and their area sum are
+    * bit-identical across engines.
+    *
+    * 100 TB shape: the (video, frame, label) representative pick and
+    * the lead() window share ONE (video, label)-keyed exchange; gap
+    * explosion is bounded by gap length (real tracks: short); the
+    * closing aggs are |videos| rows. boxes materializes once for its
+    * consumers (the v8 localCheckpoint discipline). */
+  def v10TrackInterpolate(spark: SparkSession, dir: String): DataFrame = {
+    val dets = withDetections(frames(spark, dir))
+    val boxes = DetectionPipeline.boxes(dets, threshold = 0.7)
+      .select(col("video_id"), col("frame_id"), col("box_ref"),
+        col("x"), col("y"), col("w"), col("h"), col("label_id"))
+      .localCheckpoint()
+    trackInterpolate(boxes)
+  }
+
+  /** DataFrame-taking core of v10 (boxes: video_id, frame_id,
+    * box_ref, x, y, w, h, label_id) — the unit spec asserts on THIS. */
+  def trackInterpolate(boxes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rep = boxes
+      .withColumn("brn", row_number().over(
+        Window.partitionBy(col("video_id"), col("frame_id"), col("label_id"))
+          .orderBy(col("box_ref"))))
+      .filter(col("brn") === 1)
+      .select(col("video_id"), col("label_id"), col("frame_id").as("pf"),
+        col("x"), col("y"), col("w"), col("h"))
+    val wl = Window.partitionBy(col("video_id"), col("label_id"))
+      .orderBy(col("pf"))
+    val sq = rep
+      .withColumn("nf", lead(col("pf"), 1).over(wl))
+      .withColumn("nx", lead(col("x"), 1).over(wl))
+      .withColumn("ny", lead(col("y"), 1).over(wl))
+      .withColumn("nw", lead(col("w"), 1).over(wl))
+      .withColumn("nh", lead(col("h"), 1).over(wl))
+    val gaps = sq.filter(col("nf").isNotNull && col("nf") > col("pf") + 1)
+    def interp(c: String, nc: String): org.apache.spark.sql.Column =
+      expr(s"($c * (nf - gf) + $nc * (gf - pf)) * 1000 div (nf - pf)")
+    val itp = gaps
+      .select(col("video_id"), col("pf"), col("nf"),
+        col("x"), col("y"), col("w"), col("h"),
+        col("nx"), col("ny"), col("nw"), col("nh"),
+        explode(sequence(col("pf") + 1, col("nf") - 1)).as("gf"))
+      .select(col("video_id"),
+        interp("x", "nx").as("xi"), interp("y", "ny").as("yi"),
+        interp("w", "nw").as("wi"), interp("h", "nh").as("hi"))
+    val ga = gaps.groupBy(col("video_id"))
+      .agg(count(lit(1)).as("n_gap_segments"),
+        sum(col("nf") - col("pf") - 1).as("n_gap_frames"))
+    val ia = itp.groupBy(col("video_id"))
+      .agg(sum((col("wi") - col("xi")) * (col("hi") - col("yi")))
+        .as("interp_area_sum"))
+    ga.join(ia, Seq("video_id"))
+      .select(col("video_id"), col("n_gap_segments"), col("n_gap_frames"),
+        col("interp_area_sum"))
+  }
+
+  val v10Sql: String = detSql +
+    """, rep AS (SELECT video_id, label_id, frame_id AS pf, x, y, w, h
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY video_id,
+      |      frame_id, label_id ORDER BY box_ref) AS brn FROM boxes)
+      |  WHERE brn = 1),
+      |sq AS (SELECT video_id, label_id, pf, x, y, w, h,
+      |    lead(pf) OVER wl AS nf,
+      |    lead(x) OVER wl AS nx, lead(y) OVER wl AS ny,
+      |    lead(w) OVER wl AS nw, lead(h) OVER wl AS nh
+      |  FROM rep
+      |  WINDOW wl AS (PARTITION BY video_id, label_id ORDER BY pf)),
+      |gaps AS (SELECT * FROM sq WHERE nf IS NOT NULL AND nf > pf + 1),
+      |itp AS (SELECT video_id,
+      |    (x * (nf - gf) + nx * (gf - pf)) * 1000 // (nf - pf) AS xi,
+      |    (y * (nf - gf) + ny * (gf - pf)) * 1000 // (nf - pf) AS yi,
+      |    (w * (nf - gf) + nw * (gf - pf)) * 1000 // (nf - pf) AS wi,
+      |    (h * (nf - gf) + nh * (gf - pf)) * 1000 // (nf - pf) AS hi
+      |  FROM gaps, LATERAL (SELECT unnest(range(pf + 1, nf)) AS gf) t),
+      |ga AS (SELECT video_id, count(*) AS n_gap_segments,
+      |    CAST(sum(nf - pf - 1) AS BIGINT) AS n_gap_frames
+      |  FROM gaps GROUP BY 1),
+      |ia AS (SELECT video_id,
+      |    CAST(sum((wi - xi) * (hi - yi)) AS BIGINT) AS interp_area_sum
+      |  FROM itp GROUP BY 1)
+      |SELECT video_id, n_gap_segments, n_gap_frames, interp_area_sum
+      |FROM ga JOIN ia USING (video_id)""".stripMargin
 }

@@ -223,6 +223,26 @@ class Round9Spec extends SparkTestBase {
     }
   }
 
+  test("v10 trackInterpolate: linear fill hand-checked, min-box_ref " +
+    "representative, consecutive frames produce no gap") {
+    import graft.queries.VideoQueries
+    val boxes = Seq(
+      // label 1: frames 1 and 4 -> gap frames 2, 3
+      ("v", 1L, 1, 0, 0, 10, 10, 1),
+      ("v", 1L, 2, 999, 999, 999, 999, 1), // higher box_ref: ignored
+      ("v", 4L, 1, 30, 30, 40, 40, 1),
+      // label 2: consecutive frames -> no gap
+      ("v", 5L, 1, 0, 0, 5, 5, 2),
+      ("v", 6L, 1, 1, 1, 6, 6, 2))
+      .toDF("video_id", "frame_id", "box_ref", "x", "y", "w", "h",
+        "label_id")
+    val got = VideoQueries.trackInterpolate(boxes)
+      .as[(String, Long, Long, Long)].collect()
+    // gap frame 2: coords (10000, 10000, 20000, 20000) milli ->
+    // area (20000-10000)^2 = 1e8; frame 3: (20000,.., 30000) -> 1e8
+    assert(got.toSeq === Seq(("v", 1L, 2L, 200000000L)))
+  }
+
   test("s23 knnSq8: on-grid vectors reconstruct exactly (ranks = brute " +
     "force), off-grid snaps to the 255-step grid, constant dims safe") {
     import graft.operators.Similarity
