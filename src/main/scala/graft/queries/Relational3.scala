@@ -470,11 +470,17 @@ object Relational3 {
     *
     * 100 TB shape: ONE shuffle keyed by user; lead() and is_current
     * share the single in-partition sort. */
-  def scd2(eventsIn: DataFrame): DataFrame = {
-    val ev = eventsIn.select(col("user_id"), col("event_id"),
+  def scd2(eventsIn: DataFrame): DataFrame =
+    scd2Quantized(eventsIn.select(col("user_id"), col("event_id"),
       col("event_type"),
       unix_micros(col("ts")).as("ts_us"),
-      floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      floor(col("value") * 100 + 0.5).cast("long").as("cents")))
+
+  /** the r38 interval unroll over ALREADY-QUANTIZED change rows
+    * (user_id, event_id, event_type, ts_us, cents) — shared with the
+    * r54 incremental apply, whose replay rows come from persisted
+    * intervals rather than raw events. */
+  def scd2Quantized(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
     ev.select(col("user_id"), col("event_id"),

@@ -432,6 +432,58 @@ object Relational4 {
   def r53Winsorized(spark: SparkSession, dir: String): DataFrame =
     winsorized(Tables.events(spark, dir))
 
+  // ---- r54: incremental SCD-2 apply (relational MERGE lifecycle) ---
+
+  /** r54: INCREMENTAL SCD-2 MAINTENANCE — the relational member of
+    * the build-once/refresh-incrementally family (vector s17,
+    * lexical x41, profile x39): the r38 validity-interval table is
+    * PERSISTED once for the standing corpus, and each change batch
+    * applies with MERGE semantics — untouched users' rows are served
+    * from the saved table byte-for-byte (never re-windowed), while
+    * touched users replay their persisted intervals + the batch rows
+    * through the shared r38 unroll. Out-of-order batch changes are
+    * the point: a late event re-opens a user's history, and the
+    * replay handles it because intervals carry everything the window
+    * needs (the change's ts lives on as valid_from). The oracle is
+    * the FULL r38 recompute over all events — a drifted merge (a
+    * missed user, a stale current flag, a re-windowed untouched row)
+    * breaks the hash. The same bit-identical-to-rebuild property
+    * s17/x41 carry.
+    *
+    * 100 TB shape: the apply pass is sized by the BATCH — the
+    * standing table contributes one semi/anti join probe keyed by
+    * user (partition-prunable when the table is written bucketed by
+    * user), and only touched users' rows re-window. */
+  def scd2Apply(standing: DataFrame, batchQuantized: DataFrame): DataFrame = {
+    val touchedUsers = batchQuantized.select(col("user_id")).distinct()
+    val untouched = standing
+      .join(touchedUsers, Seq("user_id"), "left_anti")
+    val replay = standing
+      .join(touchedUsers, Seq("user_id"), "left_semi")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("valid_from_us").as("ts_us"), col("cents"))
+      .unionByName(batchQuantized)
+    untouched.unionByName(Relational3.scd2Quantized(replay))
+  }
+
+  def r54Scd2Apply(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def quantize(e: DataFrame): DataFrame =
+      e.select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val path = s"${sys.props("java.io.tmpdir")}/graft_scd2_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    Relational3.scd2(ev.filter(col("event_id") % 10 < 8))
+      .write.mode("overwrite").parquet(path)
+    scd2Apply(spark.read.parquet(path),
+      quantize(ev.filter(col("event_id") % 10 >= 8)))
+  }
+
+  /** Full recompute from the raw log — the apply must be
+    * indistinguishable from a rebuild. */
+  val r54Sql: String = Relational3.r38Sql
+
   val r53Sql: String =
     """WITH ev AS (SELECT event_type,
       |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),

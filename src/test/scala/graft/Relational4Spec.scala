@@ -138,4 +138,41 @@ class Relational4Spec extends SparkTestBase {
     assert(got === Seq((1996, 1000000L, 2000000L, 0.5),
       (1997, 0L, 500000L, 0.0)))
   }
+
+  test("r54 scd2Apply: out-of-order batch re-opens a user's history, " +
+    "untouched users pass through, result equals full rebuild") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.{Relational3, Relational4}
+    def ev(rows: Seq[(Long, Long, String, Double)]) =
+      rows.map { case (eid, uid, t, v) =>
+        (eid, ts(s"2024-01-0$t"), uid, "upd", v, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts", col("ts"))
+    // standing: user 1 at days 1 and 5; user 2 at day 3
+    val standingEvents = ev(Seq(
+      (1L, 1L, "1", 1.0), (2L, 1L, "5", 2.0), (3L, 2L, "3", 3.0)))
+    // batch: user 1 gets a LATE day-2 change (lands between the two
+    // standing intervals); user 3 is brand new
+    val batchEvents = ev(Seq((4L, 1L, "2", 4.0), (5L, 3L, "4", 5.0)))
+    def quantize(e: org.apache.spark.sql.DataFrame) =
+      e.select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val standing = Relational3.scd2(standingEvents)
+    val got = Relational4.scd2Apply(standing, quantize(batchEvents))
+      .as[(Long, Long, Long, Long, Boolean, String, Long)]
+      .collect().toSet
+    val expected = Relational3.scd2(
+      standingEvents.unionByName(batchEvents))
+      .as[(Long, Long, Long, Long, Boolean, String, Long)]
+      .collect().toSet
+    assert(got === expected && expected.size === 5)
+    // the late change chained in: event 1's interval now closes at
+    // day 2, and event 4's closes at day 5
+    val byEvent = got.map(r => r._2 -> r).toMap
+    assert(byEvent(1L)._4 === byEvent(4L)._3) // e1.valid_to = e4.from
+    assert(byEvent(4L)._4 === byEvent(2L)._3) // e4.valid_to = e2.from
+    assert(byEvent(3L)._5 === true)           // untouched user 2 current
+    assert(byEvent(5L)._5 === true)           // new user 3 current
+  }
 }
