@@ -1647,6 +1647,107 @@ object CorpusQueries {
        |FROM b GROUP BY 1""".stripMargin
   }
 
+  // ---- x51: language-consistency (code-switch) profile ------------
+
+  /** x51: LANGUAGE CONSISTENCY — x2's marker lang-ID applied per
+    * 20-token SEGMENT instead of per document, counting the
+    * transitions between consecutive segments' predictions: a doc
+    * whose segments disagree is a concatenation artifact (crawler
+    * glued pages, template + content in different languages, code
+    * switched into prose) — the corpus defect a DOC-level lang-ID
+    * (x2) structurally averages away. Reported per source: mixed-doc
+    * count, total switches, worst doc.
+    *
+    * Exactness: marker scores are integer substring counts, segment
+    * prediction is the same ≥-fold over integer scores both engines
+    * replay, and switch counting is an integer fold over the
+    * segment-prediction array in index order.
+    *
+    * 100 TB shape: entirely ROW-LOCAL — segmentation, per-segment
+    * scoring and the switch fold are one narrow projection over the
+    * scan (O(segments·markers) per doc), then the |sources|-row
+    * partial agg. Nothing about the corpus shuffles. */
+  def languageConsistency(docsIn: DataFrame, segTokens: Int): DataFrame = {
+    import TextFunctions.bind
+    val n = segTokens
+    val segs = bind(TextFunctions.tokens(col("text")), ts =>
+      when(size(ts) > 0,
+        transform(
+          sequence(lit(0), ((size(ts) + lit(n - 1)) / lit(n)).cast("int") - 1),
+          i => concat_ws(" ", slice(ts, i * n + 1, lit(n)))))
+        .otherwise(array().cast("array<string>")))
+    def predFor(seg: Column): Column = {
+      val t = concat(lit(" "), seg, lit(" "))
+      val scores = LlmQueries.langMarkers.map { case (lang, ms) =>
+        lang -> ms.map(m => length(t) - length(replace(t, lit(m), lit(""))))
+          .reduce(_ + _)
+      }
+      scores.foldRight(lit(scores.last._1)) { case ((lang, s), els) =>
+        when(scores.filter(_._1 != lang).map(_._2)
+          .foldLeft(lit(true))((acc, o) => acc && s >= o), lang)
+          .otherwise(els)
+      }
+    }
+    val doc = docsIn.select(col("source"),
+      bind(transform(segs, predFor(_)), preds =>
+        when(size(preds) <= 1, 0L).otherwise(
+          aggregate(sequence(lit(1), size(preds) - 1), lit(0L), (acc, i) =>
+            acc + when(element_at(preds, i) =!= element_at(preds, i + 1), 1L)
+              .otherwise(0L)))).as("n_switches"))
+    doc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_switches") > 0, 1L).otherwise(0L)).as("n_mixed"),
+        sum(col("n_switches")).as("switches_sum"),
+        max(col("n_switches")).as("max_switches"))
+      .select(col("source"), col("n_docs"), col("n_mixed"),
+        col("switches_sum"), col("max_switches"),
+        round(col("n_mixed").cast("double") / col("n_docs").cast("double"),
+          6).as("mixed_rate"))
+  }
+
+  def x51LanguageConsistency(spark: SparkSession, dir: String): DataFrame =
+    languageConsistency(Tables.spread(Tables.documents(spark, dir)), 20)
+
+  val x51Sql: String = {
+    val langs = LlmQueries.langMarkers.map(_._1)
+    val scoreSql = LlmQueries.langMarkers.map { case (lang, ms) =>
+      val terms = ms.map(m =>
+        s"(length(t) - length(replace(t, '$m', '')))").mkString(" + ")
+      s"($terms) AS s_$lang"
+    }.mkString(",\n    ")
+    val caseSql = langs.map { lang =>
+      val conds = langs.filter(_ != lang).map(o => s"s_$lang >= s_$o")
+        .mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }.dropRight(1).mkString("\n      ")
+    s"""WITH tk AS (SELECT source, doc_id, $tsSql AS ts FROM documents),
+       |sg AS (SELECT source, doc_id, CAST(i AS INT) AS idx,
+       |    ' ' || array_to_string(ts[i*20+1 : i*20+20], ' ') || ' ' AS t
+       |  FROM tk, LATERAL (SELECT
+       |    unnest(range(CAST(ceil(len(ts)/20.0) AS INT))) AS i) u
+       |  WHERE len(ts) > 0),
+       |sc AS (SELECT source, doc_id, idx, $scoreSql FROM sg),
+       |pr AS (SELECT source, doc_id, idx,
+       |    CASE $caseSql ELSE '${langs.last}' END AS pred
+       |  FROM sc),
+       |sw AS (SELECT p.source, p.doc_id,
+       |    CAST(count(*) FILTER (p.pred <> q.pred) AS BIGINT) AS n_sw
+       |  FROM pr p JOIN pr q
+       |    ON p.doc_id = q.doc_id AND q.idx = p.idx + 1
+       |  GROUP BY 1, 2),
+       |dc AS (SELECT d.source, d.doc_id,
+       |    coalesce(sw.n_sw, 0) AS n_switches
+       |  FROM documents d LEFT JOIN sw ON d.doc_id = sw.doc_id)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN n_switches > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_mixed,
+       |  CAST(sum(n_switches) AS BIGINT) AS switches_sum,
+       |  CAST(max(n_switches) AS BIGINT) AS max_switches,
+       |  round(CAST(sum(CASE WHEN n_switches > 0 THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / count(*), 6) AS mixed_rate
+       |FROM dc GROUP BY 1""".stripMargin
+  }
+
   // ---- x42: curation capstone v3 (per-source health report) -------
 
   /** x42: curation capstone v3 — the round's new primitives composed

@@ -1068,7 +1068,7 @@ object LlmQueries {
     * Output: actual × predicted confusion counts. (The synthetic
     * corpus is English-ish for every lang value, so accuracy is
     * meaningless — the mechanism is what's under test.) */
-  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+  private[queries] val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq(" the ", " is ", " a "),
     "de" -> Seq("sch", "ein", " der "),
     "es" -> Seq(" los ", "ción", " es "),

@@ -182,6 +182,24 @@ class Round9Spec extends SparkTestBase {
     assert(got(8L) === ((8L, 1L, 5L, 8L, 0.375)))
   }
 
+  test("x51 languageConsistency: per-segment lang-ID flags the " +
+    "code-switched doc, clean and empty docs count zero switches") {
+    import graft.queries.CorpusQueries
+    val docs = Seq(
+      // en segment then de segment (3-token segments) -> 1 switch
+      (1L, "the is a sch ein der", "s1"),
+      // two en segments -> 0 switches
+      (2L, "the is a the is a", "s2"),
+      // empty doc -> no segments -> 0
+      (3L, "", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = CorpusQueries.languageConsistency(docs, segTokens = 3)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("s1") === (("s1", 1L, 1L, 1L, 1L, 1.0)))
+    assert(got("s2") === (("s2", 2L, 0L, 0L, 0L, 0.0)))
+  }
+
   test("r53 winsorized: discrete p5/p95 bounds, both clamp directions, " +
     "hand-checked robust mean and variance") {
     import graft.queries.Relational4
