@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.{BigramScore, CharGramHashes, CharWindows, CosineSim, IntersectCount, MisraGries, PolyHash, PqAdc, PqCodes, SimHash64, TopTokenCount}
+import graft.functions.{BigramScore, CharEntropyMicro, CharGramHashes, CharWindows, CosineSim, IntersectCount, MisraGries, PolyHash, PqAdc, PqCodes, SimHash64, TopTokenCount}
 
 /** Engine extension point, installed via
   * `spark.sql.extensions=graft.GraftExtensions` (Engine.session) —
@@ -53,6 +53,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("char_windows"),
       new ExpressionInfo(classOf[CharWindows].getName, "char_windows"),
       (args: Seq[Expression]) => CharWindows(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("char_entropy_micro"),
+      new ExpressionInfo(classOf[CharEntropyMicro].getName, "char_entropy_micro"),
+      (args: Seq[Expression]) => CharEntropyMicro(args.head)))
     // bounded-memory frequent-items sketch aggregate (the candidate
     // half of the two-pass heavy-hitters recipe; x36)
     ext.injectFunction((

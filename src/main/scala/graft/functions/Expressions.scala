@@ -611,3 +611,54 @@ object CharWindows {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
   }
 }
+
+/** Per-document character entropy in micro-nats (the x48 metric) as
+  * ONE codegen'd pass — the documented escalation for the
+  * interpreted HOF fold (O(k·n) filter passes per doc): count code
+  * units in a single sweep, then fold n_c·ln(n_c) over the DISTINCT
+  * characters in ascending order — the same order `array_sort` gives
+  * 1-char strings (UTF-8 byte order ≡ code-unit order for BMP text),
+  * so the double is bit-identical to the HOF path the DuckDB oracle
+  * restates. Empty input returns 0.
+  */
+case class CharEntropyMicro(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("char_entropy_micro expects STRING")
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    CharEntropyMicro.entropyMicro(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.CharEntropyMicro.entropyMicro($c)")
+  override protected def withNewChildInternal(newChild: Expression): CharEntropyMicro =
+    copy(child = newChild)
+  override def prettyName: String = "char_entropy_micro"
+}
+
+object CharEntropyMicro {
+  /** Static helper the generated code calls. */
+  def entropyMicro(text: UTF8String): Long = {
+    val s = text.toString
+    val n = s.length
+    if (n == 0) return 0L
+    // sorted distinct iteration = the HOF path's array_sort order
+    val counts = new java.util.TreeMap[Character, Long]()
+    var i = 0
+    while (i < n) {
+      counts.merge(s.charAt(i), 1L, (a, b) => a + b)
+      i += 1
+    }
+    var sum = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().toDouble
+      sum += c * math.log(c)
+    }
+    val h = math.log(n.toDouble) - sum / n.toDouble
+    math.floor(h * 1000000.0 + 0.5).toLong
+  }
+}

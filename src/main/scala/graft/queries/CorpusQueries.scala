@@ -1423,8 +1423,20 @@ object CorpusQueries {
     * char-histogram Expression (the top_token_count pattern) is the
     * escalation if k·n per-doc cost ever dominates. */
   /** the x48 per-doc entropy in micro-nats as a per-row column —
-    * docsIn must carry `text`; shared with the x49 capstone. */
-  private[queries] def entropyMicroCol: Column = {
+    * docsIn must carry `text`; shared with the x49 capstone. Round 9
+    * second pass: the codegen'd `char_entropy_micro` expression (ONE
+    * sweep + a sorted-distinct fold) replaces the interpreted HOF
+    * fold whose per-distinct-char filter passes made the projection
+    * O(k·n) per doc — the escalation the x48 scaladoc promised. The
+    * expression reproduces the HOF fold's doubles bit-for-bit
+    * (same sorted-char order, same ln), spec-pinned by
+    * `Round9Spec`'s parity test. */
+  private[graft] def entropyMicroCol: Column =
+    call_function("char_entropy_micro", col("text"))
+
+  /** the superseded HOF spelling — kept for the parity spec that
+    * proves the codegen'd expression computes the identical fold. */
+  private[graft] def entropyMicroHofCol: Column = {
     import TextFunctions.bind
     val h = bind(filter(split(col("text"), ""), ch => ch =!= ""), chs =>
       bind(array_sort(array_distinct(chs)), dcs => {

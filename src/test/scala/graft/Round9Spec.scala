@@ -200,6 +200,22 @@ class Round9Spec extends SparkTestBase {
     assert(got("s2") === (("s2", 2L, 0L, 0L, 0L, 0.0)))
   }
 
+  test("char_entropy_micro expression equals the HOF fold on the real " +
+    "corpus and on boundary fixtures") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.CorpusQueries
+    val fixtures = Seq("", "a", "aaaa", "abab", "ab ba x.,!?",
+      "the quick brown fox", "ααββγ 0:/\\").toDF("text")
+    val corpus = graft.sources.Tables.documents(spark, sf).select("text")
+    Seq(fixtures, corpus).foreach { df =>
+      val both = df.select(
+        CorpusQueries.entropyMicroCol.as("expr_v"),
+        CorpusQueries.entropyMicroHofCol.as("hof_v"))
+      assert(both.filter(col("expr_v") =!= col("hof_v")).count() === 0)
+      assert(both.count() > 0)
+    }
+  }
+
   test("r53 winsorized: discrete p5/p95 bounds, both clamp directions, " +
     "hand-checked robust mean and variance") {
     import graft.queries.Relational4
