@@ -153,4 +153,65 @@ object GraphQueries {
        |       sqrt(CAST(m*syy - sy*sy AS DOUBLE))), 6)
        |  ELSE 0.0 END AS assortativity
        |FROM nd CROSS JOIN ed CROSS JOIN mo""".stripMargin
+
+  // ---- g6: bipartite projection (co-engagement matrix) -------------
+
+  /** g6: BIPARTITE PROJECTION — the user↔event-type graph projected
+    * onto event types: for every type pair, how many users touch
+    * BOTH, with the Jaccard overlap of their user sets — the
+    * co-engagement/market-basket matrix (and the item-item edge
+    * weighting collaborative filters start from). The projection is
+    * the canonical graph op the g1–g5 family lacks: g1/g2/g4 analyze
+    * a given edge set; g6 DERIVES an edge set from an incidence
+    * relation.
+    *
+    * Exactness: all counts are exact longs from a distinct'd
+    * incidence relation; Jaccard = inter/(|A|+|B|−inter) divides
+    * once at the edge.
+    *
+    * 100 TB shape: the incidence distinct is one (user, type) keyed
+    * partial-agg shuffle; the pair join is keyed by USER with
+    * fan-out |types touched|² per user — bounded by the type-domain
+    * size (here 5; at large type domains the standard cap is
+    * per-user top-K types, the d2 bucket-cap argument); per-type
+    * totals fold to a broadcast row set. */
+  def g6CoEngagement(spark: SparkSession, dir: String): DataFrame = {
+    val inc = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val perType = inc.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+    val pairs = inc.alias("a")
+      .join(inc.alias("b"),
+        col("a.user_id") === col("b.user_id") &&
+        col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(perType.select(col("event_type").as("type_a"),
+        col("n_users").as("n_a"))), Seq("type_a"))
+      .join(broadcast(perType.select(col("event_type").as("type_b"),
+        col("n_users").as("n_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        round(col("n_both").cast("double") /
+          (col("n_a") + col("n_b") - col("n_both")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
+  val g6Sql: String =
+    """WITH inc AS (SELECT DISTINCT user_id, event_type FROM events),
+      |pt AS (SELECT event_type, count(*) AS n_users FROM inc GROUP BY 1),
+      |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    count(*) AS n_both
+      |  FROM inc a JOIN inc b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, pa.n_users AS n_a, pb.n_users AS n_b,
+      |  n_both,
+      |  round(CAST(n_both AS DOUBLE) /
+      |    CAST(pa.n_users + pb.n_users - n_both AS DOUBLE), 6) AS jaccard
+      |FROM pr
+      |JOIN pt pa ON type_a = pa.event_type
+      |JOIN pt pb ON type_b = pb.event_type""".stripMargin
 }

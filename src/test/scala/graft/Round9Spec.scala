@@ -200,6 +200,29 @@ class Round9Spec extends SparkTestBase {
     assert(got("s2") === (("s2", 2L, 0L, 0L, 0L, 0.0)))
   }
 
+  test("g6 coEngagement: hand-checked projection — duplicate events " +
+    "collapse, jaccard from distinct user sets") {
+    import java.sql.Timestamp
+    import graft.queries.GraphQueries
+    import graft.sources.Tables
+    // users 1,2 do view+click; user 3 view only; user 2 clicks TWICE
+    // (must collapse); nobody pairs view with error
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = Seq(
+      (1L, 1L, "view"), (2L, 1L, "click"),
+      (3L, 2L, "view"), (4L, 2L, "click"), (5L, 2L, "click"),
+      (6L, 3L, "view"), (7L, 4L, "error"))
+      .map { case (e, u, ty) => (e, t0, u, ty, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-g6-").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = GraphQueries.g6CoEngagement(spark, dir)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSet
+    // click:2 users, view:3, error:1; click∩view = {1,2} -> 2/(2+3-2)
+    assert(got === Set(("click", "view", 2L, 3L, 2L, 0.666667)))
+  }
+
   test("char_entropy_micro expression equals the HOF fold on the real " +
     "corpus and on boundary fixtures") {
     import org.apache.spark.sql.functions._
