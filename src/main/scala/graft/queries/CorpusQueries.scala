@@ -1760,6 +1760,54 @@ object CorpusQueries {
        |FROM dc GROUP BY 1""".stripMargin
   }
 
+  // ---- x52: repeated document-prefix detection --------------------
+
+  /** x52: REPEATED PREFIX detection — the top document PREFIXES
+    * (first 8 tokens) shared across the corpus, with doc and source
+    * counts: boilerplate site headers, license preambles and
+    * scraper banners cluster here, and stripping them is a standard
+    * curation pass d8's in-document n-grams and d14's chunk dedup
+    * don't isolate (they find repetition anywhere; x52 pins the
+    * document BOUNDARY artifact). Only prefixes shared by ≥ 3 docs
+    * surface.
+    *
+    * 100 TB shape: the prefix is row-local (one tokenize pass,
+    * first 8 tokens); the agg shuffles one row per DOC (its single
+    * prefix), partial-aggregated — count(*) cost; the top-20 is
+    * TakeOrderedAndProject. */
+  def prefixBoilerplate(docsIn: DataFrame, nTokens: Int,
+      minDocs: Long, topK: Int): DataFrame = {
+    val prefix = TextFunctions.bind(TextFunctions.tokens(col("text")), ts =>
+      when(size(ts) >= nTokens,
+        concat_ws(" ", slice(ts, 1, nTokens))).otherwise(lit(null)))
+    docsIn
+      .select(col("source"), prefix.as("prefix"))
+      .filter(col("prefix").isNotNull)
+      .groupBy(col("prefix"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("prefix"))
+      .limit(topK)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("n_docs").desc, col("prefix"))).cast("int"))
+  }
+
+  def x52PrefixBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    prefixBoilerplate(Tables.spread(Tables.documents(spark, dir)),
+      nTokens = 8, minDocs = 3L, topK = 20)
+
+  val x52Sql: String =
+    s"""WITH t AS (SELECT source, $tsSql AS ts FROM documents),
+       |p AS (SELECT source, array_to_string(ts[1:8], ' ') AS prefix
+       |  FROM t WHERE len(ts) >= 8),
+       |a AS (SELECT prefix, count(*) AS n_docs,
+       |    count(DISTINCT source) AS n_sources
+       |  FROM p GROUP BY 1 HAVING count(*) >= 3),
+       |r AS (SELECT prefix, n_docs, n_sources, CAST(row_number() OVER
+       |    (ORDER BY n_docs DESC, prefix) AS INT) AS rnk FROM a)
+       |SELECT prefix, n_docs, n_sources, rnk FROM r WHERE rnk <= 20""".stripMargin
+
   // ---- x42: curation capstone v3 (per-source health report) -------
 
   /** x42: curation capstone v3 — the round's new primitives composed

@@ -484,6 +484,56 @@ object Relational4 {
     * indistinguishable from a rebuild. */
   val r54Sql: String = Relational3.r38Sql
 
+  // ---- r55: event transition matrix --------------------------------
+
+  /** r55: the per-user EVENT TRANSITION MATRIX — counts of each
+    * (previous type → type) step along every user's time-ordered
+    * event sequence, with the row-normalized transition rate: the
+    * first-order Markov model of user flow (what funnel analysis
+    * (r33) fixes to one path, this measures for ALL paths), and the
+    * input to next-action prediction and anomaly scoring. Ties on
+    * (ts) break by event_id — the r31/r38 total-order discipline —
+    * so each user's sequence is deterministic.
+    *
+    * 100 TB shape: ONE user-keyed exchange for the lag window; the
+    * transition agg partial-aggregates to ≤ |types|² rows, and the
+    * per-from totals derive from the SAME aggregated relation (a
+    * |types|²-row window, not a second scan). */
+  def transitionMatrix(eventsIn: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val steps = eventsIn
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    val m = steps.groupBy(col("prev_type").as("from_type"),
+        col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n_steps"))
+    m.withColumn("from_total",
+        sum(col("n_steps")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"), col("n_steps"),
+        col("from_total"),
+        round(col("n_steps").cast("double") /
+          col("from_total").cast("double"), 6).as("rate"))
+  }
+
+  def r55TransitionMatrix(spark: SparkSession, dir: String): DataFrame =
+    transitionMatrix(Tables.events(spark, dir))
+
+  val r55Sql: String =
+    """WITH st AS (SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev_type
+      |  FROM events),
+      |m AS (SELECT prev_type AS from_type, event_type AS to_type,
+      |    count(*) AS n_steps
+      |  FROM st WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT from_type, CAST(sum(n_steps) AS BIGINT) AS from_total
+      |  FROM m GROUP BY 1)
+      |SELECT from_type, to_type, n_steps, from_total,
+      |  round(CAST(n_steps AS DOUBLE) / CAST(from_total AS DOUBLE), 6)
+      |    AS rate
+      |FROM m JOIN t USING (from_type)""".stripMargin
+
   val r53Sql: String =
     """WITH ev AS (SELECT event_type,
       |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),

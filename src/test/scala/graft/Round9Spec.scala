@@ -223,6 +223,43 @@ class Round9Spec extends SparkTestBase {
     assert(got === Set(("click", "view", 2L, 3L, 2L, 0.666667)))
   }
 
+  test("x52 prefixBoilerplate: shared 8-token prefixes surface, " +
+    "short docs and sub-threshold prefixes drop") {
+    import graft.queries.CorpusQueries
+    val header = "terms of service apply to this site colon"
+    val other = "a b c d e f g h"
+    val docs = Seq(
+      (1L, header + " page one content", "s1"),
+      (2L, header + " page two content", "s1"),
+      (3L, header + " page three", "s2"),
+      (4L, other + " tail", "s1"),
+      (5L, other + " tail2", "s1"), // only 2 copies: below minDocs
+      (6L, "too short", "s2"))      // < 8 tokens: excluded
+      .toDF("doc_id", "text", "source")
+    val got = CorpusQueries.prefixBoilerplate(docs, 8, 3L, 10)
+      .as[(String, Long, Long, Int)].collect().toSeq
+    assert(got === Seq((header, 3L, 2L, 1)))
+  }
+
+  test("r55 transitionMatrix: counts and row-normalized rates " +
+    "hand-checked, same-ts ties break by event_id") {
+    import java.sql.Timestamp
+    import graft.queries.Relational4
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      (1L, ts(0), 1L, "A", 0.0, "{}"), (2L, ts(1), 1L, "B", 0.0, "{}"),
+      (3L, ts(2), 1L, "B", 0.0, "{}"),
+      (4L, ts(0), 2L, "A", 0.0, "{}"), (5L, ts(1), 2L, "C", 0.0, "{}"),
+      // user 3: same timestamp, event_id order decides X -> Y
+      (10L, ts(5), 3L, "X", 0.0, "{}"), (11L, ts(5), 3L, "Y", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Relational4.transitionMatrix(ev)
+      .as[(String, String, Long, Long, Double)].collect().toSet
+    assert(got === Set(
+      ("A", "B", 1L, 2L, 0.5), ("A", "C", 1L, 2L, 0.5),
+      ("B", "B", 1L, 1L, 1.0), ("X", "Y", 1L, 1L, 1.0)))
+  }
+
   test("char_entropy_micro expression equals the HOF fold on the real " +
     "corpus and on boundary fixtures") {
     import org.apache.spark.sql.functions._
