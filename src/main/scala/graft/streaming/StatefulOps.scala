@@ -190,6 +190,52 @@ object StatefulOps {
       }
   }
 
+  final case class TransEvent(user_id: Long, ts_us: Long,
+      event_id: Long, event_type: String)
+  final case class TransStep(from_type: String, to_type: String, n: Long)
+  final case class TransitionSnap(user_id: Long, n_events: Long,
+      steps: Seq[TransStep])
+
+  /** r55's transition matrix as KEYED STREAMING STATE — the
+    * clickstream flow model maintained continuously: per user the
+    * state is the (ts_us, event_id)-ordered event sequence, and each
+    * micro-batch emits the user's CURRENT (from → to) step counts
+    * recomputed from that order. Keeping the sequence (not just the
+    * last event) is what makes OUT-OF-ORDER arrivals exact: a late
+    * event splits the transition that previously spanned its slot —
+    * a last-event-only state would count the broken pair forever.
+    * State is bounded by the user's event count; with an upstream
+    * watermark the sequence prunes to the out-of-order horizon
+    * (events older than the watermark can keep only their boundary
+    * element — the r38 interval argument), documented rather than
+    * implemented here because the parity spec replays without a
+    * watermark. Final per-user snapshots sum to exactly the batch
+    * r55 matrix (the StreamingSpec property; n_events is monotone so
+    * the final snapshot per key is the max row). */
+  def transitionState(events: Dataset[TransEvent]): Dataset[TransitionSnap] = {
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val snapEnc = Encoders.product[TransitionSnap]
+    implicit val stEnc =
+      Encoders.product[(Long, Seq[(Long, Long, String)])]
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Seq[(Long, Long, String)]), TransitionSnap](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[TransEvent],
+         state: GroupState[(Long, Seq[(Long, Long, String)])]) =>
+          val prev = state.getOption.map(_._2).getOrElse(Seq.empty)
+          val merged = (prev ++ it.map(e => (e.ts_us, e.event_id, e.event_type)))
+            .sortBy(t => (t._1, t._2))
+          state.update((uid, merged))
+          val counts = merged.iterator.zip(merged.iterator.drop(1))
+            .foldLeft(Map.empty[(String, String), Long]) { case (m, (a, b)) =>
+              val k = (a._3, b._3); m.updated(k, m.getOrElse(k, 0L) + 1L)
+            }
+          TransitionSnap(uid, merged.size.toLong,
+            counts.toSeq.sortBy(_._1)
+              .map { case ((f, t), n) => TransStep(f, t, n) })
+      }
+  }
+
   /** A1 as keyed streaming state: running per-video frame count +
     * high-water frame id, emitted once per video per micro-batch
     * (update mode). */

@@ -512,6 +512,36 @@ class StreamingSpec extends SparkTestBase {
     assert(got == expected && expected.nonEmpty)
   }
 
+  test("streaming transition state converges to the batch r55 matrix " +
+    "under out-of-order replay") {
+    import testImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulOps.{TransEvent, TransitionSnap}
+    val src = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+      .map(t => TransEvent(t._1, t._2, t._3, t._4))
+    val expected = graft.queries.Relational4.r55TransitionMatrix(spark, sf)
+      .select("from_type", "to_type", "n_steps")
+      .as[(String, String, Long)].collect().toSet
+    val shuffled = new scala.util.Random(55).shuffle(src.toSeq)
+    val chunks = shuffled.grouped((shuffled.size + 2) / 3).toSeq
+    val mem = MemoryStream[TransEvent]
+    val q = graft.streaming.StatefulOps.transitionState(mem.toDS())
+      .writeStream.format("memory").queryName("trans_out")
+      .outputMode("update").option("checkpointLocation", tmpDir()).start()
+    chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+    q.stop()
+    // n_events is monotone per key: the final snapshot is the max row
+    val finals = spark.table("trans_out").as[TransitionSnap].collect()
+      .groupBy(_.user_id).values.map(_.maxBy(_.n_events))
+    val got = finals.flatMap(_.steps)
+      .groupBy(s => (s.from_type, s.to_type))
+      .map { case ((f, t), xs) => (f, t, xs.map(_.n).sum) }.toSet
+    assert(got == expected && expected.nonEmpty)
+  }
+
   test("streaming quota state converges to the batch r46 rate-limit rows") {
     import testImplicits._
     implicit val sqlCtx = spark.sqlContext
