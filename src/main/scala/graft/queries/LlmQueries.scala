@@ -2303,6 +2303,45 @@ object LlmQueries {
     Similarity.knnSq8(Tables.embeddings(spark, dir),
       queryVecs(spark, dir), k = 10)
 
+  /** s24: SQ8 recall@10 vs exact brute force — s12's recall
+    * instrument pointed at the scalar quantizer, completing the
+    * compression scorecard (IVF: s12; SQ8: here; PQ and binary carry
+    * equality/refine properties in their specs): the number an index
+    * operator reads before trading 4× memory for recall. Exact
+    * integer hit counts; one rounded division at the edge. */
+  def s24Sq8Recall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = queryVecs(spark, dir)
+    val bf = Similarity.knnBruteForce(emb, q, k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val sq = Similarity.knnSq8(emb, q, k = 10)
+      .select(col("query_id").as("sq_query"),
+        col("neighbor_id").as("sq_neighbor"))
+    bf.join(sq, col("query_id") === col("sq_query") &&
+        col("neighbor_id") === col("sq_neighbor"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("sq_neighbor")).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / 10.0, 6).as("recall"))
+  }
+
+  // lazy: refers to s23Sql, which is declared below
+  lazy val s24Sql: String =
+    s"""WITH bf AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rnk
+       |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |    WHERE q.vec_id < 5) WHERE rnk <= 10),
+       |sq AS (SELECT query_id, neighbor_id FROM (
+       |${s23Sql}
+       |))
+       |SELECT bf.query_id, count(sq.neighbor_id) AS n_hits,
+       |  round(count(sq.neighbor_id) / 10.0, 6) AS recall
+       |FROM bf LEFT JOIN sq ON sq.query_id = bf.query_id
+       |  AND sq.neighbor_id = bf.neighbor_id
+       |GROUP BY 1""".stripMargin
+
   val s23Sql: String = {
     val recon =
       """dmin[i+1] + (CASE WHEN dmax[i+1] > dmin[i+1] THEN

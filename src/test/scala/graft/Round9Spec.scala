@@ -260,6 +260,18 @@ class Round9Spec extends SparkTestBase {
       ("B", "B", 1L, 1L, 1.0), ("X", "Y", 1L, 1L, 1.0)))
   }
 
+  test("s24 sq8 recall: the 255-step grid keeps recall@10 high on the " +
+    "real corpus") {
+    import graft.queries.LlmQueries
+    val rows = LlmQueries.s24Sq8Recall(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(rows.length === 5)
+    rows.foreach { case (q, hits, recall) =>
+      assert(recall >= 0.8, s"query $q recall $recall")
+      assert(hits <= 10L)
+    }
+  }
+
   test("char_entropy_micro expression equals the HOF fold on the real " +
     "corpus and on boundary fixtures") {
     import org.apache.spark.sql.functions._
