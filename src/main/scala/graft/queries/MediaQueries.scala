@@ -636,6 +636,109 @@ object MediaQueries {
       .select(col("node").as("doc_id"), col("cluster"),
         (col("node") === col("cluster")).as("survivor"))
 
+  // ---- m18: audio near-dup via banded energy-probe hash -----------
+
+  /** m18: AUDIO NEAR-DEDUP — the m16 recipe on the audio column,
+    * completing near-dup across every modality the engine carries
+    * (text d2/d4, embeddings d5/d7, images m16, audio here): docs
+    * sharing `doc_id % 37` synthesize the SAME PCM tone (really
+    * WAV-encoded and really decoded back — PCM16 is lossless, so
+    * the oracle restates the waveform arithmetically); odd docs get
+    * a CONSTANT-TONE REPLACEMENT on the last quarter of samples (a
+    * re-mastered/ad-insert tail edit). The fingerprint probes 64
+    * sample positions and thresholds each |amplitude| against the
+    * probe mean (integral: a·64 > total); candidates come from the
+    * 4×16-bit band join and verify under Hamming ≤ 20 row-locally.
+    * Output is the pair-distance histogram (the m16 shape).
+    *
+    * 100 TB shape: samples never leave the decode partition — only
+    * the 64-char hash and band keys reach an exchange; band-bucket
+    * population bounds the candidate count (the d2 cap argument). */
+  def m18AudioNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{Codecs, Multimodal}
+    val ph = Tables.spread(Tables.documents(spark, dir).select(col("doc_id")))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val key = id % 37
+          val n = (64 + key).toInt
+          val samples = Array.tabulate(n) { i =>
+            val base = ((key * 31 + i.toLong * 97) % 65536 - 32768).toShort
+            if (id % 2 == 1 && i * 4 >= 3 * n) 16384.toShort else base
+          }
+          val wav = Codecs.WavCodec.encodePcm16(8000, 1, samples)
+          val meta = Codecs.AutoCodec.decode(
+            Multimodal.MediaRecord(id, "audio", wav))
+          val (h, back) = Codecs.WavCodec.decodePcm16(wav)
+          require(meta.n_frames == n && h.nSampleFrames == n,
+            s"wav sample count mismatch for doc $id")
+          val probes = Array.tabulate(64) { q =>
+            math.abs(back(q * n / 64).toLong)
+          }
+          val total = probes.sum
+          val sb = new StringBuilder(64)
+          var q = 0
+          while (q < 64) {
+            sb.append(if (probes(q) * 64 > total) '1' else '0'); q += 1
+          }
+          (id, n, sb.toString)
+        }
+      }.toDF("doc_id", "n_samples", "ahash")
+    val bands = ph.select(col("doc_id"), col("n_samples"), col("ahash"),
+      explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bk", expr("substring(ahash, band * 16 + 1, 16)"))
+    val cand = bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+        col("a.n_samples") === col("b.n_samples") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.ahash").as("ph_a"), col("b.ahash").as("ph_b"))
+      .distinct()
+    val ham = aggregate(
+      transform(sequence(lit(1), lit(64)), i =>
+        when(col("ph_a").substr(i, lit(1)) =!= col("ph_b").substr(i, lit(1)),
+          1L).otherwise(0L)),
+      lit(0L), (a, b) => a + b)
+    cand.withColumn("hamming", ham)
+      .filter(col("hamming") <= 20)
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("doc_a")).as("min_doc_a"))
+  }
+
+  val m18Sql: String =
+    """WITH g AS (SELECT doc_id, doc_id % 37 AS key,
+      |    CAST(64 + doc_id % 37 AS INT) AS n FROM documents),
+      |pr AS (SELECT doc_id, n,
+      |    list_transform(range(64), q ->
+      |      abs(CASE WHEN doc_id % 2 = 1 AND (q * n // 64) * 4 >= 3 * n
+      |        THEN 16384
+      |        ELSE (key * 31 + (q * n // 64) * 97) % 65536 - 32768
+      |        END)) AS probes
+      |  FROM g),
+      |ph AS (SELECT doc_id, n,
+      |    list_reduce(list_transform(probes,
+      |        x -> CASE WHEN x * 64 > list_sum(probes) THEN '1' ELSE '0'
+      |          END),
+      |      (a, b) -> a || b) AS ahash
+      |  FROM pr),
+      |bands AS (SELECT doc_id, n, ahash, b,
+      |    substr(ahash, b * 16 + 1, 16) AS bk
+      |  FROM ph, LATERAL (SELECT unnest(range(4)) AS b) t),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.ahash AS ph_a, b.ahash AS ph_b
+      |  FROM bands a JOIN bands b
+      |    ON a.b = b.b AND a.bk = b.bk AND a.n = b.n
+      |    AND a.doc_id < b.doc_id),
+      |hd AS (SELECT doc_a, doc_b,
+      |    CAST(list_sum(list_transform(range(64), i ->
+      |      CASE WHEN substr(ph_a, i + 1, 1) <> substr(ph_b, i + 1, 1)
+      |        THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+      |  FROM cand)
+      |SELECT hamming, count(*) AS n_pairs, min(doc_a) AS min_doc_a
+      |FROM hd WHERE hamming <= 20 GROUP BY 1""".stripMargin
+
   lazy val m17Sql: String = {
     val ctes = m16Sql.substring(0, m16Sql.lastIndexOf("SELECT hamming,"))
       .trim.replaceFirst("^WITH ", "WITH RECURSIVE ")

@@ -349,6 +349,39 @@ class Round9Spec extends SparkTestBase {
     assert(got.toSeq === Seq(("v", 1L, 2L, 200000000L)))
   }
 
+  test("m18 audioNearDup: histogram equals a direct waveform-formula " +
+    "recomputation (codec + banding + hamming end to end)") {
+    import graft.queries.MediaQueries
+    val ids = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id").as[Long].collect()
+    def ahash(id: Long): (Int, String) = {
+      val key = id % 37
+      val n = (64 + key).toInt
+      def sample(i: Int): Long =
+        if (id % 2 == 1 && i * 4 >= 3 * n) 16384L
+        else (key * 31 + i.toLong * 97) % 65536 - 32768
+      val probes = Array.tabulate(64)(q => math.abs(sample(q * n / 64)))
+      val total = probes.sum
+      (n, probes.map(a => if (a * 64 > total) '1' else '0').mkString)
+    }
+    val ph = ids.map(id => id -> ahash(id)).toMap
+    val pairs = for {
+      a <- ids; b <- ids if a < b
+      (na, pa) = ph(a); (nb, pb) = ph(b)
+      if na == nb
+      if (0 until 4).exists(k => pa.substring(k * 16, k * 16 + 16) ==
+        pb.substring(k * 16, k * 16 + 16))
+      d = pa.zip(pb).count { case (x, y) => x != y }
+      if d <= 20
+    } yield d
+    val expected = pairs.groupBy(identity)
+      .map { case (d, xs) => (d.toLong, xs.length.toLong) }
+    val got = MediaQueries.m18AudioNearDup(spark, sf)
+      .select("hamming", "n_pairs").as[(Long, Long)].collect().toMap
+    assert(got === expected && expected.values.sum > 0)
+    assert(expected.keys.exists(_ > 0))
+  }
+
   test("s23 knnSq8: on-grid vectors reconstruct exactly (ranks = brute " +
     "force), off-grid snaps to the 255-step grid, constant dims safe") {
     import graft.operators.Similarity
