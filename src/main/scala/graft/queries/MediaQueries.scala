@@ -579,17 +579,27 @@ object MediaQueries {
               114L * (back(sp * 3 + 2) & 0xff)
             grays(q) = g; total += g; q += 1
           }
-          val sb = new StringBuilder(64)
+          // pack the 64 threshold bits into ONE long, bit q at
+          // position (63 - q) so band b = bits [b*16, b*16+16) from
+          // the MSB side — the same 16-bit windows the 64-char
+          // bitstring's substring(b*16+1, 16) would carve out
+          var hash = 0L
           q = 0
           while (q < 64) {
-            sb.append(if (grays(q) * 64 > total) '1' else '0'); q += 1
+            if (grays(q) * 64 > total) hash |= 1L << (63 - q)
+            q += 1
           }
-          (id, w, h, sb.toString)
+          (id, w, h, hash)
         }
       }.toDF("doc_id", "width", "height", "phash")
+      // the fingerprint relation is tiny (one 30-byte row per image);
+      // materializing it once means the expensive ImageIO decode runs
+      // ONCE instead of once per self-join side
+      .localCheckpoint(true)
     val bands = ph.select(col("doc_id"), col("width"), col("height"),
       col("phash"), explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("bk", expr("substring(phash, band * 16 + 1, 16)"))
+      .withColumn("bk",
+        expr("shiftright(phash, (3 - band) * 16) & 65535"))
     val cand = bands.alias("a")
       .join(bands.alias("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
@@ -599,12 +609,9 @@ object MediaQueries {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.phash").as("ph_a"), col("b.phash").as("ph_b"))
       .distinct()
-    val ham = aggregate(
-      transform(sequence(lit(1), lit(64)), i =>
-        when(col("ph_a").substr(i, lit(1)) =!= col("ph_b").substr(i, lit(1)),
-          1L).otherwise(0L)),
-      lit(0L), (a, b) => a + b)
-    cand.withColumn("hamming", ham)
+    cand
+      .withColumn("hamming",
+        expr("cast(bit_count(ph_a ^ ph_b) as bigint)"))
       .filter(col("hamming") <= 20)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
@@ -677,17 +684,22 @@ object MediaQueries {
             math.abs(back(q * n / 64).toLong)
           }
           val total = probes.sum
-          val sb = new StringBuilder(64)
+          // same bit packing as m16: bit q at (63 - q), so the four
+          // 16-bit MSB-side windows are the band keys
+          var hash = 0L
           var q = 0
           while (q < 64) {
-            sb.append(if (probes(q) * 64 > total) '1' else '0'); q += 1
+            if (probes(q) * 64 > total) hash |= 1L << (63 - q)
+            q += 1
           }
-          (id, n, sb.toString)
+          (id, n, hash)
         }
       }.toDF("doc_id", "n_samples", "ahash")
+      .localCheckpoint(true)
     val bands = ph.select(col("doc_id"), col("n_samples"), col("ahash"),
       explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("bk", expr("substring(ahash, band * 16 + 1, 16)"))
+      .withColumn("bk",
+        expr("shiftright(ahash, (3 - band) * 16) & 65535"))
     val cand = bands.alias("a")
       .join(bands.alias("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
@@ -696,12 +708,9 @@ object MediaQueries {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.ahash").as("ph_a"), col("b.ahash").as("ph_b"))
       .distinct()
-    val ham = aggregate(
-      transform(sequence(lit(1), lit(64)), i =>
-        when(col("ph_a").substr(i, lit(1)) =!= col("ph_b").substr(i, lit(1)),
-          1L).otherwise(0L)),
-      lit(0L), (a, b) => a + b)
-    cand.withColumn("hamming", ham)
+    cand
+      .withColumn("hamming",
+        expr("cast(bit_count(ph_a ^ ph_b) as bigint)"))
       .filter(col("hamming") <= 20)
       .groupBy(col("hamming"))
       .agg(count(lit(1)).as("n_pairs"), min(col("doc_a")).as("min_doc_a"))
