@@ -155,6 +155,50 @@ object Graph {
       .select(col("s").as("doc_id"), col("n_within_2"))
   }
 
+  /** Bounded multi-source BFS over an undirected pair list: hop
+    * distance from a seed set (nodes whose id ≡ 0 mod `seedMod`) up
+    * to `maxHops`, unreached graph nodes carried with the -1
+    * sentinel (never NULL — the Verify dump's no-NULL invariant).
+    * This is the "blast radius" primitive between g3's fixed 2-hop
+    * count and d9's full closure: how far does contamination /
+    * near-duplication spread from a flagged seed set in ≤ k steps.
+    *
+    * 100 TB shape: classic frontier expansion — each round joins the
+    * CURRENT FRONTIER ONLY (not the visited set) against the edge
+    * list on the source key and anti-joins out already-visited
+    * nodes, so a round's shuffle is |frontier ∪ its neighbors| rows,
+    * never |graph|; `maxHops` bounds the rounds (no driver-side
+    * convergence count needed), and `localCheckpoint` truncates
+    * lineage per round with eager release of superseded snapshots —
+    * the Components/PageRank discipline. */
+  def bfsLayers(pairs: DataFrame, seedMod: Long, maxHops: Int): DataFrame = {
+    val sym = pairs
+      .select(col("doc_a").cast("long").as("s"), col("doc_b").cast("long").as("d"))
+      .union(pairs
+        .select(col("doc_b").cast("long").as("s"), col("doc_a").cast("long").as("d")))
+      .distinct().localCheckpoint(true)
+    val nodes = sym.select(col("s").as("node")).distinct().localCheckpoint(true)
+    var dist = nodes.filter(col("node") % seedMod === 0)
+      .select(col("node"), lit(0L).as("hops")).localCheckpoint(true)
+    var frontier = dist.select(col("node")).localCheckpoint(true)
+    (1 to maxHops).foreach { i =>
+      val nxt = sym.join(frontier, sym("s") === frontier("node"))
+        .select(col("d").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      val nd = dist.union(nxt.select(col("node"), lit(i.toLong).as("hops")))
+        .localCheckpoint(true)
+      dist.unpersist(); frontier.unpersist()
+      dist = nd
+      frontier = nxt
+    }
+    val out = nodes.join(dist, Seq("node"), "left")
+      .select(col("node").as("doc_id"),
+        coalesce(col("hops"), lit(-1L)).as("hops"))
+    frontier.unpersist(); sym.unpersist()
+    out
+  }
+
   /** Graph-level degree summary + DEGREE ASSORTATIVITY: the Pearson
     * correlation between the degrees at the two ends of every
     * (symmetrized) edge — the hub-structure diagnostic (r < 0:

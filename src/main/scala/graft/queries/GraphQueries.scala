@@ -214,4 +214,42 @@ object GraphQueries {
       |FROM pr
       |JOIN pt pa ON type_a = pa.event_type
       |JOIN pt pb ON type_b = pb.event_type""".stripMargin
+
+  // ---- g7: bounded multi-source BFS (hop layers) -------------------
+
+  /** g7: BFS HOP LAYERS over the d6 near-dup graph
+    * (Graph.bfsLayers) — hop distance from the seed set (doc_id ≡ 0
+    * mod 7) up to 4 hops, unreached nodes at -1: the "blast radius"
+    * question ("everything within k contamination steps of a flagged
+    * doc") that g3's fixed 2-hop count and d9's unbounded closure
+    * bracket. The engine runs the real frontier expansion (each
+    * round shuffles the FRONTIER, not the visited set); the oracle
+    * unrolls the four layers as naive neighbor sets and takes the
+    * min layer per node — same semantics, the plan you could NOT
+    * afford at 100 TB. */
+  def g7BfsLayers(spark: SparkSession, dir: String): DataFrame =
+    Graph.bfsLayers(LlmQueries.d6SimhashPairs(spark, dir),
+      seedMod = 7L, maxHops = 4)
+
+  val g7Sql: String = {
+    val layers = (1 to 4).map { i =>
+      s"""f$i AS (SELECT DISTINCT e.d AS node
+         |  FROM sym e JOIN f${i - 1} f ON f.node = e.s)""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 to 4).map(i =>
+      s"SELECT node, $i AS h FROM f$i").mkString("\n  UNION ALL ")
+    s"""WITH pairs AS (SELECT doc_a, doc_b FROM (
+       |${LlmQueries.d6Sql}
+       |)),
+       |sym AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT s AS node FROM sym),
+       |f0 AS (SELECT node FROM nodes WHERE node % 7 = 0),
+       |$layers,
+       |lay AS ($unions),
+       |md AS (SELECT node, CAST(min(h) AS BIGINT) AS hops
+       |  FROM lay GROUP BY 1)
+       |SELECT n.node AS doc_id, coalesce(md.hops, -1) AS hops
+       |FROM nodes n LEFT JOIN md ON md.node = n.node""".stripMargin
+  }
 }

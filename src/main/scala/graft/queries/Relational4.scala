@@ -560,4 +560,46 @@ object Relational4 {
       |  round(CAST(count(*) * sum(c * c) - sum(c) * sum(c) AS DOUBLE) /
       |    CAST(count(*) * count(*) AS DOUBLE) / 10000.0, 6) AS wvar
       |FROM cl GROUP BY 1""".stripMargin
+
+  // ---- r56: rolling discrete median (robust smoothing window) ------
+
+  /** r56: ROLLING DISCRETE MEDIAN — the robust per-entity smoother
+    * (median-of-last-5) every metrics/anomaly pipeline runs where a
+    * rolling MEAN would chase outliers: for each event, the lower
+    * median of the trailing 5 values in the user's own (ts,
+    * event_id)-ordered stream, plus the residual against it. The
+    * median is DISCRETE (the sorted frame's element at (n+1) div 2,
+    * 1-based) — the r53 argument: a SELECTED value is cross-engine
+    * exact where an interpolated quantile is a derived float; the
+    * residual is one IEEE subtraction of two exact inputs, so the
+    * whole row hashes. First rows of a stream take the median of the
+    * shorter prefix (n < 5), by the same formula.
+    *
+    * 100 TB shape: ONE exchange keyed by user, one in-partition sort
+    * shared by the frame; the ROWS frame is O(5) per row (bounded
+    * memory, unlike a RANGE frame over unbounded history). The
+    * sort-within-key is bounded by per-user event counts — the same
+    * contract as r13/r18/r25. */
+  def r56RollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-4, 0)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("win", collect_list(col("value")).over(w))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"),
+        element_at(sort_array(col("win")),
+          ((size(col("win")) + 1) / 2).cast("int")).as("med5"))
+      .withColumn("dev", col("value") - col("med5"))
+  }
+
+  val r56Sql: String =
+    """WITH w AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+      |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS win
+      |  FROM events)
+      |SELECT user_id, ts_us, event_id, value,
+      |  list_sort(win)[(len(win) + 1) // 2] AS med5,
+      |  value - list_sort(win)[(len(win) + 1) // 2] AS dev
+      |FROM w""".stripMargin
 }

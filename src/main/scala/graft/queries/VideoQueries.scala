@@ -549,4 +549,68 @@ object VideoQueries {
       |  FROM itp GROUP BY 1)
       |SELECT video_id, n_gap_segments, n_gap_frames, interp_area_sum
       |FROM ga JOIN ia USING (video_id)""".stripMargin
+
+  // ---- v11: zone occupancy (spatial dwell analytics) ---------------
+
+  /** v11: ZONE OCCUPANCY — the spatial-analytics step downstream of
+    * the tracking family (v8 continuity, v10 interpolation): each
+    * surviving box is assigned to one cell of a 4×4 grid over its
+    * frame by its INTEGER center ((x+w) div 2, (y+h) div 2 — the
+    * boxes relation's (x,w)/(y,h) are the scaled vertical/horizontal
+    * ranges), and the per-(video, zone) report carries box count,
+    * distinct occupied frames, and the occupancy rate against the
+    * video's total frame count — the "which regions does traffic
+    * dwell in" question every camera-analytics deployment asks.
+    * Centers can land past the frame edge (the stub's ymax/xmax may
+    * exceed 1.0), so zones clamp to 3 — integer arithmetic end to
+    * end, one division at the edge.
+    *
+    * 100 TB shape: a narrow projection over the zero-shuffle v1
+    * chain + ONE partial-agg shuffle keyed by (video, zone) (the
+    * distinct-frames count partial-aggregates per key), + a
+    * broadcast of the tiny per-video frame totals. */
+  def v11ZoneOccupancy(spark: SparkSession, dir: String): DataFrame = {
+    val fr = frames(spark, dir)
+    val bx = DetectionPipeline.boxes(withDetections(fr), threshold = 0.7)
+      // frame dims are a deterministic function of frame_id in the
+      // stand-in stream (a real pipeline carries them on the row)
+      .withColumn("height", (lit(480) + (col("frame_id") % 3) * 240))
+      .withColumn("width", (lit(640) + (col("frame_id") % 3) * 320))
+      .withColumn("zone_row",
+        least(lit(3L), expr("((x + w) div 2) * 4 div height")))
+      .withColumn("zone_col",
+        least(lit(3L), expr("((y + h) div 2) * 4 div width")))
+    val perVideo = fr.groupBy(col("video_id"))
+      .agg(countDistinct(col("frame_id")).as("video_frames"))
+    bx.groupBy(col("video_id"), col("zone_row"), col("zone_col"))
+      .agg(count(lit(1)).as("n_boxes"),
+        countDistinct(col("frame_id")).as("n_frames"))
+      .join(broadcast(perVideo), Seq("video_id"))
+      .select(col("video_id"), col("zone_row"), col("zone_col"),
+        col("n_boxes"), col("n_frames"),
+        round(col("n_frames").cast("double") /
+          col("video_frames").cast("double"), 6).as("occupancy"))
+  }
+
+  val v11Sql: String = detSql +
+    """, zb AS (
+      |  SELECT video_id, frame_id,
+      |    least(3, ((x + w) // 2) * 4 // (480 + (frame_id % 3) * 240))
+      |      AS zone_row,
+      |    least(3, ((y + h) // 2) * 4 // (640 + (frame_id % 3) * 320))
+      |      AS zone_col
+      |  FROM boxes
+      |), pv AS (
+      |  SELECT event_type AS video_id, count(DISTINCT event_id) AS vf
+      |  FROM events GROUP BY 1
+      |), zg AS (
+      |  SELECT video_id, zone_row, zone_col, count(*) AS n_boxes,
+      |    count(DISTINCT frame_id) AS n_frames
+      |  FROM zb GROUP BY 1, 2, 3
+      |)
+      |SELECT zg.video_id, CAST(zone_row AS BIGINT) AS zone_row,
+      |  CAST(zone_col AS BIGINT) AS zone_col, n_boxes, n_frames,
+      |  round(CAST(n_frames AS DOUBLE) / CAST(vf AS DOUBLE), 6)
+      |    AS occupancy
+      |FROM zg JOIN pv ON pv.video_id = zg.video_id""".stripMargin
 }

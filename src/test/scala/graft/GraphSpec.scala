@@ -68,6 +68,29 @@ class GraphSpec extends SparkTestBase {
     assert(got2 === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("bfsLayers: chain distances, unreachable at -1, maxHops cap") {
+    // chain 0-1-2-3-4-5-6 plus isolated pair 8-9; seeds = %7==0 -> {0,7?}
+    // nodes present: 0..6, 8, 9 -> seed set {0}
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (8L, 9L)).toDF("doc_a", "doc_b")
+    val got = Graph.bfsLayers(pairs, seedMod = 7L, maxHops = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L,
+      5L -> -1L, 6L -> -1L, 8L -> -1L, 9L -> -1L))
+  }
+
+  test("bfsLayers: two seeds meet in the middle, min distance wins") {
+    // cycle 0-1-2-3-4-5-6-0: seeds {0}; node 3 and 4 both at 3 via
+    // opposite directions; then add seed 7 bridging to 3
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 0L), (7L, 3L)).toDF("doc_a", "doc_b")
+    val got = Graph.bfsLayers(pairs, seedMod = 7L, maxHops = 4)
+      .as[(Long, Long)].collect().toMap
+    // seeds {0, 7}: 3 is 1 hop from 7 (not 3 from 0); 4 is 2 hops via 7-3
+    assert(got === Map(0L -> 0L, 7L -> 0L, 1L -> 1L, 6L -> 1L, 3L -> 1L,
+      2L -> 2L, 5L -> 2L, 4L -> 2L))
+  }
+
   test("g1/g2 run on the real d6 graph and rank mass stays sane") {
     import graft.queries.GraphQueries
     val pr = GraphQueries.g1PageRank(spark, sf).as[(Long, Long)].collect()

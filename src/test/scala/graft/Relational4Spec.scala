@@ -175,4 +175,28 @@ class Relational4Spec extends SparkTestBase {
     assert(byEvent(3L)._5 === true)           // untouched user 2 current
     assert(byEvent(5L)._5 === true)           // new user 3 current
   }
+
+  test("r56 rollingMedian: lower-median hand-check over a growing " +
+    "frame, outlier absorbed, residual exact") {
+    import graft.queries.Relational4
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val got = Relational4.r56RollingMedian(spark, sf)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+    assert(got.nonEmpty)
+    // recompute per user from the raw events
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)].collect()
+    val expected = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      ordered.indices.map { i =>
+        val frame = ordered.slice(math.max(0, i - 4), i + 1).map(_._4).sorted
+        val med = frame((frame.length + 1) / 2 - 1)
+        (u, ordered(i)._2, ordered(i)._3, ordered(i)._4, med,
+          ordered(i)._4 - med)
+      }
+    }.toSet
+    assert(got.toSet === expected)
+  }
 }

@@ -162,6 +162,42 @@ class Round9Spec extends SparkTestBase {
     assert(expected.keys.exists(_ > 0))
   }
 
+  test("v11 zoneOccupancy: zones recomputed from the v1 box relation, " +
+    "occupancy denominators are per-video frame counts") {
+    import graft.queries.VideoQueries
+    import graft.sources.Tables
+    // v1's output is the oracle-trusted box relation; recompute the
+    // zone aggregation from it independently
+    val boxes = VideoQueries.v1Boxes(spark, sf)
+      .select("video_id", "frame_id", "x", "y", "w", "h")
+      .as[(String, Long, Int, Int, Int, Int)].collect()
+    val vf = Tables.events(spark, sf)
+      .select("event_type", "event_id").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).distinct.size }
+    def dims(fid: Long): (Long, Long) =
+      (480L + (fid % 3) * 240, 640L + (fid % 3) * 320)
+    val expected = boxes.map { case (v, fid, x, y, w, h) =>
+      val (hh, ww) = dims(fid)
+      val zr = math.min(3L, ((x + w).toLong / 2) * 4 / hh)
+      val zc = math.min(3L, ((y + h).toLong / 2) * 4 / ww)
+      ((v, zr, zc), fid)
+    }.groupBy(_._1).map { case (k, xs) =>
+      k -> ((xs.length.toLong, xs.map(_._2).distinct.length.toLong))
+    }
+    val got = VideoQueries.v11ZoneOccupancy(spark, sf)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(got.length === expected.size)
+    got.foreach { case (v, zr, zc, nb, nf, occ) =>
+      val (enb, enf) = expected((v, zr, zc))
+      assert((nb, nf) === ((enb, enf)), s"zone ($v,$zr,$zc)")
+      assert(occ === BigDecimal(nf.toDouble / vf(v))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble ||
+        math.abs(occ - nf.toDouble / vf(v)) < 1e-6)
+    }
+    // boxes land in more than one zone (the grid is actually exercised)
+    assert(expected.keys.map(k => (k._2, k._3)).toSet.size > 1)
+  }
+
   test("x50 lengthBuckets: pow-2 ceilings exact at boundaries, " +
     "zero-token docs in the unit bucket, waste hand-checked") {
     import graft.queries.CorpusQueries
