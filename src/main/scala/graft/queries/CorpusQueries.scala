@@ -1870,4 +1870,74 @@ object CorpusQueries {
        |      * (CAST(n_docs - n_flagged AS DOUBLE) / n_docs), 6)
        |  ELSE 0.0 END AS clean_rate
        |FROM ppl JOIN cs USING (source)""".stripMargin
+
+  // ---- x53: hashed importance weighting (DSIR-style selection) -----
+
+  /** x53: IMPORTANCE WEIGHTING for targeted data selection — the
+    * hashed-feature importance-resampling recipe (DSIR, Xie et al.
+    * 2023): score every raw document by how much its token
+    * distribution looks like a TARGET domain (here the `targetSource`
+    * docs stand in for the high-quality target), using hashed unigram
+    * buckets so the feature space is fixed-width regardless of
+    * vocabulary. Bucket weights are the target/raw frequency RATIO in
+    * integer micro-units (w_b = t_b·1e6 div r_b — the ratio form of
+    * DSIR's log-ratio, chosen because floor division is cross-engine
+    * exact where a float log sum is summation-order-poisoned); a
+    * doc's importance is its count-weighted bucket sum per token, and
+    * the report is the top-`topK` selection (ties broken by doc_id).
+    * Zero-token docs carry no evidence and drop out of scoring.
+    *
+    * 100 TB shape: ONE token scan feeds both distributions (the
+    * target mass is a conditional sum inside the same per-bucket
+    * partial agg — no second pass); bucket weights fold to a
+    * `buckets`-row broadcast; per-doc scoring is a (doc, bucket)
+    * partial agg + broadcast join; selection is
+    * TakeOrderedAndProject (per-partition heap + driver merge of
+    * topK rows), never a global sort. */
+  def importanceWeights(docs: DataFrame, targetSource: String,
+      buckets: Int = 512, topK: Int = 100): DataFrame = {
+    val tok = docs.select(col("doc_id"), col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("t"))
+      .withColumn("bucket", TextFunctions.polyHash(col("t")) % buckets)
+    val bstats = tok.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("r_b"),
+        sum(when(col("source") === targetSource, 1L).otherwise(0L))
+          .as("t_b"))
+      .withColumn("w_micro", expr("t_b * 1000000 div r_b"))
+    val perDocBucket = tok
+      .groupBy(col("doc_id"), col("source"), col("bucket"))
+      .agg(count(lit(1)).as("c_b"))
+    perDocBucket
+      .join(broadcast(bstats.select(col("bucket"), col("w_micro"))),
+        Seq("bucket"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("c_b") * col("w_micro")).as("score_micro"),
+        sum(col("c_b")).as("n_tok"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        expr("score_micro div n_tok").as("imp_micro"))
+      .orderBy(col("imp_micro").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  def x53ImportanceWeights(spark: SparkSession, dir: String): DataFrame =
+    importanceWeights(Tables.spread(Tables.documents(spark, dir)), "src0")
+
+  val x53Sql: String =
+    s"""WITH tk AS (SELECT doc_id, source, unnest($tsSql) AS t
+       |  FROM documents),
+       |tb AS (SELECT doc_id, source, ${polySql("t")} % 512 AS bucket
+       |  FROM tk),
+       |bs AS (SELECT bucket, count(*) AS r_b,
+       |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS t_b
+       |  FROM tb GROUP BY 1),
+       |w AS (SELECT bucket, CAST(t_b * 1000000 // r_b AS BIGINT)
+       |    AS w_micro FROM bs),
+       |db AS (SELECT doc_id, source, bucket, count(*) AS c_b
+       |  FROM tb GROUP BY 1, 2, 3),
+       |sc AS (SELECT doc_id, source,
+       |    CAST(sum(c_b * w_micro) AS BIGINT) AS score_micro,
+       |    CAST(sum(c_b) AS BIGINT) AS n_tok
+       |  FROM db JOIN w USING (bucket) GROUP BY 1, 2)
+       |SELECT doc_id, source, n_tok, score_micro // n_tok AS imp_micro
+       |FROM sc ORDER BY imp_micro DESC, doc_id LIMIT 100""".stripMargin
 }

@@ -198,6 +198,38 @@ class Round9Spec extends SparkTestBase {
     assert(expected.keys.map(k => (k._2, k._3)).toSet.size > 1)
   }
 
+  test("x53 importanceWeights: ratio weights hand-recomputed, target " +
+    "doc outranks mixed doc, off-target-only doc scores zero") {
+    import graft.queries.CorpusQueries
+    val docs = Seq(
+      (1L, "apple apple banana", "tgt"),
+      (2L, "apple banana cherry", "raw"),
+      (3L, "cherry cherry", "raw"))
+      .toDF("doc_id", "text", "source")
+    val got = CorpusQueries.importanceWeights(docs, "tgt", topK = 3)
+      .as[(Long, String, Long, Long)].collect()
+    // recompute with the poly_hash recurrence ((a*31+ord) mod 1e9+7)
+    def ph(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    val toks = Map(1L -> Seq("apple", "apple", "banana"),
+      2L -> Seq("apple", "banana", "cherry"), 3L -> Seq("cherry", "cherry"))
+    val all = toks.toSeq.flatMap { case (d, ts) => ts.map(d -> _) }
+    val byBucket = all.groupBy { case (_, t) => ph(t) % 512 }
+    val w = byBucket.map { case (b, xs) =>
+      b -> xs.count(_._1 == 1L).toLong * 1000000L / xs.length
+    }
+    val expected = toks.map { case (d, ts) =>
+      val score = ts.map(t => w(ph(t) % 512)).sum
+      d -> (score / ts.length)
+    }
+    val gotMap = got.map(r => r._1 -> r._4).toMap
+    assert(gotMap === expected)
+    // ranking: pure-target doc first, zero-evidence doc last
+    assert(got.head._1 === 1L && got.last._1 === 3L)
+    assert(gotMap(3L) === 0L)
+    assert(got.map(_._3).toSeq === Seq(3L, 3L, 2L)) // n_tok carried
+  }
+
   test("x50 lengthBuckets: pow-2 ceilings exact at boundaries, " +
     "zero-token docs in the unit bucket, waste hand-checked") {
     import graft.queries.CorpusQueries
