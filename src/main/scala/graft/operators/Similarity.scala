@@ -602,4 +602,47 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rnk").cast("int").as("rnk"),
         round(col("cos"), 6).as("cosine_sq8"))
   }
+
+  /** Random-projection (Johnson–Lindenstrauss) search: project every
+    * vector to `m` dims with a DETERMINISTIC ±1 sign matrix (sign of
+    * (j,d) = parity of an LCG step on j·64+d — pseudo-random,
+    * balanced, and restatable in exact integer arithmetic on any
+    * engine, where a seeded float RNG would not be), then rank by
+    * exact L2 in the PROJECTED space. The dimensionality-reduction
+    * member of the compression scorecard (SQ8 = value quantization,
+    * PQ = subspace codebooks, BQ = 1-bit signs; JL cuts the
+    * dimension itself — distances distort by at most 1±ε with
+    * m = O(log n / ε²), the JL lemma). Both folds (projection over d,
+    * distance over j) run in fixed ascending order, so every double
+    * is bit-identical cross-engine and the result hashes.
+    *
+    * 100 TB shape: projection is a row-local narrow map (64 floats →
+    * m doubles, no exchange, codegen'd HOFs); the scored join
+    * broadcasts the bounded query set and pays m instead of 64
+    * multiplies per pair — the corpus never shuffles. */
+  def knnRandomProjection(embeddings: DataFrame, queries: DataFrame,
+      k: Int, m: Int = 16): DataFrame = {
+    val projExpr =
+      s"""transform(sequence(0, ${m - 1}), j ->
+         |  aggregate(sequence(0, 63), cast(0 as double), (acc, d) ->
+         |    acc + cast(element_at(embedding, d + 1) as double) *
+         |      (1 - 2 * (((cast(j * 64 + d as bigint) * 1103515245
+         |        + 12345) div 65536) % 2))))""".stripMargin
+    val cp = embeddings.select(col("vec_id"), expr(projExpr).as("p"))
+    val qp = queries.select(col("vec_id").as("query_id"),
+      expr(projExpr).as("qp"))
+    val scored = cp.alias("c")
+      .join(broadcast(qp), col("query_id") =!= col("c.vec_id"))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+        aggregate(zip_with(col("qp"), col("p"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (a, b) => a + b)
+          .as("dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rnk").cast("int").as("rnk"),
+        round(col("dist"), 6).as("dist_rp"))
+  }
 }

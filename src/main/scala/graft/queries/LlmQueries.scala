@@ -2342,6 +2342,41 @@ object LlmQueries {
        |  AND sq.neighbor_id = bf.neighbor_id
        |GROUP BY 1""".stripMargin
 
+  /** s25: RANDOM-PROJECTION search (Similarity.knnRandomProjection)
+    * — the JL-lemma member of the compression scorecard: 64 dims →
+    * 16 via a deterministic ±1 LCG-parity sign matrix, exact L2
+    * top-10 in the projected space. Projection and distance folds
+    * run in fixed ascending order, so the oracle restates every
+    * double bit-identically. */
+  def s25KnnRandomProjection(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnRandomProjection(Tables.embeddings(spark, dir),
+      queryVecs(spark, dir), k = 10)
+
+  val s25Sql: String = {
+    val proj =
+      """list_transform(range(16), j ->
+        |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(range(64), d ->
+        |          CAST(embedding[d+1] AS DOUBLE) *
+        |          (1 - 2 * ((((j*64 + d) * 1103515245 + 12345)
+        |            // 65536) % 2)))),
+        |        (a, b) -> a + b))""".stripMargin
+    s"""WITH pr AS (SELECT vec_id, $proj AS p FROM embeddings),
+       |qv AS (SELECT vec_id AS query_id, p AS qp FROM pr
+       |  WHERE vec_id < 5),
+       |sc AS (SELECT query_id, c.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(16), i ->
+       |        (qp[i+1] - c.p[i+1]) * (qp[i+1] - c.p[i+1]))),
+       |      (a, b) -> a + b) AS dist
+       |  FROM pr c JOIN qv ON query_id <> c.vec_id),
+       |r AS (SELECT query_id, neighbor_id, CAST(row_number() OVER
+       |    (PARTITION BY query_id ORDER BY dist ASC, neighbor_id)
+       |    AS INT) AS rnk, dist FROM sc)
+       |SELECT query_id, neighbor_id, rnk, round(dist, 6) AS dist_rp
+       |FROM r WHERE rnk <= 10""".stripMargin
+  }
+
   val s23Sql: String = {
     val recon =
       """dmin[i+1] + (CASE WHEN dmax[i+1] > dmin[i+1] THEN

@@ -130,4 +130,47 @@ class RetrievalSpec extends SparkTestBase {
       (1L, 1, 0, round6(1.0 / 61), 2),
       (3L, 0, 2, round6(1.0 / 62), 3)))
   }
+
+  test("s25 knnRandomProjection: projected distances match a scala " +
+    "re-fold, recall vs exact projected L2 is perfect by construction") {
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 5)
+    val got = Similarity.knnRandomProjection(emb, queries, k = 10)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(got.length === 50 && got.forall(_._4 >= 0.0))
+    // re-fold the projection + distance for every returned pair
+    val vecs = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    def proj(x: Array[Float]): Array[Double] =
+      Array.tabulate(16) { j =>
+        (0 until 64).foldLeft(0.0) { (acc, d) =>
+          val sgn = 1 - 2 * ((((j * 64 + d).toLong * 1103515245L + 12345L)
+            / 65536L) % 2)
+          acc + x(d).toDouble * sgn
+        }
+      }
+    got.foreach { case (q, n, _, dist) =>
+      val (pq, pn) = (proj(vecs(q)), proj(vecs(n)))
+      val d = (0 until 16).foldLeft(0.0) { (acc, i) =>
+        acc + (pq(i) - pn(i)) * (pq(i) - pn(i))
+      }
+      assert(math.abs(dist - BigDecimal(d)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+        s"pair ($q,$n)")
+    }
+    // ranking is genuinely by projected distance: recompute rank 1
+    val byQ = got.groupBy(_._1)
+    byQ.foreach { case (q, rows) =>
+      val pq = proj(vecs(q))
+      val best = vecs.keys.filter(_ != q).minBy { n =>
+        val pn = proj(vecs(n))
+        val d = (0 until 16).foldLeft(0.0) { (acc, i) =>
+          acc + (pq(i) - pn(i)) * (pq(i) - pn(i)) }
+        (d, n)
+      }
+      assert(rows.minBy(_._3)._2 === best, s"query $q rank-1")
+    }
+  }
 }
