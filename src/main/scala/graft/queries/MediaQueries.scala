@@ -766,6 +766,138 @@ object MediaQueries {
        |FROM reach GROUP BY node""".stripMargin
   }
 
+  // ---- m19: video near-dup via shared-frame-hash blocking ----------
+
+  /** m19: VIDEO NEAR-DEDUP (clip detection) — the m16/m18 recipe
+    * lifted from one hash per asset to a SET of per-frame hashes:
+    * each doc synthesizes its family's GIF animation (families share
+    * `doc_id % 37`; frames really encode and really decode through
+    * the GIF codec), odd docs carry a TAIL EDIT (the last frame
+    * replaced by an inserted "ad card"), and every decoded frame gets
+    * the m8 aHash. Candidates are pairs sharing AT LEAST ONE exact
+    * frame hash (the containment-blocking equi-join — the shape
+    * YouTube-style content matching uses: any common frame is the
+    * candidate signal), verified row-locally by the codegen'd
+    * `intersect_count` merge over the sorted hash sets; the report is
+    * the integral frame-set-Jaccard histogram. Clean family twins
+    * land at 100; tail-edited variants at the (n-1)/(n+1) bucket —
+    * the near-dup evidence byte dedup (d1) and whole-asset hashing
+    * (m8/m16) both miss.
+    *
+    * 100 TB shape: pixels never leave the partition-scoped decode —
+    * only ≤ n_frames longs per video reach an exchange; the
+    * candidate join is keyed by frame hash with bucket population
+    * bounded by family size (the d2 cap argument); verification is
+    * a row-local merge over two tiny sorted arrays. */
+  def m19VideoNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{Codecs, Multimodal}
+    val fp = Tables.spread(Tables.documents(spark, dir).select(col("doc_id")))
+      .as[Long]
+      .mapPartitions { it =>
+        val palR = Array.tabulate(256)(v => v.toByte)
+        val palG = Array.tabulate(256)(v => ((v * 37) % 256).toByte)
+        val palB = Array.tabulate(256)(v => ((v * 91) % 256).toByte)
+        def aHash(w: Int, h: Int, px: Array[Byte]): Long = {
+          val grays = new Array[Long](64)
+          var total = 0L
+          var q = 0
+          while (q < 64) {
+            val sp = (q / 8) * h / 8 * w + (q % 8) * w / 8
+            val g = 299L * (px(sp * 3) & 0xff) +
+              587L * (px(sp * 3 + 1) & 0xff) +
+              114L * (px(sp * 3 + 2) & 0xff)
+            grays(q) = g; total += g; q += 1
+          }
+          var hash = 0L
+          q = 0
+          while (q < 64) {
+            if (grays(q) * 64 > total) hash |= 1L << (63 - q)
+            q += 1
+          }
+          hash
+        }
+        it.map { id =>
+          val key = id % 37
+          val w = (8 + key % 9).toInt; val h = (8 + key % 5).toInt
+          val nf = (2 + key % 3).toInt
+          val frames = (0 until nf).map { f =>
+            if (id % 2 == 1 && f == nf - 1)
+              Array.tabulate(w * h)(i => ((i * 29) % 256).toByte)
+            else
+              Array.tabulate(w * h)(i => ((key * 7 + f * 31 + i * 13) % 256).toByte)
+          }
+          val gif = Codecs.ImageIoCodecs.GifCodec.encodeIndexedFrames(
+            w, h, palR, palG, palB, frames)
+          val dec = Codecs.AutoCodec.decode(
+            Multimodal.MediaRecord(id, "video", gif))
+          val rgb = Codecs.ImageIoCodecs.GifCodec.extractAllFramesRgb(gif)
+          require(rgb.length == nf && dec.n_frames == nf,
+            s"codec frame-count disagreement for doc $id")
+          val hashes = rgb.map { case (fw, fh, px) => aHash(fw, fh, px) }
+            .distinct.sorted.toArray
+          (id, hashes.length, hashes)
+        }
+      }.toDF("doc_id", "n_hashes", "fhashes")
+      .localCheckpoint(true)
+    val ex = fp.select(col("doc_id"), col("n_hashes"), col("fhashes"),
+      explode(col("fhashes")).as("fh"))
+    val cand = ex.alias("a")
+      .join(ex.alias("b"),
+        col("a.fh") === col("b.fh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.fhashes").as("fa"), col("b.fhashes").as("fb"),
+        col("a.n_hashes").as("na"), col("b.n_hashes").as("nb"))
+      .distinct()
+    cand
+      .withColumn("inter",
+        expr("cast(intersect_count(fa, fb) as bigint)"))
+      .withColumn("jaccard_pct",
+        expr("(inter * 100) div (na + nb - inter)"))
+      .groupBy(col("jaccard_pct"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("doc_a")).as("min_doc_a"))
+  }
+
+  val m19Sql: String = {
+    // sp = the q-th 8x8 subsample pixel; iv = its palette index under
+    // the family/ad-card content rule; gray = BT.601 over the palette
+    def iv(q: String): String =
+      s"(CASE WHEN doc_id % 2 = 1 AND f = nf - 1" +
+        s" THEN ((($q//8)*h//8*w + ($q%8)*w//8) * 29) % 256" +
+        s" ELSE (key*7 + f*31 + (($q//8)*h//8*w + ($q%8)*w//8)*13) % 256 END)"
+    def gray(q: String): String =
+      s"(299*${iv(q)} + 587*((${iv(q)}*37)%256) + 114*((${iv(q)}*91)%256))"
+    s"""WITH g AS (SELECT doc_id, doc_id % 37 AS key,
+      |    CAST(8 + (doc_id % 37) % 9 AS INT) AS w,
+      |    CAST(8 + (doc_id % 37) % 5 AS INT) AS h,
+      |    CAST(2 + (doc_id % 37) % 3 AS INT) AS nf
+      |  FROM documents),
+      |fr AS (SELECT doc_id, key, w, h, nf, CAST(f AS INT) AS f
+      |  FROM g, unnest(range(nf)) r(f)),
+      |gr AS (SELECT doc_id, f,
+      |    list_transform(range(64), q -> ${gray("q")}) AS grays
+      |  FROM fr),
+      |ph AS (SELECT doc_id, f,
+      |    list_reduce(list_transform(grays,
+      |        x -> CASE WHEN x * 64 > list_sum(grays) THEN '1' ELSE '0'
+      |          END),
+      |      (a, b) -> a || b) AS fh
+      |  FROM gr),""".stripMargin +
+    """
+      |fs AS (SELECT doc_id, list_sort(list_distinct(list(fh))) AS fhs,
+      |    count(DISTINCT fh) AS n FROM ph GROUP BY 1),
+      |ex AS (SELECT doc_id, n, fhs, unnest(fhs) AS fh FROM fs),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.fhs AS fa, b.fhs AS fb, a.n AS na, b.n AS nb
+      |  FROM ex a JOIN ex b ON a.fh = b.fh AND a.doc_id < b.doc_id),
+      |iv AS (SELECT doc_a, doc_b,
+      |    CAST(len(list_intersect(fa, fb)) AS BIGINT) AS inter, na, nb
+      |  FROM cand)
+      |SELECT (inter * 100) // (na + nb - inter) AS jaccard_pct,
+      |  count(*) AS n_pairs, min(doc_a) AS min_doc_a
+      |FROM iv GROUP BY 1""".stripMargin
+  }
+
   val m16Sql: String =
     """WITH g AS (SELECT doc_id, doc_id % 37 AS key,
       |    CAST(8 + (doc_id % 37) % 13 AS INT) AS w,

@@ -198,6 +198,44 @@ class Round9Spec extends SparkTestBase {
     assert(expected.keys.map(k => (k._2, k._3)).toSet.size > 1)
   }
 
+  test("m19 videoNearDup: histogram equals a frame-hash-set " +
+    "recomputation; clean twins at 100, tail edits below") {
+    import graft.queries.MediaQueries
+    val ids = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id").as[Long].collect()
+    def frameHash(id: Long, f: Int): Long = {
+      val key = id % 37
+      val w = (8 + key % 9).toInt; val h = (8 + key % 5).toInt
+      val nf = (2 + key % 3).toInt
+      val grays = Array.tabulate(64) { q =>
+        val sp = (q / 8) * h / 8 * w + (q % 8) * w / 8
+        val iv = if (id % 2 == 1 && f == nf - 1) (sp * 29) % 256
+                 else ((key * 7 + f * 31 + sp * 13) % 256).toInt
+        299L * iv + 587L * ((iv * 37) % 256) + 114L * ((iv * 91) % 256)
+      }
+      val total = grays.sum
+      grays.zipWithIndex.foldLeft(0L) { case (acc, (g, q)) =>
+        if (g * 64 > total) acc | (1L << (63 - q)) else acc
+      }
+    }
+    val sets = ids.map { id =>
+      val nf = (2 + (id % 37) % 3).toInt
+      id -> (0 until nf).map(frameHash(id, _)).distinct.toSet
+    }.toMap
+    val pairs = for {
+      a <- ids; b <- ids if a < b
+      (sa, sb) = (sets(a), sets(b))
+      inter = (sa & sb).size if inter > 0
+    } yield (inter.toLong * 100) / (sa.size + sb.size - inter)
+    val expected = pairs.groupBy(identity)
+      .map { case (p, xs) => p -> xs.length.toLong }
+    val got = MediaQueries.m19VideoNearDup(spark, sf)
+      .select("jaccard_pct", "n_pairs").as[(Long, Long)].collect().toMap
+    assert(got === expected)
+    // both evidence classes present: exact twins and partial overlaps
+    assert(got.contains(100L) && got.keys.exists(_ < 100L))
+  }
+
   test("x53 importanceWeights: ratio weights hand-recomputed, target " +
     "doc outranks mixed doc, off-target-only doc scores zero") {
     import graft.queries.CorpusQueries
