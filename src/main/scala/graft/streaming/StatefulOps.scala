@@ -236,6 +236,55 @@ object StatefulOps {
       }
   }
 
+  final case class SessEvent(user_id: Long, ts_us: Long)
+  final case class SessSpan(start_us: Long, last_us: Long, n: Long)
+  final case class SessionSnap(user_id: Long, n_events: Long,
+      sessions: Seq[SessSpan])
+
+  /** r20's SESSIONIZATION as keyed streaming state — the streaming
+    * twin of the batch `session_window` aggregation, with the same
+    * boundary contract (an event exactly `gap` after its nearest
+    * session neighbor starts a NEW session: members satisfy the
+    * STRICT `< gap` distance). State per user is the merged session
+    * span list; each event either lands inside a span, extends one,
+    * or BRIDGES several (a late out-of-order event can fuse two
+    * sessions — the case processing-time sessionizers get wrong), so
+    * the final snapshot converges to the batch rows under adversarial
+    * replay — the quotaState/transitionState trust property, spec'd
+    * against `Relational2.r20SessionWindow`. Production bounds state
+    * by evicting spans older than the watermark (the dedup pattern);
+    * span count per user is bounded by activity, not event count. */
+  def sessionState(events: Dataset[SessEvent],
+      gapUs: Long = 1800000000L): Dataset[SessionSnap] = {
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val snapEnc = Encoders.product[SessionSnap]
+    implicit val stEnc = Encoders.product[(Long, Seq[(Long, Long, Long)])]
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Seq[(Long, Long, Long)]), SessionSnap](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[SessEvent],
+         state: GroupState[(Long, Seq[(Long, Long, Long)])]) =>
+          var (nTotal, spans) =
+            state.getOption.getOrElse((0L, Seq.empty[(Long, Long, Long)]))
+          it.foreach { e =>
+            nTotal += 1
+            val t = e.ts_us
+            val (ov, rest) = spans.partition { case (s, l, _) =>
+              (t >= s && t <= l) || (t < s && s - t < gapUs) ||
+                (t > l && t - l < gapUs)
+            }
+            val merged = (
+              (t +: ov.map(_._1)).min,
+              (t +: ov.map(_._2)).max,
+              ov.map(_._3).sum + 1L)
+            spans = (merged +: rest).sortBy(_._1)
+          }
+          state.update((nTotal, spans))
+          SessionSnap(uid, nTotal,
+            spans.map { case (s, l, n) => SessSpan(s, l, n) })
+      }
+  }
+
   /** A1 as keyed streaming state: running per-video frame count +
     * high-water frame id, emitted once per video per micro-batch
     * (update mode). */

@@ -542,6 +542,43 @@ class StreamingSpec extends SparkTestBase {
     assert(got == expected && expected.nonEmpty)
   }
 
+  test("streaming session state converges to the batch r20 session " +
+    "windows under out-of-order replay (late events bridge sessions)") {
+    import testImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulOps.{SessEvent, SessionSnap}
+    val src = graft.sources.Tables.events(spark, sf)
+      .filter(col("user_id") < 30)
+      .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"))
+      .as[(Long, Long)].collect().map(t => SessEvent(t._1, t._2))
+    val expected = graft.queries.Relational2.r20SessionWindow(spark, sf)
+      .select(col("user_id"),
+        expr("unix_micros(cast(session_start as timestamp))"),
+        col("n_events"))
+      .as[(Long, Long, Long)].collect().toSet
+    val shuffled = new scala.util.Random(20).shuffle(src.toSeq)
+    val chunks = shuffled.grouped((shuffled.size + 2) / 3).toSeq
+    val mem = MemoryStream[SessEvent]
+    val q = graft.streaming.StatefulOps.sessionState(mem.toDS())
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("update").option("checkpointLocation", tmpDir()).start()
+    chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+    q.stop()
+    val finals = spark.table("sess_out").as[SessionSnap].collect()
+      .groupBy(_.user_id).values.map(_.maxBy(_.n_events))
+    val got = finals.flatMap(s =>
+      s.sessions.map(sp => (s.user_id, sp.start_us, sp.n))).toSet
+    val missing = (expected -- got).toSeq.sortBy(t => (t._1, t._2)).take(5)
+    val extra = (got -- expected).toSeq.sortBy(t => (t._1, t._2)).take(5)
+    val nSeen = finals.map(_.n_events).sum
+    val nUsers = finals.size
+    assert(got == expected && expected.nonEmpty,
+      s"\nmissing=$missing\nextra=$extra\n|got|=${got.size} |exp|=${expected.size}" +
+      s"\nevents seen=$nSeen sent=${src.length} users=$nUsers")
+    // session count < event count: merging actually happened
+    assert(got.size < src.length)
+  }
+
   test("streaming quota state converges to the batch r46 rate-limit rows") {
     import testImplicits._
     implicit val sqlCtx = spark.sqlContext
