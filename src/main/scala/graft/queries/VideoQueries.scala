@@ -613,4 +613,73 @@ object VideoQueries {
       |  round(CAST(n_frames AS DOUBLE) / CAST(vf AS DOUBLE), 6)
       |    AS occupancy
       |FROM zg JOIN pv ON pv.video_id = zg.video_id""".stripMargin
+
+  // ---- v12: object co-occurrence matrix ----------------------------
+
+  /** v12: OBJECT CO-OCCURRENCE — which detected label PAIRS appear in
+    * the same frame, with the integral LIFT against independence
+    * (n_both·T·1e6 div (n_a·n_b)) — the video-side market-basket
+    * matrix (g6's bipartite projection with frames as baskets and
+    * model labels as items): the signal behind "person+bicycle
+    * co-occur 3× more than chance" scene analytics. Counts come from
+    * the DISTINCT (frame, label) incidence (a label twice in one
+    * frame counts once — the g6 collapse rule); label names ride the
+    * P10 broadcast dim under both pair roles (the r40 two-role
+    * pattern). Lift stays integer: one floor division over exact
+    * longs, no float ratio to drift.
+    *
+    * 100 TB shape: incidence distinct = one (frame, label) keyed
+    * partial-agg shuffle; the pair join is keyed by FRAME with
+    * fan-out |labels in frame|² ≤ 25² per frame; per-label totals
+    * and T fold to broadcast rows. */
+  def v12CoOccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val bx = DetectionPipeline.boxes(
+      withDetections(frames(spark, dir)), threshold = 0.7)
+    val inc = bx.select(col("frame_id"), col("label_id")).distinct()
+    val total = inc.select(col("frame_id")).distinct()
+      .agg(count(lit(1)).as("t_frames"))
+    val perLabel = inc.groupBy(col("label_id"))
+      .agg(count(lit(1)).as("n_frames"))
+    val pairs = inc.alias("a")
+      .join(inc.alias("b"),
+        col("a.frame_id") === col("b.frame_id") &&
+        col("a.label_id") < col("b.label_id"))
+      .groupBy(col("a.label_id").as("la"), col("b.label_id").as("lb"))
+      .agg(count(lit(1)).as("n_both"))
+    val labels = Labels.fromNation(spark, dir)
+    pairs
+      .join(broadcast(perLabel.select(col("label_id").as("la"),
+        col("n_frames").as("n_a"))), Seq("la"))
+      .join(broadcast(perLabel.select(col("label_id").as("lb"),
+        col("n_frames").as("n_b"))), Seq("lb"))
+      .crossJoin(broadcast(total))
+      .join(broadcast(labels.select(col("label_id").as("la"),
+        col("label").as("label_a"))), Seq("la"))
+      .join(broadcast(labels.select(col("label_id").as("lb"),
+        col("label").as("label_b"))), Seq("lb"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        expr("n_both * t_frames * 1000000 div (n_a * n_b)")
+          .as("lift_micro"))
+  }
+
+  val v12Sql: String = detSql +
+    """, inc AS (SELECT DISTINCT frame_id, label_id FROM boxes),
+      |t AS (SELECT count(DISTINCT frame_id) AS t_frames FROM inc),
+      |pl AS (SELECT label_id, count(*) AS n_frames FROM inc GROUP BY 1),
+      |pr AS (SELECT a.label_id AS la, b.label_id AS lb,
+      |    count(*) AS n_both
+      |  FROM inc a JOIN inc b
+      |    ON a.frame_id = b.frame_id AND a.label_id < b.label_id
+      |  GROUP BY 1, 2)
+      |SELECT na.n_name AS label_a, nb.n_name AS label_b,
+      |  pa.n_frames AS n_a, pb.n_frames AS n_b, n_both,
+      |  n_both * t_frames * 1000000 // (pa.n_frames * pb.n_frames)
+      |    AS lift_micro
+      |FROM pr
+      |JOIN pl pa ON pr.la = pa.label_id
+      |JOIN pl pb ON pr.lb = pb.label_id
+      |JOIN nation na ON na.n_nationkey = pr.la
+      |JOIN nation nb ON nb.n_nationkey = pr.lb
+      |CROSS JOIN t""".stripMargin
 }

@@ -198,6 +198,34 @@ class Round9Spec extends SparkTestBase {
     assert(expected.keys.map(k => (k._2, k._3)).toSet.size > 1)
   }
 
+  test("v12 coOccurrence: pair counts and integral lift recomputed " +
+    "from the v1 box relation") {
+    import graft.queries.VideoQueries
+    val boxes = VideoQueries.v1Boxes(spark, sf)
+      .select("frame_id", "label_id", "label")
+      .as[(Long, Int, String)].collect()
+    val inc = boxes.distinct
+    val name = inc.map(r => r._2 -> r._3).toMap
+    val t = inc.map(_._1).distinct.length.toLong
+    val perLabel = inc.groupBy(_._2).map { case (l, xs) =>
+      l -> xs.length.toLong }
+    val byFrame = inc.groupBy(_._1)
+    // pairs ordered by LABEL ID (the engine's join key), named after
+    val pairCounts = byFrame.values.toSeq.flatMap { xs =>
+      val ls = xs.map(_._2).distinct.sorted
+      for { i <- ls.indices; j <- (i + 1) until ls.length } yield
+        (ls(i), ls(j))
+    }.groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    val expected = pairCounts.map { case ((a, b), nBoth) =>
+      (name(a), name(b)) -> ((perLabel(a), perLabel(b), nBoth,
+        nBoth * t * 1000000L / (perLabel(a) * perLabel(b))))
+    }
+    val got = VideoQueries.v12CoOccurrence(spark, sf)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(got === expected && expected.nonEmpty)
+  }
+
   test("m19 videoNearDup: histogram equals a frame-hash-set " +
     "recomputation; clean twins at 100, tail edits below") {
     import graft.queries.MediaQueries
