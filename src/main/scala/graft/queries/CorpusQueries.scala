@@ -1940,4 +1940,69 @@ object CorpusQueries {
        |  FROM db JOIN w USING (bucket) GROUP BY 1, 2)
        |SELECT doc_id, source, n_tok, score_micro // n_tok AS imp_micro
        |FROM sc ORDER BY imp_micro DESC, doc_id LIMIT 100""".stripMargin
+
+  // ---- x54: vocabulary coverage / OOV audit ------------------------
+
+  /** x54: VOCABULARY COVERAGE — the out-of-vocabulary audit every
+    * tokenizer/corpus pairing needs: fix the reference vocabulary as
+    * the TOP-V tokens of the target source (count desc, token asc —
+    * fully deterministic), then report per source how much of its
+    * token mass and how many of its distinct types fall outside it.
+    * High OOV = domain shift the tokenizer will shatter into bytes;
+    * the per-source rate is the routing signal (x18's corpus mixing
+    * consumes exactly this kind of column). Rates are integer
+    * micro-units (n_oov·1e6 div n), exact on any engine.
+    *
+    * 100 TB shape: one token explode feeds the vocab build (top-V =
+    * TakeOrderedAndProject over the target's token partial agg —
+    * never a global sort) and the audit (broadcast the V-row vocab,
+    * conditional partial aggs per source). Nothing shuffles except
+    * one (source) and two (token) partial aggs. */
+  def vocabCoverage(docs: DataFrame, targetSource: String,
+      vocabSize: Int = 200): DataFrame = {
+    val tok = docs.select(col("doc_id"), col("source"),
+      explode(TextFunctions.tokens(col("text"))).as("t"))
+    val vocab = tok.filter(col("source") === targetSource)
+      .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t")).limit(vocabSize)
+      .select(col("t"), lit(1).as("in_vocab"))
+    val marked = tok.join(broadcast(vocab), Seq("t"), "left")
+    val inst = marked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+    val types = marked.select(col("source"), col("t"), col("in_vocab"))
+      .distinct()
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L))
+          .as("n_oov_types"))
+    inst.join(types, Seq("source"))
+      .select(col("source"), col("n_tok"), col("n_oov"),
+        expr("n_oov * 1000000 div n_tok").as("oov_micro"),
+        col("n_types"), col("n_oov_types"),
+        expr("n_oov_types * 1000000 div n_types").as("oov_type_micro"))
+  }
+
+  def x54VocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    vocabCoverage(Tables.spread(Tables.documents(spark, dir)), "src0")
+
+  val x54Sql: String =
+    s"""WITH tk AS (SELECT doc_id, source, unnest($tsSql) AS t
+       |  FROM documents),
+       |vc AS (SELECT t FROM (SELECT t, count(*) AS cnt FROM tk
+       |    WHERE source = 'src0' GROUP BY 1
+       |    ORDER BY cnt DESC, t LIMIT 200)),
+       |mk AS (SELECT tk.source, tk.t,
+       |    CASE WHEN vc.t IS NULL THEN 1 ELSE 0 END AS oov
+       |  FROM tk LEFT JOIN vc ON vc.t = tk.t),
+       |inst AS (SELECT source, count(*) AS n_tok,
+       |    CAST(sum(oov) AS BIGINT) AS n_oov FROM mk GROUP BY 1),
+       |ty AS (SELECT source, count(*) AS n_types,
+       |    CAST(sum(oov) AS BIGINT) AS n_oov_types
+       |  FROM (SELECT DISTINCT source, t, oov FROM mk) GROUP BY 1)
+       |SELECT source, n_tok, n_oov,
+       |  n_oov * 1000000 // n_tok AS oov_micro,
+       |  n_types, n_oov_types,
+       |  n_oov_types * 1000000 // n_types AS oov_type_micro
+       |FROM inst JOIN ty USING (source)""".stripMargin
 }

@@ -198,6 +198,25 @@ class Round9Spec extends SparkTestBase {
     assert(expected.keys.map(k => (k._2, k._3)).toSet.size > 1)
   }
 
+  test("x54 vocabCoverage: top-V cut deterministic on ties, instance " +
+    "and type OOV rates hand-checked") {
+    import graft.queries.CorpusQueries
+    val docs = Seq(
+      (1L, "alpha alpha beta gamma", "tgt"),  // target: counts a=2,b=1,g=1
+      (2L, "alpha beta delta", "raw"),        // delta OOV under V=2
+      (3L, "epsilon epsilon", "raw"))
+      .toDF("doc_id", "text", "source")
+    // V=2: vocab = {alpha (2), beta (1)} — gamma loses the tie to
+    // beta on the token-string tiebreak
+    val got = CorpusQueries.vocabCoverage(docs, "tgt", vocabSize = 2)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // tgt: 4 instances, 1 oov (gamma); types a,b,g -> 1 oov type
+    assert(got("tgt") === (("tgt", 4L, 1L, 250000L, 3L, 1L, 333333L)))
+    // raw: 5 instances, 3 oov (delta + 2x epsilon); types a,b,d,e -> 2
+    assert(got("raw") === (("raw", 5L, 3L, 600000L, 4L, 2L, 500000L)))
+  }
+
   test("v12 coOccurrence: pair counts and integral lift recomputed " +
     "from the v1 box relation") {
     import graft.queries.VideoQueries
