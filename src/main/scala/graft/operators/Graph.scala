@@ -199,6 +199,68 @@ object Graph {
     out
   }
 
+  /** Bounded k-CORE PEELING: iteratively remove nodes of degree < k
+    * (with the induced-degree recomputation each round) for at most
+    * `rounds` rounds — the density-filter the near-dup graph family
+    * lacks: a node surviving the 2-core sits in a CYCLE of near-dup
+    * evidence (mutually corroborating), while chains and pendants
+    * (one accidental pair away from isolation) peel off. Returns one
+    * row per node: the round it peeled at (1-based; -1 = survivor at
+    * the horizon) and its final induced degree (-1 for peeled
+    * nodes). `rounds` is a declared horizon, not a convergence hack:
+    * the loop ALSO stops early at the true fixpoint, and extra
+    * oracle rounds past convergence are no-ops, so engine and oracle
+    * agree at any horizon.
+    *
+    * 100 TB shape: each round is one degree partial-agg + two
+    * semijoin-shaped edge filters keyed by node — the Components
+    * discipline (localCheckpoint lineage truncation, eager release);
+    * the driver pays one count() per round for the early stop. */
+  def kCorePeel(pairs: DataFrame, k: Long, rounds: Int): DataFrame = {
+    val sym = pairs
+      .select(col("doc_a").cast("long").as("s"), col("doc_b").cast("long").as("d"))
+      .union(pairs
+        .select(col("doc_b").cast("long").as("s"), col("doc_a").cast("long").as("d")))
+      .distinct().localCheckpoint(true)
+    var alive = sym.select(col("s").as("node")).distinct().localCheckpoint(true)
+    var edges = sym
+    var peeled = alive.filter(lit(false))
+      .select(col("node"), lit(0L).as("peel_round")).localCheckpoint(true)
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val deg = edges.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+      val cand = alive.join(deg, alive("node") === deg("s"), "left")
+        .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"))
+      val newPeeled = cand.filter(col("deg") < k)
+        .select(col("node"), lit(r.toLong).as("peel_round"))
+        .localCheckpoint(true)
+      if (newPeeled.isEmpty) {
+        newPeeled.unpersist()
+        done = true
+      } else {
+        val nextAlive = cand.filter(col("deg") >= k)
+          .select(col("node")).localCheckpoint(true)
+        val nextEdges = edges
+          .join(nextAlive.select(col("node").as("s")), Seq("s"))
+          .join(nextAlive.select(col("node").as("d")), Seq("d"))
+          .select(col("s"), col("d")).localCheckpoint(true)
+        val nextPeeled = peeled.union(newPeeled).localCheckpoint(true)
+        alive.unpersist(); peeled.unpersist()
+        if (r > 1) edges.unpersist()
+        alive = nextAlive; edges = nextEdges; peeled = nextPeeled
+        r += 1
+      }
+    }
+    val finalDeg = edges.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+    val survivors = alive.join(finalDeg, alive("node") === finalDeg("s"), "left")
+      .select(col("node"), lit(-1L).as("peel_round"),
+        coalesce(col("deg"), lit(0L)).as("core_degree"))
+    survivors.union(
+      peeled.select(col("node"), col("peel_round"), lit(-1L).as("core_degree")))
+      .select(col("node").as("doc_id"), col("peel_round"), col("core_degree"))
+  }
+
   /** Graph-level degree summary + DEGREE ASSORTATIVITY: the Pearson
     * correlation between the degrees at the two ends of every
     * (symmetrized) edge — the hub-structure diagnostic (r < 0:

@@ -252,4 +252,48 @@ object GraphQueries {
        |SELECT n.node AS doc_id, coalesce(md.hops, -1) AS hops
        |FROM nodes n LEFT JOIN md ON md.node = n.node""".stripMargin
   }
+
+  // ---- g8: bounded k-core peeling ----------------------------------
+
+  /** g8: 2-CORE PEELING over the d6 near-dup graph at a 4-round
+    * horizon (Graph.kCorePeel) — the cycle-evidence filter: a
+    * surviving node's near-dup links are mutually corroborating
+    * (every neighbor also has ≥2 links), while chains and pendants
+    * peel round by round. The engine runs the real iterative peel
+    * with early convergence stop; the oracle unrolls the same four
+    * rounds (post-convergence rounds are no-ops, so any horizon
+    * agrees). */
+  def g8KCore(spark: SparkSession, dir: String): DataFrame =
+    Graph.kCorePeel(LlmQueries.d6SimhashPairs(spark, dir),
+      k = 2L, rounds = 4)
+
+  val g8Sql: String = {
+    val rounds = (1 to 4).map { i =>
+      s"""d$i AS (SELECT a.node, count(e.s) AS deg
+         |  FROM a${i - 1} a LEFT JOIN e${i - 1} e ON e.s = a.node
+         |  GROUP BY 1),
+         |p$i AS (SELECT node FROM d$i WHERE deg < 2),
+         |a$i AS (SELECT node FROM d$i WHERE deg >= 2),
+         |e$i AS (SELECT e.s, e.d FROM e${i - 1} e
+         |  JOIN a$i x ON x.node = e.s JOIN a$i y ON y.node = e.d)""".stripMargin
+    }.mkString(",\n")
+    val peeledUnion = (1 to 4).map(i =>
+      s"SELECT node, $i AS r FROM p$i").mkString("\n  UNION ALL ")
+    s"""WITH pairs AS (SELECT doc_a, doc_b FROM (
+       |${LlmQueries.d6Sql}
+       |)),
+       |sym AS (SELECT DISTINCT s, d FROM (
+       |  SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs)),
+       |a0 AS (SELECT DISTINCT s AS node FROM sym),
+       |e0 AS (SELECT s, d FROM sym),
+       |$rounds,
+       |peeled AS ($peeledUnion),
+       |df AS (SELECT a.node, count(e.s) AS deg
+       |  FROM a4 a LEFT JOIN e4 e ON e.s = a.node GROUP BY 1)
+       |SELECT node AS doc_id, CAST(-1 AS BIGINT) AS peel_round,
+       |  CAST(deg AS BIGINT) AS core_degree FROM df
+       |UNION ALL
+       |SELECT node, CAST(r AS BIGINT), CAST(-1 AS BIGINT) FROM peeled""".stripMargin
+  }
 }

@@ -91,6 +91,29 @@ class GraphSpec extends SparkTestBase {
       2L -> 2L, 5L -> 2L, 4L -> 2L))
   }
 
+  test("kCorePeel: pendant chain peels outside-in, triangle survives, " +
+    "peel rounds recorded") {
+    // triangle {1,2,3} with a chain 3-4-5 hanging off it
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("doc_a", "doc_b")
+    val got = Graph.kCorePeel(pairs, k = 2L, rounds = 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // round 1: node 5 (deg 1) peels; round 2: node 4 (deg now 1) peels;
+    // triangle nodes keep degree 2 and survive
+    assert(got === Map(
+      1L -> ((-1L, 2L)), 2L -> ((-1L, 2L)), 3L -> ((-1L, 2L)),
+      4L -> ((2L, -1L)), 5L -> ((1L, -1L))))
+  }
+
+  test("kCorePeel: whole graph dissolves when nothing meets k") {
+    // a bare path 1-2-3: everything eventually peels
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val got = Graph.kCorePeel(pairs, k = 2L, rounds = 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    // round 1 peels the endpoints (deg 1); round 2 peels the middle
+    assert(got === Map(1L -> 1L, 3L -> 1L, 2L -> 2L))
+  }
+
   test("g1/g2 run on the real d6 graph and rank mass stays sane") {
     import graft.queries.GraphQueries
     val pr = GraphQueries.g1PageRank(spark, sf).as[(Long, Long)].collect()
