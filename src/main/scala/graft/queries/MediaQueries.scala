@@ -766,6 +766,75 @@ object MediaQueries {
        |FROM reach GROUP BY node""".stripMargin
   }
 
+  // ---- m20: Walsh spectral fingerprint (sequency domain) -----------
+
+  /** m20: WALSH SPECTRUM — frequency-domain (strictly: sequency-
+    * domain) audio feature extraction over REAL WAV decode: the
+    * first 64 genuinely-decoded PCM samples transform through the
+    * Walsh–Hadamard basis, W_k = Σ_n x_n·(−1)^popcount(k AND n) for
+    * k < 8 — a true orthogonal spectral transform whose basis is ±1,
+    * so unlike a Fourier DFT (whose cos/sin make the result hostage
+    * to each engine's libm) every coefficient is an EXACT INTEGER
+    * and the driver's hash gate applies to spectral analysis. The
+    * per-doc dominant sequency (argmax |W_k|, k>0, ties to the
+    * smaller k) is the pitch-class proxy m5's time-domain
+    * energy/ZCR windows cannot see. m5 (time), m10 (silence), m12
+    * (resample), m14 (gain) and this close the classic audio
+    * feature chain.
+    *
+    * 100 TB shape: decode + transform inside ONE partition-scoped
+    * map (samples never shuffle); 8 integer rows per doc leave. */
+  def m20WalshSpectrum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{Codecs, Multimodal}
+    Tables.spread(Tables.documents(spark, dir).select(col("doc_id")))
+      .as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val key = id % 37
+          val n = (64 + key).toInt
+          val samples = Array.tabulate(n) { i =>
+            val base = ((key * 31 + i.toLong * 97) % 65536 - 32768).toShort
+            if (id % 2 == 1 && i * 4 >= 3 * n) 16384.toShort else base
+          }
+          val wav = Codecs.WavCodec.encodePcm16(8000, 1, samples)
+          val meta = Codecs.AutoCodec.decode(
+            Multimodal.MediaRecord(id, "audio", wav))
+          val (h, back) = Codecs.WavCodec.decodePcm16(wav)
+          require(meta.n_frames == n && h.nSampleFrames == n,
+            s"wav sample count mismatch for doc $id")
+          val w = Array.tabulate(8) { k =>
+            var acc = 0L
+            var i = 0
+            while (i < 64) {
+              val sgn = 1 - 2 * (java.lang.Long.bitCount((k & i).toLong) & 1)
+              acc += back(i).toLong * sgn
+              i += 1
+            }
+            acc
+          }
+          val dom = (1 until 8).minBy(k => (-math.abs(w(k)), k))
+          (0 until 8).map(k => (id, k, w(k), k == dom))
+        }
+      }.toDF("doc_id", "k", "coeff", "is_dominant")
+  }
+
+  val m20Sql: String =
+    """WITH g AS (SELECT doc_id, doc_id % 37 AS key,
+      |    CAST(64 + doc_id % 37 AS INT) AS n FROM documents),
+      |sp AS (SELECT doc_id, key, n, CAST(k AS INT) AS k,
+      |    CAST(list_sum(list_transform(range(64), i ->
+      |      (CASE WHEN doc_id % 2 = 1 AND i * 4 >= 3 * n THEN 16384
+      |        ELSE (key * 31 + i * 97) % 65536 - 32768 END)
+      |      * (1 - 2 * (bit_count(CAST(k AS BIGINT) & CAST(i AS BIGINT))
+      |          % 2)))) AS BIGINT) AS coeff
+      |  FROM g, unnest(range(8)) r(k)),
+      |dm AS (SELECT doc_id,
+      |    first(k ORDER BY abs(coeff) DESC, k) FILTER (k > 0) AS dom
+      |  FROM sp GROUP BY 1)
+      |SELECT sp.doc_id, sp.k, sp.coeff, sp.k = dm.dom AS is_dominant
+      |FROM sp JOIN dm ON dm.doc_id = sp.doc_id""".stripMargin
+
   // ---- m19: video near-dup via shared-frame-hash blocking ----------
 
   /** m19: VIDEO NEAR-DEDUP (clip detection) — the m16/m18 recipe

@@ -217,6 +217,38 @@ class Round9Spec extends SparkTestBase {
     assert(got("raw") === (("raw", 5L, 3L, 600000L, 4L, 2L, 500000L)))
   }
 
+  test("m20 walshSpectrum: coefficients equal a direct formula " +
+    "recomputation, W0 is the plain sum, dominant flag unique") {
+    import graft.queries.MediaQueries
+    val ids = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id").as[Long].collect()
+    def sample(id: Long, i: Int): Long = {
+      val key = id % 37; val n = (64 + key).toInt
+      if (id % 2 == 1 && i * 4 >= 3 * n) 16384L
+      else (key * 31 + i.toLong * 97) % 65536 - 32768
+    }
+    def walsh(id: Long, k: Int): Long =
+      (0 until 64).map { i =>
+        sample(id, i) * (1 - 2 * (java.lang.Integer.bitCount(k & i) & 1))
+      }.sum
+    val got = MediaQueries.m20WalshSpectrum(spark, sf)
+      .as[(Long, Int, Long, Boolean)].collect()
+    assert(got.length === ids.length * 8)
+    got.foreach { case (id, k, c, _) =>
+      assert(c === walsh(id, k), s"W_$k of doc $id")
+    }
+    // W0 = plain sum; dominant unique per doc and matches argmax
+    val byDoc = got.groupBy(_._1)
+    byDoc.foreach { case (id, rows) =>
+      assert(rows.find(_._2 == 0).get._3 ===
+        (0 until 64).map(sample(id, _)).sum)
+      val doms = rows.filter(_._4)
+      assert(doms.length === 1)
+      val expDom = (1 until 8).minBy(k => (-math.abs(walsh(id, k)), k))
+      assert(doms.head._2 === expDom, s"dominant of doc $id")
+    }
+  }
+
   test("v12 coOccurrence: pair counts and integral lift recomputed " +
     "from the v1 box relation") {
     import graft.queries.VideoQueries
