@@ -74,6 +74,44 @@ object Preprocess {
       t.data.map(v => ((v - mean) / adjStd).toFloat))
   }
 
+  /** Augmentation kernels (training-data image transforms, the
+    * P-family beyond resize): pure integer pixel PERMUTATIONS over
+    * interleaved row-major RGB byte arrays — exact by construction,
+    * so their outputs restate arithmetically under the hash gate
+    * (m21). Conventions: pixel (row r, col c) lives at byte
+    * 3·(r·w + c) + channel. */
+  object Augment {
+    /** horizontal mirror: out[r, c] = in[r, w-1-c]; dims unchanged. */
+    def hflip(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] =
+      Array.tabulate(rgb.length) { j =>
+        val p = j / 3; val ch = j % 3
+        val r = p / w; val c = p % w
+        rgb(3 * (r * w + (w - 1 - c)) + ch)
+      }
+
+    /** 90° clockwise rotation: out dims (w_out, h_out) = (h, w);
+      * out[r', c'] = in[h-1-c', r']. */
+    def rot90cw(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+      val outW = h
+      Array.tabulate(rgb.length) { j =>
+        val p = j / 3; val ch = j % 3
+        val r2 = p / outW; val c2 = p % outW
+        rgb(3 * ((h - 1 - c2) * w + r2) + ch)
+      }
+    }
+
+    /** 1-pixel-border center crop: out dims (w-2, h-2);
+      * out[r', c'] = in[r'+1, c'+1]. Requires w, h >= 3. */
+    def centerCrop(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+      val outW = w - 2; val outH = h - 2
+      Array.tabulate(outW * outH * 3) { j =>
+        val p = j / 3; val ch = j % 3
+        val r2 = p / outW; val c2 = p % outW
+        rgb(3 * ((r2 + 1) * w + (c2 + 1)) + ch)
+      }
+    }
+  }
+
   /** P7: bilinear resize (the cv2.resize /
     * tf.image.resize(BILINEAR) kernel, `gst-detection-tf.py:356,364,374`),
     * align_corners=false / half-pixel centers. */

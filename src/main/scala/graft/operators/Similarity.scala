@@ -603,6 +603,82 @@ object Similarity {
         round(col("cos"), 6).as("cosine_sq8"))
   }
 
+  /** MAXIMAL MARGINAL RELEVANCE (Carbonell & Goldstein 1998):
+    * diversified re-ranking of a relevance shortlist — greedily pick
+    * the candidate maximizing 0.7·relevance − 0.3·(max similarity to
+    * anything already picked), so the result set trades raw
+    * relevance for coverage (the dedup-at-serve-time the d-family
+    * does at ingest). The greedy loop is UNROLLED as `kOut`
+    * DataFrame steps — deterministic, expressible identically as
+    * unrolled oracle CTEs, and cheap because every step operates on
+    * the tiny checkpointed shortlist, never the corpus. λ and 1−λ
+    * are both passed as literal doubles (computing 1−0.7 in binary
+    * gives 0.30000000000000004 — a hash-breaking ulp against the
+    * oracle's literal 0.3).
+    *
+    * 100 TB shape: the corpus pays ONE brute-force scored pass
+    * (replaceable by any s-family ANN shortlist); everything after
+    * — the ≤k² pair sims and the unrolled argmax steps — is
+    * shortlist-sized. Shortlist + pair relations are eagerly
+    * checkpointed so the 5-step plan re-reads k·|queries| rows, not
+    * the corpus. */
+  def mmrDiversify(embeddings: DataFrame, queries: DataFrame,
+      kShort: Int = 20, kOut: Int = 5): DataFrame = {
+    val scored = embeddings.alias("c")
+      .join(broadcast(queries.alias("q")),
+        col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("vec_id"),
+        cosineSim(col("q.embedding"), col("c.embedding")).as("rel"))
+    val wSl = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("vec_id"))
+    val sl = scored.withColumn("rnk", row_number().over(wSl))
+      .filter(col("rnk") <= kShort)
+      .select(col("query_id"), col("vec_id"), col("rel"))
+      .localCheckpoint(true)
+    val e = embeddings.select(col("vec_id").as("eid"), col("embedding"))
+    val pair = sl.alias("a")
+      .join(sl.select(col("query_id"), col("vec_id").as("idb")), Seq("query_id"))
+      .filter(col("vec_id") =!= col("idb"))
+      .join(e.alias("ea"), col("vec_id") === col("ea.eid"))
+      .join(e.alias("eb"), col("idb") === col("eb.eid"))
+      .select(col("query_id"), col("vec_id").as("ida"), col("idb"),
+        cosineSim(col("ea.embedding"), col("eb.embedding")).as("sim"))
+      .localCheckpoint(true)
+    var selected = sl.withColumn("rk", row_number().over(wSl))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("vec_id"),
+        lit(1).as("step"), col("rel").as("mmr"))
+    var remaining = sl.join(selected.select(col("query_id"), col("vec_id")),
+      Seq("query_id", "vec_id"), "left_anti")
+    (2 to kOut).foreach { st =>
+      val cand = remaining.alias("r")
+        .join(pair.alias("p"),
+          col("r.query_id") === col("p.query_id") &&
+          col("r.vec_id") === col("p.ida"))
+        .join(selected.select(col("query_id").as("sq"),
+          col("vec_id").as("sid")),
+          col("p.query_id") === col("sq") && col("p.idb") === col("sid"))
+        .groupBy(col("r.query_id").as("query_id"),
+          col("r.vec_id").as("vec_id"), col("r.rel").as("rel"))
+        .agg(max(col("p.sim")).as("msim"))
+        .withColumn("score",
+          lit(0.7) * col("rel") - lit(0.3) * col("msim"))
+      val wPick = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("vec_id"))
+      val pick = cand.withColumn("rk", row_number().over(wPick))
+        .filter(col("rk") === 1)
+        .select(col("query_id"), col("vec_id"),
+          lit(st).as("step"), col("score").as("mmr"))
+      selected = selected.union(pick)
+      remaining = remaining.join(
+        pick.select(col("query_id"), col("vec_id")),
+        Seq("query_id", "vec_id"), "left_anti")
+    }
+    selected.select(col("query_id"), col("vec_id"), col("step"),
+      round(col("mmr"), 6).as("mmr"))
+  }
+
   /** Random-projection (Johnson–Lindenstrauss) search: project every
     * vector to `m` dims with a DETERMINISTIC ±1 sign matrix (sign of
     * (j,d) = parity of an LCG step on j·64+d — pseudo-random,

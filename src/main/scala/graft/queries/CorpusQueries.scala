@@ -2005,4 +2005,59 @@ object CorpusQueries {
        |  n_types, n_oov_types,
        |  n_oov_types * 1000000 // n_types AS oov_type_micro
        |FROM inst JOIN ty USING (source)""".stripMargin
+
+  // ---- x55: largest-remainder budget apportionment -----------------
+
+  /** x55: EXACT BUDGET APPORTIONMENT — split an integer sampling
+    * budget (N=1000 slots) across languages proportional to token
+    * mass with the largest-remainder (Hamilton) method: floor quotas
+    * first, then the leftover slots go to the largest remainders
+    * ((N·c) mod total, ties to the lang string). The allocation the
+    * float-rate mixers (x19/x27) cannot make: Σ final = N EXACTLY,
+    * no rounding drift, every step integer — the apportionment
+    * problem every fixed-token-budget training mix solves.
+    *
+    * 100 TB shape: the corpus collapses to one |langs|-row partial
+    * agg; the total folds to a broadcast row; the remainder ranking
+    * is a window over |langs| rows. Corpus-size-independent after
+    * the first agg. */
+  def apportion(docs: DataFrame, budget: Long = 1000L): DataFrame = {
+    val counts = docs.select(col("lang"),
+        explode(TextFunctions.tokens(col("text"))).as("t"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_tokens"))
+    val total = counts.agg(sum(col("n_tokens")).as("total"))
+    val based = counts.crossJoin(broadcast(total))
+      .withColumn("floor_quota",
+        expr(s"$budget * n_tokens div total"))
+      .withColumn("rem", expr(s"($budget * n_tokens) % total"))
+    val leftover = based
+      .agg((lit(budget) - sum(col("floor_quota"))).as("leftover"))
+    val w = Window.orderBy(col("rem").desc, col("lang"))
+    based.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(w))
+      .select(col("lang"), col("n_tokens"), col("floor_quota"),
+        when(col("rk") <= col("leftover"), 1L).otherwise(0L).as("extra"))
+      .withColumn("final_quota", col("floor_quota") + col("extra"))
+  }
+
+  def x55Apportion(spark: SparkSession, dir: String): DataFrame =
+    apportion(Tables.spread(Tables.documents(spark, dir)))
+
+  val x55Sql: String =
+    s"""WITH tk AS (SELECT lang, unnest($tsSql) AS t FROM documents),
+       |c AS (SELECT lang, count(*) AS n_tokens FROM tk GROUP BY 1),
+       |t AS (SELECT sum(n_tokens) AS total FROM c),
+       |b AS (SELECT lang, n_tokens,
+       |    1000 * n_tokens // total AS floor_quota,
+       |    (1000 * n_tokens) % total AS rem
+       |  FROM c CROSS JOIN t),
+       |lo AS (SELECT 1000 - sum(floor_quota) AS leftover FROM b),
+       |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, lang)
+       |    AS rk FROM b)
+       |SELECT lang, n_tokens, CAST(floor_quota AS BIGINT) AS floor_quota,
+       |  CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+       |    AS extra,
+       |  CAST(floor_quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+       |    AS BIGINT) AS final_quota
+       |FROM r CROSS JOIN lo""".stripMargin
 }

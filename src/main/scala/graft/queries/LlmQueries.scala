@@ -2377,6 +2377,54 @@ object LlmQueries {
        |FROM r WHERE rnk <= 10""".stripMargin
   }
 
+  /** s26: MMR diversified retrieval (Similarity.mmrDiversify) — the
+    * serve-time diversity re-rank: greedy 0.7·rel − 0.3·max-sim-to-
+    * selected over the brute-force top-20 shortlist, 5 picks per
+    * query. Oracle unrolls the same 5 argmax steps. */
+  def s26MmrDiversify(spark: SparkSession, dir: String): DataFrame =
+    Similarity.mmrDiversify(Tables.embeddings(spark, dir),
+      queryVecs(spark, dir))
+
+  lazy val s26Sql: String = {
+    val steps = (2 to 5).map { st =>
+      s"""c$st AS (SELECT r.query_id, r.vec_id, r.rel, max(p.sim) AS msim
+         |  FROM sl r
+         |  JOIN pr p ON p.query_id = r.query_id AND p.ida = r.vec_id
+         |  JOIN sel${st - 1} s ON s.query_id = p.query_id
+         |    AND s.vec_id = p.idb
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${st - 1} x
+         |    WHERE x.query_id = r.query_id AND x.vec_id = r.vec_id)
+         |  GROUP BY 1, 2, 3),
+         |s$st AS (SELECT query_id, vec_id, $st AS step,
+         |    0.7 * rel - 0.3 * msim AS mmr
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY 0.7 * rel - 0.3 * msim DESC, vec_id) AS rk
+         |    FROM c$st) WHERE rk = 1),
+         |sel$st AS (SELECT query_id, vec_id, step, mmr FROM sel${st - 1}
+         |  UNION ALL SELECT query_id, vec_id, step, mmr FROM s$st)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sc AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+       |    ${cosSql("q.embedding", "c.embedding")} AS rel
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 5),
+       |sl AS (SELECT query_id, vec_id, rel FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rel DESC, vec_id) AS rnk FROM sc) WHERE rnk <= 20),
+       |pr AS (SELECT a.query_id, a.vec_id AS ida, b.vec_id AS idb,
+       |    ${cosSql("ea.embedding", "eb.embedding")} AS sim
+       |  FROM sl a JOIN sl b ON a.query_id = b.query_id
+       |    AND a.vec_id <> b.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+       |sel1 AS (SELECT query_id, vec_id, 1 AS step, rel AS mmr
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rel DESC, vec_id) AS rk FROM sl) WHERE rk = 1),
+       |$steps
+       |SELECT query_id, vec_id, CAST(step AS INT) AS step,
+       |  round(mmr, 6) AS mmr
+       |FROM sel5""".stripMargin
+  }
+
   val s23Sql: String = {
     val recon =
       """dmin[i+1] + (CASE WHEN dmax[i+1] > dmin[i+1] THEN

@@ -835,6 +835,82 @@ object MediaQueries {
       |SELECT sp.doc_id, sp.k, sp.coeff, sp.k = dm.dom AS is_dominant
       |FROM sp JOIN dm ON dm.doc_id = sp.doc_id""".stripMargin
 
+  // ---- m21: augmentation chain under the hash gate -----------------
+
+  /** m21: IMAGE AUGMENTATION — the training-data transforms
+    * (horizontal flip, 90° clockwise rotation, 1-px center crop)
+    * applied to genuinely PNG-decoded pixels with the shipped
+    * `Preprocess.Augment` kernels, each output fingerprinted by the
+    * poly fold ((acc·31 + byte) mod 1e9+7) over its row-major bytes.
+    * Augmentations are pure integer pixel PERMUTATIONS, so — unlike
+    * the float resize (m11) — the oracle restates every output byte
+    * exactly through the index mapping and the driver's hash gate
+    * covers the whole chain: a decoder defect, a mapping off-by-one,
+    * or a channel swap all break the hash.
+    *
+    * 100 TB shape: decode + all three transforms + fingerprints in
+    * ONE partition-scoped map; three (doc, aug) rows leave. */
+  def m21Augment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{Codecs, Multimodal, Preprocess}
+    Tables.spread(Tables.documents(spark, dir).select(col("doc_id")))
+      .as[Long]
+      .mapPartitions { it =>
+        def fp(bytes: Array[Byte]): Long = {
+          var acc = 0L
+          var i = 0
+          while (i < bytes.length) {
+            acc = (acc * 31 + (bytes(i) & 0xff)) % 1000000007L
+            i += 1
+          }
+          acc
+        }
+        it.flatMap { id =>
+          val key = id % 37
+          val w = (8 + key % 13).toInt; val h = (8 + key % 7).toInt
+          val rgb = Array.tabulate(w * h * 3)(i =>
+            ((key * 11 + i * 17) % 256).toByte)
+          val png = Codecs.ImageIoCodecs.encodeRgb("png", w, h, rgb)
+          val dec = Codecs.AutoCodec.decode(
+            Multimodal.MediaRecord(id, "image", png))
+          val (dw, dh, back) = Codecs.ImageIoCodecs.decodeRgb(png)
+          require(dw == w && dh == h && dec.width == w,
+            s"codec dims disagreement for doc $id")
+          Seq(
+            (id, "hflip", w, h, fp(Preprocess.Augment.hflip(w, h, back))),
+            (id, "rot90", h, w, fp(Preprocess.Augment.rot90cw(w, h, back))),
+            (id, "crop", w - 2, h - 2,
+              fp(Preprocess.Augment.centerCrop(w, h, back))))
+        }
+      }.toDF("doc_id", "aug", "out_w", "out_h", "phash")
+  }
+
+  val m21Sql: String = {
+    def leg(aug: String, outW: String, outH: String, srcK: String) =
+      s"""SELECT doc_id, '$aug' AS aug, CAST($outW AS INT) AS out_w,
+         |  CAST($outH AS INT) AS out_h,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(($outW) * ($outH) * 3), j ->
+         |      (key*11 + ($srcK)*17) % 256)),
+         |    (a, b) -> (a*31 + b) % 1000000007) AS phash
+         |FROM g""".stripMargin
+    val flip = leg("hflip", "w", "h",
+      "3*((j//3//w)*w + (w-1 - (j//3)%w)) + j%3")
+    val rot = leg("rot90", "h", "w",
+      "3*((h-1 - (j//3)%h)*w + (j//3)//h) + j%3")
+    val crop = leg("crop", "w-2", "h-2",
+      "3*(((j//3)//(w-2) + 1)*w + ((j//3)%(w-2) + 1)) + j%3")
+    s"""WITH g AS (SELECT doc_id, doc_id % 37 AS key,
+       |    CAST(8 + (doc_id % 37) % 13 AS INT) AS w,
+       |    CAST(8 + (doc_id % 37) % 7 AS INT) AS h
+       |  FROM documents)
+       |$flip
+       |UNION ALL
+       |$rot
+       |UNION ALL
+       |$crop""".stripMargin
+  }
+
   // ---- m19: video near-dup via shared-frame-hash blocking ----------
 
   /** m19: VIDEO NEAR-DEDUP (clip detection) — the m16/m18 recipe

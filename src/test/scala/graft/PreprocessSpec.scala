@@ -61,6 +61,38 @@ class PreprocessSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Preprocess.normalizer("torch"))
   }
 
+  test("Augment kernels: hand-checked 2x3 image; flip is an involution, " +
+    "rot90 four times is identity, crop drops the border") {
+    import graft.operators.Preprocess.Augment
+    // 3 wide x 2 tall; pixel (r,c) has bytes (10r+c, 100+10r+c, 200+10r+c)
+    val w = 3; val h = 2
+    val img = Array.tabulate(w * h * 3) { j =>
+      val p = j / 3; val r = p / w; val c = p % w
+      (j % 3 * 100 + 10 * r + c).toByte
+    }
+    def px(a: Array[Byte], ww: Int, r: Int, c: Int): (Int, Int, Int) = {
+      val o = 3 * (r * ww + c)
+      ((a(o) & 0xff), (a(o + 1) & 0xff), (a(o + 2) & 0xff))
+    }
+    val fl = Augment.hflip(w, h, img)
+    assert(px(fl, w, 0, 0) === px(img, w, 0, 2))
+    assert(px(fl, w, 1, 2) === px(img, w, 1, 0))
+    assert(Augment.hflip(w, h, fl).toSeq === img.toSeq)
+    val rot = Augment.rot90cw(w, h, img)   // out dims 2 wide x 3 tall
+    // top-left of the rotation is the bottom-left of the source
+    assert(px(rot, h, 0, 0) === px(img, w, 1, 0))
+    assert(px(rot, h, 2, 1) === px(img, w, 0, 2))
+    // four rotations = identity (dims swap twice)
+    val r2 = Augment.rot90cw(h, w, rot)
+    val r3 = Augment.rot90cw(w, h, r2)
+    val r4 = Augment.rot90cw(h, w, r3)
+    assert(r4.toSeq === img.toSeq)
+    // crop of a 3x3: the single center pixel survives
+    val img9 = Array.tabulate(27)(_.toByte)
+    val cr = Augment.centerCrop(3, 3, img9)
+    assert(cr.toSeq === img9.slice(3 * 4, 3 * 4 + 3).toSeq)
+  }
+
   test("PreprocessingDetector preserves stub scoring; model path fails fast") {
     val det = Detectors.forConfig(DetectorConfig(preprocFw = "cv2",
       modelInput = 8))()

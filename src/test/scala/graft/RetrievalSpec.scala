@@ -131,6 +131,47 @@ class RetrievalSpec extends SparkTestBase {
       (3L, 0, 2, round6(1.0 / 62), 3)))
   }
 
+  test("s26 mmrDiversify: picks equal an in-memory greedy MMR replay, " +
+    "step 1 is pure relevance, no repeats") {
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 5)
+    val got = Similarity.mmrDiversify(emb, queries)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(got.length === 25)
+    val vecs = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        (0 until 64).foldLeft(0.0)((s, i) => s + x(i).toDouble * y(i).toDouble)
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val byQ = got.groupBy(_._1)
+    (0L until 5L).foreach { q =>
+      val rows = byQ(q).sortBy(_._3)
+      assert(rows.map(_._3) === (1 to 5).toArray)
+      assert(rows.map(_._2).distinct.length === 5)
+      // replay the greedy loop
+      val rel = vecs.keys.filter(_ != q).map(n =>
+        n -> cos(vecs(q), vecs(n))).toMap
+      val shortlist = rel.toSeq.sortBy { case (n, r) => (-r, n) }.take(20)
+      var sel = List(shortlist.minBy { case (n, r) => (-r, n) })
+      (2 to 5).foreach { _ =>
+        val cands = shortlist.filterNot(c => sel.exists(_._1 == c._1))
+          .map { case (n, r) =>
+            val msim = sel.map(s => cos(vecs(n), vecs(s._1))).max
+            (n, 0.7 * r - 0.3 * msim)
+          }
+        sel = sel :+ cands.minBy { case (n, sc) => (-sc, n) }
+      }
+      rows.zip(sel).foreach { case ((_, gn, _, gm), (en, em)) =>
+        assert(gn === en, s"query $q pick")
+        assert(math.abs(gm - em) < 2e-6, s"query $q score")
+      }
+    }
+  }
+
   test("s25 knnRandomProjection: projected distances match a scala " +
     "re-fold, recall vs exact projected L2 is perfect by construction") {
     import graft.operators.Similarity

@@ -217,6 +217,61 @@ class Round9Spec extends SparkTestBase {
     assert(got("raw") === (("raw", 5L, 3L, 600000L, 4L, 2L, 500000L)))
   }
 
+  test("m21 augment: fingerprints equal an independent index-mapping " +
+    "recomputation for all three transforms") {
+    import graft.queries.MediaQueries
+    val ids = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id").as[Long].collect()
+    def v(id: Long, k: Long): Long = ((id % 37) * 11 + k * 17) % 256
+    def fold(id: Long, n: Int, srcK: Int => Long): Long =
+      (0 until n).foldLeft(0L)((acc, j) =>
+        (acc * 31 + v(id, srcK(j))) % 1000000007L)
+    val expected = ids.flatMap { id =>
+      val key = id % 37
+      val w = (8 + key % 13).toInt; val h = (8 + key % 7).toInt
+      Seq(
+        (id, "hflip") -> ((w, h, fold(id, w * h * 3, { j =>
+          val p = j / 3; 3L * ((p / w) * w + (w - 1 - p % w)) + j % 3 })),
+        ),
+        (id, "rot90") -> ((h, w, fold(id, w * h * 3, { j =>
+          val p = j / 3; 3L * ((h - 1 - p % h) * w + p / h) + j % 3 })),
+        ),
+        (id, "crop") -> (((w - 2), (h - 2), fold(id, (w - 2) * (h - 2) * 3, { j =>
+          val p = j / 3; val ow = w - 2
+          3L * ((p / ow + 1) * w + (p % ow + 1)) + j % 3 })),
+        ))
+    }.toMap
+    val got = MediaQueries.m21Augment(spark, sf)
+      .as[(Long, String, Int, Int, Long)].collect()
+    assert(got.length === ids.length * 3)
+    got.foreach { case (id, aug, ow, oh, ph) =>
+      assert(((ow, oh, ph)) === expected((id, aug)), s"doc $id $aug")
+    }
+  }
+
+  test("x55 apportion: quotas sum exactly to the budget, largest " +
+    "remainders win the leftover, tie broken by lang") {
+    import graft.queries.CorpusQueries
+    val docs = Seq(
+      (1L, "a a a a a a a", "x", "en"),   // 7 tokens
+      (2L, "b b b b b", "x", "de"),       // 5 tokens
+      (3L, "c c c", "x", "fr"))           // 3 tokens
+      .toDF("doc_id", "text", "source", "lang")
+    // N=10, total=15: floors = 10*7/15=4, 10*5/15=3, 10*3/15=2 -> 9;
+    // remainders 10 (en), 5 (de), 0 (fr) -> en gets the leftover slot
+    val got = CorpusQueries.apportion(docs, budget = 10L)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("en") === (("en", 7L, 4L, 1L, 5L)))
+    assert(got("de") === (("de", 5L, 3L, 0L, 3L)))
+    assert(got("fr") === (("fr", 3L, 2L, 0L, 2L)))
+    assert(got.values.map(_._5).sum === 10L)
+    // the real corpus also sums exactly to budget
+    val real = CorpusQueries.x55Apportion(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(real.map(_._5).sum === 1000L)
+  }
+
   test("m20 walshSpectrum: coefficients equal a direct formula " +
     "recomputation, W0 is the plain sum, dominant flag unique") {
     import graft.queries.MediaQueries
