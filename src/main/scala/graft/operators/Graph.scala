@@ -60,6 +60,56 @@ object Graph {
     rank.select(col("node").as("doc_id"), col("pr").as("rank_micro"))
   }
 
+  /** PERSONALIZED PageRank over an undirected pair list: teleport
+    * mass goes only to a seed set (nodes with id ≡ 0 mod `seedMod`),
+    * so the stationary mass measures proximity TO THE SEEDS rather
+    * than global centrality — the "relevance radius" ranking a
+    * curation pipeline uses to expand a flagged set (contaminated /
+    * gold-labeled docs) by graph affinity, where g1's global rank
+    * would surface unrelated hubs. Same integer-exact micro-unit
+    * arithmetic as [[pageRank]] (one round is
+    *   r'(v) = (15·scale·seed(v) + 85·Σ_{u→v} (r(u) div deg(u))) div 100
+    * with r0(v) = scale·seed(v)), so a DuckDB oracle can restate the
+    * unrolled rounds and the driver's hash gate applies. Unreached
+    * nodes carry exact 0, never NULL.
+    *
+    * 100 TB shape: identical to pageRank — per round ONE edge⋈rank
+    * equi-join + one partial-agg groupBy on dst, then a left join
+    * back to the (cached) node list to re-inject teleport mass;
+    * lineage truncated per round, superseded snapshots released. */
+  def personalizedPageRank(pairs: DataFrame, seedMod: Long, iters: Int,
+      scale: Long = 1000000L): DataFrame = {
+    val sym = pairs
+      .select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
+      .union(pairs
+        .select(col("doc_b").cast("long").as("src"), col("doc_a").cast("long").as("dst")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edges = sym.join(deg, Seq("src")).localCheckpoint(true)
+    val nodes = edges.select(col("src").as("node")).distinct()
+      .select(col("node"),
+        when(col("node") % seedMod === 0, lit(1L)).otherwise(lit(0L))
+          .as("is_seed"))
+      .localCheckpoint(true)
+    var rank = nodes.select(col("node"), (col("is_seed") * scale).as("pr"))
+      .localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      val contrib = edges.join(rank, edges("src") === rank("node"))
+        .select(col("dst"), expr("pr div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      val next = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(col("node"),
+          expr(s"(15 * CAST($scale AS BIGINT) * is_seed + " +
+            "85 * coalesce(s, CAST(0 AS BIGINT))) div 100").as("pr"))
+        .localCheckpoint(true)
+      rank.unpersist()
+      rank = next
+    }
+    edges.unpersist()
+    val out = rank.select(col("node").as("doc_id"), col("pr").as("ppr_micro"))
+    nodes.unpersist()
+    out
+  }
+
   /** Per-node triangle counts over an undirected pair list (columns
     * `doc_a`, `doc_b`) via DEGREE-ORDERED orientation: each edge
     * points from its (deg, id)-smaller endpoint to the larger, every

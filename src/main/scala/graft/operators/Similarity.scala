@@ -157,6 +157,43 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("best.cell").as("cell"))
   }
 
+  /** INDEX-HEALTH PROFILE of an IVF layout: per cell, how many
+    * vectors it holds, their mean and worst cosine fit to the cell's
+    * centroid, and the cell's share of the corpus — the serving-side
+    * diagnostics that decide when to retrain the quantizer (falling
+    * mean fit), re-balance (share skew starving the probe budget),
+    * or split a cell (worst-fit outliers). Complements s12's recall
+    * measurement: recall says the index is bad, this says WHERE and
+    * WHY.
+    *
+    * Exactness: per-row fit is floored to integer micro-units before
+    * any cross-row aggregation (the x31/g5 discipline — integer sums
+    * are order-insensitive where double sums are not), so mean/min
+    * hash identically on any engine; divisions happen once per
+    * output row.
+    *
+    * 100 TB shape: assignCells' narrow broadcast-fold pass, one
+    * partial-agg groupBy on cell (≤ |cells| rows out), and a one-row
+    * broadcast total — no corpus exchange at all. */
+  def cellHealth(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    val fit = assignCells(embeddings, centroids)
+      .join(broadcast(centroids.select(col("vec_id").as("cell"),
+        col("embedding").as("cemb"))), Seq("cell"))
+      .select(col("cell"),
+        floor(cosineSim(col("embedding"), col("cemb")) * 1000000)
+          .cast("long").as("cm"))
+    val perCell = fit.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("cm")).as("sm"), min(col("cm")).as("mm"))
+    val total = perCell.agg(sum(col("n_vecs")).as("n_total"))
+    perCell.crossJoin(broadcast(total))
+      .select(col("cell"), col("n_vecs"),
+        round(col("sm").cast("double") / col("n_vecs") / 1000000.0, 6)
+          .as("mean_fit"),
+        round(col("mm").cast("double") / 1000000.0, 6).as("worst_fit"),
+        round(col("n_vecs").cast("double") / col("n_total"), 6).as("share"))
+  }
+
   /** IVF with query-side multi-cell probing: the corpus keeps its
     * single-cell inverted lists (assignCells — one narrow pass), but
     * each QUERY searches its `nprobe` nearest centroids' cells, the

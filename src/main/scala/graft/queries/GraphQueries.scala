@@ -296,4 +296,47 @@ object GraphQueries {
        |UNION ALL
        |SELECT node, CAST(r AS BIGINT), CAST(-1 AS BIGINT) FROM peeled""".stripMargin
   }
+
+  // ---- g9: personalized PageRank (seed-proximity ranking) ----------
+
+  /** g9: PERSONALIZED PageRank over the d6 near-dup graph, 4
+    * integer-exact rounds with teleport mass restricted to the seed
+    * set (doc_id ≡ 0 mod 7 — the same flagged set g7's BFS measures
+    * hop distance from) — "how strongly does each document associate
+    * with the flagged set by graph affinity", the smooth counterpart
+    * of g7's discrete layers: a doc two hops away through many
+    * parallel paths outranks one two hops away through a single
+    * accidental edge. Oracle: d6 pairs as a CTE + the 4 rounds
+    * unrolled, each round re-injecting teleport at the seeds via a
+    * LEFT JOIN of the node list against the round's contributions
+    * (g1's pattern, extended because unreached nodes carry exact 0
+    * and must persist through rounds). */
+  def g9PersonalizedPagerank(spark: SparkSession, dir: String): DataFrame =
+    Graph.personalizedPageRank(LlmQueries.d6SimhashPairs(spark, dir),
+      seedMod = 7L, iters = 4)
+
+  val g9Sql: String = {
+    val rounds = (1 to 4).map { i =>
+      s"""c$i AS (SELECT e.d AS node, sum(r.pr // g.deg) AS s
+         |  FROM sym e JOIN r${i - 1} r ON r.node = e.s
+         |    JOIN deg g ON g.s = e.s
+         |  GROUP BY 1),
+         |r$i AS (SELECT n.node,
+         |    CAST((15 * 1000000 * n.is_seed + 85 * coalesce(c.s, 0)) // 100
+         |      AS BIGINT) AS pr
+         |  FROM nodes n LEFT JOIN c$i c ON c.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (SELECT doc_a, doc_b FROM (
+       |${LlmQueries.d6Sql}
+       |)),
+       |sym AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |deg AS (SELECT s, count(*) AS deg FROM sym GROUP BY 1),
+       |nodes AS (SELECT DISTINCT s AS node,
+       |    CASE WHEN s % 7 = 0 THEN 1 ELSE 0 END AS is_seed FROM sym),
+       |r0 AS (SELECT node, CAST(is_seed * 1000000 AS BIGINT) AS pr
+       |  FROM nodes),
+       |$rounds
+       |SELECT node AS doc_id, pr AS ppr_micro FROM r4""".stripMargin
+  }
 }

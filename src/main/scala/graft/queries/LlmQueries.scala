@@ -508,6 +508,96 @@ object LlmQueries {
        |  FROM cc a JOIN cc b ON a.cell = b.cell AND a.vec_id <> b.vec_id
        |) WHERE rnk <= 3""".stripMargin
 
+  /** s27: IVF INDEX-HEALTH PROFILE (Similarity.cellHealth) — per
+    * cell of the s3/s6/s8 layout: population, mean and worst cosine
+    * fit to the centroid, and corpus share. The serving-side
+    * diagnostics behind every retrain/re-balance decision s9's
+    * trained quantizer would act on; s12 measures that the index
+    * lost recall, s27 locates the cell that lost it. Per-row fit is
+    * floored to integer micros BEFORE aggregation, so the mean is an
+    * order-insensitive integer sum and the whole row hashes
+    * cross-engine. */
+  def s27CellHealth(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.cellHealth(emb, emb.filter(col("vec_id") < 8))
+  }
+
+  val s27Sql: String =
+    s"""WITH cent AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+       |asg AS (SELECT vec_id, embedding, cell FROM (
+       |  SELECT v.vec_id, v.embedding,
+       |    CAST(row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      ${cosSql("v.embedding", "c.embedding")} DESC, c.vec_id)
+       |      AS INT) AS crn,
+       |    c.vec_id AS cell
+       |  FROM embeddings v CROSS JOIN cent c
+       |) WHERE crn <= 1),
+       |fit AS (SELECT a.cell,
+       |    CAST(floor(${cosSql("a.embedding", "c.embedding")} * 1000000)
+       |      AS BIGINT) AS cm
+       |  FROM asg a JOIN cent c ON c.vec_id = a.cell),
+       |pc AS (SELECT cell, count(*) AS n_vecs,
+       |    CAST(sum(cm) AS BIGINT) AS sm, CAST(min(cm) AS BIGINT) AS mm
+       |  FROM fit GROUP BY 1),
+       |t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total FROM pc)
+       |SELECT cell, n_vecs,
+       |  round(CAST(sm AS DOUBLE) / n_vecs / 1000000.0, 6) AS mean_fit,
+       |  round(CAST(mm AS DOUBLE) / 1000000.0, 6) AS worst_fit,
+       |  round(CAST(n_vecs AS DOUBLE) / n_total, 6) AS share
+       |FROM pc CROSS JOIN t""".stripMargin
+
+  /** x56: Z-ORDER LAYOUT AUDIT — quantize the first two embedding
+    * coordinates to a 256×256 grid, interleave the bits into a
+    * 16-bit Morton code, and profile the resulting 64 contiguous
+    * z-blocks (population + per-dimension bounding box + spans).
+    * This is the lakehouse DATA-SKIPPING layout op (Delta/Iceberg
+    * Z-ORDER BY): writing files in z-block order makes per-file
+    * min/max stats tight on BOTH dimensions at once, so a 2-D
+    * predicate prunes most files — the audit's spans ARE those
+    * stats, measuring layout quality before paying the rewrite. The
+    * bit interleave is pure integer arithmetic (8 shift/mask terms
+    * per dimension), restated verbatim in the oracle.
+    *
+    * 100 TB shape: one narrow scan pass computes the code row-locally
+    * (no shuffle), one partial-agg groupBy on zblock (64 rows out);
+    * the real rewrite would range-partition on the same code —
+    * exactly repartitionByRange(morton), one planned exchange. */
+  def x56ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    def q(i: Int) = least(greatest(
+      floor((col("embedding").getItem(i) + 1.0) * 128.0), lit(0.0)),
+      lit(255.0)).cast("int")
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), q(0).as("xq"), q(1).as("yq"))
+    val morton = (0 until 8).map(i =>
+      s"(shiftleft(shiftright(xq, $i) & 1, ${2 * i + 1}) + " +
+        s"shiftleft(shiftright(yq, $i) & 1, ${2 * i}))").mkString(" + ")
+    base.withColumn("zblock", expr(s"($morton) div 1024"))
+      .groupBy(col("zblock"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("xq")).as("min_x"), max(col("xq")).as("max_x"),
+        min(col("yq")).as("min_y"), max(col("yq")).as("max_y"))
+      .withColumn("x_span", col("max_x") - col("min_x"))
+      .withColumn("y_span", col("max_y") - col("min_y"))
+  }
+
+  val x56Sql: String = {
+    val morton = (0 until 8).map(i =>
+      s"((((xq >> $i) & 1) << ${2 * i + 1}) + (((yq >> $i) & 1) << ${2 * i}))")
+      .mkString(" + ")
+    s"""WITH b AS (SELECT vec_id,
+       |    CAST(least(greatest(floor((embedding[1] + 1.0) * 128.0), 0),
+       |      255) AS INT) AS xq,
+       |    CAST(least(greatest(floor((embedding[2] + 1.0) * 128.0), 0),
+       |      255) AS INT) AS yq
+       |  FROM embeddings)
+       |SELECT CAST(($morton) // 1024 AS BIGINT) AS zblock,
+       |  count(*) AS n_vecs,
+       |  min(xq) AS min_x, max(xq) AS max_x,
+       |  min(yq) AS min_y, max(yq) AS max_y,
+       |  max(xq) - min(xq) AS x_span, max(yq) - min(yq) AS y_span
+       |FROM b GROUP BY 1""".stripMargin
+  }
+
   /** s9: the TRAINED coarse quantizer serving the IVF search — s6's
     * exact plan (single-cell inverted lists, nprobe=2 query probing)
     * but with centroids from `KMeans.train` (DataFrame-native
@@ -779,7 +869,9 @@ object LlmQueries {
       emb.filter(col("vec_id") < 8), k = 3, nprobe = 2)
   }
 
-  val s12Sql: String =
+  /** shared s12/s28 oracle builder: recall@3 of the IVF search at a
+    * given query-side probe width against exact brute force. */
+  private def recallSql(nprobe: Int): String =
     s"""WITH bf AS (SELECT query_id, neighbor_id FROM (
        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
@@ -787,13 +879,41 @@ object LlmQueries {
        |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
        |    WHERE q.vec_id < 5) WHERE rnk <= 3),
        |iv AS (SELECT query_id, neighbor_id FROM (
-       |${ivfSql(nprobe = 2)}
+       |${ivfSql(nprobe)}
        |))
        |SELECT bf.query_id, count(iv.neighbor_id) AS n_hits,
        |  round(count(iv.neighbor_id) / 3.0, 6) AS recall
        |FROM bf LEFT JOIN iv ON iv.query_id = bf.query_id
        |  AND iv.neighbor_id = bf.neighbor_id
        |GROUP BY 1""".stripMargin
+
+  val s12Sql: String = recallSql(nprobe = 2)
+
+  /** s28: the RECALL-vs-NPROBE TUNING CURVE — s12's recall
+    * instrument swept across probe widths 1..4 in one query: per
+    * (nprobe, query), hits@3 against exact brute force. This is THE
+    * number an index operator reads to set the serving knob (recall
+    * rises with nprobe, cost rises linearly; the curve says where it
+    * plateaus) — s6 picked nprobe=2 by fiat, s28 is the evidence.
+    * Union of four independent searches; the ground-truth brute-force
+    * ranking is computed once per arm from the same deterministic
+    * arithmetic, so every row hashes cross-engine. */
+  def s28NprobeCurve(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = emb.filter(col("vec_id") < 8)
+    (1 to 4).map { np =>
+      Similarity.annRecall(emb, queryVecs(spark, dir), cents,
+        k = 3, nprobe = np)
+        .select(lit(np).as("nprobe"), col("query_id"), col("n_hits"),
+          col("recall"))
+    }.reduce(_ unionByName _)
+  }
+
+  val s28Sql: String = (1 to 4).map { np =>
+    s"""SELECT CAST($np AS INT) AS nprobe, query_id, n_hits, recall FROM (
+       |${recallSql(np)}
+       |)""".stripMargin
+  }.mkString("\nUNION ALL\n")
 
   /** s13: binary-quantization ANN — 1 bit per dimension (the third
     * compression point after s5's int8 and s7's PQ: 64-dim float32 →

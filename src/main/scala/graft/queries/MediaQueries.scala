@@ -1084,4 +1084,74 @@ object MediaQueries {
       |  FROM cand)
       |SELECT hamming, count(*) AS n_pairs, min(doc_a) AS min_doc_a
       |FROM hd WHERE hamming <= 20 GROUP BY 1""".stripMargin
+  // ---- m22: ViT-style patch grid features --------------------------
+
+  /** m22: PATCH-GRID FEATURE EXTRACTION over real compressed decode —
+    * the ViT/patch-embedding front-end shape: decode a genuine PNG,
+    * split the image into a 2x2 patch grid (integer halving, odd
+    * columns/rows to the high patch), and reduce each patch to exact
+    * integer features (pixel count, BT.601 luminance sum, peak
+    * luminance). This is the stage between m2's whole-image decode
+    * and a patch-token model: the features that drive patch-level
+    * filtering (drop flat patches, rank salient ones) before any
+    * tensor leaves the pipeline. Integer arithmetic end-to-end; PNG
+    * is lossless, so the oracle restates the per-patch reductions
+    * from the same deterministic pixel function and a decoder defect
+    * breaks the hash.
+    *
+    * 100 TB shape: the m2/m5/m6 contract — pixels are decoded and
+    * reduced to 4 feature rows inside ONE partition-scoped pass;
+    * image bytes never reach an exchange, and the output is 4 rows
+    * per image no matter the resolution. */
+  def m22PatchGrid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Codecs
+    Tables.spread(Tables.documents(spark, dir).select(col("doc_id"))).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val w = (8 + id % 13).toInt; val h = (8 + id % 7).toInt
+          val rgb = Array.tabulate(w * h * 3)(i =>
+            ((id * 7 + i * 13) % 256).toByte)
+          val png = Codecs.ImageIoCodecs.encodeRgb("png", w, h, rgb)
+          val (dw, dh, back) = Codecs.ImageIoCodecs.decodeRgb(png)
+          require(dw == w && dh == h, s"decode dims disagree for doc $id")
+          val nPx = new Array[Long](4)
+          val sum = new Array[Long](4)
+          val mx = new Array[Long](4)
+          var p = 0
+          while (p < dw * dh) {
+            val x = p % dw; val y = p / dw
+            val idx = (if (y >= dh / 2) 2 else 0) + (if (x >= dw / 2) 1 else 0)
+            val r = back(p * 3) & 0xff
+            val g = back(p * 3 + 1) & 0xff
+            val b = back(p * 3 + 2) & 0xff
+            val lum = 299L * r + 587L * g + 114L * b
+            nPx(idx) += 1; sum(idx) += lum
+            if (lum > mx(idx)) mx(idx) = lum
+            p += 1
+          }
+          (0 until 4).map(i =>
+            (id, i / 2, i % 2, nPx(i), sum(i), mx(i)))
+        }
+      }.toDF("doc_id", "patch_row", "patch_col", "n_px", "sum_lum",
+        "max_lum")
+  }
+
+  val m22Sql: String =
+    """WITH g AS (SELECT doc_id,
+      |    8 + doc_id % 13 AS w, 8 + doc_id % 7 AS h
+      |  FROM documents),
+      |px AS (SELECT doc_id,
+      |    CASE WHEN (p // w) >= h // 2 THEN 1 ELSE 0 END AS patch_row,
+      |    CASE WHEN (p % w) >= w // 2 THEN 1 ELSE 0 END AS patch_col,
+      |    299 * ((doc_id*7 + (3*p)*13) % 256)
+      |      + 587 * ((doc_id*7 + (3*p + 1)*13) % 256)
+      |      + 114 * ((doc_id*7 + (3*p + 2)*13) % 256) AS lum
+      |  FROM g, unnest(range(w * h)) r(p))
+      |SELECT doc_id, CAST(patch_row AS INT) AS patch_row,
+      |  CAST(patch_col AS INT) AS patch_col,
+      |  count(*) AS n_px,
+      |  CAST(sum(lum) AS BIGINT) AS sum_lum,
+      |  CAST(max(lum) AS BIGINT) AS max_lum
+      |FROM px GROUP BY 1, 2, 3""".stripMargin
 }

@@ -602,4 +602,70 @@ object Relational4 {
       |  list_sort(win)[(len(win) + 1) // 2] AS med5,
       |  value - list_sort(win)[(len(win) + 1) // 2] AS dev
       |FROM w""".stripMargin
+
+  // ---- r57: peak concurrency (interval sweep line) -----------------
+
+  /** r57: PEAK CONCURRENCY per event type — the classic interval
+    * sweep line: treating each event as an interval [ts, ts + value
+    * seconds), how many overlap at the busiest instant. This is the
+    * capacity question (peak sessions, peak open orders, peak GPU
+    * leases) that no windowed aggregate so far answers: r20's
+    * sessionization merges overlaps, r46's rate limit counts per
+    * fixed bucket; the sweep measures the true instantaneous
+    * maximum.
+    *
+    * Exactness: boundaries are integer micros; the ±1 deltas and
+    * their running sum are exact longs. Half-open semantics come
+    * from the SORT KEY ENCODING — boundary instants are doubled,
+    * ends land on even keys (end·2), starts on odd (start·2+1), so
+    * at the same instant ends sort first and back-to-back intervals
+    * never double-count. Duration is clamped at 0 (floor to micros),
+    * so degenerate intervals contribute nothing.
+    *
+    * 100 TB shape: the boundary multiset partial-aggregates to one
+    * delta row per DISTINCT (type, key) BEFORE the window — the
+    * shuffle and in-partition sort carry Σ distinct boundaries, not
+    * 2·|events| rows; then ONE type-keyed exchange for the running
+    * sum and a partial-agg max. (At a single-type extreme the
+    * escalation is time-range chunking with per-chunk offsets — the
+    * standard parallel prefix-sum split — noted, not needed at this
+    * key domain.) */
+  def r57MaxConcurrent(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("s_us"),
+        greatest(floor(col("value") * 1000000).cast("long"), lit(0L))
+          .as("dur_us"))
+    val pts = iv.select(col("event_type"),
+        (col("s_us") * 2 + 1).as("k"), lit(1L).as("delta"))
+      .unionByName(iv.select(col("event_type"),
+        ((col("s_us") + col("dur_us")) * 2).as("k"), lit(-1L).as("delta")))
+    val agg = pts.groupBy(col("event_type"), col("k"))
+      .agg(sum(col("delta")).as("d"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    agg.withColumn("run", sum(col("d")).over(w))
+      .groupBy(col("event_type"))
+      .agg(max(col("run")).as("max_concurrent"),
+        sum(when(col("k") % 2 === 1, col("d")).otherwise(lit(0L)))
+          .as("n_intervals"))
+  }
+
+  val r57Sql: String =
+    """WITH iv AS (SELECT event_type, epoch_us(ts) AS s_us,
+      |    greatest(CAST(floor(value * 1000000) AS BIGINT), 0) AS dur_us
+      |  FROM events),
+      |pts AS (SELECT event_type, s_us * 2 + 1 AS k,
+      |    CAST(1 AS BIGINT) AS delta FROM iv
+      |  UNION ALL SELECT event_type, (s_us + dur_us) * 2,
+      |    CAST(-1 AS BIGINT) FROM iv),
+      |ag AS (SELECT event_type, k, CAST(sum(delta) AS BIGINT) AS d
+      |  FROM pts GROUP BY 1, 2),
+      |rn AS (SELECT event_type, k, d,
+      |    sum(d) OVER (PARTITION BY event_type ORDER BY k
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |  FROM ag)
+      |SELECT event_type, CAST(max(run) AS BIGINT) AS max_concurrent,
+      |  CAST(sum(CASE WHEN k % 2 = 1 THEN d ELSE 0 END) AS BIGINT)
+      |    AS n_intervals
+      |FROM rn GROUP BY 1""".stripMargin
 }

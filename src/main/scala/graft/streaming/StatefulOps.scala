@@ -285,6 +285,38 @@ object StatefulOps {
       }
   }
 
+  final case class TermObs(term: String)
+  final case class TermCount(term: String, cnt: Long)
+
+  /** x36's heavy-hitter counting as KEYED STREAMING STATE — the
+    * standing term-frequency monitor a live ingestion pipeline runs
+    * where the batch query runs Misra-Gries + recount: per term the
+    * state is one long, emitted as an updated (term, cnt) snapshot
+    * each micro-batch; counts are additive and order-independent,
+    * so the final snapshot per term equals the batch count exactly
+    * under ANY arrival order or chunking — the parity spec's
+    * property (the ≥1/64-share selection is then one filter over
+    * the final snapshots, exactly x36's recount semantics).
+    *
+    * Scale contract: state is one long per DISTINCT term in the
+    * stream's lifetime — fine for bounded vocabularies; an unbounded
+    * token stream bounds it the same two ways the batch side does
+    * (per-partition Misra-Gries before the shuffle, or event-time
+    * TTL eviction of cold terms), both of which only ever UNDER-count
+    * evicted cold terms and cannot disturb a true heavy hitter. */
+  def heavyHitterState(terms: Dataset[TermObs]): Dataset[TermCount] = {
+    implicit val keyEnc = Encoders.STRING
+    implicit val outEnc = Encoders.product[TermCount]
+    implicit val stEnc = Encoders.scalaLong
+    terms.groupByKey(_.term)
+      .mapGroupsWithState[Long, TermCount](GroupStateTimeout.NoTimeout) {
+        (term: String, it: Iterator[TermObs], state: GroupState[Long]) =>
+          val c = state.getOption.getOrElse(0L) + it.size
+          state.update(c)
+          TermCount(term, c)
+      }
+  }
+
   /** A1 as keyed streaming state: running per-video frame count +
     * high-water frame id, emitted once per video per micro-batch
     * (update mode). */

@@ -579,6 +579,37 @@ class StreamingSpec extends SparkTestBase {
     assert(got.size < src.length)
   }
 
+  test("streaming heavy-hitter state converges to the batch x36 " +
+    "selection under out-of-order replay") {
+    import testImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulOps.{TermObs, TermCount}
+    val src = graft.sources.Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("term"))
+      .as[String].collect().map(TermObs(_))
+    val expected = graft.queries.CorpusQueries.x36HeavyHitters(spark, sf)
+      .select(col("term"), col("cnt"))
+      .as[(String, Long)].collect().toSet
+    val shuffled = new scala.util.Random(36).shuffle(src.toSeq)
+    val chunks = shuffled.grouped((shuffled.size + 2) / 3).toSeq
+    val mem = MemoryStream[TermObs]
+    val q = graft.streaming.StatefulOps.heavyHitterState(mem.toDS())
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode("update").option("checkpointLocation", tmpDir()).start()
+    chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+    q.stop()
+    // cnt is monotone per term: the final snapshot is the max row
+    val finals = spark.table("hh_out").as[TermCount].collect()
+      .groupBy(_.term).values.map(_.maxBy(_.cnt)).toSeq
+    val n = finals.map(_.cnt).sum
+    assert(n == src.length.toLong)
+    val got = finals.filter(t => t.cnt * 64L >= n)
+      .map(t => (t.term, t.cnt)).toSet
+    assert(got == expected && expected.nonEmpty,
+      s"|got|=${got.size} |exp|=${expected.size} n=$n")
+  }
+
   test("streaming quota state converges to the batch r46 rate-limit rows") {
     import testImplicits._
     implicit val sqlCtx = spark.sqlContext
