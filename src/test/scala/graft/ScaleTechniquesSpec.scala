@@ -64,4 +64,43 @@ class ScaleTechniquesSpec extends SparkTestBase {
       s"bucketed join should not shuffle:\n$plan")
     assert(joined.count() === 500L)
   }
+
+  test("z-order write: the Morton-range layout prunes a second-" +
+    "dimension predicate that a single-column sort cannot") {
+    // the x56 rewrite path: files laid out by Morton-code range have
+    // bounded min/max stats on BOTH dimensions, so a predicate on
+    // EITHER prunes files. A layout sorted on x alone prunes x
+    // predicates perfectly — and y predicates not at all (every file
+    // spans the full y range). Simulate file-level stat pruning:
+    // count partitions whose per-partition y bounding box intersects
+    // a y window. (Area is NOT the discriminator — on uniform data
+    // every equal-count layout covers equal area; the shape of the
+    // box is.)
+    val n = 4096
+    val pts = (0 until n).map { i =>
+      val x = (i * 2654435761L % 256).toInt
+      val y = (i * 40503L % 256).toInt
+      (i.toLong, x, y)
+    }.toDF("id", "xq", "yq")
+    val morton = (0 until 8).map(i =>
+      s"(shiftleft(shiftright(xq, $i) & 1, ${2 * i + 1}) + " +
+        s"shiftleft(shiftright(yq, $i) & 1, ${2 * i}))").mkString(" + ")
+    def touched(laid: org.apache.spark.sql.DataFrame): Long =
+      laid.withColumn("pid", spark_partition_id())
+        .groupBy(col("pid"))
+        .agg(min(col("yq")).as("ymin"), max(col("yq")).as("ymax"))
+        .filter(col("ymin") <= 127 && col("ymax") >= 96)
+        .count()
+    // align ranges to the 64×64 z-blocks (m div 4096) — exactly the
+    // production rewrite: repartitionByRange on the block id
+    val zOrdered = pts.withColumn("m", expr(morton))
+      .repartitionByRange(16, expr("m div 4096"))
+    val xOrdered = pts.repartitionByRange(16, col("xq"))
+    val zTouched = touched(zOrdered)
+    val xTouched = touched(xOrdered)
+    // x-sorted: every file spans y fully -> nothing prunes (16/16).
+    // z-ordered: only the block-row containing y∈[96,127] qualifies.
+    assert(xTouched >= 15L, s"xTouched=$xTouched")
+    assert(zTouched * 2 <= xTouched, s"zTouched=$zTouched xTouched=$xTouched")
+  }
 }
