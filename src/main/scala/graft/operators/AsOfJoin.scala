@@ -99,4 +99,40 @@ object AsOfJoin {
       .filter(col("__side") === 1)
       .select(col("__lpay.*") +: Seq(col("__match").as("asof")): _*)
   }
+
+  /** FORWARD as-of: for each left row, the EARLIEST right row with
+    * the same key and rightTime >= leftTime — the "next event after"
+    * temporal join ([[asOf]] mirrored in time): next shipment after
+    * an order, next error after a deploy, time-to-next-touch SLAs.
+    * Identical single-exchange union-tag plan; the only changes are
+    * the tie order (left rows sort BEFORE right rows at the same
+    * instant, so an equal-time right row qualifies for the `>=`
+    * bound) and the running aggregate (`first(right_payload,
+    * ignoreNulls)` over [currentRow, unboundedFollowing] — the
+    * time-reversed running last). Inner semantics: left rows with no
+    * following right row are dropped; NULL keys/times are filtered
+    * up front per the [[asOf]] equality contract. Same skew
+    * contract as [[asOf]]. */
+  def asOfForward(left: DataFrame, right: DataFrame,
+      key: String, leftTime: String, rightTime: String): DataFrame = {
+    val lpayT = StructType(left.schema.fields)
+    val rpayT = StructType(right.schema.fields)
+    val lf = left.filter(col(key).isNotNull && col(leftTime).isNotNull)
+    val rf = right.filter(col(key).isNotNull && col(rightTime).isNotNull)
+    val lU = lf.select(
+      col(key).as("__k"), col(leftTime).as("__t"), lit(0).as("__side"),
+      struct(left.columns.map(col).toIndexedSeq: _*).as("__lpay"),
+      lit(null).cast(rpayT).as("__rpay"))
+    val rU = rf.select(
+      col(key).as("__k"), col(rightTime).as("__t"), lit(1).as("__side"),
+      lit(null).cast(lpayT).as("__lpay"),
+      struct(right.columns.map(col).toIndexedSeq: _*).as("__rpay"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    lU.unionByName(rU)
+      .withColumn("__match", first(col("__rpay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0 && col("__match").isNotNull)
+      .select(col("__lpay.*") +: Seq(col("__match").as("asof")): _*)
+  }
 }

@@ -339,4 +339,49 @@ object GraphQueries {
        |$rounds
        |SELECT node AS doc_id, pr AS ppr_micro FROM r4""".stripMargin
   }
+
+  // ---- g10: component-size profile (dedup blast-radius audit) ------
+
+  /** g10: COMPONENT-SIZE PROFILE of the d9 dedup clusters — the
+    * size histogram (how many families of each size) with each
+    * size's integer-micro share of the clustered corpus: the
+    * blast-radius audit a curation run reads BEFORE collapsing
+    * clusters to survivors (a healthy near-dup graph is dominated by
+    * small families; a giant component is the over-merge alarm the
+    * d9/g4 docs warn about, and its share is THE number that says
+    * how much corpus one bad template chain would delete). Pure
+    * integer arithmetic: sizes and counts are exact longs, the
+    * share divides once per row in micro-units.
+    *
+    * 100 TB shape: two partial-agg groupBys over d9's (node,
+    * cluster) output (cluster → size, size → count; each strictly
+    * shrinking) + a one-row broadcast total. The oracle nests d9's
+    * recursive-CTE closure as a derived table — at scale exactly
+    * the plan you could not run, while the engine's min-label
+    * rounds + two aggs remain bounded. */
+  def g10ComponentProfile(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = LlmQueries.d9DedupClusters(spark, dir)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+    val hist = sizes.groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+    val total = hist.agg(sum(col("n_docs")).as("total"))
+    hist.crossJoin(broadcast(total))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        expr("n_docs * 1000000 div total").as("share_micro"))
+  }
+
+  val g10Sql: String =
+    s"""WITH cl AS (SELECT doc_id, cluster FROM (
+       |${LlmQueries.d9Sql}
+       |)),
+       |sz AS (SELECT cluster, count(*) AS sz FROM cl GROUP BY 1),
+       |h AS (SELECT sz AS cluster_size, count(*) AS n_clusters
+       |  FROM sz GROUP BY 1),
+       |t AS (SELECT sum(cluster_size * n_clusters) AS total FROM h)
+       |SELECT cluster_size, n_clusters,
+       |  CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+       |  CAST((cluster_size * n_clusters) * 1000000 // total AS BIGINT)
+       |    AS share_micro
+       |FROM h CROSS JOIN t""".stripMargin
 }

@@ -668,4 +668,50 @@ object Relational4 {
       |  CAST(sum(CASE WHEN k % 2 = 1 THEN d ELSE 0 END) AS BIGINT)
       |    AS n_intervals
       |FROM rn GROUP BY 1""".stripMargin
+
+  // ---- r58: forward as-of (time-to-next-purchase) ------------------
+
+  /** r58: FORWARD AS-OF join — each non-purchase event matched to
+    * the user's NEXT purchase at-or-after it
+    * (AsOfJoin.asOfForward), aggregated to the per-type conversion
+    * report: how many events convert at all, total and worst wait.
+    * r21 answers "what state preceded this fact" (enrichment); r58
+    * answers "what outcome followed it" (attribution-forward /
+    * time-to-conversion / SLA-to-next-touch) — the mirrored
+    * temporal join, same single-exchange union-tag plan with the
+    * running aggregate reversed. Right side pre-aggregated to one
+    * row per (user, instant) so the match is deterministic on both
+    * engines; waits are exact micros longs.
+    *
+    * Oracle: DuckDB's native ASOF JOIN with the `<=` bound (its
+    * forward form), the same native-vs-composed standard r21 sets. */
+  def r58NextPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        unix_micros(col("ts")).as("t_us"), col("event_id"))
+    val left = ev.filter(col("event_type") =!= "purchase")
+    val right = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("t_us").as("p_us"))
+      .agg(max(col("event_id")).as("p_event"))
+    graft.operators.AsOfJoin.asOfForward(left, right,
+        "user_id", "t_us", "p_us")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_matched"),
+        sum(col("asof.p_us") - col("t_us")).as("total_wait_us"),
+        max(col("asof.p_us") - col("t_us")).as("max_wait_us"))
+  }
+
+  val r58Sql: String =
+    """WITH ev AS (SELECT event_type, user_id, epoch_us(ts) AS t_us,
+      |    event_id FROM events),
+      |l AS (SELECT * FROM ev WHERE event_type <> 'purchase'),
+      |r AS (SELECT user_id, t_us AS p_us, max(event_id) AS p_event
+      |  FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |j AS (SELECT l.event_type, l.t_us, r.p_us
+      |  FROM l ASOF JOIN r
+      |    ON l.user_id = r.user_id AND l.t_us <= r.p_us)
+      |SELECT event_type, count(*) AS n_matched,
+      |  CAST(sum(p_us - t_us) AS BIGINT) AS total_wait_us,
+      |  CAST(max(p_us - t_us) AS BIGINT) AS max_wait_us
+      |FROM j GROUP BY 1""".stripMargin
 }

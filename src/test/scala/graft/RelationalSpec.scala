@@ -42,6 +42,28 @@ class RelationalSpec extends SparkTestBase {
     assert(!out.contains("early") && !out.contains("lonely"))
   }
 
+  test("forward as-of join: earliest right row at-or-after each left " +
+    "time, per key") {
+    import testImplicits._
+    val left = Seq( // (key, t, tag)
+      (1L, 10, "a"), (1L, 20, "b"), (1L, 99, "late"),
+      (2L, 15, "c"), (3L, 1, "lonely"))
+      .toDF("k", "t", "tag")
+    val right = Seq( // (key, t, payload) — unique per (key, t)
+      (1L, 10, "r10"), (1L, 18, "r18"), (1L, 25, "r25"),
+      (2L, 15, "r15"), (4L, 1, "r-unused"))
+      .toDF("k", "t", "p")
+    val out = graft.operators.AsOfJoin.asOfForward(left, right, "k", "t", "t")
+      .select("tag", "asof.p").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // equal timestamps match (>= bound): left(1,10) takes right(1,10);
+    // left(1,20) skips the past r18 and takes r25
+    assert(out === Map("a" -> "r10", "b" -> "r25", "c" -> "r15"))
+    // "late" (t=99, after every right row) and "lonely" (no key
+    // match) are dropped — inner semantics, no NULL output
+    assert(!out.contains("late") && !out.contains("lonely"))
+  }
+
   test("range join: bucket decomposition matches the plain inequality join") {
     import testImplicits._
     val pts = Seq((1L, 0L), (2L, 7L), (3L, 10L), (4L, 19L), (5L, 20L),
