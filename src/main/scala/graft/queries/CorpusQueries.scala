@@ -34,15 +34,21 @@ object CorpusQueries {
     * At 100 TB the gram key would be poly-hashed to 8 bytes before
     * the exchange; here the gram text itself is the key so the
     * output names the offending phrases. */
-  def repeatedNgrams(docsIn: DataFrame, n: Int, minDocs: Int): DataFrame = {
+  /** (doc_id, gram) word-n-gram explode shared by d8/x58 — row-local
+    * gram construction from one tokens() pass. */
+  private def wordGrams(docsIn: DataFrame, n: Int): DataFrame = {
     import TextFunctions.bind
-    val grams = docsIn
+    docsIn
       .select(col("doc_id"), bind(TextFunctions.tokens(col("text")), ts =>
         when(size(ts) >= n,
           transform(sequence(lit(1), size(ts) - (n - 1)), i =>
             concat_ws(" ", (0 until n).map(o => element_at(ts, i + o)): _*)))
           .otherwise(array().cast("array<string>"))).as("gs"))
       .select(col("doc_id"), explode(col("gs")).as("gram"))
+  }
+
+  def repeatedNgrams(docsIn: DataFrame, n: Int, minDocs: Int): DataFrame = {
+    val grams = wordGrams(docsIn, n)
     grams.groupBy(col("gram"), col("doc_id")).agg(count(lit(1)).as("c"))
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("n_docs"), sum(col("c")).as("n_occ"),
@@ -2060,4 +2066,85 @@ object CorpusQueries {
        |  CAST(floor_quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
        |    AS BIGINT) AS final_quota
        |FROM r CROSS JOIN lo""".stripMargin
+  // ---- x57: weighted priority sampling -----------------------------
+
+  /** x57: WEIGHTED PRIORITY SAMPLING (Duffield/Lund/Thorup's
+    * priority-sample shape, with the uniform draw replaced by the
+    * deterministic poly_hash so both engines agree bit-for-bit):
+    * each doc gets priority = hash div weight (weight = n_chars, so
+    * longer docs are proportionally more likely to win) and the
+    * k = 60 smallest priorities form the sample. This is the
+    * weight-proportional selection x12's per-language Bernoulli
+    * gates cannot make — one knob (k) yields an exact-size,
+    * weight-biased, seed-reproducible sample.
+    *
+    * 100 TB shape: priority is a row-local codegen'd expression and
+    * the global smallest-k cut plans as TakeOrderedAndProject
+    * (per-partition top-k, then a k-row driver merge — never a
+    * global sort); the rank is a window over the 60 surviving rows
+    * only. */
+  def x57PrioritySample(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        expr("poly_hash(text) div n_chars").as("priority"))
+    val top = base.orderBy(col("priority"), col("doc_id")).limit(60)
+    top.withColumn("rk", row_number().over(
+      Window.orderBy(col("priority"), col("doc_id"))).cast("int"))
+  }
+
+  val x57Sql: String =
+    s"""WITH b AS (SELECT doc_id, lang, n_chars,
+       |    ${polySql("text")} // n_chars AS priority
+       |  FROM documents WHERE n_chars > 0),
+       |t AS (SELECT * FROM b ORDER BY priority, doc_id LIMIT 60)
+       |SELECT doc_id, lang, n_chars, CAST(priority AS BIGINT) AS priority,
+       |  CAST(row_number() OVER (ORDER BY priority, doc_id) AS INT) AS rk
+       |FROM t""".stripMargin
+
+  // ---- x58: n-gram novelty score -----------------------------------
+
+  /** x58: N-GRAM NOVELTY — per document, what fraction of its
+    * distinct word-5-grams appear for the FIRST time in the corpus'
+    * doc_id order (gram's min doc_id = this doc): the marginal-
+    * contribution metric behind dedup-aware data valuation (a doc
+    * whose grams all appeared earlier adds nothing d8's boilerplate
+    * profile or the d-family's near-dup nets would keep) — the
+    * per-doc complement of d8's per-gram view. Integer end-to-end:
+    * counts are exact longs, novelty is one micro-unit floor
+    * division per doc.
+    *
+    * 100 TB shape: one tokens() pass → row-local gram explode →
+    * distinct (gram, doc) partial agg; first-occurrence is a
+    * gram-keyed partial-agg min; attribution is ONE gram-keyed
+    * equi-join + a doc-keyed partial agg. The gram key would be
+    * poly-hashed to 8 bytes before the exchange at scale (the d8
+    * note); docs under 5 tokens have no grams and are absent by
+    * contract on both engines. */
+  def x58Novelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams = wordGrams(Tables.spread(Tables.documents(spark, dir)), 5)
+      .distinct()
+    val first = grams.groupBy(col("gram"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_micro", expr("n_novel * 1000000 div n_grams"))
+  }
+
+  val x58Sql: String =
+    s"""WITH t AS (SELECT doc_id, $tsSql AS ts FROM documents),
+       |g AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i + 4], ' ')
+       |    AS gram
+       |  FROM t, unnest(range(1, len(ts) - 3)) r(i)
+       |  WHERE len(ts) >= 5),
+       |f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1)
+       |SELECT g.doc_id, count(*) AS n_grams,
+       |  CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_novel,
+       |  CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+       |    * 1000000 // count(*) AS BIGINT) AS novelty_micro
+       |FROM g JOIN f USING (gram) GROUP BY 1""".stripMargin
 }
