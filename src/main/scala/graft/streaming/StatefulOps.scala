@@ -285,6 +285,41 @@ object StatefulOps {
       }
   }
 
+  final case class MomentObs(event_type: String, cents: Long)
+  final case class MomentState(n: Long, sum_cents: Long, sumsq: Long)
+  final case class MomentSnap(event_type: String, n: Long,
+      sum_cents: Long, sumsq: Long)
+
+  /** Per-key INTEGER MOMENT state — the streaming profiler: per
+    * event type the state is the exact (n, Σcents, Σcents²) triple,
+    * from which any consumer derives mean/variance/z-scores at read
+    * time. Keeping the RAW integer moments instead of running
+    * mean/variance (Welford) is the same discipline the batch
+    * profilers use (x31/g5): integer sums are associative,
+    * commutative and overflow-checked, so the final snapshot equals
+    * the batch moments EXACTLY under any arrival order, chunking, or
+    * restart — float accumulators cannot make that promise. State
+    * is three longs per key; cents² of bounded per-event values fits
+    * a long for corpus sizes up to ~2^63/max(cents²) rows per key
+    * (checked at the batch twin by the same arithmetic). */
+  def momentState(events: Dataset[MomentObs]): Dataset[MomentSnap] = {
+    implicit val keyEnc = Encoders.STRING
+    implicit val outEnc = Encoders.product[MomentSnap]
+    implicit val stEnc = Encoders.product[MomentState]
+    events.groupByKey(_.event_type)
+      .mapGroupsWithState[MomentState, MomentSnap](
+        GroupStateTimeout.NoTimeout) {
+        (k: String, it: Iterator[MomentObs], state: GroupState[MomentState]) =>
+          var s = state.getOption.getOrElse(MomentState(0L, 0L, 0L))
+          it.foreach { e =>
+            s = MomentState(s.n + 1L, s.sum_cents + e.cents,
+              s.sumsq + e.cents * e.cents)
+          }
+          state.update(s)
+          MomentSnap(k, s.n, s.sum_cents, s.sumsq)
+      }
+  }
+
   final case class TermObs(term: String)
   final case class TermCount(term: String, cnt: Long)
 

@@ -579,6 +579,35 @@ class StreamingSpec extends SparkTestBase {
     assert(got.size < src.length)
   }
 
+  test("streaming moment state converges to the batch integer moments " +
+    "under out-of-order replay") {
+    import testImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulOps.{MomentObs, MomentSnap}
+    val base = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val expected = base.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        sum(col("cents") * col("cents")).as("sumsq"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    val src = base.as[(String, Long)].collect()
+      .map(t => MomentObs(t._1, t._2))
+    val shuffled = new scala.util.Random(31).shuffle(src.toSeq)
+    val chunks = shuffled.grouped((shuffled.size + 2) / 3).toSeq
+    val mem = MemoryStream[MomentObs]
+    val q = graft.streaming.StatefulOps.momentState(mem.toDS())
+      .writeStream.format("memory").queryName("mom_out")
+      .outputMode("update").option("checkpointLocation", tmpDir()).start()
+    chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+    q.stop()
+    // n is monotone per key: the final snapshot is the max row
+    val got = spark.table("mom_out").as[MomentSnap].collect()
+      .groupBy(_.event_type).values.map(_.maxBy(_.n))
+      .map(s => (s.event_type, s.n, s.sum_cents, s.sumsq)).toSet
+    assert(got == expected && expected.nonEmpty)
+  }
+
   test("streaming heavy-hitter state converges to the batch x36 " +
     "selection under out-of-order replay") {
     import testImplicits._
