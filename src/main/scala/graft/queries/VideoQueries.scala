@@ -682,4 +682,96 @@ object VideoQueries {
       |JOIN nation na ON na.n_nationkey = pr.la
       |JOIN nation nb ON nb.n_nationkey = pr.lb
       |CROSS JOIN t""".stripMargin
+  // ---- v13: track kinematics (speed / path length) -----------------
+
+  /** v13: TRACK KINEMATICS — per (video, label) track, exact integer
+    * motion statistics over the per-frame representative boxes (the
+    * v10 rep convention: lowest box_ref per (frame, label)):
+    * observation count, step count, total Manhattan path length of
+    * the box center (in DOUBLED pixel units — center×2 = (2x+w,
+    * 2y+h) keeps halving exact), and the peak per-frame speed in
+    * milli-double-pixels (step distance scaled by 1000, floor-divided
+    * by 2·frame-gap). This is the third tracking stage after v8's
+    * continuity (does the track persist) and v10's interpolation
+    * (fill its gaps): how fast does it MOVE — the loitering-vs-
+    * transit discriminator a deployment alerts on. Every quantity is
+    * exact integer arithmetic; single-observation tracks carry zero
+    * steps/path/speed (never NULL).
+    *
+    * 100 TB shape: the narrow zero-shuffle v1 chain feeds ONE
+    * (video, label)-keyed exchange shared by the dedup rank and the
+    * lead window; steps partial-aggregate per track before the
+    * closing join of two already-tiny relations. */
+  def v13TrackKinematics(spark: SparkSession, dir: String): DataFrame = {
+    val dets = withDetections(frames(spark, dir))
+    val boxes = DetectionPipeline.boxes(dets, threshold = 0.7)
+      .select(col("video_id"), col("frame_id"), col("box_ref"),
+        col("x"), col("y"), col("w"), col("h"), col("label_id"))
+      .localCheckpoint()
+    trackKinematics(boxes)
+  }
+
+  /** DataFrame-taking core of v13 (boxes: video_id, frame_id,
+    * box_ref, x, y, w, h, label_id) — the unit spec asserts on THIS. */
+  def trackKinematics(boxes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rep = boxes
+      .withColumn("brn", row_number().over(
+        Window.partitionBy(col("video_id"), col("frame_id"), col("label_id"))
+          .orderBy(col("box_ref"))))
+      .filter(col("brn") === 1)
+      .select(col("video_id"), col("label_id"), col("frame_id").as("pf"),
+        (col("x") * 2 + col("w")).as("cx2"),
+        (col("y") * 2 + col("h")).as("cy2"))
+    val wl = Window.partitionBy(col("video_id"), col("label_id"))
+      .orderBy(col("pf"))
+    val st = rep
+      .withColumn("nf", lead(col("pf"), 1).over(wl))
+      .withColumn("ncx2", lead(col("cx2"), 1).over(wl))
+      .withColumn("ncy2", lead(col("cy2"), 1).over(wl))
+      .filter(col("nf").isNotNull)
+      .withColumn("manh",
+        abs(col("ncx2") - col("cx2")) + abs(col("ncy2") - col("cy2")))
+      .withColumn("speed_milli",
+        expr("manh * 1000 div (2 * (nf - pf))"))
+    val obs = rep.groupBy(col("video_id"), col("label_id"))
+      .agg(count(lit(1)).as("n_obs"))
+    val agg = st.groupBy(col("video_id"), col("label_id"))
+      .agg(count(lit(1)).as("n_steps"),
+        sum(col("manh")).as("path_manh2"),
+        max(col("speed_milli")).as("max_speed_milli"))
+    obs.join(agg, Seq("video_id", "label_id"), "left")
+      .select(col("video_id"), col("label_id"), col("n_obs"),
+        coalesce(col("n_steps"), lit(0L)).as("n_steps"),
+        coalesce(col("path_manh2"), lit(0L)).as("path_manh2"),
+        coalesce(col("max_speed_milli"), lit(0L)).as("max_speed_milli"))
+  }
+
+  val v13Sql: String = detSql +
+    """, rep AS (SELECT video_id, label_id, frame_id AS pf,
+      |    x * 2 + w AS cx2, y * 2 + h AS cy2
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY video_id,
+      |      frame_id, label_id ORDER BY box_ref) AS brn FROM boxes)
+      |  WHERE brn = 1),
+      |sq AS (SELECT video_id, label_id, pf, cx2, cy2,
+      |    lead(pf) OVER wl AS nf,
+      |    lead(cx2) OVER wl AS ncx2, lead(cy2) OVER wl AS ncy2
+      |  FROM rep
+      |  WINDOW wl AS (PARTITION BY video_id, label_id ORDER BY pf)),
+      |st AS (SELECT video_id, label_id,
+      |    abs(ncx2 - cx2) + abs(ncy2 - cy2) AS manh,
+      |    (abs(ncx2 - cx2) + abs(ncy2 - cy2)) * 1000 // (2 * (nf - pf))
+      |      AS speed_milli
+      |  FROM sq WHERE nf IS NOT NULL),
+      |obs AS (SELECT video_id, label_id, count(*) AS n_obs
+      |  FROM rep GROUP BY 1, 2),
+      |ag AS (SELECT video_id, label_id, count(*) AS n_steps,
+      |    CAST(sum(manh) AS BIGINT) AS path_manh2,
+      |    CAST(max(speed_milli) AS BIGINT) AS max_speed_milli
+      |  FROM st GROUP BY 1, 2)
+      |SELECT obs.video_id, obs.label_id, obs.n_obs,
+      |  coalesce(ag.n_steps, 0) AS n_steps,
+      |  coalesce(ag.path_manh2, 0) AS path_manh2,
+      |  coalesce(ag.max_speed_milli, 0) AS max_speed_milli
+      |FROM obs LEFT JOIN ag USING (video_id, label_id)""".stripMargin
 }

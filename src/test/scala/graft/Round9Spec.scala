@@ -589,6 +589,26 @@ class Round9Spec extends SparkTestBase {
     assert(got.toSeq === Seq(("v", 1L, 2L, 200000000L)))
   }
 
+  test("v13 trackKinematics: hand-checked path/speed, single-" +
+    "observation tracks carry integer zeros") {
+    import graft.queries.VideoQueries
+    val boxes = Seq(
+      // label 1: frames 1 and 3 — centers×2: (10,10) -> (70,90),
+      // manhattan = 60+80 = 140, gap 2 -> speed = 140*1000/(2*2)
+      ("v", 1L, 1, 0, 0, 10, 10, 1),
+      ("v", 1L, 2, 999, 999, 999, 999, 1), // higher box_ref: ignored
+      ("v", 3L, 1, 30, 40, 10, 10, 1),
+      // label 2: one observation — zero steps/path/speed
+      ("v", 5L, 1, 0, 0, 5, 5, 2))
+      .toDF("video_id", "frame_id", "box_ref", "x", "y", "w", "h",
+        "label_id")
+    val got = VideoQueries.trackKinematics(boxes)
+      .as[(String, Int, Long, Long, Long, Long)].collect()
+      .map(t => (t._2, (t._3, t._4, t._5, t._6))).toMap
+    assert(got(1) === ((2L, 1L, 140L, 35000L)))
+    assert(got(2) === ((1L, 0L, 0L, 0L)))
+  }
+
   test("m18 audioNearDup: histogram equals a direct waveform-formula " +
     "recomputation (codec + banding + hamming end to end)") {
     import graft.queries.MediaQueries
