@@ -701,6 +701,80 @@ object Relational4 {
         max(col("asof.p_us") - col("t_us")).as("max_wait_us"))
   }
 
+  // ---- r59: median absolute deviation (robust outlier gate) --------
+
+  /** r59: MAD OUTLIER DETECTION — per event type, the DISCRETE
+    * median of cents, the discrete median of absolute deviations
+    * from it (the MAD), and the count beyond the classic 3×MAD
+    * robust outlier bar. Completes the robust-statistics family:
+    * r53 winsorizes against its own tails (which shift WITH
+    * contamination), the MAD gate does not move until half the data
+    * is bad — the 50% breakdown point that makes it the standard
+    * anomaly bar. Both medians are SELECTED values (the sorted
+    * multiset's element at (n−1) div 2 — the r53/r56 discipline:
+    * a selected datum is cross-engine exact where an interpolated
+    * quantile is a derived float), and every comparison is integer.
+    *
+    * 100 TB shape: two type-keyed rank passes (each one exchange +
+    * in-partition sort) with the selected medians collapsing to a
+    * broadcast row between passes; the closing agg is partial. Rank
+    * ties among equal values are selection-safe (any tie order
+    * selects the same VALUE at the pinned index). */
+  def madOutliers(eventsIn: DataFrame): DataFrame = {
+    val ev = eventsIn.select(col("event_type"),
+      floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    def selectAt(df: DataFrame, c: String, out: String): DataFrame = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col(c)))
+        .cast("long") - 1L)
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(min(when(col("rn") === expr("(n - 1) div 2"), col(c))).as(out))
+    val med = selectAt(ev, "cents", "med_cents")
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("cents") - col("med_cents")))
+    val madv = selectAt(dev.select(col("event_type"), col("dev")),
+      "dev", "mad_cents")
+    dev.join(broadcast(madv), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("med_cents")).as("med_cents"),
+        min(col("mad_cents")).as("mad_cents"),
+        sum(when(col("dev") > col("mad_cents") * 3, 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
+  def r59MadOutliers(spark: SparkSession, dir: String): DataFrame =
+    madOutliers(Tables.events(spark, dir))
+
+  val r59Sql: String =
+    """WITH ev AS (SELECT event_type,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+      |rk AS (SELECT event_type, cents,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY cents)
+      |      AS BIGINT) - 1 AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n FROM ev),
+      |md AS (SELECT event_type,
+      |    min(CASE WHEN rn = (n - 1) // 2 THEN cents END) AS med_cents
+      |  FROM rk GROUP BY 1),
+      |dv AS (SELECT ev.event_type, cents, med_cents,
+      |    abs(cents - med_cents) AS dev
+      |  FROM ev JOIN md USING (event_type)),
+      |dk AS (SELECT event_type, dev,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY dev)
+      |      AS BIGINT) - 1 AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n FROM dv),
+      |mv AS (SELECT event_type,
+      |    min(CASE WHEN rn = (n - 1) // 2 THEN dev END) AS mad_cents
+      |  FROM dk GROUP BY 1)
+      |SELECT dv.event_type, count(*) AS n,
+      |  CAST(min(med_cents) AS BIGINT) AS med_cents,
+      |  CAST(min(mad_cents) AS BIGINT) AS mad_cents,
+      |  CAST(sum(CASE WHEN dev > 3 * mad_cents THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers
+      |FROM dv JOIN mv USING (event_type) GROUP BY 1""".stripMargin
+
   val r58Sql: String =
     """WITH ev AS (SELECT event_type, user_id, epoch_us(ts) AS t_us,
       |    event_id FROM events),

@@ -285,6 +285,39 @@ object StatefulOps {
       }
   }
 
+  final case class TopKObs(event_type: String, cents: Long, event_id: Long)
+  final case class TopEntry(cents: Long, event_id: Long)
+  final case class TopKState(n_seen: Long, top: Seq[TopEntry])
+  final case class TopKSnap(event_type: String, n_seen: Long,
+      top: Seq[TopEntry])
+
+  /** Per-key BOUNDED TOP-K state — the standing leaderboard: per
+    * event type the state is the k largest (cents, event_id) entries
+    * seen so far, merged and re-trimmed each micro-batch. The state
+    * bound is the point (k entries per key FOREVER, against the
+    * moment/heavy-hitter ops whose per-key state is constant but
+    * whose key set grows): top-k of a multiset union is
+    * order-independent under the (cents desc, event_id asc) total
+    * order, so the final snapshot equals the batch rank window
+    * exactly under any replay — the parity spec's property. */
+  def topKState(events: Dataset[TopKObs], k: Int = 5): Dataset[TopKSnap] = {
+    implicit val keyEnc = Encoders.STRING
+    implicit val outEnc = Encoders.product[TopKSnap]
+    implicit val stEnc = Encoders.product[TopKState]
+    events.groupByKey(_.event_type)
+      .mapGroupsWithState[TopKState, TopKSnap](GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[TopKObs], state: GroupState[TopKState]) =>
+          val prev = state.getOption.getOrElse(TopKState(0L, Seq.empty))
+          var n = prev.n_seen
+          val buf = scala.collection.mutable.ArrayBuffer[TopEntry]()
+          buf ++= prev.top
+          it.foreach { e => n += 1L; buf += TopEntry(e.cents, e.event_id) }
+          val top = buf.sortBy(e => (-e.cents, e.event_id)).take(k).toSeq
+          state.update(TopKState(n, top))
+          TopKSnap(key, n, top)
+      }
+  }
+
   final case class MomentObs(event_type: String, cents: Long)
   final case class MomentState(n: Long, sum_cents: Long, sumsq: Long)
   final case class MomentSnap(event_type: String, n: Long,

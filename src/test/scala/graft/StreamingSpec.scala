@@ -579,6 +579,40 @@ class StreamingSpec extends SparkTestBase {
     assert(got.size < src.length)
   }
 
+  test("streaming bounded top-k state converges to the batch rank " +
+    "window under out-of-order replay") {
+    import testImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulOps.{TopKObs, TopKSnap}
+    val base = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"),
+        col("event_id"))
+    val expected = base
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"))
+          .orderBy(col("cents").desc, col("event_id"))))
+      .filter(col("rk") <= 5)
+      .select(col("event_type"), col("cents"), col("event_id"))
+      .as[(String, Long, Long)].collect().toSet
+    val src = base.as[(String, Long, Long)].collect()
+      .map(t => TopKObs(t._1, t._2, t._3))
+    val shuffled = new scala.util.Random(13).shuffle(src.toSeq)
+    val chunks = shuffled.grouped((shuffled.size + 2) / 3).toSeq
+    val mem = MemoryStream[TopKObs]
+    val q = graft.streaming.StatefulOps.topKState(mem.toDS())
+      .writeStream.format("memory").queryName("topk_out")
+      .outputMode("update").option("checkpointLocation", tmpDir()).start()
+    chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("topk_out").as[TopKSnap].collect()
+      .groupBy(_.event_type).values.map(_.maxBy(_.n_seen))
+      .flatMap(s => s.top.map(e => (s.event_type, e.cents, e.event_id)))
+      .toSet
+    assert(got == expected && expected.nonEmpty)
+  }
+
   test("streaming moment state converges to the batch integer moments " +
     "under out-of-order replay") {
     import testImplicits._
