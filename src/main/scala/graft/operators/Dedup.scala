@@ -220,6 +220,70 @@ object Dedup {
         round(abs(col("est") - col("jac")), 6).as("abs_err"))
   }
 
+  /** LSH PARAMETER TUNING SWEEP — the "hard part (e)" instrument:
+    * for every band structure (b bands × r rows) the 12-slot MinHash
+    * signature factors into ((12,1), (6,2), (4,3), (3,4)), measure
+    * the candidate count, the true near-dup pairs captured
+    * (exact Jaccard ≥ `threshold` among candidates), and integer-
+    * micro precision/recall — the evidence behind d2's chosen (4,3).
+    * Ground truth is the true-pair set within the (12,1) candidate
+    * universe, which PROVABLY contains every other config's
+    * candidates (a pair agreeing on an r-row band agrees on each of
+    * its single hashes), so recall against it is exact for the swept
+    * family; a jac ≥ τ pair agreeing on NO single hash is invisible
+    * to every config (probability ≤ (1−τ)^12) — the documented
+    * truth-universe caveat.
+    *
+    * Scale contract: the sweep is an INSTRUMENT, run on a bounded
+    * sample (the signature frame is localCheckpoint'ed once and
+    * shared by all arms); r=1 banding on a full 100 TB corpus would
+    * need the d2 mega-bucket cap, which would perturb the very
+    * counts being measured — sample, don't cap. */
+  def lshTuning(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sigs = shingleFeatures(docs).localCheckpoint()
+    def cands(b: Int, r: Int): DataFrame = {
+      val structs = (0 until b).map { i =>
+        val bh = (0 until r).map(j => col(s"mh${i * r + j}"))
+          .reduce((x, y) => (x * 31 + y) % MinhashP)
+        struct(lit(i).as("band"), bh.as("band_hash"))
+      }
+      val rows = sigs
+        .select(col("doc_id"), explode(array(structs: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"),
+          col("bs.band_hash").as("band_hash"))
+      rows.alias("a").join(rows.alias("b"),
+          col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+    }
+    val truth = cands(12, 1)
+      .join(sigs.select(col("doc_id").as("doc_a"), col("hashes").as("ha")),
+        Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("hashes").as("hb")),
+        Seq("doc_b"))
+      .filter(jaccard(col("ha"), col("hb")) >= threshold)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    val configs = Seq((12, 1), (6, 2), (4, 3), (3, 4))
+    configs.map { case (b, r) =>
+      val c = cands(b, r)
+      val nc = c.agg(count(lit(1)).as("n_candidates"))
+      val nt = c.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("n_true_candidates"))
+      nc.crossJoin(nt).crossJoin(nTrue)
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col("n_candidates"), col("n_true_candidates"),
+          when(col("n_candidates") > 0,
+            expr("n_true_candidates * 1000000 div n_candidates"))
+            .otherwise(lit(0L)).as("precision_micro"),
+          when(col("n_true") > 0,
+            expr("n_true_candidates * 1000000 div n_true"))
+            .otherwise(lit(0L)).as("recall_micro"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Per-document 64-bit SimHash fingerprint over distinct token
     * hashes (TextFunctions.simhash64 — permuted-parity bits, so all
     * 64 bits carry signal; the round-3 32-bit fingerprint saturated

@@ -133,6 +133,60 @@ object LlmQueries {
        |FROM est""".stripMargin
   }
 
+  /** d15: LSH BAND-STRUCTURE TUNING SWEEP (Dedup.lshTuning) — for
+    * every factorization of the 12-slot signature into b bands × r
+    * rows, candidate volume vs true-pair capture with integer-micro
+    * precision/recall: the S-curve evidence behind d2's (4, 3)
+    * choice, and the instrument SURVEY §7's hard-part (e) calls for.
+    * Truth = exact Jaccard ≥ 0.5 within the (12,1) candidate
+    * universe, a PROVEN superset of every swept config's candidates. */
+  def d15LshTuning(spark: SparkSession, dir: String): DataFrame =
+    Dedup.lshTuning(Tables.spread(Tables.documents(spark, dir)))
+
+  val d15Sql: String = {
+    val pre = d2Sql.substring(0, d2Sql.indexOf("band0 AS"))
+    val P = "2147483647"
+    def bhSql(r: Int): String =
+      (1 until r).foldLeft(s"sg[$r*b+1]")((acc, j) =>
+        s"($acc*31 + sg[$r*b+${j + 1}]) % $P")
+    val configs = Seq((12, 1), (6, 2), (4, 3), (3, 4))
+    val bandCtes = configs.map { case (b, r) =>
+      s"""bd${b}_$r AS (SELECT doc_id, b, ${bhSql(r)} AS bh
+         |  FROM sig CROSS JOIN range($b) r(b)),
+         |cd${b}_$r AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bd${b}_$r a JOIN bd${b}_$r b
+         |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
+    }.mkString(",\n")
+    val aggCtes = configs.map { case (b, r) =>
+      s"""nc${b}_$r AS (SELECT count(*) AS nc FROM cd${b}_$r),
+         |nt${b}_$r AS (SELECT count(*) AS nt FROM cd${b}_$r s
+         |  JOIN truth t ON s.da = t.da AND s.db = t.db)""".stripMargin
+    }.mkString(",\n")
+    val arms = configs.map { case (b, r) =>
+      s"""SELECT CAST($b AS INT) AS bands, CAST($r AS INT) AS rows_per_band,
+         |  CAST(nc AS BIGINT) AS n_candidates,
+         |  CAST(nt AS BIGINT) AS n_true_candidates,
+         |  CAST(CASE WHEN nc > 0 THEN nt * 1000000 // nc ELSE 0 END
+         |    AS BIGINT) AS precision_micro,
+         |  CAST(CASE WHEN n_true > 0 THEN nt * 1000000 // n_true ELSE 0 END
+         |    AS BIGINT) AS recall_micro
+         |FROM nc${b}_$r CROSS JOIN nt${b}_$r CROSS JOIN tcount""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""${pre}hsets AS (SELECT doc_id,
+       |    list_distinct(list_transform(ss, s -> ${polySql("s")})) AS hs
+       |  FROM sh),
+       |$bandCtes,
+       |truth AS (SELECT u.da, u.db
+       |  FROM cd12_1 u JOIN hsets x ON u.da = x.doc_id
+       |    JOIN hsets y ON u.db = y.doc_id
+       |  WHERE CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+       |    / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)))
+       |    >= 0.5),
+       |tcount AS (SELECT count(*) AS n_true FROM truth),
+       |$aggCtes
+       |$arms""".stripMargin
+  }
+
   /** x34: CROSS-SOURCE duplication matrix — d2's verified near-dup
     * pairs pivoted by (source, source): how much of source A is a
     * near-copy of source B, the data-governance report that decides
