@@ -630,11 +630,15 @@ object Relational4 {
     * escalation is time-range chunking with per-chunk offsets — the
     * standard parallel prefix-sum split — noted, not needed at this
     * key domain.) */
-  def r57MaxConcurrent(spark: SparkSession, dir: String): DataFrame = {
-    val iv = Tables.events(spark, dir)
+  def r57MaxConcurrent(spark: SparkSession, dir: String): DataFrame =
+    maxConcurrent(Tables.events(spark, dir)
       .select(col("event_type"), unix_micros(col("ts")).as("s_us"),
         greatest(floor(col("value") * 1000000).cast("long"), lit(0L))
-          .as("dur_us"))
+          .as("dur_us")))
+
+  /** DataFrame-taking core of r57 (iv: event_type, s_us, dur_us) —
+    * the unit/property specs assert on THIS. */
+  def maxConcurrent(iv: DataFrame): DataFrame = {
     val pts = iv.select(col("event_type"),
         (col("s_us") * 2 + 1).as("k"), lit(1L).as("delta"))
       .unionByName(iv.select(col("event_type"),

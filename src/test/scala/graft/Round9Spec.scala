@@ -609,6 +609,59 @@ class Round9Spec extends SparkTestBase {
     assert(got(2) === ((1L, 0L, 0L, 0L)))
   }
 
+  test("r57 maxConcurrent: equals a brute-force instant sweep on " +
+    "random interval sets; back-to-back intervals never double-count") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.Relational4
+    val rnd = new scala.util.Random(57)
+    val iv = (0 until 200).map { i =>
+      val t = s"t${i % 3}"
+      val s = rnd.nextInt(50).toLong
+      val d = rnd.nextInt(12).toLong
+      (t, s, d)
+    } :+ (("t3", 10L, 5L)) :+ (("t3", 15L, 5L)) // exactly adjacent: max 1
+    val got = Relational4.maxConcurrent(
+      iv.toDF("event_type", "s_us", "dur_us"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // brute force: concurrency at instant q = |{[s, s+d) : q inside}|,
+    // maximum is attained at some interval start
+    val expect = iv.groupBy(_._1).map { case (t, xs) =>
+      val mc = xs.filter(_._3 > 0).map(_._2).distinct.map { q =>
+        xs.count { case (_, s, d) => d > 0 && s <= q && q < s + d }
+      }.foldLeft(0)(math.max)
+      t -> mc.toLong
+    }
+    expect.foreach { case (t, mc) =>
+      assert(got(t)._1 === mc, s"type $t")
+    }
+    assert(got("t3")._1 === 1L) // half-open: [10,15) and [15,20) don't overlap
+  }
+
+  test("asOfForward duality: forward on negated times equals backward " +
+    "as-of, payload for payload") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.AsOfJoin
+    val rnd = new scala.util.Random(58)
+    val left = (0 until 120).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(40).toLong, s"L$i"))
+      .toDF("k", "t", "tag")
+    val right = (0 until 60).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(40).toLong, s"R$i"))
+      .toDF("k", "t", "p")
+      // unique per (key, time) — the operator contract
+      .groupBy(col("k"), col("t")).agg(max(col("p")).as("p"))
+    val back = AsOfJoin.asOf(left, right, "k", "t", "t")
+      .select(col("tag"), col("asof.p"))
+      .as[(String, String)].collect().toSet
+    val fwd = AsOfJoin.asOfForward(
+        left.withColumn("t", -col("t")),
+        right.withColumn("t", -col("t")), "k", "t", "t")
+      .select(col("tag"), col("asof.p"))
+      .as[(String, String)].collect().toSet
+    assert(fwd === back && back.nonEmpty)
+  }
+
   test("m18 audioNearDup: histogram equals a direct waveform-formula " +
     "recomputation (codec + banding + hamming end to end)") {
     import graft.queries.MediaQueries
