@@ -2147,4 +2147,56 @@ object CorpusQueries {
        |  CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
        |    * 1000000 // count(*) AS BIGINT) AS novelty_micro
        |FROM g JOIN f USING (gram) GROUP BY 1""".stripMargin
+  // ---- x60: decontamination gram-length sweep ----------------------
+
+  /** x60: DECONTAMINATION GRAM-LENGTH SWEEP — the x22 check run at
+    * the published card sweep widths (8/10/13-token grams, the
+    * GPT-3→PaLM range), summarized per (width, split): contaminated
+    * eval docs and total shared grams. The d15/s28 tuning-curve
+    * pattern applied to the third tunable family: width 8 is the
+    * strict net (most flags), 13 the near-verbatim one — the sweep
+    * is the evidence for choosing a width instead of inheriting one.
+    *
+    * 100 TB shape: each arm is x22's plan (row-local gram hashing,
+    * one gram-keyed equi-join against the train side, doc-keyed
+    * partial agg) collapsing to ≤|splits| rows before the union;
+    * arms share nothing but the scan, so the sweep parallelizes
+    * trivially and costs ~3× one check. */
+  def x60DecontamSweep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, dir))
+    Seq(8, 10, 13).map { n =>
+      ngramDecontaminate(docs, n)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_contaminated_docs"),
+          sum(col("n_shared_grams")).as("total_shared_grams"))
+        .select(lit(n).as("n_gram"), col("split"),
+          col("n_contaminated_docs"), col("total_shared_grams"))
+    }.reduce(_ unionByName _)
+  }
+
+  val x60Sql: String = {
+    val splitSql =
+      s"""CASE WHEN ${polySql("CAST(doc_id AS VARCHAR)")} % 10 < 8 THEN 'train'
+         |    WHEN ${polySql("CAST(doc_id AS VARCHAR)")} % 10 = 8 THEN 'val'
+         |    ELSE 'test' END""".stripMargin
+    val arms = Seq(8, 10, 13)
+    val perN = arms.map { n =>
+      s"""g$n AS (SELECT DISTINCT doc_id, split,
+         |    ${polySql(s"array_to_string(ts[i:i + ${n - 1}], ' ')")} AS gram
+         |  FROM tk, unnest(range(1, len(ts) - ${n - 2})) r(i)
+         |  WHERE len(ts) >= $n),
+         |tg$n AS (SELECT gram FROM g$n WHERE split = 'train' GROUP BY 1),
+         |c$n AS (SELECT CAST($n AS INT) AS n_gram, split,
+         |    count(*) AS n_contaminated_docs,
+         |    CAST(sum(nsg) AS BIGINT) AS total_shared_grams
+         |  FROM (SELECT doc_id, split, count(*) AS nsg
+         |        FROM g$n JOIN tg$n USING (gram)
+         |        WHERE split <> 'train' GROUP BY 1, 2)
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tk AS (SELECT doc_id, $splitSql AS split, $tsSql AS ts
+       |  FROM documents),
+       |$perN
+       |${arms.map(n => s"SELECT * FROM c$n").mkString("\nUNION ALL\n")}""".stripMargin
+  }
 }
