@@ -2199,4 +2199,74 @@ object CorpusQueries {
        |$perN
        |${arms.map(n => s"SELECT * FROM c$n").mkString("\nUNION ALL\n")}""".stripMargin
   }
+  // ---- x61: count-min sketch error report --------------------------
+
+  /** x61: COUNT-MIN SKETCH vs exact counts — build the classic d=3 ×
+    * w=1024 CMS over the token stream (bucket = row-salted poly_hash
+    * mod w; COUNTS, not items, so the aggregation state is d·w longs
+    * no matter the vocabulary) and report, for each ≥1/64-share
+    * heavy hitter (x36's selection), the exact count, the CMS
+    * estimate (min over rows of the term's bucket count), and the
+    * overestimate. CMS is deterministic given its hash family, so
+    * unlike x6's HLL the WHOLE sketch restates in SQL and the driver
+    * hash gate applies — and the report demonstrates the guarantee
+    * users rely on (est ≥ true always; overestimate bounded by
+    * collisions). x36 answers "who is heavy" with a per-key state
+    * sketch; x61 answers "how accurate is the fixed-memory count"
+    * — the two sketch families a streaming counter chooses between.
+    *
+    * 100 TB shape: the sketch is ONE partial-agg shuffle collapsing
+    * to ≤ d·w = 3072 rows regardless of corpus or vocabulary size
+    * (the entire point vs the exact per-term agg whose key domain is
+    * the vocabulary); the heavy side reuses the exact agg and the
+    * probe is a 3072-row broadcast join. */
+  def x61CountMin(spark: SparkSession, dir: String): DataFrame = {
+    val P = 2147483647L
+    val d = 3
+    val w = 1024
+    val toks = Tables.spread(Tables.documents(spark, dir))
+      .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+    def bucket(r: Int): Column =
+      (TextFunctions.polyHash(col("term")) * (2 * r + 1) + lit(7919L * r)) %
+        P % w
+    val rows = toks.select(col("term"), explode(array((0 until d).map(r =>
+      struct(lit(r).as("r"), bucket(r).as("bucket"))): _*)).as("rb"))
+      .select(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+    val sketch = rows.groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val tot = toks.agg(count(lit(1)).as("n"))
+    val heavy = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(tot))
+      .filter(col("cnt") * 64 >= col("n"))
+      .select(col("term"), col("cnt"))
+    val probes = heavy.select(col("term"), col("cnt"),
+      explode(array((0 until d).map(r =>
+        struct(lit(r).as("r"), bucket(r).as("bucket"))): _*)).as("rb"))
+      .select(col("term"), col("cnt"), col("rb.r").as("r"),
+        col("rb.bucket").as("bucket"))
+    probes.join(broadcast(sketch), Seq("r", "bucket"))
+      .groupBy(col("term"), col("cnt"))
+      .agg(min(col("c")).as("cms_est"))
+      .select(col("term"), col("cnt"), col("cms_est"),
+        (col("cms_est") - col("cnt")).as("overestimate"))
+  }
+
+  val x61Sql: String =
+    s"""WITH tk AS (SELECT unnest($tsSql) AS term FROM documents),
+       |tot AS (SELECT count(*) AS n FROM tk),
+       |rws AS (SELECT (${polySql("term")} * (2*r + 1) + 7919*r)
+       |      % 2147483647 % 1024 AS bucket, r
+       |  FROM tk CROSS JOIN range(3) t(r)),
+       |sk AS (SELECT r, bucket, count(*) AS c FROM rws GROUP BY 1, 2),
+       |hv AS (SELECT term, count(*) AS cnt FROM tk GROUP BY 1),
+       |hh AS (SELECT term, cnt FROM hv CROSS JOIN tot
+       |  WHERE cnt * 64 >= n),
+       |pb AS (SELECT term, cnt, r,
+       |    (${polySql("term")} * (2*r + 1) + 7919*r) % 2147483647 % 1024
+       |      AS bucket
+       |  FROM hh CROSS JOIN range(3) t(r)),
+       |est AS (SELECT term, cnt, CAST(min(c) AS BIGINT) AS cms_est
+       |  FROM pb JOIN sk USING (r, bucket) GROUP BY 1, 2)
+       |SELECT term, cnt, cms_est, cms_est - cnt AS overestimate
+       |FROM est""".stripMargin
 }
