@@ -707,10 +707,18 @@ object Similarity {
         .filter(col("rk") === 1)
         .select(col("query_id"), col("vec_id"),
           lit(st).as("step"), col("score").as("mmr"))
-      selected = selected.union(pick)
+      // truncate lineage per round (the Components/PageRank
+      // discipline): without it each round's plan re-nests every
+      // prior round's windows and anti-joins, and the final plan
+      // re-evaluates them multiplicatively — the frames are
+      // kOut·|queries| rows, so the eager materialization is cheap
+      val prevSel = selected
+      val prevRem = remaining
+      selected = selected.union(pick).localCheckpoint(true)
       remaining = remaining.join(
         pick.select(col("query_id"), col("vec_id")),
-        Seq("query_id", "vec_id"), "left_anti")
+        Seq("query_id", "vec_id"), "left_anti").localCheckpoint(true)
+      prevSel.unpersist(); prevRem.unpersist()
     }
     selected.select(col("query_id"), col("vec_id"), col("step"),
       round(col("mmr"), 6).as("mmr"))
