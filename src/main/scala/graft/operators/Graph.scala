@@ -311,6 +311,39 @@ object Graph {
       .select(col("node").as("doc_id"), col("peel_round"), col("core_degree"))
   }
 
+  /** PARTITION MODULARITY of the connected-component clustering over
+    * an undirected pair list — the clustering-quality score Q =
+    * Σ_c (e_c/m − (deg_c/2m)²) specialized to the component
+    * partition, where every edge is intra-cluster so deg_c = 2·e_c
+    * and Q = Σ_c (e_c/m − (e_c/m)²): Q → 1 means duplicate mass
+    * spreads over many balanced families (collapse is safe and
+    * parallel), Q → 0 means one component owns the graph (the g10
+    * giant-component alarm expressed as the standard community-
+    * quality number). Integer-exact: per-cluster terms are floor
+    * divisions in micro-units over exact edge counts, summed as
+    * longs.
+    *
+    * 100 TB shape: Components' bounded min-label rounds + one
+    * cluster-keyed partial agg over the EDGE list (each edge joins
+    * its doc_a's label — one equi-join) + a one-row broadcast total. */
+  def modularity(pairs: DataFrame): DataFrame = {
+    val comp = Components.connectedComponents(
+      pairs.select(col("doc_a").cast("long").as("a"),
+        col("doc_b").cast("long").as("b")))
+    val lab = comp.select(col("node"), col("cluster"))
+    val ec = pairs.select(col("doc_a").cast("long").as("node"))
+      .join(lab, Seq("node"))
+      .groupBy(col("cluster")).agg(count(lit(1)).as("e_c"))
+    val mm = ec.agg(sum(col("e_c")).as("m"))
+    ec.crossJoin(broadcast(mm))
+      .select(col("e_c"), col("m"),
+        expr("e_c * 1000000 div m - (e_c * e_c * 1000000) div (m * m)")
+          .as("q_micro"))
+      .agg(count(lit(1)).as("n_clusters"), max(col("m")).as("m_edges"),
+        sum(col("q_micro")).as("q_micro"),
+        max(col("e_c")).as("max_cluster_edges"))
+  }
+
   /** Graph-level degree summary + DEGREE ASSORTATIVITY: the Pearson
     * correlation between the degrees at the two ends of every
     * (symmetrized) edge — the hub-structure diagnostic (r < 0:

@@ -384,4 +384,40 @@ object GraphQueries {
        |  CAST((cluster_size * n_clusters) * 1000000 // total AS BIGINT)
        |    AS share_micro
        |FROM h CROSS JOIN t""".stripMargin
+
+  // ---- g11: partition modularity of the near-dup families ----------
+
+  /** g11: PARTITION MODULARITY over the d6 graph (Graph.modularity)
+    * — the one-number clustering-quality score for the component
+    * partition: Q near 1 = balanced families (parallel collapse is
+    * safe), Q near 0 = a giant component owns the duplicate mass
+    * (g10's alarm as the standard community metric). Exact integer
+    * micro-unit arithmetic; oracle nests the recursive closure over
+    * the d6 edges and restates the same floor divisions. */
+  def g11Modularity(spark: SparkSession, dir: String): DataFrame =
+    Graph.modularity(LlmQueries.d6SimhashPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b")))
+
+  val g11Sql: String =
+    s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM (
+       |${LlmQueries.d6Sql}
+       |)),
+       |sym AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(node, lab) AS (
+       |  SELECT DISTINCT s AS node, s AS lab FROM sym
+       |  UNION
+       |  SELECT s.s AS node, r.lab FROM sym s JOIN reach r ON r.node = s.d
+       |),
+       |cl AS (SELECT node, min(lab) AS cluster FROM reach GROUP BY 1),
+       |ec AS (SELECT c.cluster, count(*) AS e_c
+       |  FROM pairs p JOIN cl c ON p.doc_a = c.node GROUP BY 1),
+       |mm AS (SELECT CAST(sum(e_c) AS BIGINT) AS m FROM ec),
+       |qc AS (SELECT e_c, m,
+       |    e_c * 1000000 // m - (e_c * e_c * 1000000) // (m * m) AS q_micro
+       |  FROM ec CROSS JOIN mm)
+       |SELECT count(*) AS n_clusters, CAST(max(m) AS BIGINT) AS m_edges,
+       |  CAST(sum(q_micro) AS BIGINT) AS q_micro,
+       |  CAST(max(e_c) AS BIGINT) AS max_cluster_edges
+       |FROM qc""".stripMargin
 }
