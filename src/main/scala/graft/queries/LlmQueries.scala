@@ -1003,6 +1003,64 @@ object LlmQueries {
        |SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cosine
        |FROM fr WHERE rnk <= 3""".stripMargin
 
+  /** s29: BINARY-RERANK SHORTLIST SWEEP — s13's 1-bit Hamming
+    * shortlist + exact re-rank measured for recall@3 against brute
+    * force at shortlist widths 5/10/20: the refine-budget tuning
+    * curve (the third after d15's bands and s28's nprobe — each
+    * serving knob now ships with its evidence). The shortlist width
+    * is THE binary-quantization serving knob: Hamming is nearly
+    * free, every shortlist slot costs one exact re-score, and the
+    * curve shows where widening stops buying recall. */
+  def s29ShortlistSweep(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = queryVecs(spark, dir)
+    val truth = Similarity.knnBruteForce(emb, q, k = 3)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    Seq(5, 10, 20).map { sl =>
+      val ann = Similarity.knnBinaryRerank(emb, q, shortlist = sl, k = 3)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      truth.join(ann, Seq("query_id", "neighbor_id"), "left_outer")
+        .groupBy(col("query_id"))
+        .agg(count(col("hit")).as("n_hits"))
+        .select(lit(sl).as("shortlist"), col("query_id"), col("n_hits"),
+          round(col("n_hits") / 3.0, 6).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
+  val s29Sql: String = {
+    def arm(sl: Int): String =
+      s"""SELECT CAST($sl AS INT) AS shortlist, bf.query_id,
+         |  count(iv.neighbor_id) AS n_hits,
+         |  round(count(iv.neighbor_id) / 3.0, 6) AS recall
+         |FROM bf LEFT JOIN (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT s.query_id, s.neighbor_id, CAST(row_number() OVER (
+         |        PARTITION BY s.query_id ORDER BY
+         |        ${cosSql("qe.embedding", "ne.embedding")} DESC,
+         |        s.neighbor_id) AS INT) AS rnk
+         |    FROM (SELECT query_id, neighbor_id FROM (
+         |        SELECT query_id, neighbor_id, row_number() OVER (
+         |          PARTITION BY query_id ORDER BY ham ASC, neighbor_id)
+         |          AS srn FROM p) WHERE srn <= $sl) s
+         |    JOIN embeddings ne ON ne.vec_id = s.neighbor_id
+         |    JOIN embeddings qe ON qe.vec_id = s.query_id)
+         |  WHERE rnk <= 3) iv
+         |  ON iv.query_id = bf.query_id AND iv.neighbor_id = bf.neighbor_id
+         |GROUP BY 1, 2""".stripMargin
+    s"""WITH p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    len(list_filter(range(64), k ->
+       |      (q.embedding[k+1] > 0) <> (c.embedding[k+1] > 0))) AS ham
+       |  FROM embeddings c
+       |  JOIN embeddings q ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+       |bf AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rnk
+       |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |    WHERE q.vec_id < 5) WHERE rnk <= 3)
+       |${Seq(5, 10, 20).map(arm).mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   /** s14: truncated-prefix (Matryoshka) ANN — the shortlist scores
     * cosine over only the FIRST 16 of 64 dimensions (the nested-
     * prefix contract MRL-trained embeddings are built for: every
