@@ -1154,4 +1154,83 @@ object MediaQueries {
       |  CAST(sum(lum) AS BIGINT) AS sum_lum,
       |  CAST(max(lum) AS BIGINT) AS max_lum
       |FROM px GROUP BY 1, 2, 3""".stripMargin
+  // ---- m23: compressed-video temporal motion ------------------------
+
+  /** m23: TEMPORAL MOTION over real compressed video decode — each
+    * doc synthesizes its deterministic multi-frame animated GIF (the
+    * m4 shapes), REALLY decodes every frame back through the JDK's
+    * LZW pipeline, and reduces consecutive-frame pairs to exact
+    * integer motion energy (sum of absolute BT.601 luminance deltas)
+    * with per-doc totals and the peak step. This is m9's scene-cut
+    * statistic applied THROUGH an inter-frame compressed container
+    * rather than to raw Y4M — the temporal-analysis half of the
+    * decodebin contract, under the hash gate because GIF is
+    * lossless. Single-frame docs carry integer zeros, never NULL.
+    *
+    * 100 TB shape: the m2/m6 contract — all frames of a video are
+    * decoded and differenced inside ONE partition-scoped pass, and
+    * 5 small integers per video reach the exchange. */
+  def m23GifMotion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Codecs
+    Tables.spread(Tables.documents(spark, dir).select(col("doc_id"))).as[Long]
+      .mapPartitions { it =>
+        val palR = Array.tabulate(256)(v => v.toByte)
+        val palG = Array.tabulate(256)(v => ((v * 37) % 256).toByte)
+        val palB = Array.tabulate(256)(v => ((v * 91) % 256).toByte)
+        it.map { id =>
+          val w = (6 + id % 9).toInt; val h = (6 + id % 5).toInt
+          val nf = (1 + id % 4).toInt
+          val frames = (0 until nf).map { f =>
+            Array.tabulate(w * h)(i =>
+              ((id * 7 + f * 31 + i * 13) % 256).toByte)
+          }
+          val gif = Codecs.ImageIoCodecs.GifCodec.encodeIndexedFrames(
+            w, h, palR, palG, palB, frames)
+          val decoded = Codecs.ImageIoCodecs.GifCodec.extractAllFramesRgb(gif)
+          require(decoded.length == nf, s"frame count for doc $id")
+          val lums = decoded.map { case (fw, fh, rgb) =>
+            require(fw == w && fh == h, s"frame dims for doc $id")
+            Array.tabulate(fw * fh)(p =>
+              299L * (rgb(p * 3) & 0xff) + 587L * (rgb(p * 3 + 1) & 0xff) +
+                114L * (rgb(p * 3 + 2) & 0xff))
+          }
+          var tot = 0L; var mx = 0L
+          var f = 0
+          while (f < lums.length - 1) {
+            var st = 0L; var i = 0
+            while (i < lums(f).length) {
+              st += math.abs(lums(f + 1)(i) - lums(f)(i)); i += 1
+            }
+            tot += st; if (st > mx) mx = st
+            f += 1
+          }
+          (id, nf, (nf - 1).toLong, tot, mx)
+        }
+      }.toDF("doc_id", "n_frames", "n_steps", "total_motion",
+        "max_step_motion")
+  }
+
+  val m23Sql: String =
+    """WITH g AS (SELECT doc_id, 6 + doc_id % 9 AS w, 6 + doc_id % 5 AS h,
+      |    1 + doc_id % 4 AS nf
+      |  FROM documents),
+      |mo AS (SELECT doc_id, f,
+      |    CAST(list_sum(list_transform(range(w * h), i ->
+      |      abs((299 * ((doc_id*7 + (f+1)*31 + i*13) % 256)
+      |         + 587 * (((doc_id*7 + (f+1)*31 + i*13) % 256) * 37 % 256)
+      |         + 114 * (((doc_id*7 + (f+1)*31 + i*13) % 256) * 91 % 256))
+      |        - (299 * ((doc_id*7 + f*31 + i*13) % 256)
+      |         + 587 * (((doc_id*7 + f*31 + i*13) % 256) * 37 % 256)
+      |         + 114 * (((doc_id*7 + f*31 + i*13) % 256) * 91 % 256)))))
+      |      AS BIGINT) AS motion
+      |  FROM g, unnest(range(nf - 1)) r(f)),
+      |a AS (SELECT doc_id, CAST(sum(motion) AS BIGINT) AS total_motion,
+      |    CAST(max(motion) AS BIGINT) AS max_step_motion
+      |  FROM mo GROUP BY 1)
+      |SELECT g.doc_id, CAST(nf AS INT) AS n_frames,
+      |  CAST(nf - 1 AS BIGINT) AS n_steps,
+      |  coalesce(a.total_motion, 0) AS total_motion,
+      |  coalesce(a.max_step_motion, 0) AS max_step_motion
+      |FROM g LEFT JOIN a USING (doc_id)""".stripMargin
 }
