@@ -774,4 +774,67 @@ object VideoQueries {
       |  coalesce(ag.path_manh2, 0) AS path_manh2,
       |  coalesce(ag.max_speed_milli, 0) AS max_speed_milli
       |FROM obs LEFT JOIN ag USING (video_id, label_id)""".stripMargin
+  // ---- v14: zone transition matrix (spatial flow) ------------------
+
+  /** v14: ZONE TRANSITION MATRIX — r55's first-order Markov flow
+    * model applied to SPACE: per (video, label) track (the v13
+    * representative convention), each consecutive-frame step emits a
+    * (zone_from, zone_to) transition over v11's 4×4 grid, aggregated
+    * corpus-wide with per-origin totals and integer-micro rates.
+    * This is the traffic-flow question after v11's static dwell
+    * (where do objects sit) and v13's kinematics (how fast they
+    * move): WHERE DO THEY GO — the input to path prediction and
+    * choke-point analysis in camera analytics. All integer; the
+    * diagonal is the stay rate.
+    *
+    * 100 TB shape: the narrow v1 chain feeds ONE (video, label)-
+    * keyed exchange shared by the dedup rank and the lead window;
+    * the matrix partial-aggregates to ≤ 16² rows and per-origin
+    * totals derive from the aggregated relation itself (the r55
+    * discipline). */
+  def v14ZoneTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bx = DetectionPipeline.boxes(withDetections(frames(spark, dir)),
+        threshold = 0.7)
+      .withColumn("height", lit(480) + (col("frame_id") % 3) * 240)
+      .withColumn("width", lit(640) + (col("frame_id") % 3) * 320)
+    val rep = bx
+      .withColumn("brn", row_number().over(
+        Window.partitionBy(col("video_id"), col("frame_id"), col("label_id"))
+          .orderBy(col("box_ref"))))
+      .filter(col("brn") === 1)
+      .withColumn("zone",
+        least(lit(3L), expr("((x + w) div 2) * 4 div height")) * 4 +
+          least(lit(3L), expr("((y + h) div 2) * 4 div width")))
+      .select(col("video_id"), col("label_id"), col("frame_id"), col("zone"))
+    val wl = Window.partitionBy(col("video_id"), col("label_id"))
+      .orderBy(col("frame_id"))
+    val st = rep.withColumn("nz", lead(col("zone"), 1).over(wl))
+      .filter(col("nz").isNotNull)
+    val m = st.groupBy(col("zone").as("zone_from"), col("nz").as("zone_to"))
+      .agg(count(lit(1)).as("n_steps"))
+    m.withColumn("from_total", sum(col("n_steps")).over(
+        Window.partitionBy(col("zone_from"))))
+      .withColumn("rate_micro", expr("n_steps * 1000000 div from_total"))
+  }
+
+  val v14Sql: String = detSql +
+    """, rp AS (SELECT video_id, label_id, frame_id,
+      |    least(3, ((x + w) // 2) * 4 // (480 + (frame_id % 3) * 240)) * 4
+      |      + least(3, ((y + h) // 2) * 4 // (640 + (frame_id % 3) * 320))
+      |      AS zone
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY video_id,
+      |      frame_id, label_id ORDER BY box_ref) AS brn FROM boxes)
+      |  WHERE brn = 1),
+      |sq AS (SELECT video_id, label_id, zone,
+      |    lead(zone) OVER (PARTITION BY video_id, label_id
+      |      ORDER BY frame_id) AS nz
+      |  FROM rp),
+      |m AS (SELECT zone AS zone_from, nz AS zone_to, count(*) AS n_steps
+      |  FROM sq WHERE nz IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT zone_from, CAST(sum(n_steps) AS BIGINT) AS from_total
+      |  FROM m GROUP BY 1)
+      |SELECT zone_from, zone_to, n_steps, from_total,
+      |  CAST(n_steps * 1000000 // from_total AS BIGINT) AS rate_micro
+      |FROM m JOIN t USING (zone_from)""".stripMargin
 }
