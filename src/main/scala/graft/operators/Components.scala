@@ -68,4 +68,98 @@ object Components {
     require(converged, s"connectedComponents did not converge in $maxIters rounds")
     labels.select(col("node"), col("label").as("cluster"))
   }
+
+  /** Connected components via ALTERNATING LARGE-STAR/SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", two-phase algorithm) — the escalation path the
+    * min-label contract above names: min-label needs O(component
+    * diameter) rounds, so a deep-chain corpus (each doc near-duping
+    * only the next) is pathological; star contraction converges in
+    * O(log² n) rounds REGARDLESS of diameter, because each round
+    * hangs whole subtrees directly under their local minimum instead
+    * of walking labels one hop.
+    *
+    * Both phases are the same 100 TB shape as a min-label round: one
+    * partial-agg groupBy (per-node neighborhood min) + one equi-join
+    * re-emitting each edge against its group's min — no driver-side
+    * graph, `localCheckpoint` truncating lineage per round
+    * (`checkpoint` on a real cluster). Edges stay canonical
+    * (large → small), so the working set never exceeds the distinct
+    * edge count and shrinks as stars contract.
+    *
+    * Convergence detector: (edge count, bit_xor of per-edge
+    * xxhash64) — one tiny aggregate per round instead of a
+    * full-join diff (XOR is order-independent and cannot overflow);
+    * a set-hash collision would only DELAY termination by one round
+    * (the fixpoint re-verifies), never corrupt labels, and the
+    * final labels are oracle-hashed anyway. At the fixpoint the edge
+    * set is a star forest: every non-minimum node holds exactly one
+    * edge to its component minimum. Returns the same contract as
+    * `connectedComponents`: (node, cluster = min reachable id). */
+  def connectedComponentsTwoPhase(edges: DataFrame,
+      maxIters: Int = 30): DataFrame = {
+    val e = edges.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    // canonical orientation large → small; (u, v) with u > v
+    var cur = e
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint(true)
+
+    def signature(ed: DataFrame): (Long, Long) = {
+      val r = ed.agg(count(lit(1)),
+        bit_xor(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    // large-star: every node x links its LARGER neighbors y to
+    // m(x) = min(N(x) ∪ {x}); each undirected edge is re-emitted
+    // exactly once, from its smaller endpoint's group (y > x keeps
+    // the canonical orientation, since m(x) <= x < y)
+    def largeStar(ed: DataFrame): DataFrame = {
+      val sym = ed.select(col("u").as("x"), col("v").as("y"))
+        .union(ed.select(col("v").as("x"), col("u").as("y")))
+      val mins = sym.groupBy(col("x"))
+        .agg(min(col("y")).as("nbr_min"))
+        .select(col("x"), least(col("x"), col("nbr_min")).as("m"))
+      sym.join(mins, Seq("x"))
+        .filter(col("y") > col("x"))
+        .select(col("y").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    // small-star: every node u links its SMALLER neighbors (all of
+    // them, in canonical orientation) plus itself to
+    // m(u) = min of those; emitted pairs stay canonical because
+    // m(u) is the group minimum
+    def smallStar(ed: DataFrame): DataFrame = {
+      val mins = ed.groupBy(col("u")).agg(min(col("v")).as("m"))
+      ed.join(mins, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+
+    var sig = signature(cur)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val nextSig = signature(next)
+      cur.unpersist()
+      cur = next
+      converged = nextSig == sig
+      sig = nextSig
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponentsTwoPhase did not converge in $maxIters rounds")
+    // star forest → labels: non-centers point at their center;
+    // centers label themselves
+    cur.select(col("u").as("node"), col("v").as("cluster"))
+      .union(cur.select(col("v").as("node"), col("v").as("cluster")))
+      .distinct()
+  }
 }

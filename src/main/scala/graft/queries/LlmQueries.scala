@@ -1658,6 +1658,29 @@ object LlmQueries {
        |FROM reach GROUP BY node""".stripMargin
   }
 
+  /** d16: d9's dedup clusters via the ALTERNATING STAR algorithm
+    * (Components.connectedComponentsTwoPhase) — the O(log² n)-round
+    * escalation the min-label contract names for deep-chain corpora,
+    * now an executable query instead of a scaladoc sentence. Same
+    * near-dup pair graph, same output contract (doc_id, cluster =
+    * component min, survivor), and the SAME recursive-CTE oracle as
+    * d9 — so the driver hash gate certifies that both distributed
+    * formulations compute the identical closure, and a corpus that
+    * trips min-label's round budget has a drop-in replacement whose
+    * round count is diameter-independent. ComponentsSpec adds the
+    * complementary property on a 200-node path graph: two-phase
+    * closes it in a handful of rounds where min-label needs ~200. */
+  def d16DedupClustersTwoPhase(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.nearDupPairs(Tables.spread(Tables.documents(spark, dir)),
+      threshold = 0.8)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    graft.operators.Components.connectedComponentsTwoPhase(pairs)
+      .select(col("node").as("doc_id"), col("cluster"),
+        (col("node") === col("cluster")).as("survivor"))
+  }
+
+  val d16Sql: String = d9Sql
+
   /** d10: EXACT substring-match dedup (Lee et al. 2022's criterion,
     * complementing d2/d4's set-similarity ones): pairs sharing a
     * verbatim 30-char window, plus how many distinct windows they

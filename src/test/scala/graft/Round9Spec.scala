@@ -715,4 +715,30 @@ class Round9Spec extends SparkTestBase {
       (0L, 3L, 3, 0.707107), // 1/sqrt2 through exact reconstruction
       (0L, 2L, 4, 0.0)))
   }
+
+  test("connectedComponentsTwoPhase: labels equal min-label propagation " +
+    "on a mixed graph, and a 200-node path closes inside the round " +
+    "budget that min-label's O(diameter) contract cannot meet") {
+    import graft.operators.Components
+    // mixed shapes: a chain, a star, a triangle with a tail, an island
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L),            // chain 1-2-3-4
+      (50L, 7L), (50L, 8L), (50L, 9L),         // star centered off-min
+      (100L, 101L), (101L, 102L), (102L, 100L), (102L, 103L), // tri+tail
+      (200L, 201L)).toDF("a", "b")
+    val viaStars = Components.connectedComponentsTwoPhase(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLabels = Components.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStars === viaLabels)
+    // deep path: 0-1-2-...-199. Diameter 199 > min-label's default
+    // 50-round budget; star contraction is diameter-independent.
+    val path = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Components.connectedComponentsTwoPhase(path, maxIters = 30)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length === 200 && got.forall(_._2 === 0L))
+    // empty edge list → empty labeling, immediate convergence
+    assert(Components.connectedComponentsTwoPhase(
+      Seq.empty[(Long, Long)].toDF("a", "b")).count() === 0L)
+  }
 }
