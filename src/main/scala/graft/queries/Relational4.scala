@@ -792,4 +792,76 @@ object Relational4 {
       |  CAST(sum(p_us - t_us) AS BIGINT) AS total_wait_us,
       |  CAST(max(p_us - t_us) AS BIGINT) AS max_wait_us
       |FROM j GROUP BY 1""".stripMargin
+
+  // ---- r60: trailing 7-day distinct users (rolling distinct) -------
+
+  /** r60: ROLLING DISTINCT — trailing 7-day distinct active users
+    * for every active day, the canonical WAU/MAU engagement metric.
+    * `count(DISTINCT)` does not decompose over sliding windows, so
+    * the naive plan re-scans a 7-day window per report day (the
+    * oracle's range join — O(days × activity), unrunnable at
+    * 100 TB). The engine decomposes it exactly: a user active on day
+    * a is counted in windows ending a..a+6, so per user the covered
+    * report days form INTERVALS; merging per-user active days whose
+    * gap ≤ 6 (gaps-and-islands over one user-keyed exchange) yields
+    * disjoint islands [s, e] covering [s, e+6], each contributing
+    * +1 at s and −1 at e+7 — and the day-level running sum of those
+    * deltas IS the rolling distinct count.
+    *
+    * 100 TB shape: one (user, day) dedup shuffle + one user-keyed
+    * window for island merge (both partition by user, so the second
+    * reuses the first's exchange); deltas partial-aggregate to ≤ 2
+    * rows per distinct DAY, so the final running sum is a
+    * single-partition window over the calendar — thousands of rows
+    * regardless of corpus size. */
+  def r60RollingDistinct(spark: SparkSession, dir: String): DataFrame =
+    rollingDistinct(Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")))
+
+  /** DataFrame-taking core of r60 (user_id, d DATE) — specs assert
+    * on THIS against a brute-force window recount. */
+  def rollingDistinct(ud0: DataFrame, windowDays: Int = 7): DataFrame = {
+    val g = windowDays - 1
+    val ud = ud0.select(col("user_id"), col("d")).distinct()
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    val islands = ud
+      .withColumn("prev", lag(col("d"), 1).over(wu))
+      .withColumn("brk", when(col("prev").isNull ||
+        datediff(col("d"), col("prev")) > g, 1L).otherwise(0L))
+      .withColumn("isl", sum(col("brk")).over(
+        wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("isl"))
+      .agg(min(col("d")).as("s"), max(col("d")).as("e"))
+    val deltas = islands
+      .select(col("s").as("d"), lit(1L).as("delta"))
+      .unionByName(islands.select(date_add(col("e"), windowDays).as("d"),
+        lit(-1L).as("delta")))
+      .groupBy(col("d")).agg(sum(col("delta")).as("dd"))
+    // evaluate the running sum at every report (= active) day; same-
+    // day deltas order before the report probe (false < true), so a
+    // user entering on day d is counted in d's own window
+    val probes = ud.select(col("d")).distinct()
+      .select(col("d"), lit(0L).as("dd"), lit(true).as("rep"))
+    val run = deltas.select(col("d"), col("dd"), lit(false).as("rep"))
+      .unionByName(probes)
+      .withColumn("run", sum(col("dd")).over(Window.orderBy(col("d"),
+        col("rep")).rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    run.filter(col("rep"))
+      .select(datediff(col("d"), lit("1970-01-01")).cast("long")
+        .as("epoch_day"), col("run").as("n_users_7d"))
+  }
+
+  /** Oracle: the NAIVE formulation — a per-day range join recounting
+    * each window from scratch — so the interval-merge decomposition
+    * is certified against an independent restatement of the metric's
+    * definition, not a re-derivation of the engine's algebra. */
+  val r60Sql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+      |  FROM events),
+      |days AS (SELECT DISTINCT d FROM ud)
+      |SELECT CAST(days.d - DATE '1970-01-01' AS BIGINT) AS epoch_day,
+      |  CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_users_7d
+      |FROM days JOIN ud u ON u.d BETWEEN days.d - 6 AND days.d
+      |GROUP BY 1""".stripMargin
 }

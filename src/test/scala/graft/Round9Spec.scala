@@ -741,4 +741,37 @@ class Round9Spec extends SparkTestBase {
     assert(Components.connectedComponentsTwoPhase(
       Seq.empty[(Long, Long)].toDF("a", "b")).count() === 0L)
   }
+
+  test("r60 rollingDistinct: interval-merge deltas equal a brute-force " +
+    "window recount on deterministic pseudo-random activity, and " +
+    "island boundaries are exercised (gap = 6 merges, gap = 7 splits)") {
+    import java.time.LocalDate
+    import graft.queries.Relational4
+    val epoch = LocalDate.of(1970, 1, 1)
+    // deterministic activity: 40 users × hashed day picks across ~60
+    // days, plus two hand-placed users probing the merge boundary
+    val days = (0 until 400).map { i =>
+      val u = i % 40; val d = (i * 2654435761L % 60).toInt
+      (u.toLong, epoch.plusDays(18000 + d).toString)
+    } ++ Seq(
+      (100L, epoch.plusDays(18000).toString),   // gap 6 -> same island
+      (100L, epoch.plusDays(18006).toString),
+      (101L, epoch.plusDays(18000).toString),   // gap 7 -> new island
+      (101L, epoch.plusDays(18007).toString))
+    val ud = days.toDF("user_id", "ds")
+      .select($"user_id",
+        org.apache.spark.sql.functions.to_date($"ds").as("d"))
+    val got = Relational4.rollingDistinct(ud)
+      .as[(Long, Long)].collect().toMap
+    // brute force: for each active day, recount the 7-day window
+    val act = days.map { case (u, ds) =>
+      (u, LocalDate.parse(ds).toEpochDay)
+    }.distinct
+    val expected = act.map(_._2).distinct.map { d =>
+      d -> act.filter(a => a._2 >= d - 6 && a._2 <= d)
+        .map(_._1).distinct.length.toLong
+    }.toMap
+    assert(got === expected)
+    assert(got.nonEmpty && got.values.max > 1)
+  }
 }
