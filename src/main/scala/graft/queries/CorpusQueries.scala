@@ -2269,4 +2269,138 @@ object CorpusQueries {
        |  FROM pb JOIN sk USING (r, bucket) GROUP BY 1, 2)
        |SELECT term, cnt, cms_est, cms_est - cnt AS overestimate
        |FROM est""".stripMargin
+
+  // ---- x62: bottom-k (KMV) sketch Jaccard across languages ---------
+
+  /** x62: KMV/BOTTOM-K SKETCH JACCARD — per language pair, the
+    * vocabulary Jaccard estimated from each side's k = 128 smallest
+    * distinct term hashes (Bar-Yossef et al.'s K-Minimum-Values
+    * sketch: J ≈ |A_sk ∩ B_sk ∩ bottom-k(A ∪ B)| / k), reported
+    * next to the exact Jaccard and the signed error. This is the
+    * third sketch-accuracy report after x36/x61 (heavy hitters,
+    * count-min): set RESEMBLANCE from fixed memory — how a pipeline
+    * compares two corpora's vocabularies without ever joining them.
+    * The hash family is deterministic (poly_hash), so unlike HLL
+    * (x6) the whole sketch restates in SQL and the hash gate
+    * applies.
+    *
+    * 100 TB shape: one (lang, term) dedup shuffle feeds BOTH the
+    * sketches and the exact side; each sketch collapses to k rows
+    * per language via a lang-keyed rank (partial top-k under
+    * WindowGroupLimit), so every pairwise comparison runs on
+    * k·L broadcast-size rows — the exact intersection (one
+    * term-keyed join) is only there to certify the estimate and
+    * would be dropped at scale. */
+  def x62KmvJaccard(spark: SparkSession, dir: String): DataFrame =
+    kmvJaccard(Tables.spread(Tables.documents(spark, dir))
+      .select(col("lang"), explode(TextFunctions.tokens(col("text")))
+        .as("term")), k = 128)
+
+  /** DataFrame-taking core of x62 ((lang, term) rows, pre-distinct
+    * not required) — specs assert the estimate against exact Jaccard
+    * on constructed vocabularies. */
+  def kmvJaccard(lt0: DataFrame, k: Int): DataFrame = {
+    val lt = lt0.select(col("lang"), col("term")).distinct()
+      .localCheckpoint(true)
+    val lh = lt.select(col("lang"), TextFunctions.polyHash(col("term"))
+      .as("h")).distinct()
+    val wk = Window.partitionBy(col("lang")).orderBy(col("h"))
+    val sk = lh.withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= k).select(col("lang"), col("h"))
+      .localCheckpoint(true)
+    val pairs = sk.select(col("lang").as("lang_a")).distinct()
+      .join(sk.select(col("lang").as("lang_b")).distinct(),
+        col("lang_a") < col("lang_b"))
+    // membership-flagged union of the two sketches per pair (sketches
+    // are k·L rows — all joins below are broadcast-size)
+    val aVals = pairs.join(sk.select(col("lang").as("lang_a"), col("h")),
+      Seq("lang_a"))
+    val bVals = pairs.join(sk.select(col("lang").as("lang_b"), col("h")),
+      Seq("lang_b"))
+    val merged = aVals.select(col("lang_a"), col("lang_b"), col("h"))
+      .unionByName(bVals.select(col("lang_a"), col("lang_b"), col("h")))
+      .distinct()
+      .join(broadcast(sk.select(col("lang").as("lang_a"), col("h"),
+        lit(1L).as("in_a"))), Seq("lang_a", "h"), "left")
+      .join(broadcast(sk.select(col("lang").as("lang_b"), col("h"),
+        lit(1L).as("in_b"))), Seq("lang_b", "h"), "left")
+    val wp = Window.partitionBy(col("lang_a"), col("lang_b"))
+      .orderBy(col("h"))
+    val est = merged.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= k)
+      .groupBy(col("lang_a"), col("lang_b"))
+      .agg(count(lit(1)).as("k_used"),
+        sum(coalesce(col("in_a"), lit(0L)) * coalesce(col("in_b"), lit(0L)))
+          .as("n_shared"))
+    // exact side: one term-keyed intersection + per-lang sizes
+    val sizes = lt.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val inter = lt.select(col("lang").as("lang_a"), col("term"))
+      .join(lt.select(col("lang").as("lang_b"), col("term")), Seq("term"))
+      .filter(col("lang_a") < col("lang_b"))
+      .groupBy(col("lang_a"), col("lang_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    // left join + coalesce: a DISJOINT pair (no shared terms) must
+    // still report, with exact_ppm = 0 — dropping it would silently
+    // hide exactly the "these corpora share nothing" answer
+    est.join(inter, Seq("lang_a", "lang_b"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .join(broadcast(sizes.select(col("lang").as("lang_a"),
+        col("n").as("n_a"))), Seq("lang_a"))
+      .join(broadcast(sizes.select(col("lang").as("lang_b"),
+        col("n").as("n_b"))), Seq("lang_b"))
+      .select(col("lang_a"), col("lang_b"), col("k_used"),
+        floor(col("n_shared") * 1000000L / col("k_used")).cast("long")
+          .as("est_ppm"),
+        floor(col("n_inter") * 1000000L /
+          (col("n_a") + col("n_b") - col("n_inter"))).cast("long")
+          .as("exact_ppm"))
+      .withColumn("err_ppm", col("est_ppm") - col("exact_ppm"))
+  }
+
+  val x62Sql: String =
+    s"""WITH lt AS (SELECT DISTINCT lang, unnest($tsSql) AS term
+       |  FROM documents),
+       |lh AS (SELECT DISTINCT lang, ${polySql("term")} AS h FROM lt),
+       |sk AS (SELECT lang, h FROM (SELECT lang, h,
+       |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+       |  FROM lh) WHERE rn <= 128),
+       |pr AS (SELECT a.lang AS lang_a, b.lang AS lang_b
+       |  FROM (SELECT DISTINCT lang FROM sk) a
+       |  JOIN (SELECT DISTINCT lang FROM sk) b ON a.lang < b.lang),
+       |mg AS (SELECT DISTINCT lang_a, lang_b, h FROM (
+       |  SELECT pr.lang_a, pr.lang_b, s.h FROM pr
+       |    JOIN sk s ON s.lang = pr.lang_a
+       |  UNION ALL
+       |  SELECT pr.lang_a, pr.lang_b, s.h FROM pr
+       |    JOIN sk s ON s.lang = pr.lang_b)),
+       |fl AS (SELECT m.lang_a, m.lang_b, m.h,
+       |    CASE WHEN sa.h IS NULL THEN 0 ELSE 1 END AS in_a,
+       |    CASE WHEN sb.h IS NULL THEN 0 ELSE 1 END AS in_b
+       |  FROM mg m
+       |  LEFT JOIN sk sa ON sa.lang = m.lang_a AND sa.h = m.h
+       |  LEFT JOIN sk sb ON sb.lang = m.lang_b AND sb.h = m.h),
+       |es AS (SELECT lang_a, lang_b, count(*) AS k_used,
+       |    CAST(sum(in_a * in_b) AS BIGINT) AS n_shared
+       |  FROM (SELECT lang_a, lang_b, h, in_a, in_b,
+       |      row_number() OVER (PARTITION BY lang_a, lang_b ORDER BY h)
+       |        AS rn FROM fl)
+       |  WHERE rn <= 128 GROUP BY 1, 2),
+       |sz AS (SELECT lang, count(*) AS n FROM lt GROUP BY 1),
+       |iv AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+       |    count(*) AS n_inter
+       |  FROM lt a JOIN lt b ON a.term = b.term AND a.lang < b.lang
+       |  GROUP BY 1, 2)
+       |SELECT es.lang_a, es.lang_b, CAST(k_used AS BIGINT) AS k_used,
+       |  CAST(floor(n_shared * 1000000 / k_used) AS BIGINT) AS est_ppm,
+       |  CAST(floor(coalesce(n_inter, 0) * 1000000
+       |    / (sa.n + sb.n - coalesce(n_inter, 0))) AS BIGINT)
+       |    AS exact_ppm,
+       |  CAST(floor(n_shared * 1000000 / k_used)
+       |    - floor(coalesce(n_inter, 0) * 1000000
+       |      / (sa.n + sb.n - coalesce(n_inter, 0))) AS BIGINT)
+       |    AS err_ppm
+       |FROM es LEFT JOIN iv
+       |  ON es.lang_a = iv.lang_a AND es.lang_b = iv.lang_b
+       |JOIN sz sa ON sa.lang = es.lang_a
+       |JOIN sz sb ON sb.lang = es.lang_b""".stripMargin
 }

@@ -774,4 +774,27 @@ class Round9Spec extends SparkTestBase {
     assert(got === expected)
     assert(got.nonEmpty && got.values.max > 1)
   }
+
+  test("x62 kmvJaccard: sketch covering the whole vocabulary is exact; " +
+    "disjoint vocabularies estimate zero; k_used caps at k") {
+    // A and B share 30 of 60 terms each (J = 30/90); C is disjoint
+    val terms = (0 until 60).map(i => ("A", s"t$i")) ++
+      (30 until 90).map(i => ("B", s"t$i")) ++
+      (0 until 40).map(i => ("C", s"z$i"))
+    val lt = terms.toDF("lang", "term")
+    // k = 4096 >> vocab: the merged bottom-k IS the union, so the
+    // estimate equals exact Jaccard in ppm
+    val wide = CorpusQueries.kmvJaccard(lt, k = 4096)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    val ab = wide(("A", "B"))
+    assert(ab._4 === ab._5 && ab._6 === 0L)
+    assert(ab._5 === (30L * 1000000L / 90L))
+    assert(wide(("A", "C"))._4 === 0L && wide(("B", "C"))._4 === 0L)
+    // tight k: k_used is capped and the estimate stays a plausible
+    // ppm (the accuracy claim lives in the oracle-checked x62 row)
+    val tight = CorpusQueries.kmvJaccard(lt, k = 16)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(tight.forall(r => r._3 <= 16 && r._4 >= 0 && r._4 <= 1000000))
+  }
 }
