@@ -2403,4 +2403,77 @@ object CorpusQueries {
        |  ON es.lang_a = iv.lang_a AND es.lang_b = iv.lang_b
        |JOIN sz sa ON sa.lang = es.lang_a
        |JOIN sz sb ON sb.lang = es.lang_b""".stripMargin
+
+  // ---- x63: PMI collocation mining ---------------------------------
+
+  /** x63: COLLOCATION MINING — the top-50 adjacent-token bigrams by
+    * pointwise-mutual-information LIFT (p(ab) / (p(a)·p(b)), the
+    * exponential of PMI and therefore the same ranking), with a
+    * min-support gate of 5 — the classic phrase detector (Mikolov et
+    * al.'s word2vec phrases, Manning & Schütze ch. 5) a tokenizer
+    * pipeline runs to promote "new york"-style units before BPE.
+    * Lift is kept hash-stable WITHOUT logs: both engines evaluate
+    * the identical left-associated double expression
+    * 1e6·c_ab·N·N / (B·c_a·c_b), and IEEE multiply/divide are
+    * correctly rounded, so the floored ppm matches bit-for-bit
+    * (ln is not IEEE-exact and never enters the plan).
+    *
+    * 100 TB shape: bigram and unigram counts are two partial-agg
+    * shuffles whose key domains are the vocabulary (≪ corpus);
+    * attaching c_a/c_b is two vocabulary-keyed equi-joins; totals
+    * are one-row broadcast folds; the final top-50 is
+    * TakeOrderedAndProject (per-partition heads, never a global
+    * sort of the bigram table). */
+  def x63Collocations(spark: SparkSession, dir: String): DataFrame =
+    collocations(Tables.spread(Tables.documents(spark, dir)),
+      minSupport = 5, topK = 50)
+
+  /** DataFrame-taking core of x63 (docs with `text`) — specs assert
+    * lift arithmetic and support gating on constructed corpora. */
+  def collocations(docs: DataFrame, minSupport: Int, topK: Int): DataFrame = {
+    val tk = docs
+      .select(TextFunctions.tokens(col("text")).as("ts"))
+      .localCheckpoint(true)
+    val uni = tk.select(explode(col("ts")).as("w"))
+    val uc = uni.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nTot = uni.agg(count(lit(1)).as("n"))
+    val bg = tk.filter(size(col("ts")) >= 2)
+      .select(explode(TextFunctions.bind(col("ts"), ts =>
+        transform(sequence(lit(1), size(ts) - 1), i =>
+          struct(element_at(ts, i).as("w1"),
+            element_at(ts, i + 1).as("w2"))))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+    val bTot = bg.agg(count(lit(1)).as("b"))
+    bc.filter(col("n_ab") >= minSupport)
+      .join(uc.select(col("w").as("w1"), col("c").as("c_a")), Seq("w1"))
+      .join(uc.select(col("w").as("w2"), col("c").as("c_b")), Seq("w2"))
+      .crossJoin(broadcast(nTot))
+      .crossJoin(broadcast(bTot))
+      .select(col("w1"), col("w2"), col("n_ab"),
+        floor(lit(1000000.0) * col("n_ab") * col("n") * col("n") /
+          (col("b").cast("double") * col("c_a") * col("c_b")))
+          .cast("long").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  val x63Sql: String =
+    s"""WITH tk AS (SELECT $tsSql AS ts FROM documents),
+       |u AS (SELECT unnest(ts) AS w FROM tk),
+       |uc AS (SELECT w, count(*) AS c FROM u GROUP BY 1),
+       |nt AS (SELECT count(*) AS n FROM u),
+       |bg AS (SELECT ts[i] AS w1, ts[i + 1] AS w2
+       |  FROM tk, unnest(range(1, len(ts))) r(i)
+       |  WHERE len(ts) >= 2),
+       |bc AS (SELECT w1, w2, count(*) AS n_ab FROM bg GROUP BY 1, 2),
+       |bt AS (SELECT count(*) AS b FROM bg)
+       |SELECT w1, w2, n_ab,
+       |  CAST(floor(1000000.0 * n_ab * nt.n * nt.n /
+       |    (CAST(bt.b AS DOUBLE) * a.c * b2.c)) AS BIGINT) AS lift_ppm
+       |FROM bc JOIN uc a ON a.w = bc.w1
+       |JOIN uc b2 ON b2.w = bc.w2
+       |CROSS JOIN nt CROSS JOIN bt
+       |WHERE n_ab >= 5
+       |ORDER BY lift_ppm DESC, w1, w2 LIMIT 50""".stripMargin
 }

@@ -797,4 +797,27 @@ class Round9Spec extends SparkTestBase {
       .as[(String, String, Long, Long, Long, Long)].collect()
     assert(tight.forall(r => r._3 <= 16 && r._4 >= 0 && r._4 <= 1000000))
   }
+
+  test("x63 collocations: lift hand-checked, support gate drops rare " +
+    "bigrams, inseparable pair outranks independent co-occurrence") {
+    // 6 docs of "alpha beta" (always adjacent) + 6 docs mixing gamma
+    // and delta with a spacer so they never pair up adjacently more
+    // than the support gate allows
+    val docs = (Seq.fill(6)("alpha beta") ++
+      Seq.fill(6)("gamma x delta x gamma x delta x")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = CorpusQueries.collocations(docs, minSupport = 5, topK = 10)
+      .as[(String, String, Long, Long)].collect()
+    val byPair = got.map(r => (r._1, r._2) -> r).toMap
+    // N = 6*2 + 6*8 = 60 tokens; B = 6*1 + 6*7 = 48 bigrams
+    // alpha-beta: c_ab=6, c_a=c_b=6 -> lift = 6*60*60/(48*36) = 12.5
+    assert(byPair(("alpha", "beta"))._3 === 6L)
+    assert(byPair(("alpha", "beta"))._4 === 12500000L)
+    // "x delta": c_ab=12, c_x=24, c_delta=12 -> 12*3600/(48*288)=3.125
+    assert(byPair(("x", "delta"))._4 === 3125000L)
+    // rare bigrams (n_ab < 5) are gated out: no ("beta","alpha") etc.
+    assert(!got.exists(r => r._3 < 5))
+    // inseparable pair ranks first
+    assert(got.head._1 === "alpha" && got.head._2 === "beta")
+  }
 }
