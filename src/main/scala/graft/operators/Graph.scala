@@ -386,4 +386,48 @@ object Graph {
             / (sqrt(varx.cast("double")) * sqrt(vary.cast("double"))), 6))
           .otherwise(lit(0.0)).as("assortativity"))
   }
+
+  /** COMMUNITY DETECTION via fixed-round synchronous label
+    * propagation (Raghavan et al. 2007), made deterministic: every
+    * node starts labeled with itself; each round every node adopts
+    * the most frequent label among its NEIGHBORS, ties broken by
+    * smallest label — so the update is a pure function of the
+    * previous round and restates engine-for-engine (classic LPA's
+    * random tie-breaks and asynchronous sweeps do not). Unlike
+    * components (d9/d16, which merge everything reachable), LPA
+    * stops label flow where a denser neighborhood outvotes it, so
+    * two cliques joined by one bridge edge keep distinct communities
+    * — the granularity a curation pipeline wants when a duplicate
+    * FAMILY is too coarse. `rounds` is a fixed parameter (LPA is
+    * used as a banding, not a fixpoint — the oracle unrolls it).
+    *
+    * 100 TB shape: per round ONE edge⋈label equi-join + one
+    * (node, label) partial-agg count + one node-keyed
+    * WindowGroupLimit argmax — all keyed by node, reusing the same
+    * partitioning; lineage truncated per round. */
+  def labelPropagation(pairs: DataFrame, rounds: Int): DataFrame = {
+    val sym = pairs
+      .select(col("doc_a").cast("long").as("s"), col("doc_b").cast("long").as("d"))
+      .union(pairs
+        .select(col("doc_b").cast("long").as("s"), col("doc_a").cast("long").as("d")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("s").as("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
+      .localCheckpoint(true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(col("c").desc, col("lab"))
+    (1 to rounds).foreach { _ =>
+      val next = sym.join(labels, sym("d") === labels("node"))
+        .groupBy(sym("s").as("node"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("lab"))
+        .localCheckpoint(true)
+      labels.unpersist()
+      labels = next
+    }
+    sym.unpersist()
+    labels.select(col("node").as("doc_id"), col("lab").as("community"))
+  }
 }

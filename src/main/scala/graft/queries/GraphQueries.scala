@@ -420,4 +420,36 @@ object GraphQueries {
        |  CAST(sum(q_micro) AS BIGINT) AS q_micro,
        |  CAST(max(e_c) AS BIGINT) AS max_cluster_edges
        |FROM qc""".stripMargin
+
+  /** g12: COMMUNITIES via deterministic label propagation
+    * (Graph.labelPropagation, 3 synchronous rounds, most-frequent
+    * neighbor label with smallest-label tie-break) over the d6
+    * near-dup graph — the finer-than-components banding: d9/d16
+    * merge everything REACHABLE, LPA stops where a denser
+    * neighborhood outvotes the bridge, separating two duplicate
+    * cliques that share one accidental pair. The oracle unrolls the
+    * three rounds (count CTE + row_number argmax per round), so the
+    * mode-adoption update is hash-certified engine-for-engine. */
+  def g12LabelProp(spark: SparkSession, dir: String): DataFrame =
+    Graph.labelPropagation(LlmQueries.d6SimhashPairs(spark, dir), rounds = 3)
+
+  val g12Sql: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""c$i AS (SELECT e.s AS node, r.lab, count(*) AS c
+         |  FROM sym e JOIN r${i - 1} r ON r.node = e.d
+         |  GROUP BY 1, 2),
+         |r$i AS (SELECT node, lab FROM (SELECT node, lab,
+         |    row_number() OVER (PARTITION BY node
+         |      ORDER BY c DESC, lab) AS rn FROM c$i)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (SELECT doc_a, doc_b FROM (
+       |${LlmQueries.d6Sql}
+       |)),
+       |sym AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |r0 AS (SELECT DISTINCT s AS node, s AS lab FROM sym),
+       |$rounds
+       |SELECT node AS doc_id, lab AS community FROM r3""".stripMargin
+  }
 }

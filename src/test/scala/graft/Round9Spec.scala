@@ -820,4 +820,33 @@ class Round9Spec extends SparkTestBase {
     // inseparable pair ranks first
     assert(got.head._1 === "alpha" && got.head._2 === "beta")
   }
+
+  test("g12 labelPropagation: bridged cliques keep distinct communities " +
+    "where connected components merge them; tie-break is min-label") {
+    import graft.operators.{Components, Graph}
+    // two 4-cliques {0..3} and {10..13} joined by one bridge 3-10
+    val clique = (ns: Seq[Long]) =>
+      for (a <- ns; b <- ns if a < b) yield (a, b)
+    val edges = (clique(Seq(0L, 1L, 2L, 3L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) :+ ((3L, 10L)))
+      .toDF("doc_a", "doc_b")
+    val lpa = Graph.labelPropagation(edges, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    // each clique converges onto its own min label; the bridge does
+    // not outvote 3 dense in-clique neighbors
+    assert(Seq(0L, 1L, 2L, 3L).map(lpa).toSet === Set(0L))
+    assert(Seq(10L, 11L, 12L, 13L).map(lpa).toSet === Set(10L))
+    // components, by contrast, merge everything reachable
+    val cc = Components.connectedComponents(
+      edges.select($"doc_a".as("a"), $"doc_b".as("b")))
+      .collect().map(_.getLong(1)).toSet
+    assert(cc === Set(0L))
+    // two-node graph: each adopts the other's label (mode of one);
+    // round parity makes this the classic LPA oscillation — the
+    // FIXED round count keeps it deterministic
+    val two = Seq((5L, 9L)).toDF("doc_a", "doc_b")
+    val lab2 = Graph.labelPropagation(two, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(lab2 === Map(5L -> 9L, 9L -> 5L))
+  }
 }
