@@ -1233,4 +1233,132 @@ object MediaQueries {
       |  coalesce(a.total_motion, 0) AS total_motion,
       |  coalesce(a.max_step_motion, 0) AS max_step_motion
       |FROM g LEFT JOIN a USING (doc_id)""".stripMargin
+
+  // ---- m24: audio fingerprint matching (constellation + offset vote)
+
+  /** m24: AUDIO FINGERPRINT MATCHING — find WHERE a short audio
+    * snippet occurs inside a longer track at an UNKNOWN offset, the
+    * Shazam-style retrieval m18's whole-file hash cannot express
+    * (one tail edit or a clip boundary shifts every whole-file
+    * probe; a landmark constellation only needs SOME aligned windows
+    * to agree). Docs with `id % 4 == 3` are SNIPPETS: 128 samples
+    * cut from the track waveform of key `id % 23` at window-aligned
+    * offset `(id % 5)·16`; every other doc is a TRACK of
+    * `192 + key·8` samples. The waveform is the SQUARED residue
+    * t² mod 65521 of the affine ramp t = key·31 + i·97 — the
+    * squaring is essential: an affine-in-(key,i) signal makes the
+    * linear fingerprint fold correlated ACROSS keys (every key pair
+    * is a near-alias and false landmarks accumulate at consistent
+    * deltas), while the quadratic residue decorrelates keys so only
+    * a genuine occurrence can stack ≥ 4 aligned votes. Both sides
+    * really WAV-encode and decode (PCM16 lossless, the m3/m5 gate),
+    * then hash each run of three consecutive 16-sample windows into
+    * a landmark (fp(w)·251² + fp(w+1)·251 + fp(w+2), fp =
+    * positional fold mod 251 of the decoded samples; the fold uses
+    * the raw unsigned sample so fp is a pure function of the
+    * decoded PCM). Matching joins snippet landmarks
+    * to track landmarks on the hash and VOTES on the window delta
+    * dt = w_track − w_snippet: the true alignment accumulates one
+    * vote per surviving landmark while chance collisions scatter, so
+    * the per-snippet argmax (votes desc, track, dt) with a ≥ 4-vote
+    * floor recovers (source track, offset) exactly.
+    *
+    * 100 TB shape: waveforms never leave the partition-scoped decode
+    * (the m5 contract) — only (doc, window, hash) landmark rows
+    * reach the ONE hash-keyed equi-join; votes partial-aggregate on
+    * (snippet, track, dt) before the per-snippet WindowGroupLimit
+    * argmax. Landmark rows are ~1/16th of sample count, and the
+    * join key space (251³) keeps chance-collision fan-out flat. */
+  def m24AudioFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{Codecs, Multimodal}
+    val win = 16
+    val lm = Tables.spread(Tables.documents(spark, dir).select(col("doc_id")))
+      .as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val snip = id % 4 == 3
+          val key = id % 23
+          val n = if (snip) 128 else (192 + key * 8).toInt
+          val off = if (snip) (id % 5).toInt * win else 0
+          val samples = Array.tabulate(n) { i =>
+            val t = (key * 31 + (off + i.toLong) * 97) % 65521
+            ((t * t % 65521) - 32768).toShort
+          }
+          val wav = Codecs.WavCodec.encodePcm16(8000, 1, samples)
+          val meta = Codecs.AutoCodec.decode(
+            Multimodal.MediaRecord(id, "audio", wav))
+          val (_, back) = Codecs.WavCodec.decodePcm16(wav)
+          require(meta.n_frames == n && back.length == n,
+            s"wav sample count mismatch for doc $id")
+          val nw = n / win
+          val fp = Array.tabulate(nw) { w =>
+            var acc = 0L
+            var j = 0
+            while (j < win) {
+              acc += (back(w * win + j).toLong + 32768L) * (j + 1)
+              j += 1
+            }
+            acc % 251
+          }
+          (0 until nw - 2).map { w =>
+            (id, snip, w, fp(w) * 63001L + fp(w + 1) * 251L + fp(w + 2))
+          }
+        }
+      }.toDF("doc_id", "is_snip", "w", "h")
+      .localCheckpoint(true)
+    val t = lm.filter(!col("is_snip"))
+      .select(col("doc_id").as("track_id"), col("w").as("tw"), col("h"))
+    val s = lm.filter(col("is_snip"))
+      .select(col("doc_id").as("snip_id"), col("w").as("sw"), col("h"))
+    val votes = s.join(t, Seq("h"))
+      .groupBy(col("snip_id"), col("track_id"),
+        (col("tw") - col("sw")).as("dt_windows"))
+      .agg(count(lit(1)).as("n_votes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("snip_id"))
+      .orderBy(col("n_votes").desc, col("track_id"), col("dt_windows"))
+    votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("n_votes") >= 4)
+      .select(col("snip_id"), col("track_id"), col("dt_windows"),
+        col("n_votes"))
+  }
+
+  private def m24FpSql(keyExpr: String, idxExpr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(16), j -> " +
+      s"((($keyExpr * 31 + ($idxExpr) * 97) % 65521) " +
+      s"* (($keyExpr * 31 + ($idxExpr) * 97) % 65521) % 65521) " +
+      s"* (j + 1))), " +
+      s"(a, b) -> a + b) % 251"
+
+  val m24Sql: String = {
+    def h(base: String): String =
+      (0 to 2).map { d =>
+        val mult = Seq("63001", "251", "1")(d)
+        s"(${m24FpSql("key", s"$base + (w + $d) * 16 + j")}) * $mult"
+      }.mkString(" + ")
+    s"""WITH tr AS (SELECT doc_id AS track_id, doc_id % 23 AS key,
+       |    CAST(192 + (doc_id % 23) * 8 AS INT) AS n
+       |  FROM documents WHERE doc_id % 4 <> 3),
+       |tl AS (SELECT track_id, CAST(w AS INT) AS tw,
+       |    CAST(${h("0")} AS BIGINT) AS h
+       |  FROM tr, unnest(range(n // 16 - 2)) r(w)),
+       |sn AS (SELECT doc_id AS snip_id, doc_id % 23 AS key,
+       |    (doc_id % 5) * 16 AS off
+       |  FROM documents WHERE doc_id % 4 = 3),
+       |sl AS (SELECT snip_id, CAST(w AS INT) AS sw,
+       |    CAST(${h("off")} AS BIGINT) AS h
+       |  FROM sn, unnest(range(8 - 2)) r(w)),
+       |vt AS (SELECT snip_id, track_id, CAST(tw - sw AS INT)
+       |      AS dt_windows, count(*) AS n_votes
+       |  FROM sl JOIN tl USING (h) GROUP BY 1, 2, 3)
+       |SELECT snip_id, track_id, dt_windows,
+       |  CAST(n_votes AS BIGINT) AS n_votes
+       |FROM (SELECT snip_id, track_id, dt_windows, n_votes,
+       |    row_number() OVER (PARTITION BY snip_id
+       |      ORDER BY n_votes DESC, track_id, dt_windows) AS rn
+       |  FROM vt)
+       |WHERE rn = 1 AND n_votes >= 4""".stripMargin
+  }
 }

@@ -849,4 +849,35 @@ class Round9Spec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(lab2 === Map(5L -> 9L, 9L -> 5L))
   }
+
+  test("m24 audioFingerprint: every matched snippet recovers its " +
+    "planted (track key, window offset) exactly through the real " +
+    "WAV round-trip") {
+    val got = graft.queries.MediaQueries.m24AudioFingerprint(spark, sf)
+      .as[(Long, Long, Int, Long)].collect()
+    assert(got.nonEmpty)
+    def sample(key: Long, i: Long): Long = {
+      val t = (key * 31 + i * 97) % 65521
+      t * t % 65521
+    }
+    got.foreach { case (snip, track, dt, votes) =>
+      assert(snip % 4 === 3L)          // only snippets report
+      assert(votes >= 4 && votes <= 6) // 6 landmarks max
+      // the recovered (track, dt) is a TRUE occurrence: the track's
+      // samples from dt·16 equal the snippet's over the overlap (a
+      // same-key track always matches; a genuine cross-key alias
+      // would be accepted too, and rightly so)
+      val off = (snip % 5) * 16
+      val trackKey = track % 23
+      val n = 192 + trackKey * 8
+      val overlap = math.min(128L, n - dt * 16)
+      assert(overlap >= (votes + 2) * 16)
+      (0L until overlap).foreach { i =>
+        assert(sample(trackKey, dt * 16 + i) === sample(snip % 23, off + i))
+      }
+    }
+    // matches exist for several distinct offsets (the dt vote is
+    // doing real work, not matching everything at 0)
+    assert(got.map(_._3).distinct.length > 1)
+  }
 }
