@@ -412,6 +412,63 @@ object Similarity {
     pqRank(pairs, k)
   }
 
+  /** IVF-PQ over RESIDUALS — PQ encodes x − c(x) (each vector minus
+    * its cell centroid) instead of x itself, the layout FAISS's
+    * IndexIVFPQ actually ships: after coarse assignment the
+    * residuals of every cell cluster around the origin, so ONE
+    * shared codebook spends its 256 codewords describing a far
+    * tighter distribution than raw vectors spread across all cells
+    * (with k cells the residual norm shrinks roughly with cell
+    * radius, not corpus radius). The ADC identity makes the search
+    * exact over the same geometry: for query q and corpus x in the
+    * same cell, ‖(q−c) − (x−c)‖ = ‖q−x‖, so ranking residual ADC
+    * distances approximates the same neighbor order as raw ADC —
+    * but with codebook error proportional to the residual scale.
+    * Residuals are subtracted in FLOAT (zip_with on ARRAY<FLOAT>;
+    * binary64 intermediate rounding is innocuous for float a−b, the
+    * classic 2p+2 double-rounding theorem), so the oracle restates
+    * every element bit-for-bit.
+    *
+    * 100 TB shape: identical to knnIvfPq plus one broadcast join of
+    * the (tiny) centroid relation onto the corpus scan to form
+    * residuals — still one narrow encode pass, one cell equi-join,
+    * one WindowGroupLimit top-k. */
+  /** (vec_id, cell, res) for an ALREADY-ASSIGNED relation (vec_id,
+    * embedding, cell): res = embedding − centroid(cell), subtracted
+    * element-wise in FLOAT against the broadcast centroid row. */
+  def cellResiduals(assigned: DataFrame, centroids: DataFrame): DataFrame = {
+    val cemb = centroids.select(col("vec_id").as("cell"),
+      col("embedding").as("cemb"))
+    assigned.join(broadcast(cemb), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("embedding"), col("cemb"), (x, c) => x - c).as("res"))
+  }
+
+  def knnIvfPqResidual(embeddings: DataFrame, queries: DataFrame,
+      centroids: DataFrame, codebook: DataFrame, m: Int, k: Int,
+      dim: Int = 64): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim $dim not divisible by m $m")
+    val cbFlat = pqFlatCodebook(codebook)
+    def residual(assigned: DataFrame): DataFrame =
+      cellResiduals(assigned, centroids)
+    val encoded = residual(assignCells(embeddings, centroids))
+      .crossJoin(broadcast(cbFlat))
+      .select(col("vec_id"), col("cell"),
+        call_function("pq_codes", col("res"), col("cbf"), lit(m))
+          .as("codes"))
+    val queryRes = residual(assignCells(queries, centroids))
+      .select(col("vec_id").as("query_id"), col("cell"),
+        col("res").as("qres"))
+    val pairs = encoded
+      .join(broadcast(queryRes), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .crossJoin(broadcast(cbFlat))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        call_function("pq_adc", col("qres"), col("codes"), col("cbf"))
+          .as("adist"))
+    pqRank(pairs, k)
+  }
+
   /** IVF-PQ with an exact RE-RANK refine stage — the two-stage shape
     * every production vector index serves: the ADC scan over codes
     * produces a `shortlist` of candidates per query (cheap,

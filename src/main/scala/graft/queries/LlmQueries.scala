@@ -879,6 +879,71 @@ object LlmQueries {
        |SELECT query_id, neighbor_id, rnk, round(adist, 6) AS adist
        |FROM r WHERE rnk <= 3""".stripMargin
 
+  /** s30: IVF-PQ over RESIDUALS (Similarity.knnIvfPqResidual) — the
+    * layout FAISS's IndexIVFPQ actually ships: PQ encodes x − c(x)
+    * so one shared codebook describes the tight residual
+    * distribution instead of raw vectors spread across all cells,
+    * and the CODEBOOK itself lives in residual space (codewords =
+    * the residuals of vec_id < 16 w.r.t. their own cells — the
+    * deterministic stand-in in the same space a trained residual
+    * codebook would occupy). ‖(q−c) − (x−c)‖ = ‖q−x‖ keeps the
+    * in-cell geometry exact; residuals subtract in FLOAT on both
+    * engines (binary64 double rounding is innocuous for float a−b),
+    * so the whole index restates in SQL under the hash gate. */
+  def s30IvfPqResidual(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = emb.filter(col("vec_id") < 8)
+    val codebook = Similarity.cellResiduals(
+      Similarity.assignCells(emb.filter(col("vec_id") < 16), cents), cents)
+      .select(col("vec_id"), col("res").as("embedding"))
+    Similarity.knnIvfPqResidual(emb, queryVecs(spark, dir), cents,
+      codebook, m = 8, k = 3)
+  }
+
+  val s30Sql: String = {
+    def subSql(v: String, c: String, m: String) = pqSubSql(v, c, m)
+    def assign(src: String) =
+      s"""SELECT vec_id, embedding, cell FROM (
+         |  SELECT v.vec_id, v.embedding, c.vec_id AS cell,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      ${cosSql("v.embedding", "c.embedding")} DESC, c.vec_id) AS crn
+         |  FROM ($src) v CROSS JOIN cent c) WHERE crn = 1""".stripMargin
+    def residual(src: String) =
+      s"""SELECT v.vec_id, v.cell,
+         |    list_transform(range(64), i ->
+         |      CAST(v.embedding[i + 1] - ct.embedding[i + 1] AS FLOAT)) AS res
+         |  FROM ($src) v JOIN cent ct ON ct.vec_id = v.cell""".stripMargin
+    s"""WITH cent AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+       |ms AS (SELECT m FROM range(8) t(m)),
+       |corpus_cells AS (${assign("SELECT vec_id, embedding FROM embeddings")}),
+       |query_cells AS (${assign(
+      "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5")}),
+       |corpus_res AS (${residual("SELECT * FROM corpus_cells")}),
+       |query_res AS (${residual("SELECT * FROM query_cells")}),
+       |cb AS (SELECT vec_id AS j, res AS cw FROM corpus_res
+       |  WHERE vec_id < 16),
+       |enc AS (SELECT vec_id, cell, list(code ORDER BY m) AS codes FROM (
+       |    SELECT v.vec_id, v.cell, s.m, c.j AS code, row_number() OVER (
+       |      PARTITION BY v.vec_id, s.m
+       |      ORDER BY ${subSql("v.res", "c.cw", "s.m")} ASC, c.j ASC) AS rn
+       |    FROM corpus_res v CROSS JOIN ms s CROSS JOIN cb c) WHERE rn = 1
+       |  GROUP BY vec_id, cell),
+       |qd AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, s.m,
+       |    ${subSql("q.res", "c.cw", "s.m")} AS dm
+       |  FROM enc e CROSS JOIN ms s
+       |  JOIN cb c ON c.j = e.codes[s.m + 1]
+       |  JOIN query_res q ON q.cell = e.cell AND q.vec_id <> e.vec_id),
+       |ad AS (SELECT query_id, neighbor_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(dm ORDER BY m)),
+       |      (x, y) -> x + y) AS adist
+       |  FROM qd GROUP BY 1, 2),
+       |r AS (SELECT query_id, neighbor_id, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY adist ASC, neighbor_id) AS INT) AS rnk,
+       |    adist FROM ad)
+       |SELECT query_id, neighbor_id, rnk, round(adist, 6) AS adist
+       |FROM r WHERE rnk <= 3""".stripMargin
+  }
+
   /** s11: IVF-PQ with the exact RE-RANK refine stage — s8's ADC scan
     * keeps only a top-10 shortlist per query, then the shortlist is
     * re-scored against full-precision embeddings and the final top-3

@@ -880,4 +880,27 @@ class Round9Spec extends SparkTestBase {
     // doing real work, not matching everything at 0)
     assert(got.map(_._3).distinct.length > 1)
   }
+
+  test("s30 knnIvfPqResidual: hand-computed residual encode + ADC " +
+    "(single cell, residual-space codebook)") {
+    import graft.operators.Similarity
+    val corpus = Seq(
+      (1L, Array(3f, 1f, 1f, 1f)),
+      (2L, Array(1f, 3f, 1f, 1f))).toDF("vec_id", "embedding")
+    val query = Seq((0L, Array(3f, 1f, 1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((100L, Array(1f, 1f, 1f, 1f)))
+      .toDF("vec_id", "embedding")
+    // codewords already in residual space: exactly the two corpus
+    // residuals, so encoding is lossless and ADC = exact in-cell L2
+    val cb = Seq(
+      (10L, Array(2f, 0f, 0f, 0f)),
+      (11L, Array(0f, 2f, 0f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.knnIvfPqResidual(corpus, query, cents, cb,
+      m = 2, k = 3, dim = 4)
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    // q's residual [2,0,0,0] == x1's: adist 0; x2's residual
+    // [0,2,0,0] sits 8.0 away ((2-0)² + (0-2)²)
+    assert(got === Seq((0L, 1L, 1, 0.0), (0L, 2L, 2, 8.0)))
+  }
 }
