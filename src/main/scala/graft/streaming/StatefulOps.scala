@@ -353,6 +353,43 @@ object StatefulOps {
       }
   }
 
+  final case class HashObs(lang: String, h: Long)
+  final case class KmvState(n_seen: Long, sketch: Seq[Long])
+  final case class KmvSnap(lang: String, n_seen: Long, n_sketch: Int,
+    kth: Long, sketch: Seq[Long])
+
+  /** x62's bottom-k (KMV) sketch as KEYED STREAMING STATE — the
+    * standing distinct-value/resemblance monitor of a live ingest
+    * path: per language the state is the k smallest DISTINCT term
+    * hashes seen so far, emitted as an updated snapshot each
+    * micro-batch. State is bounded at k longs per key BY
+    * CONSTRUCTION (that is the whole point of the sketch — compare
+    * heavyHitterState, whose per-term state needs the eviction
+    * contract); merge-and-trim is min-k over set union, which is
+    * associative, commutative, and idempotent, so the final
+    * snapshot equals the batch sketch under ANY arrival order,
+    * chunking, or replay — the parity spec's property. Downstream,
+    * two keys' final sketches compare exactly as x62's batch
+    * sketches do (estimate Jaccard / distinct counts with zero
+    * recompute over the corpus). */
+  def kmvState(hashes: Dataset[HashObs], k: Int = 128): Dataset[KmvSnap] = {
+    implicit val keyEnc = Encoders.STRING
+    implicit val outEnc = Encoders.product[KmvSnap]
+    implicit val stEnc = Encoders.product[KmvState]
+    hashes.groupByKey(_.lang)
+      .mapGroupsWithState[KmvState, KmvSnap](GroupStateTimeout.NoTimeout) {
+        (lang: String, it: Iterator[HashObs], state: GroupState[KmvState]) =>
+          val prev = state.getOption.getOrElse(KmvState(0L, Seq.empty))
+          var n = prev.n_seen
+          val buf = scala.collection.mutable.TreeSet[Long]()
+          buf ++= prev.sketch
+          it.foreach { o => n += 1L; buf += o.h }
+          val sk = buf.take(k).toSeq
+          state.update(KmvState(n, sk))
+          KmvSnap(lang, n, sk.size, if (sk.nonEmpty) sk.last else -1L, sk)
+      }
+  }
+
   final case class TermObs(term: String)
   final case class TermCount(term: String, cnt: Long)
 

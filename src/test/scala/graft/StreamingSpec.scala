@@ -673,6 +673,41 @@ class StreamingSpec extends SparkTestBase {
       s"|got|=${got.size} |exp|=${expected.size} n=$n")
   }
 
+  test("streaming bottom-k sketch state converges to the batch x62 " +
+    "sketch under out-of-order replay, state bounded at k") {
+    import testImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulOps.{HashObs, KmvSnap}
+    val k = 32
+    val lh = graft.sources.Tables.documents(spark, sf)
+      .select(col("lang"),
+        explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("term"))
+      .select(col("lang"),
+        graft.functions.TextFunctions.polyHash(col("term")).as("h"))
+    val src = lh.as[(String, Long)].collect().map(t => HashObs(t._1, t._2))
+    // batch sketch: per lang the k smallest DISTINCT hashes
+    val expected = src.groupBy(_.lang).map { case (lang, xs) =>
+      lang -> xs.map(_.h).distinct.sorted.take(k).toSeq
+    }
+    val shuffled = new scala.util.Random(62).shuffle(src.toSeq)
+    val chunks = shuffled.grouped((shuffled.size + 2) / 3).toSeq
+    val mem = MemoryStream[HashObs]
+    val q = graft.streaming.StatefulOps.kmvState(mem.toDS(), k)
+      .writeStream.format("memory").queryName("kmv_out")
+      .outputMode("update").option("checkpointLocation", tmpDir()).start()
+    chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+    q.stop()
+    // n_seen is monotone per lang: the final snapshot is the max row
+    val finals = spark.table("kmv_out").as[KmvSnap].collect()
+      .groupBy(_.lang).values.map(_.maxBy(_.n_seen)).toSeq
+    val got = finals.map(s => s.lang -> s.sketch).toMap
+    assert(got === expected && expected.nonEmpty)
+    finals.foreach { s =>
+      assert(s.n_sketch <= k && s.kth === s.sketch.last)
+    }
+  }
+
   test("streaming quota state converges to the batch r46 rate-limit rows") {
     import testImplicits._
     implicit val sqlCtx = spark.sqlContext
