@@ -446,4 +446,44 @@ object Dedup {
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** ASYMMETRIC CONTAINMENT pairs — C(A,B) = |S_A ∩ S_B| / |S_A|
+    * over distinct word-3-shingle sets, the excerpt/quote detector
+    * symmetric Jaccard (d2/d4) structurally misses: a 50-shingle
+    * doc fully pasted into a 5 000-shingle doc has Jaccard ≈ 0.01
+    * but containment 1.0. Emits each qualifying unordered pair once
+    * with BOTH directions' ppm, gated on max-containment ≥ 0.8
+    * (integer form: shared·5 ≥ min(n_a, n_b)·4 — no division in the
+    * filter).
+    *
+    * 100 TB shape: d10's posting-list discipline — one groupBy
+    * shuffle on the shingle, pairs explode from capped lists (2..
+    * `maxDocs` docs per shingle; boilerplate shingles route to d8's
+    * profile instead of pair fan-out), sizes attach via two
+    * doc-keyed joins of a strictly smaller aggregate. */
+  def containmentPairs(docs: DataFrame, maxDocs: Int = 64): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(shingles3(tokens(col("text")))).as("g"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shared = sh.groupBy(col("g"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxDocs))
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
+          struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
+        Seq("doc_b"))
+      .filter(col("shared") * 5 >= least(col("n_a"), col("n_b")) * 4)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        col("shared"),
+        floor(col("shared") * 1000000L / col("n_a")).cast("long")
+          .as("cont_a_ppm"),
+        floor(col("shared") * 1000000L / col("n_b")).cast("long")
+          .as("cont_b_ppm"))
+  }
 }

@@ -1746,6 +1746,39 @@ object LlmQueries {
 
   val d16Sql: String = d9Sql
 
+  /** d17: ASYMMETRIC CONTAINMENT (Dedup.containmentPairs) — the
+    * excerpt/quote detector: C(A,B) = |S_A ∩ S_B| / |S_A| over
+    * distinct word-3-shingles, gated on max-direction containment
+    * ≥ 0.8. Symmetric Jaccard (d2/d4) structurally misses a short
+    * doc pasted into a long one (J ≈ |A|/|B| → 0); containment is
+    * exactly that signal, and a curation pipeline drops or
+    * down-weights the CONTAINED side. Same posting-list discipline
+    * as d10: shingles with 2..64 docs expand to pairs, the rest
+    * route to d8's boilerplate profile. */
+  def d17Containment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables.spread(Tables.documents(spark, dir)))
+
+  val d17Sql: String =
+    s"""WITH t AS (SELECT doc_id, $tsSql AS ts FROM documents),
+       |w AS (SELECT DISTINCT doc_id,
+       |    ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS g
+       |  FROM t, unnest(range(1, len(ts) - 1)) r(i)
+       |  WHERE len(ts) >= 3),
+       |sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
+       |gl AS (SELECT g FROM w GROUP BY g
+       |  HAVING count(*) BETWEEN 2 AND 64),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    count(*) AS shared
+       |  FROM w a JOIN gl ON a.g = gl.g
+       |  JOIN w b ON b.g = a.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, sa.n AS n_a, sb.n AS n_b, shared,
+       |  CAST(floor(shared * 1000000 / sa.n) AS BIGINT) AS cont_a_ppm,
+       |  CAST(floor(shared * 1000000 / sb.n) AS BIGINT) AS cont_b_ppm
+       |FROM p JOIN sz sa ON sa.doc_id = doc_a
+       |JOIN sz sb ON sb.doc_id = doc_b
+       |WHERE shared * 5 >= least(sa.n, sb.n) * 4""".stripMargin
+
   /** d10: EXACT substring-match dedup (Lee et al. 2022's criterion,
     * complementing d2/d4's set-similarity ones): pairs sharing a
     * verbatim 30-char window, plus how many distinct windows they

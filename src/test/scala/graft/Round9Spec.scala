@@ -903,4 +903,23 @@ class Round9Spec extends SparkTestBase {
     // [0,2,0,0] sits 8.0 away ((2-0)² + (0-2)²)
     assert(got === Seq((0L, 1L, 1, 0.0), (0L, 2L, 2, 8.0)))
   }
+
+  test("d17 containmentPairs: an excerpt is fully contained in its " +
+    "source (ppm = 1e6) while Jaccard-style overlap stays low; " +
+    "unrelated docs emit nothing") {
+    import graft.operators.Dedup
+    // doc 2 = 6-token excerpt of doc 1 (20 tokens); doc 3 unrelated
+    val long = (1 to 20).map(i => s"w$i").mkString(" ")
+    val excerpt = (8 to 13).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, long), (2L, excerpt),
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    // excerpt: 4 shingles, all shared with doc 1's 18
+    assert(got === Array((1L, 2L, 18L, 4L, 4L,
+      math.floor(4L * 1000000.0 / 18L).toLong, 1000000L)))
+    // the symmetric signal the containment gate rescues: J = 4/18
+    assert(got.head._6 < 250000L)
+  }
 }
