@@ -220,6 +220,56 @@ object Similarity {
         round(col("cos"), 6).as("cosine"))
   }
 
+  /** ADAPTIVE-PROBE IVF search — instead of a fixed `nprobe`, each
+    * query keeps opening cells (in centroid-similarity order) until
+    * the CANDIDATE BUDGET is met: probe cell r+1 only while the
+    * first r cells hold fewer than `budget` corpus vectors. Fixed
+    * nprobe is blind to list-length skew — on an imbalanced layout
+    * it scans thousands of candidates for a query landing in hot
+    * cells and starves a query landing in sparse ones; the budget
+    * rule spends the SAME scan cost per query and converts skew
+    * into extra recall (sparse-cell queries probe wider). Always
+    * probes ≥ 1 cell (the stop looks at the count BEFORE each
+    * cell); empty cells carry no candidates and are skipped.
+    *
+    * 100 TB shape: cell sizes are a ≤|cells|-row broadcast; the
+    * probe decision is a per-query window over ≤|cells| rows; the
+    * only corpus exchange stays the cell equi-join with the (tiny)
+    * probe set broadcast, followed by the WindowGroupLimit top-k —
+    * identical cost structure to knnIvfProbe with the probe width
+    * now data-driven. */
+  def knnIvfAdaptive(embeddings: DataFrame, queries: DataFrame,
+      centroids: DataFrame, budget: Int, k: Int): DataFrame = {
+    val assigned = assignCells(embeddings, centroids)
+    val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
+    val qc = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
+      .crossJoin(broadcast(centroids.select(col("vec_id").as("cell"),
+        col("embedding").as("cemb"))))
+      .select(col("query_id"), col("qemb"), col("cell"),
+        cosineSim(col("qemb"), col("cemb")).as("ccos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cell"))
+    val probes = qc.join(broadcast(sizes), Seq("cell"))
+      .withColumn("cum_before", coalesce(sum(col("cell_n")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("cum_before") < budget)
+      .select(col("query_id"), col("qemb"), col("cell"))
+    val nProbed = probes.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_probed"))
+    val pairs = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineSim(col("qemb"), col("embedding")).as("cos"))
+    val wk = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    pairs.withColumn("rnk", row_number().over(wk))
+      .filter(col("rnk") <= k)
+      .join(broadcast(nProbed), Seq("query_id"))
+      .select(col("query_id"), col("n_probed"), col("neighbor_id"),
+        col("rnk"), round(col("cos"), 6).as("cosine"))
+  }
+
   /** RANGE search — the other half of the vector-search API: not
     * "the k nearest" but "EVERY neighbor at least `tau` similar"
     * (radius/threshold query: duplicate detection at a fixed

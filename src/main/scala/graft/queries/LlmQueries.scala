@@ -944,6 +944,58 @@ object LlmQueries {
        |FROM r WHERE rnk <= 3""".stripMargin
   }
 
+  /** s31: ADAPTIVE-PROBE IVF search (Similarity.knnIvfAdaptive) —
+    * the probe width becomes DATA-DRIVEN: each query opens cells in
+    * centroid-similarity order until the candidate budget (150) is
+    * met, so a query landing in hot cells stops early and one
+    * landing in sparse cells probes wider — the same scan cost per
+    * query on any skew, where s6's fixed nprobe either wastes or
+    * starves. `n_probed` is emitted per query, making the
+    * adaptivity itself part of the hash-gated answer. */
+  def s31AdaptiveProbe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.knnIvfAdaptive(emb, queryVecs(spark, dir),
+      emb.filter(col("vec_id") < 8), budget = 150, k = 3)
+  }
+
+  val s31Sql: String = {
+    def assign(src: String) =
+      s"""SELECT vec_id, embedding, cell FROM (
+         |  SELECT v.vec_id, v.embedding, c.vec_id AS cell,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      ${cosSql("v.embedding", "c.embedding")} DESC, c.vec_id) AS crn
+         |  FROM ($src) v CROSS JOIN cent c) WHERE crn = 1""".stripMargin
+    s"""WITH cent AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+       |corpus_cells AS (${assign("SELECT vec_id, embedding FROM embeddings")}),
+       |sz AS (SELECT cell, count(*) AS cell_n FROM corpus_cells
+       |  GROUP BY 1),
+       |qr AS (SELECT q.vec_id AS query_id, c.vec_id AS cell,
+       |    ${cosSql("q.embedding", "c.embedding")} AS ccos
+       |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 5),
+       |rk AS (SELECT query_id, cell, cell_n,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY ccos DESC, cell) AS crn
+       |  FROM qr JOIN sz USING (cell)),
+       |cm AS (SELECT query_id, cell,
+       |    coalesce(sum(cell_n) OVER (PARTITION BY query_id ORDER BY crn
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS cum_before
+       |  FROM rk),
+       |pb AS (SELECT query_id, cell FROM cm WHERE cum_before < 150),
+       |np AS (SELECT query_id, count(*) AS n_probed FROM pb GROUP BY 1),
+       |pr AS (SELECT p.query_id, v.vec_id AS neighbor_id,
+       |    ${cosSql("q.embedding", "v.embedding")} AS cos
+       |  FROM pb p JOIN corpus_cells v ON v.cell = p.cell
+       |  JOIN embeddings q ON q.vec_id = p.query_id
+       |  WHERE q.vec_id <> v.vec_id),
+       |fr AS (SELECT query_id, neighbor_id, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT)
+       |      AS rnk, cos FROM pr)
+       |SELECT query_id, CAST(n_probed AS BIGINT) AS n_probed,
+       |  neighbor_id, rnk, round(cos, 6) AS cosine
+       |FROM fr JOIN np USING (query_id) WHERE rnk <= 3""".stripMargin
+  }
+
   /** s11: IVF-PQ with the exact RE-RANK refine stage — s8's ADC scan
     * keeps only a top-10 shortlist per query, then the shortlist is
     * re-scored against full-precision embeddings and the final top-3

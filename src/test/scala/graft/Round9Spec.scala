@@ -922,4 +922,28 @@ class Round9Spec extends SparkTestBase {
     // the symmetric signal the containment gate rescues: J = 4/18
     assert(got.head._6 < 250000L)
   }
+
+  test("s31 knnIvfAdaptive: probe width follows the candidate budget " +
+    "on a skewed layout — hot-cell budget stops at one cell, a " +
+    "larger budget opens the sparse cell too") {
+    import graft.operators.Similarity
+    val cents = Seq(
+      (100L, Array(1f, 0f, 0f, 0f)),
+      (101L, Array(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    // hot cell A: 5 vectors; sparse cell B: 2
+    val corpus = ((1 to 5).map(i => (i.toLong, Array(1f, 0.01f * i, 0f, 0f)))
+      ++ (6 to 7).map(i => (i.toLong, Array(0.01f * i, 1f, 0f, 0f))))
+      .toDF("vec_id", "embedding")
+    val query = Seq((0L, Array(1f, 0.2f, 0f, 0f))).toDF("vec_id", "embedding")
+    // budget 5: cum before cell B is 5, not < 5 -> only the hot cell
+    val tight = Similarity.knnIvfAdaptive(corpus, query, cents,
+      budget = 5, k = 7).as[(Long, Long, Long, Int, Double)].collect()
+    assert(tight.forall(_._2 === 1L))
+    assert(tight.map(_._3).toSet === Set(1L, 2L, 3L, 4L, 5L))
+    // budget 6: 5 < 6 -> the sparse cell opens too, all 7 reachable
+    val wide = Similarity.knnIvfAdaptive(corpus, query, cents,
+      budget = 6, k = 7).as[(Long, Long, Long, Int, Double)].collect()
+    assert(wide.forall(_._2 === 2L))
+    assert(wide.map(_._3).toSet === (1L to 7L).toSet)
+  }
 }
