@@ -1234,6 +1234,129 @@ object MediaQueries {
       |  coalesce(a.max_step_motion, 0) AS max_step_motion
       |FROM g LEFT JOIN a USING (doc_id)""".stripMargin
 
+  // ---- m25: shot segmentation + keyframe selection ----------------
+
+  /** m25: SHOT KEYFRAMES — the selection stage downstream of m9's
+    * cut detection: frames group into SHOTS at cut boundaries
+    * (adjacent-frame diff beyond the m9 threshold starts a new
+    * shot), and each shot elects one REPRESENTATIVE frame — the
+    * argmax of integer DETAIL ENERGY (sum of absolute adjacent-pixel
+    * channel deltas over the decoded RGB raster; ties to the
+    * earliest frame). This is the thumbnail/sampling decision a
+    * video curation pipeline makes per shot — m7 samples frames
+    * blindly by stride, m25 samples by CONTENT. Multi-frame GIFs
+    * really encode and really decode (the m4/m9/m23 lossless-LZW
+    * gate); cuts, shots, keyframes, and detail energies all restate
+    * arithmetically in the oracle.
+    *
+    * 100 TB shape: the m5/m10 contract — all of a video's frames
+    * decode and reduce inside ONE partition-scoped pass; only
+    * (doc, shot) rows reach the exchange. */
+  def m25ShotKeyframes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{Codecs, Multimodal}
+    Tables.spread(Tables.documents(spark, dir).select(col("doc_id"))).as[Long]
+      .mapPartitions { it =>
+        val palR = Array.tabulate(256)(v => v.toByte)
+        val palG = Array.tabulate(256)(v => ((v * 37) % 256).toByte)
+        val palB = Array.tabulate(256)(v => ((v * 91) % 256).toByte)
+        it.flatMap { id =>
+          val w = (6 + id % 9).toInt; val h = (6 + id % 5).toInt
+          val nf = (2 + id % 7).toInt
+          val frames = (0 until nf).map { f =>
+            Array.tabulate(w * h)(i =>
+              ((id * 7 + f * 31 + i * 13) % 256).toByte)
+          }
+          val gif = Codecs.ImageIoCodecs.GifCodec.encodeIndexedFrames(
+            w, h, palR, palG, palB, frames)
+          val dec = Codecs.AutoCodec.decode(
+            Multimodal.MediaRecord(id, "video", gif))
+          val rgb = Codecs.ImageIoCodecs.GifCodec.extractAllFramesRgb(gif)
+          require(rgb.length == dec.n_frames && dec.n_frames == nf,
+            s"codec frame-count disagreement for doc $id")
+          val px = rgb.map(_._3)
+          def detail(f: Int): Long = {
+            val b = px(f); var e = 0L; var p = 0
+            while (p < w * h - 1) {
+              var c = 0
+              while (c < 3) {
+                e += math.abs((b(3 * p + c) & 0xff) - (b(3 * p + 3 + c) & 0xff))
+                c += 1
+              }
+              p += 1
+            }
+            e
+          }
+          def frameDiff(f: Int): Long = {
+            val (pa, pb) = (px(f - 1), px(f)); var d = 0L; var i = 0
+            while (i < pa.length) {
+              d += math.abs((pa(i) & 0xff) - (pb(i) & 0xff)); i += 1
+            }
+            d
+          }
+          val shots = Seq.newBuilder[(Long, Int, Int, Int, Int, Int, Long)]
+          var shot = 0; var f = 0
+          while (f < nf) {
+            val start = f
+            var bestF = f; var bestD = detail(f)
+            f += 1
+            while (f < nf && !(frameDiff(f) * 4 > w.toLong * h * 3 * 255)) {
+              val d = detail(f)
+              if (d > bestD) { bestD = d; bestF = f }
+              f += 1
+            }
+            shot += 1
+            shots += ((id, shot, start, f - 1, f - start, bestF, bestD))
+          }
+          shots.result()
+        }
+      }.toDF("doc_id", "shot_idx", "f_start", "f_end", "n_frames",
+        "key_frame", "key_detail")
+  }
+
+  val m25Sql: String = {
+    def ch(expr: String, mul: Int): String =
+      if (mul == 1) s"($expr) % 256" else s"(($expr) % 256) * $mul % 256"
+    def pixDiff(fa: String, fb: String, p: String): String =
+      Seq(1, 37, 91).map { m =>
+        s"abs(${ch(s"doc_id*7 + ($fa)*31 + ($p)*13", m)} - " +
+          s"${ch(s"doc_id*7 + ($fb)*31 + ($p)*13", m)})"
+      }.mkString(" + ")
+    s"""WITH g AS (SELECT doc_id, 6 + doc_id % 9 AS w,
+       |    6 + doc_id % 5 AS h, 2 + doc_id % 7 AS nf
+       |  FROM documents),
+       |fr AS (SELECT doc_id, w, h, CAST(f AS INT) AS f
+       |  FROM g, unnest(range(nf)) r(f)),
+       |dt AS (SELECT doc_id, w, h, f,
+       |    CAST(list_sum(list_transform(range(w * h - 1), p ->
+       |      ${Seq(1, 37, 91).map(m =>
+      s"abs(${ch("doc_id*7 + f*31 + p*13", m)} - ${ch("doc_id*7 + f*31 + (p+1)*13", m)})")
+        .mkString(" + ")})) AS BIGINT) AS detail,
+       |    CASE WHEN f = 0 THEN 0 WHEN
+       |      CAST(list_sum(list_transform(range(w * h), p ->
+       |        ${pixDiff("f - 1", "f", "p")})) AS BIGINT) * 4
+       |        > w * h * 3 * 255
+       |      THEN 1 ELSE 0 END AS is_new_shot
+       |  FROM fr),
+       |sh AS (SELECT doc_id, f, detail,
+       |    CAST(sum(is_new_shot) OVER (PARTITION BY doc_id ORDER BY f)
+       |      + 1 AS INT) AS shot_idx
+       |  FROM dt),
+       |gr AS (SELECT doc_id, shot_idx, CAST(min(f) AS INT) AS f_start,
+       |    CAST(max(f) AS INT) AS f_end, CAST(count(*) AS INT) AS n_frames
+       |  FROM sh GROUP BY 1, 2),
+       |ky AS (SELECT doc_id, shot_idx, CAST(f AS INT) AS key_frame,
+       |    detail AS key_detail
+       |  FROM (SELECT doc_id, shot_idx, f, detail, row_number() OVER (
+       |      PARTITION BY doc_id, shot_idx
+       |      ORDER BY detail DESC, f) AS rn FROM sh)
+       |  WHERE rn = 1)
+       |SELECT gr.doc_id, gr.shot_idx, f_start, f_end, n_frames,
+       |  key_frame, key_detail
+       |FROM gr JOIN ky ON ky.doc_id = gr.doc_id
+       |  AND ky.shot_idx = gr.shot_idx""".stripMargin
+  }
+
   // ---- m24: audio fingerprint matching (constellation + offset vote)
 
   /** m24: AUDIO FINGERPRINT MATCHING — find WHERE a short audio

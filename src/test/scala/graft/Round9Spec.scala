@@ -946,4 +946,27 @@ class Round9Spec extends SparkTestBase {
     assert(wide.forall(_._2 === 2L))
     assert(wide.map(_._3).toSet === (1L to 7L).toSet)
   }
+
+  test("m25 shotKeyframes: shots partition each video's frames, the " +
+    "keyframe lies inside its shot, and both single- and multi-shot " +
+    "videos occur") {
+    val got = graft.queries.MediaQueries.m25ShotKeyframes(spark, sf)
+      .as[(Long, Int, Int, Int, Int, Int, Long)].collect()
+    val byDoc = got.groupBy(_._1)
+    byDoc.foreach { case (id, shots) =>
+      val nf = (2 + id % 7).toInt
+      val sorted = shots.sortBy(_._2)
+      // contiguous cover of 0..nf-1
+      assert(sorted.head._3 === 0 && sorted.last._4 === nf - 1)
+      assert(sorted.map(_._5).sum === nf)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 === a._4 + 1)
+        case _ =>
+      }
+      // keyframe inside its shot
+      shots.foreach(s => assert(s._6 >= s._3 && s._6 <= s._4))
+    }
+    assert(byDoc.values.exists(_.length > 1))
+    assert(byDoc.values.exists(_.length === 1))
+  }
 }
