@@ -1798,6 +1798,42 @@ object LlmQueries {
 
   val d16Sql: String = d9Sql
 
+  /** d18: INCREMENTAL connected-components maintenance — the daily
+    * dedup-ingest shape d9 cannot serve: a standing corpus already
+    * carries its component labeling, today's batch (docs with
+    * `doc_id % 10 == 7` stand in) brings NEW near-dup edges, and the
+    * update touches only the DELTA — new edges CONTRACT through the
+    * standing labels to a supernode graph (each old component is one
+    * node, because anything connecting to any member connects to the
+    * whole component), a small CC runs on that contracted graph, and
+    * every node relabels through the chain node → old label → merged
+    * label. The standing closure is never recomputed: the work is
+    * O(|delta| + |affected components|), not O(|corpus|).
+    *
+    * The oracle is the FULL recompute (d9's recursive closure over
+    * ALL pairs), so the hash gate certifies incremental ≡ rebuild —
+    * the same trust property s17 establishes for index appends.
+    * Contract (documented): edges arrive incrementally; pair
+    * GENERATION drift (LSH caps shifting when the corpus grows) is
+    * the separate re-banding concern d13's persisted index carries. */
+  def d18IncrementalCc(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.nearDupPairs(Tables.spread(Tables.documents(spark, dir)),
+      threshold = 0.8)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .localCheckpoint(true)
+    val isNew = (c: org.apache.spark.sql.Column) => c % 10 === 7
+    val oldPairs = pairs.filter(!isNew(col("a")) && !isNew(col("b")))
+    val newPairs = pairs.filter(isNew(col("a")) || isNew(col("b")))
+    val labels0 = graft.operators.Components.connectedComponents(oldPairs)
+      .localCheckpoint(true)
+    graft.operators.Components.incrementalComponents(labels0, newPairs)
+      .select(col("node").as("doc_id"), col("cluster"),
+        (col("node") === col("cluster")).as("survivor"))
+  }
+
+  /** Incremental maintenance must be invisible: full-rebuild oracle. */
+  val d18Sql: String = d9Sql
+
   /** d17: ASYMMETRIC CONTAINMENT (Dedup.containmentPairs) — the
     * excerpt/quote detector: C(A,B) = |S_A ∩ S_B| / |S_A| over
     * distinct word-3-shingles, gated on max-direction containment

@@ -969,4 +969,26 @@ class Round9Spec extends SparkTestBase {
     assert(byDoc.values.exists(_.length > 1))
     assert(byDoc.values.exists(_.length === 1))
   }
+
+  test("d18 incrementalComponents: delta edges merge standing " +
+    "components, attach unseen nodes, and spawn new components — " +
+    "identical to a full recompute") {
+    import graft.operators.Components
+    val oldEdges = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+    val labels0 = Components.connectedComponents(oldEdges)
+    val delta = Seq((2L, 3L), (5L, 6L), (10L, 4L)).toDF("a", "b")
+    val got = Components.incrementalComponents(labels0, delta)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 1L, 5L -> 5L, 6L -> 5L))
+    val full = Components.connectedComponents(
+      oldEdges.unionByName(delta))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === full)
+    // an empty delta is the identity
+    assert(Components.incrementalComponents(labels0,
+      Seq.empty[(Long, Long)].toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+  }
 }
