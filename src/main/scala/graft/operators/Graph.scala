@@ -387,6 +387,47 @@ object Graph {
           .otherwise(lit(0.0)).as("assortativity"))
   }
 
+  /** Bounded multi-source WEIGHTED shortest paths (Bellman-Ford,
+    * `rounds` relaxation rounds) over an undirected weighted pair
+    * list (doc_a, doc_b, hamming; edge weight = hamming + 1) — the
+    * smooth cousin of bfsLayers' hop count: two docs one
+    * 3-bit-hamming pair apart are FARTHER than two docs one
+    * 0-hamming pair apart, so the weighted distance ranks
+    * contamination/flag proximity by EVIDENCE STRENGTH, not just
+    * link count. Each round is one edge⋈dist equi-join + a
+    * partial-agg min per node (the Components discipline); `rounds`
+    * bounds the path length considered — a declared horizon the
+    * oracle unrolls, and distances only tighten with more rounds.
+    * Unreached nodes report -1, never NULL. */
+  def weightedPaths(pairs: DataFrame, seedMod: Long, rounds: Int): DataFrame = {
+    val sym = pairs
+      .select(col("doc_a").cast("long").as("src"),
+        col("doc_b").cast("long").as("dst"),
+        (col("hamming").cast("long") + 1L).as("w"))
+      .union(pairs.select(col("doc_b").cast("long").as("src"),
+        col("doc_a").cast("long").as("dst"),
+        (col("hamming").cast("long") + 1L).as("w")))
+      .localCheckpoint(true)
+    val nodes = sym.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    var dist = nodes.filter(col("node") % seedMod === 0)
+      .select(col("node"), lit(0L).as("wd")).localCheckpoint(true)
+    (1 to rounds).foreach { _ =>
+      val relaxed = sym.join(dist, sym("src") === dist("node"))
+        .select(col("dst").as("node"), (col("wd") + col("w")).as("wd"))
+      val nd = dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("wd")).as("wd"))
+        .localCheckpoint(true)
+      dist.unpersist()
+      dist = nd
+    }
+    val out = nodes.join(dist, Seq("node"), "left")
+      .select(col("node").as("doc_id"),
+        coalesce(col("wd"), lit(-1L)).as("wdist"))
+    sym.unpersist()
+    out
+  }
+
   /** COMMUNITY DETECTION via fixed-round synchronous label
     * propagation (Raghavan et al. 2007), made deterministic: every
     * node starts labeled with itself; each round every node adopts

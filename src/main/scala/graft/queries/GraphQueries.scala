@@ -430,6 +430,42 @@ object GraphQueries {
     * cliques that share one accidental pair. The oracle unrolls the
     * three rounds (count CTE + row_number argmax per round), so the
     * mode-adoption update is hash-certified engine-for-engine. */
+  /** g13: WEIGHTED proximity to the flagged seed set
+    * (Graph.weightedPaths, 4 Bellman-Ford rounds, weight =
+    * hamming + 1) — g7 counts hops, g13 weighs them by evidence
+    * strength: a path through exact-duplicate (hamming-0) pairs is
+    * shorter than one through borderline hamming-3 pairs, so the
+    * distance ranks expansion candidates the way a curation triage
+    * actually trusts them. The oracle unrolls the four relaxation
+    * rounds (union + min per round), putting Bellman-Ford under the
+    * hash gate alongside g1's PageRank and g7's BFS. */
+  def g13WeightedPaths(spark: SparkSession, dir: String): DataFrame =
+    Graph.weightedPaths(LlmQueries.d6SimhashPairs(spark, dir),
+      seedMod = 7L, rounds = 4)
+
+  val g13Sql: String = {
+    val rounds = (1 to 4).map { i =>
+      s"""r$i AS (SELECT node, CAST(min(wd) AS BIGINT) AS wd FROM (
+         |  SELECT node, wd FROM r${i - 1}
+         |  UNION ALL
+         |  SELECT e.dst AS node, r.wd + e.w AS wd
+         |  FROM syme e JOIN r${i - 1} r ON r.node = e.src
+         |) GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (SELECT doc_a, doc_b, hamming FROM (
+       |${LlmQueries.d6Sql}
+       |)),
+       |syme AS (SELECT doc_a AS src, doc_b AS dst,
+       |    CAST(hamming + 1 AS BIGINT) AS w FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a, hamming + 1 FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM syme),
+       |r0 AS (SELECT node, CAST(0 AS BIGINT) AS wd FROM nodes
+       |  WHERE node % 7 = 0),
+       |$rounds
+       |SELECT n.node AS doc_id, coalesce(r4.wd, -1) AS wdist
+       |FROM nodes n LEFT JOIN r4 ON r4.node = n.node""".stripMargin
+  }
+
   def g12LabelProp(spark: SparkSession, dir: String): DataFrame =
     Graph.labelPropagation(LlmQueries.d6SimhashPairs(spark, dir), rounds = 3)
 

@@ -991,4 +991,26 @@ class Round9Spec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
   }
+
+  test("g13 weightedPaths: a two-hop strong-evidence path beats a " +
+    "one-hop weak pair; horizon bounds the relaxation; unreached " +
+    "nodes report -1") {
+    import graft.operators.Graph
+    // seed 7 (7 % 7 = 0). Routes to node 9:
+    //   direct  7-9 hamming 3       -> weight 4
+    //   via 8:  7-8 and 8-9, both 0 -> weight 1 + 1 = 2
+    // nodes 22-23: disconnected from the seed, and not seeds
+    // themselves (neither is ≡ 0 mod 7)
+    val pairs = Seq(
+      (7L, 9L, 3), (7L, 8L, 0), (8L, 9L, 0),
+      (22L, 23L, 1)).toDF("doc_a", "doc_b", "hamming")
+    val got = Graph.weightedPaths(pairs, seedMod = 7L, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(7L -> 0L, 8L -> 1L, 9L -> 2L,
+      22L -> -1L, 23L -> -1L))
+    // horizon 1: only direct edges relax — 9 costs 4 via the weak pair
+    val oneRound = Graph.weightedPaths(pairs, seedMod = 7L, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(oneRound(9L) === 4L && oneRound(8L) === 1L)
+  }
 }
