@@ -33,7 +33,16 @@ object Components {
 
   /** Connected components of the undirected graph given by `edges`
     * (two LONG columns `a`, `b`). Returns one row per distinct node:
-    * (node, cluster) where cluster = min node id reachable. */
+    * (node, cluster) where cluster = min node id reachable.
+    *
+    * Convergence detection is an exact MONOTONE invariant, not a
+    * diff join: per-node labels only ever DECREASE (each round takes
+    * a min), and node ids are non-negative, so the exact decimal
+    * label total strictly decreases iff any label changed —
+    * comparing one overflow-proof aggregate per round replaces the
+    * old labels⋈labels diff join + count, shaving a node-sized
+    * shuffle off every round for every CC consumer (d9/d18, g10,
+    * g11, m17, x20/x24/x42/x49). */
   def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
     val e = edges.select(col("a").cast("long").as("a"),
       col("b").cast("long").as("b"))
@@ -43,6 +52,11 @@ object Components {
     var labels = sym.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint(true)
+    def labelSum(l: DataFrame): java.math.BigDecimal = {
+      val v = l.agg(sum(col("label").cast("decimal(38,0)"))).head()
+      if (v.isNullAt(0)) java.math.BigDecimal.ZERO else v.getDecimal(0)
+    }
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -54,14 +68,14 @@ object Components {
           least(col("l.label"), coalesce(col("p.nbr_min"), col("l.label")))
             .as("label"))
         .localCheckpoint(true)
-      val changed = next.alias("n").join(labels.alias("o"), Seq("node"))
-        .filter(col("n.label") =!= col("o.label")).count()
+      val nextSum = labelSum(next)
       // release the superseded round's snapshot NOW — without this,
       // up to maxIters dead label tables pile up in storage memory
       // until the driver's ContextCleaner happens to GC them
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
     }
     sym.unpersist()
@@ -89,10 +103,12 @@ object Components {
     *
     * Convergence detector: (edge count, bit_xor of per-edge
     * xxhash64) — one tiny aggregate per round instead of a
-    * full-join diff (XOR is order-independent and cannot overflow);
-    * a set-hash collision would only DELAY termination by one round
-    * (the fixpoint re-verifies), never corrupt labels, and the
-    * final labels are oracle-hashed anyway. At the fixpoint the edge
+    * full-join diff (XOR is order-independent and cannot overflow).
+    * Signature equality is necessary but not sufficient, so the
+    * terminal round CONFIRMS with one real set diff (`except`) —
+    * the expensive comparison runs exactly once, and a hash
+    * collision can only send the loop around again, never end it
+    * on a non-fixpoint. At the fixpoint the edge
     * set is a star forest: every non-minimum node holds exactly one
     * edge to its component minimum. Returns the same contract as
     * `connectedComponents`: (node, cluster = min reachable id). */
@@ -148,9 +164,9 @@ object Components {
     while (!converged && iter < maxIters) {
       val next = smallStar(largeStar(cur)).localCheckpoint(true)
       val nextSig = signature(next)
+      converged = nextSig == sig && next.except(cur).isEmpty
       cur.unpersist()
       cur = next
-      converged = nextSig == sig
       sig = nextSig
       iter += 1
     }
