@@ -326,12 +326,20 @@ object Graph {
     * 100 TB shape: Components' bounded min-label rounds + one
     * cluster-keyed partial agg over the EDGE list (each edge joins
     * its doc_a's label — one equi-join) + a one-row broadcast total. */
-  def modularity(pairs: DataFrame): DataFrame = {
-    val comp = Components.connectedComponents(
-      pairs.select(col("doc_a").cast("long").as("a"),
-        col("doc_b").cast("long").as("b")))
+  def modularity(pairs0: DataFrame): DataFrame = {
+    // the pair GENERATOR is the expensive subplan (bands + verify) and
+    // is consumed twice (CC edges + per-cluster edge counts) —
+    // materialize it once so the generator runs once
+    val pairs = pairs0
+      .select(col("doc_a").cast("long").as("a"),
+        col("doc_b").cast("long").as("b"))
+      .localCheckpoint(true)
+    // two-phase star contraction: the d6 graph carries deeper chains
+    // than d2's, and min-label pays one round per diameter hop where
+    // the contraction closes in O(log² n) rounds (same labels)
+    val comp = Components.connectedComponentsTwoPhase(pairs)
     val lab = comp.select(col("node"), col("cluster"))
-    val ec = pairs.select(col("doc_a").cast("long").as("node"))
+    val ec = pairs.select(col("a").as("node"))
       .join(lab, Seq("node"))
       .groupBy(col("cluster")).agg(count(lit(1)).as("e_c"))
     val mm = ec.agg(sum(col("e_c")).as("m"))
