@@ -1013,4 +1013,42 @@ class Round9Spec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(oneRound(9L) === 4L && oneRound(8L) === 1L)
   }
+
+  test("randomized CC algebra: min-label, star contraction, and " +
+    "incremental maintenance all equal an in-memory union-find " +
+    "reference on seeded random graphs") {
+    import graft.operators.Components
+    val rnd = new scala.util.Random(9)
+    (1 to 4).foreach { _ =>
+      val n = 30 + rnd.nextInt(40)
+      val m = 40 + rnd.nextInt(60)
+      val edges = Seq.fill(m)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      // union-find that always attaches the larger root under the
+      // smaller, so every root IS its component's minimum
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x
+        else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = nodes.map(v => v -> find(v.toInt).toLong).toMap
+      val df = edges.toDF("a", "b")
+      assert(Components.connectedComponents(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap === expected)
+      assert(Components.connectedComponentsTwoPhase(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap === expected)
+      val (oldE, newE) = edges.partition(e => (e._1 + e._2) % 3 != 0)
+      if (oldE.nonEmpty && newE.nonEmpty) {
+        val labels0 = Components.connectedComponents(oldE.toDF("a", "b"))
+        assert(Components.incrementalComponents(labels0,
+          newE.toDF("a", "b")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap === expected)
+      }
+    }
+  }
 }
