@@ -1834,6 +1834,91 @@ object LlmQueries {
   /** Incremental maintenance must be invisible: full-rebuild oracle. */
   val d18Sql: String = d9Sql
 
+  /** x64: the DEDUP LEDGER — one per-document keep/drop VERDICT with
+    * its reason, composing the three dedup criteria a curation run
+    * actually applies, in precedence order: byte-identity ('exact',
+    * d1's md5 groups, min-id survivor), transitive near-duplication
+    * ('near', d9's component closure, non-survivors), and excerpt
+    * containment ('contained', d17's ≥ 0.8 pairs — the SMALLER side
+    * drops, doc-id breaking exact-size ties). This is the artifact a
+    * user ships to the trainer: every doc appears exactly once,
+    * survivors read 'keep', and each drop names which criterion
+    * fired — the audit trail pair-level outputs (d1/d9/d17) cannot
+    * give without this join. Precedence matters and is hash-gated:
+    * an exact duplicate that is ALSO a near-dup non-survivor must
+    * read 'exact'.
+    *
+    * 100 TB shape: three independently scale-safe pipelines (one
+    * hash groupBy; the capped-band closure; capped posting lists)
+    * merged by doc-keyed left joins against strictly smaller
+    * verdict sets. */
+  def x64DedupLedger(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .localCheckpoint(true)
+    val exactDrop = docs
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .withColumn("keep_id",
+        min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("content_hash"))))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"), lit(1).as("is_exact"))
+    val nearDrop = d9DedupClusters(spark, dir)
+      .filter(!col("survivor"))
+      .select(col("doc_id"), lit(1).as("is_near"))
+    val ct = Dedup.containmentPairs(docs)
+    val containedDrop = ct
+      .filter(col("cont_a_ppm") >= 800000 &&
+        (col("n_a") < col("n_b") ||
+          (col("n_a") === col("n_b") && col("doc_a") > col("doc_b"))))
+      .select(col("doc_a").as("doc_id"))
+      .unionByName(ct
+        .filter(col("cont_b_ppm") >= 800000 &&
+          (col("n_b") < col("n_a") ||
+            (col("n_a") === col("n_b") && col("doc_b") > col("doc_a"))))
+        .select(col("doc_b").as("doc_id")))
+      .distinct()
+      .select(col("doc_id"), lit(1).as("is_contained"))
+    docs.select(col("doc_id"))
+      .join(exactDrop, Seq("doc_id"), "left")
+      .join(nearDrop, Seq("doc_id"), "left")
+      .join(containedDrop, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_exact") === 1, "exact")
+          .when(col("is_near") === 1, "near")
+          .when(col("is_contained") === 1, "contained")
+          .otherwise("keep").as("verdict"))
+  }
+
+  // lazy: composes d17Sql, which initializes later in this object
+  lazy val x64Sql: String =
+    s"""WITH ex AS (SELECT doc_id, 1 AS is_exact FROM (
+       |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text))
+       |      AS keep_id FROM documents)
+       |  WHERE doc_id <> keep_id),
+       |nr AS (SELECT doc_id, 1 AS is_near FROM (
+       |$d9Sql
+       |) WHERE NOT survivor),
+       |ctp AS (SELECT * FROM (
+       |$d17Sql
+       |)),
+       |cd AS (SELECT DISTINCT doc_id, 1 AS is_contained FROM (
+       |  SELECT doc_a AS doc_id FROM ctp
+       |  WHERE cont_a_ppm >= 800000
+       |    AND (n_a < n_b OR (n_a = n_b AND doc_a > doc_b))
+       |  UNION ALL
+       |  SELECT doc_b FROM ctp
+       |  WHERE cont_b_ppm >= 800000
+       |    AND (n_b < n_a OR (n_a = n_b AND doc_b > doc_a))))
+       |SELECT d.doc_id,
+       |  CASE WHEN ex.is_exact = 1 THEN 'exact'
+       |    WHEN nr.is_near = 1 THEN 'near'
+       |    WHEN cd.is_contained = 1 THEN 'contained'
+       |    ELSE 'keep' END AS verdict
+       |FROM documents d
+       |LEFT JOIN ex ON ex.doc_id = d.doc_id
+       |LEFT JOIN nr ON nr.doc_id = d.doc_id
+       |LEFT JOIN cd ON cd.doc_id = d.doc_id""".stripMargin
+
   /** d17: ASYMMETRIC CONTAINMENT (Dedup.containmentPairs) — the
     * excerpt/quote detector: C(A,B) = |S_A ∩ S_B| / |S_A| over
     * distinct word-3-shingles, gated on max-direction containment

@@ -1051,4 +1051,31 @@ class Round9Spec extends SparkTestBase {
       }
     }
   }
+
+  test("x64 dedupLedger: every doc verdicts exactly once, exact " +
+    "duplicates take precedence over near, survivors keep") {
+    import graft.queries.LlmQueries
+    import graft.sources.Tables
+    val ledger = LlmQueries.x64DedupLedger(spark, sf)
+      .as[(Long, String)].collect().toMap
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(ledger.size.toLong === nDocs)
+    assert(ledger.values.toSet.subsetOf(
+      Set("exact", "near", "contained", "keep")))
+    // precedence: md5-identical non-min docs must read 'exact'
+    // regardless of what the near-dup closure says about them
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", org.apache.spark.sql.functions.md5($"text")
+        .as("h"))
+      .as[(Long, String)].collect()
+    val exactDrops = docs.groupBy(_._2).values.filter(_.length > 1)
+      .flatMap(g => g.map(_._1).sorted.tail).toSet
+    exactDrops.foreach(id => assert(ledger(id) === "exact"))
+    // near-dup non-survivors that are not exact dups read 'near'
+    val near = LlmQueries.d9DedupClusters(spark, sf)
+      .filter(!$"survivor").select($"doc_id").as[Long].collect().toSet
+    (near -- exactDrops).foreach(id =>
+      assert(ledger(id) === "near" || ledger(id) === "exact"))
+    assert(ledger.values.count(_ == "keep") > 0)
+  }
 }
