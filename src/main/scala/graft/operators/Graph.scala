@@ -479,4 +479,109 @@ object Graph {
     sym.unpersist()
     labels.select(col("node").as("doc_id"), col("lab").as("community"))
   }
+
+  /** K-TRUSS peeling over an undirected pair list — the EDGE-level
+    * cohesion peel g8's k-core cannot express: an edge survives the
+    * k-truss iff it closes at least k−2 triangles among surviving
+    * edges, so bridges between dense near-dup families peel away
+    * even when both endpoints keep high degree. Per round, each
+    * edge's support = |N(a) ∩ N(b)| is counted with TWO equi-joins
+    * (edge × adjacency on each endpoint — the wedge formulation;
+    * wedge fan-out is Σ deg, the g2/g3 cost class) + one partial-agg
+    * groupBy on the edge key; edges under support peel with their
+    * round number, like kCorePeel's node rounds. Early-exit when a
+    * round peels nothing is result-identical to running all
+    * `rounds` (peeling is monotone), so the fixed-round oracle
+    * hashes match.
+    *
+    * Output: (doc_a, doc_b, peel_round, truss_support) — survivors
+    * carry peel_round = −1 and their final support; peeled edges
+    * carry their round and support = −1. */
+  def kTruss(pairs: DataFrame, k: Long, rounds: Int): DataFrame = {
+    def support(edges: DataFrame, sym: DataFrame): DataFrame =
+      edges
+        .join(sym.select(col("s").as("a"), col("d").as("z")), Seq("a"))
+        .join(sym.select(col("s").as("b"), col("d").as("z")), Seq("b", "z"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("sup"))
+    var edges = pairs
+      .select(least(col("doc_a"), col("doc_b")).cast("long").as("a"),
+        greatest(col("doc_a"), col("doc_b")).cast("long").as("b"))
+      .distinct().localCheckpoint(true)
+    var peeled = edges.filter(lit(false))
+      .select(col("a"), col("b"), lit(0L).as("peel_round"))
+      .localCheckpoint(true)
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val sym = edges.select(col("a").as("s"), col("b").as("d"))
+        .union(edges.select(col("b").as("s"), col("a").as("d")))
+      val sup = support(edges, sym)
+      val scored = edges.join(sup, Seq("a", "b"), "left")
+        .select(col("a"), col("b"), coalesce(col("sup"), lit(0L)).as("sup"))
+      val newPeeled = scored.filter(col("sup") < k - 2)
+        .select(col("a"), col("b"), lit(r.toLong).as("peel_round"))
+        .localCheckpoint(true)
+      if (newPeeled.isEmpty) {
+        newPeeled.unpersist()
+        done = true
+      } else {
+        val nextEdges = scored.filter(col("sup") >= k - 2)
+          .select(col("a"), col("b")).localCheckpoint(true)
+        val nextPeeled = peeled.union(newPeeled).localCheckpoint(true)
+        peeled.unpersist()
+        if (r > 1) edges.unpersist()
+        edges = nextEdges; peeled = nextPeeled
+        r += 1
+      }
+    }
+    val symF = edges.select(col("a").as("s"), col("b").as("d"))
+      .union(edges.select(col("b").as("s"), col("a").as("d")))
+    val finalSup = edges.join(support(edges, symF), Seq("a", "b"), "left")
+      .select(col("a"), col("b"), lit(-1L).as("peel_round"),
+        coalesce(col("sup"), lit(0L)).as("truss_support"))
+    finalSup.union(
+      peeled.select(col("a"), col("b"), col("peel_round"),
+        lit(-1L).as("truss_support")))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        col("peel_round"), col("truss_support"))
+  }
+
+  /** LINK PREDICTION over an undirected pair list — for every
+    * NON-adjacent ordered pair (x < y) with at least `minCn` common
+    * neighbors, the two classic proximity scores: common-neighbor
+    * count and the Resource Allocation index Σ_z 1/deg(z), carried
+    * as the integer Σ_z (1000000 div deg(z)) so the sum is
+    * summation-order-free and cross-engine hashable (the same
+    * integer-micro-unit discipline as pageRank).
+    *
+    * 100 TB shape: candidate pairs enumerate through the MIDDLE
+    * vertex (one self-join of the adjacency list on the center —
+    * fan-out Σ deg², the g3 two-hop class; a real corpus caps
+    * high-degree middles exactly like d2's mega-bucket cap), deg
+    * attaches by one keyed join BEFORE the pair groupBy, existing
+    * edges drop via one LEFT ANTI join on the canonical edge key,
+    * and the closing agg is partial. No all-pairs shape anywhere. */
+  def linkPrediction(pairs: DataFrame, minCn: Long): DataFrame = {
+    val edges = pairs
+      .select(least(col("doc_a"), col("doc_b")).cast("long").as("a"),
+        greatest(col("doc_a"), col("doc_b")).cast("long").as("b"))
+      .distinct().localCheckpoint(true)
+    val sym = edges.select(col("a").as("s"), col("b").as("d"))
+      .union(edges.select(col("b").as("s"), col("a").as("d")))
+    val deg = sym.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+    val wedges = sym.select(col("s").as("z"), col("d").as("x"))
+      .join(sym.select(col("s").as("z"), col("d").as("y")), Seq("z"))
+      .filter(col("x") < col("y"))
+    val cand = wedges
+      .join(edges, wedges("x") === edges("a") && wedges("y") === edges("b"),
+        "left_anti")
+      .join(deg.select(col("s").as("z"), col("deg")), Seq("z"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000 div deg")).as("ra_ppm"))
+      .filter(col("cn") >= minCn)
+    cand.select(col("x").as("doc_a"), col("y").as("doc_b"),
+      col("cn"), col("ra_ppm"))
+  }
 }

@@ -2476,4 +2476,74 @@ object CorpusQueries {
        |CROSS JOIN nt CROSS JOIN bt
        |WHERE n_ab >= 5
        |ORDER BY lift_ppm DESC, w1, w2 LIMIT 50""".stripMargin
+
+  // ---- x65: RAG chunk map (overlapping token windows) -------------
+
+  /** x65: the RETRIEVAL-chunking counterpart of x16/x21's training
+    * packer — every document split into overlapping fixed-width
+    * token windows (window 64, stride 48 → 16-token overlap), each
+    * chunk addressed by (doc_id, chunk_id, token span) and
+    * content-fingerprinted with the corpus' poly-hash so a vector
+    * store can key embeddings to exact source spans. x21 bin-packs
+    * WHOLE docs into disjoint shards for a trainer; this emits the
+    * overlapping intra-doc map an indexer feeds to the s-family.
+    *
+    * Chunk i covers tokens [i·S, i·S+W); the count is
+    * ⌈max(n−W,0)/S⌉+1 so the final window always reaches the last
+    * token and short docs yield exactly one chunk. The fingerprint
+    * is the left fold (a·31 + poly_hash(tok)) mod 1e9+7 over the
+    * chunk's tokens — associativity-free by construction, so both
+    * engines hash identically.
+    *
+    * 100 TB shape: ZERO shuffles — tokenize, count, sequence-explode
+    * and fold are all row-local projections inside one scan; output
+    * fan-out is bounded by n_tok/S per doc. The chunk map streams
+    * straight to a partitioned writer; nothing wide ever forms. */
+  def ragChunks(docsIn: DataFrame, window: Int, stride: Int): DataFrame = {
+    val w = lit(window.toLong)
+    val s = lit(stride.toLong)
+    docsIn
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
+      .withColumn("n_tok", size(col("ts")).cast("long"))
+      .filter(col("n_tok") > 0)
+      .withColumn("chunk_id", explode(sequence(lit(0L),
+        (greatest(col("n_tok") - w, lit(0L)) + (s - lit(1L)))
+          .divide(s).cast("long"))))
+      .withColumn("tok_start", col("chunk_id") * s)
+      .withColumn("tok_end", least(col("tok_start") + w, col("n_tok")))
+      .select(col("doc_id"), col("chunk_id"), col("tok_start"),
+        col("tok_end"),
+        (col("tok_end") - col("tok_start")).as("n_chunk_tok"),
+        aggregate(
+          transform(
+            slice(col("ts"), (col("tok_start") + 1).cast("int"),
+              (col("tok_end") - col("tok_start")).cast("int")),
+            t => TextFunctions.polyHash(t)),
+          lit(0L),
+          (acc, hv) => (acc * 31 + hv) % 1000000007L).as("chunk_hash"))
+  }
+
+  def x65RagChunks(spark: SparkSession, dir: String): DataFrame =
+    ragChunks(Tables.documents(spark, dir), window = 64, stride = 48)
+
+  val x65Sql: String =
+    s"""WITH t AS (SELECT doc_id, $tsSql AS ts FROM documents),
+       |n AS (SELECT doc_id, ts, len(ts) AS n_tok FROM t
+       |  WHERE len(ts) > 0),
+       |c AS (SELECT doc_id, ts, n_tok,
+       |    unnest(range(((greatest(n_tok - 64, 0) + 47) // 48) + 1))
+       |      AS chunk_id
+       |  FROM n)
+       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |  CAST(chunk_id * 48 AS BIGINT) AS tok_start,
+       |  CAST(least(chunk_id * 48 + 64, n_tok) AS BIGINT) AS tok_end,
+       |  CAST(least(chunk_id * 48 + 64, n_tok) - chunk_id * 48 AS BIGINT)
+       |    AS n_chunk_tok,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(
+       |        list_slice(ts, chunk_id * 48 + 1,
+       |          least(chunk_id * 48 + 64, n_tok)),
+       |        tkn -> ${polySql("tkn")})),
+       |    (acc, hv) -> (acc * 31 + hv) % 1000000007) AS chunk_hash
+       |FROM c""".stripMargin
 }

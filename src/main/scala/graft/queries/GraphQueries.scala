@@ -29,20 +29,20 @@ object GraphQueries {
 
   val g1Sql: String = {
     val rounds = (1 to 5).map { i =>
-      s"""r$i AS (SELECT e.d AS node,
+      s"""r$i AS MATERIALIZED (SELECT e.d AS node,
          |    CAST((15 * 1000000 + 85 * sum(r.pr // g.deg)) // 100 AS BIGINT)
          |      AS pr
          |  FROM sym e JOIN r${i - 1} r ON r.node = e.s
          |    JOIN deg g ON g.s = e.s
          |  GROUP BY 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pairs AS (SELECT doc_a, doc_b FROM (
+    s"""WITH pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM (
        |${LlmQueries.d6Sql}
        |)),
-       |sym AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |sym AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-       |deg AS (SELECT s, count(*) AS deg FROM sym GROUP BY 1),
-       |r0 AS (SELECT s AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+       |deg AS MATERIALIZED (SELECT s, count(*) AS deg FROM sym GROUP BY 1),
+       |r0 AS MATERIALIZED (SELECT s AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
        |$rounds
        |SELECT node AS doc_id, pr AS rank_micro FROM r5""".stripMargin
   }
@@ -55,20 +55,20 @@ object GraphQueries {
     Graph.triangleCounts(LlmQueries.d6SimhashPairs(spark, dir))
 
   val g2Sql: String =
-    s"""WITH pairs AS (SELECT doc_a, doc_b FROM (
+    s"""WITH pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM (
        |${LlmQueries.d6Sql}
        |)),
-       |sym AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |sym AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-       |deg AS (SELECT s, count(*) AS deg FROM sym GROUP BY 1),
-       |ornt AS (SELECT e.s AS src, e.d AS dst
+       |deg AS MATERIALIZED (SELECT s, count(*) AS deg FROM sym GROUP BY 1),
+       |ornt AS MATERIALIZED (SELECT e.s AS src, e.d AS dst
        |  FROM sym e JOIN deg a ON a.s = e.s JOIN deg b ON b.s = e.d
        |  WHERE a.deg < b.deg OR (a.deg = b.deg AND e.s < e.d)),
-       |tri AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+       |tri AS MATERIALIZED (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
        |  FROM ornt e1 JOIN ornt e2 ON e1.src = e2.src
        |  JOIN ornt e3 ON e3.src = e1.dst AND e3.dst = e2.dst
        |  WHERE e1.dst <> e2.dst),
-       |cr AS (SELECT unnest([u, v, w]) AS doc_id FROM tri)
+       |cr AS MATERIALIZED (SELECT unnest([u, v, w]) AS doc_id FROM tri)
        |SELECT doc_id, count(*) AS n_triangles FROM cr GROUP BY 1""".stripMargin
 
   /** g3: distinct ≤2-hop neighborhood size in the same graph — the
@@ -79,12 +79,12 @@ object GraphQueries {
     Graph.twoHopCounts(LlmQueries.d6SimhashPairs(spark, dir))
 
   val g3Sql: String =
-    s"""WITH pairs AS (SELECT doc_a, doc_b FROM (
+    s"""WITH pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM (
        |${LlmQueries.d6Sql}
        |)),
-       |sym AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |sym AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-       |two AS (SELECT a.s, b.d FROM sym a JOIN sym b ON a.d = b.s
+       |two AS MATERIALIZED (SELECT a.s, b.d FROM sym a JOIN sym b ON a.d = b.s
        |  WHERE b.d <> a.s),
        |al AS (SELECT s, d FROM sym UNION SELECT s, d FROM two)
        |SELECT s AS doc_id, count(*) AS n_within_2 FROM al GROUP BY 1""".stripMargin
@@ -99,20 +99,20 @@ object GraphQueries {
     Graph.clusteringCoefficients(LlmQueries.d6SimhashPairs(spark, dir))
 
   val g4Sql: String =
-    s"""WITH pairs AS (SELECT doc_a, doc_b FROM (
+    s"""WITH pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM (
        |${LlmQueries.d6Sql}
        |)),
-       |sym AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |sym AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-       |deg AS (SELECT s AS doc_id, count(*) AS degree FROM sym GROUP BY 1),
-       |ornt AS (SELECT e.s AS src, e.d AS dst
+       |deg AS MATERIALIZED (SELECT s AS doc_id, count(*) AS degree FROM sym GROUP BY 1),
+       |ornt AS MATERIALIZED (SELECT e.s AS src, e.d AS dst
        |  FROM sym e JOIN deg a ON a.doc_id = e.s JOIN deg b ON b.doc_id = e.d
        |  WHERE a.degree < b.degree OR (a.degree = b.degree AND e.s < e.d)),
-       |tri AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+       |tri AS MATERIALIZED (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
        |  FROM ornt e1 JOIN ornt e2 ON e1.src = e2.src
        |  JOIN ornt e3 ON e3.src = e1.dst AND e3.dst = e2.dst
        |  WHERE e1.dst <> e2.dst),
-       |cr AS (SELECT unnest([u, v, w]) AS doc_id FROM tri),
+       |cr AS MATERIALIZED (SELECT unnest([u, v, w]) AS doc_id FROM tri),
        |tc AS (SELECT doc_id, count(*) AS n_triangles FROM cr GROUP BY 1)
        |SELECT d.doc_id, d.degree,
        |  CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
@@ -130,12 +130,12 @@ object GraphQueries {
     Graph.degreeAssortativity(LlmQueries.d6SimhashPairs(spark, dir))
 
   val g5Sql: String =
-    s"""WITH pairs AS (SELECT doc_a, doc_b FROM (
+    s"""WITH pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM (
        |${LlmQueries.d6Sql}
        |)),
-       |sym AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |sym AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-       |deg AS (SELECT s, count(*) AS degree FROM sym GROUP BY 1),
+       |deg AS MATERIALIZED (SELECT s, count(*) AS degree FROM sym GROUP BY 1),
        |nd AS (SELECT count(*) AS n_nodes, max(degree) AS max_degree FROM deg),
        |ed AS (SELECT count(*) AS n_edges FROM pairs),
        |e AS (SELECT a.degree AS du, b.degree AS dv
@@ -233,18 +233,18 @@ object GraphQueries {
 
   val g7Sql: String = {
     val layers = (1 to 4).map { i =>
-      s"""f$i AS (SELECT DISTINCT e.d AS node
+      s"""f$i AS MATERIALIZED (SELECT DISTINCT e.d AS node
          |  FROM sym e JOIN f${i - 1} f ON f.node = e.s)""".stripMargin
     }.mkString(",\n")
     val unions = (0 to 4).map(i =>
       s"SELECT node, $i AS h FROM f$i").mkString("\n  UNION ALL ")
-    s"""WITH pairs AS (SELECT doc_a, doc_b FROM (
+    s"""WITH pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM (
        |${LlmQueries.d6Sql}
        |)),
-       |sym AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |sym AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-       |nodes AS (SELECT DISTINCT s AS node FROM sym),
-       |f0 AS (SELECT node FROM nodes WHERE node % 7 = 0),
+       |nodes AS MATERIALIZED (SELECT DISTINCT s AS node FROM sym),
+       |f0 AS MATERIALIZED (SELECT node FROM nodes WHERE node % 7 = 0),
        |$layers,
        |lay AS ($unions),
        |md AS (SELECT node, CAST(min(h) AS BIGINT) AS hops
@@ -269,24 +269,24 @@ object GraphQueries {
 
   val g8Sql: String = {
     val rounds = (1 to 4).map { i =>
-      s"""d$i AS (SELECT a.node, count(e.s) AS deg
+      s"""d$i AS MATERIALIZED (SELECT a.node, count(e.s) AS deg
          |  FROM a${i - 1} a LEFT JOIN e${i - 1} e ON e.s = a.node
          |  GROUP BY 1),
-         |p$i AS (SELECT node FROM d$i WHERE deg < 2),
-         |a$i AS (SELECT node FROM d$i WHERE deg >= 2),
-         |e$i AS (SELECT e.s, e.d FROM e${i - 1} e
+         |p$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg < 2),
+         |a$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= 2),
+         |e$i AS MATERIALIZED (SELECT e.s, e.d FROM e${i - 1} e
          |  JOIN a$i x ON x.node = e.s JOIN a$i y ON y.node = e.d)""".stripMargin
     }.mkString(",\n")
     val peeledUnion = (1 to 4).map(i =>
       s"SELECT node, $i AS r FROM p$i").mkString("\n  UNION ALL ")
-    s"""WITH pairs AS (SELECT doc_a, doc_b FROM (
+    s"""WITH pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM (
        |${LlmQueries.d6Sql}
        |)),
-       |sym AS (SELECT DISTINCT s, d FROM (
+       |sym AS MATERIALIZED (SELECT DISTINCT s, d FROM (
        |  SELECT doc_a AS s, doc_b AS d FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs)),
-       |a0 AS (SELECT DISTINCT s AS node FROM sym),
-       |e0 AS (SELECT s, d FROM sym),
+       |a0 AS MATERIALIZED (SELECT DISTINCT s AS node FROM sym),
+       |e0 AS MATERIALIZED (SELECT s, d FROM sym),
        |$rounds,
        |peeled AS ($peeledUnion),
        |df AS (SELECT a.node, count(e.s) AS deg
@@ -317,24 +317,24 @@ object GraphQueries {
 
   val g9Sql: String = {
     val rounds = (1 to 4).map { i =>
-      s"""c$i AS (SELECT e.d AS node, sum(r.pr // g.deg) AS s
+      s"""c$i AS MATERIALIZED (SELECT e.d AS node, sum(r.pr // g.deg) AS s
          |  FROM sym e JOIN r${i - 1} r ON r.node = e.s
          |    JOIN deg g ON g.s = e.s
          |  GROUP BY 1),
-         |r$i AS (SELECT n.node,
+         |r$i AS MATERIALIZED (SELECT n.node,
          |    CAST((15 * 1000000 * n.is_seed + 85 * coalesce(c.s, 0)) // 100
          |      AS BIGINT) AS pr
          |  FROM nodes n LEFT JOIN c$i c ON c.node = n.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pairs AS (SELECT doc_a, doc_b FROM (
+    s"""WITH pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM (
        |${LlmQueries.d6Sql}
        |)),
-       |sym AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |sym AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-       |deg AS (SELECT s, count(*) AS deg FROM sym GROUP BY 1),
-       |nodes AS (SELECT DISTINCT s AS node,
+       |deg AS MATERIALIZED (SELECT s, count(*) AS deg FROM sym GROUP BY 1),
+       |nodes AS MATERIALIZED (SELECT DISTINCT s AS node,
        |    CASE WHEN s % 7 = 0 THEN 1 ELSE 0 END AS is_seed FROM sym),
-       |r0 AS (SELECT node, CAST(is_seed * 1000000 AS BIGINT) AS pr
+       |r0 AS MATERIALIZED (SELECT node, CAST(is_seed * 1000000 AS BIGINT) AS pr
        |  FROM nodes),
        |$rounds
        |SELECT node AS doc_id, pr AS ppr_micro FROM r4""".stripMargin
@@ -399,10 +399,10 @@ object GraphQueries {
       .select(col("doc_a"), col("doc_b")))
 
   val g11Sql: String =
-    s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM (
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM (
        |${LlmQueries.d6Sql}
        |)),
-       |sym AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |sym AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
        |  UNION SELECT doc_b, doc_a FROM pairs),
        |reach(node, lab) AS (
        |  SELECT DISTINCT s AS node, s AS lab FROM sym
@@ -445,21 +445,21 @@ object GraphQueries {
 
   val g13Sql: String = {
     val rounds = (1 to 4).map { i =>
-      s"""r$i AS (SELECT node, CAST(min(wd) AS BIGINT) AS wd FROM (
+      s"""r$i AS MATERIALIZED (SELECT node, CAST(min(wd) AS BIGINT) AS wd FROM (
          |  SELECT node, wd FROM r${i - 1}
          |  UNION ALL
          |  SELECT e.dst AS node, r.wd + e.w AS wd
          |  FROM syme e JOIN r${i - 1} r ON r.node = e.src
          |) GROUP BY 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pairs AS (SELECT doc_a, doc_b, hamming FROM (
+    s"""WITH pairs AS MATERIALIZED (SELECT doc_a, doc_b, hamming FROM (
        |${LlmQueries.d6Sql}
        |)),
-       |syme AS (SELECT doc_a AS src, doc_b AS dst,
+       |syme AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst,
        |    CAST(hamming + 1 AS BIGINT) AS w FROM pairs
        |  UNION ALL SELECT doc_b, doc_a, hamming + 1 FROM pairs),
-       |nodes AS (SELECT DISTINCT src AS node FROM syme),
-       |r0 AS (SELECT node, CAST(0 AS BIGINT) AS wd FROM nodes
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM syme),
+       |r0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS wd FROM nodes
        |  WHERE node % 7 = 0),
        |$rounds
        |SELECT n.node AS doc_id, coalesce(r4.wd, -1) AS wdist
@@ -471,21 +471,102 @@ object GraphQueries {
 
   val g12Sql: String = {
     val rounds = (1 to 3).map { i =>
-      s"""c$i AS (SELECT e.s AS node, r.lab, count(*) AS c
+      s"""c$i AS MATERIALIZED (SELECT e.s AS node, r.lab, count(*) AS c
          |  FROM sym e JOIN r${i - 1} r ON r.node = e.d
          |  GROUP BY 1, 2),
-         |r$i AS (SELECT node, lab FROM (SELECT node, lab,
+         |r$i AS MATERIALIZED (SELECT node, lab FROM (SELECT node, lab,
          |    row_number() OVER (PARTITION BY node
          |      ORDER BY c DESC, lab) AS rn FROM c$i)
          |  WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pairs AS (SELECT doc_a, doc_b FROM (
+    s"""WITH pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM (
        |${LlmQueries.d6Sql}
        |)),
-       |sym AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |sym AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-       |r0 AS (SELECT DISTINCT s AS node, s AS lab FROM sym),
+       |r0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS lab FROM sym),
        |$rounds
        |SELECT node AS doc_id, lab AS community FROM r3""".stripMargin
   }
+
+  /** g14: 4-TRUSS peeling of the d6 near-dup graph, 3 fixed rounds —
+    * the edge-level cohesion cut: an edge survives iff it keeps ≥ 2
+    * triangles among survivors, so accidental bridges between dense
+    * duplicate families peel even when g8's k-core keeps both
+    * endpoints. The dedup reading: surviving edges are the pairs a
+    * conservative collapse can trust (triangle-corroborated), peeled
+    * rounds rank how quickly a pair loses corroboration. Oracle:
+    * the same wedge-count + peel unrolled per round (aggregates
+    * cannot sit in a recursive term; materialized CTEs keep it
+    * linear). */
+  def g14KTruss(spark: SparkSession, dir: String): DataFrame =
+    Graph.kTruss(LlmQueries.d6SimhashPairs(spark, dir), k = 4L, rounds = 3)
+
+  val g14Sql: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""sym$i AS MATERIALIZED (SELECT a AS s, b AS d FROM e${i - 1}
+         |  UNION ALL SELECT b, a FROM e${i - 1}),
+         |sup$i AS MATERIALIZED (SELECT e.a, e.b, count(*) AS sup
+         |  FROM e${i - 1} e JOIN sym$i n1 ON n1.s = e.a
+         |    JOIN sym$i n2 ON n2.s = e.b AND n2.d = n1.d
+         |  GROUP BY 1, 2),
+         |sc$i AS MATERIALIZED (SELECT e.a, e.b,
+         |    coalesce(s.sup, 0) AS sup
+         |  FROM e${i - 1} e LEFT JOIN sup$i s
+         |    ON s.a = e.a AND s.b = e.b),
+         |p$i AS MATERIALIZED (SELECT a, b FROM sc$i WHERE sup < 2),
+         |e$i AS MATERIALIZED (SELECT a, b FROM sc$i WHERE sup >= 2)""".stripMargin
+    }.mkString(",\n")
+    val peeledUnion = (1 to 3).map(i =>
+      s"SELECT a, b, $i AS r FROM p$i").mkString("\n  UNION ALL ")
+    s"""WITH pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM (
+       |${LlmQueries.d6Sql}
+       |)),
+       |e0 AS MATERIALIZED (SELECT least(doc_a, doc_b) AS a,
+       |    greatest(doc_a, doc_b) AS b
+       |  FROM pairs GROUP BY 1, 2),
+       |$rounds,
+       |symf AS MATERIALIZED (SELECT a AS s, b AS d FROM e3
+       |  UNION ALL SELECT b, a FROM e3),
+       |supf AS MATERIALIZED (SELECT e.a, e.b, count(*) AS sup
+       |  FROM e3 e JOIN symf n1 ON n1.s = e.a
+       |    JOIN symf n2 ON n2.s = e.b AND n2.d = n1.d
+       |  GROUP BY 1, 2),
+       |peeled AS ($peeledUnion)
+       |SELECT e.a AS doc_a, e.b AS doc_b, CAST(-1 AS BIGINT) AS peel_round,
+       |  CAST(coalesce(s.sup, 0) AS BIGINT) AS truss_support
+       |FROM e3 e LEFT JOIN supf s ON s.a = e.a AND s.b = e.b
+       |UNION ALL
+       |SELECT a, b, CAST(r AS BIGINT), CAST(-1 AS BIGINT) FROM peeled""".stripMargin
+  }
+
+  /** g15: LINK PREDICTION on the d6 near-dup graph — every
+    * non-adjacent pair with ≥ 2 common neighbors, scored by
+    * common-neighbor count and the integer Resource Allocation index
+    * Σ_z (1e6 div deg(z)). The curation reading: pairs two
+    * independent near-dup neighborhoods both vouch for are the
+    * candidates a cheaper LSH pass missed — the recall-audit query
+    * for d2/d6's banding, derived from the band output itself. */
+  def g15LinkPrediction(spark: SparkSession, dir: String): DataFrame =
+    Graph.linkPrediction(LlmQueries.d6SimhashPairs(spark, dir), minCn = 2L)
+
+  val g15Sql: String =
+    s"""WITH pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM (
+       |${LlmQueries.d6Sql}
+       |)),
+       |ed AS MATERIALIZED (SELECT least(doc_a, doc_b) AS a,
+       |    greatest(doc_a, doc_b) AS b
+       |  FROM pairs GROUP BY 1, 2),
+       |sym AS MATERIALIZED (SELECT a AS s, b AS d FROM ed
+       |  UNION ALL SELECT b, a FROM ed),
+       |deg AS MATERIALIZED (SELECT s, count(*) AS deg FROM sym GROUP BY 1),
+       |wd AS (SELECT n1.s AS z, n1.d AS x, n2.d AS y
+       |  FROM sym n1 JOIN sym n2 ON n1.s = n2.s AND n1.d < n2.d),
+       |cand AS (SELECT w.x, w.y, g.deg
+       |  FROM wd w LEFT JOIN ed e ON e.a = w.x AND e.b = w.y
+       |  JOIN deg g ON g.s = w.z
+       |  WHERE e.a IS NULL)
+       |SELECT x AS doc_a, y AS doc_b, count(*) AS cn,
+       |  CAST(sum(1000000 // deg) AS BIGINT) AS ra_ppm
+       |FROM cand GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
 }

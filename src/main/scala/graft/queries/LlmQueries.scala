@@ -80,26 +80,26 @@ object LlmQueries {
 
   val d2Sql: String =
     s"""WITH toks AS (SELECT doc_id, $tsSql AS ts FROM documents),
-       |sh AS (SELECT doc_id, $shSql AS ss FROM toks),
-       |sig AS (SELECT doc_id, ss, list_transform(range(12), k ->
+       |sh AS MATERIALIZED (SELECT doc_id, $shSql AS ss FROM toks),
+       |sig AS MATERIALIZED (SELECT doc_id, ss, list_transform(range(12), k ->
        |    list_min(list_transform(ss, s ->
        |      ((2*k + 1) * ${polySql("s")} + 7919*k) % 2147483647))) AS sg
        |  FROM sh),
-       |band0 AS (SELECT doc_id, b,
+       |band0 AS MATERIALIZED (SELECT doc_id, b,
        |    ((sg[3*b+1]*31 + sg[3*b+2]) % 2147483647 * 31 + sg[3*b+3])
        |      % 2147483647 AS bh
        |  FROM sig CROSS JOIN range(4) r(b)),
-       |band AS (SELECT doc_id, b, bh FROM (
+       |band AS MATERIALIZED (SELECT doc_id, b, bh FROM (
        |    SELECT doc_id, b, bh, count(*) OVER (PARTITION BY b, bh) AS bn
        |    FROM band0)
        |  WHERE bn <= 64),
-       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
        |  FROM band a JOIN band b
        |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
-       |hsets AS (SELECT doc_id,
+       |hsets AS MATERIALIZED (SELECT doc_id,
        |    list_distinct(list_transform(ss, s -> ${polySql("s")})) AS hs
        |  FROM sh),
-       |ver AS (SELECT c.da, c.db,
+       |ver AS MATERIALIZED (SELECT c.da, c.db,
        |    CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
        |      / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) AS jac
        |  FROM cand c JOIN hsets x ON c.da = x.doc_id
@@ -172,7 +172,7 @@ object LlmQueries {
          |    AS BIGINT) AS recall_micro
          |FROM nc${b}_$r CROSS JOIN nt${b}_$r CROSS JOIN tcount""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""${pre}hsets AS (SELECT doc_id,
+    s"""${pre}hsets AS MATERIALIZED (SELECT doc_id,
        |    list_distinct(list_transform(ss, s -> ${polySql("s")})) AS hs
        |  FROM sh),
        |$bandCtes,
@@ -254,14 +254,14 @@ object LlmQueries {
        |bandq AS (SELECT doc_id, b, bh FROM band0),
        |cbk AS (SELECT b, bh FROM bandq WHERE doc_id % 10 <> 7
        |  GROUP BY b, bh HAVING count(*) <= 64),
-       |cand AS (SELECT DISTINCT a.doc_id AS da, bb.doc_id AS db
+       |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS da, bb.doc_id AS db
        |  FROM bandq a JOIN cbk ON a.b = cbk.b AND a.bh = cbk.bh
        |  JOIN bandq bb ON bb.b = a.b AND bb.bh = a.bh
        |  WHERE a.doc_id % 10 <> 7 AND bb.doc_id % 10 = 7),
-       |hsets AS (SELECT doc_id,
+       |hsets AS MATERIALIZED (SELECT doc_id,
        |    list_distinct(list_transform(ss, s -> ${polySql("s")})) AS hs
        |  FROM sh),
-       |ver AS (SELECT c.da, c.db,
+       |ver AS MATERIALIZED (SELECT c.da, c.db,
        |    CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
        |      / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) AS jac
        |  FROM cand c JOIN hsets x ON c.da = x.doc_id
@@ -292,7 +292,7 @@ object LlmQueries {
        |h AS (SELECT doc_id, CAST(len(ts) AS INT) AS n_tokens,
        |    list_transform(list_distinct(ts), t -> ${polySql("t")}) AS hs
        |  FROM toks),
-       |sh AS (SELECT doc_id, n_tokens,
+       |sh AS MATERIALIZED (SELECT doc_id, n_tokens,
        |    list_reduce(list_prepend(CAST(0 AS BIGINT), [
        |      $bitTerms]),
        |      (a, b) -> a + b) AS simhash
@@ -314,15 +314,15 @@ object LlmQueries {
 
   val d6Sql: String =
     s"""WITH $simhashCtes,
-       |band0 AS (SELECT doc_id, simhash, b,
+       |band0 AS MATERIALIZED (SELECT doc_id, simhash, b,
        |    (simhash >> (8*b)) & 255 AS bv
        |  FROM sh CROSS JOIN range(8) r(b)),
-       |band AS (SELECT doc_id, simhash, b, bv FROM (
+       |band AS MATERIALIZED (SELECT doc_id, simhash, b, bv FROM (
        |    SELECT doc_id, simhash, b, bv,
        |      count(*) OVER (PARTITION BY b, bv) AS bn
        |    FROM band0)
        |  WHERE bn <= 64),
-       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+       |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
        |    a.simhash AS sa, b.simhash AS sb
        |  FROM band a JOIN band b
        |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
@@ -1012,7 +1012,7 @@ object LlmQueries {
 
   val s11Sql: String =
     s"""$ivfPqAdcCtes,
-       |sh AS (SELECT query_id, neighbor_id FROM (
+       |sh AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
        |    SELECT query_id, neighbor_id, row_number() OVER (
        |      PARTITION BY query_id ORDER BY adist ASC, neighbor_id) AS srn
        |    FROM ad) WHERE srn <= 10),
@@ -1105,7 +1105,7 @@ object LlmQueries {
        |      (q.embedding[k+1] > 0) <> (c.embedding[k+1] > 0))) AS ham
        |  FROM embeddings c
        |  JOIN embeddings q ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
-       |sh AS (SELECT query_id, neighbor_id FROM (
+       |sh AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
        |    SELECT query_id, neighbor_id, row_number() OVER (
        |      PARTITION BY query_id ORDER BY ham ASC, neighbor_id) AS srn
        |    FROM p) WHERE srn <= 10),
@@ -1195,7 +1195,7 @@ object LlmQueries {
        |    ${cosSql("q.embedding", "c.embedding", 16)} AS tcos
        |  FROM embeddings c
        |  JOIN embeddings q ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
-       |sh AS (SELECT query_id, neighbor_id FROM (
+       |sh AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
        |    SELECT query_id, neighbor_id, row_number() OVER (
        |      PARTITION BY query_id ORDER BY tcos DESC, neighbor_id) AS srn
        |    FROM p) WHERE srn <= 10),
@@ -1763,8 +1763,8 @@ object LlmQueries {
     val d2Ctes = d2Sql.substring(0, d2Sql.lastIndexOf("SELECT da AS doc_a"))
       .trim.replaceFirst("^WITH ", "WITH RECURSIVE ")
     s"""$d2Ctes,
-       |edges AS (SELECT da AS a, db AS b FROM ver WHERE jac >= 0.8),
-       |sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+       |edges AS MATERIALIZED (SELECT da AS a, db AS b FROM ver WHERE jac >= 0.8),
+       |sym AS MATERIALIZED (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
        |reach(node, lab) AS (
        |  SELECT DISTINCT a AS node, a AS lab FROM sym
        |  UNION
@@ -2977,4 +2977,33 @@ object LlmQueries {
        |SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cosine_sq8
        |FROM r WHERE rnk <= 10""".stripMargin
   }
+
+  /** d19: PREFIX-FILTERED set-similarity self-join (the AllPairs/
+    * PPJoin candidate generation — Dedup.prefixFilterPairs) at token
+    * Jaccard ≥ 0.7. d2 buys scale with banded MinHash (probabilistic
+    * recall, capped buckets), d4 with blocking + explicit caps; this
+    * is the third classic: EXACT at the threshold with nothing
+    * dropped, because candidates only need to collide on a rarest-
+    * prefix token. The oracle is the deliberate all-pairs
+    * restatement — the quadratic plan the prefix filter replaces —
+    * so the hash gate certifies the filter loses no pair.
+    * The threshold gate is pure integer on both engines
+    * (inter·10 ≥ union·7); docs with no tokens carry no set and
+    * pair with nothing. */
+  def d19PrefixFilter(spark: SparkSession, dir: String): DataFrame =
+    Dedup.prefixFilterPairs(Tables.spread(Tables.documents(spark, dir)))
+
+  val d19Sql: String =
+    s"""WITH t AS (SELECT doc_id, $tsSql AS ts FROM documents),
+       |hs AS MATERIALIZED (SELECT doc_id,
+       |    list_sort(list_distinct(list_transform(ts,
+       |      tkn -> ${polySql("tkn")}))) AS hs
+       |  FROM t WHERE len(ts) > 0),
+       |pr AS (SELECT a.doc_id AS da, b.doc_id AS db,
+       |    len(list_intersect(a.hs, b.hs)) AS i,
+       |    len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)) AS u
+       |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id)
+       |SELECT da AS doc_a, db AS doc_b,
+       |  round(CAST(i AS DOUBLE) / u, 6) AS jaccard
+       |FROM pr WHERE i * 10 >= u * 7""".stripMargin
 }

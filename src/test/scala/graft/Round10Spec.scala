@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-9 session-4 operators: interval-union coverage (r61),
+  * 2-D skyline (r62), RAG chunk map (x65), k-truss peeling (g14),
+  * link prediction (g15), and the prefix-filtered similarity join
+  * (d19). Each test hand-computes the expected result or
+  * cross-checks against an in-test brute force.
+  */
+class Round10Spec extends SparkTestBase {
+  import testImplicits._
+  import graft.queries.{CorpusQueries, Relational5}
+  import graft.operators.{Dedup, Graph}
+
+  test("r61 intervalCoverage: overlap merges, nesting absorbs, " +
+    "touching chains, duplicates and zero-length add nothing") {
+    val iv = Seq(
+      // "a": [0,10) + [5,20) overlap -> 20; [30,40) disjoint -> +10
+      ("a", 0L, 10L), ("a", 5L, 15L), ("a", 30L, 10L),
+      // "b": [0,100) nests [10,20) and a duplicate of itself
+      ("b", 0L, 100L), ("b", 10L, 10L), ("b", 0L, 100L),
+      // "c": touching [0,10)+[10,10) covers 20; zero-length at 5
+      ("c", 0L, 10L), ("c", 10L, 10L), ("c", 5L, 0L)
+    ).toDF("event_type", "s_us", "dur_us")
+    val got = Relational5.intervalCoverage(iv)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("a") === ((30L, 3L, 40L)))
+    assert(got("b") === ((100L, 3L, 100L)))
+    assert(got("c") === ((20L, 3L, 20L)))
+  }
+
+  test("r62 skyline: matches brute-force dominance on a mixed set, " +
+    "keeps same-size price ties and exact duplicates") {
+    val rows = Seq(
+      (1L, 10, 100.0), (2L, 10, 90.0),  // 2 dominated by 1 (same size)
+      (3L, 5, 80.0),                     // frontier (smaller, cheaper)
+      (4L, 20, 100.0),                   // dominated by 1 (bigger, equal)
+      (5L, 20, 120.0),                   // frontier
+      (6L, 5, 80.0),                     // duplicate of 3 -> both stay
+      (7L, 3, 10.0),                     // frontier (smallest)
+      (8L, 30, 119.0))                   // dominated by 5
+    val df = rows.toDF("p_partkey", "p_size", "p_retailprice")
+    val got = Relational5.skyline(df).as[(Long, Int, Double)]
+      .collect().map(_._1).toSet
+    val brute = rows.filter { case (_, sz, pr) =>
+      !rows.exists { case (_, sz2, pr2) =>
+        sz2 <= sz && pr2 >= pr && (sz2 < sz || pr2 > pr) }
+    }.map(_._1).toSet
+    assert(got === brute)
+    assert(got === Set(1L, 3L, 5L, 6L, 7L))
+  }
+
+  test("x65 ragChunks: window/stride arithmetic, full coverage, " +
+    "fingerprint is the left fold over the chunk's tokens") {
+    val w = 4; val s = 3
+    val docs = Seq(
+      (1L, "a b c"),              // n=3 < w -> one short chunk
+      (2L, "a b c d"),            // n=w -> exactly one chunk
+      (3L, "a b c d e"),          // n=w+1 -> [0,4) + [3,5)
+      (4L, ""),                   // empty -> no rows
+      (5L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")  // n=10 -> 3 chunks
+    ).toDF("doc_id", "text")
+    val got = CorpusQueries.ragChunks(docs, w, s)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(!got.contains(4L))
+    assert(got(1L).map(c => (c._3, c._4)) === Seq((0L, 3L)))
+    assert(got(2L).map(c => (c._3, c._4)) === Seq((0L, 4L)))
+    assert(got(3L).map(c => (c._3, c._4)) === Seq((0L, 4L), (3L, 5L)))
+    // n=10: chunks [0,4),[3,7),[6,10) — last chunk reaches n
+    assert(got(5L).map(c => (c._3, c._4)) ===
+      Seq((0L, 4L), (3L, 7L), (6L, 10L)))
+    // fingerprint: fold (acc*31 + poly(tok)) % 1e9+7 over chunk 0 of doc 1
+    def poly(t: String): Long =
+      t.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    val expHash = Seq("a", "b", "c")
+      .foldLeft(0L)((a, t) => (a * 31 + poly(t)) % 1000000007L)
+    assert(got(1L).head._6 === expHash)
+  }
+
+  test("g14 kTruss: K4 survives the 4-truss with support 2, " +
+    "low-support spokes peel in round 1, supports recompute after peel") {
+    // K4 on {1,2,3,4}; spokes 1-5, 2-5 (each closes ONE triangle);
+    // disjoint triangle {6,7,8} (support 1 each)
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L), (2L, 5L),
+      (6L, 7L), (6L, 8L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val got = Graph.kTruss(pairs, k = 4L, rounds = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // K4 edges survive with final support 2
+    for (e <- Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+      assert(got(e) === ((-1L, 2L)), s"edge $e")
+    // spokes had support 1 (< k-2) -> peeled round 1; triangle too
+    for (e <- Seq((1L, 5L), (2L, 5L), (6L, 7L), (6L, 8L), (7L, 8L)))
+      assert(got(e) === ((1L, -1L)), s"edge $e")
+    // edge 1-2's support was 3 before the peel (middles 3,4,5): the
+    // survivor support of 2 proves recomputation after peeling
+  }
+
+  test("g14 kTruss: cascading peel takes a second round") {
+    // triangle ladder: {1,2,3} + {2,3,4} share edge 2-3; edge 2-3 has
+    // support 2, others 1. k=4: round 1 peels all support-1 edges,
+    // round 2 peels 2-3 (its triangles died) -> empty truss
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("doc_a", "doc_b")
+    val got = Graph.kTruss(pairs, k = 4L, rounds = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((2L, 3L)) === 2L)
+    for (e <- Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)))
+      assert(got(e) === 1L, s"edge $e")
+  }
+
+  test("g15 linkPrediction: square predicts both diagonals with " +
+    "cn=2 and exact integer RA; path pairs fall under minCn") {
+    // square 1-2-3-4-1 plus path appendix 4-5-6
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (4L, 5L),
+      (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = Graph.linkPrediction(pairs, minCn = 2L)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // (1,3): middles 2 (deg 2) and 4 (deg 3) -> 500000 + 333333
+    assert(got((1L, 3L)) === ((2L, 833333L)))
+    // (2,4): middles 1 and 3, both deg 2 -> 500000 + 500000
+    assert(got((2L, 4L)) === ((2L, 1000000L)))
+    assert(got.size === 2)
+  }
+
+  test("d19 prefixFilterPairs: equals the all-pairs brute force on " +
+    "crafted docs including an exact-threshold pair") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // shares exactly 7 of doc 1's 10 tokens and nothing else: j = 0.7
+      (2L, "alpha beta gamma delta epsilon zeta eta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (4L, "unrelated words entirely different here"),
+      (5L, "alpha beta"),
+      (6L, "")).toDF("doc_id", "text")
+    val got = Dedup.prefixFilterPairs(docs)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    def toks(t: String) = t.split("\\s+").filter(_.nonEmpty).toSet
+    val sets = Seq(1L, 2L, 3L, 4L, 5L)
+      .zip(Seq(1, 2, 3, 4, 5).map(i =>
+        toks(Seq("alpha beta gamma delta epsilon zeta eta theta iota kappa",
+          "alpha beta gamma delta epsilon zeta eta",
+          "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+          "unrelated words entirely different here",
+          "alpha beta")(i - 1)))).toMap
+    val brute = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      i = sets(a).intersect(sets(b)).size
+      u = sets(a).union(sets(b)).size
+      if i * 10 >= u * 7
+    } yield (a, b) -> (i.toDouble / u)).toMap
+    assert(got.keySet === brute.keySet)
+    assert(got.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(got((1L, 2L)) === 0.7)      // the boundary pair survives
+    assert(got((1L, 3L)) === 1.0)
+    brute.foreach { case (k, v) =>
+      assert(math.abs(got(k) - v) < 1e-6) }
+  }
+
+  test("d19 prefixFilterPairs: equals all-pairs brute force on the " +
+    "sf0.001 documents corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val got = Dedup.prefixFilterPairs(docs)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2)).toSet
+    val sets = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect()
+      .map { case (id, t) =>
+        id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet }
+      .filter(_._2.nonEmpty)
+    val brute = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      i = sa.intersect(sb).size
+      u = sa.union(sb).size
+      if i * 10 >= u * 7
+    } yield (a, b)).toSet
+    assert(got === brute)
+  }
+}
