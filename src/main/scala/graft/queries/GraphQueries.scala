@@ -569,4 +569,63 @@ object GraphQueries {
        |SELECT x AS doc_a, y AS doc_b, count(*) AS cn,
        |  CAST(sum(1000000 // deg) AS BIGINT) AS ra_ppm
        |FROM cand GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+
+  /** g16: CO-PURCHASE graph built from the FACT table — every part
+    * pair ordered together in ≥ 2 orders, scored by co-order count
+    * and integer lift (how much more often than independence). The
+    * one g-query whose graph comes from the big table, not the
+    * near-dup doc graph: the edge BUILD is the scale exercise.
+    *
+    * 100 TB shape: lineitem collapses to distinct (order, part) in
+    * one partial-agg pass; the pair self-join is keyed by ORDER, so
+    * fan-out per order is bounded by basket size squared (a few
+    * dozen — bounded by construction, the v12 frame-key argument, no
+    * cap needed); per-part totals and the scalar order count
+    * broadcast onto the pair aggregate. Lift is one floor division
+    * over exact longs at the edge. */
+  def g16CoPurchase(spark: SparkSession, dir: String): DataFrame =
+    coPurchase(Tables.lineitem(spark, dir))
+
+  /** DataFrame-taking core of g16 (li: l_orderkey, l_partkey) — the
+    * unit spec asserts on THIS. */
+  def coPurchase(li: DataFrame): DataFrame = {
+    val op = li
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val perPart = op.groupBy(col("p")).agg(count(lit(1)).as("n_orders"))
+    val nTot = op.select(countDistinct(col("o")).as("t"))
+    val pairs = op.alias("a")
+      .join(op.alias("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("part_a"), col("b.p").as("part_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= 2)
+    pairs
+      .join(broadcast(perPart.select(col("p").as("part_a"),
+        col("n_orders").as("n_a"))), Seq("part_a"))
+      .join(broadcast(perPart.select(col("p").as("part_b"),
+        col("n_orders").as("n_b"))), Seq("part_b"))
+      .crossJoin(broadcast(nTot))
+      .select(col("part_a"), col("part_b"), col("n_both"), col("n_a"),
+        col("n_b"),
+        floor(col("n_both") * lit(1000000L) * col("t") /
+          (col("n_a") * col("n_b"))).cast("long").as("lift_ppm"))
+  }
+
+  val g16Sql: String =
+    """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,
+      |    l_partkey AS p FROM lineitem),
+      |pp AS (SELECT p, count(*) AS n_orders FROM op GROUP BY 1),
+      |nt AS (SELECT count(DISTINCT o) AS t FROM op),
+      |pr AS (SELECT a.p AS part_a, b.p AS part_b, count(*) AS n_both
+      |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT part_a, part_b, n_both, pa.n_orders AS n_a,
+      |  pb.n_orders AS n_b,
+      |  CAST(floor(n_both * 1000000 * nt.t /
+      |    (pa.n_orders * pb.n_orders)) AS BIGINT) AS lift_ppm
+      |FROM pr
+      |JOIN pp pa ON part_a = pa.p
+      |JOIN pp pb ON part_b = pb.p
+      |CROSS JOIN nt""".stripMargin
 }

@@ -136,4 +136,137 @@ object Relational5 {
       |FROM part p JOIN cm ON p.p_size = cm.p_size
       |WHERE (cum_mx IS NULL OR p.p_retailprice > cum_mx)
       |  AND p.p_retailprice = mx""".stripMargin
+
+  // ---- r63: autocorrelation of the daily activity series ----------
+
+  /** r63: per event type, the AUTOCORRELATION of its daily event-
+    * count series at lags 1, 2 and 7 — the burstiness/weekly-
+    * seasonality diagnostic a capacity model starts from. Exactness
+    * discipline: the series is integer counts; every moment (n, Σx,
+    * Σy, Σxy, Σx², Σy²) is an exact long over the lag-paired rows;
+    * the Pearson value is formed once at the edge from those longs
+    * with the identical left-associated (+,*,/,sqrt) tree on both
+    * engines — the only FP ops in the plan are IEEE-exact, so the
+    * hash is drift-free. Zero-variance windows emit 0.0 via the same
+    * guard on both sides.
+    *
+    * 100 TB shape: ONE partial-agg groupBy collapses events to
+    * |type|·|day| rows; the lag pairing is a lead() window over that
+    * tiny series (per-type ordered pass), and the closing agg is
+    * |type|·|lags| rows. The raw table is touched once. */
+  def autocorr(eventsIn: DataFrame, lags: Seq[Int]): DataFrame = {
+    val daily = eventsIn
+      .groupBy(col("event_type"),
+        unix_micros(date_trunc("day", col("ts"))).as("day_us"))
+      .agg(count(lit(1)).as("x"))
+    val lagged = lags.map { l =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day_us"))
+      daily
+        .withColumn("y", lead(col("x"), l).over(w))
+        .filter(col("y").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sx2"),
+          sum(col("y") * col("y")).as("sy2"))
+        .select(col("event_type"), lit(l).as("lag"), col("n").as("n_pairs"),
+          col("sx"), col("sy"), col("sxy"), col("sx2"), col("sy2"))
+    }
+    val all = lagged.reduce(_ unionByName _)
+    val num = (col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+      .cast("double")
+    val den = ((col("n_pairs") * col("sx2") - col("sx") * col("sx")) *
+      (col("n_pairs") * col("sy2") - col("sy") * col("sy"))).cast("double")
+    all.select(col("event_type"), col("lag"), col("n_pairs"),
+      when(den === 0.0, 0.0).otherwise(round(num / sqrt(den), 6)).as("acf"))
+  }
+
+  def r63Autocorr(spark: SparkSession, dir: String): DataFrame =
+    autocorr(Tables.events(spark, dir), Seq(1, 2, 7))
+
+  val r63Sql: String = {
+    val lagBlocks = Seq(1, 2, 7).map { l =>
+      s"""SELECT event_type, $l AS lag, count(*) AS n_pairs,
+         |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |  CAST(sum(x * y) AS BIGINT) AS sxy,
+         |  CAST(sum(x * x) AS BIGINT) AS sx2,
+         |  CAST(sum(y * y) AS BIGINT) AS sy2
+         |FROM (SELECT event_type, x,
+         |    lead(x, $l) OVER (PARTITION BY event_type ORDER BY day_us)
+         |      AS y
+         |  FROM daily)
+         |WHERE y IS NOT NULL GROUP BY 1""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH daily AS MATERIALIZED (SELECT event_type,
+       |    epoch_us(date_trunc('day', ts)) AS day_us,
+       |    CAST(count(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2),
+       |lg AS ($lagBlocks)
+       |SELECT event_type, lag, n_pairs,
+       |  CASE WHEN CAST((n_pairs * sx2 - sx * sx) *
+       |      (n_pairs * sy2 - sy * sy) AS DOUBLE) = 0.0 THEN 0.0
+       |    ELSE round(CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+       |      sqrt(CAST((n_pairs * sx2 - sx * sx) *
+       |        (n_pairs * sy2 - sy * sy) AS DOUBLE)), 6) END AS acf
+       |FROM lg""".stripMargin
+  }
+
+  // ---- r64: CUSUM changepoint detection ----------------------------
+
+  /** r64: CUSUM changepoint per event type over the daily revenue
+    * (cents) series — the day where the cumulative deviation from
+    * the series mean peaks, i.e. where the level shifted. The
+    * classic integer trick keeps it division-free: cusum_k of
+    * (n·x_i − S) is n times the mean-centered CUSUM, so its argmax
+    * is the same day and every value is an exact long. Ties break
+    * to the earliest day; the emitted peak value is the scaled long
+    * itself (callers divide by n once if they want cents).
+    *
+    * 100 TB shape: one partial-agg groupBy to |type|·|day| rows,
+    * a broadcast-size per-type total join, one per-type ordered
+    * window pass for the prefix sum, and a 1-row-per-type argmax
+    * (row_number). The fact table is scanned once. */
+  def cusumChangepoint(eventsIn: DataFrame): DataFrame = {
+    val daily = eventsIn
+      .groupBy(col("event_type"),
+        unix_micros(date_trunc("day", col("ts"))).as("day_us"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("x"))
+    val tot = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cs = daily.join(broadcast(tot), Seq("event_type"))
+      .withColumn("cusum", sum(col("x") * col("n") - col("s")).over(w))
+    val pick = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("cusum")).desc, col("day_us"))
+    cs.withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("day_us").as("cp_day_us"),
+        col("cusum").as("cusum_peak_scaled"), col("n").as("n_days"))
+  }
+
+  def r64Cusum(spark: SparkSession, dir: String): DataFrame =
+    cusumChangepoint(Tables.events(spark, dir))
+
+  val r64Sql: String =
+    """WITH daily AS (SELECT event_type,
+      |    epoch_us(date_trunc('day', ts)) AS day_us,
+      |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (SELECT event_type, count(*) AS n, CAST(sum(x) AS BIGINT) AS s
+      |  FROM daily GROUP BY 1),
+      |cs AS (SELECT d.event_type, d.day_us, t.n,
+      |    CAST(sum(d.x * t.n - t.s) OVER (PARTITION BY d.event_type
+      |      ORDER BY d.day_us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cusum
+      |  FROM daily d JOIN tot t ON t.event_type = d.event_type),
+      |rk AS (SELECT event_type, day_us, cusum, n,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY abs(cusum) DESC, day_us) AS rn
+      |  FROM cs)
+      |SELECT event_type, day_us AS cp_day_us,
+      |  cusum AS cusum_peak_scaled, CAST(n AS BIGINT) AS n_days
+      |FROM rk WHERE rn = 1""".stripMargin
 }

@@ -422,6 +422,48 @@ object StatefulOps {
       }
   }
 
+  final case class PointObs(grp: String, id: Long, sz: Int, price: Double)
+  final case class SkylinePoint(id: Long, sz: Int, price: Double)
+  final case class SkylineState(n_seen: Long, pts: Seq[SkylinePoint])
+  final case class SkylineSnap(grp: String, n_seen: Long,
+      n_frontier: Int, frontier: Seq[SkylinePoint])
+
+  /** r62's SKYLINE as KEYED STREAMING STATE — the standing Pareto
+    * frontier of a live feed (per group: minimize sz, maximize
+    * price), emitted as an updated snapshot each micro-batch. The
+    * state IS the answer and is bounded by the frontier's own size
+    * (dominated points are discarded on arrival and can never
+    * return — dominance only grows as points accumulate), the same
+    * by-construction bound as kmvState's k. The frontier of a set
+    * is unique and arrival-order-independent (frontier(A ∪ B) =
+    * frontier(frontier(A) ∪ B)), so the final snapshot equals the
+    * batch r62 skyline under ANY chunking or replay — the parity
+    * spec's property. Equal points do not dominate each other, so
+    * exact duplicates both survive, matching the batch contract. */
+  def skylineState(points: Dataset[PointObs]): Dataset[SkylineSnap] = {
+    implicit val keyEnc = Encoders.STRING
+    implicit val outEnc = Encoders.product[SkylineSnap]
+    implicit val stEnc = Encoders.product[SkylineState]
+    def dominates(a: SkylinePoint, b: SkylinePoint): Boolean =
+      a.sz <= b.sz && a.price >= b.price &&
+        (a.sz < b.sz || a.price > b.price)
+    points.groupByKey(_.grp)
+      .mapGroupsWithState[SkylineState, SkylineSnap](
+        GroupStateTimeout.NoTimeout) {
+        (grp: String, it: Iterator[PointObs], state: GroupState[SkylineState]) =>
+          val prev = state.getOption.getOrElse(SkylineState(0L, Seq.empty))
+          var n = prev.n_seen
+          val incoming = it.map { o =>
+            n += 1L; SkylinePoint(o.id, o.sz, o.price) }.toSeq
+          val all = prev.pts ++ incoming
+          val frontier = all
+            .filter(p => !all.exists(q => dominates(q, p)))
+            .sortBy(p => (p.sz, -p.price, p.id))
+          state.update(SkylineState(n, frontier))
+          SkylineSnap(grp, n, frontier.size, frontier)
+      }
+  }
+
   /** A1 as keyed streaming state: running per-video frame count +
     * high-water frame id, emitted once per video per micro-batch
     * (update mode). */

@@ -165,6 +165,57 @@ class Round10Spec extends SparkTestBase {
       assert(math.abs(got(k) - v) < 1e-6) }
   }
 
+  test("r63 autocorr: linear series gives acf 1.0, constant and " +
+    "single-pair series guard to 0.0") {
+    val rows = scala.collection.mutable.ArrayBuffer[(java.sql.Timestamp, String, Double)]()
+    for (d <- 1 to 8; k <- 1 to d)   // type "a": day d has d events
+      rows += ((java.sql.Timestamp.valueOf(f"2024-01-0$d 12:00:00"), "a", 1.0))
+    for (d <- 1 to 8)                 // type "b": constant 1/day
+      rows += ((java.sql.Timestamp.valueOf(f"2024-01-0$d 12:00:00"), "b", 1.0))
+    val ev = rows.toSeq.toDF("ts", "event_type", "value")
+    val got = Relational5.autocorr(ev, Seq(1, 7))
+      .as[(String, Int, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got(("a", 1)) === ((7L, 1.0)))   // linear -> perfect lag-1
+    assert(got(("a", 7)) === ((1L, 0.0)))   // one pair -> zero variance
+    assert(got(("b", 1)) === ((7L, 0.0)))   // constant -> guard
+    assert(got(("b", 7)) === ((1L, 0.0)))
+  }
+
+  test("r64 cusumChangepoint: level shift lands on the last day of " +
+    "the old level with the scaled integer peak") {
+    // cents/day: 1000,1000,1000,5000,5000 -> n*x-S deltas with n=5,
+    // S=13000: -8k,-8k,-8k,+12k,+12k -> cusum peak |−24000| at day 3
+    val rows = (1 to 5).map { d =>
+      (java.sql.Timestamp.valueOf(f"2024-02-0$d 06:00:00"), "a",
+        if (d <= 3) 10.0 else 50.0)
+    }
+    val ev = rows.toDF("ts", "event_type", "value")
+    val got = Relational5.cusumChangepoint(ev)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.length === 1)
+    val (_, cpUs, peak, nDays) = got.head
+    val day3 = java.time.LocalDate.of(2024, 2, 3)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+    assert(cpUs === day3.getEpochSecond * 1000000L)
+    assert(peak === -24000L && nDays === 5L)
+  }
+
+  test("g16 coPurchase: pair support counts, min-support cut, exact " +
+    "integer lift") {
+    val li = Seq(
+      (1L, 101L), (1L, 102L), (1L, 103L),
+      (2L, 101L), (2L, 102L),
+      (3L, 101L), (3L, 102L), (3L, 102L),   // dup line collapses
+      (4L, 103L)).toDF("l_orderkey", "l_partkey")
+    val got = graft.queries.GraphQueries.coPurchase(li)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length === 1)                 // only (101,102) has >= 2
+    val (a, b, nBoth, nA, nB, lift) = got.head
+    assert((a, b, nBoth, nA, nB) === ((101L, 102L, 3L, 3L, 3L)))
+    assert(lift === 1333333L)                // floor(3e6 * 4 / 9)
+  }
+
   test("d19 prefixFilterPairs: equals all-pairs brute force on the " +
     "sf0.001 documents corpus") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")

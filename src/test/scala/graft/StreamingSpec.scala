@@ -934,4 +934,43 @@ class StreamingSpec extends SparkTestBase {
       assert(listener.totalInputRows === 25L)
     } finally spark.streams.removeListener(listener)
   }
+
+  test("streaming skyline state converges to the batch Pareto " +
+    "frontier per brand under shuffled chunked arrival") {
+    import testImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulOps.{PointObs, SkylineSnap}
+    val src = spark.read.parquet(s"$sf/part.parquet")
+      .select(col("p_brand"), col("p_partkey"), col("p_size"),
+        col("p_retailprice"))
+      .as[(String, Long, Int, Double)].collect()
+      .map(t => PointObs(t._1, t._2, t._3, t._4))
+    // batch frontier per brand: brute-force dominance
+    val expected = src.groupBy(_.grp).map { case (g, xs) =>
+      g -> xs.filter(p => !xs.exists(q =>
+        q.sz <= p.sz && q.price >= p.price &&
+          (q.sz < p.sz || q.price > p.price)))
+        .map(_.id).toSet
+    }
+    val shuffled = new scala.util.Random(64).shuffle(src.toSeq)
+    val chunks = shuffled.grouped((shuffled.size + 2) / 3).toSeq
+    val mem = MemoryStream[PointObs]
+    val q = graft.streaming.StatefulOps.skylineState(mem.toDS())
+      .writeStream.format("memory").queryName("skyline_out")
+      .outputMode("update").option("checkpointLocation", tmpDir()).start()
+    chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+    q.stop()
+    val finals = spark.table("skyline_out").as[SkylineSnap].collect()
+      .groupBy(_.grp).values.map(_.maxBy(_.n_seen)).toSeq
+    val got = finals.map(s => s.grp -> s.frontier.map(_.id).toSet).toMap
+    assert(got === expected && expected.nonEmpty)
+    // state stayed bounded: the frontier never exceeds what it holds,
+    // and every snapshot's frontier is internally non-dominated
+    finals.foreach { s =>
+      assert(s.n_frontier === s.frontier.size)
+      assert(s.frontier.forall(p => !s.frontier.exists(q =>
+        q.sz <= p.sz && q.price >= p.price &&
+          (q.sz < p.sz || q.price > p.price) && q != p)))
+    }
+  }
 }
