@@ -516,10 +516,17 @@ object Dedup {
       explode(array_distinct(transform(tokens(col("text")),
         t => graft.functions.TextFunctions.polyHash(t)))).as("th"))
     val freq = tok.groupBy(col("th")).agg(count(lit(1)).as("tf"))
+    // Materialized ONCE: four consumers read it (both prefix sides,
+    // both verify sides) and the prefix side's broadcast breaks
+    // ReuseExchange symmetry, so without this the whole
+    // tokenize→freq-join→regroup pipeline runs four times. At
+    // 100 TB this checkpoint is the persisted feature table of the
+    // d13 index lifecycle (build once, consume many).
     val perDoc = tok.join(freq, Seq("th"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("tf"), col("th"))))
         .as("ord"), count(lit(1)).as("n"))
+      .localCheckpoint()
     val pfxLen = (col("n") -
       ((col("n") * tNum + (tDen - 1)) / tDen).cast("long") + 1).cast("int")
     val prefixes = perDoc.select(col("doc_id"), col("n"),
