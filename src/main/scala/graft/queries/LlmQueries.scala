@@ -3006,4 +3006,103 @@ object LlmQueries {
        |SELECT da AS doc_a, db AS doc_b,
        |  round(CAST(i AS DOUBLE) / u, 6) AS jaccard
        |FROM pr WHERE i * 10 >= u * 7""".stripMargin
+
+  /** d20: CROSS-METHOD dedup agreement audit — d2's MinHash-LSH
+    * pairs vs d6's SimHash pairs on one corpus, refereed by exact
+    * shingle-set Jaccard (d2's own verify criterion, recomputed for
+    * every pair only ONE method found). s12 answers "how much recall
+    * does the ANN index give up"; this answers the same question
+    * for the dedup family, from the engine's own outputs: LSH
+    * recall = lsh / (lsh + sim-only-true), SimHash precision vs the
+    * Jaccard criterion = (both + sim-only-true) / sim. One summary
+    * row, every figure an exact count or floor-ppm.
+    *
+    * 100 TB shape: both pair generators are the already-audited
+    * capped/banded plans; the FULL OUTER join is keyed by the pair;
+    * the referee joins features only against the (small)
+    * disagreement set; the closing aggregate is one row. */
+  def d20PairAgreement(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = Tables.spread(Tables.documents(spark, dir))
+    val feats = Dedup.shingleFeatures(docs)
+      .select(col("doc_id"), col("hashes"))
+    val lsh = Dedup.nearDupPairs(docs, threshold = 0.8)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("in_lsh"))
+    val sim = Dedup.simhashPairs(docs)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("in_sim"))
+    val j = lsh.join(sim, Seq("doc_a", "doc_b"), "full_outer")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("in_lsh"), lit(0L)).as("in_lsh"),
+        coalesce(col("in_sim"), lit(0L)).as("in_sim"))
+    val simOnlyTrue = j.filter(col("in_lsh") === 0)
+      .join(feats.select(col("doc_id").as("doc_a"),
+        col("hashes").as("ha")), Seq("doc_a"))
+      .join(feats.select(col("doc_id").as("doc_b"),
+        col("hashes").as("hb")), Seq("doc_b"))
+      .agg(coalesce(sum(
+        (TextFunctions.jaccard(col("ha"), col("hb")) >= 0.8)
+          .cast("long")), lit(0L)).as("n_sim_only_true"))
+    val counts = j.agg(
+      sum(col("in_lsh") * col("in_sim")).as("n_both"),
+      sum(col("in_lsh") * (lit(1L) - col("in_sim"))).as("n_lsh_only"),
+      sum((lit(1L) - col("in_lsh")) * col("in_sim")).as("n_sim_only"),
+      sum(col("in_lsh")).as("n_lsh"),
+      sum(col("in_sim")).as("n_sim"))
+    counts.crossJoin(broadcast(simOnlyTrue))
+      .select(col("n_lsh"), col("n_sim"), col("n_both"),
+        col("n_lsh_only"), col("n_sim_only"), col("n_sim_only_true"),
+        when(col("n_lsh") + col("n_sim_only_true") === 0, lit(0L))
+          .otherwise(floor(col("n_lsh") * lit(1000000L) /
+            (col("n_lsh") + col("n_sim_only_true"))).cast("long"))
+          .as("lsh_recall_ppm"),
+        when(col("n_sim") === 0, lit(0L))
+          .otherwise(floor((col("n_both") + col("n_sim_only_true")) *
+            lit(1000000L) / col("n_sim")).cast("long"))
+          .as("sim_precision_ppm"))
+  }
+
+  lazy val d20Sql: String =
+    s"""WITH lshp AS MATERIALIZED (SELECT doc_a, doc_b FROM (
+       |${d2Sql}
+       |)),
+       |simp AS MATERIALIZED (SELECT doc_a, doc_b FROM (
+       |${d6Sql}
+       |)),
+       |j AS MATERIALIZED (SELECT
+       |    coalesce(l.doc_a, s.doc_a) AS doc_a,
+       |    coalesce(l.doc_b, s.doc_b) AS doc_b,
+       |    CASE WHEN l.doc_a IS NULL THEN 0 ELSE 1 END AS in_lsh,
+       |    CASE WHEN s.doc_a IS NULL THEN 0 ELSE 1 END AS in_sim
+       |  FROM lshp l FULL OUTER JOIN simp s
+       |    ON l.doc_a = s.doc_a AND l.doc_b = s.doc_b),
+       |tk2 AS (SELECT doc_id, $tsSql AS ts FROM documents),
+       |sg2 AS (SELECT doc_id, $shSql AS ss FROM tk2),
+       |hsx AS MATERIALIZED (SELECT doc_id,
+       |    list_distinct(list_transform(ss, s -> ${polySql("s")})) AS hs
+       |  FROM sg2),
+       |so AS (SELECT CASE WHEN
+       |      CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+       |        (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))
+       |      >= 0.8 THEN 1 ELSE 0 END AS is_true
+       |  FROM j JOIN hsx a ON a.doc_id = j.doc_a
+       |    JOIN hsx b ON b.doc_id = j.doc_b
+       |  WHERE j.in_lsh = 0),
+       |c AS (SELECT
+       |    CAST(sum(in_lsh * in_sim) AS BIGINT) AS n_both,
+       |    CAST(sum(in_lsh * (1 - in_sim)) AS BIGINT) AS n_lsh_only,
+       |    CAST(sum((1 - in_lsh) * in_sim) AS BIGINT) AS n_sim_only,
+       |    CAST(sum(in_lsh) AS BIGINT) AS n_lsh,
+       |    CAST(sum(in_sim) AS BIGINT) AS n_sim
+       |  FROM j),
+       |st AS (SELECT CAST(coalesce(sum(is_true), 0) AS BIGINT)
+       |    AS n_sim_only_true FROM so)
+       |SELECT n_lsh, n_sim, n_both, n_lsh_only, n_sim_only,
+       |  n_sim_only_true,
+       |  CASE WHEN n_lsh + n_sim_only_true = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE CAST(floor(n_lsh * 1000000 /
+       |      (n_lsh + n_sim_only_true)) AS BIGINT) END AS lsh_recall_ppm,
+       |  CASE WHEN n_sim = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE CAST(floor((n_both + n_sim_only_true) * 1000000 /
+       |      n_sim) AS BIGINT) END AS sim_precision_ppm
+       |FROM c CROSS JOIN st""".stripMargin
 }

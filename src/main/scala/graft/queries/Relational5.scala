@@ -269,4 +269,74 @@ object Relational5 {
       |SELECT event_type, day_us AS cp_day_us,
       |  cusum AS cusum_peak_scaled, CAST(n AS BIGINT) AS n_days
       |FROM rk WHERE rn = 1""".stripMargin
+
+  // ---- r65: top session paths (ordered event sequences) -----------
+
+  /** r65: PATH MINING — the frequency table of each (user, day)
+    * session's first three event types in arrival order, the
+    * "how do journeys start" report between r55's 1-step Markov
+    * transitions and r33's fixed-target funnel. Ordering is total
+    * ((ts, event_id) — event_id breaks timestamp ties), and the
+    * path string is assembled from RANKED SLOTS (max-of-case per
+    * rank), never from collect_list, whose intra-group order Spark
+    * does not define — the determinism discipline r55 set.
+    *
+    * 100 TB shape: one keyed exchange for the (user, day) window
+    * sort; the slot pivot collapses each session to one row in the
+    * same pass; the path frequency agg is two-level (path, user)
+    * then path — both partial, no count-distinct Expand; the
+    * session total is a one-row broadcast. */
+  def topPaths(eventsIn: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"), col("day_us"))
+      .orderBy(col("ts"), col("event_id"))
+    val ranked = eventsIn
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"),
+        unix_micros(date_trunc("day", col("ts"))).as("day_us"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+    val sessions = ranked
+      .groupBy(col("user_id"), col("day_us"))
+      .agg(
+        max(when(col("rn") === 1, col("event_type"))).as("e1"),
+        max(when(col("rn") === 2, col("event_type"))).as("e2"),
+        max(when(col("rn") === 3, col("event_type"))).as("e3"))
+      .select(col("user_id"),
+        concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+    val perUser = sessions.groupBy(col("path"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    val tot = perUser.select(sum(col("c")).as("t"))
+    perUser.groupBy(col("path"))
+      .agg(sum(col("c")).as("n_sessions"),
+        count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(tot))
+      .select(col("path"), col("n_sessions"), col("n_users"),
+        floor(col("n_sessions") * lit(1000000L) / col("t")).cast("long")
+          .as("share_ppm"))
+  }
+
+  def r65TopPaths(spark: SparkSession, dir: String): DataFrame =
+    topPaths(Tables.events(spark, dir))
+
+  val r65Sql: String =
+    """WITH ev AS (SELECT user_id, event_id, ts, event_type,
+      |    epoch_us(date_trunc('day', ts)) AS day_us FROM events),
+      |rk AS (SELECT user_id, day_us, event_type,
+      |    row_number() OVER (PARTITION BY user_id, day_us
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM ev),
+      |sess AS (SELECT user_id,
+      |    concat_ws('>',
+      |      max(CASE WHEN rn = 1 THEN event_type END),
+      |      max(CASE WHEN rn = 2 THEN event_type END),
+      |      max(CASE WHEN rn = 3 THEN event_type END)) AS path
+      |  FROM rk WHERE rn <= 3 GROUP BY user_id, day_us),
+      |pu AS (SELECT path, user_id, count(*) AS c
+      |  FROM sess GROUP BY 1, 2),
+      |tt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM pu)
+      |SELECT path, CAST(sum(c) AS BIGINT) AS n_sessions,
+      |  count(*) AS n_users,
+      |  CAST(floor(sum(c) * 1000000 / tt.t) AS BIGINT) AS share_ppm
+      |FROM pu CROSS JOIN tt GROUP BY path, tt.t""".stripMargin
 }

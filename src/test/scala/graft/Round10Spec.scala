@@ -130,6 +130,64 @@ class Round10Spec extends SparkTestBase {
     assert(got.size === 2)
   }
 
+  test("r65 topPaths: slot pivot orders by (ts, event_id), short " +
+    "sessions keep short paths, shares are floor-ppm of the total") {
+    def t(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      // user 1, day 0: four events -> first three = A>B>C
+      (1L, t(10), 1L, "A"), (2L, t(20), 1L, "B"),
+      (3L, t(30), 1L, "C"), (4L, t(40), 1L, "D"),
+      // user 1, day 1: single event -> path "B"
+      (5L, t(86400 + 5), 1L, "B"),
+      // user 2, day 0: ts tie at 10s -> event_id orders A before B
+      (7L, t(10), 2L, "B"), (6L, t(10), 2L, "A")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = Relational5.topPaths(ev)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("A>B>C") === ((1L, 1L, 333333L)))
+    assert(got("B") === ((1L, 1L, 333333L)))
+    assert(got("A>B") === ((1L, 1L, 333333L)))
+    assert(got.size === 3)
+  }
+
+  test("d20 pairAgreement: summary row consistent with the two pair " +
+    "sets and the exact-jaccard referee on the sf0.001 corpus") {
+    import graft.queries.LlmQueries
+    val docs = graft.sources.Tables.spread(
+      graft.sources.Tables.documents(spark, sf))
+    val lsh = Dedup.nearDupPairs(docs, threshold = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val sim = Dedup.simhashPairs(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val hs = Dedup.shingleFeatures(docs)
+      .select(col("doc_id"), col("hashes")).as[(Long, Seq[Long])]
+      .collect().toMap.view.mapValues(_.toSet).toMap
+    def isTrue(p: (Long, Long)): Boolean = {
+      val (a, b) = p
+      val (ha, hb) = (hs(a), hs(b))
+      val i = ha.intersect(hb).size
+      val u = ha.size + hb.size - i
+      u > 0 && i.toDouble / u >= 0.8
+    }
+    val simOnlyTrue = (sim -- lsh).count(isTrue)
+    val got = LlmQueries.d20PairAgreement(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().head
+    val (nLsh, nSim, nBoth, nLshOnly, nSimOnly, nSot, recall, prec) = got
+    assert(nLsh === lsh.size.toLong && nSim === sim.size.toLong)
+    assert(nBoth === (lsh intersect sim).size.toLong)
+    assert(nLshOnly === (lsh -- sim).size.toLong)
+    assert(nSimOnly === (sim -- lsh).size.toLong)
+    assert(nSot === simOnlyTrue.toLong)
+    if (nLsh + nSot > 0)
+      assert(recall ===
+        math.floor(nLsh * 1000000.0 / (nLsh + nSot)).toLong)
+    if (nSim > 0)
+      assert(prec ===
+        math.floor((nBoth + nSot) * 1000000.0 / nSim).toLong)
+  }
+
   test("d19 prefixFilterPairs: equals the all-pairs brute force on " +
     "crafted docs including an exact-threshold pair") {
     val docs = Seq(
