@@ -464,6 +464,61 @@ object StatefulOps {
       }
   }
 
+  final case class IvObs(key: String, s_us: Long, dur_us: Long)
+  final case class Iv(s: Long, e: Long)
+  final case class IvState(n_seen: Long, min_s: Long, max_e: Long,
+      merged: Seq[Iv])
+  final case class IvSnap(key: String, covered_us: Long,
+      n_intervals: Long, span_us: Long)
+
+  /** r61's interval-UNION coverage as KEYED STREAMING STATE — the
+    * standing duty-cycle monitor of a live activity feed: per key
+    * the state is the MERGED disjoint interval list (overlapping and
+    * touching intervals coalesce on arrival), plus the seen count
+    * and the overall extent. Interval union is a set union, so the
+    * merged list — and every emitted snapshot — is identical under
+    * ANY arrival order, chunking, or replay: the parity spec's
+    * property against the batch r61 rows. State is bounded by the
+    * number of DISJOINT covered segments, not by event count; a
+    * production stream bounds the segment list too by finalizing
+    * segments wholly behind the event-time watermark into an
+    * accumulated covered total (the dedup path's eviction pattern),
+    * which never changes any total. Zero-length intervals count and
+    * stretch the extent but add no coverage, matching batch. */
+  def intervalCoverageState(ivs: Dataset[IvObs]): Dataset[IvSnap] = {
+    implicit val keyEnc = Encoders.STRING
+    implicit val outEnc = Encoders.product[IvSnap]
+    implicit val stEnc = Encoders.product[IvState]
+    ivs.groupByKey(_.key)
+      .mapGroupsWithState[IvState, IvSnap](GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[IvObs], state: GroupState[IvState]) =>
+          val prev = state.getOption
+            .getOrElse(IvState(0L, Long.MaxValue, Long.MinValue, Seq.empty))
+          var n = prev.n_seen
+          var lo = prev.min_s
+          var hi = prev.max_e
+          val add = scala.collection.mutable.ArrayBuffer[Iv]()
+          it.foreach { o =>
+            val e = o.s_us + math.max(o.dur_us, 0L)
+            n += 1L
+            if (o.s_us < lo) lo = o.s_us
+            if (e > hi) hi = e
+            if (e > o.s_us) add += Iv(o.s_us, e)
+          }
+          val sorted = (prev.merged ++ add).sortBy(iv => (iv.s, iv.e))
+          val merged = scala.collection.mutable.ArrayBuffer[Iv]()
+          sorted.foreach { iv =>
+            if (merged.nonEmpty && iv.s <= merged.last.e) {
+              if (iv.e > merged.last.e)
+                merged(merged.size - 1) = Iv(merged.last.s, iv.e)
+            } else merged += iv
+          }
+          state.update(IvState(n, lo, hi, merged.toSeq))
+          IvSnap(key, merged.map(iv => iv.e - iv.s).sum, n,
+            if (n == 0L) 0L else hi - lo)
+      }
+  }
+
   /** A1 as keyed streaming state: running per-video frame count +
     * high-water frame id, emitted once per video per micro-batch
     * (update mode). */

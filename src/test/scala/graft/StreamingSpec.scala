@@ -935,6 +935,35 @@ class StreamingSpec extends SparkTestBase {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("streaming interval-coverage state converges to the batch " +
+    "r61 rows under shuffled chunked arrival") {
+    import testImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulOps.{IvObs, IvSnap}
+    val src = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts")),
+        greatest(floor(col("value") * 1000000).cast("long"), lit(0L)))
+      .as[(String, Long, Long)].collect()
+      .map(t => IvObs(t._1, t._2, t._3))
+    val expected = graft.queries.Relational5
+      .r61IntervalCoverage(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val shuffled = new scala.util.Random(65).shuffle(src.toSeq)
+    val chunks = shuffled.grouped((shuffled.size + 3) / 4).toSeq
+    val mem = MemoryStream[IvObs]
+    val q = graft.streaming.StatefulOps.intervalCoverageState(mem.toDS())
+      .writeStream.format("memory").queryName("ivcov_out")
+      .outputMode("update").option("checkpointLocation", tmpDir()).start()
+    chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+    q.stop()
+    val finals = spark.table("ivcov_out").as[IvSnap].collect()
+      .groupBy(_.key).values.map(_.maxBy(_.n_intervals)).toSeq
+    val got = finals.map(s =>
+      s.key -> ((s.covered_us, s.n_intervals, s.span_us))).toMap
+    assert(got === expected && expected.nonEmpty)
+  }
+
   test("streaming skyline state converges to the batch Pareto " +
     "frontier per brand under shuffled chunked arrival") {
     import testImplicits._
