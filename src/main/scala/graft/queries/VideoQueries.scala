@@ -837,4 +837,97 @@ object VideoQueries {
       |SELECT zone_from, zone_to, n_steps, from_total,
       |  CAST(n_steps * 1000000 // from_total AS BIGINT) AS rate_micro
       |FROM m JOIN t USING (zone_from)""".stripMargin
+
+  // ---- v15: best-IoU track association (frame-to-frame matching) ---
+
+  /** v15: TRACK ASSOCIATION — for every detection, the single
+    * best-matching detection of the SAME label in the video's
+    * previous frame: the argmax-IoU assignment that turns v8's
+    * boolean "is continued" into the actual track edge a tracker
+    * consumes (v10 interpolates along these edges; v13 measures
+    * kinematics assuming them). Candidates gate at IoU ≥ 0.3
+    * (v8's integer 10·inter ≥ 3·union), and the argmax is decided
+    * on the INTEGER key inter·1e9 div union with ties to the
+    * smallest previous box_ref — no float enters the ordering, so
+    * both engines pick the identical winner.
+    *
+    * 100 TB shape: the box relation materializes once (the v8/v13
+    * checkpoint contract); candidates come from ONE equi-join keyed
+    * by (video, prev frame, label) — fan-out bounded by per-frame
+    * box count, the v12 frame-key argument; the argmax is a
+    * WindowGroupLimit over that bounded candidate set. */
+  def trackAssociation(boxes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pf = boxes.select(col("video_id"), col("frame_id")).distinct()
+      .withColumn("prev_frame", lag(col("frame_id"), 1).over(
+        Window.partitionBy(col("video_id")).orderBy(col("frame_id"))))
+    val cur = boxes.join(pf, Seq("video_id", "frame_id"))
+    val prev = boxes.select(col("video_id"),
+      col("frame_id").as("prev_frame"), col("label_id"),
+      col("box_ref").as("prev_ref"),
+      col("x").as("qx"), col("y").as("qy"),
+      col("w").as("qw"), col("h").as("qh"))
+    val iw = least(col("w"), col("qw")) - greatest(col("x"), col("qx"))
+    val ih = least(col("h"), col("qh")) - greatest(col("y"), col("qy"))
+    val inter = (iw * ih).cast("long")
+    val union = ((col("w") - col("x")) * (col("h") - col("y")) +
+      (col("qw") - col("qx")) * (col("qh") - col("qy"))).cast("long") - inter
+    val w = Window
+      .partitionBy(col("video_id"), col("frame_id"), col("box_ref"))
+      .orderBy(col("iou_key").desc, col("prev_ref"))
+    cur.join(prev, Seq("video_id", "prev_frame", "label_id"))
+      .filter(iw > 0 && ih > 0 && inter * 10 >= union * 3)
+      .select(col("video_id"), col("frame_id"), col("box_ref"),
+        col("prev_frame"), col("prev_ref"), inter.as("i"), union.as("u"))
+      // integral div on both engines — a double quotient can round
+      // UP across the floor boundary at these magnitudes (i·1e9
+      // approaches 2^53), which would flip an argmax
+      .selectExpr("video_id", "frame_id", "box_ref", "prev_frame",
+        "prev_ref", "i * 1000000000 div u AS iou_key",
+        "i * 1000000 div u AS iou_ppm")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("video_id"), col("frame_id"), col("box_ref"),
+        col("prev_frame"), col("prev_ref"), col("iou_ppm"))
+  }
+
+  def v15TrackAssociation(spark: SparkSession, dir: String): DataFrame = {
+    val dets = withDetections(frames(spark, dir))
+    val boxes = DetectionPipeline.boxes(dets, threshold = 0.7)
+      .select(col("video_id"), col("frame_id"), col("box_ref"),
+        col("x"), col("y"), col("w"), col("h"), col("label_id"))
+      .localCheckpoint()
+    trackAssociation(boxes)
+  }
+
+  val v15Sql: String = detSql +
+    """, pf AS (SELECT video_id, frame_id, lag(frame_id) OVER
+      |    (PARTITION BY video_id ORDER BY frame_id) AS prev_frame
+      |  FROM (SELECT DISTINCT video_id, frame_id FROM boxes)),
+      |cur AS (SELECT b.video_id, b.frame_id, b.box_ref, b.x, b.y, b.w,
+      |    b.h, b.label_id, p.prev_frame
+      |  FROM boxes b JOIN pf p USING (video_id, frame_id)),
+      |cand AS (SELECT c.video_id, c.frame_id, c.box_ref, c.prev_frame,
+      |    q.box_ref AS prev_ref,
+      |    CAST((least(c.w, q.w) - greatest(c.x, q.x))
+      |      * (least(c.h, q.h) - greatest(c.y, q.y)) AS BIGINT) AS i,
+      |    CAST((c.w - c.x) * (c.h - c.y) + (q.w - q.x) * (q.h - q.y)
+      |      - (least(c.w, q.w) - greatest(c.x, q.x))
+      |      * (least(c.h, q.h) - greatest(c.y, q.y)) AS BIGINT) AS u
+      |  FROM cur c JOIN boxes q ON q.video_id = c.video_id
+      |    AND q.frame_id = c.prev_frame AND q.label_id = c.label_id
+      |  WHERE least(c.w, q.w) > greatest(c.x, q.x)
+      |    AND least(c.h, q.h) > greatest(c.y, q.y)
+      |    AND 10 * (least(c.w, q.w) - greatest(c.x, q.x))
+      |          * (least(c.h, q.h) - greatest(c.y, q.y))
+      |      >= 3 * ((c.w - c.x) * (c.h - c.y) + (q.w - q.x) * (q.h - q.y)
+      |          - (least(c.w, q.w) - greatest(c.x, q.x))
+      |          * (least(c.h, q.h) - greatest(c.y, q.y)))),
+      |rk AS (SELECT video_id, frame_id, box_ref, prev_frame, prev_ref,
+      |    CAST(i * 1000000 // u AS BIGINT) AS iou_ppm,
+      |    row_number() OVER (PARTITION BY video_id, frame_id, box_ref
+      |      ORDER BY i * 1000000000 // u DESC, prev_ref) AS rn
+      |  FROM cand)
+      |SELECT video_id, frame_id, box_ref, prev_frame, prev_ref, iou_ppm
+      |FROM rk WHERE rn = 1""".stripMargin
 }

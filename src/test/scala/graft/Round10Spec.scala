@@ -188,6 +188,29 @@ class Round10Spec extends SparkTestBase {
         math.floor((nBoth + nSot) * 1000000.0 / nSim).toLong)
   }
 
+  test("v15 trackAssociation: argmax IoU per box, integer-key ties " +
+    "break to the smallest prev ref, label must match") {
+    val boxes = Seq(
+      // frame 1: two label-9 boxes (ref 4 duplicates ref 1), one label-3
+      ("v", 1L, 1L, 0, 0, 10, 10, 9),
+      ("v", 1L, 2L, 100, 100, 110, 110, 9),
+      ("v", 1L, 4L, 0, 0, 10, 10, 9),
+      // frame 2
+      ("v", 2L, 1L, 1, 0, 11, 10, 9),   // best vs ref1/4: iou 90/110
+      ("v", 2L, 2L, 4, 0, 14, 10, 9),   // vs ref1/4: iou 60/140
+      ("v", 2L, 3L, 0, 0, 10, 10, 9),   // exact dup: ties refs 1 and 4
+      ("v", 2L, 5L, 0, 0, 10, 10, 3)    // label 3: no prev candidate
+    ).toDF("video_id", "frame_id", "box_ref", "x", "y", "w", "h",
+      "label_id")
+    val got = graft.queries.VideoQueries.trackAssociation(boxes)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._2, r._3) -> ((r._5, r._6))).toMap
+    assert(got((2L, 1L)) === ((1L, 818181L)))   // 90*1e6 div 110
+    assert(got((2L, 2L)) === ((1L, 428571L)))   // 60*1e6 div 140
+    assert(got((2L, 3L)) === ((1L, 1000000L)))  // tie -> smallest ref
+    assert(got.size === 3)                       // label 3 unmatched
+  }
+
   test("d19 prefixFilterPairs: equals the all-pairs brute force on " +
     "crafted docs including an exact-threshold pair") {
     val docs = Seq(
