@@ -900,7 +900,10 @@ object VideoQueries {
     trackAssociation(boxes)
   }
 
-  val v15Sql: String = detSql +
+  /** Shared oracle CTE chain for v15/v16: detSql's `boxes` +
+    * previous-frame pairing + IoU candidates + the integer-key
+    * argmax rank. */
+  private val assocCtes: String = detSql +
     """, pf AS (SELECT video_id, frame_id, lag(frame_id) OVER
       |    (PARTITION BY video_id ORDER BY frame_id) AS prev_frame
       |  FROM (SELECT DISTINCT video_id, frame_id FROM boxes)),
@@ -927,7 +930,82 @@ object VideoQueries {
       |    CAST(i * 1000000 // u AS BIGINT) AS iou_ppm,
       |    row_number() OVER (PARTITION BY video_id, frame_id, box_ref
       |      ORDER BY i * 1000000000 // u DESC, prev_ref) AS rn
-      |  FROM cand)
+      |  FROM cand)""".stripMargin
+
+  val v15Sql: String = assocCtes +
+    """
       |SELECT video_id, frame_id, box_ref, prev_frame, prev_ref, iou_ppm
       |FROM rk WHERE rn = 1""".stripMargin
+
+  // ---- v16: tracklet labeling (association closure) ----------------
+
+  /** v16: TRACKLETS — v15's frame-to-frame association edges closed
+    * into track identities with the d-family's connected-components
+    * operator: every detection labeled with the min node id of its
+    * association chain (unmatched boxes are their own singleton
+    * tracklet). The video family's d9: per-frame edges become the
+    * per-object identity a downstream query groups by (dwell, path,
+    * kinematics PER OBJECT instead of per box). Node ids pack
+    * (poly_hash(video), frame, ref) into one long — deterministic
+    * and restated identically by the oracle, whose recursive-CTE
+    * closure certifies the iterative min-label propagation like d9.
+    *
+    * 100 TB shape: the association edge list is tiny relative to
+    * the scan; Components is one keyed join + partial-agg min per
+    * round over it (O(track length) rounds — tracks are short
+    * chains; the two-phase escalation stands if ever needed); the
+    * final label attach is one left join back to the box
+    * relation. */
+  def tracklets(boxes: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions
+    def node(v: org.apache.spark.sql.Column, f: org.apache.spark.sql.Column,
+        r: org.apache.spark.sql.Column) =
+      TextFunctions.polyHash(v) * lit(100000000L) +
+        f.cast("long") * lit(100L) + r.cast("long")
+    val assoc = trackAssociation(boxes)
+    val pairs = assoc.select(
+      node(col("video_id"), col("frame_id"), col("box_ref")).as("a"),
+      node(col("video_id"), col("prev_frame"), col("prev_ref")).as("b"))
+    val labels = graft.operators.Components.connectedComponents(pairs)
+    boxes
+      .select(col("video_id"), col("frame_id"), col("box_ref"),
+        node(col("video_id"), col("frame_id"), col("box_ref")).as("node"))
+      .join(labels, Seq("node"), "left")
+      .select(col("video_id"), col("frame_id"), col("box_ref"),
+        coalesce(col("cluster"), col("node")).as("tracklet_id"))
+  }
+
+  def v16Tracklets(spark: SparkSession, dir: String): DataFrame = {
+    val dets = withDetections(frames(spark, dir))
+    val boxes = DetectionPipeline.boxes(dets, threshold = 0.7)
+      .select(col("video_id"), col("frame_id"), col("box_ref"),
+        col("x"), col("y"), col("w"), col("h"), col("label_id"))
+      .localCheckpoint()
+    tracklets(boxes)
+  }
+
+  lazy val v16Sql: String = {
+    val ph = graft.queries.LlmQueries.polySql("video_id")
+    assocCtes.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+      s""",
+         |edg AS MATERIALIZED (SELECT
+         |    $ph * 100000000 + frame_id * 100 + box_ref AS a,
+         |    $ph * 100000000 + prev_frame * 100 + prev_ref AS b
+         |  FROM rk WHERE rn = 1),
+         |symt AS MATERIALIZED (SELECT a, b FROM edg
+         |  UNION SELECT b AS a, a AS b FROM edg),
+         |reach(node, lab) AS (
+         |  SELECT DISTINCT a AS node, a AS lab FROM symt
+         |  UNION
+         |  SELECT s.a AS node, r.lab FROM symt s JOIN reach r
+         |    ON r.node = s.b
+         |),
+         |labt AS (SELECT node, min(lab) AS cluster FROM reach GROUP BY 1),
+         |bn AS (SELECT video_id, frame_id, box_ref,
+         |    $ph * 100000000 + frame_id * 100 + box_ref AS node
+         |  FROM boxes)
+         |SELECT bn.video_id, bn.frame_id, bn.box_ref,
+         |  coalesce(l.cluster, bn.node) AS tracklet_id
+         |FROM bn LEFT JOIN labt l ON l.node = bn.node""".stripMargin
+  }
 }

@@ -211,6 +211,35 @@ class Round10Spec extends SparkTestBase {
     assert(got.size === 3)                       // label 3 unmatched
   }
 
+  test("v16 tracklets: association chains share one id, unmatched " +
+    "boxes are singleton tracklets") {
+    val boxes = Seq(
+      ("v", 1L, 1L, 0, 0, 10, 10, 9),
+      ("v", 1L, 2L, 100, 100, 110, 110, 9),
+      ("v", 1L, 4L, 0, 0, 10, 10, 9),
+      ("v", 2L, 1L, 1, 0, 11, 10, 9),
+      ("v", 2L, 2L, 4, 0, 14, 10, 9),
+      ("v", 2L, 3L, 0, 0, 10, 10, 9),
+      ("v", 2L, 5L, 0, 0, 10, 10, 3)
+    ).toDF("video_id", "frame_id", "box_ref", "x", "y", "w", "h",
+      "label_id")
+    val got = graft.queries.VideoQueries.tracklets(boxes)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._2, r._3) -> r._4).toMap
+    def poly(s: String) =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    def node(f: Long, r: Long) = poly("v") * 100000000L + f * 100L + r
+    // chain {f1r1, f2r1, f2r2, f2r3} -> min node = f1r1
+    val chain = node(1L, 1L)
+    assert(got((1L, 1L)) === chain && got((2L, 1L)) === chain &&
+      got((2L, 2L)) === chain && got((2L, 3L)) === chain)
+    // singletons: f1r2, f1r4 (tie lost), f2r5 (label mismatch)
+    assert(got((1L, 2L)) === node(1L, 2L))
+    assert(got((1L, 4L)) === node(1L, 4L))
+    assert(got((2L, 5L)) === node(2L, 5L))
+    assert(got.size === 7)
+  }
+
   test("d19 prefixFilterPairs: equals the all-pairs brute force on " +
     "crafted docs including an exact-threshold pair") {
     val docs = Seq(
