@@ -339,4 +339,66 @@ object Relational5 {
       |  count(*) AS n_users,
       |  CAST(floor(sum(c) * 1000000 / tt.t) AS BIGINT) AS share_ppm
       |FROM pu CROSS JOIN tt GROUP BY path, tt.t""".stripMargin
+
+  // ---- r66: half-life-decayed leaderboard --------------------------
+
+  /** r66: RECENCY-DECAYED leaderboard — per event type, the top-10
+    * users by revenue where a contribution's weight halves every 7
+    * days of age (age measured from the corpus' max event day, so
+    * the query is deterministic). The classic trending-score shape,
+    * made hash-exact by keeping the decay INTEGER: weight =
+    * cents >> (age_days div 7) — an arithmetic right shift IS floor
+    * division by 2^k for non-negative cents, identical on both
+    * engines; no exp(), no float half-life.
+    *
+    * 100 TB shape: the "now" anchor is a one-row broadcast max; the
+    * decayed contribution is row-local; the (type, user) partial agg
+    * collapses the fact table; top-10 is a WindowGroupLimit over the
+    * aggregated relation (rank ties broken by user id). */
+  def decayedLeaderboard(eventsIn: DataFrame, halfLifeDays: Int,
+      topK: Int): DataFrame = {
+    val ev = eventsIn.select(col("event_type"), col("user_id"),
+      unix_micros(date_trunc("day", col("ts"))).as("day_us"),
+      floor(col("value") * 100).cast("long").as("cents"))
+    val anchor = ev.select(max(col("day_us")).as("now_us"))
+    val hlUs = 86400000000L * halfLifeDays
+    val scored = ev.crossJoin(broadcast(anchor))
+      .withColumn("age_hl", expr(s"(now_us - day_us) div ${hlUs}L"))
+      .withColumn("decayed",
+        expr("shiftright(cents, cast(age_hl as int))"))
+    val agg = scored.groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("decayed")).as("decayed_cents"),
+        count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("decayed_cents").desc, col("user_id"))
+    agg.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("event_type"), col("rank"), col("user_id"),
+        col("decayed_cents"), col("n_events"))
+  }
+
+  def r66DecayedLeaderboard(spark: SparkSession, dir: String): DataFrame =
+    decayedLeaderboard(Tables.events(spark, dir), halfLifeDays = 7,
+      topK = 10)
+
+  val r66Sql: String =
+    """WITH ev AS (SELECT event_type, user_id,
+      |    epoch_us(date_trunc('day', ts)) AS day_us,
+      |    CAST(floor(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |an AS (SELECT max(day_us) AS now_us FROM ev),
+      |sc AS (SELECT event_type, user_id,
+      |    cents >> CAST((now_us - day_us) // 604800000000 AS INT)
+      |      AS decayed
+      |  FROM ev CROSS JOIN an),
+      |ag AS (SELECT event_type, user_id,
+      |    CAST(sum(decayed) AS BIGINT) AS decayed_cents,
+      |    count(*) AS n_events
+      |  FROM sc GROUP BY 1, 2),
+      |rk AS (SELECT event_type, user_id, decayed_cents, n_events,
+      |    CAST(row_number() OVER (PARTITION BY event_type
+      |      ORDER BY decayed_cents DESC, user_id) AS INT) AS rank
+      |  FROM ag)
+      |SELECT event_type, rank, user_id, decayed_cents, n_events
+      |FROM rk WHERE rank <= 10""".stripMargin
 }

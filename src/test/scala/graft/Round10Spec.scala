@@ -240,6 +240,30 @@ class Round10Spec extends SparkTestBase {
     assert(got.size === 7)
   }
 
+  test("r66 decayedLeaderboard: shift-decay halves by age bucket, " +
+    "rank ties break on user id") {
+    def t(day: Int) =
+      java.sql.Timestamp.valueOf(f"2024-03-${day}%02d 12:00:00")
+    val ev = Seq(
+      // anchor day = 15. user 1: 8.00 on day 15 (age 0 -> x1 = 800)
+      (t(15), "a", 1L, 8.0),
+      // user 2: 20.00 on day 1 (age 14d -> bucket 2 -> /4 = 500)
+      (t(1), "a", 2L, 20.0),
+      // user 3: 12.00 on day 8 (age 7d -> bucket 1 -> /2 = 600)
+      (t(8), "a", 3L, 12.0),
+      // user 4: two events, 4.00 day 15 + 8.00 day 1 -> 400 + 200 = 600
+      (t(15), "a", 4L, 4.0), (t(1), "a", 4L, 8.0)
+    ).toDF("ts", "event_type", "user_id", "value")
+    val got = Relational5.decayedLeaderboard(ev, halfLifeDays = 7,
+      topK = 10)
+      .as[(String, Int, Long, Long, Long)].collect().sortBy(_._2)
+    assert(got.map(r => (r._2, r._3, r._4, r._5)).toSeq === Seq(
+      (1, 1L, 800L, 1L),   // 800
+      (2, 3L, 600L, 1L),   // 600, user 3 < user 4 on the tie
+      (3, 4L, 600L, 2L),
+      (4, 2L, 500L, 1L)))
+  }
+
   test("d19 prefixFilterPairs: equals the all-pairs brute force on " +
     "crafted docs including an exact-threshold pair") {
     val docs = Seq(
