@@ -2546,4 +2546,115 @@ object CorpusQueries {
        |        tkn -> ${polySql("tkn")})),
        |    (acc, hv) -> (acc * 31 + hv) % 1000000007) AS chunk_hash
        |FROM c""".stripMargin
+
+  // ---- x66: RAG corpus build (capstone) ---------------------------
+
+  /** x66: the RAG-INGESTION capstone — the end-to-end chunk-store
+    * build a retrieval system runs nightly, chained from four
+    * already-audited operators in ONE Catalyst plan: exact dedup
+    * survivorship (d1's min-id-per-md5), the x1 quality gate
+    * (score ≥ 0.5 — drops empty/short/punct-heavy junk), x65's overlapping 64/48 chunk map over the kept docs,
+    * and cross-document CHUNK dedup (first (doc_id, chunk_id) owner
+    * per chunk fingerprint — boilerplate chunks shared across
+    * barely-different docs collapse at chunk granularity even when
+    * whole-doc dedup kept both). Output: the per-source yield
+    * report (docs in → docs kept → chunks → unique chunks → unique
+    * tokens) a corpus owner reads before pointing the embedder at
+    * the store.
+    *
+    * 100 TB shape: every stage is an audited plan — one md5
+    * partial-agg + self-join for survivorship, row-local stats +
+    * z-gate on the scan, zero-shuffle chunk explode, ONE
+    * chunk-hash-keyed window for first-owner, per-source partial
+    * agg; sources with zero surviving docs still report via the
+    * LEFT join from the source dimension. */
+  def x66RagCorpus(spark: SparkSession, dir: String): DataFrame =
+    ragCorpus(Tables.spread(Tables.documents(spark, dir)))
+
+  /** DataFrame-taking core of x66 (docs: doc_id, text, source,
+    * n_chars) — the unit spec asserts on THIS. */
+  def ragCorpus(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keep = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val kept = docs.select(col("doc_id"), col("source"),
+        col("n_chars"), LlmQueries.textStatsCol.as("s"))
+      .withColumn("q", LlmQueries.qualityFrom(col("s")))
+      .filter(col("q") >= 0.5)
+      .join(keep, Seq("doc_id"))
+      .select(col("doc_id"), col("source"))
+    val chunks = ragChunks(
+        docs.join(kept.select(col("doc_id")), Seq("doc_id"))
+          .select(col("doc_id"), col("text")),
+        window = 64, stride = 48)
+      .join(kept, Seq("doc_id"))
+    val w = Window.partitionBy(col("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+    val owned = chunks.withColumn("rn", row_number().over(w))
+    val perSource = owned.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L))
+          .as("n_unique_chunks"),
+        sum(when(col("rn") === 1, col("n_chunk_tok")).otherwise(0L))
+          .as("unique_tokens"))
+    val keptPer = kept.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_kept"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(keptPer, Seq("source"), "left")
+      .join(perSource, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_docs_kept"), lit(0L)).as("n_docs_kept"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_unique_chunks"), lit(0L)).as("n_unique_chunks"),
+        coalesce(col("unique_tokens"), lit(0L)).as("unique_tokens"))
+  }
+
+  val x66Sql: String =
+    s"""WITH ${LlmQueries.statsCtesSql("source")},
+       |dd AS (SELECT min(doc_id) AS doc_id FROM documents
+       |  GROUP BY md5(text)),
+       |fz AS (SELECT doc_id, source,
+       |    ${LlmQueries.qualitySql} AS q
+       |  FROM m),
+       |kept AS (SELECT f.doc_id, f.source FROM fz f
+       |  JOIN dd ON dd.doc_id = f.doc_id WHERE f.q >= 0.5),
+       |n2 AS (SELECT k.source, t.doc_id, t.ts, len(t.ts) AS n_tok
+       |  FROM t JOIN kept k ON k.doc_id = t.doc_id
+       |  WHERE len(t.ts) > 0),
+       |c2 AS (SELECT source, doc_id, ts, n_tok,
+       |    unnest(range(((greatest(n_tok - 64, 0) + 47) // 48) + 1))
+       |      AS chunk_id
+       |  FROM n2),
+       |ch AS (SELECT source, doc_id, chunk_id,
+       |    CAST(least(chunk_id * 48 + 64, n_tok) - chunk_id * 48
+       |      AS BIGINT) AS n_chunk_tok,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(
+       |          list_slice(ts, chunk_id * 48 + 1,
+       |            least(chunk_id * 48 + 64, n_tok)),
+       |          tkn -> ${LlmQueries.polySql("tkn")})),
+       |      (acc, hv) -> (acc * 31 + hv) % 1000000007) AS chunk_hash
+       |  FROM c2),
+       |rk2 AS (SELECT source, n_chunk_tok,
+       |    row_number() OVER (PARTITION BY chunk_hash
+       |      ORDER BY doc_id, chunk_id) AS rn
+       |  FROM ch),
+       |ps AS (SELECT source, count(*) AS n_chunks,
+       |    CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_unique_chunks,
+       |    CAST(sum(CASE WHEN rn = 1 THEN n_chunk_tok ELSE 0 END)
+       |      AS BIGINT) AS unique_tokens
+       |  FROM rk2 GROUP BY 1),
+       |kp AS (SELECT source, count(*) AS n_docs_kept
+       |  FROM kept GROUP BY 1),
+       |base AS (SELECT source, count(*) AS n_docs FROM documents
+       |  GROUP BY 1)
+       |SELECT b.source, b.n_docs,
+       |  coalesce(kp.n_docs_kept, 0) AS n_docs_kept,
+       |  coalesce(ps.n_chunks, 0) AS n_chunks,
+       |  coalesce(ps.n_unique_chunks, 0) AS n_unique_chunks,
+       |  coalesce(ps.unique_tokens, 0) AS unique_tokens
+       |FROM base b
+       |LEFT JOIN kp ON kp.source = b.source
+       |LEFT JOIN ps ON ps.source = b.source""".stripMargin
 }

@@ -264,6 +264,39 @@ class Round10Spec extends SparkTestBase {
       (4, 2L, 500L, 1L)))
   }
 
+  test("x66 ragCorpus: dedup survivorship, quality gate, chunking " +
+    "and chunk dedup compose on a crafted corpus") {
+    val passText = Seq.fill(100)("the").mkString(" ")  // q = 1.0
+    val docs = Seq(
+      (1L, passText, "a"),
+      (2L, passText, "b"),      // exact dup of 1 -> dropped
+      (3L, "zzz qqq", "a"),     // short: fails the quality gate
+      (4L, "", "b")             // empty: fails closed
+    ).map { case (id, tx, src) => (id, tx, src, tx.length.toLong) }
+      .toDF("doc_id", "text", "source", "n_chars")
+    val got = CorpusQueries.ragCorpus(docs)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // source a: 2 docs, doc 1 kept; 100 tokens -> chunks [0,64)+[48,100)
+    assert(got("a") === ((2L, 1L, 2L, 2L, 116L)))
+    // source b: its copy lost survivorship, empty doc fails -> zeros
+    assert(got("b") === ((2L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("x66 ragCorpus: invariants hold on the sf0.001 corpus") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val rows = CorpusQueries.ragCorpus(docs)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nd, nk, nc, nu, ut) =>
+      assert(nk <= nd, src)
+      assert(nu <= nc, src)
+      assert(ut <= 64L * nu, src)
+      assert((nk == 0L) == (nc == 0L) || nk > 0L, src)
+    }
+    assert(rows.map(_._3).sum > 0)   // something survives overall
+  }
+
   test("d19 prefixFilterPairs: equals the all-pairs brute force on " +
     "crafted docs including an exact-threshold pair") {
     val docs = Seq(
