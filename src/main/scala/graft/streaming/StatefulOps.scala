@@ -519,6 +519,43 @@ object StatefulOps {
       }
   }
 
+  final case class SessEvObs(user_id: Long, day_us: Long, ts_us: Long,
+      event_id: Long, event_type: String)
+  final case class FirstKState(n_seen: Long, firsts: Seq[SessEvObs])
+  final case class FirstKSnap(user_id: Long, day_us: Long,
+      n_seen: Long, path: String)
+
+  /** r65's session-opening path as KEYED STREAMING STATE — per
+    * (user, day) the state is the k EARLIEST events by the total
+    * (ts, event_id) order, emitted as the joined path string each
+    * micro-batch. Min-k selection under a total order is
+    * associative, commutative and idempotent (kmvState's argument
+    * with (ts, event_id) in place of the hash), so the final
+    * snapshot equals the batch r65 slot pivot under ANY arrival
+    * order, chunking, or replay — late events that belong in the
+    * opening displace later ones retroactively, which an
+    * append-only assembler cannot do. State is k tuples per active
+    * session BY CONSTRUCTION. */
+  def firstKState(events: Dataset[SessEvObs], k: Int = 3)
+      : Dataset[FirstKSnap] = {
+    implicit val keyEnc = Encoders.product[(Long, Long)]
+    implicit val outEnc = Encoders.product[FirstKSnap]
+    implicit val stEnc = Encoders.product[FirstKState]
+    events.groupByKey(e => (e.user_id, e.day_us))
+      .mapGroupsWithState[FirstKState, FirstKSnap](
+        GroupStateTimeout.NoTimeout) {
+        (key: (Long, Long), it: Iterator[SessEvObs],
+            state: GroupState[FirstKState]) =>
+          val prev = state.getOption.getOrElse(FirstKState(0L, Seq.empty))
+          var n = prev.n_seen
+          val all = prev.firsts ++ it.map { e => n += 1L; e }
+          val firsts = all.sortBy(e => (e.ts_us, e.event_id)).take(k)
+          state.update(FirstKState(n, firsts))
+          FirstKSnap(key._1, key._2, n,
+            firsts.map(_.event_type).mkString(">"))
+      }
+  }
+
   /** A1 as keyed streaming state: running per-video frame count +
     * high-water frame id, emitted once per video per micro-batch
     * (update mode). */

@@ -964,6 +964,38 @@ class StreamingSpec extends SparkTestBase {
     assert(got === expected && expected.nonEmpty)
   }
 
+  test("streaming first-k state rebuilds the batch r65 session paths " +
+    "under shuffled chunked arrival (late openers displace)") {
+    import testImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulOps.{SessEvObs, FirstKSnap}
+    val src = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"),
+        unix_micros(date_trunc("day", col("ts"))),
+        unix_micros(col("ts")), col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(t => SessEvObs(t._1, t._2, t._3, t._4, t._5))
+    // batch expectation: r65's per-session paths before aggregation
+    val expected = src.groupBy(e => (e.user_id, e.day_us))
+      .map { case (kk, xs) =>
+        kk -> xs.sortBy(e => (e.ts_us, e.event_id)).take(3)
+          .map(_.event_type).mkString(">")
+      }
+    val shuffled = new scala.util.Random(66).shuffle(src.toSeq)
+    val chunks = shuffled.grouped((shuffled.size + 3) / 4).toSeq
+    val mem = MemoryStream[SessEvObs]
+    val q = graft.streaming.StatefulOps.firstKState(mem.toDS())
+      .writeStream.format("memory").queryName("firstk_out")
+      .outputMode("update").option("checkpointLocation", tmpDir()).start()
+    chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+    q.stop()
+    val finals = spark.table("firstk_out").as[FirstKSnap].collect()
+      .groupBy(s => (s.user_id, s.day_us)).values
+      .map(_.maxBy(_.n_seen)).toSeq
+    val got = finals.map(s => (s.user_id, s.day_us) -> s.path).toMap
+    assert(got === expected && expected.nonEmpty)
+  }
+
   test("streaming skyline state converges to the batch Pareto " +
     "frontier per brand under shuffled chunked arrival") {
     import testImplicits._
