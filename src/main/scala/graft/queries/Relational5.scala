@@ -401,4 +401,110 @@ object Relational5 {
       |  FROM ag)
       |SELECT event_type, rank, user_id, decayed_cents, n_events
       |FROM rk WHERE rank <= 10""".stripMargin
+
+  // ---- r67: week-over-week percent change --------------------------
+
+  /** r67: WoW GROWTH — weekly revenue per event type with the
+    * percent change against the previous week, the first derivative
+    * every BI dashboard draws next to r43's levels. Division is
+    * guarded (a zero-revenue previous week reports 0, the no-NULL
+    * contract) and the change is floor-ppm over exact cents, so
+    * negative weeks floor toward −∞ identically on both engines.
+    *
+    * 100 TB shape: one partial-agg groupBy to |type|·|week| rows;
+    * the lag is a per-type ordered window over that tiny series;
+    * the fact table is scanned once. */
+  def weekOverWeek(eventsIn: DataFrame): DataFrame = {
+    val weekly = eventsIn
+      .groupBy(col("event_type"),
+        unix_micros(date_trunc("week", col("ts"))).as("week_us"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("week_us"))
+    weekly
+      .withColumn("prev_cents", lag(col("cents"), 1).over(w))
+      .select(col("event_type"), col("week_us"), col("cents"),
+        coalesce(col("prev_cents"), lit(0L)).as("prev_cents"),
+        when(coalesce(col("prev_cents"), lit(0L)) === 0, lit(0L))
+          .otherwise(floor((col("cents") - col("prev_cents")) *
+            lit(1000000L) / col("prev_cents")).cast("long"))
+          .as("change_ppm"))
+  }
+
+  def r67WeekOverWeek(spark: SparkSession, dir: String): DataFrame =
+    weekOverWeek(Tables.events(spark, dir))
+
+  val r67Sql: String =
+    """WITH wk AS (SELECT event_type,
+      |    epoch_us(date_trunc('week', ts)) AS week_us,
+      |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM events GROUP BY 1, 2),
+      |lg AS (SELECT event_type, week_us, cents,
+      |    lag(cents) OVER (PARTITION BY event_type ORDER BY week_us)
+      |      AS prev_cents
+      |  FROM wk)
+      |SELECT event_type, week_us, cents,
+      |  coalesce(prev_cents, 0) AS prev_cents,
+      |  CASE WHEN coalesce(prev_cents, 0) = 0 THEN CAST(0 AS BIGINT)
+      |    ELSE CAST(floor((cents - prev_cents) * 1000000
+      |      / prev_cents) AS BIGINT) END AS change_ppm
+      |FROM lg""".stripMargin
+
+  // ---- r68: ABC / Pareto classification ----------------------------
+
+  /** r68: ABC ANALYSIS — every part classified by its cumulative
+    * share of total revenue when ranked richest-first: A carries the
+    * first 70%, B to 90%, C the tail. The Pareto curve behind "which
+    * 20% of the catalog earns 80%", emitted per part so downstream
+    * joins can gate on the class. Shares stay integer (cum·10 vs
+    * total·7/9 — no percentage division anywhere); ranking ties
+    * break on part key.
+    *
+    * 100 TB shape: the per-part partial agg collapses the fact
+    * table to the part DIMENSION before any ordering; the
+    * cumulative window then sorts dimension-sized data (one
+    * exchange; range-partitioned two-pass prefix sums are the
+    * documented escalation when even the dimension is huge); the
+    * grand total is a one-row broadcast. */
+  def abcClassification(liIn: DataFrame): DataFrame = {
+    val perPart = liIn
+      .groupBy(col("l_partkey"))
+      .agg(sum(floor(col("l_extendedprice") * 100).cast("long"))
+        .as("revenue_cents"))
+    val tot = perPart.select(sum(col("revenue_cents")).as("t"))
+    val w = Window.orderBy(col("revenue_cents").desc, col("l_partkey"))
+    perPart
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_cents", sum(col("revenue_cents")).over(
+        Window.orderBy(col("revenue_cents").desc, col("l_partkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .select(col("l_partkey"), col("rank"), col("revenue_cents"),
+        col("cum_cents"),
+        when(col("cum_cents") * 10 <= col("t") * 7, "A")
+          .when(col("cum_cents") * 10 <= col("t") * 9, "B")
+          .otherwise("C").as("abc_class"))
+  }
+
+  def r68AbcClassification(spark: SparkSession, dir: String): DataFrame =
+    abcClassification(Tables.lineitem(spark, dir))
+
+  val r68Sql: String =
+    """WITH pp AS (SELECT l_partkey,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+      |      AS BIGINT) AS revenue_cents
+      |  FROM lineitem GROUP BY 1),
+      |tt AS (SELECT CAST(sum(revenue_cents) AS BIGINT) AS t FROM pp),
+      |rk AS (SELECT l_partkey, revenue_cents,
+      |    CAST(row_number() OVER (ORDER BY revenue_cents DESC,
+      |      l_partkey) AS INT) AS rank,
+      |    CAST(sum(revenue_cents) OVER (ORDER BY revenue_cents DESC,
+      |      l_partkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cum_cents
+      |  FROM pp)
+      |SELECT l_partkey, rank, revenue_cents, cum_cents,
+      |  CASE WHEN cum_cents * 10 <= tt.t * 7 THEN 'A'
+      |    WHEN cum_cents * 10 <= tt.t * 9 THEN 'B'
+      |    ELSE 'C' END AS abc_class
+      |FROM rk CROSS JOIN tt""".stripMargin
 }

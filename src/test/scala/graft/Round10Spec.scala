@@ -297,6 +297,36 @@ class Round10Spec extends SparkTestBase {
     assert(rows.map(_._3).sum > 0)   // something survives overall
   }
 
+  test("r67 weekOverWeek: guarded first week, floor-ppm change " +
+    "floors toward -inf on down weeks") {
+    def t(day: Int) =
+      java.sql.Timestamp.valueOf(f"2024-03-${day}%02d 12:00:00")
+    // ISO weeks: Mar 4, Mar 11, Mar 18 2024 are consecutive Mondays
+    val ev = Seq(
+      (t(4), "a", 1.0), (t(11), "a", 1.5), (t(18), "a", 0.7)
+    ).toDF("ts", "event_type", "value")
+    val got = Relational5.weekOverWeek(ev)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._2)
+      .map(r => (r._3, r._4, r._5))
+    assert(got.toSeq === Seq(
+      (100L, 0L, 0L),            // first week: guard
+      (150L, 100L, 500000L),     // +50%
+      (70L, 150L, -533334L)))    // floor(-80e6/150) = -533334
+  }
+
+  test("r68 abcClassification: boundary shares land in A/B/C " +
+    "exactly, ranks tie-break on part key") {
+    val li = Seq(
+      (101L, 0.70), (102L, 0.20), (103L, 0.10)
+    ).toDF("l_partkey", "l_extendedprice")
+    val got = graft.queries.Relational5.abcClassification(li)
+      .as[(Long, Int, Long, Long, String)].collect().sortBy(_._2)
+    assert(got.map(r => (r._1, r._2, r._3, r._4, r._5)).toSeq === Seq(
+      (101L, 1, 70L, 70L, "A"),    // 700 <= 700: the A boundary
+      (102L, 2, 20L, 90L, "B"),    // 900 <= 900: the B boundary
+      (103L, 3, 10L, 100L, "C")))
+  }
+
   test("d19 prefixFilterPairs: equals the all-pairs brute force on " +
     "crafted docs including an exact-threshold pair") {
     val docs = Seq(
