@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -507,4 +507,174 @@ object Relational5 {
       |    WHEN cum_cents * 10 <= tt.t * 9 THEN 'B'
       |    ELSE 'C' END AS abc_class
       |FROM rk CROSS JOIN tt""".stripMargin
+
+  // ---- r69: RFM customer segmentation ------------------------------
+
+  /** r69: RFM SEGMENTATION — every customer scored 1–5 on Recency
+    * (latest order day), Frequency (order count) and Monetary
+    * (cents), quintiles assigned richest-first so 1 is best, with
+    * the concatenated segment label ("111" = champions). ntile is
+    * deterministic once the ordering is total — every quintile
+    * orders by (metric best-first, custkey), the r13/r26 window
+    * discipline — and both engines split remainders identically
+    * (earlier buckets larger), so the labels hash.
+    *
+    * 100 TB shape: ONE partial-agg groupBy collapses orders to the
+    * customer dimension; the three quintile windows sort
+    * dimension-sized data (the r68 escalation note applies); no
+    * join back to the fact table. */
+  def rfm(ordersIn: DataFrame): DataFrame = {
+    val base = ordersIn.groupBy(col("o_custkey"))
+      .agg(max(unix_micros(date_trunc("day", col("o_orderdate"))))
+        .as("last_day_us"),
+        count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val rw = Window.orderBy(col("last_day_us").desc, col("o_custkey"))
+    val fw = Window.orderBy(col("n_orders").desc, col("o_custkey"))
+    val mw = Window.orderBy(col("cents").desc, col("o_custkey"))
+    base
+      .withColumn("r_q", ntile(5).over(rw))
+      .withColumn("f_q", ntile(5).over(fw))
+      .withColumn("m_q", ntile(5).over(mw))
+      .select(col("o_custkey"), col("last_day_us"), col("n_orders"),
+        col("cents"), col("r_q"), col("f_q"), col("m_q"),
+        concat(col("r_q").cast("string"), col("f_q").cast("string"),
+          col("m_q").cast("string")).as("segment"))
+  }
+
+  def r69Rfm(spark: SparkSession, dir: String): DataFrame =
+    rfm(Tables.orders(spark, dir))
+
+  val r69Sql: String =
+    """WITH b AS (SELECT o_custkey,
+      |    max(epoch_us(date_trunc('day', o_orderdate))) AS last_day_us,
+      |    count(*) AS n_orders,
+      |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |q AS (SELECT o_custkey, last_day_us, n_orders, cents,
+      |    CAST(ntile(5) OVER (ORDER BY last_day_us DESC, o_custkey)
+      |      AS INT) AS r_q,
+      |    CAST(ntile(5) OVER (ORDER BY n_orders DESC, o_custkey)
+      |      AS INT) AS f_q,
+      |    CAST(ntile(5) OVER (ORDER BY cents DESC, o_custkey)
+      |      AS INT) AS m_q
+      |  FROM b)
+      |SELECT o_custkey, last_day_us, n_orders, cents, r_q, f_q, m_q,
+      |  CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR)
+      |    || CAST(m_q AS VARCHAR) AS segment
+      |FROM q""".stripMargin
+
+  // ---- r70: data-expectations validation report --------------------
+
+  /** r70: the DATA CONTRACT audit — a declared expectation suite
+    * (range, positivity, referential integrity, key uniqueness,
+    * non-null domain) evaluated over the warehouse into one
+    * violations report, the Great-Expectations shape as a single
+    * query. Every rule is an aggregate over its own scan (range
+    * rules are partial-agg sums of a boolean; the FK rule is a LEFT
+    * ANTI join count; uniqueness is count − count-distinct via a
+    * two-level agg, no Expand), unioned into (rule, n_checked,
+    * n_violations, passed). A failing expectation (c_acctbal ≥ 0
+    * here) reports its violation count rather than erroring — the
+    * report IS the artifact.
+    *
+    * 100 TB shape: each rule touches one table once with map-side
+    * partial aggregation; the FK anti-join is the r14 semi/anti
+    * plan (dimension side broadcasts); the union is |rules| rows. */
+  def expectations(li: DataFrame, ordersIn: DataFrame,
+      customerIn: DataFrame, eventsIn: DataFrame): DataFrame = {
+    def rule(name: String, df: DataFrame, viol: Column): DataFrame =
+      df.agg(count(lit(1)).as("n_checked"),
+          sum(when(viol, 1L).otherwise(0L)).as("n_violations"))
+        .select(lit(name).as("rule"), col("n_checked"),
+          col("n_violations"))
+    val fkViol = ordersIn.join(
+        customerIn.select(col("c_custkey").as("o_custkey")),
+        Seq("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+    val fk = ordersIn.agg(count(lit(1)).as("n_checked"))
+      .crossJoin(broadcast(fkViol))
+      .select(lit("orders.o_custkey references customer").as("rule"),
+        col("n_checked"), col("n_violations"))
+    val uniq = ordersIn.groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n_checked"),
+        (sum(col("c")) - count(lit(1))).as("n_violations"))
+      .select(lit("orders.o_orderkey unique").as("rule"),
+        col("n_checked"), col("n_violations"))
+    Seq(
+      rule("lineitem.l_quantity in [1,50]", li,
+        !col("l_quantity").between(1.0, 50.0)),
+      rule("lineitem.l_discount in [0,0.1]", li,
+        !col("l_discount").between(0.0, 0.1)),
+      rule("orders.o_totalprice positive", ordersIn,
+        col("o_totalprice") <= 0.0),
+      rule("customer.c_acctbal non-negative", customerIn,
+        col("c_acctbal") < 0.0),
+      rule("customer.c_mktsegment present", customerIn,
+        col("c_mktsegment").isNull || col("c_mktsegment") === ""),
+      rule("events.value positive", eventsIn, col("value") <= 0.0),
+      fk, uniq)
+      .reduce(_ unionByName _)
+      .withColumn("passed", col("n_violations") === 0L)
+  }
+
+  def r70Expectations(spark: SparkSession, dir: String): DataFrame =
+    expectations(Tables.lineitem(spark, dir), Tables.orders(spark, dir),
+      Tables.customer(spark, dir), Tables.events(spark, dir))
+
+  val r70Sql: String =
+    """SELECT 'lineitem.l_quantity in [1,50]' AS rule,
+      |  count(*) AS n_checked,
+      |  CAST(sum(CASE WHEN NOT (l_quantity BETWEEN 1.0 AND 50.0)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+      |  CAST(sum(CASE WHEN NOT (l_quantity BETWEEN 1.0 AND 50.0)
+      |    THEN 1 ELSE 0 END) AS BIGINT) = 0 AS passed
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'lineitem.l_discount in [0,0.1]', count(*),
+      |  CAST(sum(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1)
+      |    THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(sum(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1)
+      |    THEN 1 ELSE 0 END) AS BIGINT) = 0
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'orders.o_totalprice positive', count(*),
+      |  CAST(sum(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END)
+      |    AS BIGINT),
+      |  CAST(sum(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) = 0
+      |FROM orders
+      |UNION ALL
+      |SELECT 'customer.c_acctbal non-negative', count(*),
+      |  CAST(sum(CASE WHEN c_acctbal < 0.0 THEN 1 ELSE 0 END)
+      |    AS BIGINT),
+      |  CAST(sum(CASE WHEN c_acctbal < 0.0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) = 0
+      |FROM customer
+      |UNION ALL
+      |SELECT 'customer.c_mktsegment present', count(*),
+      |  CAST(sum(CASE WHEN c_mktsegment IS NULL OR c_mktsegment = ''
+      |    THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(sum(CASE WHEN c_mktsegment IS NULL OR c_mktsegment = ''
+      |    THEN 1 ELSE 0 END) AS BIGINT) = 0
+      |FROM customer
+      |UNION ALL
+      |SELECT 'events.value positive', count(*),
+      |  CAST(sum(CASE WHEN value <= 0.0 THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(sum(CASE WHEN value <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) = 0
+      |FROM events
+      |UNION ALL
+      |SELECT 'orders.o_custkey references customer',
+      |  (SELECT count(*) FROM orders),
+      |  (SELECT count(*) FROM orders o LEFT JOIN customer c
+      |    ON c.c_custkey = o.o_custkey WHERE c.c_custkey IS NULL),
+      |  (SELECT count(*) FROM orders o LEFT JOIN customer c
+      |    ON c.c_custkey = o.o_custkey WHERE c.c_custkey IS NULL) = 0
+      |UNION ALL
+      |SELECT 'orders.o_orderkey unique',
+      |  (SELECT count(*) FROM orders),
+      |  (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders),
+      |  (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders) = 0""".stripMargin
 }

@@ -327,6 +327,49 @@ class Round10Spec extends SparkTestBase {
       (103L, 3, 10L, 100L, "C")))
   }
 
+  test("r69 rfm: distinct metrics map to clean quintiles and the " +
+    "concatenated segment label") {
+    def t(day: Int) =
+      java.sql.Timestamp.valueOf(f"2024-04-${day}%02d 10:00:00")
+    val orders = (1 to 5).flatMap { k =>
+      (1 to k).map(i => (100L * k + i, k.toLong, t(k), k * 10.0))
+    }.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val got = Relational5.rfm(orders)
+      .as[(Long, Long, Long, Long, Int, Int, Int, String)].collect()
+      .map(r => r._1 -> ((r._5, r._6, r._7, r._8))).toMap
+    assert(got(5L) === ((1, 1, 1, "111")))   // newest, most, richest
+    assert(got(1L) === ((5, 5, 5, "555")))
+    assert(got(3L) === ((3, 3, 3, "333")))
+  }
+
+  test("r70 expectations: clean rules pass, seeded defects are " +
+    "counted not thrown") {
+    def ts(day: Int) =
+      java.sql.Timestamp.valueOf(f"2024-05-${day}%02d 10:00:00")
+    val li = Seq((1L, 5.0, 0.05), (2L, 99.0, 0.05), (3L, 10.0, 0.5))
+      .toDF("l_orderkey", "l_quantity", "l_discount")
+    val orders = Seq((10L, 1L, ts(1), 50.0), (11L, 7L, ts(2), 60.0),
+      (11L, 1L, ts(3), -5.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val cust = Seq((1L, -10.0, "AUTO"), (2L, 5.0, ""))
+      .toDF("c_custkey", "c_acctbal", "c_mktsegment")
+    val ev = Seq(("a", ts(1), 0.0), ("a", ts(2), 3.0))
+      .toDF("event_type", "ts", "value")
+    val got = Relational5.expectations(li, orders, cust, ev)
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("lineitem.l_quantity in [1,50]") === ((3L, 1L, false)))
+    assert(got("lineitem.l_discount in [0,0.1]") === ((3L, 1L, false)))
+    assert(got("orders.o_totalprice positive") === ((3L, 1L, false)))
+    assert(got("customer.c_acctbal non-negative") === ((2L, 1L, false)))
+    assert(got("customer.c_mktsegment present") === ((2L, 1L, false)))
+    assert(got("events.value positive") === ((2L, 1L, false)))
+    assert(got("orders.o_custkey references customer") ===
+      ((3L, 1L, false)))    // custkey 7 is an orphan
+    assert(got("orders.o_orderkey unique") === ((3L, 1L, false)))
+    assert(got.size === 8)
+  }
+
   test("d19 prefixFilterPairs: equals the all-pairs brute force on " +
     "crafted docs including an exact-threshold pair") {
     val docs = Seq(
