@@ -475,4 +475,113 @@ class Round10Spec extends SparkTestBase {
     } yield (a, b)).toSet
     assert(got === brute)
   }
+
+  test("r61 intervalCoverage: randomized cross-check against " +
+    "in-test interval merging (seed 67)") {
+    val rnd = new scala.util.Random(67)
+    val rows = (1 to 120).map { _ =>
+      val key = "k" + rnd.nextInt(3)
+      val s = rnd.nextInt(1000).toLong
+      val d = rnd.nextInt(80).toLong
+      (key, s, d)
+    }
+    val got = Relational5.intervalCoverage(
+      rows.toDF("event_type", "s_us", "dur_us"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    rows.groupBy(_._1).foreach { case (key, xs) =>
+      val ivs = xs.map(x => (x._2, x._2 + x._3)).filter(p => p._2 > p._1)
+        .sortBy(identity)
+      var segs = List.empty[(Long, Long)]
+      ivs.foreach { case (s, e) =>
+        segs match {
+          case (ps, pe) :: rest if s <= pe =>
+            segs = (ps, math.max(pe, e)) :: rest
+          case _ => segs = (s, e) :: segs
+        }
+      }
+      val expectedCovered = segs.map(p => p._2 - p._1).sum
+      val allS = xs.map(_._2); val allE = xs.map(x => x._2 + x._3)
+      assert(got(key)._1 === expectedCovered, key)
+      assert(got(key)._2 === xs.size.toLong, key)
+      assert(got(key)._3 === allE.max - allS.min, key)
+    }
+  }
+
+  test("r62 skyline: randomized cross-check against brute-force " +
+    "dominance (seed 68)") {
+    val rnd = new scala.util.Random(68)
+    val rows = (1 to 250).map { i =>
+      (i.toLong, rnd.nextInt(20) + 1, (rnd.nextInt(500) + 1) * 1.0)
+    }
+    val got = Relational5.skyline(
+      rows.toDF("p_partkey", "p_size", "p_retailprice"))
+      .as[(Long, Int, Double)].collect().map(_._1).toSet
+    val brute = rows.filter { case (_, sz, pr) =>
+      !rows.exists { case (_, sz2, pr2) =>
+        sz2 <= sz && pr2 >= pr && (sz2 < sz || pr2 > pr) }
+    }.map(_._1).toSet
+    assert(got === brute && brute.nonEmpty)
+  }
+
+  test("g14 kTruss: randomized cross-check against an in-test " +
+    "peeling simulation (seed 69)") {
+    val rnd = new scala.util.Random(69)
+    val edges = (1 to 60).map { _ =>
+      val a = rnd.nextInt(14).toLong; val b = rnd.nextInt(14).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    val got = Graph.kTruss(edges.toDF("doc_a", "doc_b"), k = 4L,
+      rounds = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // simulate: 3 rounds of support-count + peel, then final support
+    def support(es: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+      val adj = (es.toSeq ++ es.toSeq.map(e => (e._2, e._1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      es.map(e => e -> adj(e._1).intersect(adj(e._2)).size.toLong).toMap
+    }
+    var alive = edges.toSet
+    var peeled = Map.empty[(Long, Long), Long]
+    var r = 1
+    while (r <= 3 && {
+      val sup = support(alive)
+      val out = alive.filter(e => sup(e) < 2)
+      if (out.isEmpty) false
+      else {
+        peeled ++= out.map(_ -> r.toLong); alive --= out; r += 1; true
+      }
+    }) ()
+    val finalSup = support(alive)
+    edges.foreach { e =>
+      if (alive(e)) assert(got(e) === ((-1L, finalSup(e))), e)
+      else assert(got(e) === ((peeled(e), -1L)), e)
+    }
+    assert(got.size === edges.size)
+  }
+
+  test("g15 linkPrediction: randomized cross-check against " +
+    "brute-force common-neighbor scoring (seed 70)") {
+    val rnd = new scala.util.Random(70)
+    val edges = (1 to 50).map { _ =>
+      val a = rnd.nextInt(12).toLong; val b = rnd.nextInt(12).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    val got = Graph.linkPrediction(edges.toDF("doc_a", "doc_b"),
+      minCn = 2L)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keySet.toSeq.sorted
+    val brute = (for {
+      x <- nodes; y <- nodes
+      if x < y && !edges.contains((x, y))
+      common = adj(x).intersect(adj(y))
+      if common.size >= 2
+    } yield (x, y) ->
+      ((common.size.toLong, common.toSeq.map(z => 1000000L / adj(z).size).sum))
+    ).toMap
+    assert(got === brute && brute.nonEmpty)
+  }
 }
