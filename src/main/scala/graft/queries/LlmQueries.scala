@@ -3105,4 +3105,75 @@ object LlmQueries {
        |    ELSE CAST(floor((n_both + n_sim_only_true) * 1000000 /
        |      n_sim) AS BIGINT) END AS sim_precision_ppm
        |FROM c CROSS JOIN st""".stripMargin
+
+  /** m26: dominant-color PALETTE extraction — the feature-extract
+    * stage a vision curation pipeline runs after decode (near-dup
+    * blocking by palette, censoring flat images, art-vs-photo
+    * heuristics): per image the top-4 most frequent 12-bit RGB
+    * buckets ((r≫4, g≫4, b≫4) packed), with exact pixel counts,
+    * ties to the smaller bucket. Engine side decodes a GENUINE PNG
+    * round-trip (the m2/m6 contract: a decoder defect shifts the
+    * counts and breaks the hash); the oracle restates the synthetic
+    * pixels arithmetically — PNG is lossless, so the histograms
+    * agree exactly.
+    *
+    * 100 TB shape: pixels never leave the partition — the histogram
+    * and its top-4 reduce per image inside one mapPartitions pass,
+    * and only ≤4 tiny rows per image reach the exchange. */
+  def m26Palette(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{Codecs, Multimodal}
+    Tables.spread(Tables.documents(spark, dir).select(col("doc_id"))).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val w = (8 + id % 13).toInt; val h = (8 + id % 7).toInt
+          val rgb = Array.tabulate(w * h * 3)(i =>
+            ((id * 7 + i * 13) % 256).toByte)
+          val png = Codecs.ImageIoCodecs.encodeRgb("png", w, h, rgb)
+          val meta = Codecs.AutoCodec.decode(
+            Multimodal.MediaRecord(id, "image", png))
+          val (dw, dh, back) = Codecs.ImageIoCodecs.decodeRgb(png)
+          require(dw == meta.width && dh == meta.height,
+            s"codec metadata/pixel disagreement for doc $id")
+          val counts = scala.collection.mutable.HashMap.empty[Long, Long]
+          var p = 0
+          while (p < dw * dh) {
+            val r = back(p * 3) & 0xff
+            val g = back(p * 3 + 1) & 0xff
+            val b = back(p * 3 + 2) & 0xff
+            val bucket = (r / 16).toLong * 256 + (g / 16) * 16 + (b / 16)
+            counts(bucket) = counts.getOrElse(bucket, 0L) + 1L
+            p += 1
+          }
+          counts.toSeq.sortBy(kv => (-kv._2, kv._1)).take(4)
+            .zipWithIndex.map { case ((bucket, n), i) =>
+              (id, i + 1, bucket, n)
+            }
+        }
+      }.toDF("doc_id", "palette_rank", "bucket", "n_px")
+  }
+
+  val m26Sql: String =
+    """WITH g AS (SELECT doc_id,
+      |    8 + doc_id % 13 AS w, 8 + doc_id % 7 AS h
+      |  FROM documents),
+      |px AS (SELECT doc_id, w, h,
+      |    list_transform(range(w * h), p -> [
+      |      (doc_id*7 + (3*p)*13) % 256,
+      |      (doc_id*7 + (3*p + 1)*13) % 256,
+      |      (doc_id*7 + (3*p + 2)*13) % 256]) AS pxs
+      |  FROM g),
+      |b AS (SELECT doc_id, unnest(list_transform(pxs,
+      |    q -> (q[1] // 16) * 256 + (q[2] // 16) * 16 + (q[3] // 16)))
+      |    AS bucket
+      |  FROM px),
+      |c AS (SELECT doc_id, bucket, count(*) AS n_px
+      |  FROM b GROUP BY 1, 2),
+      |r AS (SELECT doc_id, bucket, n_px,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY n_px DESC, bucket) AS palette_rank
+      |  FROM c)
+      |SELECT doc_id, CAST(palette_rank AS INT) AS palette_rank,
+      |  CAST(bucket AS BIGINT) AS bucket, n_px
+      |FROM r WHERE palette_rank <= 4""".stripMargin
 }

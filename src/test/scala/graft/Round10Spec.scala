@@ -584,4 +584,21 @@ class Round10Spec extends SparkTestBase {
     ).toMap
     assert(got === brute && brute.nonEmpty)
   }
+
+  test("m26 palette: contiguous ranks, non-increasing counts, " +
+    "counts bounded by the image's pixel budget") {
+    val got = graft.queries.LlmQueries.m26Palette(spark, sf)
+      .as[(Long, Int, Long, Long)].collect().groupBy(_._1)
+    assert(got.nonEmpty)
+    got.foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to sorted.size).toSeq, id)
+      assert(sorted.map(_._4).toSeq ===
+        sorted.map(_._4).toSeq.sorted(Ordering[Long].reverse), id)
+      val w = 8 + id % 13; val h = 8 + id % 7
+      assert(sorted.map(_._4).sum <= w * h, id)
+      sorted.foreach { r =>
+        assert(r._3 >= 0L && r._3 < 4096L, id) }
+    }
+  }
 }
