@@ -677,4 +677,55 @@ object Relational5 {
       |  (SELECT count(*) FROM orders),
       |  (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders),
       |  (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders) = 0""".stripMargin
+
+  // ---- r71: Gini coefficient of customer spend ---------------------
+
+  /** r71: the GINI COEFFICIENT of per-customer spend — the single
+    * inequality number behind r68's Pareto curve (0 = equal, → 1 =
+    * one whale). Exact rank formulation over cents sorted
+    * ascending: G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ); numerator
+    * and denominator are exact longs (ranks are a row_number under
+    * the total (cents, custkey) order — ties contribute identically
+    * to the SUM whichever way they break), and the one division
+    * happens at the edge with the identical tree on both engines.
+    *
+    * 100 TB shape: one partial-agg groupBy collapses orders to the
+    * customer dimension; one dimension-sized ordered window pass
+    * (the r68 escalation note applies); the closing agg is ONE
+    * row. */
+  def gini(ordersIn: DataFrame): DataFrame = {
+    val base = ordersIn.groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val w = Window.orderBy(col("cents"), col("o_custkey"))
+    base.withColumn("i", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+        sum(col("i") * col("cents")).as("si"))
+      .select(col("n"), col("s"),
+        (lit(2L) * col("si") - (col("n") + 1) * col("s")).as("gini_num"),
+        (col("n") * col("s")).as("gini_den"),
+        when(col("n") * col("s") === 0, 0.0)
+          .otherwise(round(
+            (lit(2L) * col("si") - (col("n") + 1) * col("s"))
+              .cast("double") / (col("n") * col("s")), 6)).as("gini"))
+  }
+
+  def r71Gini(spark: SparkSession, dir: String): DataFrame =
+    gini(Tables.orders(spark, dir))
+
+  val r71Sql: String =
+    """WITH b AS (SELECT o_custkey,
+      |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |r AS (SELECT cents, CAST(row_number() OVER
+      |    (ORDER BY cents, o_custkey) AS BIGINT) AS i FROM b),
+      |a AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS s,
+      |    CAST(sum(i * cents) AS BIGINT) AS si FROM r)
+      |SELECT n, s,
+      |  CAST(2 * si - (n + 1) * s AS BIGINT) AS gini_num,
+      |  CAST(n * s AS BIGINT) AS gini_den,
+      |  CASE WHEN n * s = 0 THEN 0.0
+      |    ELSE round(CAST(2 * si - (n + 1) * s AS DOUBLE) / (n * s), 6)
+      |    END AS gini
+      |FROM a""".stripMargin
 }
