@@ -296,8 +296,11 @@ object Graph {
           .join(nextAlive.select(col("node").as("d")), Seq("d"))
           .select(col("s"), col("d")).localCheckpoint(true)
         val nextPeeled = peeled.union(newPeeled).localCheckpoint(true)
-        alive.unpersist(); peeled.unpersist()
-        if (r > 1) edges.unpersist()
+        // unconditional: at r == 1 `edges` is the round-0 snapshot
+        // (sym), which nothing downstream reads — releasing it here
+        // keeps the release-superseded-snapshots discipline airtight
+        // instead of pinning the full edge list for the app lifetime.
+        alive.unpersist(); peeled.unpersist(); edges.unpersist()
         alive = nextAlive; edges = nextEdges; peeled = nextPeeled
         r += 1
       }
@@ -529,8 +532,9 @@ object Graph {
         val nextEdges = scored.filter(col("sup") >= k - 2)
           .select(col("a"), col("b")).localCheckpoint(true)
         val nextPeeled = peeled.union(newPeeled).localCheckpoint(true)
-        peeled.unpersist()
-        if (r > 1) edges.unpersist()
+        // unconditional for the same reason as kCorePeel: the
+        // round-0 canonical edge snapshot is dead once replaced.
+        peeled.unpersist(); edges.unpersist()
         edges = nextEdges; peeled = nextPeeled
         r += 1
       }

@@ -608,8 +608,12 @@ object GraphQueries {
       .crossJoin(broadcast(nTot))
       .select(col("part_a"), col("part_b"), col("n_both"), col("n_a"),
         col("n_b"),
-        floor(col("n_both") * lit(1000000L) * col("t") /
-          (col("n_a") * col("n_b"))).cast("long").as("lift_ppm"))
+        // n_both·1e6·t can pass Long.MaxValue at large order counts;
+        // widen to decimal(38,0) BEFORE multiplying and use integral
+        // `div` (exact; all operands positive so truncation = floor)
+        // instead of double `/` + floor, which loses low bits at 2^53.
+        expr("cast((cast(n_both as decimal(38,0)) * t * 1000000) div " +
+          "(cast(n_a as decimal(38,0)) * n_b) as bigint)").as("lift_ppm"))
   }
 
   val g16Sql: String =
@@ -622,8 +626,9 @@ object GraphQueries {
       |  GROUP BY 1, 2 HAVING count(*) >= 2)
       |SELECT part_a, part_b, n_both, pa.n_orders AS n_a,
       |  pb.n_orders AS n_b,
-      |  CAST(floor(n_both * 1000000 * nt.t /
-      |    (pa.n_orders * pb.n_orders)) AS BIGINT) AS lift_ppm
+      |  CAST(CAST(n_both AS HUGEINT) * nt.t * 1000000 //
+      |    (CAST(pa.n_orders AS HUGEINT) * pb.n_orders) AS BIGINT)
+      |    AS lift_ppm
       |FROM pr
       |JOIN pp pa ON part_a = pa.p
       |JOIN pp pb ON part_b = pb.p

@@ -150,15 +150,32 @@ object Relational5 {
     * hash is drift-free. Zero-variance windows emit 0.0 via the same
     * guard on both sides.
     *
+    * The per-type calendar is DENSIFIED before the lag (every day in
+    * [min, max] present, zero-count days as x = 0): lead(x, 7) over
+    * present-days-only is a ROW offset, and a single silent day would
+    * shift every "lag-7" pair off the weekly alignment the lag
+    * promises. With the dense calendar the row lag IS the calendar
+    * lag.
+    *
     * 100 TB shape: ONE partial-agg groupBy collapses events to
-    * |type|·|day| rows; the lag pairing is a lead() window over that
-    * tiny series (per-type ordered pass), and the closing agg is
+    * |type|·|day| rows; densification is a per-type sequence()
+    * explode over that tiny frame joined back to it (never touches
+    * the fact table); the lag pairing is a lead() window over the
+    * dense series (per-type ordered pass), and the closing agg is
     * |type|·|lags| rows. The raw table is touched once. */
   def autocorr(eventsIn: DataFrame, lags: Seq[Int]): DataFrame = {
-    val daily = eventsIn
+    val dayUs = 86400000000L
+    val sparseDaily = eventsIn
       .groupBy(col("event_type"),
         unix_micros(date_trunc("day", col("ts"))).as("day_us"))
       .agg(count(lit(1)).as("x"))
+    val span = sparseDaily.groupBy(col("event_type"))
+      .agg(min(col("day_us")).as("lo"), max(col("day_us")).as("hi"))
+    val cal = span.select(col("event_type"),
+      explode(sequence(col("lo"), col("hi"), lit(dayUs))).as("day_us"))
+    val daily = cal.join(sparseDaily, Seq("event_type", "day_us"), "left")
+      .select(col("event_type"), col("day_us"),
+        coalesce(col("x"), lit(0L)).as("x"))
     val lagged = lags.map { l =>
       val w = Window.partitionBy(col("event_type")).orderBy(col("day_us"))
       daily
@@ -198,10 +215,19 @@ object Relational5 {
          |  FROM daily)
          |WHERE y IS NOT NULL GROUP BY 1""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH daily AS MATERIALIZED (SELECT event_type,
+    s"""WITH sparse AS MATERIALIZED (SELECT event_type,
        |    epoch_us(date_trunc('day', ts)) AS day_us,
        |    CAST(count(*) AS BIGINT) AS x
        |  FROM events GROUP BY 1, 2),
+       |span AS (SELECT event_type, min(day_us) AS lo, max(day_us) AS hi
+       |  FROM sparse GROUP BY 1),
+       |cal AS (SELECT event_type,
+       |    unnest(generate_series(lo, hi, 86400000000)) AS day_us
+       |  FROM span),
+       |daily AS MATERIALIZED (SELECT c.event_type, c.day_us,
+       |    COALESCE(s.x, 0) AS x
+       |  FROM cal c LEFT JOIN sparse s
+       |    ON c.event_type = s.event_type AND c.day_us = s.day_us),
        |lg AS ($lagBlocks)
        |SELECT event_type, lag, n_pairs,
        |  CASE WHEN CAST((n_pairs * sx2 - sx * sx) *
@@ -349,7 +375,12 @@ object Relational5 {
     * made hash-exact by keeping the decay INTEGER: weight =
     * cents >> (age_days div 7) — an arithmetic right shift IS floor
     * division by 2^k for non-negative cents, identical on both
-    * engines; no exp(), no float half-life.
+    * engines; no exp(), no float half-life. Shift amounts >= 63 are
+    * clamped to weight 0 explicitly: Spark's shiftright follows Java
+    * long-shift semantics and masks the amount to 6 bits (shift 64
+    * would silently regain FULL weight), while DuckDB's >> yields 0 —
+    * the clamp makes both engines agree with the documented decay on
+    * a corpus spanning 64+ half-lives.
     *
     * 100 TB shape: the "now" anchor is a one-row broadcast max; the
     * decayed contribution is row-local; the (type, user) partial agg
@@ -365,7 +396,8 @@ object Relational5 {
     val scored = ev.crossJoin(broadcast(anchor))
       .withColumn("age_hl", expr(s"(now_us - day_us) div ${hlUs}L"))
       .withColumn("decayed",
-        expr("shiftright(cents, cast(age_hl as int))"))
+        when(col("age_hl") >= 63, lit(0L))
+          .otherwise(expr("shiftright(cents, cast(age_hl as int))")))
     val agg = scored.groupBy(col("event_type"), col("user_id"))
       .agg(sum(col("decayed")).as("decayed_cents"),
         count(lit(1)).as("n_events"))
@@ -388,8 +420,9 @@ object Relational5 {
       |  FROM events),
       |an AS (SELECT max(day_us) AS now_us FROM ev),
       |sc AS (SELECT event_type, user_id,
-      |    cents >> CAST((now_us - day_us) // 604800000000 AS INT)
-      |      AS decayed
+      |    CASE WHEN (now_us - day_us) // 604800000000 >= 63 THEN 0
+      |      ELSE cents >> CAST((now_us - day_us) // 604800000000 AS INT)
+      |      END AS decayed
       |  FROM ev CROSS JOIN an),
       |ag AS (SELECT event_type, user_id,
       |    CAST(sum(decayed) AS BIGINT) AS decayed_cents,
@@ -697,16 +730,25 @@ object Relational5 {
     val base = ordersIn.groupBy(col("o_custkey"))
       .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
     val w = Window.orderBy(col("cents"), col("o_custkey"))
+    // Σ i·cents and n·Σ cents blow past Long.MaxValue at large
+    // customer counts (i runs to n); every moment that multiplies two
+    // corpus-sized longs is carried in decimal(38,0) — exact, and
+    // under ANSI mode it widens instead of throwing. The emitted
+    // num/den stay decimal(38,0) (DuckDB mirrors via HUGEINT math
+    // cast to the same decimal type).
+    val num = (lit(2L) * col("si") -
+      (col("n") + 1).cast("decimal(38,0)") * col("s"))
+      .cast("decimal(38,0)")
+    val den = (col("n").cast("decimal(38,0)") * col("s"))
+      .cast("decimal(38,0)")
     base.withColumn("i", row_number().over(w).cast("long"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
-        sum(col("i") * col("cents")).as("si"))
+        sum(col("i").cast("decimal(38,0)") * col("cents")).as("si"))
       .select(col("n"), col("s"),
-        (lit(2L) * col("si") - (col("n") + 1) * col("s")).as("gini_num"),
-        (col("n") * col("s")).as("gini_den"),
-        when(col("n") * col("s") === 0, 0.0)
+        num.as("gini_num"), den.as("gini_den"),
+        when(col("n") === 0 || col("s") === 0, 0.0)
           .otherwise(round(
-            (lit(2L) * col("si") - (col("n") + 1) * col("s"))
-              .cast("double") / (col("n") * col("s")), 6)).as("gini"))
+            num.cast("double") / den.cast("double"), 6)).as("gini"))
   }
 
   def r71Gini(spark: SparkSession, dir: String): DataFrame =
@@ -720,12 +762,15 @@ object Relational5 {
       |r AS (SELECT cents, CAST(row_number() OVER
       |    (ORDER BY cents, o_custkey) AS BIGINT) AS i FROM b),
       |a AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS s,
-      |    CAST(sum(i * cents) AS BIGINT) AS si FROM r)
+      |    sum(CAST(i AS HUGEINT) * cents) AS si FROM r)
       |SELECT n, s,
-      |  CAST(2 * si - (n + 1) * s AS BIGINT) AS gini_num,
-      |  CAST(n * s AS BIGINT) AS gini_den,
-      |  CASE WHEN n * s = 0 THEN 0.0
-      |    ELSE round(CAST(2 * si - (n + 1) * s AS DOUBLE) / (n * s), 6)
+      |  CAST(2 * si - (n + 1) * CAST(s AS HUGEINT) AS DECIMAL(38,0))
+      |    AS gini_num,
+      |  CAST(CAST(n AS HUGEINT) * s AS DECIMAL(38,0)) AS gini_den,
+      |  CASE WHEN n = 0 OR s = 0 THEN 0.0
+      |    ELSE round(
+      |      CAST(2 * si - (n + 1) * CAST(s AS HUGEINT) AS DOUBLE) /
+      |      CAST(CAST(n AS HUGEINT) * s AS DOUBLE), 6)
       |    END AS gini
       |FROM a""".stripMargin
 }
