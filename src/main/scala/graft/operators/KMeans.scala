@@ -22,8 +22,17 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: seeding is data-deterministic (the k lowest vec_ids,
   * matching the s3 oracle's stand-in convention), iteration count is
-  * fixed, and every aggregate is an exact sum/count — two runs over
-  * the same corpus produce identical centroids and assignments.
+  * fixed, and the mean update is carried on the INTEGER MICRO-UNIT
+  * lattice — each component is quantized to round(x·1e6) before the
+  * per-cell sum, the sum is an exact long (summation-ORDER-free,
+  * unlike a float avg), and the centroid component is the truncating
+  * integer division by the cell count mapped back to float as
+  * (cu/1e6). Two runs — and two ENGINES — therefore produce
+  * bit-identical centroids and assignments: the trained artifacts
+  * are cross-engine hashable, which is what lets s9/s15 restate the
+  * full train-then-search lifecycle under the DuckDB oracle. The
+  * sub-micro precision given up is ~1e-6 per component, orders of
+  * magnitude below the quantizer's own distortion.
   */
 object KMeans {
 
@@ -53,7 +62,12 @@ object KMeans {
       val means = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy(col("cell"), col("dim"))
-        .agg(avg(col("v")).as("m"))
+        // order-free exact mean on the micro-unit lattice: quantize,
+        // sum longs, truncating div (Spark `div` ≡ DuckDB `//`)
+        .agg(sum(floor(col("v").cast("double") * 1000000.0 + 0.5)
+          .cast("long")).as("su"), count(lit(1)).as("n"))
+        .select(col("cell"), col("dim"),
+          (expr("su div n").cast("double") / 1000000.0).as("m"))
         .groupBy(col("cell"))
         .agg(transform(
           sort_array(collect_list(struct(col("dim"), col("m")))),
@@ -134,7 +148,11 @@ object KMeans {
       val means = assigned
         .select(col("ms"), col("j"), posexplode(col("sv")).as(Seq("dim", "v")))
         .groupBy(col("ms"), col("j"), col("dim"))
-        .agg(avg(col("v")).as("mv"))
+        // same micro-unit mean as `train`: exact long sum + trunc div
+        .agg(sum(floor(col("v").cast("double") * 1000000.0 + 0.5)
+          .cast("long")).as("su"), count(lit(1)).as("n"))
+        .select(col("ms"), col("j"), col("dim"),
+          (expr("su div n").cast("double") / 1000000.0).as("mv"))
         .groupBy(col("ms"), col("j"))
         .agg(transform(
           sort_array(collect_list(struct(col("dim"), col("mv")))),

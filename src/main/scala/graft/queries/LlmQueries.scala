@@ -452,7 +452,12 @@ object LlmQueries {
   /** shared s3/s6 oracle builder: IVF search with `nprobe` query-side
     * cells (corpus side always crn = 1 — one inverted list per
     * vector). */
-  private def ivfSql(nprobe: Int): String = {
+  /** the IVF probe-and-rank CTE chain AFTER a `cent(vec_id,
+    * embedding)` CTE is in scope — shared verbatim between the
+    * stand-in-centroid oracles (s3/s6) and the TRAINED-centroid
+    * oracle (s9), so the search restatement cannot diverge between
+    * them. */
+  private def ivfSearchSql(nprobe: Int): String = {
     def assign(src: String, maxCrn: Int) =
       s"""SELECT vec_id, embedding, cell FROM (
          |  SELECT v.vec_id, v.embedding, c.vec_id AS centroid_id,
@@ -462,8 +467,7 @@ object LlmQueries {
          |    c.vec_id AS cell
          |  FROM ($src) v CROSS JOIN cent c
          |) WHERE crn <= $maxCrn""".stripMargin
-    s"""WITH cent AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
-       |corpus_cells AS (${assign("SELECT vec_id, embedding FROM embeddings", 1)}),
+    s"""corpus_cells AS (${assign("SELECT vec_id, embedding FROM embeddings", 1)}),
        |query_cells AS (${assign(
       "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5", nprobe)}),
        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -476,6 +480,10 @@ object LlmQueries {
        |SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cosine
        |FROM r WHERE rnk <= 3""".stripMargin
   }
+
+  private def ivfSql(nprobe: Int): String =
+    s"""WITH cent AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+       |${ivfSearchSql(nprobe)}""".stripMargin
 
   val s3Sql: String = ivfSql(nprobe = 1)
 
@@ -657,18 +665,59 @@ object LlmQueries {
     * but with centroids from `KMeans.train` (DataFrame-native
     * spherical Lloyd's) instead of the vec_id<8 stand-in. This is the
     * production index lifecycle: train once, then every search reuses
-    * the trained cells. No SQL oracle on purpose: the trained
-    * centroids are exact float averages whose summation ORDER differs
-    * across engines, so a cross-engine hash can flip on last-ulp
-    * drift — correctness is pinned instead by KMeansSpec (determinism,
-    * monotone cost, quantization cost strictly below the stand-in's,
-    * recall parity at the same search budget); the driver records a
-    * rows-only check, like x6. */
+    * the trained cells. The trainer's mean update runs on the integer
+    * MICRO-UNIT lattice (KMeans scaladoc) — exact long sums are
+    * summation-order-free, so the trained centroids are bit-identical
+    * across runs AND engines, and the whole lifecycle (3 Lloyd's
+    * iterations unrolled, then the s6 probe plan) restates under the
+    * DuckDB hash gate; KMeansSpec still pins the training-quality
+    * properties (monotone cost, dominance over the stand-in, recall
+    * parity). */
   def s9KnnIvfTrained(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val centroids = graft.operators.KMeans.train(emb, k = 8, iters = 3)
     Similarity.knnIvfProbe(emb, queryVecs(spark, dir), centroids,
       k = 3, nprobe = 2)
+  }
+
+  /** s9 oracle: KMeans.train(k=8, iters=3) unrolled — seed = the 8
+    * lowest vec_ids renumbered 0..7; per iteration, cosine argmin
+    * assignment (the assignCells tiebreak: cos DESC NULLS LAST, cell
+    * ASC) then the micro-unit integer mean (quantize → exact sum →
+    * truncating div, `//` ≡ Spark `div` for trunc-toward-zero) with
+    * the empty-cell keep-previous guard — followed by the exact s6
+    * search CTEs over the trained `cent`. */
+  val s9Sql: String = {
+    val iters = 3
+    def centCte(i: Int) = if (i == 0) "c0" else s"c$i"
+    val seed =
+      """c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+        |      AS BIGINT) AS cell, embedding AS cemb
+        |  FROM embeddings QUALIFY row_number() OVER (ORDER BY vec_id) <= 8)"""
+        .stripMargin
+    val rounds = (1 to iters).map { i =>
+      val prev = centCte(i - 1)
+      s"""a$i AS MATERIALIZED (SELECT vec_id, embedding, cell FROM (
+         |    SELECT v.vec_id, v.embedding, c.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        ${cosSql("v.embedding", "c.cemb")} DESC, c.cell) AS rn
+         |    FROM embeddings v CROSS JOIN $prev c) WHERE rn = 1),
+         |m$i AS (SELECT cell, d,
+         |    CAST(sum(CAST(floor(CAST(embedding[d+1] AS DOUBLE)
+         |        * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+         |      // count(*) AS cu
+         |  FROM a$i CROSS JOIN range(64) t(d) GROUP BY cell, d),
+         |n$i AS (SELECT cell, list(CAST(CAST(cu AS DOUBLE) / 1000000.0
+         |      AS FLOAT) ORDER BY d) AS cemb
+         |  FROM m$i GROUP BY cell),
+         |c$i AS MATERIALIZED (SELECT p.cell, COALESCE(n.cemb, p.cemb) AS cemb
+         |  FROM $prev p LEFT JOIN n$i n ON n.cell = p.cell)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $seed,
+       |$rounds,
+       |cent AS (SELECT cell AS vec_id, cemb AS embedding
+       |  FROM ${centCte(iters)}),
+       |${ivfSearchSql(nprobe = 2)}""".stripMargin
   }
 
   /** s7: product-quantization ANN with ADC ranking (the IVF-PQ
@@ -695,11 +744,13 @@ object LlmQueries {
       s"(x, y) -> x + y)"
   }
 
-  val s7Sql: String = {
+  /** the PQ encode + ADC rank CTE chain AFTER a `cb(j, cw)` CTE
+    * (full-width codewords) is in scope — shared verbatim between the
+    * stand-in-codebook oracle (s7) and the TRAINED-codebook oracle
+    * (s15), so the ADC restatement cannot diverge between them. */
+  private def pqAdcSearchSql: String = {
     def subSql(v: String, c: String, m: String) = pqSubSql(v, c, m)
-    s"""WITH cb AS (SELECT vec_id AS j, embedding AS cw FROM embeddings
-       |  WHERE vec_id < 16),
-       |ms AS (SELECT m FROM range(8) t(m)),
+    s"""ms AS (SELECT m FROM range(8) t(m)),
        |enc AS (SELECT vec_id, list(code ORDER BY m) AS codes FROM (
        |    SELECT v.vec_id, s.m, c.j AS code, row_number() OVER (
        |      PARTITION BY v.vec_id, s.m
@@ -721,6 +772,11 @@ object LlmQueries {
        |SELECT query_id, neighbor_id, rnk, round(adist, 6) AS adist
        |FROM r WHERE rnk <= 3""".stripMargin
   }
+
+  val s7Sql: String =
+    s"""WITH cb AS (SELECT vec_id AS j, embedding AS cw FROM embeddings
+       |  WHERE vec_id < 16),
+       |$pqAdcSearchSql""".stripMargin
 
   /** s8: the FULL IVF-PQ index (s3's coarse quantizer × s7's product
     * quantizer): queries ADC-rank only their own IVF cell's inverted
@@ -1215,17 +1271,74 @@ object LlmQueries {
     * `KMeans.trainPqCodebook` (per-subspace L2 Lloyd's) instead of
     * the vec_id<16 stand-in: the second half of the index-training
     * lifecycle s9 opened (s9 trained the coarse cells; s15 trains
-    * the compression codewords). No SQL oracle on purpose — trained
-    * codewords are float means whose summation order differs across
-    * engines (the s9 precedent); correctness is pinned by the spec's
-    * Lloyd's-monotonicity property (the seed IS the s7 stand-in, so
-    * trained self-distortion ≤ stand-in self-distortion, provably)
-    * plus determinism; the driver records a rows-only check. */
+    * the compression codewords). Like s9, the codeword mean update
+    * runs on the integer micro-unit lattice, so the trained codebook
+    * is bit-identical across runs AND engines and the train-then-
+    * search lifecycle restates under the DuckDB hash gate (2 Lloyd's
+    * iterations per subspace unrolled, then the s7 ADC CTEs); the
+    * spec keeps the Lloyd's quality pins (trained self-distortion ≤
+    * stand-in's, determinism). */
   def s15PqTrained(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val cb = graft.operators.KMeans.trainPqCodebook(emb, m = 8, k = 16,
       iters = 2)
     Similarity.knnPqAdc(emb, queryVecs(spark, dir), cb, m = 8, k = 3)
+  }
+
+  /** s15 oracle: KMeans.trainPqCodebook(m=8, k=16, iters=2) unrolled —
+    * seeds are the vec_id<16 subspace slices (the s7 stand-in,
+    * renumbered per subspace); per iteration, squared-L2 argmin over
+    * that subspace's codewords (double fold in ascending dim order,
+    * floats widened before subtract — the exact trainer/PqAdc
+    * arithmetic) then the micro-unit integer mean with the
+    * empty-codeword keep-previous guard; codewords reassemble
+    * full-width in subspace order and feed the exact s7 ADC CTEs. */
+  val s15Sql: String = {
+    val iters = 2
+    // squared L2 over two 8-wide float lists, ascending-dim double fold
+    def l2sub(a: String, b: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(8), d -> (CAST($a[d+1] AS DOUBLE) - " +
+        s"CAST($b[d+1] AS DOUBLE)) * (CAST($a[d+1] AS DOUBLE) - " +
+        s"CAST($b[d+1] AS DOUBLE)))), (x, y) -> x + y)"
+    val seed =
+      """sd AS (SELECT vec_id, embedding FROM embeddings
+        |  QUALIFY row_number() OVER (ORDER BY vec_id) <= 16),
+        |cb0 AS MATERIALIZED (SELECT t.ms,
+        |    CAST(row_number() OVER (PARTITION BY t.ms ORDER BY s.vec_id)
+        |      - 1 AS INT) AS j,
+        |    list_transform(range(8), d -> s.embedding[t.ms*8 + d + 1])
+        |      AS csv
+        |  FROM sd s CROSS JOIN range(8) t(ms)),
+        |cx AS MATERIALIZED (SELECT t.ms, v.vec_id,
+        |    list_transform(range(8), d -> v.embedding[t.ms*8 + d + 1])
+        |      AS sv
+        |  FROM embeddings v CROSS JOIN range(8) t(ms))""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      val prev = s"cb${i - 1}"
+      s"""pa$i AS MATERIALIZED (SELECT ms, vec_id, sv, j FROM (
+         |    SELECT x.ms, x.vec_id, x.sv, c.j,
+         |      row_number() OVER (PARTITION BY x.ms, x.vec_id ORDER BY
+         |        ${l2sub("x.sv", "c.csv")} ASC, c.j) AS rn
+         |    FROM cx x JOIN $prev c ON c.ms = x.ms) WHERE rn = 1),
+         |pm$i AS (SELECT ms, j, d,
+         |    CAST(sum(CAST(floor(CAST(sv[d+1] AS DOUBLE)
+         |        * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+         |      // count(*) AS cu
+         |  FROM pa$i CROSS JOIN range(8) t(d) GROUP BY ms, j, d),
+         |pn$i AS (SELECT ms, j, list(CAST(CAST(cu AS DOUBLE) / 1000000.0
+         |      AS FLOAT) ORDER BY d) AS csv
+         |  FROM pm$i GROUP BY ms, j),
+         |cb$i AS MATERIALIZED (SELECT p.ms, p.j,
+         |    COALESCE(n.csv, p.csv) AS csv
+         |  FROM $prev p LEFT JOIN pn$i n ON n.ms = p.ms AND n.j = p.j)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $seed,
+       |$rounds,
+       |cb AS (SELECT j, flatten(list(csv ORDER BY ms)) AS cw
+       |  FROM cb$iters GROUP BY j),
+       |$pqAdcSearchSql""".stripMargin
   }
 
   /** s5: int8 scalar quantization quality — the storage-path op an
@@ -2374,34 +2487,81 @@ object LlmQueries {
   }
 
   /** x6: HyperLogLog cardinality (approx_count_distinct) — sketch
-    * internals differ across engines, so no SQL oracle (driver
-    * records a rows-only check); the exact x5 covers correctness. */
+    * register values differ across engines, so the raw estimate can
+    * never hash cross-engine; instead the query SELF-CERTIFIES: it
+    * emits the exact per-group distinct next to a boolean proving the
+    * HLL estimate landed within 3× its stated relative standard
+    * deviation (rsd = 0.05 → ±150000 ppm), checked in exact integer
+    * arithmetic inside the same plan. The oracle restates the exact
+    * side and asserts the certificate is TRUE — so the hash gate now
+    * DOES exercise the sketch (a broken HLL flips hll_ok and fails),
+    * which a rows-only check never did. At 100 TB the exact column is
+    * the expensive side (x5's shuffle); production keeps only the
+    * sketch and this query is the periodic audit that earns that
+    * trust. */
   def x6ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-        countDistinct(col("user_id")).as("exact_users"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id"), 0.05).as("approx"))
+      .select(col("event_type"), col("exact_users"), col("n_events"),
+        (abs(col("approx") - col("exact_users")) * 1000000L <=
+          col("exact_users") * 150000L).as("hll_ok"))
+
+  val x6Sql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+      |  count(*) AS n_events, TRUE AS hll_ok
+      |FROM events GROUP BY 1""".stripMargin
 
   /** x43: MERGEABLE approximate quantiles — the last member of the
     * sketch family (HLL x6, bloom x15, Misra–Gries x36): per
     * language, approx p50/p90/p99 of document length via Spark's
-    * GK-based percentile_approx next to the exact values. The
-    * sketch's answer depends on merge order, so like x6 there is no
-    * cross-engine SQL oracle (driver records rows-only); correctness
-    * is the spec's rank-error bound against the exact x8-style
-    * percentiles, which holds under ANY merge order — the property
-    * that makes the sketch safe at 100 TB, where exact quantiles
-    * need the x32 value-atomic pass and a sketch needs one scan and
-    * O(1/eps) state per partition. */
-  def x43ApproxQuantiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.spread(Tables.documents(spark, dir))
-      .groupBy(col("lang"))
-      .agg(
-        percentile_approx(col("n_chars"), lit(0.5), lit(100)).as("p50_approx"),
-        percentile_approx(col("n_chars"), lit(0.9), lit(100)).as("p90_approx"),
-        percentile_approx(col("n_chars"), lit(0.99), lit(100)).as("p99_approx"),
-        expr("percentile(n_chars, 0.5)").as("p50_exact"),
+    * GK-based percentile_approx (accuracy=100 → rank error ε =
+    * 1/100). The sketch's VALUES depend on merge order, so like x6
+    * the query SELF-CERTIFIES instead of emitting them raw: each
+    * returned value's exact rank interval [count(<v)+1, count(≤v)]
+    * is computed in-plan (one broadcast join of the 3-values-per-
+    * lang frame back to the corpus + one aggregate — no sort) and
+    * checked against the GK guarantee ⌈(q−ε)n⌉ ≤ r ≤ ⌈(q+ε)n⌉ (±1
+    * rank slack for the sketch's boundary rounding) in exact ppm
+    * integer arithmetic. The oracle asserts all three certificates
+    * TRUE — the GK bound is a deterministic worst-case guarantee
+    * (unlike HLL's probabilistic one), so this holds under ANY merge
+    * order, the property that makes the sketch safe at 100 TB where
+    * exact quantiles need the x32 value-atomic pass and the sketch
+    * needs one scan and O(1/ε) state per partition. */
+  def x43ApproxQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select(col("lang"), col("n_chars"))
+    val epsPpm = 10000L // accuracy=100 → ε = 1/100
+    val approx = docs.groupBy(col("lang"))
+      .agg(percentile_approx(col("n_chars"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(100)).as("qs"),
         count(lit(1)).as("n_docs"))
+      .select(col("lang"), col("n_docs"),
+        col("qs").getItem(0).as("a50"), col("qs").getItem(1).as("a90"),
+        col("qs").getItem(2).as("a99"))
+    def okCol(v: Column, qPpm: Long): Column = {
+      val le = sum(when(col("n_chars") <= v, 1L).otherwise(0L))
+      val lt = sum(when(col("n_chars") < v, 1L).otherwise(0L))
+      // rank interval of v intersects [⌈(q−ε)n⌉, ⌈(q+ε)n⌉] ± 1 rank
+      ((le + 1) * 1000000L >= col("n_docs") * (qPpm - epsPpm)) &&
+        (lt * 1000000L < col("n_docs") * (qPpm + epsPpm) + 1000000L)
+    }
+    docs.join(broadcast(approx), Seq("lang"))
+      .groupBy(col("lang"), col("n_docs"))
+      .agg(okCol(col("a50"), 500000L).as("ok_p50"),
+        okCol(col("a90"), 900000L).as("ok_p90"),
+        okCol(col("a99"), 990000L).as("ok_p99"))
+      .select(col("lang"), col("n_docs"), lit(epsPpm).as("eps_ppm"),
+        col("ok_p50"), col("ok_p90"), col("ok_p99"))
+  }
+
+  val x43Sql: String =
+    """SELECT lang, count(*) AS n_docs, CAST(10000 AS BIGINT) AS eps_ppm,
+      |  TRUE AS ok_p50, TRUE AS ok_p90, TRUE AS ok_p99
+      |FROM documents GROUP BY 1""".stripMargin
 
   /** d7: SEMANTIC near-dedup (the SemDeDup recipe): block candidate
     * pairs by IVF cell — the same trained-or-seeded coarse quantizer

