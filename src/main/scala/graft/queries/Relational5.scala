@@ -142,13 +142,15 @@ object Relational5 {
   /** r63: per event type, the AUTOCORRELATION of its daily event-
     * count series at lags 1, 2 and 7 — the burstiness/weekly-
     * seasonality diagnostic a capacity model starts from. Exactness
-    * discipline: the series is integer counts; every moment (n, Σx,
-    * Σy, Σxy, Σx², Σy²) is an exact long over the lag-paired rows;
-    * the Pearson value is formed once at the edge from those longs
-    * with the identical left-associated (+,*,/,sqrt) tree on both
-    * engines — the only FP ops in the plan are IEEE-exact, so the
-    * hash is drift-free. Zero-variance windows emit 0.0 via the same
-    * guard on both sides.
+    * discipline: the series is integer counts; linear moments (n, Σx,
+    * Σy) are exact longs and the squared moments (Σxy, Σx², Σy²) are
+    * exact decimal(38,0) (a ~1e9-events/day series wraps a long sum
+    * of x·y within ten days — see autocorrDaily); the Pearson value
+    * is formed once at the edge from those exact integers with the
+    * identical left-associated (+,*,/,sqrt) tree on both engines —
+    * the only FP ops in the plan are IEEE-exact, so the hash is
+    * drift-free. Zero-variance windows emit 0.0 via the same guard
+    * on both sides.
     *
     * The per-type calendar is DENSIFIED before the lag (every day in
     * [min, max] present, zero-count days as x = 0): lead(x, 7) over
@@ -176,6 +178,22 @@ object Relational5 {
     val daily = cal.join(sparseDaily, Seq("event_type", "day_us"), "left")
       .select(col("event_type"), col("day_us"),
         coalesce(col("x"), lit(0L)).as("x"))
+    autocorrDaily(daily, lags)
+  }
+
+  /** the lag-pair moment machinery over a dense (event_type, day_us,
+    * x) daily series — split from `autocorr` so the overflow-boundary
+    * spec can inject extreme counts directly. The SQUARED moments
+    * (Σxy, Σx², Σy²) are carried in decimal(38,0): a day of ~1e9
+    * events makes x·y ≈ 1e18 and a long sum wraps (or throws under
+    * ANSI) within ten days, while decimal(38) holds ~1e20 days of
+    * that load exactly. The Pearson edge keeps the one-expression
+    * (+,*,/,sqrt) IEEE tree, with den formed as the DOUBLE product
+    * of the two exactly-computed decimal factors (their exact
+    * product can pass 1e38, so each factor converts once — the
+    * identical two-conversion tree on both engines). */
+  def autocorrDaily(daily: DataFrame, lags: Seq[Int]): DataFrame = {
+    val dec = "decimal(38,0)"
     val lagged = lags.map { l =>
       val w = Window.partitionBy(col("event_type")).orderBy(col("day_us"))
       daily
@@ -184,17 +202,21 @@ object Relational5 {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
           sum(col("y")).as("sy"),
-          sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("x")).as("sx2"),
-          sum(col("y") * col("y")).as("sy2"))
+          sum(col("x").cast(dec) * col("y")).as("sxy"),
+          sum(col("x").cast(dec) * col("x")).as("sx2"),
+          sum(col("y").cast(dec) * col("y")).as("sy2"))
         .select(col("event_type"), lit(l).as("lag"), col("n").as("n_pairs"),
-          col("sx"), col("sy"), col("sxy"), col("sx2"), col("sy2"))
+          col("sx"), col("sy"), col("sxy").cast(dec).as("sxy"),
+          col("sx2").cast(dec).as("sx2"), col("sy2").cast(dec).as("sy2"))
     }
     val all = lagged.reduce(_ unionByName _)
-    val num = (col("n_pairs") * col("sxy") - col("sx") * col("sy"))
-      .cast("double")
-    val den = ((col("n_pairs") * col("sx2") - col("sx") * col("sx")) *
-      (col("n_pairs") * col("sy2") - col("sy") * col("sy"))).cast("double")
+    val num = (col("n_pairs").cast(dec) * col("sxy") -
+      col("sx").cast(dec) * col("sy")).cast("double")
+    val denA = (col("n_pairs").cast(dec) * col("sx2") -
+      col("sx").cast(dec) * col("sx")).cast("double")
+    val denB = (col("n_pairs").cast(dec) * col("sy2") -
+      col("sy").cast(dec) * col("sy")).cast("double")
+    val den = denA * denB
     all.select(col("event_type"), col("lag"), col("n_pairs"),
       when(den === 0.0, 0.0).otherwise(round(num / sqrt(den), 6)).as("acf"))
   }
@@ -206,9 +228,9 @@ object Relational5 {
     val lagBlocks = Seq(1, 2, 7).map { l =>
       s"""SELECT event_type, $l AS lag, count(*) AS n_pairs,
          |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-         |  CAST(sum(x * y) AS BIGINT) AS sxy,
-         |  CAST(sum(x * x) AS BIGINT) AS sx2,
-         |  CAST(sum(y * y) AS BIGINT) AS sy2
+         |  sum(CAST(x AS HUGEINT) * y) AS sxy,
+         |  sum(CAST(x AS HUGEINT) * x) AS sx2,
+         |  sum(CAST(y AS HUGEINT) * y) AS sy2
          |FROM (SELECT event_type, x,
          |    lead(x, $l) OVER (PARTITION BY event_type ORDER BY day_us)
          |      AS y
@@ -230,11 +252,14 @@ object Relational5 {
        |    ON c.event_type = s.event_type AND c.day_us = s.day_us),
        |lg AS ($lagBlocks)
        |SELECT event_type, lag, n_pairs,
-       |  CASE WHEN CAST((n_pairs * sx2 - sx * sx) *
-       |      (n_pairs * sy2 - sy * sy) AS DOUBLE) = 0.0 THEN 0.0
-       |    ELSE round(CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
-       |      sqrt(CAST((n_pairs * sx2 - sx * sx) *
-       |        (n_pairs * sy2 - sy * sy) AS DOUBLE)), 6) END AS acf
+       |  CASE WHEN CAST(n_pairs * sx2 - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+       |      * CAST(n_pairs * sy2 - CAST(sy AS HUGEINT) * sy AS DOUBLE)
+       |      = 0.0 THEN 0.0
+       |    ELSE round(
+       |      CAST(n_pairs * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+       |      sqrt(CAST(n_pairs * sx2 - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+       |        * CAST(n_pairs * sy2 - CAST(sy AS HUGEINT) * sy AS DOUBLE)),
+       |      6) END AS acf
        |FROM lg""".stripMargin
   }
 

@@ -623,4 +623,41 @@ class Round10Spec extends SparkTestBase {
     assert(g1._3 === BigDecimal(200) && g1._4 === BigDecimal(300))
     assert(g1._5 === 0.666667)
   }
+
+  test("r63 squared moments survive ~1e9-events/day series (decimal escalation)") {
+    // two event types, 12 dense days each, counts around 1.2e9: the
+    // x*y products are ~1.4e18 and a LONG sum would wrap (throw under
+    // ANSI) by day 10 — the decimal(38,0) moments must instead yield
+    // the exact Pearson value.
+    val day = 86400000000L
+    val rows = for {
+      t <- Seq("a", "b"); d <- 0 until 12
+    } yield (t, d * day,
+      if (t == "a") 1200000000L + d.toLong * 7000000L // rising trend
+      else 1200000000L + (if (d % 2 == 0) 90000000L else -90000000L))
+    val daily = rows.toDF("event_type", "day_us", "x")
+    val out = Relational5.autocorrDaily(daily, Seq(1))
+      .as[(String, Int, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // exact reference via BigDecimal moments
+    def acf(xs: Seq[Long]): Double = {
+      val pairs = xs.zip(xs.drop(1)).map { case (x, y) => (BigInt(x), BigInt(y)) }
+      val n = BigInt(pairs.length)
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sx2 = pairs.map(p => p._1 * p._1).sum
+      val sy2 = pairs.map(p => p._2 * p._2).sum
+      val num = (n * sxy - sx * sy).toDouble
+      val den = (n * sx2 - sx * sx).toDouble * (n * sy2 - sy * sy).toDouble
+      if (den == 0.0) 0.0
+      else BigDecimal(num / math.sqrt(den))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val xa = rows.filter(_._1 == "a").map(_._3)
+    val xb = rows.filter(_._1 == "b").map(_._3)
+    assert(out("a")._3 === 11L && out("b")._3 === 11L)
+    assert(out("a")._4 === acf(xa))   // strong positive (trend)
+    assert(out("b")._4 === acf(xb))   // strong negative (alternation)
+    assert(out("a")._4 > 0.9 && out("b")._4 < -0.9)
+  }
 }
