@@ -45,6 +45,43 @@ object Engine {
       .getOrCreate()
   }
 
+  /** Lineage-truncating materialization point for iterative
+    * operators (connected components, k-core/k-truss peels, label
+    * propagation, LSH index builds): by default `localCheckpoint`
+    * (executor-local shuffle files — the fast, right choice in local
+    * mode and on a stable cluster), or, when
+    * `spark.graft.reliableSnapshots=true`, a RELIABLE snapshot:
+    * the frame is persisted as parquet under
+    * `spark.graft.snapshotDir` (default: a per-application temp dir)
+    * and read back, so a 30-round iterative job survives executor
+    * loss — localCheckpoint'ed blocks die with their executor and
+    * kill the lineage-truncated job with them. Cluster-mode
+    * recommendation: set reliableSnapshots=true and point
+    * snapshotDir at the job's scratch space on the shared FS
+    * (cleaned by the job's temp-dir lifecycle). The read passes the
+    * writer's schema explicitly so empty frames (round-0
+    * accumulators, converged frontiers) round-trip instead of
+    * failing schema inference. */
+  def snapshot(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    if (spark.conf.get("spark.graft.reliableSnapshots", "false").toBoolean) {
+      val base = spark.conf.get("spark.graft.snapshotDir",
+        sys.props("java.io.tmpdir") + "/graft-snapshots/" +
+          spark.sparkContext.applicationId)
+      val path = base + "/" + java.util.UUID.randomUUID().toString
+      df.write.parquet(path)
+      spark.read.schema(df.schema).parquet(path)
+    } else df.localCheckpoint(true)
+  }
+
+  /** postfix sugar so operator loops read `frame.snapshot()` at the
+    * same spot `.localCheckpoint(true)` used to sit. */
+  implicit class SnapshotOps(private val df: org.apache.spark.sql.DataFrame)
+      extends AnyVal {
+    def snapshot(): org.apache.spark.sql.DataFrame = Engine.snapshot(df)
+  }
+
   /** S9: the debug-graph-dump sink analog
     * (`/root/reference/run.sh:26-28`, `gst_graph=1` → .dot file):
     * writes the formatted physical plan — Exchange/Sort/codegen

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Engine.SnapshotOps
 
 /** Distributed connected components over an undirected edge list —
   * the transitive-closure step of a dedup pipeline: near-dup PAIRS
@@ -17,8 +18,10 @@ import org.apache.spark.sql.functions._
   * near-dup families are shallow (stars/short chains), so a handful
   * of rounds closes 100 TB of pairs. Each round is one equi-join +
   * one partial-agg groupBy on the node key — no driver-side graph,
-  * and `localCheckpoint` truncates the growing lineage each round
-  * (on a cluster: `checkpoint` to the reliable dir). The driver-side
+  * and `Engine.snapshot` truncates the growing lineage each round
+  * (localCheckpoint by default; spark.graft.reliableSnapshots=true
+  * persists rounds to the shared FS — the executor-loss-safe
+  * cluster setting). The driver-side
   * `count()` per round is the convergence test every iterative
   * distributed algorithm pays.
   *
@@ -48,10 +51,10 @@ object Components {
       col("b").cast("long").as("b"))
     // symmetric closure once, reused every round
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
-      .distinct().localCheckpoint(true)
+      .distinct().snapshot()
     var labels = sym.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-      .localCheckpoint(true)
+      .snapshot()
     def labelSum(l: DataFrame): java.math.BigDecimal = {
       val v = l.agg(sum(col("label").cast("decimal(38,0)"))).head()
       if (v.isNullAt(0)) java.math.BigDecimal.ZERO else v.getDecimal(0)
@@ -67,7 +70,7 @@ object Components {
         .select(col("l.node").as("node"),
           least(col("l.label"), coalesce(col("p.nbr_min"), col("l.label")))
             .as("label"))
-        .localCheckpoint(true)
+        .snapshot()
       val nextSum = labelSum(next)
       // release the superseded round's snapshot NOW — without this,
       // up to maxIters dead label tables pile up in storage memory
@@ -121,7 +124,7 @@ object Components {
     var cur = e
       .select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
-      .distinct().localCheckpoint(true)
+      .distinct().snapshot()
 
     def signature(ed: DataFrame): (Long, Long) = {
       val r = ed.agg(count(lit(1)),
@@ -162,7 +165,7 @@ object Components {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val next = smallStar(largeStar(cur)).snapshot()
       val nextSig = signature(next)
       converged = nextSig == sig && next.except(cur).isEmpty
       cur.unpersist()

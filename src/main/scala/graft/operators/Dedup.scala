@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
+import graft.Engine.SnapshotOps
 
 /** Deduplication operators over a document corpus — the first
   * LLM-data-pipeline family (BASELINE.json north star). Each method
@@ -240,7 +241,7 @@ object Dedup {
     * need the d2 mega-bucket cap, which would perturb the very
     * counts being measured — sample, don't cap. */
   def lshTuning(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sigs = shingleFeatures(docs).localCheckpoint()
+    val sigs = shingleFeatures(docs).snapshot()
     def cands(b: Int, r: Int): DataFrame = {
       val structs = (0 until b).map { i =>
         val bh = (0 until r).map(j => col(s"mh${i * r + j}"))
@@ -264,7 +265,7 @@ object Dedup {
       .join(sigs.select(col("doc_id").as("doc_b"), col("hashes").as("hb")),
         Seq("doc_b"))
       .filter(jaccard(col("ha"), col("hb")) >= threshold)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      .select(col("doc_a"), col("doc_b")).snapshot()
     val nTrue = truth.agg(count(lit(1)).as("n_true"))
     val configs = Seq((12, 1), (6, 2), (4, 3), (3, 4))
     configs.map { case (b, r) =>
@@ -526,7 +527,7 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("tf"), col("th"))))
         .as("ord"), count(lit(1)).as("n"))
-      .localCheckpoint()
+      .snapshot()
     val pfxLen = (col("n") -
       ((col("n") * tNum + (tDen - 1)) / tDen).cast("long") + 1).cast("int")
     val prefixes = perDoc.select(col("doc_id"), col("n"),

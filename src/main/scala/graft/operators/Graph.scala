@@ -2,15 +2,18 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Engine.SnapshotOps
 
 /** Iterative/combinatorial graph analytics over pair lists — the
   * second and third graph operators after Components' connected
   * components (d9): PageRank centrality and triangle counting, both
   * over the near-dup pair graphs the d-family emits. Like
   * Components, everything is DataFrame joins + partial-agg groupBys
-  * (one keyed shuffle per round), with `localCheckpoint` lineage
-  * truncation between rounds and eager release of superseded
-  * snapshots.
+  * (one keyed shuffle per round), with `Engine.snapshot` lineage
+  * truncation between rounds (localCheckpoint by default; the
+  * spark.graft.reliableSnapshots switch persists each round to the
+  * shared FS for executor-loss-safe cluster runs) and eager release
+  * of superseded snapshots.
   *
   * Both operators are INTEGER-exact by construction (ranks live in
   * micro-units, every division is a floor division of non-negative
@@ -42,17 +45,17 @@ object Graph {
       .union(pairs
         .select(col("doc_b").cast("long").as("src"), col("doc_a").cast("long").as("dst")))
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val edges = sym.join(deg, Seq("src")).localCheckpoint(true)
+    val edges = sym.join(deg, Seq("src")).snapshot()
     var rank = edges.select(col("src").as("node")).distinct()
       .select(col("node"), lit(scale).as("pr"))
-      .localCheckpoint(true)
+      .snapshot()
     (1 to iters).foreach { _ =>
       val next = edges.join(rank, edges("src") === rank("node"))
         .select(col("dst"), expr("pr div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
         .select(col("dst").as("node"),
           expr(s"(15 * CAST($scale AS BIGINT) + 85 * s) div 100").as("pr"))
-        .localCheckpoint(true)
+        .snapshot()
       rank.unpersist()
       rank = next
     }
@@ -84,14 +87,14 @@ object Graph {
       .union(pairs
         .select(col("doc_b").cast("long").as("src"), col("doc_a").cast("long").as("dst")))
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val edges = sym.join(deg, Seq("src")).localCheckpoint(true)
+    val edges = sym.join(deg, Seq("src")).snapshot()
     val nodes = edges.select(col("src").as("node")).distinct()
       .select(col("node"),
         when(col("node") % seedMod === 0, lit(1L)).otherwise(lit(0L))
           .as("is_seed"))
-      .localCheckpoint(true)
+      .snapshot()
     var rank = nodes.select(col("node"), (col("is_seed") * scale).as("pr"))
-      .localCheckpoint(true)
+      .snapshot()
     (1 to iters).foreach { _ =>
       val contrib = edges.join(rank, edges("src") === rank("node"))
         .select(col("dst"), expr("pr div deg").as("c"))
@@ -100,7 +103,7 @@ object Graph {
         .select(col("node"),
           expr(s"(15 * CAST($scale AS BIGINT) * is_seed + " +
             "85 * coalesce(s, CAST(0 AS BIGINT))) div 100").as("pr"))
-        .localCheckpoint(true)
+        .snapshot()
       rank.unpersist()
       rank = next
     }
@@ -135,7 +138,7 @@ object Graph {
     val oriented = withDegs.filter(
       col("sdeg") < col("ddeg") ||
         (col("sdeg") === col("ddeg") && col("src") < col("dst")))
-      .select(col("src"), col("dst")).localCheckpoint(true)
+      .select(col("src"), col("dst")).snapshot()
     // wedges from the smallest vertex u: unordered pair {v, w} shows
     // up as both (v, w) and (w, v), but the closing equi-join against
     // the ORIENTED edge list matches exactly one of them — so every
@@ -226,18 +229,18 @@ object Graph {
       .select(col("doc_a").cast("long").as("s"), col("doc_b").cast("long").as("d"))
       .union(pairs
         .select(col("doc_b").cast("long").as("s"), col("doc_a").cast("long").as("d")))
-      .distinct().localCheckpoint(true)
-    val nodes = sym.select(col("s").as("node")).distinct().localCheckpoint(true)
+      .distinct().snapshot()
+    val nodes = sym.select(col("s").as("node")).distinct().snapshot()
     var dist = nodes.filter(col("node") % seedMod === 0)
-      .select(col("node"), lit(0L).as("hops")).localCheckpoint(true)
-    var frontier = dist.select(col("node")).localCheckpoint(true)
+      .select(col("node"), lit(0L).as("hops")).snapshot()
+    var frontier = dist.select(col("node")).snapshot()
     (1 to maxHops).foreach { i =>
       val nxt = sym.join(frontier, sym("s") === frontier("node"))
         .select(col("d").as("node")).distinct()
         .join(dist, Seq("node"), "left_anti")
-        .localCheckpoint(true)
+        .snapshot()
       val nd = dist.union(nxt.select(col("node"), lit(i.toLong).as("hops")))
-        .localCheckpoint(true)
+        .snapshot()
       dist.unpersist(); frontier.unpersist()
       dist = nd
       frontier = nxt
@@ -271,11 +274,11 @@ object Graph {
       .select(col("doc_a").cast("long").as("s"), col("doc_b").cast("long").as("d"))
       .union(pairs
         .select(col("doc_b").cast("long").as("s"), col("doc_a").cast("long").as("d")))
-      .distinct().localCheckpoint(true)
-    var alive = sym.select(col("s").as("node")).distinct().localCheckpoint(true)
+      .distinct().snapshot()
+    var alive = sym.select(col("s").as("node")).distinct().snapshot()
     var edges = sym
     var peeled = alive.filter(lit(false))
-      .select(col("node"), lit(0L).as("peel_round")).localCheckpoint(true)
+      .select(col("node"), lit(0L).as("peel_round")).snapshot()
     var r = 1
     var done = false
     while (r <= rounds && !done) {
@@ -284,18 +287,18 @@ object Graph {
         .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"))
       val newPeeled = cand.filter(col("deg") < k)
         .select(col("node"), lit(r.toLong).as("peel_round"))
-        .localCheckpoint(true)
+        .snapshot()
       if (newPeeled.isEmpty) {
         newPeeled.unpersist()
         done = true
       } else {
         val nextAlive = cand.filter(col("deg") >= k)
-          .select(col("node")).localCheckpoint(true)
+          .select(col("node")).snapshot()
         val nextEdges = edges
           .join(nextAlive.select(col("node").as("s")), Seq("s"))
           .join(nextAlive.select(col("node").as("d")), Seq("d"))
-          .select(col("s"), col("d")).localCheckpoint(true)
-        val nextPeeled = peeled.union(newPeeled).localCheckpoint(true)
+          .select(col("s"), col("d")).snapshot()
+        val nextPeeled = peeled.union(newPeeled).snapshot()
         // unconditional: at r == 1 `edges` is the round-0 snapshot
         // (sym), which nothing downstream reads — releasing it here
         // keeps the release-superseded-snapshots discipline airtight
@@ -336,7 +339,7 @@ object Graph {
     val pairs = pairs0
       .select(col("doc_a").cast("long").as("a"),
         col("doc_b").cast("long").as("b"))
-      .localCheckpoint(true)
+      .snapshot()
     // two-phase star contraction: the d6 graph carries deeper chains
     // than d2's, and min-label pays one round per diameter hop where
     // the contraction closes in O(log² n) rounds (same labels)
@@ -418,17 +421,17 @@ object Graph {
       .union(pairs.select(col("doc_b").cast("long").as("src"),
         col("doc_a").cast("long").as("dst"),
         (col("hamming").cast("long") + 1L).as("w")))
-      .localCheckpoint(true)
+      .snapshot()
     val nodes = sym.select(col("src").as("node")).distinct()
-      .localCheckpoint(true)
+      .snapshot()
     var dist = nodes.filter(col("node") % seedMod === 0)
-      .select(col("node"), lit(0L).as("wd")).localCheckpoint(true)
+      .select(col("node"), lit(0L).as("wd")).snapshot()
     (1 to rounds).foreach { _ =>
       val relaxed = sym.join(dist, sym("src") === dist("node"))
         .select(col("dst").as("node"), (col("wd") + col("w")).as("wd"))
       val nd = dist.unionByName(relaxed)
         .groupBy(col("node")).agg(min(col("wd")).as("wd"))
-        .localCheckpoint(true)
+        .snapshot()
       dist.unpersist()
       dist = nd
     }
@@ -462,10 +465,10 @@ object Graph {
       .select(col("doc_a").cast("long").as("s"), col("doc_b").cast("long").as("d"))
       .union(pairs
         .select(col("doc_b").cast("long").as("s"), col("doc_a").cast("long").as("d")))
-      .localCheckpoint(true)
+      .snapshot()
     var labels = sym.select(col("s").as("node")).distinct()
       .select(col("node"), col("node").as("lab"))
-      .localCheckpoint(true)
+      .snapshot()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("node")).orderBy(col("c").desc, col("lab"))
     (1 to rounds).foreach { _ =>
@@ -475,7 +478,7 @@ object Graph {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("node"), col("lab"))
-        .localCheckpoint(true)
+        .snapshot()
       labels.unpersist()
       labels = next
     }
@@ -510,10 +513,10 @@ object Graph {
     var edges = pairs
       .select(least(col("doc_a"), col("doc_b")).cast("long").as("a"),
         greatest(col("doc_a"), col("doc_b")).cast("long").as("b"))
-      .distinct().localCheckpoint(true)
+      .distinct().snapshot()
     var peeled = edges.filter(lit(false))
       .select(col("a"), col("b"), lit(0L).as("peel_round"))
-      .localCheckpoint(true)
+      .snapshot()
     var r = 1
     var done = false
     while (r <= rounds && !done) {
@@ -524,14 +527,14 @@ object Graph {
         .select(col("a"), col("b"), coalesce(col("sup"), lit(0L)).as("sup"))
       val newPeeled = scored.filter(col("sup") < k - 2)
         .select(col("a"), col("b"), lit(r.toLong).as("peel_round"))
-        .localCheckpoint(true)
+        .snapshot()
       if (newPeeled.isEmpty) {
         newPeeled.unpersist()
         done = true
       } else {
         val nextEdges = scored.filter(col("sup") >= k - 2)
-          .select(col("a"), col("b")).localCheckpoint(true)
-        val nextPeeled = peeled.union(newPeeled).localCheckpoint(true)
+          .select(col("a"), col("b")).snapshot()
+        val nextPeeled = peeled.union(newPeeled).snapshot()
         // unconditional for the same reason as kCorePeel: the
         // round-0 canonical edge snapshot is dead once replaced.
         peeled.unpersist(); edges.unpersist()
@@ -570,7 +573,7 @@ object Graph {
     val edges = pairs
       .select(least(col("doc_a"), col("doc_b")).cast("long").as("a"),
         greatest(col("doc_a"), col("doc_b")).cast("long").as("b"))
-      .distinct().localCheckpoint(true)
+      .distinct().snapshot()
     val sym = edges.select(col("a").as("s"), col("b").as("d"))
       .union(edges.select(col("b").as("s"), col("a").as("d")))
     val deg = sym.groupBy(col("s")).agg(count(lit(1)).as("deg"))

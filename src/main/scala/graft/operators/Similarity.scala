@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions.cosineSim
 import graft.functions.VectorFunctions.lshBucket
+import graft.Engine.SnapshotOps
 
 /** Similarity search over an embeddings table (vec_id LONG,
   * embedding ARRAY<FLOAT>, label INT) — the second LLM-pipeline
@@ -779,7 +780,7 @@ object Similarity {
     val sl = scored.withColumn("rnk", row_number().over(wSl))
       .filter(col("rnk") <= kShort)
       .select(col("query_id"), col("vec_id"), col("rel"))
-      .localCheckpoint(true)
+      .snapshot()
     val e = embeddings.select(col("vec_id").as("eid"), col("embedding"))
     val pair = sl.alias("a")
       .join(sl.select(col("query_id"), col("vec_id").as("idb")), Seq("query_id"))
@@ -788,7 +789,7 @@ object Similarity {
       .join(e.alias("eb"), col("idb") === col("eb.eid"))
       .select(col("query_id"), col("vec_id").as("ida"), col("idb"),
         cosineSim(col("ea.embedding"), col("eb.embedding")).as("sim"))
-      .localCheckpoint(true)
+      .snapshot()
     var selected = sl.withColumn("rk", row_number().over(wSl))
       .filter(col("rk") === 1)
       .select(col("query_id"), col("vec_id"),
@@ -821,10 +822,10 @@ object Similarity {
       // kOut·|queries| rows, so the eager materialization is cheap
       val prevSel = selected
       val prevRem = remaining
-      selected = selected.union(pick).localCheckpoint(true)
+      selected = selected.union(pick).snapshot()
       remaining = remaining.join(
         pick.select(col("query_id"), col("vec_id")),
-        Seq("query_id", "vec_id"), "left_anti").localCheckpoint(true)
+        Seq("query_id", "vec_id"), "left_anti").snapshot()
       prevSel.unpersist(); prevRem.unpersist()
     }
     selected.select(col("query_id"), col("vec_id"), col("step"),
