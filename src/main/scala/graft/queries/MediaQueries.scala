@@ -1484,4 +1484,77 @@ object MediaQueries {
        |  FROM vt)
        |WHERE rn = 1 AND n_votes >= 4""".stripMargin
   }
+
+  /** m27: MP4/AVCC CONTAINER INDEX — the demux half of the
+    * reference's `decodebin` on H.264 input (`/root/reference/
+    * run.sh:53`) under the hash gate. Per doc, a structurally valid
+    * single-track MP4 is muxed with arithmetic sample layout
+    * (Codecs.Mp4.mux: n = 3+id%5 samples; sample f carries NAL
+    * payload L = 17+((id·13+f·7)%40) bytes, split into TWO
+    * length-prefixed NALs when L ≥ 30; sync samples every 3rd
+    * frame; 90 kHz timescale, 3000-tick deltas) and Codecs.Mp4.index
+    * must recover the layout by actually walking the box tree, the
+    * sample tables AND the mdat byte stream NAL by NAL — the oracle
+    * restates every output column from the mux formulas, so a
+    * mis-parsed stsc run, a wrong NAL prefix or an off-by-one chunk
+    * offset breaks the hash. AutoCodec's ftyp dispatch is exercised
+    * in the same pass (its n_frames must agree with the walk).
+    * Pixel decode of the H.264 payload remains the documented seam.
+    *
+    * 100 TB shape: identical to m2/m23 — bytes are born, parsed and
+    * reduced to a dozen integers inside one partition pass; only the
+    * index rows reach the exchange. */
+  def m27Mp4Index(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{Codecs, Multimodal}
+    Tables.spread(Tables.documents(spark, dir).select(col("doc_id"))).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = (3 + id % 5).toInt
+          val samples = (0 until n).map { f =>
+            val l = (17 + ((id * 13 + f * 7) % 40)).toInt
+            val payload = Array.tabulate(l)(i =>
+              ((id * 31 + f * 17 + i * 7) % 256).toByte)
+            if (l >= 30) Seq(payload.take(l / 2), payload.drop(l / 2))
+            else Seq(payload)
+          }
+          val keyframes = (0 until n).filter(_ % 3 == 0).map(_ + 1)
+          val mp4 = Codecs.Mp4.mux(samples, keyframes,
+            timescale = 90000, sampleDelta = 3000, width = 64, height = 48)
+          val ix = Codecs.Mp4.index(mp4)
+          // AutoCodec must route the same bytes through the ftyp path
+          val auto = Codecs.AutoCodec.decode(
+            Multimodal.MediaRecord(id, "video", mp4))
+          require(auto.n_frames == ix.n_samples &&
+            auto.width == 64 && auto.height == 48,
+            s"AutoCodec/box-walk disagreement for doc $id")
+          (id, ix.n_samples, ix.n_keyframes, ix.sample_bytes,
+            ix.max_sample_bytes, ix.n_nals,
+            ix.duration * 1000L / ix.timescale, ix.avc_profile,
+            ix.nal_len_size)
+        }
+      }.toDF("doc_id", "n_samples", "n_keyframes", "sample_bytes",
+        "max_sample_bytes", "n_nals", "duration_ms", "avc_profile",
+        "nal_len_size")
+  }
+
+  val m27Sql: String =
+    """WITH d AS (SELECT doc_id, 3 + doc_id % 5 AS n FROM documents),
+      |f AS (SELECT doc_id, n, unnest(range(n)) AS f FROM d),
+      |sz AS (SELECT doc_id, n, f,
+      |    17 + (doc_id * 13 + f * 7) % 40 AS l
+      |  FROM f),
+      |per AS (SELECT doc_id, n,
+      |    l + CASE WHEN l >= 30 THEN 8 ELSE 4 END AS sbytes,
+      |    CASE WHEN l >= 30 THEN 2 ELSE 1 END AS nnals,
+      |    CASE WHEN f % 3 = 0 THEN 1 ELSE 0 END AS kf
+      |  FROM sz)
+      |SELECT doc_id, CAST(max(n) AS INT) AS n_samples,
+      |  CAST(sum(kf) AS INT) AS n_keyframes,
+      |  CAST(sum(sbytes) AS BIGINT) AS sample_bytes,
+      |  CAST(max(sbytes) AS INT) AS max_sample_bytes,
+      |  CAST(sum(nnals) AS INT) AS n_nals,
+      |  CAST(max(n) * 3000 * 1000 // 90000 AS BIGINT) AS duration_ms,
+      |  66 AS avc_profile, 4 AS nal_len_size
+      |FROM per GROUP BY doc_id""".stripMargin
 }

@@ -660,4 +660,139 @@ class Round10Spec extends SparkTestBase {
     assert(out("b")._4 === acf(xb))   // strong negative (alternation)
     assert(out("a")._4 > 0.9 && out("b")._4 < -0.9)
   }
+
+  test("reliable snapshots: an iterative peel runs both ways to the same result") {
+    // g8's k-core peel exercises Engine.snapshot every round (alive /
+    // edges / peeled frames). Default = localCheckpoint; the
+    // reliableSnapshots switch persists each round as parquet and
+    // reads it back — same rows either way, including the
+    // empty-round-0 accumulator round-trip.
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),       // triangle: survives k=2
+      (3L, 4L), (4L, 5L),                 // chain: peels off
+      (6L, 7L))                           // pendant pair: peels round 1
+      .toDF("doc_a", "doc_b")
+    def run(): Set[(Long, Long, Long)] =
+      Graph.kCorePeel(pairs, k = 2L, rounds = 10)
+        .as[(Long, Long, Long)].collect().toSet
+    val local = run()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-snap-spec").toString
+    spark.conf.set("spark.graft.reliableSnapshots", "true")
+    spark.conf.set("spark.graft.snapshotDir", dir)
+    try {
+      val reliable = run()
+      assert(reliable === local)
+      // the switch actually wrote persisted snapshots
+      assert(new java.io.File(dir).listFiles().nonEmpty)
+    } finally {
+      spark.conf.set("spark.graft.reliableSnapshots", "false")
+      spark.conf.unset("spark.graft.snapshotDir")
+    }
+    assert(local.exists(_._2 == -1L))     // triangle survives
+    assert(local.exists(_._2 > 0L))       // something peeled
+  }
+
+  test("mp4: mux/index roundtrip, multi-NAL walk, loud corruption failures") {
+    import graft.operators.Codecs
+    val samples = Seq(
+      Seq(Array.fill[Byte](10)(1)),                          // 1 NAL
+      Seq(Array.fill[Byte](20)(2), Array.fill[Byte](15)(3)), // 2 NALs
+      Seq(Array.fill[Byte](5)(4)))
+    val mp4 = Codecs.Mp4.mux(samples, keyframes = Seq(1, 3),
+      timescale = 1000, sampleDelta = 40, width = 32, height = 16,
+      nalLenSize = 2)
+    val ix = Codecs.Mp4.index(mp4)
+    assert(ix.n_samples === 3 && ix.n_keyframes === 2 && ix.n_nals === 4)
+    assert(ix.sample_bytes === (10 + 2) + (20 + 2 + 15 + 2) + (5 + 2))
+    assert(ix.max_sample_bytes === 39)
+    assert(ix.timescale === 1000L && ix.duration === 120L)
+    assert(ix.nal_len_size === 2 && ix.avc_profile === 66)
+    assert(ix.width === 32 && ix.height === 16)
+    // truncation mid-box fails the walk loudly
+    intercept[Exception] { Codecs.Mp4.index(mp4.take(mp4.length - 10)) }
+    // a lying NAL length prefix fails the mdat walk loudly:
+    // first sample's 2-byte prefix sits right after ftyp(24B)+mdat hdr(8B)
+    val bad = mp4.clone()
+    bad(32) = 0x7f.toByte
+    intercept[Exception] { Codecs.Mp4.index(bad) }
+  }
+
+  test("indexed streaming dedup: chunked stream == rebuilt-index batch reference") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{Components, Dedup}
+    import graft.streaming.IndexedDedup
+    val th = 0.7
+    def doc(id: Long, base: String, extra: String) = (id, base + extra)
+    val A = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val B = "a completely different catalog of machine parts listed by weight and size for audit"
+    val C = "seven streaming engines compared on throughput latency state size and recovery behavior overall"
+    val D = "final unrelated text about mountain weather patterns in early spring measured hourly"
+    val chunks: Seq[Seq[(Long, String)]] = Seq(
+      Seq(doc(1, A, ""), doc(2, A, " again"), doc(10, B, "")),
+      Seq(doc(3, A, " twice"), doc(20, C, ""), doc(21, C, " more")),
+      Seq(doc(11, B, " redux"), doc(30, D, ""), doc(4, A, " thrice")))
+
+    // ---- streaming run: one micro-batch per chunk (AvailableNow
+    // drains what is queued; re-starting on the same checkpoint
+    // assigns consecutive batch ids)
+    val root = java.nio.file.Files.createTempDirectory("ixdedup").toString
+    val idx = s"$root/index"; val ckp = s"$root/ckp"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(idx))
+    val mem = MemoryStream[(Long, String)](spark)
+    chunks.foreach { c =>
+      mem.addData(c)
+      val q = IndexedDedup.start(
+        mem.toDF().toDF("doc_id", "text"), idx, th, ckp)
+      q.awaitTermination(120000)
+    }
+    val got = spark.read.parquet(s"$idx/verdicts")
+      .select(col("doc_id"), col("is_dup"), col("reason"))
+      .as[(Long, Boolean, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    // ---- sequential batch reference: same per-chunk semantics, but
+    // the index is REBUILT from scratch with d13's build half each
+    // step — parity here proves the streamed APPEND path drifts from
+    // the canonical build in neither candidates nor verdicts
+    var survivors = Seq.empty[(Long, String)]
+    val expected = scala.collection.mutable.Map[Long, (Boolean, Option[String])]()
+    var step = 0
+    chunks.foreach { c =>
+      val cdf = c.toDF("doc_id", "text")
+      val pairs = Dedup.nearDupPairs(cdf, th)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val batchDup = Components.connectedComponents(pairs)
+        .filter(col("label") =!= col("node"))
+        .select(col("node")).as[Long].collect().toSet
+      val reps = c.filterNot(d => batchDup.contains(d._1))
+      val corpusDup: Set[Long] =
+        if (survivors.isEmpty) Set.empty
+        else {
+          val ref = s"$root/ref$step"
+          Dedup.nearDupIndexBuild(survivors.toDF("doc_id", "text"), ref)
+          Dedup.nearDupIndexProbe(spark, ref,
+              reps.toDF("doc_id", "text"), th)
+            .select(col("doc_batch")).as[Long].collect().toSet
+        }
+      c.foreach { d =>
+        expected(d._1) =
+          if (batchDup.contains(d._1)) (true, Some("batch"))
+          else if (corpusDup.contains(d._1)) (true, Some("corpus"))
+          else (false, None)
+      }
+      survivors = survivors ++ reps.filterNot(d => corpusDup.contains(d._1))
+      step += 1
+    }
+    assert(got === expected.toMap)
+    // the dedup actually fired along every path
+    assert(expected.values.count(_._2 == Some("batch")) >= 2)
+    assert(expected.values.count(_._2 == Some("corpus")) >= 2)
+    assert(expected.values.count(v => !v._1) >= 4)
+    // idempotent replay: re-running a completed batch id is a no-op
+    val before = spark.read.parquet(s"$idx/features").count()
+    IndexedDedup.ingestBatch(spark, idx,
+      chunks(0).toDF("doc_id", "text"), th, batchId = 0L)
+    assert(spark.read.parquet(s"$idx/features").count() === before)
+  }
 }
