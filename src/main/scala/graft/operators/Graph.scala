@@ -266,48 +266,57 @@ object Graph {
     * agree at any horizon.
     *
     * 100 TB shape: each round is one degree partial-agg + two
-    * semijoin-shaped edge filters keyed by node — the Components
-    * discipline (localCheckpoint lineage truncation, eager release);
-    * the driver pays one count() per round for the early stop. */
+    * semijoin-shaped edge filters keyed by node. SNAPSHOT BUDGET
+    * (the toy-scale floor fix the 100× reading doesn't need, but
+    * costs it nothing): only TWO frames materialize per round — the
+    * candidate (node, deg) frame and the filtered edge list; the
+    * peel set, the next alive set and the running peeled union are
+    * LAZY one-deep views over those cached frames, so a round costs
+    * 2 Spark jobs + one cached-scan emptiness probe instead of the
+    * 5 jobs the checkpoint-everything spelling paid. Superseded
+    * snapshots release eagerly; the per-round cand frames (tiny
+    * node lists) pin until the result is assembled because the
+    * output reads every round's peel set. */
   def kCorePeel(pairs: DataFrame, k: Long, rounds: Int): DataFrame = {
     val sym = pairs
       .select(col("doc_a").cast("long").as("s"), col("doc_b").cast("long").as("d"))
       .union(pairs
         .select(col("doc_b").cast("long").as("s"), col("doc_a").cast("long").as("d")))
       .distinct().snapshot()
-    var alive = sym.select(col("s").as("node")).distinct().snapshot()
+    var alive = sym.select(col("s").as("node")).distinct()
     var edges = sym
-    var peeled = alive.filter(lit(false))
-      .select(col("node"), lit(0L).as("peel_round")).snapshot()
+    val peeledParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var r = 1
     var done = false
     while (r <= rounds && !done) {
       val deg = edges.groupBy(col("s")).agg(count(lit(1)).as("deg"))
       val cand = alive.join(deg, alive("node") === deg("s"), "left")
         .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"))
-      val newPeeled = cand.filter(col("deg") < k)
-        .select(col("node"), lit(r.toLong).as("peel_round"))
         .snapshot()
+      val newPeeled = cand.filter(col("deg") < k)
       if (newPeeled.isEmpty) {
-        newPeeled.unpersist()
+        cand.unpersist()
         done = true
       } else {
-        val nextAlive = cand.filter(col("deg") >= k)
-          .select(col("node")).snapshot()
+        peeledParts += newPeeled
+          .select(col("node"), lit(r.toLong).as("peel_round"))
+        val nextAlive = cand.filter(col("deg") >= k).select(col("node"))
         val nextEdges = edges
           .join(nextAlive.select(col("node").as("s")), Seq("s"))
           .join(nextAlive.select(col("node").as("d")), Seq("d"))
           .select(col("s"), col("d")).snapshot()
-        val nextPeeled = peeled.union(newPeeled).snapshot()
-        // unconditional: at r == 1 `edges` is the round-0 snapshot
-        // (sym), which nothing downstream reads — releasing it here
-        // keeps the release-superseded-snapshots discipline airtight
-        // instead of pinning the full edge list for the app lifetime.
-        alive.unpersist(); peeled.unpersist(); edges.unpersist()
-        alive = nextAlive; edges = nextEdges; peeled = nextPeeled
+        // the superseded edge snapshot (round 0 = sym) is dead once
+        // replaced — release it eagerly
+        edges.unpersist()
+        alive = nextAlive; edges = nextEdges
         r += 1
       }
     }
+    val peeled =
+      if (peeledParts.isEmpty)
+        sym.filter(lit(false))
+          .select(col("s").as("node"), lit(0L).as("peel_round"))
+      else peeledParts.reduce(_ union _)
     val finalDeg = edges.groupBy(col("s")).agg(count(lit(1)).as("deg"))
     val survivors = alive.join(finalDeg, alive("node") === finalDeg("s"), "left")
       .select(col("node"), lit(-1L).as("peel_round"),
@@ -514,34 +523,42 @@ object Graph {
       .select(least(col("doc_a"), col("doc_b")).cast("long").as("a"),
         greatest(col("doc_a"), col("doc_b")).cast("long").as("b"))
       .distinct().snapshot()
-    var peeled = edges.filter(lit(false))
-      .select(col("a"), col("b"), lit(0L).as("peel_round"))
-      .snapshot()
+    val peeledParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var r = 1
     var done = false
     while (r <= rounds && !done) {
+      // kCorePeel's snapshot budget: ONE materialization per round —
+      // the scored (a, b, sup) frame — with the peel set and the next
+      // edge list as lazy one-deep views over it; the early-stop
+      // probe scans the cached frame.
       val sym = edges.select(col("a").as("s"), col("b").as("d"))
         .union(edges.select(col("b").as("s"), col("a").as("d")))
       val sup = support(edges, sym)
       val scored = edges.join(sup, Seq("a", "b"), "left")
         .select(col("a"), col("b"), coalesce(col("sup"), lit(0L)).as("sup"))
-      val newPeeled = scored.filter(col("sup") < k - 2)
-        .select(col("a"), col("b"), lit(r.toLong).as("peel_round"))
         .snapshot()
+      val newPeeled = scored.filter(col("sup") < k - 2)
       if (newPeeled.isEmpty) {
-        newPeeled.unpersist()
+        scored.unpersist()
         done = true
       } else {
-        val nextEdges = scored.filter(col("sup") >= k - 2)
-          .select(col("a"), col("b")).snapshot()
-        val nextPeeled = peeled.union(newPeeled).snapshot()
-        // unconditional for the same reason as kCorePeel: the
-        // round-0 canonical edge snapshot is dead once replaced.
-        peeled.unpersist(); edges.unpersist()
-        edges = nextEdges; peeled = nextPeeled
+        peeledParts += newPeeled
+          .select(col("a"), col("b"), lit(r.toLong).as("peel_round"))
+        // the superseded edge snapshot (round 0 = the canonical pair
+        // list) is dead once replaced — release it eagerly; `scored`
+        // stays pinned because the peel views and the next round's
+        // edges read it.
+        edges.unpersist()
+        edges = scored.filter(col("sup") >= k - 2)
+          .select(col("a"), col("b"))
         r += 1
       }
     }
+    val peeled =
+      if (peeledParts.isEmpty)
+        edges.filter(lit(false))
+          .select(col("a"), col("b"), lit(0L).as("peel_round"))
+      else peeledParts.reduce(_ union _)
     val symF = edges.select(col("a").as("s"), col("b").as("d"))
       .union(edges.select(col("b").as("s"), col("a").as("d")))
     val finalSup = edges.join(support(edges, symF), Seq("a", "b"), "left")
