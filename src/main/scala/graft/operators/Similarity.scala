@@ -874,4 +874,91 @@ object Similarity {
         col("rnk").cast("int").as("rnk"),
         round(col("dist"), 6).as("dist_rp"))
   }
+
+  /** TOP PRINCIPAL COMPONENT of an embedding corpus — exact-integer
+    * covariance + fixed power iterations, entirely hash-gated (the
+    * spectral statistic behind whitening, anisotropy diagnosis and
+    * the "is one direction eating the variance" check run before
+    * trusting cosine distances). The whole computation lives on the
+    * micro-unit lattice so it is bit-identical across engines:
+    *
+    *  - components quantize to round(x·1e6) longs; the scatter about
+    *    the (floor'd) lattice mean expands by the one-pass identity
+    *    S[i][j] = Σxᵢxⱼ − mⱼΣxᵢ − mᵢΣxⱼ + n·mᵢmⱼ with every term an
+    *    exact decimal(38,0) — no second centering pass over the
+    *    corpus, no float accumulation anywhere;
+    *  - `iters` power iterations: w = S·v (exact), then v ← w·1e6
+    *    div max|w| (truncating integral division both engines share),
+    *    seeded at the all-ones micro vector — deterministic, no RNG;
+    *  - the leading-variance share is the Rayleigh quotient
+    *    λ = vᵀSv div vᵀv scaled against trace(S), again in exact
+    *    integer steps (identical floor sequence on both engines).
+    *
+    * 100 TB shape: ONE corpus pass — each row explodes to its 64×64
+    * products and map-side combine collapses every partition to
+    * ≤4096 running sums before the exchange (the KMeans mean-update
+    * shape); everything after the moment aggregate operates on
+    * 64-to-4096-row frames chained lazily in a single Catalyst plan
+    * (the scatter is snapshotted once so the three consumers — two
+    * iterations and the Rayleigh edge — don't recompute the corpus
+    * pass). Magnitude audit: |S| ≤ n·1e12, so vᵀSv ≤ 4096·n·1e24
+    * stays inside decimal(38,0) up to n ≈ 2.4e10 corpus rows;
+    * beyond that, shard the moment pass and merge (documented
+    * escalation).
+    */
+  def topPrincipalComponent(vecs: DataFrame, dim: Int = 64,
+      iters: Int = 2): DataFrame = {
+    import graft.Engine.SnapshotOps
+    val dec = "decimal(38,0)"
+    val spark = vecs.sparkSession
+    val micro = vecs.select(transform(col("embedding"),
+      x => floor(x.cast("double") * 1000000.0 + 0.5).cast("long")).as("xu"))
+    val prods = micro.select(posexplode(flatten(transform(col("xu"),
+      vi => transform(col("xu"), vj => vi * vj)))).as(Seq("k", "p")))
+    val sxy = prods.groupBy(col("k"))
+      .agg(sum(col("p").cast(dec)).as("sxy"))
+      .select(expr(s"cast(k div $dim as int)").as("i"),
+        expr(s"cast(k % $dim as int)").as("j"), col("sxy"))
+    val sx = micro.select(posexplode(col("xu")).as(Seq("d", "xv")))
+      .groupBy(col("d")).agg(sum(col("xv")).as("sx"))
+      .select(col("d").cast("int").as("d"), col("sx"))
+    val nRow = micro.agg(count(lit(1)).as("n"))
+    val means = sx.crossJoin(broadcast(nRow))
+      .select(col("d"), col("sx"), expr("sx div n").as("m"), col("n"))
+    val scat = sxy
+      .join(broadcast(means.select(col("d").as("i"), col("sx").as("sxi"),
+        col("m").as("mi"), col("n"))), Seq("i"))
+      .join(broadcast(means.select(col("d").as("j"), col("sx").as("sxj"),
+        col("m").as("mj"))), Seq("j"))
+      .select(col("i"), col("j"),
+        expr("cast(sxy - cast(mj as decimal(38,0)) * sxi" +
+          " - cast(mi as decimal(38,0)) * sxj" +
+          " + cast(n as decimal(38,0)) * mi * mj as decimal(38,0))")
+          .as("s"))
+      .snapshot()
+    var v: DataFrame = spark.range(dim)
+      .select(col("id").cast("int").as("d"), lit(1000000L).as("v"))
+    for (_ <- 1 to iters) {
+      val w = scat.join(v, col("j") === col("d")).groupBy(col("i"))
+        .agg(sum(col("s") * col("v")).as("w"))
+      val mw = w.agg(greatest(max(abs(col("w"))),
+        lit(1).cast(dec)).as("mw"))
+      v = w.crossJoin(broadcast(mw))
+        .select(col("i").as("d"),
+          expr("cast((w * 1000000) div mw as bigint)").as("v"))
+    }
+    val sv = scat.join(v, col("j") === col("d")).groupBy(col("i"))
+      .agg(sum(col("s") * col("v")).as("sv"))
+    val edge = sv.join(v, col("i") === col("d"))
+      .agg(sum(col("sv") * col("v")).as("vsv"),
+        sum(col("v") * col("v")).as("vv"))
+      .crossJoin(scat.filter(col("i") === col("j"))
+        .agg(sum(col("s")).as("tr")))
+      .select(expr("cast((cast(vsv div greatest(vv, 1) as decimal(38,0))" +
+        " * 1000000) div greatest(tr, cast(1 as decimal(38,0)))" +
+        " as bigint)").as("lead_share_ppm"))
+    v.crossJoin(broadcast(edge))
+      .select(col("d").as("dim"), col("v").as("loading_ppm"),
+        col("lead_share_ppm"))
+  }
 }

@@ -1052,6 +1052,63 @@ object LlmQueries {
        |FROM fr JOIN np USING (query_id) WHERE rnk <= 3""".stripMargin
   }
 
+  /** s32: TOP PRINCIPAL COMPONENT of the embedding corpus — the
+    * spectral statistic behind whitening and anisotropy diagnosis
+    * (one dominant direction eating the variance is why raw cosine
+    * over contextual embeddings misleads — the "all embeddings
+    * point the same way" pathology). Exact-integer covariance (the
+    * one-pass scatter identity on the micro-unit lattice) + two
+    * deterministic power iterations + the Rayleigh-quotient variance
+    * share, every step integer arithmetic both engines share —
+    * see Similarity.topPrincipalComponent for the magnitude audit
+    * and the 100 TB one-pass/4096-sums shape. */
+  def s32TopPc(spark: SparkSession, dir: String): DataFrame =
+    Similarity.topPrincipalComponent(Tables.embeddings(spark, dir),
+      dim = 64, iters = 2)
+
+  val s32Sql: String = {
+    val iters = 2
+    val rounds = (1 to iters).map { it =>
+      val prev = if (it == 1) "v0" else s"v${it - 1}"
+      s"""w$it AS (SELECT sc.i AS d, sum(sc.sc * $prev.v) AS w
+         |  FROM scat sc JOIN $prev ON $prev.d = sc.j GROUP BY 1),
+         |m$it AS (SELECT greatest(max(abs(w)), 1) AS mw FROM w$it),
+         |v$it AS (SELECT d, (w * 1000000) // mw AS v
+         |  FROM w$it CROSS JOIN m$it)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH mx AS MATERIALIZED (SELECT list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+       |      AS BIGINT)) AS xu
+       |  FROM embeddings),
+       |nn AS (SELECT count(*) AS n FROM mx),
+       |sx AS MATERIALIZED (SELECT d, CAST(sum(xu[d+1]) AS BIGINT) AS sx
+       |  FROM mx CROSS JOIN range(64) t(d) GROUP BY 1),
+       |mean AS (SELECT d, sx, sx // n AS m FROM sx CROSS JOIN nn),
+       |sxy AS MATERIALIZED (SELECT i, j,
+       |    sum(CAST(xu[i+1] AS HUGEINT) * xu[j+1]) AS sxy
+       |  FROM mx CROSS JOIN range(64) ti(i) CROSS JOIN range(64) tj(j)
+       |  GROUP BY 1, 2),
+       |scat AS MATERIALIZED (SELECT s.i, s.j,
+       |    s.sxy - CAST(mj.m AS HUGEINT) * mi.sx
+       |      - CAST(mi.m AS HUGEINT) * mj.sx
+       |      + CAST(nn.n AS HUGEINT) * mi.m * mj.m AS sc
+       |  FROM sxy s JOIN mean mi ON mi.d = s.i
+       |  JOIN mean mj ON mj.d = s.j CROSS JOIN nn),
+       |v0 AS (SELECT d, CAST(1000000 AS HUGEINT) AS v FROM range(64) t(d)),
+       |$rounds,
+       |sv AS (SELECT sc.i AS d, sum(sc.sc * v$iters.v) AS sv
+       |  FROM scat sc JOIN v$iters ON v$iters.d = sc.j GROUP BY 1),
+       |ed AS (SELECT sum(sv.sv * v$iters.v) AS vsv,
+       |    sum(v$iters.v * v$iters.v) AS vv
+       |  FROM sv JOIN v$iters ON v$iters.d = sv.d),
+       |tr AS (SELECT sum(sc) AS tr FROM scat WHERE i = j)
+       |SELECT CAST(v$iters.d AS INT) AS dim,
+       |  CAST(v$iters.v AS BIGINT) AS loading_ppm,
+       |  CAST((CAST(vsv // greatest(vv, 1) AS HUGEINT) * 1000000)
+       |    // greatest(tr, 1) AS BIGINT) AS lead_share_ppm
+       |FROM v$iters CROSS JOIN ed CROSS JOIN tr""".stripMargin
+  }
+
   /** s11: IVF-PQ with the exact RE-RANK refine stage — s8's ADC scan
     * keeps only a top-10 shortlist per query, then the shortlist is
     * re-scored against full-precision embeddings and the final top-3

@@ -798,4 +798,68 @@ object Relational5 {
       |      CAST(CAST(n AS HUGEINT) * s AS DOUBLE), 6)
       |    END AS gini
       |FROM a""".stripMargin
+
+  // ---- r72: last-touch conversion attribution ----------------------
+
+  /** r72: TOUCH-TYPE REVENUE CREDIT — every purchase is credited to
+    * the user's most recent preceding touch event within a 7-day
+    * lookback, where multiple touch TYPES (click, view) COMPETE for
+    * the credit, and revenue (cents) is attributed per winning type;
+    * purchases with no in-window touch report under '(none)'. The
+    * channel-mix complement of r44 (r44 fixes the touch type to
+    * clicks and reports the LAG distribution through the AsOfJoin
+    * operator; r72 answers "which channel gets the money" with a
+    * bounded lookback). The "most recent" pick is an argmax over the total
+    * (ts, event_id) order carried as a STRUCT running max inside one
+    * per-user window — struct comparison is lexicographic fieldwise
+    * on both engines, and event_id uniqueness makes the tiebreak
+    * total, so the attribution is deterministic and hash-exact.
+    *
+    * 100 TB shape: ONE keyed window pass (partition by user, order by
+    * time) computes every purchase's candidate touch — no self-join
+    * of the event table against itself (the naive as-of spelling
+    * shuffles events twice and explodes on hot users); the closing
+    * agg is |touch types|+1 rows. */
+  def lastTouchAttribution(eventsIn: DataFrame, touchTypes: Seq[String],
+      convType: String, lookbackUs: Long): DataFrame = {
+    val ev = eventsIn.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_type"),
+      floor(col("value") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lt = max(when(col("event_type").isInCollection(touchTypes),
+      struct(col("ts_us").as("t"), col("event_id").as("e"),
+        col("event_type").as("ty")))).over(w)
+    ev.withColumn("l", lt)
+      .filter(col("event_type") === convType)
+      .withColumn("touch_type",
+        when(col("l").isNotNull &&
+          col("l.t") >= col("ts_us") - lookbackUs, col("l.ty"))
+          .otherwise(lit("(none)")))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("cents")).as("attributed_cents"))
+  }
+
+  def r72Attribution(spark: SparkSession, dir: String): DataFrame =
+    lastTouchAttribution(Tables.events(spark, dir),
+      touchTypes = Seq("click", "view"), convType = "purchase",
+      lookbackUs = 604800000000L)
+
+  val r72Sql: String =
+    """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |lt AS (SELECT *, (max(CASE WHEN event_type IN ('click', 'view')
+      |      THEN struct_pack(t := ts_us, e := event_id,
+      |        ty := event_type) END)
+      |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) AS l
+      |  FROM ev)
+      |SELECT CASE WHEN l IS NOT NULL AND l.t >= ts_us - 604800000000
+      |    THEN l.ty ELSE '(none)' END AS touch_type,
+      |  count(*) AS n_purchases,
+      |  CAST(sum(cents) AS BIGINT) AS attributed_cents
+      |FROM lt WHERE event_type = 'purchase' GROUP BY 1""".stripMargin
 }

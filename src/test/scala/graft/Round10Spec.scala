@@ -795,4 +795,62 @@ class Round10Spec extends SparkTestBase {
       chunks(0).toDF("doc_id", "text"), th, batchId = 0L)
     assert(spark.read.parquet(s"$idx/features").count() === before)
   }
+
+  test("s32 top PC: planted dominant axis recovered, variance share ~1") {
+    import graft.operators.Similarity
+    // 40 vectors along +/- axis 5 with amplitude ramp, tiny fixed
+    // off-axis bleed on dim 12 — the scatter is overwhelmingly axis 5
+    val vecs = (0 until 40).map { i =>
+      val a = Array.fill(64)(0.0f)
+      a(5) = (if (i % 2 == 0) 1.0f else -1.0f) * (0.3f + 0.01f * i)
+      a(12) = 0.02f * (i % 3)
+      (i.toLong, a)
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.topPrincipalComponent(vecs, dim = 64, iters = 2)
+      .as[(Int, Long, Long)].collect()
+    assert(out.length === 64)
+    val byDim = out.map(r => r._1 -> r._2).toMap
+    val top = byDim.maxBy { case (_, l) => math.abs(l) }
+    assert(top._1 === 5, s"dominant dim ${top._1}, want 5")
+    assert(math.abs(top._2) === 1000000L)  // normalized to max-abs 1e6
+    // everything off the planted axes is exactly 0 on the lattice
+    (0 until 64).filterNot(d => d == 5 || d == 12).foreach { d =>
+      assert(math.abs(byDim(d)) < 5000, s"dim $d loading ${byDim(d)}") }
+    val share = out.head._3
+    assert(share > 950000L && share <= 1000000L,
+      s"variance share $share should be ~1e6")
+    // determinism: a second run is bit-identical
+    val again = Similarity.topPrincipalComponent(vecs, dim = 64, iters = 2)
+      .as[(Int, Long, Long)].collect()
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
+  test("r72 touch credit: competing touch types, lookback, and (none) fixture") {
+    def t(h: Int) = java.sql.Timestamp.valueOf(f"2024-06-10 $h%02d:00:00")
+    def td(d: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-06-$d%02d $h%02d:00:00")
+    val ev = Seq(
+      // user 1: click then LATER view -> view wins the credit
+      (1L, 1L, t(1), "click", 0.0), (2L, 1L, t(2), "view", 0.0),
+      (3L, 1L, t(3), "purchase", 10.0),
+      // user 2: view then later click -> click wins
+      (4L, 2L, t(1), "view", 0.0), (5L, 2L, t(2), "click", 0.0),
+      (6L, 2L, t(3), "purchase", 20.0),
+      // user 3: touch 8 days before the purchase -> out of lookback
+      (7L, 3L, td(1, 1), "click", 0.0),
+      (8L, 3L, td(9, 2), "purchase", 40.0),
+      // user 4: purchase with no prior touch at all
+      (9L, 4L, t(1), "purchase", 80.0),
+      // an error event must never take credit
+      (10L, 2L, t(2), "error", 0.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val got = Relational5.lastTouchAttribution(ev,
+        touchTypes = Seq("click", "view"), convType = "purchase",
+        lookbackUs = 604800000000L)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("view") === (("view", 1L, 1000L)))
+    assert(got("click") === (("click", 1L, 2000L)))
+    assert(got("(none)") === (("(none)", 2L, 12000L)))
+  }
 }
