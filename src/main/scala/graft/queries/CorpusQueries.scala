@@ -1292,6 +1292,122 @@ object CorpusQueries {
        |    (ORDER BY n_occurrences DESC, pair) AS INT) AS rnk FROM agg)
        |SELECT pair, n_occurrences, rnk FROM r WHERE rnk <= 20""".stripMargin
 
+  // ---- x67: BPE merge training (the iterative inner loop) ---------
+
+  /** x67: BPE TOKENIZER TRAINING, the iterative inner loop x46 only
+    * counted one round of: three full merge rounds — count adjacent
+    * segment pairs weighted by word frequency, adopt the single best
+    * pair as a merge rule (count desc, pair lexicographic — the
+    * deterministic tie-break), RE-SEGMENT every word type under the
+    * new rule, repeat on the updated segmentation. Round N's counts
+    * depend on round N−1's merges (after merging 't h', the pair
+    * 'th e' exists and 'h e' has shrunk), which is exactly what the
+    * one-shot candidate count cannot see; the emitted rows are the
+    * learned merge table — the artifact a tokenizer ships.
+    *
+    * Resegmentation is the left-to-right single-pass BPE apply,
+    * expressed as ONE string fold both engines share: the
+    * segmentation lives as a chr(31)-delimited string, and the fold
+    * appends each segment unless the accumulator's LAST segment is
+    * exactly `lhs` and the current is `rhs` (checked with an
+    * ends-with on separator+lhs, so partial-segment suffixes can't
+    * false-match), in which case the tail rewrites to the merged
+    * token. A merge's output can never equal `lhs` again (rhs is
+    * non-empty), so the fold is precisely the standard one-pass
+    * apply — including the aa|aa run-parity case ('aaa' under (a,a)
+    * → [aa, a]).
+    *
+    * 100 TB shape: ONE corpus pass builds the word-TYPE vocabulary
+    * (Heaps' law: |vocab| ≪ corpus); every training round touches
+    * only that vocab-bounded frame — pair counting is a partial-agg
+    * groupBy over it, the argmax is a 1-row TakeOrdered broadcast,
+    * and the resegmentation is a narrow row-local fold. This is the
+    * word-type-level counting shape production BPE trainers
+    * (HuggingFace tokenizers) actually use. */
+  def bpeTrain(docsIn: DataFrame, rounds: Int): DataFrame = {
+    import graft.Engine.SnapshotOps
+    val SEP = "\u001f"
+    var words = docsIn
+      .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .select(array_join(array_remove(split(col("tok"), ""), ""), SEP)
+        .as("seg"), col("c"))
+      .snapshot()
+    val ruleRows = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (round <- 1 to rounds) {
+      val pairs = TextFunctions.bind(split(col("seg"), SEP), a =>
+        when(size(a) >= 2, transform(sequence(lit(1), size(a) - 1),
+          i => struct(element_at(a, i).as("lhs"),
+            element_at(a, i + 1).as("rhs"))))
+          .otherwise(array().cast("array<struct<lhs:string,rhs:string>>")))
+      val rule = words.select(col("c"), explode(pairs).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("c")).as("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("lhs"), col("rhs"))
+        .limit(1)
+        .snapshot()
+      ruleRows += rule.select(lit(round).as("merge_round"), col("lhs"),
+        col("rhs"), col("n_occurrences"))
+      val merged = words.crossJoin(broadcast(
+          rule.select(col("lhs").as("ml"), col("rhs").as("mr"))))
+        .select(aggregate(split(col("seg"), SEP), lit(""),
+          (acc, sg) => when(acc === "", sg)
+            .when((acc === col("ml") ||
+                acc.endsWith(concat(lit(SEP), col("ml")))) &&
+              sg === col("mr"),
+              concat(acc.substr(lit(1),
+                length(acc) - length(col("ml"))),
+                col("ml"), col("mr")))
+            .otherwise(concat(acc, lit(SEP), sg))).as("seg"),
+          col("c"))
+        .snapshot()
+      words.unpersist()
+      words = merged
+    }
+    words.unpersist()
+    ruleRows.reduce(_ union _)
+  }
+
+  def x67BpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrain(Tables.spread(Tables.documents(spark, dir)), rounds = 3)
+
+  val x67Sql: String = {
+    val rounds = 3
+    def roundCtes(i: Int): String = {
+      val prev = s"w${i - 1}"
+      s"""sg$i AS (SELECT c, string_split(seg, chr(31)) AS sg FROM $prev),
+         |pr$i AS (SELECT sg[i] AS lhs, sg[i + 1] AS rhs,
+         |    CAST(sum(c) AS BIGINT) AS n_occurrences
+         |  FROM sg$i, LATERAL (SELECT
+         |    unnest(range(1, len(sg))) AS i) x
+         |  WHERE len(sg) >= 2 GROUP BY 1, 2),
+         |rule$i AS (SELECT lhs, rhs, n_occurrences FROM pr$i
+         |  ORDER BY n_occurrences DESC, lhs, rhs LIMIT 1),
+         |w$i AS MATERIALIZED (SELECT
+         |    list_reduce(list_prepend('', sg), (acc, s) -> CASE
+         |      WHEN acc = '' THEN s
+         |      WHEN (acc = ml OR ends_with(acc, chr(31) || ml)) AND
+         |        s = mr
+         |      THEN left(acc, length(acc) - length(ml)) || ml || mr
+         |      ELSE acc || chr(31) || s END) AS seg, c
+         |  FROM sg$i CROSS JOIN (SELECT lhs AS ml, rhs AS mr
+         |    FROM rule$i) r$i)""".stripMargin
+    }
+    val body = (1 to rounds).map(roundCtes).mkString(",\n")
+    val out = (1 to rounds).map(i =>
+      s"SELECT $i AS merge_round, lhs, rhs, n_occurrences FROM rule$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH t AS (SELECT $tsSql AS ts FROM documents),
+       |tf AS (SELECT tok, count(*) AS c FROM (SELECT unnest(ts) AS tok
+       |  FROM t) GROUP BY 1),
+       |w0 AS MATERIALIZED (SELECT array_to_string(
+       |    list_transform(range(length(tok)),
+       |      i -> substr(tok, CAST(i + 1 AS INT), 1)), chr(31)) AS seg, c
+       |  FROM tf),
+       |$body
+       |$out""".stripMargin
+  }
+
   // ---- x47: semantic outliers vs source centroid ------------------
 
   /** x47: SEMANTIC OUTLIER detection — each document's cosine to its

@@ -853,4 +853,24 @@ class Round10Spec extends SparkTestBase {
     assert(got("click") === (("click", 1L, 2000L)))
     assert(got("(none)") === (("(none)", 2L, 12000L)))
   }
+
+  test("x67 bpeTrain: three hand-computed merge rounds, lexicographic " +
+    "ties, cross-round dependence, and the aa-run fold") {
+    // vocab: thee x2, the x1, than x1, thaw x1
+    // round 1: (t,h) count 5 wins
+    // round 2: (th,e) 3 beats (e,e) 2 and (th,a) 2
+    // round 3: (the,e) 2 ties (th,a) 2 -> 'th' < 'the' lexicographic
+    val docs = Seq((1L, "thee thee the"), (2L, "than thaw"))
+      .toDF("doc_id", "text")
+    val got = CorpusQueries.bpeTrain(docs, rounds = 3)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+    assert(got === Array(
+      (1, "t", "h", 5L), (2, "th", "e", 3L), (3, "th", "a", 2L)))
+    // run-parity fold: 'aaaa' under (a,a) merges disjointly -> the
+    // round-2 best pair is (aa,aa), proving round 1 produced [aa,aa]
+    val runs = Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
+    val got2 = CorpusQueries.bpeTrain(runs, rounds = 2)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+    assert(got2 === Array((1, "a", "a", 6L), (2, "aa", "aa", 2L)))
+  }
 }
