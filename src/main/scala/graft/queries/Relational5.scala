@@ -862,4 +862,140 @@ object Relational5 {
       |  count(*) AS n_purchases,
       |  CAST(sum(cents) AS BIGINT) AS attributed_cents
       |FROM lt WHERE event_type = 'purchase' GROUP BY 1""".stripMargin
+
+  // ---- r73: Theil–Sen robust trend ---------------------------------
+
+  /** r73: THEIL–SEN robust trend of daily revenue per event type —
+    * the median of all pairwise day-to-day slopes, the
+    * outlier-immune alternative to least squares (one flash-sale
+    * day drags an OLS slope arbitrarily; it moves a median of
+    * O(days²) slopes by one rank). Hash discipline: inputs to every
+    * slope are exact integers (cents, day numbers), the slope is one
+    * IEEE double division evaluated identically on both engines,
+    * the median element is selected by rank over the deterministic
+    * total order (slope, i, j) — lower median at rank (n+1) div 2 —
+    * and the emitted value floors to ppm.
+    *
+    * 100 TB shape: the fact table collapses to |type|·|day| rows in
+    * one partial-agg pass; the pair self-join is DAY-bounded (|days|²
+    * per type — calendar-sized, corpus-size-independent), and the
+    * median is a per-type rank over that bounded frame. */
+  def theilSen(eventsIn: DataFrame): DataFrame = {
+    val daily = eventsIn.groupBy(col("event_type"),
+        (unix_micros(date_trunc("day", col("ts"))) / 86400000000L)
+          .cast("long").as("d"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("y"))
+    val pairs = daily.alias("a").join(daily.alias("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.d") < col("b.d"))
+      .select(col("a.event_type").as("event_type"),
+        col("a.d").as("xi"), col("b.d").as("xj"),
+        ((col("b.y") - col("a.y")).cast("double") /
+          (col("b.d") - col("a.d")).cast("double")).as("slope"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("slope"), col("xi"), col("xj"))
+    pairs
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("n").as("n_pairs"),
+        floor(col("slope") * 1000000.0).cast("long")
+          .as("slope_cents_per_day_ppm"))
+  }
+
+  def r73TheilSen(spark: SparkSession, dir: String): DataFrame =
+    theilSen(Tables.events(spark, dir))
+
+  val r73Sql: String =
+    """WITH daily AS MATERIALIZED (SELECT event_type,
+      |    epoch_us(date_trunc('day', ts)) // 86400000000 AS d,
+      |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |pr AS (SELECT a.event_type, a.d AS xi, b.d AS xj,
+      |    CAST(b.y - a.y AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND a.d < b.d),
+      |rk AS (SELECT event_type, slope,
+      |    CAST(row_number() OVER (PARTITION BY event_type
+      |      ORDER BY slope, xi, xj) AS BIGINT) AS rn,
+      |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM pr)
+      |SELECT event_type, n AS n_pairs,
+      |  CAST(floor(slope * 1000000.0) AS BIGINT)
+      |    AS slope_cents_per_day_ppm
+      |FROM rk WHERE rn = (n + 1) // 2""".stripMargin
+
+  // ---- r74: chi-square independence test ---------------------------
+
+  /** r74: CHI-SQUARE test of independence between event type and
+    * day-of-week — "is activity mix a function of the weekday", the
+    * first question behind staffing and anomaly baselines. The
+    * statistic stays EXACT-integer end to end: dow derives from the
+    * epoch day number ((day + 4) % 7, 0 = Sunday — engine-neutral,
+    * no locale/week-start semantics), each cell's contribution is
+    * ((O·T − R·C)²·1e6) div (T·R·C) over decimal(38,0) — the
+    * floor-quantized per-cell chi² in micro-units, summed as exact
+    * longs (the statistic is DEFINED as the floor-per-cell sum, so
+    * both engines agree bit-for-bit; the quantization error is ≤
+    * |cells| micro-units, noise at any real magnitude). Magnitude
+    * bound: (O·T)² ≤ T⁴ caps exactness at T ≈ 3e9 events per the
+    * decimal(38) ceiling — beyond that, scale the micro factor down
+    * (documented escalation).
+    *
+    * 100 TB shape: ONE partial-agg pass collapses the fact table to
+    * ≤ |types|·7 cells; margins and the total derive from those few
+    * rows and broadcast back; degrees of freedom ride along. */
+  def chiSquareDow(eventsIn: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = eventsIn.groupBy(col("event_type"),
+        (((unix_micros(date_trunc("day", col("ts"))) / 86400000000L)
+          .cast("long") + 4) % 7).as("dow"))
+      .agg(count(lit(1)).as("o"))
+    val rowT = cells.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
+    val colT = cells.groupBy(col("dow")).agg(sum(col("o")).as("c"))
+    val tot = cells.agg(sum(col("o")).as("t"),
+      countDistinct(col("event_type")).as("nr"),
+      countDistinct(col("dow")).as("nc"))
+    cells.join(broadcast(rowT), Seq("event_type"))
+      .join(broadcast(colT), Seq("dow"))
+      .crossJoin(broadcast(tot))
+      .select(expr(s"cast(o as $dec) * t - cast(r as $dec) * c").as("num"),
+        expr(s"cast(t as $dec) * r * c").as("den"),
+        col("nr"), col("nc"))
+      .groupBy(col("nr"), col("nc"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(expr("cast((num * num * 1000000) div den as bigint)"))
+          .as("chi2_micro"))
+      .select(col("n_cells"),
+        ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+        col("chi2_micro"))
+  }
+
+  def r74ChiSquare(spark: SparkSession, dir: String): DataFrame =
+    chiSquareDow(Tables.events(spark, dir))
+
+  val r74Sql: String =
+    """WITH cells AS MATERIALIZED (SELECT event_type,
+      |    (epoch_us(date_trunc('day', ts)) // 86400000000 + 4) % 7
+      |      AS dow,
+      |    CAST(count(*) AS BIGINT) AS o
+      |  FROM events GROUP BY 1, 2),
+      |rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r
+      |  FROM cells GROUP BY 1),
+      |ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c
+      |  FROM cells GROUP BY 1),
+      |tt AS (SELECT CAST(sum(o) AS BIGINT) AS t,
+      |    count(DISTINCT event_type) AS nr,
+      |    count(DISTINCT dow) AS nc
+      |  FROM cells)
+      |SELECT count(*) AS n_cells,
+      |  CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+      |  CAST(sum((CAST(o AS HUGEINT) * t - CAST(r AS HUGEINT) * c)
+      |      * (CAST(o AS HUGEINT) * t - CAST(r AS HUGEINT) * c)
+      |      * 1000000
+      |    // (CAST(t AS HUGEINT) * r * c)) AS BIGINT) AS chi2_micro
+      |FROM cells JOIN rt USING (event_type) JOIN ct USING (dow)
+      |CROSS JOIN tt
+      |GROUP BY nr, nc""".stripMargin
 }

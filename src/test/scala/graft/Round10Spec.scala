@@ -873,4 +873,36 @@ class Round10Spec extends SparkTestBase {
       .as[(Int, String, String, Long)].collect().sortBy(_._1)
     assert(got2 === Array((1, "a", "a", 6L), (2, "aa", "aa", 2L)))
   }
+
+  test("r73 Theil-Sen: outlier day cannot drag the median slope") {
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-06-$d%02d 10:00:00")
+    // type "a": steady +10 cents/day for 3 days, then a 1000-cent
+    // blowout day: 5 of 6 pairwise slopes stay near 10
+    val ev = Seq(
+      (1L, t(1), 1L, "a", 0.00), (2L, t(2), 1L, "a", 0.10),
+      (3L, t(3), 1L, "a", 0.20), (4L, t(4), 1L, "a", 10.00))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Relational5.theilSen(ev)
+      .as[(String, Long, Long)].collect()
+    assert(got.length === 1)
+    val (_, n, slope) = got.head
+    assert(n === 6L)
+    // slopes sorted: 10,10,10,333.33,495,980 -> lower median = 10
+    assert(slope === 10000000L, s"median slope ppm $slope")
+  }
+
+  test("r74 chi2: hand-computed 2x2 contingency gives exactly 20.0") {
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-06-$d%02d 10:00:00")
+    // A: 30/10 across two weekdays, B: 10/30 -> every expected cell
+    // is 20, chi2 = 4 * (10^2/20) = 20 exactly (micro = 20e6)
+    val rows =
+      (1 to 30).map(i => (i.toLong, t(10), 1L, "A", 0.0)) ++
+      (31 to 40).map(i => (i.toLong, t(11), 1L, "A", 0.0)) ++
+      (41 to 50).map(i => (i.toLong, t(10), 1L, "B", 0.0)) ++
+      (51 to 80).map(i => (i.toLong, t(11), 1L, "B", 0.0))
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Relational5.chiSquareDow(ev)
+      .as[(Long, Long, Long)].collect()
+    assert(got === Array((4L, 1L, 20000000L)))
+  }
 }
