@@ -3247,10 +3247,16 @@ object LlmQueries {
       .select(col("doc_a"), col("doc_b"), lit(1L).as("in_lsh"))
     val sim = Dedup.simhashPairs(docs)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("in_sim"))
+    // materialize the pair-agreement frame ONCE: both consumers
+    // (the referee leg and the count leg) sit in one plan, and
+    // without this pin each re-executes the full LSH + SimHash
+    // pipelines it joins (ReuseExchange does not cover the whole
+    // duplicated join subtree)
     val j = lsh.join(sim, Seq("doc_a", "doc_b"), "full_outer")
       .select(col("doc_a"), col("doc_b"),
         coalesce(col("in_lsh"), lit(0L)).as("in_lsh"),
         coalesce(col("in_sim"), lit(0L)).as("in_sim"))
+      .localCheckpoint()
     val simOnlyTrue = j.filter(col("in_lsh") === 0)
       .join(feats.select(col("doc_id").as("doc_a"),
         col("hashes").as("ha")), Seq("doc_a"))
