@@ -913,12 +913,19 @@ object Similarity {
     val spark = vecs.sparkSession
     val micro = vecs.select(transform(col("embedding"),
       x => floor(x.cast("double") * 1000000.0 + 0.5).cast("long")).as("xu"))
-    val prods = micro.select(posexplode(flatten(transform(col("xu"),
-      vi => transform(col("xu"), vj => vi * vj)))).as(Seq("k", "p")))
-    val sxy = prods.groupBy(col("k"))
-      .agg(sum(col("p").cast(dec)).as("sxy"))
-      .select(expr(s"cast(k div $dim as int)").as("i"),
-        expr(s"cast(k % $dim as int)").as("j"), col("sxy"))
+    // the product moment is SYMMETRIC: sum only the upper triangle
+    // (2080 products per row instead of 4096) and mirror below —
+    // half the explode volume and half the moment-exchange traffic
+    val prods = micro.select(explode(flatten(transform(
+      sequence(lit(0), lit(dim - 1)), i => transform(
+        sequence(i, lit(dim - 1)), j => struct(i.cast("int").as("i"),
+          j.cast("int").as("j"),
+          (element_at(col("xu"), i + 1) *
+            element_at(col("xu"), j + 1)).as("p")))))).as("t"))
+    val sxyUp = prods.groupBy(col("t.i").as("i"), col("t.j").as("j"))
+      .agg(sum(col("t.p").cast(dec)).as("sxy"))
+    val sxy = sxyUp.union(sxyUp.filter(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("sxy")))
     val sx = micro.select(posexplode(col("xu")).as(Seq("d", "xv")))
       .groupBy(col("d")).agg(sum(col("xv")).as("sx"))
       .select(col("d").cast("int").as("d"), col("sx"))
@@ -939,7 +946,8 @@ object Similarity {
     var v: DataFrame = spark.range(dim)
       .select(col("id").cast("int").as("d"), lit(1000000L).as("v"))
     for (_ <- 1 to iters) {
-      val w = scat.join(v, col("j") === col("d")).groupBy(col("i"))
+      val w = scat.join(broadcast(v), col("j") === col("d"))
+        .groupBy(col("i"))
         .agg(sum(col("s") * col("v")).as("w"))
       val mw = w.agg(greatest(max(abs(col("w"))),
         lit(1).cast(dec)).as("mw"))
@@ -947,9 +955,10 @@ object Similarity {
         .select(col("i").as("d"),
           expr("cast((w * 1000000) div mw as bigint)").as("v"))
     }
-    val sv = scat.join(v, col("j") === col("d")).groupBy(col("i"))
+    val sv = scat.join(broadcast(v), col("j") === col("d"))
+      .groupBy(col("i"))
       .agg(sum(col("s") * col("v")).as("sv"))
-    val edge = sv.join(v, col("i") === col("d"))
+    val edge = sv.join(broadcast(v), col("i") === col("d"))
       .agg(sum(col("sv") * col("v")).as("vsv"),
         sum(col("v") * col("v")).as("vv"))
       .crossJoin(scat.filter(col("i") === col("j"))

@@ -1084,10 +1084,12 @@ object LlmQueries {
        |sx AS MATERIALIZED (SELECT d, CAST(sum(xu[d+1]) AS BIGINT) AS sx
        |  FROM mx CROSS JOIN range(64) t(d) GROUP BY 1),
        |mean AS (SELECT d, sx, sx // n AS m FROM sx CROSS JOIN nn),
-       |sxy AS MATERIALIZED (SELECT i, j,
+       |sxyu AS MATERIALIZED (SELECT i, j,
        |    sum(CAST(xu[i+1] AS HUGEINT) * xu[j+1]) AS sxy
        |  FROM mx CROSS JOIN range(64) ti(i) CROSS JOIN range(64) tj(j)
-       |  GROUP BY 1, 2),
+       |  WHERE j >= i GROUP BY 1, 2),
+       |sxy AS (SELECT i, j, sxy FROM sxyu
+       |  UNION ALL SELECT j, i, sxy FROM sxyu WHERE i <> j),
        |scat AS MATERIALIZED (SELECT s.i, s.j,
        |    s.sxy - CAST(mj.m AS HUGEINT) * mi.sx
        |      - CAST(mi.m AS HUGEINT) * mj.sx
