@@ -741,39 +741,38 @@ object Relational5 {
   /** r71: the GINI COEFFICIENT of per-customer spend — the single
     * inequality number behind r68's Pareto curve (0 = equal, → 1 =
     * one whale). Exact rank formulation over cents sorted
-    * ascending: G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ); numerator
-    * and denominator are exact longs (ranks are a row_number under
-    * the total (cents, custkey) order — ties contribute identically
-    * to the SUM whichever way they break), and the one division
-    * happens at the edge with the identical tree on both engines.
+    * ascending: G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ); ranks are a
+    * row_number under the total (cents, custkey) order — ties
+    * contribute identically to the SUM whichever way they break.
+    * Every moment that multiplies two corpus-sized longs is carried
+    * in decimal(38,0) internally (Σ i·cents and n·Σ cents blow past
+    * Long.MaxValue at large customer counts), but NOTHING fractional
+    * or decimal crosses the output edge: the coefficient ships as
+    * gini_ppm = ⌊num·10⁶ / den⌋ via exact integer division — both
+    * operands non-negative (Chebyshev's sum inequality makes num ≥ 0
+    * for ascending ranks), so truncating and flooring division agree
+    * and the value is engine-independent to the last bit.
     *
     * 100 TB shape: one partial-agg groupBy collapses orders to the
     * customer dimension; one dimension-sized ordered window pass
     * (the r68 escalation note applies); the closing agg is ONE
     * row. */
   def gini(ordersIn: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
     val base = ordersIn.groupBy(col("o_custkey"))
       .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
     val w = Window.orderBy(col("cents"), col("o_custkey"))
-    // Σ i·cents and n·Σ cents blow past Long.MaxValue at large
-    // customer counts (i runs to n); every moment that multiplies two
-    // corpus-sized longs is carried in decimal(38,0) — exact, and
-    // under ANSI mode it widens instead of throwing. The emitted
-    // num/den stay decimal(38,0) (DuckDB mirrors via HUGEINT math
-    // cast to the same decimal type).
-    val num = (lit(2L) * col("si") -
-      (col("n") + 1).cast("decimal(38,0)") * col("s"))
-      .cast("decimal(38,0)")
-    val den = (col("n").cast("decimal(38,0)") * col("s"))
-      .cast("decimal(38,0)")
+    val num = (lit(2L).cast(dec) * col("si") -
+      (col("n") + 1).cast(dec) * col("s")).cast(dec)
+    val den = (col("n").cast(dec) * col("s")).cast(dec)
     base.withColumn("i", row_number().over(w).cast("long"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
-        sum(col("i").cast("decimal(38,0)") * col("cents")).as("si"))
+        sum(col("i").cast(dec) * col("cents")).as("si"))
       .select(col("n"), col("s"),
-        num.as("gini_num"), den.as("gini_den"),
-        when(col("n") === 0 || col("s") === 0, 0.0)
-          .otherwise(round(
-            num.cast("double") / den.cast("double"), 6)).as("gini"))
+        num.as("gnum"), den.as("gden"))
+      .selectExpr("n", "s",
+        "CAST(CASE WHEN n = 0 OR s = 0 THEN 0 " +
+          "ELSE (gnum * 1000000) div gden END AS BIGINT) AS gini_ppm")
   }
 
   def r71Gini(spark: SparkSession, dir: String): DataFrame =
@@ -789,14 +788,10 @@ object Relational5 {
       |a AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS s,
       |    sum(CAST(i AS HUGEINT) * cents) AS si FROM r)
       |SELECT n, s,
-      |  CAST(2 * si - (n + 1) * CAST(s AS HUGEINT) AS DECIMAL(38,0))
-      |    AS gini_num,
-      |  CAST(CAST(n AS HUGEINT) * s AS DECIMAL(38,0)) AS gini_den,
-      |  CASE WHEN n = 0 OR s = 0 THEN 0.0
-      |    ELSE round(
-      |      CAST(2 * si - (n + 1) * CAST(s AS HUGEINT) AS DOUBLE) /
-      |      CAST(CAST(n AS HUGEINT) * s AS DOUBLE), 6)
-      |    END AS gini
+      |  CAST(CASE WHEN n = 0 OR s = 0 THEN 0
+      |    ELSE ((2 * si - (n + 1) * CAST(s AS HUGEINT)) * 1000000)
+      |      // (CAST(n AS HUGEINT) * s)
+      |    END AS BIGINT) AS gini_ppm
       |FROM a""".stripMargin
 
   // ---- r72: last-touch conversion attribution ----------------------

@@ -608,20 +608,20 @@ class Round10Spec extends SparkTestBase {
     val eq = Seq((1L, 1L, t(1), 10.0), (2L, 2L, t(1), 10.0),
       (3L, 3L, t(1), 10.0), (4L, 3L, t(2), 0.0))
       .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
-    // gini_num/gini_den are decimal(38,0) (overflow-proof at corpus
-    // scale); read them back as BigDecimal.
+    // the decimal(38,0) moments stay internal; the emitted surface
+    // is (n, s, gini_ppm) — all BIGINT, hash-stable across engines.
     val g0 = Relational5.gini(eq)
-      .as[(Long, Long, BigDecimal, BigDecimal, Double)].collect().head
-    assert(g0._5 === 0.0 && g0._3 === BigDecimal(0))  // 3 equal customers
+      .as[(Long, Long, Long)].collect().head
+    assert(g0._3 === 0L)  // 3 equal customers
     // spends 0, 0, 100 -> G = (2*300 - 4*100) / 300 = 200/300
+    // -> ppm = floor(200e6 / 300) = 666666
     val uneq = Seq((1L, 1L, t(1), 0.0), (2L, 2L, t(1), 0.0),
       (3L, 3L, t(1), 1.0))
       .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
     val g1 = Relational5.gini(uneq)
-      .as[(Long, Long, BigDecimal, BigDecimal, Double)].collect().head
+      .as[(Long, Long, Long)].collect().head
     assert(g1._1 === 3L && g1._2 === 100L)
-    assert(g1._3 === BigDecimal(200) && g1._4 === BigDecimal(300))
-    assert(g1._5 === 0.666667)
+    assert(g1._3 === 666666L)
   }
 
   test("r63 squared moments survive ~1e9-events/day series (decimal escalation)") {
