@@ -61,7 +61,18 @@ object Engine {
     * (cleaned by the job's temp-dir lifecycle). The read passes the
     * writer's schema explicitly so empty frames (round-0
     * accumulators, converged frontiers) round-trip instead of
-    * failing schema inference. */
+    * failing schema inference.
+    *
+    * Lifecycle: the base dir (per-application by default) registers
+    * for recursive deletion when the application ends — once per
+    * base, through the Hadoop FileSystem API so the cleanup is
+    * cluster-true on HDFS/S3 scratch space too. Within a run the
+    * snapshot volume is bounded by rounds × frame size (operators
+    * release superseded rounds' cached reads); the end-of-app hook
+    * bounds the on-disk lifetime to the application's. */
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def snapshot(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
@@ -69,6 +80,19 @@ object Engine {
       val base = spark.conf.get("spark.graft.snapshotDir",
         sys.props("java.io.tmpdir") + "/graft-snapshots/" +
           spark.sparkContext.applicationId)
+      if (cleanupRegistered.add(base)) {
+        val hconf = spark.sparkContext.hadoopConfiguration
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                end: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+                : Unit = {
+              val p = new org.apache.hadoop.fs.Path(base)
+              val fs = p.getFileSystem(hconf)
+              if (fs.exists(p)) { fs.delete(p, true); () }
+            }
+          })
+      }
       val path = base + "/" + java.util.UUID.randomUUID().toString
       df.write.parquet(path)
       spark.read.schema(df.schema).parquet(path)

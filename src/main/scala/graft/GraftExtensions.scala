@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.{BigramScore, CharEntropyMicro, CharGramHashes, CharWindows, CosineSim, IntersectCount, MisraGries, PolyHash, PqAdc, PqCodes, SimHash64, TopTokenCount}
+import graft.functions.{BigramScore, CharEntropyMicro, CharGramHashes, CharWindows, CosineSim, IntersectCount, MisraGries, PolyHash, PqAdc, PqCodes, ScatterMoments, SimHash64, TopTokenCount}
 
 /** Engine extension point, installed via
   * `spark.sql.extensions=graft.GraftExtensions` (Engine.session) —
@@ -63,6 +63,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("misra_gries"),
       new ExpressionInfo(classOf[MisraGries].getName, "misra_gries"),
       (args: Seq[Expression]) => MisraGries.fromArgs(args)))
+    // exact integer second-moment fold (s32's one-pass scatter
+    // build): O(dim^2) buffer per partition, 128-bit accumulators
+    ext.injectFunction((
+      new FunctionIdentifier("scatter_moments"),
+      new ExpressionInfo(classOf[ScatterMoments].getName, "scatter_moments"),
+      (args: Seq[Expression]) => ScatterMoments.fromArgs(args)))
     // Spark's own bloom sketch aggregate + probe predicate (the pair
     // its runtime bloom join injects), exposed at the SQL surface so
     // a collected bloom_filter_agg sketch can prefilter a join's

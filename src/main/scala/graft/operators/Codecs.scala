@@ -783,7 +783,14 @@ object Codecs {
       bs.find(_.fourcc == fourcc)
         .getOrElse(throw new IllegalArgumentException(s"no $fourcc box"))
 
-    def index(data: Array[Byte]): Mp4Index = {
+    def index(data: Array[Byte]): Mp4Index = indexAndNalTypes(data)._1
+
+    /** The same full walk as [[index]], additionally returning the
+      * H.264 `nal_unit_type` (first post-prefix byte & 0x1f) of every
+      * NAL in mdat order — the per-NAL restatement m28's histogram
+      * is built from. Zero-length NALs fail loudly (they are invalid
+      * in AVCC and would leave the type byte unreadable). */
+    def indexAndNalTypes(data: Array[Byte]): (Mp4Index, Seq[Int]) = {
       val top = boxes(data, 0, data.length)
       require(top.headOption.exists(_.fourcc == "ftyp"),
         "not an ISO BMFF file: first box is not ftyp")
@@ -854,6 +861,7 @@ object Codecs {
       var nNals = 0
       var sampleBytes = 0L
       var maxSample = 0
+      val nalTypes = scala.collection.mutable.ArrayBuffer[Int]()
       for (c <- 0 until nChunks) {
         var off = chunkOff(c)
         var k = 0
@@ -869,6 +877,8 @@ object Codecs {
               nl = (nl << 8) | (data((p + b).toInt) & 0xff)
             require(p + nalLenSize + nl <= sEnd,
               s"NAL overruns sample $si: len $nl at ${p - off}")
+            require(nl >= 1, s"zero-length NAL in sample $si")
+            nalTypes += (data((p + nalLenSize).toInt) & 0x1f)
             nNals += 1
             p += nalLenSize + nl
           }
@@ -881,9 +891,9 @@ object Codecs {
         }
       }
       require(si == nSamples, s"chunk walk covered $si of $nSamples")
-      Mp4Index(nSamples, nKeyframes, mdat.len.toLong, sampleBytes,
+      (Mp4Index(nSamples, nKeyframes, mdat.len.toLong, sampleBytes,
         maxSample, timescale, duration, nNals, avcProfile, nalLenSize,
-        width, height)
+        width, height), nalTypes.toSeq)
     }
 
     // ---- fixture writer ------------------------------------------

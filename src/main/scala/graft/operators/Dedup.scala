@@ -132,7 +132,16 @@ object Dedup {
   /** Near-dup pairs: LSH candidates verified with exact Jaccard over
     * the sorted shingle-hash sets, kept at >= `threshold`. */
   def nearDupPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val features = shingleFeatures(docs)
+    // pin the feature frame: the band build and BOTH verify sides
+    // read it, and without the materialization the shingle+minhash
+    // pass (the CPU-dominant stage) runs three times inside one plan
+    // (no exchange is shared across those subtrees, so ReuseExchange
+    // cannot dedup it). One corpus-width materialization vs 3×
+    // recompute is the right trade at any scale — minhashing is
+    // arithmetic-bound, the features row is narrow (signature +
+    // hash set), and reliable-snapshot mode spills it to the
+    // shared FS instead of storage memory.
+    val features = shingleFeatures(docs).snapshot()
     val cands = lshCandidates(features)
     val feats = features.select(col("doc_id"), col("hashes"))
     cands

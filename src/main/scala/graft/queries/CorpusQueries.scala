@@ -1350,16 +1350,7 @@ object CorpusQueries {
         col("rhs"), col("n_occurrences"))
       val merged = words.crossJoin(broadcast(
           rule.select(col("lhs").as("ml"), col("rhs").as("mr"))))
-        .select(aggregate(split(col("seg"), SEP), lit(""),
-          (acc, sg) => when(acc === "", sg)
-            .when((acc === col("ml") ||
-                acc.endsWith(concat(lit(SEP), col("ml")))) &&
-              sg === col("mr"),
-              concat(acc.substr(lit(1),
-                length(acc) - length(col("ml"))),
-                col("ml"), col("mr")))
-            .otherwise(concat(acc, lit(SEP), sg))).as("seg"),
-          col("c"))
+        .select(bpeFold(SEP).as("seg"), col("c"))
         .snapshot()
       words.unpersist()
       words = merged
@@ -1368,11 +1359,83 @@ object CorpusQueries {
     ruleRows.reduce(_ union _)
   }
 
+  /** The one-pass left-to-right BPE merge fold shared by training
+    * (resegmentation) and application (x68): folds the
+    * SEP-delimited segmentation in `seg` under the single rule
+    * present as (`ml`, `mr`) columns on the row — see the x67
+    * scaladoc for why this fold IS the standard one-pass apply. */
+  private def bpeFold(SEP: String): Column =
+    aggregate(split(col("seg"), SEP), lit(""),
+      (acc, sg) => when(acc === "", sg)
+        .when((acc === col("ml") ||
+            acc.endsWith(concat(lit(SEP), col("ml")))) &&
+          sg === col("mr"),
+          concat(acc.substr(lit(1),
+            length(acc) - length(col("ml"))),
+            col("ml"), col("mr")))
+        .otherwise(concat(acc, lit(SEP), sg)))
+
   def x67BpeTrain(spark: SparkSession, dir: String): DataFrame =
     bpeTrain(Tables.spread(Tables.documents(spark, dir)), rounds = 3)
 
-  val x67Sql: String = {
+  // ---- x68: tokenizer APPLY on a held-out split -------------------
+
+  /** x68: TOKENIZE WITH THE TRAINED TABLE — the other half of the
+    * x67 lifecycle, turning the learned merge rules into the thing a
+    * pipeline actually ships: train the 3-rule merge table on the
+    * TRAIN split (doc_id % 10 ≠ 9 — the x44-family split convention),
+    * then apply the rules IN MERGE ORDER to the held-out split and
+    * emit per-document token accounting (word count, post-merge
+    * token count). Application is the identical one-pass fold
+    * training used for resegmentation (bpeFold) — one crossJoin per
+    * rule against the broadcast 1-row rule frame — so trained
+    * artifact and serving path cannot drift.
+    *
+    * 100 TB shape: rules apply at the held-out WORD-TYPE level
+    * (Heaps' law again — distinct(tok) ≪ corpus), then one keyed
+    * join rebuilds per-document counts: the corpus-sized work is one
+    * explode + one partial-agg groupBy; everything BPE-shaped runs
+    * on the vocab-bounded frame. */
+  def x68BpeApplyHeldout(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Engine.SnapshotOps
+    val SEP = "\u001f"
     val rounds = 3
+    val docs = Tables.spread(Tables.documents(spark, dir))
+    val rules = bpeTrain(docs.filter(col("doc_id") % 10 =!= 9), rounds)
+      .snapshot()
+    val ht = docs.filter(col("doc_id") % 10 === 9)
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+    var segd = ht.select(col("tok")).distinct()
+      .select(col("tok"),
+        array_join(array_remove(split(col("tok"), ""), ""), SEP).as("seg"))
+    for (r <- 1 to rounds) {
+      segd = segd.crossJoin(broadcast(
+          rules.filter(col("merge_round") === r)
+            .select(col("lhs").as("ml"), col("rhs").as("mr"))))
+        .select(col("tok"), bpeFold(SEP).as("seg"))
+    }
+    val cnt = segd.select(col("tok"),
+      size(split(col("seg"), SEP)).as("n_tok"))
+    ht.join(cnt, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tok")).cast("bigint").as("n_tokens"))
+  }
+
+  /** The DuckDB one-pass merge fold (the SQL twin of bpeFold). */
+  private val bpeFoldSql: String =
+    """list_reduce(list_prepend('', sg), (acc, s) -> CASE
+      |      WHEN acc = '' THEN s
+      |      WHEN (acc = ml OR ends_with(acc, chr(31) || ml)) AND
+      |        s = mr
+      |      THEN left(acc, length(acc) - length(ml)) || ml || mr
+      |      ELSE acc || chr(31) || s END)""".stripMargin
+
+  /** Training CTE chain shared by x67 (full corpus) and x68 (train
+    * split): t/tf/w0 + per-round sg/pr/rule/w CTEs; `rule$i` holds
+    * round i's learned merge. */
+  private def bpeTrainSqlCtes(rounds: Int, where: String): String = {
     def roundCtes(i: Int): String = {
       val prev = s"w${i - 1}"
       s"""sg$i AS (SELECT c, string_split(seg, chr(31)) AS sg FROM $prev),
@@ -1384,28 +1447,52 @@ object CorpusQueries {
          |rule$i AS (SELECT lhs, rhs, n_occurrences FROM pr$i
          |  ORDER BY n_occurrences DESC, lhs, rhs LIMIT 1),
          |w$i AS MATERIALIZED (SELECT
-         |    list_reduce(list_prepend('', sg), (acc, s) -> CASE
-         |      WHEN acc = '' THEN s
-         |      WHEN (acc = ml OR ends_with(acc, chr(31) || ml)) AND
-         |        s = mr
-         |      THEN left(acc, length(acc) - length(ml)) || ml || mr
-         |      ELSE acc || chr(31) || s END) AS seg, c
+         |    $bpeFoldSql AS seg, c
          |  FROM sg$i CROSS JOIN (SELECT lhs AS ml, rhs AS mr
          |    FROM rule$i) r$i)""".stripMargin
     }
     val body = (1 to rounds).map(roundCtes).mkString(",\n")
-    val out = (1 to rounds).map(i =>
-      s"SELECT $i AS merge_round, lhs, rhs, n_occurrences FROM rule$i")
-      .mkString("\nUNION ALL\n")
-    s"""WITH t AS (SELECT $tsSql AS ts FROM documents),
+    s"""WITH t AS (SELECT $tsSql AS ts FROM documents$where),
        |tf AS (SELECT tok, count(*) AS c FROM (SELECT unnest(ts) AS tok
        |  FROM t) GROUP BY 1),
        |w0 AS MATERIALIZED (SELECT array_to_string(
        |    list_transform(range(length(tok)),
        |      i -> substr(tok, CAST(i + 1 AS INT), 1)), chr(31)) AS seg, c
        |  FROM tf),
-       |$body
-       |$out""".stripMargin
+       |$body""".stripMargin
+  }
+
+  val x67Sql: String = {
+    val out = (1 to 3).map(i =>
+      s"SELECT $i AS merge_round, lhs, rhs, n_occurrences FROM rule$i")
+      .mkString("\nUNION ALL\n")
+    bpeTrainSqlCtes(3, "") + "\n" + out
+  }
+
+  /** Held-out application oracle: train CTEs on the train split,
+    * then three sequential fold applications at word-type level and
+    * the per-doc rollup — the same shape as the Spark plan. */
+  val x68Sql: String = {
+    def applyCte(i: Int): String =
+      s"""a$i AS (SELECT tok, $bpeFoldSql AS seg
+         |  FROM (SELECT tok, string_split(seg, chr(31)) AS sg FROM a${i - 1})
+         |  CROSS JOIN (SELECT lhs AS ml, rhs AS mr FROM rule$i))""".stripMargin
+    bpeTrainSqlCtes(3, " WHERE doc_id % 10 <> 9") +
+      s""",
+         |ht AS (SELECT doc_id, unnest(ts) AS tok FROM
+         |  (SELECT doc_id, $tsSql AS ts FROM documents
+         |   WHERE doc_id % 10 = 9)),
+         |ty AS (SELECT DISTINCT tok FROM ht),
+         |a0 AS (SELECT tok, array_to_string(
+         |    list_transform(range(length(tok)),
+         |      i -> substr(tok, CAST(i + 1 AS INT), 1)), chr(31)) AS seg
+         |  FROM ty),
+         |${(1 to 3).map(applyCte).mkString(",\n")},
+         |cnt AS (SELECT tok, len(string_split(seg, chr(31))) AS n_tok
+         |  FROM a3)
+         |SELECT ht.doc_id, count(*) AS n_words,
+         |  CAST(sum(cnt.n_tok) AS BIGINT) AS n_tokens
+         |FROM ht JOIN cnt ON cnt.tok = ht.tok GROUP BY 1""".stripMargin
   }
 
   // ---- x47: semantic outliers vs source centroid ------------------

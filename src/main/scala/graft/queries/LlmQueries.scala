@@ -2023,8 +2023,12 @@ object LlmQueries {
     * 100 TB shape: three independently scale-safe pipelines (one
     * hash groupBy; the capped-band closure; capped posting lists)
     * merged by doc-keyed left joins against strictly smaller
-    * verdict sets. */
+    * verdict sets. The containment PAIR frame is pinned once —
+    * both direction filters of the drop-side union read it, and
+    * without the snapshot the whole d17 posting-join subtree runs
+    * twice inside one plan. */
   def x64DedupLedger(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Engine.SnapshotOps
     val docs = Tables.spread(Tables.documents(spark, dir))
       .localCheckpoint(true)
     val exactDrop = docs
@@ -2037,7 +2041,7 @@ object LlmQueries {
     val nearDrop = d9DedupClusters(spark, dir)
       .filter(!col("survivor"))
       .select(col("doc_id"), lit(1).as("is_near"))
-    val ct = Dedup.containmentPairs(docs)
+    val ct = Dedup.containmentPairs(docs).snapshot()
     val containedDrop = ct
       .filter(col("cont_a_ppm") >= 800000 &&
         (col("n_a") < col("n_b") ||

@@ -1557,4 +1557,74 @@ object MediaQueries {
       |  CAST(max(n) * 3000 * 1000 // 90000 AS BIGINT) AS duration_ms,
       |  66 AS avc_profile, 4 AS nal_len_size
       |FROM per GROUP BY doc_id""".stripMargin
+
+  /** m28: NAL-TYPE HISTOGRAM over m27's container walk — the next
+    * step toward the H.264 seam with zero native deps: for every
+    * muxed doc, the per-`nal_unit_type` count (first post-prefix
+    * byte & 0x1f, read NAL by NAL from mdat), alongside the per-video
+    * stream-shape stats a transcode planner reads off an index —
+    * keyframe ratio (ppm, exact integer division) and mean sample
+    * size. The oracle restates the type byte purely arithmetically
+    * from the mux formulas ((id·31+f·17+offset·7) mod 256 then
+    * & 0x1f ≡ mod 32, since 32 | 256), so a misaligned prefix walk
+    * or an off-by-one into the payload breaks the hash.
+    *
+    * 100 TB shape: identical to m27 — bytes are born, walked and
+    * reduced to ≤|types| rows inside one partition pass; the
+    * histogram is folded in-partition (a per-doc Map over ≤16 NALs),
+    * so only final rows reach the exchange and no shuffle exists at
+    * all. */
+  def m28NalHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Codecs
+    Tables.spread(Tables.documents(spark, dir).select(col("doc_id"))).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val n = (3 + id % 5).toInt
+          val samples = (0 until n).map { f =>
+            val l = (17 + ((id * 13 + f * 7) % 40)).toInt
+            val payload = Array.tabulate(l)(i =>
+              ((id * 31 + f * 17 + i * 7) % 256).toByte)
+            if (l >= 30) Seq(payload.take(l / 2), payload.drop(l / 2))
+            else Seq(payload)
+          }
+          val keyframes = (0 until n).filter(_ % 3 == 0).map(_ + 1)
+          val mp4 = Codecs.Mp4.mux(samples, keyframes,
+            timescale = 90000, sampleDelta = 3000, width = 64, height = 48)
+          val (ix, types) = Codecs.Mp4.indexAndNalTypes(mp4)
+          val kfPpm = ix.n_keyframes.toLong * 1000000L / ix.n_samples
+          val meanSample = ix.sample_bytes / ix.n_samples
+          types.groupBy(identity).toSeq.map { case (t, ts) =>
+            (id, t, ts.length.toLong, kfPpm, meanSample)
+          }
+        }
+      }.toDF("doc_id", "nal_type", "n_nals", "kf_ratio_ppm",
+        "mean_sample_bytes")
+  }
+
+  val m28Sql: String =
+    """WITH d AS (SELECT doc_id, 3 + doc_id % 5 AS n FROM documents),
+      |f AS (SELECT doc_id, n, unnest(range(n)) AS f FROM d),
+      |sz AS (SELECT doc_id, n, f,
+      |    17 + (doc_id * 13 + f * 7) % 40 AS l
+      |  FROM f),
+      |per AS (SELECT doc_id, n,
+      |    l + CASE WHEN l >= 30 THEN 8 ELSE 4 END AS sbytes,
+      |    CASE WHEN f % 3 = 0 THEN 1 ELSE 0 END AS kf
+      |  FROM sz),
+      |st AS (SELECT doc_id,
+      |    CAST(sum(kf) * 1000000 // max(n) AS BIGINT) AS kf_ratio_ppm,
+      |    CAST(sum(sbytes) // max(n) AS BIGINT) AS mean_sample_bytes
+      |  FROM per GROUP BY 1),
+      |nal AS (SELECT doc_id, (doc_id * 31 + f * 17) % 32 AS nal_type
+      |    FROM sz
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id * 31 + f * 17 + (l // 2) * 7) % 32
+      |    FROM sz WHERE l >= 30),
+      |h AS (SELECT doc_id, nal_type, count(*) AS n_nals
+      |  FROM nal GROUP BY 1, 2)
+      |SELECT h.doc_id, CAST(h.nal_type AS INT) AS nal_type,
+      |  CAST(h.n_nals AS BIGINT) AS n_nals,
+      |  st.kf_ratio_ppm, st.mean_sample_bytes
+      |FROM h JOIN st ON st.doc_id = h.doc_id""".stripMargin
 }

@@ -242,30 +242,57 @@ object RetrievalQueries {
     * rows in aggregation order would flip last-ulp ranks.
     *
     * 100 TB shape: the build is the d8-discipline two-level agg; the
-    * served scan reads |query terms| directories (at lake scale the
-    * partition key becomes a term-hash bucket — same pruning, no
-    * tiny-dir explosion); df re-derives from the pruned postings so
-    * serving needs no per-term stats row. The doclen join is keyed
-    * by doc_id (broadcastable while postings for a query are small —
-    * the high-selectivity regime an inverted index exists for). */
+    * postings are laid out by TERM-HASH BUCKET (not by raw term — one
+    * directory per vocabulary term is the classic small-files/
+    * metadata explosion at a real 10⁶–10⁷-term vocabulary), and the
+    * served scan prunes to the query terms' buckets via FOLDABLE
+    * `pmod(hash(lit(term)), B)` predicates — Catalyst constant-folds
+    * them to literals, so directory pruning happens at plan time
+    * with no driver-side hashing. Bucket-count rule: B ≈ vocabulary
+    * terms / 10⁵ (bounded below by the writer parallelism you want),
+    * so each bucket holds ~10⁵ terms' postings in a handful of
+    * row-group-sized files; df re-derives from the pruned+filtered
+    * postings so serving needs no per-term stats row. The doclen
+    * join is keyed by doc_id (broadcastable while postings for a
+    * query are small — the high-selectivity regime an inverted index
+    * exists for). */
+  val lexBuckets = 64
+
+  /** Foldable bucket-pruning predicate: the same murmur3 the writer
+    * used, applied to the query-term LITERALS, so the optimizer
+    * folds each to an int and the scan prunes to ≤|terms| bucket
+    * directories. */
+  private def bucketPred(ts: Seq[String]) =
+    ts.map(t => col("tbkt") === pmod(hash(lit(t)), lit(lexBuckets)))
+      .reduce(_ || _)
+
   def x40LexIndexServe(spark: SparkSession, dir: String): DataFrame = {
     val ts = bm25Terms.sorted
     val docs = Tables.documents(spark, dir)
     val base = s"${sys.props("java.io.tmpdir")}/graft_lexindex_" +
       java.lang.Integer.toHexString(dir.hashCode)
-    val toks = docs.select(col("doc_id"),
-      explode(TextFunctions.tokens(col("text"))).as("term"))
-    toks.groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
-      .write.mode("overwrite").partitionBy("term").parquet(s"$base/postings")
-    docs.select(col("doc_id"),
-        size(TextFunctions.tokens(col("text"))).cast("long").as("dl"))
-      .write.mode("overwrite").parquet(s"$base/doclen")
-    docs.select(size(TextFunctions.tokens(col("text"))).cast("long").as("dl"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    // tokenize ONCE (pinned) — postings, doclen and stats all read
+    // the token arrays; without the pin the corpus tokenizes three
+    // times, once inside each writer's plan
+    val tok = docs.select(col("doc_id"),
+      TextFunctions.tokens(col("text")).as("toks")).localCheckpoint(true)
+    tok.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .withColumn("tbkt", pmod(hash(col("term")), lit(lexBuckets)))
+      // co-locate each bucket before the write: one task owns a
+      // bucket's postings, so the layout is B directories × a few
+      // row-group-sized files instead of tasks × B stripes
+      .repartition(lexBuckets, col("tbkt"))
+      .write.mode("overwrite").partitionBy("tbkt").parquet(s"$base/postings")
+    val dl = tok.select(col("doc_id"),
+      size(col("toks")).cast("long").as("dl"))
+    dl.write.mode("overwrite").parquet(s"$base/doclen")
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
       .write.mode("overwrite").parquet(s"$base/stats")
-    // serve: pruned postings scan + df re-derivation + keyed doclen join
+    // serve: bucket-pruned postings scan (tbkt prunes directories,
+    // term filters inside them) + df re-derivation + keyed doclen join
     val post = spark.read.parquet(s"$base/postings")
-      .where(col("term").isin(ts: _*))
+      .where(bucketPred(ts) && col("term").isin(ts: _*))
     val dfs = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val joined = post.join(broadcast(dfs), "term")
       .join(spark.read.parquet(s"$base/doclen"), "doc_id")
@@ -302,7 +329,7 @@ object RetrievalQueries {
     * for the lexical index): the standing index is built from the
     * corpus minus today's batch (doc_id % 10 == 3 stands in for the
     * new docs), the batch alone is tokenized and its postings
-    * APPENDED under the same term directories, and the one-row stats
+    * APPENDED under the same term-hash-bucket directories, and the one-row stats
     * table is REPLACED by the exact merge of old stats + batch
     * partials (counts and sums add — the x39 property). df is
     * re-derived from the pruned postings at serve time, so no
@@ -320,33 +347,40 @@ object RetrievalQueries {
     val batch = docs.filter(col("doc_id") % 10 === 3)
     val base = s"${sys.props("java.io.tmpdir")}/graft_lexindex_inc_" +
       java.lang.Integer.toHexString(dir.hashCode)
-    def postings(d: DataFrame) = d
-      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+    // tokenize each corpus slice ONCE (pinned) — same discipline as
+    // x40: postings, doclen and stats all read the token arrays
+    def tok(d: DataFrame) = d.select(col("doc_id"),
+      TextFunctions.tokens(col("text")).as("toks")).localCheckpoint(true)
+    def postings(t: DataFrame) = t
+      .select(col("doc_id"), explode(col("toks")).as("term"))
       .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
-    def stats(d: DataFrame) = d
-      .select(size(TextFunctions.tokens(col("text"))).cast("long").as("dl"))
+      .withColumn("tbkt", pmod(hash(col("term")), lit(lexBuckets)))
+      .repartition(lexBuckets, col("tbkt"))
+    def doclen(t: DataFrame) = t.select(col("doc_id"),
+      size(col("toks")).cast("long").as("dl"))
+    def stats(t: DataFrame) = doclen(t)
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
-    def doclen(d: DataFrame) = d.select(col("doc_id"),
-      size(TextFunctions.tokens(col("text"))).cast("long").as("dl"))
-    // build (standing corpus only)
-    postings(standing).write.mode("overwrite")
-      .partitionBy("term").parquet(s"$base/postings")
-    doclen(standing).write.mode("overwrite").parquet(s"$base/doclen")
-    stats(standing).write.mode("overwrite").parquet(s"$base/stats")
+    // build (standing corpus only) — term-hash-bucketed like x40
+    val tokStanding = tok(standing)
+    postings(tokStanding).write.mode("overwrite")
+      .partitionBy("tbkt").parquet(s"$base/postings")
+    doclen(tokStanding).write.mode("overwrite").parquet(s"$base/doclen")
+    stats(tokStanding).write.mode("overwrite").parquet(s"$base/stats")
     // incremental update: batch-only passes, append + exact stats merge
-    postings(batch).write.mode("append")
-      .partitionBy("term").parquet(s"$base/postings")
-    doclen(batch).write.mode("append").parquet(s"$base/doclen")
+    val tokBatch = tok(batch)
+    postings(tokBatch).write.mode("append")
+      .partitionBy("tbkt").parquet(s"$base/postings")
+    doclen(tokBatch).write.mode("append").parquet(s"$base/doclen")
     val merged = spark.read.parquet(s"$base/stats")
-      .unionByName(stats(batch))
+      .unionByName(stats(tokBatch))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_dl")).as("total_dl"))
       .collect()(0)
     import spark.implicits._
     Seq((merged.getLong(0), merged.getLong(1))).toDF("n_docs", "total_dl")
       .write.mode("overwrite").parquet(s"$base/stats_merged")
-    // serve from the updated index (same path as x40)
+    // serve from the updated index (same bucket-pruned path as x40)
     val post = spark.read.parquet(s"$base/postings")
-      .where(col("term").isin(ts: _*))
+      .where(bucketPred(ts) && col("term").isin(ts: _*))
     val dfs = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val joined = post.join(broadcast(dfs), "term")
       .join(spark.read.parquet(s"$base/doclen"), "doc_id")

@@ -950,27 +950,58 @@ object VideoQueries {
     * and restated identically by the oracle, whose recursive-CTE
     * closure certifies the iterative min-label propagation like d9.
     *
-    * 100 TB shape: the association edge list is tiny relative to
-    * the scan; Components is one keyed join + partial-agg min per
-    * round over it (O(track length) rounds — tracks are short
-    * chains; the two-phase escalation stands if ever needed); the
-    * final label attach is one left join back to the box
-    * relation. */
+    * 100 TB shape: the association edge list is tiny relative to the
+    * scan, and it is not a general graph — the argmax gives every
+    * box AT MOST ONE parent, and every edge points to a strictly
+    * EARLIER frame, so the edge set is a FOREST whose component
+    * minimum is exactly its root (the packed node id is monotone in
+    * frame within a video). Closure therefore runs as FIND-ROOT by
+    * pointer jumping — parent ← parent(parent) — which squares the
+    * hop distance per round: O(log track-length) self-join rounds over
+    * ONE snapshotted parent map, instead of generic CC's symmetric
+    * closure + O(diameter) min-label rounds. Convergence is the same
+    * monotone invariant CC uses (parents only ever decrease). The
+    * final label attach is one left join back to the box relation:
+    * unmatched boxes and roots label themselves. */
   def tracklets(boxes: DataFrame): DataFrame = {
+    import graft.Engine.SnapshotOps
     import graft.functions.TextFunctions
     def node(v: org.apache.spark.sql.Column, f: org.apache.spark.sql.Column,
         r: org.apache.spark.sql.Column) =
       TextFunctions.polyHash(v) * lit(100000000L) +
         f.cast("long") * lit(100L) + r.cast("long")
     val assoc = trackAssociation(boxes)
-    val pairs = assoc.select(
-      node(col("video_id"), col("frame_id"), col("box_ref")).as("a"),
-      node(col("video_id"), col("prev_frame"), col("prev_ref")).as("b"))
-    val labels = graft.operators.Components.connectedComponents(pairs)
+    var p = assoc.select(
+      node(col("video_id"), col("frame_id"), col("box_ref")).as("node"),
+      node(col("video_id"), col("prev_frame"), col("prev_ref")).as("parent"))
+      .snapshot()
+    def parentSum(df: DataFrame): java.math.BigDecimal = {
+      val v = df.agg(sum(col("parent").cast("decimal(38,0)"))).head()
+      if (v.isNullAt(0)) java.math.BigDecimal.ZERO else v.getDecimal(0)
+    }
+    var prevSum = parentSum(p)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 40) {
+      val next = p.alias("c")
+        .join(p.select(col("node").as("pn"), col("parent").as("pp")),
+          col("parent") === col("pn"), "left")
+        .select(col("node"),
+          coalesce(col("pp"), col("parent")).as("parent"))
+        .snapshot()
+      val nextSum = parentSum(next)
+      p.unpersist()
+      p = next
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      iter += 1
+    }
+    require(converged, s"tracklets pointer jumping did not converge")
     boxes
       .select(col("video_id"), col("frame_id"), col("box_ref"),
         node(col("video_id"), col("frame_id"), col("box_ref")).as("node"))
-      .join(labels, Seq("node"), "left")
+      .join(p.select(col("node"), col("parent").as("cluster")),
+        Seq("node"), "left")
       .select(col("video_id"), col("frame_id"), col("box_ref"),
         coalesce(col("cluster"), col("node")).as("tracklet_id"))
   }

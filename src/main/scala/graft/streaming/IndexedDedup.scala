@@ -28,12 +28,17 @@ import graft.operators.{Components, Dedup}
   *     (probe BEFORE append, so a doc never matches itself), and the
   *     per-doc verdicts land under `path/verdicts/ingest_id=<batch>`.
   *
-  * Idempotence: the whole step is guarded by a `_ingested_<id>`
-  * marker written LAST — a restart that replays a completed batch
-  * sees the marker and skips, so neither the index nor the verdicts
-  * double up (the VdmsSink batch-id discipline). Markers use the
-  * local FS API; on a cluster the path lives on the shared FS and
-  * the marker check is the same one-file read.
+  * Idempotence: two independent guards. (a) Every write the step
+  * makes is scoped to THIS batch's `ingest_id=<id>` partition and
+  * uses overwrite — bands, features and verdicts alike — so an
+  * at-least-once foreachBatch replay that crashed mid-step REPLACES
+  * its own partial output instead of appending next to it; nothing
+  * can double up no matter where the crash landed. (b) A
+  * `_ingested_<id>` marker written LAST short-circuits the replay of
+  * a COMPLETED batch entirely (the VdmsSink batch-id discipline).
+  * Marker and existence checks go through the Hadoop FileSystem API
+  * resolved from the index path, so the same code is cluster-true on
+  * HDFS/S3, not just the local FS.
   *
   * Note on the mega-bucket cap: the build-time cap is a
   * corpus-population property; appends are uncapped (a batch can't
@@ -53,8 +58,10 @@ object IndexedDedup {
     * `path/verdicts`. */
   def ingestBatch(spark: SparkSession, path: String, batch: DataFrame,
       threshold: Double, batchId: Long): Unit = {
-    val marker = java.nio.file.Paths.get(path, s"_ingested_$batchId")
-    if (java.nio.file.Files.exists(marker)) return
+    val hconf = spark.sessionState.newHadoopConf()
+    val marker = new org.apache.hadoop.fs.Path(path, s"_ingested_$batchId")
+    val fs = marker.getFileSystem(hconf)
+    if (fs.exists(marker)) return
     val docs = batch.select(col("doc_id"), col("text"))
       .localCheckpoint(true) // a streaming micro-batch frame is
                              // re-evaluated per action; pin it once
@@ -68,7 +75,7 @@ object IndexedDedup {
       .localCheckpoint(true)
     // 2. representatives probe the standing index
     val corpusHits =
-      if (new java.io.File(s"$path/bands").exists())
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/bands")))
         Dedup.nearDupIndexProbe(spark, path, reps, threshold)
           .select(col("doc_batch").as("doc_id")).distinct()
       else docs.filter(lit(false)).select(col("doc_id"))
@@ -83,19 +90,22 @@ object IndexedDedup {
         when(col("batch_dup"), "batch")
           .when(col("corpus_dup"), "corpus").as("reason"))
       .localCheckpoint(true)
-    // 3. append survivors to the index, then verdicts, then marker
+    // 3. append survivors to the index, then verdicts, then marker.
+    // Every write lands under THIS batch's ingest_id partition with
+    // overwrite semantics — a replay of a half-finished batch
+    // replaces its own partial output (see the idempotence note).
     val survivors = reps.join(
       verdicts.filter(col("is_dup")).select(col("doc_id")),
       Seq("doc_id"), "left_anti")
     val features = Dedup.shingleFeatures(survivors)
     graft.sources.Writers.writePartitioned(
-      Dedup.bandRowsOf(features), s"$path/bands", Seq("band"),
-      mode = "append")
+      Dedup.bandRowsOf(features), s"$path/bands/ingest_id=$batchId",
+      Seq("band"), mode = "overwrite")
     features.select(col("doc_id"), col("hashes"))
-      .write.mode("append").parquet(s"$path/features")
+      .write.mode("overwrite").parquet(s"$path/features/ingest_id=$batchId")
     verdicts.write.mode("overwrite")
       .parquet(s"$path/verdicts/ingest_id=$batchId")
-    java.nio.file.Files.createFile(marker)
+    fs.create(marker, true).close()
   }
 
   /** The streaming wrapper: every micro-batch runs `ingestBatch`
