@@ -896,6 +896,192 @@ object Codecs {
         width, height), nalTypes.toSeq)
     }
 
+    // ---- H.264 SPS: Exp-Golomb bitstream build/parse -------------
+
+    /** MSB-first bit writer with unsigned Exp-Golomb (ue(v)) — the
+      * entropy coding every H.264 header field uses (ITU-T H.264
+      * §9.1): ue writes ⌊log₂(v+1)⌋ zeros then v+1 in binary. */
+    final class BitWriter {
+      private val out = new java.io.ByteArrayOutputStream()
+      private var cur = 0
+      private var nb = 0
+      def u(v: Long, bits: Int): Unit = {
+        var i = bits - 1
+        while (i >= 0) {
+          cur = (cur << 1) | ((v >>> i) & 1L).toInt
+          nb += 1
+          if (nb == 8) { out.write(cur); cur = 0; nb = 0 }
+          i -= 1
+        }
+      }
+      def ue(v: Long): Unit = {
+        require(v >= 0, s"ue() takes non-negative values, got $v")
+        val k = 63 - java.lang.Long.numberOfLeadingZeros(v + 1)
+        u(0L, k)
+        u(v + 1, k + 1)
+      }
+      /** rbsp_trailing_bits: stop bit + byte alignment (§7.3.2.11). */
+      def trailingBits(): Unit = { u(1L, 1); if (nb != 0) u(0L, 8 - nb) }
+      def bytes: Array[Byte] = {
+        require(nb == 0, "bitstream not byte-aligned (missing trailingBits?)")
+        out.toByteArray
+      }
+    }
+
+    /** MSB-first bit reader with ue(); overruns fail loudly. */
+    final class BitReader(d: Array[Byte]) {
+      private var pos = 0
+      def u(bits: Int): Long = {
+        var v = 0L
+        var i = 0
+        while (i < bits) {
+          require(pos < d.length * 8, "SPS bitstream overrun")
+          v = (v << 1) | ((d(pos >> 3) >> (7 - (pos & 7))) & 1L)
+          pos += 1
+          i += 1
+        }
+        v
+      }
+      def ue(): Long = {
+        var k = 0
+        while (u(1) == 0L) { k += 1; require(k <= 32, "ue() run too long") }
+        if (k == 0) 0L else (1L << k) - 1 + u(k)
+      }
+    }
+
+    /** Emulation prevention (§7.4.1.1): a raw RBSP byte ≤ 3 after two
+      * zero bytes gets an 0x03 escape inserted so no NAL-internal
+      * sequence mimics a start code. */
+    def rbspEscape(raw: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(raw.length + 4)
+      var zeros = 0
+      raw.foreach { b =>
+        if (zeros >= 2 && (b & 0xff) <= 3) { out.write(3); zeros = 0 }
+        out.write(b & 0xff)
+        zeros = if (b == 0) zeros + 1 else 0
+      }
+      out.toByteArray
+    }
+
+    def rbspUnescape(esc: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(esc.length)
+      var zeros = 0
+      var i = 0
+      while (i < esc.length) {
+        val b = esc(i) & 0xff
+        if (zeros >= 2 && b == 3) zeros = 0 // drop the escape byte
+        else {
+          out.write(b)
+          zeros = if (b == 0) zeros + 1 else 0
+        }
+        i += 1
+      }
+      out.toByteArray
+    }
+
+    /** Parsed sequence parameter set — the fields a demuxer needs to
+      * size buffers and crop output before any pixel decode. */
+    final case class SpsInfo(profile_idc: Int, level_idc: Int,
+        log2_max_frame_num: Int, pic_order_cnt_type: Int,
+        max_ref_frames: Int, mb_width: Int, mb_height: Int,
+        crop_left: Int, crop_right: Int, crop_top: Int, crop_bottom: Int,
+        width: Int, height: Int)
+
+    /** Build a baseline-profile SPS NAL (header byte 0x67 + escaped
+      * RBSP) for a progressive 4:2:0 stream of the given pixel
+      * dimensions: pic_width_in_mbs rounds up to whole macroblocks
+      * and frame cropping (2-pixel units — dimensions must be even)
+      * trims back to the exact size, exactly as real encoders emit
+      * non-multiple-of-16 videos. pic_order_cnt_type 2 (display
+      * order = decode order) keeps the header minimal. */
+    def buildSps(width: Int, height: Int, levelIdc: Int = 30,
+        log2MaxFrameNumMinus4: Int = 0, maxRefFrames: Int = 1): Array[Byte] = {
+      require(width > 0 && height > 0 && width % 2 == 0 && height % 2 == 0,
+        s"SPS crop offsets are 2-pixel units: even dims required, got ${width}x$height")
+      val mbW = (width + 15) / 16
+      val mbH = (height + 15) / 16
+      val cropR = (mbW * 16 - width) / 2
+      val cropB = (mbH * 16 - height) / 2
+      val w = new BitWriter
+      w.u(66L, 8)                    // profile_idc: baseline
+      w.u(0L, 8)                     // constraint flags + reserved
+      w.u(levelIdc.toLong, 8)
+      w.ue(0L)                       // seq_parameter_set_id
+      w.ue(log2MaxFrameNumMinus4.toLong)
+      w.ue(2L)                       // pic_order_cnt_type
+      w.ue(maxRefFrames.toLong)
+      w.u(0L, 1)                     // gaps_in_frame_num_value_allowed
+      w.ue(mbW - 1L)                 // pic_width_in_mbs_minus1
+      w.ue(mbH - 1L)                 // pic_height_in_map_units_minus1
+      w.u(1L, 1)                     // frame_mbs_only_flag
+      w.u(1L, 1)                     // direct_8x8_inference_flag
+      if (cropR > 0 || cropB > 0) {
+        w.u(1L, 1)                   // frame_cropping_flag
+        w.ue(0L); w.ue(cropR.toLong) // left, right
+        w.ue(0L); w.ue(cropB.toLong) // top, bottom
+      } else w.u(0L, 1)
+      w.u(0L, 1)                     // vui_parameters_present_flag
+      w.trailingBits()
+      (0x67.toByte +: rbspEscape(w.bytes)).toArray
+    }
+
+    /** Parse an SPS NAL back to its fields (baseline/main/extended —
+      * the high-profile chroma_format branch is out of scope and
+      * fails loudly). Inverse of [[buildSps]] plus the
+      * pic_order_cnt_type 0 and interlace branches real streams
+      * carry. */
+    def parseSps(nal: Array[Byte]): SpsInfo = {
+      require(nal.nonEmpty && (nal(0) & 0x1f) == 7,
+        "not an SPS NAL (nal_unit_type != 7)")
+      val r = new BitReader(rbspUnescape(nal.drop(1)))
+      val profile = r.u(8).toInt
+      r.u(8) // constraint flags + reserved zero bits
+      val level = r.u(8).toInt
+      r.ue() // seq_parameter_set_id
+      require(profile == 66 || profile == 77 || profile == 88,
+        s"unsupported profile_idc $profile (high-profile chroma parse out of scope)")
+      val log2m4 = r.ue().toInt
+      val poc = r.ue().toInt
+      require(poc == 0 || poc == 2,
+        s"pic_order_cnt_type $poc unsupported (type 1 needs the cycle table)")
+      if (poc == 0) r.ue() // log2_max_pic_order_cnt_lsb_minus4
+      val maxRef = r.ue().toInt
+      r.u(1) // gaps_in_frame_num_value_allowed_flag
+      val mbW = (r.ue() + 1).toInt
+      val mapH = (r.ue() + 1).toInt
+      val frameMbsOnly = r.u(1).toInt
+      if (frameMbsOnly == 0) r.u(1) // mb_adaptive_frame_field_flag
+      val mbH = mapH * (2 - frameMbsOnly)
+      r.u(1) // direct_8x8_inference_flag
+      val (cl, cr, ct, cb) =
+        if (r.u(1) == 1L) (r.ue().toInt, r.ue().toInt, r.ue().toInt, r.ue().toInt)
+        else (0, 0, 0, 0)
+      // 4:2:0: CropUnitX = 2, CropUnitY = 2 * (2 - frame_mbs_only)
+      val cuy = 2 * (2 - frameMbsOnly)
+      SpsInfo(profile, level, 4 + log2m4, poc, maxRef, mbW, mbH,
+        cl, cr, ct, cb,
+        mbW * 16 - 2 * (cl + cr), mbH * 16 - cuy * (ct + cb))
+    }
+
+    /** Walk a muxed file to its avcC and parse the FIRST stored SPS —
+      * the container-to-bitstream hop m29 gates. */
+    def spsInfo(data: Array[Byte]): SpsInfo = {
+      val top = boxes(data, 0, data.length)
+      val moovB = child(top, "moov")
+      val trak = child(boxes(data, moovB.off, moovB.len), "trak")
+      val mdia = child(boxes(data, trak.off, trak.len), "mdia")
+      val minf = child(boxes(data, mdia.off, mdia.len), "minf")
+      val stbl = child(boxes(data, minf.off, minf.len), "stbl")
+      val stsd = child(boxes(data, stbl.off, stbl.len), "stsd")
+      val avc1 = child(boxes(data, stsd.off + 8, stsd.len - 8), "avc1")
+      val avcC = child(boxes(data, avc1.off + 78, avc1.len - 78), "avcC")
+      val nSps = data(avcC.off + 5) & 0x1f
+      require(nSps >= 1, "avcC carries no SPS")
+      val len = be16(data, avcC.off + 6)
+      parseSps(java.util.Arrays.copyOfRange(
+        data, avcC.off + 8, avcC.off + 8 + len))
+    }
+
     // ---- fixture writer ------------------------------------------
 
     private def w16(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
@@ -924,7 +1110,9 @@ object Codecs {
       * `keyframes`; one chunk holding all samples. */
     def mux(samples: Seq[Seq[Array[Byte]]], keyframes: Seq[Int],
         timescale: Int, sampleDelta: Int, width: Int, height: Int,
-        nalLenSize: Int = 4): Array[Byte] = {
+        nalLenSize: Int = 4, spsLevelIdc: Int = 30,
+        spsLog2MaxFrameNumMinus4: Int = 0,
+        spsMaxRefFrames: Int = 1): Array[Byte] = {
       val n = samples.length
       val duration = n.toLong * sampleDelta
       val sampleBytes = samples.map { nals =>
@@ -976,11 +1164,23 @@ object Codecs {
       w32(hb, 0); w32(hb, 0); w32(hb, 0); hb.write(0)
       val hdlr = fullBox("hdlr", hb.toByteArray)
 
-      // avcC: version 1, profile 66 (baseline), compat 0, level 30,
-      // lengthSizeMinusOne, 0 SPS, 0 PPS (index fixture: no bitstream
-      // parameters — the pixel decode seam)
-      val avcc = box("avcC", Array[Byte](1, 66, 0, 30,
-        (0xfc | (nalLenSize - 1)).toByte, 0xe0.toByte, 0))
+      // avcC: version 1, profile 66 (baseline), compat 0, level,
+      // lengthSizeMinusOne, then a REAL baseline SPS built for the
+      // exact pixel dimensions (Exp-Golomb, cropping for
+      // non-multiple-of-16 sizes) and a canonical minimal PPS —
+      // the bitstream parameters a demuxer hands the decoder; the
+      // pixel decode of the payload remains the documented seam
+      val spsNal = buildSps(width, height, spsLevelIdc,
+        spsLog2MaxFrameNumMinus4, spsMaxRefFrames)
+      val ppsNal = Array[Byte](0x68.toByte, 0xce.toByte, 0x38.toByte,
+        0x80.toByte)
+      val avcc = box("avcC", cat(
+        Array[Byte](1, 66, 0, spsLevelIdc.toByte,
+          (0xfc | (nalLenSize - 1)).toByte, 0xe1.toByte),
+        { val x = new java.io.ByteArrayOutputStream()
+          w16(x, spsNal.length); x.write(spsNal)
+          x.write(1); w16(x, ppsNal.length); x.write(ppsNal)
+          x.toByteArray }))
       val ab = new java.io.ByteArrayOutputStream()
       (0 until 6).foreach(_ => ab.write(0)) // reserved
       w16(ab, 1)                            // data_reference_index

@@ -38,15 +38,18 @@ object Components {
     * (two LONG columns `a`, `b`). Returns one row per distinct node:
     * (node, cluster) where cluster = min node id reachable.
     *
-    * Convergence detection is an exact MONOTONE invariant, not a
-    * diff join: per-node labels only ever DECREASE (each round takes
-    * a min), and node ids are non-negative, so the exact decimal
-    * label total strictly decreases iff any label changed —
-    * comparing one overflow-proof aggregate per round replaces the
-    * old labels⋈labels diff join + count, shaving a node-sized
-    * shuffle off every round for every CC consumer (d9/d18, g10,
-    * g11, m17, x20/x24/x42/x49). */
+    * Convergence detection rides the materialization job for FREE:
+    * the round's snapshot already computes every (old, new) label
+    * pair, so a changed-row accumulator incremented inside that pass
+    * replaces any separate probe — one Spark job per round total,
+    * for every CC consumer (d9/d18, g10, g11, m17,
+    * x20/x24/x42/x49). Task retries can only OVER-count the
+    * accumulator, and over-counting a zero-change round is
+    * impossible (its retries add 0), so `changed == 0 ⟺ fixpoint`
+    * holds exactly even under speculative/re-run tasks. */
   def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
     val e = edges.select(col("a").cast("long").as("a"),
       col("b").cast("long").as("b"))
     // symmetric closure once, reused every round
@@ -55,30 +58,33 @@ object Components {
     var labels = sym.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .snapshot()
-    def labelSum(l: DataFrame): java.math.BigDecimal = {
-      val v = l.agg(sum(col("label").cast("decimal(38,0)"))).head()
-      if (v.isNullAt(0)) java.math.BigDecimal.ZERO else v.getDecimal(0)
-    }
-    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
+      val changed = spark.sparkContext.longAccumulator(s"cc-changed-$iter")
       val nbrMin = sym.join(labels, sym("b") === labels("node"))
         .groupBy(col("a")).agg(min(col("label")).as("nbr_min"))
       val next = labels.alias("l")
         .join(nbrMin.alias("p"), col("l.node") === col("p.a"), "left")
         .select(col("l.node").as("node"),
           least(col("l.label"), coalesce(col("p.nbr_min"), col("l.label")))
-            .as("label"))
-        .snapshot()
-      val nextSum = labelSum(next)
+            .as("label"),
+          col("l.label").as("old"))
+        .as[(Long, Long, Long)]
+        .mapPartitions { it =>
+          it.map { case (n, nl, ol) =>
+            if (nl != ol) changed.add(1L)
+            (n, nl)
+          }
+        }
+        .toDF("node", "label")
+        .snapshot() // eager: runs the pass, populating `changed`
       // release the superseded round's snapshot NOW — without this,
       // up to maxIters dead label tables pile up in storage memory
       // until the driver's ContextCleaner happens to GC them
       labels.unpersist()
       labels = next
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
+      converged = changed.value == 0L
       iter += 1
     }
     sym.unpersist()

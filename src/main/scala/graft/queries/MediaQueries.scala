@@ -1627,4 +1627,67 @@ object MediaQueries {
       |  CAST(h.n_nals AS BIGINT) AS n_nals,
       |  st.kf_ratio_ppm, st.mean_sample_bytes
       |FROM h JOIN st ON st.doc_id = h.doc_id""".stripMargin
+
+  /** m29: H.264 SPS ROUND-TRIP — one level below m28's NAL walk,
+    * into the actual bitstream: per doc the muxer builds a REAL
+    * baseline sequence parameter set (Exp-Golomb entropy coding,
+    * RBSP emulation-prevention escaping, macroblock rounding +
+    * frame-cropping for the non-multiple-of-16 dimensions every doc
+    * here has) into avcC, and the engine must recover every field by
+    * bit-level parsing (Codecs.Mp4.parseSps) — the oracle restates
+    * the fields arithmetically from the fixture formulas, so a
+    * mis-read Exp-Golomb run, a missed escape byte or a wrong crop
+    * unit breaks the hash. This is the header handshake a decoder
+    * needs before the first pixel: profile/level, buffer geometry
+    * (macroblock grid), exact display size, reference-frame count.
+    * Pixel decode of the payload remains the documented seam.
+    *
+    * 100 TB shape: identical to m27/m28 — bytes are born, walked and
+    * reduced to one row inside a single partition pass; no shuffle
+    * exists in the plan at all. */
+  def m29SpsRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Codecs
+    Tables.spread(Tables.documents(spark, dir).select(col("doc_id"))).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (2 * (17 + id % 50)).toInt  // 34..132, even, rarely /16
+          val h = (2 * (9 + id % 40)).toInt   // 18..96
+          val level = (10 + id % 42).toInt
+          val log2m4 = (id % 9).toInt
+          val maxRef = (1 + id % 8).toInt
+          val mp4 = Codecs.Mp4.mux(
+            samples = Seq(Seq(Array[Byte](0x65, 1, 2, 3))),
+            keyframes = Seq(1), timescale = 90000, sampleDelta = 3000,
+            width = w, height = h, spsLevelIdc = level,
+            spsLog2MaxFrameNumMinus4 = log2m4, spsMaxRefFrames = maxRef)
+          val s = Codecs.Mp4.spsInfo(mp4)
+          require(s.width == w && s.height == h &&
+            s.profile_idc == 66 && s.pic_order_cnt_type == 2,
+            s"SPS round-trip drift for doc $id: $s vs ${w}x$h")
+          (id, s.level_idc, s.mb_width, s.mb_height,
+            s.crop_right, s.crop_bottom, s.width, s.height,
+            s.log2_max_frame_num, s.max_ref_frames)
+        }
+      }.toDF("doc_id", "level_idc", "mb_width", "mb_height",
+        "crop_right", "crop_bottom", "sps_width", "sps_height",
+        "log2_max_frame_num", "max_ref_frames")
+  }
+
+  val m29Sql: String =
+    """WITH d AS (SELECT doc_id,
+      |    2 * (17 + doc_id % 50) AS w, 2 * (9 + doc_id % 40) AS h
+      |  FROM documents),
+      |g AS (SELECT doc_id, w, h,
+      |    (w + 15) // 16 AS mbw, (h + 15) // 16 AS mbh
+      |  FROM d)
+      |SELECT doc_id,
+      |  CAST(10 + doc_id % 42 AS INT) AS level_idc,
+      |  CAST(mbw AS INT) AS mb_width, CAST(mbh AS INT) AS mb_height,
+      |  CAST((mbw * 16 - w) // 2 AS INT) AS crop_right,
+      |  CAST((mbh * 16 - h) // 2 AS INT) AS crop_bottom,
+      |  CAST(w AS INT) AS sps_width, CAST(h AS INT) AS sps_height,
+      |  CAST(4 + doc_id % 9 AS INT) AS log2_max_frame_num,
+      |  CAST(1 + doc_id % 8 AS INT) AS max_ref_frames
+      |FROM g""".stripMargin
 }

@@ -971,29 +971,39 @@ object VideoQueries {
       TextFunctions.polyHash(v) * lit(100000000L) +
         f.cast("long") * lit(100L) + r.cast("long")
     val assoc = trackAssociation(boxes)
+    val spark = boxes.sparkSession
+    import spark.implicits._
     var p = assoc.select(
       node(col("video_id"), col("frame_id"), col("box_ref")).as("node"),
       node(col("video_id"), col("prev_frame"), col("prev_ref")).as("parent"))
       .snapshot()
-    def parentSum(df: DataFrame): java.math.BigDecimal = {
-      val v = df.agg(sum(col("parent").cast("decimal(38,0)"))).head()
-      if (v.isNullAt(0)) java.math.BigDecimal.ZERO else v.getDecimal(0)
-    }
-    var prevSum = parentSum(p)
     var converged = false
     var iter = 0
     while (!converged && iter < 40) {
+      // the convergence probe rides the snapshot job via a
+      // changed-row accumulator (the Components discipline): one
+      // Spark job per jump round, and retries can only over-count —
+      // a zero-change round's retries add 0, so the fixpoint test
+      // stays exact
+      val changed = spark.sparkContext.longAccumulator(s"tracklet-jump-$iter")
       val next = p.alias("c")
         .join(p.select(col("node").as("pn"), col("parent").as("pp")),
           col("parent") === col("pn"), "left")
         .select(col("node"),
-          coalesce(col("pp"), col("parent")).as("parent"))
+          coalesce(col("pp"), col("parent")).as("parent"),
+          col("parent").as("old"))
+        .as[(Long, Long, Long)]
+        .mapPartitions { it =>
+          it.map { case (n, np, op) =>
+            if (np != op) changed.add(1L)
+            (n, np)
+          }
+        }
+        .toDF("node", "parent")
         .snapshot()
-      val nextSum = parentSum(next)
       p.unpersist()
       p = next
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
+      converged = changed.value == 0L
       iter += 1
     }
     require(converged, s"tracklets pointer jumping did not converge")

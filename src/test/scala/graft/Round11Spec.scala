@@ -119,6 +119,64 @@ class Round11Spec extends SparkTestBase {
       refRows.filter(r => out.contains(r._1)).values.map(_._2).sum)
   }
 
+  test("SPS Exp-Golomb build/parse round-trips across the dimension grid") {
+    import graft.operators.Codecs.Mp4
+    for (w <- Seq(16, 34, 64, 132, 1920); h <- Seq(18, 48, 96, 1080);
+         level <- Seq(10, 31, 51); log2 <- Seq(0, 4, 8); ref <- Seq(1, 8)) {
+      val s = Mp4.parseSps(Mp4.buildSps(w, h, level, log2, ref))
+      assert(s.width === w && s.height === h, s"${w}x$h")
+      assert(s.mb_width === (w + 15) / 16 && s.mb_height === (h + 15) / 16)
+      assert(s.crop_right === ((w + 15) / 16 * 16 - w) / 2)
+      assert(s.crop_bottom === ((h + 15) / 16 * 16 - h) / 2)
+      assert(s.level_idc === level && s.log2_max_frame_num === 4 + log2 &&
+        s.max_ref_frames === ref && s.profile_idc === 66)
+    }
+    // odd dimensions cannot be expressed in 2-pixel crop units
+    intercept[IllegalArgumentException] { Mp4.buildSps(33, 18) }
+    // truncated bitstream fails loudly, never returns garbage
+    val nal = Mp4.buildSps(132, 96)
+    intercept[IllegalArgumentException] {
+      Mp4.parseSps(nal.take(nal.length - 2))
+    }
+  }
+
+  test("RBSP emulation prevention escapes and strips start-code mimics") {
+    import graft.operators.Codecs.Mp4
+    val cases = Seq(
+      Array[Byte](0, 0, 0), Array[Byte](0, 0, 1), Array[Byte](0, 0, 2),
+      Array[Byte](0, 0, 3), Array[Byte](0, 0, 4),
+      Array[Byte](0, 0, 0, 0, 1), Array[Byte](1, 0, 0, 2, 0, 0, 3))
+    cases.foreach { raw =>
+      val esc = Mp4.rbspEscape(raw)
+      assert(Mp4.rbspUnescape(esc).toSeq === raw.toSeq, raw.mkString(","))
+      // §7.4.1.1: 00 00 00/01/02 must not survive in the escaped
+      // form (00 00 03 is the escape itself and is legal)
+      esc.sliding(3).foreach { t =>
+        if (t.length == 3)
+          assert(!(t(0) == 0 && t(1) == 0 && (t(2) & 0xff) <= 2))
+      }
+    }
+    assert(Mp4.rbspEscape(Array[Byte](0, 0, 2)).toSeq ===
+      Seq[Byte](0, 0, 3, 2))
+  }
+
+  test("m29 SPS container hop: mux embeds, spsInfo recovers") {
+    import graft.operators.Codecs.Mp4
+    val mp4 = Mp4.mux(Seq(Seq(Array[Byte](0x65, 9, 9))), Seq(1),
+      timescale = 1000, sampleDelta = 40, width = 34, height = 18,
+      spsLevelIdc = 21, spsLog2MaxFrameNumMinus4 = 3, spsMaxRefFrames = 4)
+    val s = Mp4.spsInfo(mp4)
+    assert(s.width === 34 && s.height === 18)
+    assert(s.mb_width === 3 && s.mb_height === 2)
+    assert(s.crop_right === 7 && s.crop_bottom === 7)
+    assert(s.level_idc === 21 && s.log2_max_frame_num === 7 &&
+      s.max_ref_frames === 4)
+    // the m27 walk still reads the same container (SPS embedding must
+    // not disturb the sample tables)
+    val ix = Mp4.index(mp4)
+    assert(ix.n_samples === 1 && ix.width === 34 && ix.height === 18)
+  }
+
   test("m28 NAL histogram agrees with m27's walk totals") {
     import graft.queries.MediaQueries
     val h = MediaQueries.m28NalHistogram(spark, sf).collect()
