@@ -34,6 +34,26 @@ import graft.Engine.SnapshotOps
   */
 object Components {
 
+  /** Order-free 64-bit XOR fold as an AccumulatorV2. XOR is
+    * self-inverse, so a retried task CANCELS its own contribution —
+    * which is why every consumer treats the folded signature as a
+    * trigger for an authoritative set-diff, never as the verdict
+    * itself. */
+  final class XorAccumulator
+    extends org.apache.spark.util.AccumulatorV2[java.lang.Long, java.lang.Long] {
+    private var x = 0L
+    override def isZero: Boolean = x == 0L
+    override def copy(): XorAccumulator = {
+      val c = new XorAccumulator; c.x = x; c
+    }
+    override def reset(): Unit = x = 0L
+    override def add(v: java.lang.Long): Unit = x ^= v.longValue
+    override def merge(
+        o: org.apache.spark.util.AccumulatorV2[java.lang.Long, java.lang.Long])
+        : Unit = x ^= o.value.longValue
+    override def value: java.lang.Long = x
+  }
+
   /** Connected components of the undirected graph given by `edges`
     * (two LONG columns `a`, `b`). Returns one row per distinct node:
     * (node, cluster) where cluster = min node id reachable.
@@ -110,19 +130,22 @@ object Components {
     * (large → small), so the working set never exceeds the distinct
     * edge count and shrinks as stars contract.
     *
-    * Convergence detector: (edge count, bit_xor of per-edge
-    * xxhash64) — one tiny aggregate per round instead of a
-    * full-join diff (XOR is order-independent and cannot overflow).
-    * Signature equality is necessary but not sufficient, so the
-    * terminal round CONFIRMS with one real set diff (`except`) —
-    * the expensive comparison runs exactly once, and a hash
-    * collision can only send the loop around again, never end it
-    * on a non-fixpoint. At the fixpoint the edge
+    * Convergence detector: (edge count, XOR of per-edge xxhash64)
+    * folded by accumulators INSIDE each round's materialization pass
+    * — zero extra jobs (XOR is order-independent and cannot
+    * overflow). Signature equality is necessary but not sufficient,
+    * so the terminal round CONFIRMS with one real set diff
+    * (`except`) — the expensive comparison runs exactly once, and a
+    * hash collision or a retry-skewed fold can only send the loop
+    * around again (or trip the one-shot maxIters confirm), never end
+    * it on a non-fixpoint. At the fixpoint the edge
     * set is a star forest: every non-minimum node holds exactly one
     * edge to its component minimum. Returns the same contract as
     * `connectedComponents`: (node, cluster = min reachable id). */
   def connectedComponentsTwoPhase(edges: DataFrame,
       maxIters: Int = 30): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
     val e = edges.select(col("a").cast("long").as("a"),
       col("b").cast("long").as("b"))
       .filter(col("a") =!= col("b"))
@@ -171,14 +194,39 @@ object Components {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      val next = smallStar(largeStar(cur)).snapshot()
-      val nextSig = signature(next)
+      // the round signature rides the materialization pass (the
+      // min-label accumulator discipline): count + order-free XOR of
+      // per-edge hashes, folded while the snapshot job computes the
+      // rows — no separate aggregate job per round. A task RETRY
+      // skews both folds (xor self-cancels, count over-counts), but
+      // never the RESULT: signature equality is only ever a
+      // trigger for the authoritative except-diff confirm below, and
+      // a skew-missed equality just runs one more round (bounded by
+      // the terminal confirm at maxIters).
+      val cnt = spark.sparkContext.longAccumulator(s"cc2-count-$iter")
+      val xor = new XorAccumulator
+      spark.sparkContext.register(xor, s"cc2-xor-$iter")
+      val next = smallStar(largeStar(cur))
+        .select(col("u"), col("v"), xxhash64(col("u"), col("v")).as("h"))
+        .as[(Long, Long, Long)]
+        .mapPartitions { it =>
+          it.map { case (u, v, h) => cnt.add(1L); xor.add(h); (u, v) }
+        }
+        .toDF("u", "v")
+        .snapshot()
+      val nextSig = (cnt.value.longValue, xor.value.longValue)
       converged = nextSig == sig && next.except(cur).isEmpty
       cur.unpersist()
       cur = next
       sig = nextSig
       iter += 1
     }
+    // terminal authority: if signatures never matched (e.g. skewed by
+    // retries), one real set-diff decides before declaring failure
+    if (!converged && {
+      val prev = smallStar(largeStar(cur))
+      prev.except(cur).isEmpty && cur.except(prev).isEmpty
+    }) converged = true
     require(converged,
       s"connectedComponentsTwoPhase did not converge in $maxIters rounds")
     // star forest → labels: non-centers point at their center;
