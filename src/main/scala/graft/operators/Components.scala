@@ -75,9 +75,12 @@ object Components {
     // symmetric closure once, reused every round
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .distinct().snapshot()
+    // round 0's labels are a LAZY view over the cached sym — the
+    // round-1 materialization computes them in its own pass, so no
+    // separate init job exists (unpersist on the lazy frame is a
+    // no-op, keeping the loop's release discipline uniform)
     var labels = sym.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-      .snapshot()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {

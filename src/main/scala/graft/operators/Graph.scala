@@ -46,9 +46,10 @@ object Graph {
         .select(col("doc_b").cast("long").as("src"), col("doc_a").cast("long").as("dst")))
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val edges = sym.join(deg, Seq("src")).snapshot()
+    // round-0 ranks: lazy view over the cached edge table (round 1's
+    // materialization computes them; no separate init job)
     var rank = edges.select(col("src").as("node")).distinct()
       .select(col("node"), lit(scale).as("pr"))
-      .snapshot()
     (1 to iters).foreach { _ =>
       val next = edges.join(rank, edges("src") === rank("node"))
         .select(col("dst"), expr("pr div deg").as("c"))
@@ -93,8 +94,8 @@ object Graph {
         when(col("node") % seedMod === 0, lit(1L)).otherwise(lit(0L))
           .as("is_seed"))
       .snapshot()
+    // round-0 ranks: lazy view over the cached node set
     var rank = nodes.select(col("node"), (col("is_seed") * scale).as("pr"))
-      .snapshot()
     (1 to iters).foreach { _ =>
       val contrib = edges.join(rank, edges("src") === rank("node"))
         .select(col("dst"), expr("pr div deg").as("c"))
@@ -231,9 +232,11 @@ object Graph {
         .select(col("doc_b").cast("long").as("s"), col("doc_a").cast("long").as("d")))
       .distinct().snapshot()
     val nodes = sym.select(col("s").as("node")).distinct().snapshot()
+    // round-0 frontier/dist: lazy views over the cached node set
+    // (computed inside round 1's materializations; no init jobs)
     var dist = nodes.filter(col("node") % seedMod === 0)
-      .select(col("node"), lit(0L).as("hops")).snapshot()
-    var frontier = dist.select(col("node")).snapshot()
+      .select(col("node"), lit(0L).as("hops"))
+    var frontier = dist.select(col("node"))
     (1 to maxHops).foreach { i =>
       val nxt = sym.join(frontier, sym("s") === frontier("node"))
         .select(col("d").as("node")).distinct()
@@ -443,8 +446,10 @@ object Graph {
       .snapshot()
     val nodes = sym.select(col("src").as("node")).distinct()
       .snapshot()
+    // round-0 frontier: lazy view over the cached node set (the
+    // round-1 materialization computes it; no separate init job)
     var dist = nodes.filter(col("node") % seedMod === 0)
-      .select(col("node"), lit(0L).as("wd")).snapshot()
+      .select(col("node"), lit(0L).as("wd"))
     (1 to rounds).foreach { _ =>
       val relaxed = sym.join(dist, sym("src") === dist("node"))
         .select(col("dst").as("node"), (col("wd") + col("w")).as("wd"))
@@ -485,9 +490,10 @@ object Graph {
       .union(pairs
         .select(col("doc_b").cast("long").as("s"), col("doc_a").cast("long").as("d")))
       .snapshot()
+    // round-0 labels: lazy view over the cached sym (the round-1
+    // materialization computes them; no separate init job)
     var labels = sym.select(col("s").as("node")).distinct()
       .select(col("node"), col("node").as("lab"))
-      .snapshot()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("node")).orderBy(col("c").desc, col("lab"))
     (1 to rounds).foreach { _ =>
