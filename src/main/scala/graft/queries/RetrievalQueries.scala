@@ -261,10 +261,11 @@ object RetrievalQueries {
   /** Foldable bucket-pruning predicate: the same murmur3 the writer
     * used, applied to the query-term LITERALS, so the optimizer
     * folds each to an int and the scan prunes to ≤|terms| bucket
-    * directories. */
-  private def bucketPred(ts: Seq[String]) =
+    * directories. (Shared with the streaming IndexedLex serve.) */
+  private[graft] def bucketPredFor(ts: Seq[String]) =
     ts.map(t => col("tbkt") === pmod(hash(lit(t)), lit(lexBuckets)))
       .reduce(_ || _)
+  private def bucketPred(ts: Seq[String]) = bucketPredFor(ts)
 
   def x40LexIndexServe(spark: SparkSession, dir: String): DataFrame = {
     val ts = bm25Terms.sorted
@@ -293,10 +294,21 @@ object RetrievalQueries {
     // term filters inside them) + df re-derivation + keyed doclen join
     val post = spark.read.parquet(s"$base/postings")
       .where(bucketPred(ts) && col("term").isin(ts: _*))
+    bm25ServeFrom(post, spark.read.parquet(s"$base/doclen"),
+      spark.read.parquet(s"$base/stats"), ts)
+  }
+
+  /** The BM25 serve plan shared by every persisted-lexical-index
+    * consumer (x40, x41, streaming IndexedLex): pruned postings +
+    * df re-derivation + keyed doclen join + the sorted-term-order
+    * float reassembly that keeps the score bit-identical to x28's
+    * fixed-order fold. `stats` must be ONE row (n_docs, total_dl). */
+  private[graft] def bm25ServeFrom(post: DataFrame, doclen: DataFrame,
+      stats: DataFrame, ts: Seq[String]): DataFrame = {
     val dfs = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val joined = post.join(broadcast(dfs), "term")
-      .join(spark.read.parquet(s"$base/doclen"), "doc_id")
-      .crossJoin(broadcast(spark.read.parquet(s"$base/stats")))
+      .join(doclen, "doc_id")
+      .crossJoin(broadcast(stats))
     val avgdl = col("total_dl").cast("double") / col("n_docs").cast("double")
     val contrib =
       log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
@@ -381,36 +393,44 @@ object RetrievalQueries {
     // serve from the updated index (same bucket-pruned path as x40)
     val post = spark.read.parquet(s"$base/postings")
       .where(bucketPred(ts) && col("term").isin(ts: _*))
-    val dfs = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val joined = post.join(broadcast(dfs), "term")
-      .join(spark.read.parquet(s"$base/doclen"), "doc_id")
-      .crossJoin(broadcast(spark.read.parquet(s"$base/stats_merged")))
-    val avgdl = col("total_dl").cast("double") / col("n_docs").cast("double")
-    val contrib =
-      log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
-        + lit(1.0)) *
-      (col("tf").cast("double") * lit(2.2)) /
-      (col("tf").cast("double") +
-        lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
-    val scored = joined
-      .select(col("doc_id"), col("dl"), col("term"), contrib.as("c"))
-      .groupBy(col("doc_id"), col("dl"))
-      .agg(count(lit(1)).as("n_matched"),
-        ts.map(w => sum(when(col("term") === w, col("c")).otherwise(lit(0.0)))
-          .as(s"c_$w")): _*)
-      .select(col("doc_id"), col("dl"), col("n_matched"),
-        round(ts.map(w => coalesce(col(s"c_$w"), lit(0.0))).reduce(_ + _), 6)
-          .as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(20)
-    scored.withColumn("rnk",
-      row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
-        .cast("int"))
+    bm25ServeFrom(post, spark.read.parquet(s"$base/doclen"),
+      spark.read.parquet(s"$base/stats_merged"), ts)
   }
 
   /** Full-corpus x28 — the updated index must be indistinguishable
     * from a fresh build. */
   val x41Sql: String = x28Sql
+
+  // ---- x69: multi-batch lexical-index ingest ----------------------
+
+  /** x69: the INGEST-PARTITIONED lexical index — the corpus arrives
+    * in three batches through `IndexedLex.ingestBatch` (the batch
+    * API of the streaming ingest operator — the same code path a
+    * foreachBatch micro-batch runs), each landing postings/doclen/
+    * one-row stats partials under its own `ingest_id` partition;
+    * serving sums the stats partials and runs the x40 bucket-pruned
+    * BM25 over all partitions. Oracle: x28's from-scratch SQL over
+    * the whole corpus — a lost batch, double-ingested partition or
+    * drifted stats merge breaks the hash. (The streaming wrapper +
+    * replay idempotence are spec-gated in Round11Spec.) */
+  def x69LexIndexIngest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = s"${sys.props("java.io.tmpdir")}/graft_lexindex_ing_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    // wipe so every run re-ingests (markers would otherwise skip the
+    // work and the timing would lie)
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) { fs.delete(p, true); () }
+    (0L until 3L).foreach { b =>
+      graft.streaming.IndexedLex.ingestBatch(spark, base,
+        docs.filter(col("doc_id") % 3 === b), b)
+    }
+    graft.streaming.IndexedLex.serve(spark, base, bm25Terms)
+  }
+
+  /** Indistinguishable from a fresh full build, like x40/x41. */
+  val x69Sql: String = x28Sql
 
   // ---- s22: hybrid search via reciprocal-rank fusion ---------------
 
