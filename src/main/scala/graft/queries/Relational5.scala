@@ -993,4 +993,66 @@ object Relational5 {
       |FROM cells JOIN rt USING (event_type) JOIN ct USING (dow)
       |CROSS JOIN tt
       |GROUP BY nr, nc""".stripMargin
+
+  // ---- r75: seasonal-naive forecast backtest -----------------------
+
+  /** r75: SEASONAL-NAIVE BACKTEST — per event type, every day's
+    * revenue is "forecast" as the expanding mean of all PRIOR
+    * same-weekday days, and the query reports the per-type mean
+    * absolute error in cents: the baseline every forecasting
+    * pipeline must beat before any model earns its keep (and the
+    * standing data-quality monitor for seasonality drift). Exact
+    * integer discipline end-to-end: daily revenue in cents (long),
+    * weekday = d mod 7 on the epoch-day number (no calendar API),
+    * the prior mean is ONE integral division — truncation toward
+    * zero spelled identically on both engines (the r71 sign
+    * discipline: floor(|x|/n) re-signed, since the revenue sum can
+    * be negative) — and |y − forecast| sums in longs.
+    *
+    * 100 TB shape: the fact table collapses to |type|·|day| rows in
+    * one partial-agg pass; the expanding window runs over that
+    * calendar-bounded frame (ROWS UNBOUNDED PRECEDING → 1 PRECEDING
+    * per (type, weekday)); the closing agg is |type| rows. */
+  def seasonalNaive(eventsIn: DataFrame): DataFrame = {
+    val daily = eventsIn.groupBy(col("event_type"),
+        (unix_micros(date_trunc("day", col("ts"))) / 86400000000L)
+          .cast("long").as("d"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("y"))
+      .withColumn("dow", col("d") % 7)
+    val w = Window.partitionBy(col("event_type"), col("dow"))
+      .orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    daily
+      .withColumn("psum", sum(col("y")).over(w))
+      .withColumn("pcnt", count(lit(1)).over(w))
+      .filter(col("pcnt") >= 1)
+      .withColumn("err", abs(col("y") - expr("psum div pcnt")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_forecast_days"),
+        sum(col("err")).as("total_abs_err_cents"))
+      .select(col("event_type"), col("n_forecast_days"),
+        col("total_abs_err_cents"),
+        expr("total_abs_err_cents div n_forecast_days").as("mae_cents"))
+  }
+
+  def r75SeasonalNaive(spark: SparkSession, dir: String): DataFrame =
+    seasonalNaive(Tables.events(spark, dir))
+
+  val r75Sql: String =
+    """WITH daily AS (SELECT event_type,
+      |    epoch_us(date_trunc('day', ts)) // 86400000000 AS d,
+      |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |f AS (SELECT event_type, d, y,
+      |    sum(y) OVER w AS psum, count(*) OVER w AS pcnt
+      |  FROM daily WINDOW w AS (PARTITION BY event_type, d % 7
+      |    ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |g AS (SELECT event_type,
+      |    abs(y - (CASE WHEN psum >= 0 THEN psum // pcnt
+      |      ELSE -((-psum) // pcnt) END)) AS err
+      |  FROM f WHERE pcnt >= 1)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_forecast_days,
+      |  CAST(sum(err) AS BIGINT) AS total_abs_err_cents,
+      |  CAST(sum(err) // count(*) AS BIGINT) AS mae_cents
+      |FROM g GROUP BY 1""".stripMargin
 }

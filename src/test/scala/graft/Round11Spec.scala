@@ -177,6 +177,28 @@ class Round11Spec extends SparkTestBase {
     assert(ix.n_samples === 1 && ix.width === 34 && ix.height === 18)
   }
 
+  test("r75 seasonal-naive: expanding same-weekday mean, sign-safe division") {
+    import graft.queries.Relational5
+    def t(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day}%02d 12:00:00")
+    // one type, three Mondays (2024-01-01/08/15) + one Tuesday:
+    // day2 forecast = day1; day3 forecast = mean(day1, day2)
+    val ev = Seq(
+      ("a", t(1), 10.0), ("a", t(8), 20.0), ("a", t(15), 40.0),
+      ("a", t(2), 5.0), ("a", t(9), 7.0),
+      // negative-revenue type: prior sum negative exercises the
+      // truncation-toward-zero spelling on both engines
+      ("n", t(1), -10.5), ("n", t(8), -3.0))
+      .toDF("event_type", "ts", "value")
+    val out = Relational5.seasonalNaive(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // type a: errs |2000-1000|=1000, |4000-1500|=2500, |700-500|=200
+    assert(out("a") === ((3L, 3700L, 1233L)))
+    // type n: day1 y=-1050; day8 forecast = -1050 div 1 = -1050,
+    // err = |-300 - (-1050)| = 750
+    assert(out("n") === ((1L, 750L, 750L)))
+  }
+
   test("streamed lexical index == from-scratch BM25 (chunked, replayed)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.IndexedLex
