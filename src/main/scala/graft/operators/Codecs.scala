@@ -791,6 +791,19 @@ object Codecs {
       * is built from. Zero-length NALs fail loudly (they are invalid
       * in AVCC and would leave the type byte unreadable). */
     def indexAndNalTypes(data: Array[Byte]): (Mp4Index, Seq[Int]) = {
+      val (ix, types, _) = walk(data, collectPayloads = false)
+      (ix, types)
+    }
+
+    /** Every NAL's payload bytes in mdat order (length prefixes
+      * stripped) — the container-to-bitstream hop m30's slice-header
+      * parse consumes. Partition-local by construction: the slices
+      * never outlive the task that decodes them. */
+    def nalPayloads(data: Array[Byte]): Seq[Array[Byte]] =
+      walk(data, collectPayloads = true)._3
+
+    private def walk(data: Array[Byte], collectPayloads: Boolean)
+        : (Mp4Index, Seq[Int], Seq[Array[Byte]]) = {
       val top = boxes(data, 0, data.length)
       require(top.headOption.exists(_.fourcc == "ftyp"),
         "not an ISO BMFF file: first box is not ftyp")
@@ -862,6 +875,7 @@ object Codecs {
       var sampleBytes = 0L
       var maxSample = 0
       val nalTypes = scala.collection.mutable.ArrayBuffer[Int]()
+      val payloads = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
       for (c <- 0 until nChunks) {
         var off = chunkOff(c)
         var k = 0
@@ -879,6 +893,9 @@ object Codecs {
               s"NAL overruns sample $si: len $nl at ${p - off}")
             require(nl >= 1, s"zero-length NAL in sample $si")
             nalTypes += (data((p + nalLenSize).toInt) & 0x1f)
+            if (collectPayloads)
+              payloads += java.util.Arrays.copyOfRange(data,
+                (p + nalLenSize).toInt, (p + nalLenSize + nl).toInt)
             nNals += 1
             p += nalLenSize + nl
           }
@@ -893,7 +910,7 @@ object Codecs {
       require(si == nSamples, s"chunk walk covered $si of $nSamples")
       (Mp4Index(nSamples, nKeyframes, mdat.len.toLong, sampleBytes,
         maxSample, timescale, duration, nNals, avcProfile, nalLenSize,
-        width, height), nalTypes.toSeq)
+        width, height), nalTypes.toSeq, payloads.toSeq)
     }
 
     // ---- H.264 SPS: Exp-Golomb bitstream build/parse -------------
@@ -1061,6 +1078,48 @@ object Codecs {
       SpsInfo(profile, level, 4 + log2m4, poc, maxRef, mbW, mbH,
         cl, cr, ct, cb,
         mbW * 16 - 2 * (cl + cr), mbH * 16 - cuy * (ct + cb))
+    }
+
+    /** Parsed slice header prefix — the per-frame fields a GOP-
+      * structure audit reads (ITU-T H.264 §7.3.3): IDR vs non-IDR,
+      * coded slice type, frame_num (fixed-width — its bit count
+      * comes from the SPS, which is why slice parsing NEEDS the
+      * container-to-SPS hop first), and idr_pic_id for IDR NALs. */
+    final case class SliceHeader(nal_unit_type: Int, slice_type: Int,
+        frame_num: Int, idr_pic_id: Int)
+
+    /** Build a slice NAL carrying a spec-correct header prefix
+      * (first_mb_in_slice, slice_type, pps_id, frame_num, and
+      * idr_pic_id when IDR), terminated at the header boundary — a
+      * header fixture, not a decodable picture (the pixel payload
+      * stays the documented seam). */
+    def buildSliceNal(idr: Boolean, sliceType: Int, frameNum: Int,
+        frameNumBits: Int, idrPicId: Int = 0): Array[Byte] = {
+      val w = new BitWriter
+      w.ue(0L)                       // first_mb_in_slice
+      w.ue(sliceType.toLong)
+      w.ue(0L)                       // pic_parameter_set_id
+      w.u(frameNum.toLong, frameNumBits)
+      if (idr) w.ue(idrPicId.toLong)
+      w.trailingBits()
+      val hdr = if (idr) 0x65.toByte else 0x41.toByte // ref_idc + type
+      hdr +: rbspEscape(w.bytes)
+    }
+
+    /** Parse a slice NAL's header prefix; `frameNumBits` must come
+      * from the stream's SPS (log2_max_frame_num). */
+    def parseSliceHeader(nal: Array[Byte], frameNumBits: Int): SliceHeader = {
+      require(nal.nonEmpty, "empty NAL")
+      val nut = nal(0) & 0x1f
+      require(nut == 1 || nut == 5,
+        s"not a coded slice NAL (nal_unit_type $nut)")
+      val r = new BitReader(rbspUnescape(nal.drop(1)))
+      r.ue() // first_mb_in_slice
+      val st = r.ue().toInt
+      r.ue() // pic_parameter_set_id
+      val fn = r.u(frameNumBits).toInt
+      val idrId = if (nut == 5) r.ue().toInt else -1
+      SliceHeader(nut, st, fn, idrId)
     }
 
     /** Walk a muxed file to its avcC and parse the FIRST stored SPS —

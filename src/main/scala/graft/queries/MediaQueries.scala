@@ -1690,4 +1690,80 @@ object MediaQueries {
       |  CAST(4 + doc_id % 9 AS INT) AS log2_max_frame_num,
       |  CAST(1 + doc_id % 8 AS INT) AS max_ref_frames
       |FROM g""".stripMargin
+
+  /** m30: GOP-STRUCTURE AUDIT from slice headers — the deepest
+    * zero-native-deps hop into the H.264 stream: every sample's NAL
+    * payload is pulled from mdat through the sample tables
+    * (Codecs.Mp4.nalPayloads), its slice-header PREFIX is parsed
+    * with real Exp-Golomb bit reads (first_mb, slice_type, pps_id,
+    * frame_num, idr_pic_id) — and frame_num is a FIXED-WIDTH field
+    * whose bit count only the SPS knows, so the parse chains m29's
+    * container→SPS hop by construction. The fixture writes a
+    * spec-correct IDR/P/B cadence (f%4: 0→IDR slice_type 7,
+    * 2→B 6, else P 5; frame_num resets at each IDR) and the oracle
+    * restates every aggregate arithmetically — a misaligned bit
+    * read, a wrong frame_num width, or a missed idr_pic_id breaks
+    * the hash. The engine also cross-checks the parsed IDR count
+    * against the container's stss table. Pixel decode of the slice
+    * payload remains the documented seam.
+    *
+    * 100 TB shape: identical to m27-m29 — bytes are born, demuxed,
+    * bit-parsed and reduced to one row inside a single partition
+    * pass; NAL payloads never outlive the task; no shuffle exists in
+    * the plan. */
+  def m30GopAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Codecs
+    Tables.spread(Tables.documents(spark, dir).select(col("doc_id"))).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = (2 + id % 6).toInt
+          val bits = (4 + id % 3).toInt
+          val nals = (0 until n).map { f =>
+            val ph = f % 4
+            if (ph == 0)
+              Codecs.Mp4.buildSliceNal(idr = true, sliceType = 7,
+                frameNum = 0, frameNumBits = bits,
+                idrPicId = ((id + f) % 8).toInt)
+            else
+              Codecs.Mp4.buildSliceNal(idr = false,
+                sliceType = if (ph == 2) 6 else 5,
+                frameNum = ph, frameNumBits = bits)
+          }
+          val keyframes = (0 until n).filter(_ % 4 == 0).map(_ + 1)
+          val mp4 = Codecs.Mp4.mux(nals.map(Seq(_)), keyframes,
+            timescale = 90000, sampleDelta = 3000, width = 64,
+            height = 48, spsLog2MaxFrameNumMinus4 = (id % 3).toInt)
+          // frame_num's width comes from the stream's own SPS
+          val fnBits = Codecs.Mp4.spsInfo(mp4).log2_max_frame_num
+          val hs = Codecs.Mp4.nalPayloads(mp4)
+            .map(Codecs.Mp4.parseSliceHeader(_, fnBits))
+          val nIdr = hs.count(_.nal_unit_type == 5)
+          require(nIdr == Codecs.Mp4.index(mp4).n_keyframes,
+            s"slice-parse IDR count disagrees with stss for doc $id")
+          (id, nIdr.toLong,
+            hs.count(h => h.nal_unit_type == 1 && h.slice_type == 5).toLong,
+            hs.count(_.slice_type == 6).toLong,
+            hs.map(_.frame_num.toLong).sum,
+            hs.filter(_.nal_unit_type == 5).map(_.idr_pic_id).max,
+            fnBits)
+        }
+      }.toDF("doc_id", "n_idr", "n_p", "n_b", "sum_frame_num",
+        "max_idr_pic_id", "frame_num_bits")
+  }
+
+  val m30Sql: String =
+    """WITH d AS (SELECT doc_id, 2 + doc_id % 6 AS n FROM documents),
+      |f AS (SELECT doc_id, n, unnest(range(n)) AS f FROM d),
+      |c AS (SELECT doc_id, f, f % 4 AS ph FROM f)
+      |SELECT doc_id,
+      |  CAST(sum(CASE WHEN ph = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_idr,
+      |  CAST(sum(CASE WHEN ph IN (1, 3) THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_p,
+      |  CAST(sum(CASE WHEN ph = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |  CAST(sum(ph) AS BIGINT) AS sum_frame_num,
+      |  CAST(max(CASE WHEN ph = 0 THEN (doc_id + f) % 8 END) AS INT)
+      |    AS max_idr_pic_id,
+      |  CAST(4 + doc_id % 3 AS INT) AS frame_num_bits
+      |FROM c GROUP BY doc_id""".stripMargin
 }

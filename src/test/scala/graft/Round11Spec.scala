@@ -232,6 +232,28 @@ class Round11Spec extends SparkTestBase {
     assert(canon(IndexedLex.serve(spark, idx, terms)).toSeq === served.toSeq)
   }
 
+  test("slice-header build/parse round-trips; frame_num width matters") {
+    import graft.operators.Codecs.Mp4
+    for (bits <- Seq(4, 6, 12); fn <- Seq(0, 1, 13); st <- Seq(5, 6, 7)) {
+      val idr = st == 7
+      val nal = Mp4.buildSliceNal(idr, st, fn, bits, idrPicId = 5)
+      val h = Mp4.parseSliceHeader(nal, bits)
+      assert(h.nal_unit_type === (if (idr) 5 else 1))
+      assert(h.slice_type === st && h.frame_num === fn)
+      assert(h.idr_pic_id === (if (idr) 5 else -1))
+    }
+    // reading with the WRONG frame_num width mis-frames the stream —
+    // exactly the failure the SPS hop exists to prevent
+    val nal = Mp4.buildSliceNal(idr = false, sliceType = 5,
+      frameNum = 9, frameNumBits = 6)
+    assert(Mp4.parseSliceHeader(nal, 6).frame_num === 9)
+    assert(Mp4.parseSliceHeader(nal, 4).frame_num !== 9)
+    // non-slice NAL types are rejected
+    intercept[IllegalArgumentException] {
+      Mp4.parseSliceHeader(Mp4.buildSps(64, 48), 4)
+    }
+  }
+
   test("m28 NAL histogram agrees with m27's walk totals") {
     import graft.queries.MediaQueries
     val h = MediaQueries.m28NalHistogram(spark, sf).collect()
