@@ -174,10 +174,14 @@ object Components {
       val mins = sym.groupBy(col("x"))
         .agg(min(col("y")).as("nbr_min"))
         .select(col("x"), least(col("x"), col("nbr_min")).as("m"))
+      // NO intermediate distinct: duplicates cannot move smallStar's
+      // per-group min, and its terminal distinct dedupes the round's
+      // output anyway — this drops one exchange per round at the cost
+      // of bounded row multiplicity (≤ the input edge count) inside
+      // the round
       sym.join(mins, Seq("x"))
         .filter(col("y") > col("x"))
         .select(col("y").as("u"), col("m").as("v"))
-        .distinct()
     }
 
     // small-star: every node u links its SMALLER neighbors (all of

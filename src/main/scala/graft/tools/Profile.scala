@@ -30,6 +30,22 @@ object Profile {
     time("features(agg)") { Dedup.shingleFeatures(docs).write.format("noop").mode("overwrite").save() }
     time("candidates") { Dedup.lshCandidates(Dedup.shingleFeatures(docs)).write.format("noop").mode("overwrite").save() }
     time("nearDupPairs") { Dedup.nearDupPairs(docs, 0.8).write.format("noop").mode("overwrite").save() }
+    // g11 floor decomposition (VERDICT r10 #10): pair generation vs
+    // CC rounds vs closing aggregation
+    val d6pairs = graft.queries.LlmQueries.d6SimhashPairs(spark, dir)
+    time("g11: d6 pair gen") {
+      d6pairs.write.format("noop").mode("overwrite").save()
+    }
+    time("g11: CC(two-phase) on d6") {
+      graft.operators.Components.connectedComponentsTwoPhase(
+        d6pairs.select(col("doc_a").cast("long").as("a"),
+          col("doc_b").cast("long").as("b")))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("g11: full modularity") {
+      graft.operators.Graph.modularity(d6pairs)
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }
