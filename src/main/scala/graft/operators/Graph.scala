@@ -631,4 +631,48 @@ object Graph {
     cand.select(col("x").as("doc_a"), col("y").as("doc_b"),
       col("cn"), col("ra_ppm"))
   }
+
+  /** RICH-CLUB coefficient curve: for each degree threshold k, the
+    * density φ(k) = 2·E_k / (N_k·(N_k−1)) among the nodes of degree
+    * > k — "do the hubs of the near-dup graph link to EACH OTHER"
+    * (a rich club of templates duplicating one another) "or only
+    * down into their own families". Reported in exact ppm: the
+    * division is a single integer `div` whose operands are carried
+    * in decimal(38,0) (2·E_k·10⁶ outgrows a long once the club has
+    * ~10⁹ internal edges), both non-negative, so truncation = floor
+    * on every engine.
+    *
+    * 100 TB shape: one partial-agg degree pass; degrees re-attach to
+    * the edge list by TWO keyed joins (never a broadcast — the
+    * degree relation is node-sized); the k-sweep is a constant-size
+    * explode of the surviving edges/nodes, closing in a ≤|ks|-row
+    * partial agg. The expensive pair GENERATOR runs once via the
+    * modularity snapshot discipline. */
+  def richClub(pairs0: DataFrame, ks: Seq[Int]): DataFrame = {
+    val pairs = pairs0
+      .select(col("doc_a").cast("long").as("a"),
+        col("doc_b").cast("long").as("b"))
+      .snapshot()
+    val sym = pairs.select(col("a").as("s"))
+      .union(pairs.select(col("b")))
+    val deg = sym.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+    val kArr = array(ks.map(k => lit(k.toLong)): _*)
+    val ed = pairs
+      .join(deg.select(col("s").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("s").as("b"), col("deg").as("db")), Seq("b"))
+    val ek = ed.select(explode(kArr).as("k"), col("da"), col("db"))
+      .filter(col("da") > col("k") && col("db") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_edges"))
+    val nk = deg.select(explode(kArr).as("k"), col("deg"))
+      .filter(col("deg") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_nodes"))
+    nk.join(ek, Seq("k"), "left")
+      .select(col("k"), col("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"))
+      .select(col("k"), col("n_nodes"), col("n_edges"),
+        when(col("n_nodes") >= 2L,
+          expr("cast((cast(n_edges as decimal(38,0)) * 2 * 1000000) div " +
+            "(cast(n_nodes as decimal(38,0)) * (n_nodes - 1)) as bigint)"))
+          .otherwise(0L).as("phi_ppm"))
+  }
 }

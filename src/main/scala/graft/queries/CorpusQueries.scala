@@ -2860,4 +2860,49 @@ object CorpusQueries {
        |FROM base b
        |LEFT JOIN kp ON kp.source = b.source
        |LEFT JOIN ps ON ps.source = b.source""".stripMargin
+
+  // ---- x70: tokenizer fertility by language ------------------------
+
+  /** x70: TOKENIZER FERTILITY BY LANGUAGE — tokens-per-word on the
+    * held-out split, reported per language: the standard multilingual
+    * tokenizer-quality metric (a merge table trained on an
+    * English-heavy mix over-segments the other languages; fertility
+    * is the number that says by how much, and drives vocab-size and
+    * mixing decisions). Consumes x68's per-document accounting (the
+    * same train→apply lifecycle, so the three artifacts — x67's
+    * table, x68's counts, this report — cannot drift apart) and
+    * closes with one language join + rollup; fertility ships in ppm
+    * via integer division of exact token/word sums (carried through
+    * decimal(38,0) — 10⁶·Σtokens outgrows a long at ~10¹³ tokens per
+    * language, i.e. exactly the corpus size this report exists for).
+    *
+    * 100 TB shape: everything corpus-sized is inside x68 (one
+    * explode + one partial-agg groupBy; BPE work is vocab-bounded);
+    * this adds one doc-keyed join against a two-column projection of
+    * documents and a ≤|langs|-row closing agg. */
+  def x70TokenFertility(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = x68BpeApplyHeldout(spark, dir)
+    perDoc
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+        expr("cast((cast(n_tokens as decimal(38,0)) * 1000000) " +
+          "div n_words as bigint)").as("fertility_ppm"))
+  }
+
+  val x70Sql: String =
+    s"""WITH pd AS MATERIALIZED (SELECT * FROM (
+       |$x68Sql
+       |))
+       |SELECT d.lang, count(*) AS n_docs,
+       |  CAST(sum(pd.n_words) AS BIGINT) AS n_words,
+       |  CAST(sum(pd.n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(CAST(sum(pd.n_tokens) AS HUGEINT) * 1000000 //
+       |    sum(pd.n_words) AS BIGINT) AS fertility_ppm
+       |FROM pd JOIN documents d ON d.doc_id = pd.doc_id
+       |GROUP BY 1""".stripMargin
 }

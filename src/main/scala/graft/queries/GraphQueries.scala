@@ -616,6 +616,40 @@ object GraphQueries {
           "(cast(n_a as decimal(38,0)) * n_b) as bigint)").as("lift_ppm"))
   }
 
+  /** g17: RICH-CLUB coefficient curve of the d6 near-dup graph — at
+    * each degree threshold k, how densely the over-k-degree nodes
+    * (the template hubs) interlink (Graph.richClub): φ(k) rising
+    * with k means the heaviest duplicators duplicate EACH OTHER (one
+    * boilerplate ecosystem — collapse them together); flat-or-falling
+    * means independent families (d9's per-component survivors are
+    * safe). The thresholds sweep k = 1..4, bracketing the graph's
+    * degree mass. */
+  def g17RichClub(spark: SparkSession, dir: String): DataFrame =
+    Graph.richClub(LlmQueries.d6SimhashPairs(spark, dir), ks = Seq(1, 2, 3, 4))
+
+  val g17Sql: String =
+    s"""WITH pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM (
+       |${LlmQueries.d6Sql}
+       |)),
+       |sym AS MATERIALIZED (SELECT doc_a AS s FROM pairs
+       |  UNION ALL SELECT doc_b FROM pairs),
+       |deg AS MATERIALIZED (SELECT s, count(*) AS deg FROM sym GROUP BY 1),
+       |ks AS (SELECT CAST(unnest([1, 2, 3, 4]) AS BIGINT) AS k),
+       |ed AS (SELECT p.doc_a, p.doc_b, a.deg AS da, b.deg AS db
+       |  FROM pairs p JOIN deg a ON a.s = p.doc_a
+       |  JOIN deg b ON b.s = p.doc_b),
+       |ek AS (SELECT k, count(*) AS n_edges FROM ks JOIN ed
+       |  ON da > k AND db > k GROUP BY 1),
+       |nk AS (SELECT k, count(*) AS n_nodes FROM ks JOIN deg
+       |  ON deg > k GROUP BY 1)
+       |SELECT nk.k, nk.n_nodes,
+       |  CAST(coalesce(ek.n_edges, 0) AS BIGINT) AS n_edges,
+       |  CASE WHEN nk.n_nodes >= 2 THEN
+       |    CAST(CAST(coalesce(ek.n_edges, 0) AS HUGEINT) * 2 * 1000000 //
+       |      (CAST(nk.n_nodes AS HUGEINT) * (nk.n_nodes - 1)) AS BIGINT)
+       |  ELSE 0 END AS phi_ppm
+       |FROM nk LEFT JOIN ek ON nk.k = ek.k""".stripMargin
+
   val g16Sql: String =
     """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,
       |    l_partkey AS p FROM lineitem),

@@ -1766,4 +1766,79 @@ object MediaQueries {
       |    AS max_idr_pic_id,
       |  CAST(4 + doc_id % 3 AS INT) AS frame_num_bits
       |FROM c GROUP BY doc_id""".stripMargin
+
+  /** m31: PCM CLIPPING / DC-OFFSET audit — the gain-staging QA pass
+    * an audio-ingest pipeline runs before any feature extraction
+    * (m5's energies are meaningless on a clipped capture, and a DC
+    * bias poisons every spectral feature downstream): per clip, the
+    * count of full-scale samples (== ±full scale — the distortion
+    * telltale), the exact DC sum (offset = dc_sum/n, kept as the
+    * integer numerator), the peak amplitude, and the LONGEST RUN of
+    * consecutive clipped samples (one stray full-scale sample is
+    * noise; a 50-sample flat top is real distortion — run length is
+    * the discriminator). The fixture drives a hot signal through
+    * the REAL WAV encode→decode round trip: deterministic PCM at 2×
+    * gain, clamped to int16 — about half the samples clip, in runs,
+    * exactly the waveform this audit exists to flag. The run walk is
+    * row-local inside the partition-scoped decode (the m10 argument:
+    * runs never span rows); PCM is lossless, so the oracle restates
+    * samples, clamp, and islands arithmetically — any decode defect
+    * breaks the hash.
+    *
+    * 100 TB shape: m3/m5's exactly — waveform bytes never leave the
+    * decode partition; one small row per clip reaches the sink. */
+  def m31ClippingAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{Codecs, Multimodal}
+    Tables.spread(Tables.documents(spark, dir).select(col("doc_id"))).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = (64 + id % 97).toInt
+          val samples = Array.tabulate(n) { i =>
+            val base = ((id * 31 + i.toLong * 97) % 65536) - 32768
+            math.max(-32768L, math.min(32767L, 2L * base)).toShort
+          }
+          val wav = Codecs.WavCodec.encodePcm16(8000, 1, samples)
+          val meta = Codecs.AutoCodec.decode(
+            Multimodal.MediaRecord(id, "audio", wav))
+          val (_, back) = Codecs.WavCodec.decodePcm16(wav)
+          require(meta.n_frames == n && back.length == n,
+            s"wav sample count mismatch for doc $id")
+          var nClip = 0; var dc = 0L; var peak = 0
+          var run = 0; var maxRun = 0
+          back.foreach { s0 =>
+            val s = s0.toInt
+            dc += s; peak = math.max(peak, math.abs(s))
+            if (s == 32767 || s == -32768) {
+              nClip += 1; run += 1; maxRun = math.max(maxRun, run)
+            } else run = 0
+          }
+          (id, n, nClip, dc, peak, maxRun)
+        }
+      }.toDF("doc_id", "n_samples", "n_clipped", "dc_sum", "peak",
+        "max_clip_run")
+  }
+
+  val m31Sql: String =
+    """WITH s AS (SELECT doc_id, CAST(64 + doc_id % 97 AS INT) AS n,
+      |    list_transform(range(64 + doc_id % 97),
+      |      i -> greatest(-32768, least(32767,
+      |        2 * ((doc_id * 31 + i * 97) % 65536 - 32768)))) AS pcm
+      |  FROM documents),
+      |cl AS (SELECT doc_id, i
+      |  FROM s, unnest(range(len(pcm))) r(i)
+      |  WHERE pcm[CAST(i + 1 AS INT)] IN (32767, -32768)),
+      |rn AS (SELECT doc_id, i, row_number() OVER
+      |    (PARTITION BY doc_id ORDER BY i) AS k FROM cl),
+      |runs AS (SELECT doc_id, count(*) AS len
+      |  FROM rn GROUP BY doc_id, i - k),
+      |mx AS (SELECT doc_id, max(len) AS max_run FROM runs GROUP BY 1)
+      |SELECT s.doc_id, s.n AS n_samples,
+      |  CAST(len(list_filter(pcm, v -> v IN (32767, -32768))) AS INT)
+      |    AS n_clipped,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), pcm),
+      |    (a, b) -> a + b) AS BIGINT) AS dc_sum,
+      |  CAST(list_max(list_transform(pcm, v -> abs(v))) AS INT) AS peak,
+      |  CAST(coalesce(mx.max_run, 0) AS INT) AS max_clip_run
+      |FROM s LEFT JOIN mx ON mx.doc_id = s.doc_id""".stripMargin
 }

@@ -1,0 +1,214 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Round-11 relational additions: the nonparametric-statistics
+  * shapes the r-family had not yet covered — the Mann-Whitney U
+  * rank test (r76: do two order-priority classes draw from the same
+  * spend distribution), Kendall rank concordance (r77: the
+  * tie-aware monotone-trend complement of r73's Theil-Sen slope),
+  * and the Benford first-digit audit (r78: the classic
+  * fraud/data-quality screen over order amounts).
+  *
+  * All three follow the family's exactness discipline (r71's
+  * lesson): every statistic is DEFINED over exact integers — counts,
+  * concordance tallies, ppm ratios via integer division with an
+  * explicit sign split (Spark's `div` truncates toward zero while
+  * DuckDB's `//` floors, so negative numerators only ever divide as
+  * `sign · (abs div den)`) — and nothing fractional, decimal-typed,
+  * or double-rounded crosses the output edge.
+  */
+object Relational6 {
+
+  // ---- r76: Mann-Whitney U test ------------------------------------
+
+  /** r76: MANN-WHITNEY U between URGENT and LOW order spend — "does
+    * priority shift the spend distribution" answered without any
+    * normality assumption. U_A counts cross-group wins:
+    * #{(a,b): a > b} + ½·#{a = b}; doubling clears the half, so the
+    * emitted u2_a = 2·U_A is an exact integer, and u2_b follows from
+    * the identity u2_a + u2_b = 2·n_a·n_b (emitting both lets a
+    * reader check the identity on sight).
+    *
+    * Formulation: collapse each group to per-VALUE counts (cents →
+    * n_a, n_b), then one ordered pass over the merged value axis —
+    * a running sum of B-counts strictly below each value gives every
+    * A-observation's win count in O(|values|): u2_a =
+    * Σ_v n_a(v)·(2·cumB_below(v) + n_b(v)).
+    *
+    * 100 TB shape: the fact table collapses via ONE partial-agg
+    * groupBy to the value dimension (distinct cents ≪ corpus); the
+    * ordered pass is a single window over that dimension. The win
+    * products are carried in decimal(38,0) — u2 ≤ 2·n_a·n_b
+    * overflows a long once both groups pass ~2·10⁹ rows — and cast
+    * to BIGINT only at the edge (past ~4·10⁹ rows per group, emit
+    * u2 in thousandths via integer division; documented escalation,
+    * 3 decimal orders of headroom before it matters). */
+  def mannWhitney(ordersIn: DataFrame, prioA: String,
+      prioB: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cents = ordersIn
+      .filter(col("o_orderpriority").isin(prioA, prioB))
+      .select(floor(col("o_totalprice") * 100).cast("long").as("v"),
+        when(col("o_orderpriority") === prioA, 1L).otherwise(0L).as("a"),
+        when(col("o_orderpriority") === prioB, 1L).otherwise(0L).as("b"))
+      .groupBy(col("v"))
+      .agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cents
+      .withColumn("cumb", coalesce(sum(col("nb")).over(w), lit(0L)))
+      .agg(sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"),
+        sum(expr(s"cast(na as $dec) * (2 * cumb + nb)")).as("u2d"))
+      .select(col("n_a"), col("n_b"),
+        expr("cast(u2d as bigint)").as("u2_a"),
+        expr("cast(cast(2 as decimal(38,0)) * n_a * n_b - u2d as bigint)")
+          .as("u2_b"))
+  }
+
+  def r76MannWhitney(spark: SparkSession, dir: String): DataFrame =
+    mannWhitney(Tables.orders(spark, dir), "1-URGENT", "5-LOW")
+
+  val r76Sql: String =
+    """WITH c AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v,
+      |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS a,
+      |    CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS b
+      |  FROM orders
+      |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+      |g AS (SELECT v, CAST(sum(a) AS BIGINT) AS na,
+      |    CAST(sum(b) AS BIGINT) AS nb FROM c GROUP BY 1),
+      |r AS (SELECT na, nb, coalesce(CAST(sum(nb) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      |    0) AS cumb FROM g),
+      |agg AS (SELECT CAST(sum(na) AS BIGINT) AS n_a,
+      |    CAST(sum(nb) AS BIGINT) AS n_b,
+      |    sum(CAST(na AS HUGEINT) * (2 * cumb + nb)) AS u2d
+      |  FROM r)
+      |SELECT n_a, n_b, CAST(u2d AS BIGINT) AS u2_a,
+      |  CAST(2 * CAST(n_a AS HUGEINT) * n_b - u2d AS BIGINT) AS u2_b
+      |FROM agg""".stripMargin
+
+  // ---- r77: Kendall rank concordance --------------------------------
+
+  /** r77: KENDALL CONCORDANCE of daily revenue against time, per
+    * event type — the rank complement of r73's Theil-Sen slope
+    * (r73 answers "how steep", this answers "how consistently
+    * monotone", robust to any monotone transform of the series).
+    * Over the same dense daily series, every day pair (i < j)
+    * tallies as concordant (y_j > y_i), discordant (y_j < y_i), or
+    * tied in y; days are distinct so x carries no ties and
+    * n_pairs = nc + nd + n_ties. tau_a ships in ppm via the
+    * sign-split integer division — (nc − nd) can be negative, and
+    * `sign · ((|nc − nd|·10⁶) div n_pairs)` is the one spelling
+    * truncating (Spark) and flooring (DuckDB) division agree on.
+    * The tie-corrected tau_b needs a square root, so the exact
+    * integers it derives from (nc, nd, n_ties, n_pairs) ship
+    * instead and the reader applies the radical — nothing IEEE
+    * crosses the gate.
+    *
+    * 100 TB shape: ONE partial-agg pass collapses the fact table to
+    * |type|·|days| rows; the pair tally is a per-type self-join over
+    * that tiny dimension (90 days → 4 005 pairs). A multi-year
+    * series escalates to the O(n log n) merge-sort inversion count
+    * (documented), not needed at calendar cardinality. */
+  def kendallDaily(eventsIn: DataFrame): DataFrame = {
+    val daily = eventsIn
+      .groupBy(col("event_type"),
+        (unix_micros(date_trunc("day", col("ts"))) / 86400000000L)
+          .cast("long").as("d"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("y"))
+    val pairs = daily.alias("a").join(daily.alias("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.d") < col("b.d"))
+      .select(col("a.event_type").as("event_type"),
+        signum(col("b.y") - col("a.y")).cast("long").as("s"))
+    pairs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("s") === 1L, 1L).otherwise(0L)).as("nc"),
+        sum(when(col("s") === -1L, 1L).otherwise(0L)).as("nd"),
+        sum(when(col("s") === 0L, 1L).otherwise(0L)).as("n_ties"))
+      .select(col("event_type"), col("n_pairs"), col("nc"), col("nd"),
+        col("n_ties"),
+        (signum(col("nc") - col("nd")).cast("long") *
+          expr("(abs(nc - nd) * 1000000) div n_pairs")).as("tau_a_ppm"))
+  }
+
+  def r77Kendall(spark: SparkSession, dir: String): DataFrame =
+    kendallDaily(Tables.events(spark, dir))
+
+  val r77Sql: String =
+    """WITH daily AS MATERIALIZED (SELECT event_type,
+      |    epoch_us(date_trunc('day', ts)) // 86400000000 AS d,
+      |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |pr AS (SELECT a.event_type,
+      |    CAST(sign(b.y - a.y) AS BIGINT) AS s
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND a.d < b.d),
+      |t AS (SELECT event_type, count(*) AS n_pairs,
+      |    CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+      |    CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+      |    CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ties
+      |  FROM pr GROUP BY 1)
+      |SELECT event_type, n_pairs, nc, nd, n_ties,
+      |  CAST(sign(nc - nd) AS BIGINT) *
+      |    (abs(nc - nd) * 1000000 // n_pairs) AS tau_a_ppm
+      |FROM t""".stripMargin
+
+  // ---- r78: Benford first-digit audit --------------------------------
+
+  /** r78: BENFORD'S-LAW first-digit audit of order amounts — the
+    * standard forensic screen for fabricated or systematically
+    * rounded figures. Each positive amount (in cents) contributes
+    * its leading decimal digit; the observed digit shares compare
+    * against Benford's log₁₀(1 + 1/d), PRE-QUANTIZED to the nine
+    * ppm constants below so the reference distribution is a shared
+    * integer literal, not an engine-evaluated logarithm. The leading
+    * digit comes off the decimal string of the BIGINT cents — both
+    * engines print a positive BIGINT identically, and no float
+    * log/pow (whose edge cases at exact powers of ten differ) gets
+    * near the digit.
+    *
+    * 100 TB shape: ONE partial-agg pass collapses the fact table to
+    * ≤ 9 digit rows; the total re-joins by a 9-row window sum. */
+  def benford(ordersIn: DataFrame): DataFrame = {
+    val expPpm = Seq(301029L, 176091L, 124938L, 96910L,
+      79181L, 66946L, 57991L, 51152L, 45757L)
+    val digits = ordersIn
+      .select(floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .filter(col("cents") > 0L)
+      .select(substring(col("cents").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val w = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    digits
+      .withColumn("total", sum(col("n")).over(w))
+      .withColumn("obs_ppm", expr("(n * 1000000) div total"))
+      .withColumn("exp_ppm",
+        element_at(array(expPpm.map(lit): _*), col("digit").cast("int")))
+      .select(col("digit"), col("n"), col("obs_ppm"), col("exp_ppm"),
+        abs(col("obs_ppm") - col("exp_ppm")).as("dev_ppm"))
+  }
+
+  def r78Benford(spark: SparkSession, dir: String): DataFrame =
+    benford(Tables.orders(spark, dir))
+
+  val r78Sql: String =
+    """WITH c AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+      |    AS digit FROM c WHERE cents > 0),
+      |g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+      |t AS (SELECT digit, n, CAST(sum(n) OVER () AS BIGINT) AS total FROM g)
+      |SELECT digit, n, CAST(n * 1000000 // total AS BIGINT) AS obs_ppm,
+      |  CAST(([301029, 176091, 124938, 96910, 79181, 66946, 57991, 51152,
+      |    45757])[digit] AS BIGINT) AS exp_ppm,
+      |  CAST(abs(n * 1000000 // total -
+      |    ([301029, 176091, 124938, 96910, 79181, 66946, 57991, 51152,
+      |      45757])[digit]) AS BIGINT) AS dev_ppm
+      |FROM t""".stripMargin
+}

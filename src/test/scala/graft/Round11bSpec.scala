@@ -1,0 +1,160 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.queries.{CorpusQueries, MediaQueries, Relational6}
+import graft.operators.Graph
+
+/** Round-11 additions, part 2: the nonparametric statistics trio
+  * (r76 Mann-Whitney, r77 Kendall, r78 Benford), the rich-club
+  * curve (g17), tokenizer fertility (x70), and the PCM clipping
+  * audit (m31). Every test cross-checks the distributed plan against
+  * an independent driver-side brute force on the same data.
+  */
+class Round11bSpec extends SparkTestBase {
+  import testImplicits._
+
+  private def ordersDf(rows: Seq[(Long, String, Double)]) =
+    rows.toDF("o_custkey", "o_orderpriority", "o_totalprice")
+      .withColumn("o_orderkey", col("o_custkey"))
+
+  test("r76 Mann-Whitney u2 matches the quadratic brute force, ties included") {
+    // values engineered with cross-group ties (30.00 appears in both)
+    val a = Seq(10.00, 30.00, 30.00, 55.10, 99.99)
+    val b = Seq(5.00, 30.00, 42.42, 55.10)
+    val rows = a.map(v => (1L, "1-URGENT", v)) ++
+      b.map(v => (2L, "5-LOW", v)) ++
+      Seq((3L, "3-MEDIUM", 77.77)) // excluded priority must not count
+    val out = Relational6.mannWhitney(ordersDf(rows), "1-URGENT", "5-LOW")
+      .collect().head
+    val ac = a.map(v => math.floor(v * 100).toLong)
+    val bc = b.map(v => math.floor(v * 100).toLong)
+    val u2 = (for (x <- ac; y <- bc) yield {
+      if (x > y) 2L else if (x == y) 1L else 0L
+    }).sum
+    assert(out.getAs[Long]("n_a") === a.length.toLong)
+    assert(out.getAs[Long]("n_b") === b.length.toLong)
+    assert(out.getAs[Long]("u2_a") === u2)
+    assert(out.getAs[Long]("u2_b") ===
+      2L * a.length * b.length - u2)
+  }
+
+  test("r77 Kendall tallies match the brute force; sign-split division is floor-free") {
+    // one strictly increasing series (tau = +1), one with a tie and a
+    // reversal so nc - nd goes NEGATIVE and the sign split is exercised
+    def ev(ty: String, day: Int, v: Double) =
+      (ty, Timestamp.valueOf(f"2024-01-${day + 1}%02d 10:00:00"), v, 1L, s"$ty$day")
+    val rows =
+      (0 until 4).map(d => ev("up", d, 10.0 * (d + 1))) ++
+        Seq(ev("dn", 0, 90.0), ev("dn", 1, 50.0), ev("dn", 2, 50.0),
+          ev("dn", 3, 10.0))
+    val df = rows.toDF("event_type", "ts", "value", "user_id", "event_id")
+    val out = Relational6.kendallDaily(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    def brute(ys: Seq[Long]): (Long, Long, Long) = {
+      val ps = for (i <- ys.indices; j <- ys.indices if i < j)
+        yield math.signum(ys(j) - ys(i)).toLong
+      (ps.count(_ == 1L).toLong, ps.count(_ == -1L).toLong,
+        ps.count(_ == 0L).toLong)
+    }
+    val (ncU, ndU, ntU) = brute(Seq(1000L, 2000L, 3000L, 4000L))
+    assert(out("up").getAs[Long]("nc") === ncU)
+    assert(out("up").getAs[Long]("tau_a_ppm") === 1000000L)
+    val ysD = Seq(9000L, 5000L, 5000L, 1000L)
+    val (ncD, ndD, ntD) = brute(ysD)
+    assert(out("dn").getAs[Long]("nc") === ncD)
+    assert(out("dn").getAs[Long]("nd") === ndD)
+    assert(out("dn").getAs[Long]("n_ties") === ntD)
+    val nPairs = out("dn").getAs[Long]("n_pairs")
+    assert(nPairs === ncD + ndD + ntD)
+    val expected = math.signum(ncD - ndD) *
+      (math.abs(ncD - ndD) * 1000000L / nPairs)
+    assert(out("dn").getAs[Long]("tau_a_ppm") === expected)
+    assert(out("dn").getAs[Long]("tau_a_ppm") < 0L)
+  }
+
+  test("r78 Benford digits, shares, and deviations match the brute force") {
+    // amounts covering every leading digit incl. multi-occurrence
+    val cents = Seq(101L, 123L, 2000L, 2999L, 30000L, 4L, 5L, 60L,
+      70L, 80L, 90L, 95L)
+    val rows = cents.zipWithIndex.map { case (c, i) =>
+      (i.toLong, "1-URGENT", c / 100.0 + 1e-9) } // +eps: floor-safe
+    val out = Relational6.benford(ordersDf(rows)).collect()
+      .map(r => r.getAs[Long]("digit") -> r).toMap
+    val digits = cents.map(_.toString.head.asDigit.toLong)
+    val byD = digits.groupBy(identity).view.mapValues(_.length.toLong)
+    val total = digits.length.toLong
+    val exp = Map(1L -> 301029L, 2L -> 176091L, 3L -> 124938L,
+      4L -> 96910L, 5L -> 79181L, 6L -> 66946L, 7L -> 57991L,
+      8L -> 51152L, 9L -> 45757L)
+    assert(out.keySet === byD.keys.toSet)
+    for ((d, n) <- byD) {
+      assert(out(d).getAs[Long]("n") === n)
+      val obs = n * 1000000L / total
+      assert(out(d).getAs[Long]("obs_ppm") === obs)
+      assert(out(d).getAs[Long]("exp_ppm") === exp(d))
+      assert(out(d).getAs[Long]("dev_ppm") === math.abs(obs - exp(d)))
+    }
+  }
+
+  test("g17 rich-club curve matches the brute force on a hub clique + leaves") {
+    // 4-clique of hubs {1,2,3,4} (degree 3 + leaves), node 1..4 each
+    // with one leaf (10x) — so k=3 keeps only the clique
+    val clique = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val leaves = (1L to 4L).map(i => (i, 10L + i))
+    val pairs = (clique ++ leaves).toDF("doc_a", "doc_b")
+    val out = Graph.richClub(pairs, Seq(1, 2, 3, 4))
+      .collect().map(r => r.getAs[Long]("k") -> r).toMap
+    // degrees: hubs 4 (3 clique + 1 leaf), leaves 1
+    assert(out(1L).getAs[Long]("n_nodes") === 4L) // hubs only
+    assert(out(1L).getAs[Long]("n_edges") === 6L) // the clique
+    assert(out(1L).getAs[Long]("phi_ppm") === 1000000L) // complete
+    assert(out(3L).getAs[Long]("n_nodes") === 4L)
+    assert(out(3L).getAs[Long]("phi_ppm") === 1000000L)
+    assert(!out.contains(4L))
+  }
+
+  test("m31 clipping audit agrees with a driver-side restatement of the fixture") {
+    val out = MediaQueries.m31ClippingAudit(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.take(50).foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val n = (64 + id % 97).toInt
+      val pcm = Array.tabulate(n) { i =>
+        val base = ((id * 31 + i.toLong * 97) % 65536) - 32768
+        math.max(-32768L, math.min(32767L, 2L * base)).toInt
+      }
+      def clipped(s: Int) = s == 32767 || s == -32768
+      var run = 0; var maxRun = 0
+      pcm.foreach { s =>
+        if (clipped(s)) { run += 1; maxRun = math.max(maxRun, run) }
+        else run = 0
+      }
+      assert(r.getAs[Int]("n_samples") === n)
+      assert(r.getAs[Int]("n_clipped") === pcm.count(clipped))
+      assert(r.getAs[Long]("dc_sum") === pcm.map(_.toLong).sum)
+      assert(r.getAs[Int]("peak") === pcm.map(math.abs).max)
+      assert(r.getAs[Int]("max_clip_run") === maxRun)
+    }
+    // the fixture must actually exercise the audit: real clipping, in runs
+    assert(out.exists(_.getAs[Int]("max_clip_run") >= 2))
+  }
+
+  test("x70 fertility: per-language sums reconcile with x68 and fertility >= 1e6") {
+    val x70 = CorpusQueries.x70TokenFertility(spark, sf).collect()
+    val x68 = CorpusQueries.x68BpeApplyHeldout(spark, sf)
+      .agg(sum("n_words"), sum("n_tokens")).collect().head
+    assert(x70.map(_.getAs[Long]("n_words")).sum === x68.getLong(0))
+    assert(x70.map(_.getAs[Long]("n_tokens")).sum === x68.getLong(1))
+    x70.foreach { r =>
+      // BPE merging only ever joins characters: token count per word
+      // is >= 1, so fertility (tokens per word) is >= 1.0
+      assert(r.getAs[Long]("n_tokens") >= r.getAs[Long]("n_words"))
+      assert(r.getAs[Long]("fertility_ppm") >= 1000000L)
+      val expected = (BigInt(r.getAs[Long]("n_tokens")) * 1000000 /
+        BigInt(r.getAs[Long]("n_words"))).toLong
+      assert(r.getAs[Long]("fertility_ppm") === expected)
+    }
+  }
+}
