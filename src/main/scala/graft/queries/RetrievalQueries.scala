@@ -258,6 +258,19 @@ object RetrievalQueries {
     * exists for). */
   val lexBuckets = 64
 
+  /** Run independent Spark ACTIONS (sink writes of already-pinned
+    * inputs) as concurrent jobs and wait for all: each action still
+    * sees the full session, the scheduler interleaves their stages
+    * across the executor pool. Failures rethrow on the caller. */
+  private def awaitAll(actions: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(
+      Future.sequence(actions.map(a => Future(a()))), Duration.Inf)
+    ()
+  }
+
   /** Foldable bucket-pruning predicate: the same murmur3 the writer
     * used, applied to the query-term LITERALS, so the optimizer
     * folds each to an int and the scan prunes to ≤|terms| bucket
@@ -277,19 +290,26 @@ object RetrievalQueries {
     // times, once inside each writer's plan
     val tok = docs.select(col("doc_id"),
       TextFunctions.tokens(col("text")).as("toks")).localCheckpoint(true)
-    tok.select(col("doc_id"), explode(col("toks")).as("term"))
-      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
-      .withColumn("tbkt", pmod(hash(col("term")), lit(lexBuckets)))
-      // co-locate each bucket before the write: one task owns a
-      // bucket's postings, so the layout is B directories × a few
-      // row-group-sized files instead of tasks × B stripes
-      .repartition(lexBuckets, col("tbkt"))
-      .write.mode("overwrite").partitionBy("tbkt").parquet(s"$base/postings")
     val dl = tok.select(col("doc_id"),
       size(col("toks")).cast("long").as("dl"))
-    dl.write.mode("overwrite").parquet(s"$base/doclen")
-    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
-      .write.mode("overwrite").parquet(s"$base/stats")
+    // the three sinks are independent reads of the SAME pinned token
+    // frame — submit them as concurrent jobs (the scheduler overlaps
+    // them across the executor pool; on a cluster this is the normal
+    // multi-sink build shape, and at toy scale it folds three
+    // job-submission floors into one wall-clock wait)
+    awaitAll(
+      () => tok.select(col("doc_id"), explode(col("toks")).as("term"))
+        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+        .withColumn("tbkt", pmod(hash(col("term")), lit(lexBuckets)))
+        // co-locate each bucket before the write: one task owns a
+        // bucket's postings, so the layout is B directories × a few
+        // row-group-sized files instead of tasks × B stripes
+        .repartition(lexBuckets, col("tbkt"))
+        .write.mode("overwrite").partitionBy("tbkt")
+        .parquet(s"$base/postings"),
+      () => dl.write.mode("overwrite").parquet(s"$base/doclen"),
+      () => dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+        .write.mode("overwrite").parquet(s"$base/stats"))
     // serve: bucket-pruned postings scan (tbkt prunes directories,
     // term filters inside them) + df re-derivation + keyed doclen join
     val post = spark.read.parquet(s"$base/postings")
@@ -372,29 +392,45 @@ object RetrievalQueries {
       size(col("toks")).cast("long").as("dl"))
     def stats(t: DataFrame) = doclen(t)
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
-    // build (standing corpus only) — term-hash-bucketed like x40
+    // build (standing corpus only) — term-hash-bucketed like x40,
+    // three independent sinks off one pinned frame → concurrent
+    // jobs; the BATCH tokenize has no dependency on any of them, so
+    // it rides the same wave (the appends below, which DO share
+    // directories with the overwrites, start only after the await)
     val tokStanding = tok(standing)
-    postings(tokStanding).write.mode("overwrite")
-      .partitionBy("tbkt").parquet(s"$base/postings")
-    doclen(tokStanding).write.mode("overwrite").parquet(s"$base/doclen")
-    stats(tokStanding).write.mode("overwrite").parquet(s"$base/stats")
-    // incremental update: batch-only passes, append + exact stats merge
-    val tokBatch = tok(batch)
-    postings(tokBatch).write.mode("append")
-      .partitionBy("tbkt").parquet(s"$base/postings")
-    doclen(tokBatch).write.mode("append").parquet(s"$base/doclen")
+    var tokBatch: DataFrame = null
+    awaitAll(
+      () => postings(tokStanding).write.mode("overwrite")
+        .partitionBy("tbkt").parquet(s"$base/postings"),
+      () => doclen(tokStanding).write.mode("overwrite")
+        .parquet(s"$base/doclen"),
+      () => stats(tokStanding).write.mode("overwrite")
+        .parquet(s"$base/stats"),
+      () => tokBatch = tok(batch))
+    // incremental update: batch-only passes, append + exact stats
+    // merge; the two appends land in DIFFERENT directories →
+    // concurrent too
+    awaitAll(
+      () => postings(tokBatch).write.mode("append")
+        .partitionBy("tbkt").parquet(s"$base/postings"),
+      () => doclen(tokBatch).write.mode("append")
+        .parquet(s"$base/doclen"))
     val merged = spark.read.parquet(s"$base/stats")
       .unionByName(stats(tokBatch))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_dl")).as("total_dl"))
       .collect()(0)
     import spark.implicits._
-    Seq((merged.getLong(0), merged.getLong(1))).toDF("n_docs", "total_dl")
-      .write.mode("overwrite").parquet(s"$base/stats_merged")
+    val mergedStats = Seq((merged.getLong(0), merged.getLong(1)))
+      .toDF("n_docs", "total_dl")
+    // persist the merged stats row (the lifecycle artifact the next
+    // ingest reads) but SERVE from the in-memory frame — the serve
+    // plan needs no read-back of a row we just computed
+    mergedStats.write.mode("overwrite").parquet(s"$base/stats_merged")
     // serve from the updated index (same bucket-pruned path as x40)
     val post = spark.read.parquet(s"$base/postings")
       .where(bucketPred(ts) && col("term").isin(ts: _*))
     bm25ServeFrom(post, spark.read.parquet(s"$base/doclen"),
-      spark.read.parquet(s"$base/stats_merged"), ts)
+      mergedStats, ts)
   }
 
   /** Full-corpus x28 — the updated index must be indistinguishable

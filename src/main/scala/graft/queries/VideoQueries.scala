@@ -952,19 +952,21 @@ object VideoQueries {
     *
     * 100 TB shape: the association edge list is tiny relative to the
     * scan, and it is not a general graph — the argmax gives every
-    * box AT MOST ONE parent, and every edge points to a strictly
-    * EARLIER frame, so the edge set is a FOREST whose component
-    * minimum is exactly its root (the packed node id is monotone in
-    * frame within a video). Closure therefore runs as FIND-ROOT by
-    * pointer jumping — parent ← parent(parent) — which squares the
-    * hop distance per round: O(log track-length) self-join rounds over
-    * ONE snapshotted parent map, instead of generic CC's symmetric
-    * closure + O(diameter) min-label rounds. Convergence is the same
-    * monotone invariant CC uses (parents only ever decrease). The
+    * box AT MOST ONE parent, every edge points to a strictly
+    * EARLIER frame (so parents strictly decrease in the packed id
+    * and no cycle exists), and NO CHAIN EVER SPANS VIDEOS. That last
+    * invariant is the whole plan: ONE hash repartition on video_id
+    * co-locates each video's forest, and find-root closes it
+    * IN-PARTITION with a path-compressing parent walk — the m10
+    * "runs never span rows" argument applied to track chains. No
+    * iteration, no snapshots: one shuffle of the (tiny) edge list +
+    * one narrow pass, where the previous pointer-jumping spelling
+    * paid O(log track-length) join+materialize rounds for the same
+    * answer. Per-partition state is bounded by the partition's edge
+    * count (boxes ≪ corpus; a partition holds whole videos). The
     * final label attach is one left join back to the box relation:
     * unmatched boxes and roots label themselves. */
   def tracklets(boxes: DataFrame): DataFrame = {
-    import graft.Engine.SnapshotOps
     import graft.functions.TextFunctions
     def node(v: org.apache.spark.sql.Column, f: org.apache.spark.sql.Column,
         r: org.apache.spark.sql.Column) =
@@ -973,45 +975,35 @@ object VideoQueries {
     val assoc = trackAssociation(boxes)
     val spark = boxes.sparkSession
     import spark.implicits._
-    var p = assoc.select(
-      node(col("video_id"), col("frame_id"), col("box_ref")).as("node"),
-      node(col("video_id"), col("prev_frame"), col("prev_ref")).as("parent"))
-      .snapshot()
-    var converged = false
-    var iter = 0
-    while (!converged && iter < 40) {
-      // the convergence probe rides the snapshot job via a
-      // changed-row accumulator (the Components discipline): one
-      // Spark job per jump round, and retries can only over-count —
-      // a zero-change round's retries add 0, so the fixpoint test
-      // stays exact
-      val changed = spark.sparkContext.longAccumulator(s"tracklet-jump-$iter")
-      val next = p.alias("c")
-        .join(p.select(col("node").as("pn"), col("parent").as("pp")),
-          col("parent") === col("pn"), "left")
-        .select(col("node"),
-          coalesce(col("pp"), col("parent")).as("parent"),
-          col("parent").as("old"))
-        .as[(Long, Long, Long)]
-        .mapPartitions { it =>
-          it.map { case (n, np, op) =>
-            if (np != op) changed.add(1L)
-            (n, np)
+    val roots = assoc.select(col("video_id"),
+        node(col("video_id"), col("frame_id"), col("box_ref")).as("node"),
+        node(col("video_id"), col("prev_frame"), col("prev_ref"))
+          .as("parent"))
+      .repartition(col("video_id"))
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        val parent = new java.util.HashMap[Long, Long]()
+        val nodes = scala.collection.mutable.ArrayBuffer[Long]()
+        it.foreach { case (_, n, p) => parent.put(n, p); nodes += n }
+        // find-root with full path compression; parents strictly
+        // decrease (earlier frame ⇒ smaller packed id), so the walk
+        // terminates and the root IS the chain minimum
+        def root(x: Long): Long = {
+          var r = x
+          while (parent.containsKey(r)) r = parent.get(r)
+          var c = x
+          while (parent.containsKey(c) && parent.get(c) != r) {
+            val nxt = parent.get(c); parent.put(c, r); c = nxt
           }
+          r
         }
-        .toDF("node", "parent")
-        .snapshot()
-      p.unpersist()
-      p = next
-      converged = changed.value == 0L
-      iter += 1
-    }
-    require(converged, s"tracklets pointer jumping did not converge")
+        nodes.iterator.map(n => (n, root(n)))
+      }
+      .toDF("node", "cluster")
     boxes
       .select(col("video_id"), col("frame_id"), col("box_ref"),
         node(col("video_id"), col("frame_id"), col("box_ref")).as("node"))
-      .join(p.select(col("node"), col("parent").as("cluster")),
-        Seq("node"), "left")
+      .join(roots, Seq("node"), "left")
       .select(col("video_id"), col("frame_id"), col("box_ref"),
         coalesce(col("cluster"), col("node")).as("tracklet_id"))
   }
