@@ -785,6 +785,31 @@ object Codecs {
 
     def index(data: Array[Byte]): Mp4Index = indexAndNalTypes(data)._1
 
+    /** The stss sync-sample list (1-based sample numbers), parsed
+      * from the same box walk as [[index]]; a stream without stss
+      * has every sample sync (ISO 14496-12 §8.6.2) and returns the
+      * full 1..n list. The seek-planning primitive: the decode start
+      * for any target sample is the LARGEST sync sample ≤ it. */
+    def syncSamples(data: Array[Byte]): Seq[Int] = {
+      val top = boxes(data, 0, data.length)
+      require(top.headOption.exists(_.fourcc == "ftyp"),
+        "not an ISO BMFF file: first box is not ftyp")
+      val moovB = child(top, "moov")
+      val trak = child(boxes(data, moovB.off, moovB.len), "trak")
+      val mdia = child(boxes(data, trak.off, trak.len), "mdia")
+      val minf = child(boxes(data, mdia.off, mdia.len), "minf")
+      val stbl = child(boxes(data, minf.off, minf.len), "stbl")
+      val stblKids = boxes(data, stbl.off, stbl.len)
+      stblKids.find(_.fourcc == "stss") match {
+        case Some(b) =>
+          val n = be32(data, b.off + 4).toInt
+          (0 until n).map(i => be32(data, b.off + 8 + i * 4).toInt)
+        case None =>
+          val stsz = child(stblKids, "stsz")
+          (1 to be32(data, stsz.off + 8).toInt)
+      }
+    }
+
     /** The same full walk as [[index]], additionally returning the
       * H.264 `nal_unit_type` (first post-prefix byte & 0x1f) of every
       * NAL in mdat order — the per-NAL restatement m28's histogram

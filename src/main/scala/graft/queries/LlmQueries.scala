@@ -608,6 +608,63 @@ object LlmQueries {
        |  round(CAST(n_vecs AS DOUBLE) / n_total, 6) AS share
        |FROM pc CROSS JOIN t""".stripMargin
 
+  /** s33: EMBEDDING NORM AUDIT — the vector-side twin of x1's text
+    * quality gate, run before any index build: per order-of-magnitude
+    * norm bucket, how many vectors land there (count + min/max
+    * squared norm), how many zero components they carry, and how many
+    * SATURATED components (|x| ≥ 1.0 — the clipped-activation
+    * telltale, m31's full-scale audit for embeddings). Catches the
+    * three failures an ANN index inherits silently: zero/near-zero
+    * vectors (cosine undefined — they pollute every cell), scale
+    * drift between encoder versions (norm buckets split), and
+    * saturated dims (distance mass collapses onto clipped axes).
+    * Components quantize to micro-unit longs at the scan (the x47
+    * discipline), so the squared norm is an exact integer and the
+    * bucket key — the DIGIT COUNT of that integer — is
+    * engine-identical off the BIGINT decimal string (no float log).
+    *
+    * 100 TB shape: one narrow scan pass (quantize + fold per row,
+    * no explode — `aggregate` over the array), one partial-agg
+    * groupBy into ≤ 20 digit-bucket rows. */
+  def s33NormAudit(spark: SparkSession, dir: String): DataFrame = {
+    val q = CorpusQueries.emQuantize(col("embedding"))
+    val norm2 = aggregate(q, lit(0L), (acc, x) => acc + x * x)
+    val nZero = aggregate(q, lit(0L),
+      (acc, x) => acc + when(x === 0L, 1L).otherwise(0L))
+    val nSat = aggregate(q, lit(0L),
+      (acc, x) => acc + when(abs(x) >= 1000000L, 1L).otherwise(0L))
+    Tables.embeddings(spark, dir)
+      .select(norm2.as("n2"), nZero.as("nz"), nSat.as("ns"))
+      .groupBy(length(col("n2").cast("string")).cast("int")
+        .as("norm2_digits"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("n2")).as("min_norm2"), max(col("n2")).as("max_norm2"),
+        sum(col("nz")).as("n_zero_comp"),
+        sum(col("ns")).as("n_saturated_comp"))
+  }
+
+  val s33Sql: String =
+    """WITH q AS (SELECT list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+      |      AS BIGINT)) AS qe
+      |  FROM embeddings),
+      |f AS (SELECT
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), qe),
+      |      (a, x) -> a + x * x) AS n2,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), qe),
+      |      (a, x) -> a + CASE WHEN x = 0 THEN 1 ELSE 0 END) AS nz,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), qe),
+      |      (a, x) -> a + CASE WHEN abs(x) >= 1000000 THEN 1 ELSE 0 END)
+      |      AS ns
+      |  FROM q)
+      |SELECT CAST(length(CAST(n2 AS VARCHAR)) AS INT) AS norm2_digits,
+      |  count(*) AS n_vecs,
+      |  CAST(min(n2) AS BIGINT) AS min_norm2,
+      |  CAST(max(n2) AS BIGINT) AS max_norm2,
+      |  CAST(sum(nz) AS BIGINT) AS n_zero_comp,
+      |  CAST(sum(ns) AS BIGINT) AS n_saturated_comp
+      |FROM f GROUP BY 1""".stripMargin
+
   /** x56: Z-ORDER LAYOUT AUDIT — quantize the first two embedding
     * coordinates to a 256×256 grid, interleave the bits into a
     * 16-bit Morton code, and profile the resulting 64 contiguous

@@ -1841,4 +1841,75 @@ object MediaQueries {
       |  CAST(list_max(list_transform(pcm, v -> abs(v))) AS INT) AS peak,
       |  CAST(coalesce(mx.max_run, 0) AS INT) AS max_clip_run
       |FROM s LEFT JOIN mx ON mx.doc_id = s.doc_id""".stripMargin
+
+  /** m32: SEEK PLAN — the index-serving operation a player or
+    * transcoder actually runs against m27's container index: for a
+    * mid-stream target timestamp (duration/2), which SAMPLE covers
+    * it (stts walk — constant delta here, so target_tick div delta),
+    * which SYNC SAMPLE decode must start from (the largest stss
+    * entry ≤ the target — parsed from the real stss box, not assumed
+    * from the mux pattern), and how many samples decode-and-discard
+    * costs; plus the stream's exact average bitrate (bits·timescale
+    * div duration — the admission-control number). Every figure is
+    * an exact integer division of container-table values, so the
+    * oracle restates the whole plan from the mux formulas and any
+    * drift in the stss parse or the tick arithmetic breaks the hash.
+    *
+    * 100 TB shape: m27's — the container is born, walked, and
+    * reduced to one row inside the partition; no shuffle at all. */
+  def m32SeekPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Codecs
+    Tables.spread(Tables.documents(spark, dir).select(col("doc_id"))).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = (3 + id % 5).toInt
+          val samples = (0 until n).map { f =>
+            val l = (17 + ((id * 13 + f * 7) % 40)).toInt
+            val payload = Array.tabulate(l)(i =>
+              ((id * 31 + f * 17 + i * 7) % 256).toByte)
+            if (l >= 30) Seq(payload.take(l / 2), payload.drop(l / 2))
+            else Seq(payload)
+          }
+          val keyframes = (0 until n).filter(_ % 3 == 0).map(_ + 1)
+          val mp4 = Codecs.Mp4.mux(samples, keyframes,
+            timescale = 90000, sampleDelta = 3000, width = 64, height = 48)
+          val ix = Codecs.Mp4.index(mp4)
+          val sync = Codecs.Mp4.syncSamples(mp4)
+          require(sync == keyframes,
+            s"stss round-trip mismatch for doc $id")
+          val delta = ix.duration / ix.n_samples
+          val targetTick = ix.duration / 2
+          val seekSample = (targetTick / delta).toInt + 1
+          val startSync = sync.filter(_ <= seekSample).max
+          (id, ix.n_samples, targetTick * 1000L / ix.timescale,
+            seekSample, startSync, seekSample - startSync,
+            ix.sample_bytes * 8L * ix.timescale / ix.duration)
+        }
+      }.toDF("doc_id", "n_samples", "target_ms", "seek_sample",
+        "start_sync", "n_discard", "bitrate_bps")
+  }
+
+  val m32Sql: String =
+    """WITH d AS (SELECT doc_id, CAST(3 + doc_id % 5 AS INT) AS n
+      |  FROM documents),
+      |f AS (SELECT doc_id, n, unnest(range(n)) AS f FROM d),
+      |per AS (SELECT doc_id, n,
+      |    17 + (doc_id * 13 + f * 7) % 40
+      |      + CASE WHEN 17 + (doc_id * 13 + f * 7) % 40 >= 30
+      |        THEN 8 ELSE 4 END AS sbytes
+      |  FROM f),
+      |agg AS (SELECT doc_id, max(n) AS n,
+      |    CAST(sum(sbytes) AS BIGINT) AS sample_bytes
+      |  FROM per GROUP BY 1),
+      |pl AS (SELECT doc_id, n, sample_bytes,
+      |    (n * 3000 // 2) // 3000 + 1 AS s FROM agg)
+      |SELECT doc_id, n AS n_samples,
+      |  CAST((n * 3000 // 2) * 1000 // 90000 AS BIGINT) AS target_ms,
+      |  CAST(s AS INT) AS seek_sample,
+      |  CAST((s - 1) // 3 * 3 + 1 AS INT) AS start_sync,
+      |  CAST(s - ((s - 1) // 3 * 3 + 1) AS INT) AS n_discard,
+      |  CAST(sample_bytes * 8 * 90000 // (n * 3000) AS BIGINT)
+      |    AS bitrate_bps
+      |FROM pl""".stripMargin
 }

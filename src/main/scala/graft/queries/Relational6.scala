@@ -197,6 +197,83 @@ object Relational6 {
   def r78Benford(spark: SparkSession, dir: String): DataFrame =
     benford(Tables.orders(spark, dir))
 
+  // ---- r79: Wald-Wolfowitz runs test ---------------------------------
+
+  /** r79: RUNS TEST for randomness of the daily revenue direction,
+    * per event type — do up-days and down-days alternate like coin
+    * flips, or do they streak (momentum / level shifts)? The third
+    * leg of the trend triptych: r73 fits the slope, r77 scores
+    * monotone consistency, this one asks whether the day-over-day
+    * SIGNS are independent at all. Day-over-day deltas reduce to
+    * signs (zeros drop — the standard treatment), n_runs counts
+    * maximal same-sign stretches, and the null expectation
+    * E[R] = 1 + 2·n₊·n₋/(n₊+n₋) ships pre-scaled as expected_r_ppm
+    * via one non-negative integer division — observed n_runs·10⁶
+    * far below it means streaking. The z-score's radical stays
+    * reader-side (the exact tallies ship), per the family's
+    * no-IEEE-at-the-edge rule.
+    *
+    * 100 TB shape: one partial-agg pass to |type|·|days| rows, two
+    * keyed-window passes over that dimension (lag for the delta,
+    * lag for the run boundary), a |type|-row close. The products
+    * ride decimal(38,0) — 2·n₊·n₋·10⁶ outgrows a long at ~10⁶-day
+    * series, cheap insurance. */
+  def runsTest(eventsIn: DataFrame): DataFrame = {
+    val daily = eventsIn
+      .groupBy(col("event_type"),
+        (unix_micros(date_trunc("day", col("ts"))) / 86400000000L)
+          .cast("long").as("d"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("y"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val signs = daily
+      .withColumn("prev", lag(col("y"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"), col("d"),
+        signum(col("y") - col("prev")).cast("long").as("s"))
+      .filter(col("s") =!= 0L)
+    signs
+      .withColumn("ps", lag(col("s"), 1).over(w))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("s") === 1L, 1L).otherwise(0L)).as("n_plus"),
+        sum(when(col("s") === -1L, 1L).otherwise(0L)).as("n_minus"),
+        sum(when(col("ps").isNull || col("s") =!= col("ps"), 1L)
+          .otherwise(0L)).as("n_runs"))
+      .select(col("event_type"), col("n_plus"), col("n_minus"),
+        col("n_runs"),
+        expr("cast(1000000 + (cast(2 as decimal(38,0)) * n_plus * n_minus" +
+          " * 1000000) div (n_plus + n_minus) as bigint)")
+          .as("expected_r_ppm"))
+  }
+
+  def r79RunsTest(spark: SparkSession, dir: String): DataFrame =
+    runsTest(Tables.events(spark, dir))
+
+  val r79Sql: String =
+    """WITH daily AS MATERIALIZED (SELECT event_type,
+      |    epoch_us(date_trunc('day', ts)) // 86400000000 AS d,
+      |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |dl AS (SELECT event_type, d,
+      |    y - lag(y) OVER (PARTITION BY event_type ORDER BY d) AS dy
+      |  FROM daily),
+      |sg AS (SELECT event_type, d, CAST(sign(dy) AS BIGINT) AS s
+      |  FROM dl WHERE dy IS NOT NULL AND dy <> 0),
+      |rn AS (SELECT event_type, s,
+      |    lag(s) OVER (PARTITION BY event_type ORDER BY d) AS ps
+      |  FROM sg),
+      |t AS (SELECT event_type,
+      |    CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_plus,
+      |    CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_minus,
+      |    CAST(sum(CASE WHEN ps IS NULL OR s <> ps THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_runs
+      |  FROM rn GROUP BY 1)
+      |SELECT event_type, n_plus, n_minus, n_runs,
+      |  CAST(1000000 + 2 * CAST(n_plus AS HUGEINT) * n_minus * 1000000
+      |    // (n_plus + n_minus) AS BIGINT) AS expected_r_ppm
+      |FROM t""".stripMargin
+
   val r78Sql: String =
     """WITH c AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
       |  FROM orders),

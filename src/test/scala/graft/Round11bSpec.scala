@@ -141,6 +141,64 @@ class Round11bSpec extends SparkTestBase {
     assert(out.exists(_.getAs[Int]("max_clip_run") >= 2))
   }
 
+  test("r79 runs test: run count, tallies and expectation match the brute force") {
+    def ev(ty: String, day: Int, v: Double) =
+      (ty, Timestamp.valueOf(f"2024-02-${day + 1}%02d 09:00:00"), v, 1L, s"$ty$day")
+    // series: +,+,-,0,+,- → zeros drop → signs [+,+,-,+,-] → 4 runs
+    val vals = Seq(10.0, 20.0, 30.0, 25.0, 25.0, 40.0, 5.0)
+    val rows = vals.zipWithIndex.map { case (v, d) => ev("s", d, v) }
+    val df = rows.toDF("event_type", "ts", "value", "user_id", "event_id")
+    val out = Relational6.runsTest(df).collect().head
+    assert(out.getAs[Long]("n_plus") === 3L)
+    assert(out.getAs[Long]("n_minus") === 2L)
+    assert(out.getAs[Long]("n_runs") === 4L)
+    // E[R] = 1 + 2*3*2/5 = 3.4 → 3400000 ppm
+    assert(out.getAs[Long]("expected_r_ppm") === 3400000L)
+  }
+
+  test("m32 seek plan: stss round-trip drives sync choice; discard bounded by GOP") {
+    val out = MediaQueries.m32SeekPlan(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getAs[Int]("n_samples")
+      val s = r.getAs[Int]("seek_sample")
+      val kf = r.getAs[Int]("start_sync")
+      assert(s >= 1 && s <= n)
+      assert(kf <= s && (kf - 1) % 3 === 0) // sync samples are 1,4,7,…
+      assert(r.getAs[Int]("n_discard") === s - kf)
+      assert(r.getAs[Int]("n_discard") < 3) // never more than one GOP
+      assert(r.getAs[Long]("bitrate_bps") > 0L)
+    }
+    // mid-stream target must sometimes land off a sync sample,
+    // or the discard path is untested
+    assert(out.exists(_.getAs[Int]("n_discard") > 0))
+  }
+
+  test("s33 norm audit: buckets partition the corpus; saturation only past |x| >= 1") {
+    import graft.queries.LlmQueries
+    val out = LlmQueries.s33NormAudit(spark, sf).collect()
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    assert(out.map(_.getAs[Long]("n_vecs")).sum === emb.count())
+    out.foreach { r =>
+      val d = r.getAs[Int]("norm2_digits")
+      val lo = r.getAs[Long]("min_norm2"); val hi = r.getAs[Long]("max_norm2")
+      assert(lo <= hi)
+      assert(lo.toString.length === d && hi.toString.length === d)
+    }
+    // driver-side brute force on a few vectors
+    val some = emb.limit(5).collect()
+    some.foreach { row =>
+      val q = row.getSeq[Float](row.fieldIndex("embedding"))
+        .map(x => math.floor(x * 1000000.0 + 0.5).toLong)
+      val n2 = q.map(x => x * x).sum
+      val digits = n2.toString.length
+      val b = out.find(_.getAs[Int]("norm2_digits") == digits)
+      assert(b.isDefined, s"vector norm2 $n2 has no bucket")
+      assert(b.get.getAs[Long]("min_norm2") <= n2 &&
+        n2 <= b.get.getAs[Long]("max_norm2"))
+    }
+  }
+
   test("x70 fertility: per-language sums reconcile with x68 and fertility >= 1e6") {
     val x70 = CorpusQueries.x70TokenFertility(spark, sf).collect()
     val x68 = CorpusQueries.x68BpeApplyHeldout(spark, sf)
