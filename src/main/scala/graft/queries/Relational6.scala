@@ -248,6 +248,80 @@ object Relational6 {
   def r79RunsTest(spark: SparkSession, dir: String): DataFrame =
     runsTest(Tables.events(spark, dir))
 
+  // ---- r80: promo lift, difference-in-differences --------------------
+
+  /** r80: DIFFERENCE-IN-DIFFERENCES promo lift — did PROMO-type
+    * parts' per-item revenue move differently across the 1998
+    * boundary than everything else's? The causal-inference workhorse
+    * for "the promotion changed X" claims: the control group's
+    * before/after delta nets out market-wide drift, and what
+    * remains — (T₂−T₁) − (C₂−C₁) on per-item means — is the lift
+    * estimate. Per-row revenue floors to cents once (the same
+    * double product both engines evaluate identically), then
+    * everything is exact integer sums; each cell's mean ships in
+    * micro-cents via one NON-NEGATIVE integer division and the DiD
+    * itself is pure subtraction of those exact means — no negative
+    * ever meets a divisor, so truncation semantics never matter.
+    *
+    * 100 TB shape: ONE partial-agg pass over the fact join collapses
+    * to 4 (group × period) cells; the part-type side is a broadcast
+    * dimension join; the closing pivot is driver-trivial. */
+  def promoDid(li: DataFrame, parts: DataFrame,
+      boundary: String): DataFrame = {
+    val cells = li
+      .join(broadcast(parts.select(col("p_partkey"),
+        (col("p_type") === "PROMO").as("treated"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("treated"),
+        (col("l_shipdate") >= lit(boundary).cast("timestamp")).as("after"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 100).cast("long")).as("cents"))
+      .select(col("treated"), col("after"), col("n"),
+        expr("cast((cast(cents as decimal(38,0)) * 1000000) div n " +
+          "as bigint)").as("mean_micro"))
+    val p = cells.groupBy()
+      .pivot(concat(when(col("treated"), lit("t")).otherwise(lit("c")),
+        when(col("after"), lit("2")).otherwise(lit("1"))),
+        Seq("t1", "t2", "c1", "c2"))
+      .agg(first(col("mean_micro")).as("mean"), first(col("n")).as("n"))
+    p.select(col("t1_n"), col("t2_n"), col("c1_n"), col("c2_n"),
+      col("t1_mean"), col("t2_mean"), col("c1_mean"), col("c2_mean"),
+      ((col("t2_mean") - col("t1_mean")) -
+        (col("c2_mean") - col("c1_mean"))).as("did_micro_cents"))
+  }
+
+  def r80PromoDid(spark: SparkSession, dir: String): DataFrame =
+    promoDid(Tables.lineitem(spark, dir), Tables.part(spark, dir),
+      boundary = "1998-01-01")
+
+  val r80Sql: String =
+    """WITH cells AS (SELECT
+      |    p_type = 'PROMO' AS treated,
+      |    l_shipdate >= TIMESTAMP '1998-01-01' AS after,
+      |    count(*) AS n,
+      |    CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+      |      AS BIGINT)) AS BIGINT) AS cents
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2),
+      |m AS (SELECT treated, after, n,
+      |    CAST(CAST(cents AS HUGEINT) * 1000000 // n AS BIGINT) AS mean
+      |  FROM cells)
+      |SELECT
+      |  (SELECT n FROM m WHERE treated AND NOT after) AS t1_n,
+      |  (SELECT n FROM m WHERE treated AND after) AS t2_n,
+      |  (SELECT n FROM m WHERE NOT treated AND NOT after) AS c1_n,
+      |  (SELECT n FROM m WHERE NOT treated AND after) AS c2_n,
+      |  (SELECT mean FROM m WHERE treated AND NOT after) AS t1_mean,
+      |  (SELECT mean FROM m WHERE treated AND after) AS t2_mean,
+      |  (SELECT mean FROM m WHERE NOT treated AND NOT after) AS c1_mean,
+      |  (SELECT mean FROM m WHERE NOT treated AND after) AS c2_mean,
+      |  ((SELECT mean FROM m WHERE treated AND after)
+      |    - (SELECT mean FROM m WHERE treated AND NOT after))
+      |  - ((SELECT mean FROM m WHERE NOT treated AND after)
+      |    - (SELECT mean FROM m WHERE NOT treated AND NOT after))
+      |    AS did_micro_cents""".stripMargin
+
   val r79Sql: String =
     """WITH daily AS MATERIALIZED (SELECT event_type,
       |    epoch_us(date_trunc('day', ts)) // 86400000000 AS d,

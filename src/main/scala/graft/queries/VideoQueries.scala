@@ -1017,7 +1017,10 @@ object VideoQueries {
     tracklets(boxes)
   }
 
-  lazy val v16Sql: String = {
+  /** The shared v16 closure CTE chain (assoc → forest edges →
+    * recursive reach → min-label → per-box tracklet id), reused by
+    * v17's dwell rollup. */
+  private lazy val trackletCtes: String = {
     val ph = graft.queries.LlmQueries.polySql("video_id")
     assocCtes.replaceFirst("^WITH ", "WITH RECURSIVE ") +
       s""",
@@ -1036,9 +1039,65 @@ object VideoQueries {
          |labt AS (SELECT node, min(lab) AS cluster FROM reach GROUP BY 1),
          |bn AS (SELECT video_id, frame_id, box_ref,
          |    $ph * 100000000 + frame_id * 100 + box_ref AS node
-         |  FROM boxes)
-         |SELECT bn.video_id, bn.frame_id, bn.box_ref,
-         |  coalesce(l.cluster, bn.node) AS tracklet_id
-         |FROM bn LEFT JOIN labt l ON l.node = bn.node""".stripMargin
+         |  FROM boxes),
+         |tr AS (SELECT bn.video_id, bn.frame_id, bn.box_ref,
+         |    coalesce(l.cluster, bn.node) AS tracklet_id
+         |  FROM bn LEFT JOIN labt l ON l.node = bn.node)""".stripMargin
   }
+
+  lazy val v16Sql: String = trackletCtes +
+    """
+      |SELECT video_id, frame_id, box_ref, tracklet_id FROM tr""".stripMargin
+
+  // ---- v17: per-tracklet zone dwell ---------------------------------
+
+  /** v17: TRACKLET ZONE DWELL — the downstream consumer v16's
+    * tracklets exist for: per track identity, how long it lived
+    * (frame span), how many boxes it collected, and how many of
+    * v11's 4×4 spatial zones it crossed — the "did the object move
+    * or park" report (n_zones = 1 over a long span is a parked
+    * object; n_zones rising with span is a path). Composes three
+    * operators the family already certifies — v15's association
+    * argmax, v16's closure, v11's integer zone quantization — into
+    * one per-object analytic, which is exactly how a production
+    * video pipeline consumes a tracker.
+    *
+    * 100 TB shape: v16's plan + ONE keyed join of the tracklet
+    * labels back onto the (tiny) box relation and ONE partial-agg
+    * groupBy on (video, tracklet). */
+  def v17TrackletDwell(spark: SparkSession, dir: String): DataFrame = {
+    val dets = withDetections(frames(spark, dir))
+    val boxes = DetectionPipeline.boxes(dets, threshold = 0.7)
+      .select(col("video_id"), col("frame_id"), col("box_ref"),
+        col("x"), col("y"), col("w"), col("h"), col("label_id"))
+      .localCheckpoint()
+    val tr = tracklets(boxes)
+    val zb = boxes
+      .withColumn("height", lit(480) + (col("frame_id") % 3) * 240)
+      .withColumn("width", lit(640) + (col("frame_id") % 3) * 320)
+      .select(col("video_id"), col("frame_id"), col("box_ref"),
+        (least(lit(3L), expr("((x + w) div 2) * 4 div height")) * 4 +
+          least(lit(3L), expr("((y + h) div 2) * 4 div width")))
+          .as("zone"))
+    tr.join(zb, Seq("video_id", "frame_id", "box_ref"))
+      .groupBy(col("video_id"), col("tracklet_id"))
+      .agg(count(lit(1)).as("n_boxes"),
+        countDistinct(col("zone")).as("n_zones"),
+        min(col("frame_id")).as("first_frame"),
+        max(col("frame_id")).as("last_frame"))
+  }
+
+  lazy val v17Sql: String = trackletCtes +
+    """,
+      |zb AS (SELECT video_id, frame_id, box_ref,
+      |    least(3, ((x + w) // 2) * 4 // (480 + (frame_id % 3) * 240)) * 4
+      |      + least(3, ((y + h) // 2) * 4 // (640 + (frame_id % 3) * 320))
+      |      AS zone
+      |  FROM boxes)
+      |SELECT t.video_id, t.tracklet_id, count(*) AS n_boxes,
+      |  CAST(count(DISTINCT z.zone) AS BIGINT) AS n_zones,
+      |  CAST(min(t.frame_id) AS BIGINT) AS first_frame,
+      |  CAST(max(t.frame_id) AS BIGINT) AS last_frame
+      |FROM tr t JOIN zb z USING (video_id, frame_id, box_ref)
+      |GROUP BY 1, 2""".stripMargin
 }

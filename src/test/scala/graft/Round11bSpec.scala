@@ -199,6 +199,54 @@ class Round11bSpec extends SparkTestBase {
     }
   }
 
+  test("r80 difference-in-differences matches the hand-computed lift") {
+    import graft.queries.Relational6
+    def t(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    // treated (PROMO part 1): mean 10.00 before, 14.00 after (+4.00)
+    // control (part 2):       mean 20.00 before, 21.00 after (+1.00)
+    // DiD = 4.00 - 1.00 = 3.00 → 3_000_000 micro-cents... (300 cents
+    // → 300_000_000 micro) — means are in MICRO-CENTS
+    val li = Seq(
+      (1L, t("1997-05-01"), 10.00, 0.0), (1L, t("1997-06-01"), 10.00, 0.0),
+      (1L, t("1998-05-01"), 14.00, 0.0),
+      (2L, t("1997-05-01"), 20.00, 0.0),
+      (2L, t("1998-05-01"), 22.00, 0.0), (2L, t("1998-06-01"), 20.00, 0.0)
+    ).toDF("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+    val parts = Seq((1L, "PROMO"), (2L, "SMALL")).toDF("p_partkey", "p_type")
+    val out = Relational6.promoDid(li, parts, "1998-01-01").collect().head
+    assert(out.getAs[Long]("t1_n") === 2L)
+    assert(out.getAs[Long]("t2_n") === 1L)
+    assert(out.getAs[Long]("c1_n") === 1L)
+    assert(out.getAs[Long]("c2_n") === 2L)
+    assert(out.getAs[Long]("t1_mean") === 1000L * 1000000L)
+    assert(out.getAs[Long]("t2_mean") === 1400L * 1000000L)
+    assert(out.getAs[Long]("c1_mean") === 2000L * 1000000L)
+    assert(out.getAs[Long]("c2_mean") === 2100L * 1000000L)
+    // (1400-1000) - (2100-2000) = 300 cents lift
+    assert(out.getAs[Long]("did_micro_cents") === 300L * 1000000L)
+  }
+
+  test("v17 dwell reconciles with v16's tracklets; zones bounded by boxes") {
+    import graft.queries.VideoQueries
+    val dwell = VideoQueries.v17TrackletDwell(spark, sf).collect()
+    val tl = VideoQueries.v16Tracklets(spark, sf).collect()
+      .groupBy(r => (r.getAs[String]("video_id"), r.getAs[Long]("tracklet_id")))
+    assert(dwell.map(_.getAs[Long]("n_boxes")).sum === tl.values.map(_.length.toLong).sum)
+    dwell.foreach { r =>
+      val key = (r.getAs[String]("video_id"), r.getAs[Long]("tracklet_id"))
+      val members = tl(key)
+      assert(r.getAs[Long]("n_boxes") === members.length.toLong)
+      val frames = members.map(_.getAs[Long]("frame_id"))
+      assert(r.getAs[Long]("first_frame") === frames.min)
+      assert(r.getAs[Long]("last_frame") === frames.max)
+      val nz = r.getAs[Long]("n_zones")
+      assert(nz >= 1L && nz <= math.min(members.length.toLong, 16L))
+    }
+    // the report must contain real multi-zone tracks, or the zone
+    // column is vacuous
+    assert(dwell.exists(_.getAs[Long]("n_zones") > 1L))
+  }
+
   test("x70 fertility: per-language sums reconcile with x68 and fertility >= 1e6") {
     val x70 = CorpusQueries.x70TokenFertility(spark, sf).collect()
     val x68 = CorpusQueries.x68BpeApplyHeldout(spark, sf)
