@@ -962,6 +962,12 @@ object Codecs {
         u(0L, k)
         u(v + 1, k + 1)
       }
+      /** signed Exp-Golomb se(v) (§9.1.1): 0,1,−1,2,−2,… ↦ ue
+        * codes 0,1,2,3,4,… */
+      def se(v: Long): Unit = ue(if (v <= 0) -2 * v else 2 * v - 1)
+      /** pcm_alignment_zero_bit run (§7.3.5): zero bits to the next
+        * byte boundary. */
+      def alignZero(): Unit = if (nb != 0) u(0L, 8 - nb)
       /** rbsp_trailing_bits: stop bit + byte alignment (§7.3.2.11). */
       def trailingBits(): Unit = { u(1L, 1); if (nb != 0) u(0L, 8 - nb) }
       def bytes: Array[Byte] = {
@@ -989,6 +995,14 @@ object Codecs {
         while (u(1) == 0L) { k += 1; require(k <= 32, "ue() run too long") }
         if (k == 0) 0L else (1L << k) - 1 + u(k)
       }
+      def se(): Long = {
+        val c = ue()
+        if (c % 2 == 0) -(c / 2) else (c + 1) / 2
+      }
+      /** consume pcm_alignment_zero_bit run; each must be 0 (§7.3.5). */
+      def alignZero(): Unit =
+        while (!aligned) require(u(1) == 0L, "pcm_alignment bit not zero")
+      def aligned: Boolean = pos % 8 == 0
     }
 
     /** Emulation prevention (§7.4.1.1): a raw RBSP byte ≤ 3 after two
@@ -1145,6 +1159,132 @@ object Codecs {
       val fn = r.u(frameNumBits).toInt
       val idrId = if (nut == 5) r.ue().toInt else -1
       SliceHeader(nut, st, fn, idrId)
+    }
+
+    /** One decoded picture: planar 4:2:0, 8-bit. */
+    final case class PcmFrame(width: Int, height: Int,
+        y: Array[Byte], cb: Array[Byte], cr: Array[Byte])
+
+    /** Build a DECODABLE IDR slice NAL in which every macroblock is
+      * I_PCM (mb_type 25, §7.3.5/§7.4.5) — uncompressed H.264: real
+      * slice syntax (header with dec_ref_pic_marking and
+      * slice_qp_delta, per-MB mb_type, pcm alignment, raw samples)
+      * carrying the picture losslessly. This is the PIXEL half of
+      * the H.264 seam that is expressible with zero native deps: a
+      * spec-conforming decoder (and our [[parseIdrPcmSlice]]) must
+      * reproduce the planes byte-exactly. Transform-coded
+      * macroblocks (CAVLC residuals, intra prediction) remain the
+      * documented JavaCV seam. Emulation prevention applies to the
+      * whole RBSP — PCM bytes can and do mimic start codes, which
+      * the round-trip spec exercises. Dimensions must be whole
+      * macroblocks (the I_PCM fixture never needs cropping). */
+    def buildIdrPcmSlice(f: PcmFrame, frameNum: Int, frameNumBits: Int,
+        idrPicId: Int = 0): Array[Byte] = {
+      require(f.width % 16 == 0 && f.height % 16 == 0,
+        s"I_PCM fixture wants whole macroblocks, got ${f.width}x${f.height}")
+      require(f.y.length == f.width * f.height &&
+        f.cb.length == f.width * f.height / 4 &&
+        f.cr.length == f.width * f.height / 4, "plane size mismatch")
+      val mbW = f.width / 16
+      val mbH = f.height / 16
+      val w = new BitWriter
+      w.ue(0L)                  // first_mb_in_slice
+      w.ue(7L)                  // slice_type: I (all slices in pic)
+      w.ue(0L)                  // pic_parameter_set_id
+      w.u(frameNum.toLong, frameNumBits)
+      w.ue(idrPicId.toLong)     // idr_pic_id (IDR NAL)
+      // dec_ref_pic_marking (IDR): no_output_of_prior_pics,
+      // long_term_reference_flag
+      w.u(0L, 1); w.u(0L, 1)
+      w.se(0L)                  // slice_qp_delta
+      var mb = 0
+      while (mb < mbW * mbH) {
+        val mx = (mb % mbW) * 16
+        val my = (mb / mbW) * 16
+        w.ue(25L)               // mb_type: I_PCM
+        w.alignZero()           // pcm_alignment_zero_bit*
+        var i = 0
+        while (i < 256) {       // pcm_sample_luma
+          w.u((f.y((my + i / 16) * f.width + mx + i % 16) & 0xffL), 8)
+          i += 1
+        }
+        i = 0
+        while (i < 64) {        // pcm_sample_chroma: Cb then Cr
+          w.u((f.cb((my / 2 + i / 8) * (f.width / 2) + mx / 2 + i % 8)
+            & 0xffL), 8)
+          i += 1
+        }
+        i = 0
+        while (i < 64) {
+          w.u((f.cr((my / 2 + i / 8) * (f.width / 2) + mx / 2 + i % 8)
+            & 0xffL), 8)
+          i += 1
+        }
+        mb += 1
+      }
+      w.trailingBits()
+      (0x65.toByte +: rbspEscape(w.bytes)).toArray // nal_ref_idc 3, type 5
+    }
+
+    /** Decode an IDR I_PCM slice NAL back to its picture — the
+      * inverse of [[buildIdrPcmSlice]], driven by the stream's SPS
+      * (macroblock grid + frame_num width). Fails loudly on any
+      * non-I_PCM macroblock: transform-coded pictures are the
+      * documented seam, never silently garbled. */
+    def parseIdrPcmSlice(nal: Array[Byte], sps: SpsInfo): PcmFrame = {
+      require(nal.nonEmpty && (nal(0) & 0x1f) == 5,
+        "not an IDR slice NAL (nal_unit_type != 5)")
+      require(sps.crop_left == 0 && sps.crop_right == 0 &&
+        sps.crop_top == 0 && sps.crop_bottom == 0,
+        "I_PCM fixtures are uncropped whole-macroblock pictures")
+      val r = new BitReader(rbspUnescape(nal.drop(1)))
+      require(r.ue() == 0L, "first_mb_in_slice != 0")
+      val st = r.ue()
+      require(st == 7L || st == 2L, s"not an I slice (slice_type $st)")
+      require(r.ue() == 0L, "pic_parameter_set_id != 0")
+      r.u(sps.log2_max_frame_num) // frame_num
+      r.ue()                      // idr_pic_id
+      r.u(1); r.u(1)              // dec_ref_pic_marking (IDR)
+      r.se()                      // slice_qp_delta
+      val (wpx, hpx) = (sps.mb_width * 16, sps.mb_height * 16)
+      val y = new Array[Byte](wpx * hpx)
+      val cb = new Array[Byte](wpx * hpx / 4)
+      val cr = new Array[Byte](wpx * hpx / 4)
+      var mb = 0
+      while (mb < sps.mb_width * sps.mb_height) {
+        val mx = (mb % sps.mb_width) * 16
+        val my = (mb / sps.mb_width) * 16
+        val t = r.ue()
+        require(t == 25L,
+          s"macroblock $mb is not I_PCM (mb_type $t) — transform decode " +
+            "is the documented seam")
+        r.alignZero()
+        var i = 0
+        while (i < 256) {
+          y((my + i / 16) * wpx + mx + i % 16) = r.u(8).toByte; i += 1
+        }
+        i = 0
+        while (i < 64) {
+          cb((my / 2 + i / 8) * (wpx / 2) + mx / 2 + i % 8) = r.u(8).toByte
+          i += 1
+        }
+        i = 0
+        while (i < 64) {
+          cr((my / 2 + i / 8) * (wpx / 2) + mx / 2 + i % 8) = r.u(8).toByte
+          i += 1
+        }
+        mb += 1
+      }
+      PcmFrame(wpx, hpx, y, cb, cr)
+    }
+
+    /** Decode a whole muxed I_PCM stream: container walk → avcC SPS →
+      * every mdat NAL parsed as an IDR I_PCM slice → pictures in
+      * decode order. The `decodebin`-shaped hop for the uncompressed-
+      * H.264 subset: MP4 bytes in, planar pixels out, pure JVM. */
+    def decodeIPcmFrames(data: Array[Byte]): Seq[PcmFrame] = {
+      val sps = spsInfo(data)
+      nalPayloads(data).map(parseIdrPcmSlice(_, sps))
     }
 
     /** Walk a muxed file to its avcC and parse the FIRST stored SPS —

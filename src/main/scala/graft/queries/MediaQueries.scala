@@ -1890,6 +1890,104 @@ object MediaQueries {
         "start_sync", "n_discard", "bitrate_bps")
   }
 
+  /** m33: H.264 PIXEL DECODE (I_PCM) — the first rung of the pixel
+    * half of the H.264 seam, with zero native deps: every doc
+    * synthesizes deterministic planar 4:2:0 pictures, encodes each
+    * as a REAL IDR slice whose macroblocks are all I_PCM
+    * (uncompressed H.264 — spec-correct slice header with
+    * dec_ref_pic_marking and qp_delta, per-MB mb_type 25, pcm
+    * alignment, emulation-prevention escaping), muxes them into a
+    * real MP4, and then runs the full decodebin-shaped hop: container
+    * walk → avcC SPS → NAL walk → slice parse → PIXELS. The emitted
+    * sums and rolling fingerprint are over the DECODED planes, so
+    * any defect anywhere in that chain — box offsets, SPS fields,
+    * escape handling, alignment, raster order — breaks the hash.
+    * One doc class (id % 5 == 0) carries a zero run that forces
+    * 00 00 0x sequences into the RBSP, so the escape path is
+    * exercised under the gate, not just in specs. Transform-coded
+    * macroblocks (CAVLC residuals, intra prediction) remain the
+    * documented seam — the decoder REFUSES them loudly.
+    *
+    * 100 TB shape: the m27 contract — pictures are born, encoded,
+    * decoded and reduced inside one partition pass; only one row per
+    * video reaches the exchange. */
+  def m33PcmDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Codecs
+    Tables.spread(Tables.documents(spark, dir).select(col("doc_id"))).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = (2 + id % 3).toInt
+          val w = 16 * (1 + id % 2).toInt
+          val h = 16
+          def yv(f: Int, i: Int): Int =
+            if (id % 5 == 0 && i < 32) 0
+            else ((id * 7 + f * 13 + i.toLong * 3) % 256).toInt
+          val frames = (0 until n).map { f =>
+            Codecs.Mp4.PcmFrame(w, h,
+              Array.tabulate(w * h)(i => yv(f, i).toByte),
+              Array.tabulate(w * h / 4)(i =>
+                ((id * 11 + f * 5 + i.toLong * 7 + 1) % 256).toByte),
+              Array.tabulate(w * h / 4)(i =>
+                ((id * 13 + f * 3 + i.toLong * 5 + 2) % 256).toByte))
+          }
+          val nals = frames.zipWithIndex.map { case (fr, f) =>
+            Seq(Codecs.Mp4.buildIdrPcmSlice(fr, frameNum = 0,
+              frameNumBits = 4, idrPicId = f % 8))
+          }
+          val mp4 = Codecs.Mp4.mux(nals, keyframes = (1 to n),
+            timescale = 90000, sampleDelta = 3000, width = w, height = h)
+          val dec = Codecs.Mp4.decodeIPcmFrames(mp4)
+          require(dec.length == n, s"decoded ${dec.length} of $n frames")
+          var ys = 0L; var cbs = 0L; var crs = 0L; var fp = 0L
+          dec.foreach { fr =>
+            require(fr.width == w && fr.height == h,
+              s"decoded dims ${fr.width}x${fr.height} != ${w}x$h")
+            def fold(p: Array[Byte], add: Long => Unit): Unit =
+              p.foreach { b =>
+                val v = b & 0xffL
+                add(v); fp = (fp * 31 + v) % 1000000007L
+              }
+            fold(fr.y, ys += _); fold(fr.cb, cbs += _); fold(fr.cr, crs += _)
+          }
+          (id, n, w, h, ys, cbs, crs, fp)
+        }
+      }.toDF("doc_id", "n_frames", "width", "height", "y_sum",
+        "cb_sum", "cr_sum", "pix_fp")
+  }
+
+  val m33Sql: String =
+    """WITH d AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS n,
+      |    CAST(16 * (1 + doc_id % 2) AS INT) AS w
+      |  FROM documents),
+      |f AS (SELECT doc_id, n, w, unnest(range(n)) AS fr FROM d),
+      |pl AS (SELECT doc_id, n, w, fr,
+      |    list_transform(range(w * 16), i ->
+      |      CASE WHEN doc_id % 5 = 0 AND i < 32 THEN 0
+      |        ELSE (doc_id * 7 + fr * 13 + i * 3) % 256 END) AS yl,
+      |    list_transform(range(w * 4), i ->
+      |      (doc_id * 11 + fr * 5 + i * 7 + 1) % 256) AS cbl,
+      |    list_transform(range(w * 4), i ->
+      |      (doc_id * 13 + fr * 3 + i * 5 + 2) % 256) AS crl
+      |  FROM f),
+      |cc AS (SELECT doc_id, n, w, fr,
+      |    list_concat(list_concat(yl, cbl), crl) AS pb,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), yl),
+      |      (a, b) -> a + b) AS ys,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), cbl),
+      |      (a, b) -> a + b) AS cbs,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), crl),
+      |      (a, b) -> a + b) AS crs
+      |  FROM pl)
+      |SELECT doc_id, max(n) AS n_frames, max(w) AS width, 16 AS height,
+      |  CAST(sum(ys) AS BIGINT) AS y_sum,
+      |  CAST(sum(cbs) AS BIGINT) AS cb_sum,
+      |  CAST(sum(crs) AS BIGINT) AS cr_sum,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    flatten(list(pb ORDER BY fr))),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS pix_fp
+      |FROM cc GROUP BY doc_id""".stripMargin
+
   val m32Sql: String =
     """WITH d AS (SELECT doc_id, CAST(3 + doc_id % 5 AS INT) AS n
       |  FROM documents),
