@@ -199,8 +199,14 @@ object Codecs {
       val offs = frameOffsets(d)
       require(idx >= 0 && idx < offs.length,
         s"frame $idx out of range (0..${offs.length - 1})")
-      val base = offs(idx)
-      val (w, ht) = (h.width, h.height)
+      (h.width, h.height, yuv420ToRgb(d, offs(idx), h.width, h.height))
+    }
+
+    /** The BT.601 full-range 4:2:0→RGB conversion shared by the Y4M
+      * frame extractor and the H.264 I_PCM pixel path: planar
+      * Y + Cb + Cr at `base`, chroma upsampled by replication. */
+    def yuv420ToRgb(d: Array[Byte], base: Int, w: Int,
+        ht: Int): Array[Byte] = {
       val uBase = base + w * ht
       val vBase = uBase + w * ht / 4
       val out = new Array[Byte](w * ht * 3)
@@ -220,7 +226,7 @@ object Codecs {
         }
         y += 1
       }
-      (w, ht, out)
+      out
     }
 
     /** Fixture writer: packed RGB frames → Y4M (full-range BT.601

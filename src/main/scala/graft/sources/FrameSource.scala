@@ -46,4 +46,47 @@ object FrameSource {
       .schema(frameSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(path))
+
+  /** binaryFile's fixed schema, declared (file streaming sources
+    * need an explicit schema). */
+  private val binaryFileSchema = StructType.fromDDL(
+    "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+
+  /** S1+S2 fused on REAL VIDEO FILES: watch a directory of MP4s as a
+    * stream (the reference's `filesrc location=*.mp4` shape,
+    * `run.sh:53`), decode each arriving container to pixels — the
+    * full hop: box walk → avcC SPS → NAL walk → I_PCM slice parse →
+    * planar YUV → BT.601 RGB — and emit the same `Frame` rows the
+    * detection pipeline consumes. `maxFilesPerTrigger` is the
+    * backpressure knob (whole files are the admission unit, exactly
+    * the decode/inference decoupling queue's role).
+    *
+    * 100 TB shape: decode is partition-local per FILE (bytes never
+    * shuffle; frames explode inside the map), so executor count
+    * scales ingest linearly — the distributed `decodebin` fan-out.
+    * Transform-coded streams fail loudly at the I_PCM gate (the
+    * documented seam), never silently garble. */
+  def videoFileStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 2): Dataset[Frame] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import graft.operators.Codecs
+    spark.readStream
+      .format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.mp4")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(path)
+      .select(col("path"), col("modificationTime"), col("content"))
+      .as[(String, java.sql.Timestamp, Array[Byte])]
+      .flatMap { case (p, mt, bytes) =>
+        val vid = p.substring(p.lastIndexOf('/') + 1)
+        Codecs.Mp4.decodeIPcmFrames(bytes).zipWithIndex.map {
+          case (f, i) =>
+            val planes = f.y ++ f.cb ++ f.cr
+            Frame(vid, i.toLong, mt, f.height, f.width,
+              Codecs.Y4mCodec.yuv420ToRgb(planes, 0, f.width, f.height))
+        }
+      }
+  }
 }
