@@ -1005,4 +1005,49 @@ object Similarity {
     val nRow = micro.agg(count(lit(1)).as("n"))
     (sxyUp, sx, nRow)
   }
+
+  /** PQ DISTORTION AUDIT — the index-quality number behind every
+    * ADC ranking: per subspace, the quantization error the codes
+    * carry (squared L2 between each subvector and its chosen
+    * codeword). A subspace whose mean error dwarfs the others is
+    * where recall dies first — it tells the operator to re-train
+    * that codebook, raise k, or rotate (OPQ) before trusting s7/s8
+    * rankings. The per-pair fold is the EXACT pq_codes/pq_adc kernel
+    * arithmetic (floats widened to double, ascending-dim
+    * accumulation), so the chosen codeword and the error agree
+    * bit-for-bit with the serving path; errors quantize to
+    * micro-units at the row and aggregate as exact longs (the x47
+    * discipline).
+    *
+    * 100 TB shape: codebook broadcasts; the corpus pass is one
+    * narrow projection (encode + per-subspace fold, no explode of
+    * the codeword axis — pq_codes already did the argmin) into an
+    * m-row partial agg. */
+  def pqDistortion(embeddings: DataFrame, codebook: DataFrame,
+      m: Int, dim: Int = 64): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim $dim not divisible by m $m")
+    val sub = dim / m
+    val cbFlat = pqFlatCodebook(codebook)
+    val err = aggregate(sequence(lit(1), lit(sub)), lit(0.0), (acc, d) => {
+      val ve = element_at(col("embedding"),
+        col("ms") * sub + d).cast("double")
+      val ce = element_at(col("cbf"),
+        col("cj") * dim + col("ms") * sub + d).cast("double")
+      acc + (ve - ce) * (ve - ce)
+    })
+    embeddings.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cbFlat))
+      .select(col("embedding"), col("cbf"),
+        posexplode(call_function("pq_codes", col("embedding"), col("cbf"),
+          lit(m))).as(Seq("ms", "cj")))
+      .select(col("ms"),
+        floor(err * 1000000.0).cast("long").as("err_micro"))
+      .groupBy(col("ms"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("err_micro")).as("total_err_micro"),
+        max(col("err_micro")).as("max_err_micro"))
+      .select(col("ms").cast("int").as("subspace"), col("n_vecs"),
+        col("total_err_micro"), col("max_err_micro"),
+        expr("total_err_micro div n_vecs").as("mean_err_micro"))
+  }
 }

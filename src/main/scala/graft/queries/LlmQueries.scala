@@ -665,6 +665,45 @@ object LlmQueries {
       |  CAST(sum(ns) AS BIGINT) AS n_saturated_comp
       |FROM f GROUP BY 1""".stripMargin
 
+  /** s34: PQ DISTORTION AUDIT — per subspace, the quantization error
+    * s7's codes carry (Similarity.pqDistortion over the s7 codebook):
+    * the number that says WHERE recall dies and whether to re-train,
+    * raise k, or rotate before trusting ADC rankings. The oracle
+    * re-derives each subvector's argmin codeword with the exact
+    * serving fold (ties to the lowest j, pq_codes' rule) and the
+    * same micro-unit floor, so a drift anywhere in encode-vs-audit
+    * breaks the hash. */
+  def s34PqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.pqDistortion(emb, emb.filter(col("vec_id") < 16), m = 8)
+  }
+
+  val s34Sql: String = {
+    def fold(v: String, c: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(8), d -> " +
+        s"(CAST($v[ms*8 + d + 1] AS DOUBLE) - CAST($c[ms*8 + d + 1] AS DOUBLE)) * " +
+        s"(CAST($v[ms*8 + d + 1] AS DOUBLE) - CAST($c[ms*8 + d + 1] AS DOUBLE)))), " +
+        s"(x, y) -> x + y)"
+    s"""WITH cb AS (SELECT vec_id AS j, embedding AS cw FROM embeddings
+       |  WHERE vec_id < 16),
+       |sub AS (SELECT v.vec_id, m.ms, v.embedding
+       |  FROM embeddings v CROSS JOIN range(8) m(ms)),
+       |d AS (SELECT vec_id, ms,
+       |    ${fold("embedding", "cw")} AS dist, j
+       |  FROM sub CROSS JOIN cb),
+       |pick AS (SELECT ms, dist FROM (SELECT ms, dist,
+       |    row_number() OVER (PARTITION BY vec_id, ms
+       |      ORDER BY dist, j) AS rn FROM d) WHERE rn = 1),
+       |e AS (SELECT ms, CAST(floor(dist * 1000000.0) AS BIGINT) AS err
+       |  FROM pick)
+       |SELECT CAST(ms AS INT) AS subspace, count(*) AS n_vecs,
+       |  CAST(sum(err) AS BIGINT) AS total_err_micro,
+       |  CAST(max(err) AS BIGINT) AS max_err_micro,
+       |  CAST(sum(err) // count(*) AS BIGINT) AS mean_err_micro
+       |FROM e GROUP BY 1""".stripMargin
+  }
+
   /** x56: Z-ORDER LAYOUT AUDIT — quantize the first two embedding
     * coordinates to a 256×256 grid, interleave the bits into a
     * 16-bit Morton code, and profile the resulting 64 contiguous

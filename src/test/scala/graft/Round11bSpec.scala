@@ -247,6 +247,43 @@ class Round11bSpec extends SparkTestBase {
     assert(dwell.exists(_.getAs[Long]("n_zones") > 1L))
   }
 
+  test("s34 PQ distortion matches a driver-side argmin + fold brute force") {
+    import graft.operators.Similarity
+    // dim 4, m 2 (sub 2), 3 codewords; vectors engineered so one
+    // subspace has a tie (equal distance to codewords 0 and 1) and
+    // the other a clear winner
+    val cb = Seq(
+      (0L, Seq(0f, 0f, 10f, 10f)),
+      (1L, Seq(2f, 0f, 0f, 0f)),
+      (2L, Seq(9f, 9f, 9f, 9f))
+    ).toDF("vec_id", "embedding")
+    val vecs = Seq(
+      (10L, Seq(1f, 0f, 9f, 9f)),   // ms0: tie cw0/cw1 (d=1) -> cw0
+      (11L, Seq(8f, 8f, 0.5f, 0f))  // ms0: cw2, ms1: cw1
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.pqDistortion(vecs, cb, m = 2, dim = 4)
+      .collect().map(r => r.getAs[Int]("subspace") -> r).toMap
+    def l2(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) =>
+        (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
+    val cws = Map(0 -> Seq(0f, 0f, 10f, 10f), 1 -> Seq(2f, 0f, 0f, 0f),
+      2 -> Seq(9f, 9f, 9f, 9f))
+    val vs = Map(10L -> Seq(1f, 0f, 9f, 9f), 11L -> Seq(8f, 8f, 0.5f, 0f))
+    for (ms <- 0 to 1) {
+      val errs = vs.values.map { v =>
+        val sv = v.slice(ms * 2, ms * 2 + 2)
+        val best = (0 to 2).map(j =>
+          (l2(sv, cws(j).slice(ms * 2, ms * 2 + 2)), j)).min
+        math.floor(best._1 * 1000000.0).toLong
+      }.toSeq
+      val r = out(ms)
+      assert(r.getAs[Long]("n_vecs") === 2L)
+      assert(r.getAs[Long]("total_err_micro") === errs.sum)
+      assert(r.getAs[Long]("max_err_micro") === errs.max)
+      assert(r.getAs[Long]("mean_err_micro") === errs.sum / 2)
+    }
+  }
+
   test("x70 fertility: per-language sums reconcile with x68 and fertility >= 1e6") {
     val x70 = CorpusQueries.x70TokenFertility(spark, sf).collect()
     val x68 = CorpusQueries.x68BpeApplyHeldout(spark, sf)
