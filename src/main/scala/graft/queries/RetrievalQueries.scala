@@ -262,7 +262,7 @@ object RetrievalQueries {
     * inputs) as concurrent jobs and wait for all: each action still
     * sees the full session, the scheduler interleaves their stages
     * across the executor pool. Failures rethrow on the caller. */
-  private def awaitAll(actions: (() => Unit)*): Unit = {
+  private[graft] def awaitAll(actions: (() => Unit)*): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global

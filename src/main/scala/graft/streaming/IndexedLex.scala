@@ -47,18 +47,23 @@ object IndexedLex {
     // read the token arrays (the x40/x41 discipline)
     val tok = batch.select(col("doc_id"),
       TextFunctions.tokens(col("text")).as("toks")).localCheckpoint(true)
-    tok.select(col("doc_id"), explode(col("toks")).as("term"))
-      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
-      .withColumn("tbkt",
-        pmod(hash(col("term")), lit(RetrievalQueries.lexBuckets)))
-      .repartition(RetrievalQueries.lexBuckets, col("tbkt"))
-      .write.mode("overwrite").partitionBy("tbkt")
-      .parquet(s"$path/postings/ingest_id=$batchId")
     val dl = tok.select(col("doc_id"),
       size(col("toks")).cast("long").as("dl"))
-    dl.write.mode("overwrite").parquet(s"$path/doclen/ingest_id=$batchId")
-    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
-      .write.mode("overwrite").parquet(s"$path/stats/ingest_id=$batchId")
+    // the three sinks land in DIFFERENT ingest_id-scoped directories
+    // off the same pinned frame — concurrent jobs (the x40/x41
+    // awaitAll shape); the marker still writes strictly LAST
+    RetrievalQueries.awaitAll(
+      () => tok.select(col("doc_id"), explode(col("toks")).as("term"))
+        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+        .withColumn("tbkt",
+          pmod(hash(col("term")), lit(RetrievalQueries.lexBuckets)))
+        .repartition(RetrievalQueries.lexBuckets, col("tbkt"))
+        .write.mode("overwrite").partitionBy("tbkt")
+        .parquet(s"$path/postings/ingest_id=$batchId"),
+      () => dl.write.mode("overwrite")
+        .parquet(s"$path/doclen/ingest_id=$batchId"),
+      () => dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+        .write.mode("overwrite").parquet(s"$path/stats/ingest_id=$batchId"))
     fs.create(marker, true).close()
   }
 
