@@ -97,14 +97,20 @@ object IndexedDedup {
     val survivors = reps.join(
       verdicts.filter(col("is_dup")).select(col("doc_id")),
       Seq("doc_id"), "left_anti")
-    val features = Dedup.shingleFeatures(survivors)
-    graft.sources.Writers.writePartitioned(
-      Dedup.bandRowsOf(features), s"$path/bands/ingest_id=$batchId",
-      Seq("band"), mode = "overwrite")
-    features.select(col("doc_id"), col("hashes"))
-      .write.mode("overwrite").parquet(s"$path/features/ingest_id=$batchId")
-    verdicts.write.mode("overwrite")
-      .parquet(s"$path/verdicts/ingest_id=$batchId")
+    // pin the feature frame once (two sinks read it), then land all
+    // three ingest_id-scoped sinks as CONCURRENT jobs (different
+    // directories; the x40/x41/IndexedLex awaitAll shape). The
+    // marker still writes strictly last.
+    val features = Dedup.shingleFeatures(survivors).localCheckpoint(true)
+    graft.queries.RetrievalQueries.awaitAll(
+      () => graft.sources.Writers.writePartitioned(
+        Dedup.bandRowsOf(features), s"$path/bands/ingest_id=$batchId",
+        Seq("band"), mode = "overwrite"),
+      () => features.select(col("doc_id"), col("hashes"))
+        .write.mode("overwrite")
+        .parquet(s"$path/features/ingest_id=$batchId"),
+      () => verdicts.write.mode("overwrite")
+        .parquet(s"$path/verdicts/ingest_id=$batchId"))
     fs.create(marker, true).close()
   }
 
