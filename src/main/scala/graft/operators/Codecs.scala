@@ -833,6 +833,109 @@ object Codecs {
     def nalPayloads(data: Array[Byte]): Seq[Array[Byte]] =
       walk(data, collectPayloads = true)._3
 
+    /** Just the random-access machinery of the box walk: NAL length-
+      * prefix size, per-sample sizes (stsz), chunk offsets (stco/
+      * co64), samples-per-chunk (stsc expansion) and the mdat bounds
+      * — the m32 seek plan's inputs, parsed once so a LAZY sample
+      * walk needs no upfront mdat traversal. */
+    private final case class SampleTables(mdatOff: Int, mdatLen: Int,
+        nalLenSize: Int, sizes: Array[Int], chunkOff: Array[Long],
+        perChunk: Array[Int])
+
+    private def sampleTables(data: Array[Byte]): SampleTables = {
+      val top = boxes(data, 0, data.length)
+      require(top.headOption.exists(_.fourcc == "ftyp"),
+        "not an ISO BMFF file: first box is not ftyp")
+      val mdat = child(top, "mdat")
+      val moovB = child(top, "moov")
+      val trak = child(boxes(data, moovB.off, moovB.len), "trak")
+      val mdia = child(boxes(data, trak.off, trak.len), "mdia")
+      val minf = child(boxes(data, mdia.off, mdia.len), "minf")
+      val stbl = child(boxes(data, minf.off, minf.len), "stbl")
+      val stblKids = boxes(data, stbl.off, stbl.len)
+      val stsd = child(stblKids, "stsd")
+      val avc1 = child(boxes(data, stsd.off + 8, stsd.len - 8), "avc1")
+      val avcC = child(boxes(data, avc1.off + 78, avc1.len - 78), "avcC")
+      val nalLenSize = (data(avcC.off + 4) & 0x03) + 1
+      val stsz = child(stblKids, "stsz")
+      val uniform = be32(data, stsz.off + 4)
+      val nSamples = be32(data, stsz.off + 8).toInt
+      val sizes = Array.tabulate(nSamples)(i =>
+        if (uniform != 0) uniform.toInt
+        else be32(data, stsz.off + 12 + i * 4).toInt)
+      val stsc = child(stblKids, "stsc")
+      val stscN = be32(data, stsc.off + 4).toInt
+      val stscRows = (0 until stscN).map { i =>
+        val o = stsc.off + 8 + i * 12
+        (be32(data, o).toInt, be32(data, o + 4).toInt)
+      }
+      val (stcoT, entSize) = stblKids.find(_.fourcc == "co64")
+        .map((_, 8)).getOrElse((child(stblKids, "stco"), 4))
+      val nChunks = be32(data, stcoT.off + 4).toInt
+      val chunkOff = Array.tabulate(nChunks)(i =>
+        if (entSize == 8) be64(data, stcoT.off + 8 + i * 8)
+        else be32(data, stcoT.off + 8 + i * 4))
+      val perChunk = Array.tabulate(nChunks) { c =>
+        val run = stscRows.takeWhile(_._1 <= c + 1).lastOption
+          .getOrElse(stscRows.head)
+        run._2
+      }
+      SampleTables(mdat.off, mdat.len, nalLenSize, sizes, chunkOff,
+        perChunk)
+    }
+
+    /** LAZY NAL payload walk: the sample tables parse once (metadata
+      * only), then each `next()` copies exactly ONE NAL's bytes out
+      * of mdat, advancing chunk → sample → NAL cursors incrementally
+      * — O(1) payloads in flight, so a consumer decoding a long
+      * video holds one frame, not one file, in memory. Same bounds
+      * checks as the eager [[nalPayloads]] walk, raised at the NAL
+      * that violates them. */
+    def nalPayloadIterator(data: Array[Byte]): Iterator[Array[Byte]] = {
+      val t = sampleTables(data)
+      new Iterator[Array[Byte]] {
+        private var c = 0            // chunk cursor
+        private var kInChunk = 0     // samples consumed in chunk c
+        private var si = 0           // global sample cursor
+        private var off = if (t.chunkOff.nonEmpty) t.chunkOff(0) else 0L
+        private var p = 0L           // byte cursor inside sample si
+        private var sEnd = 0L
+        private var inSample = false
+        private def advanceToSample(): Unit = {
+          while (!inSample && c < t.chunkOff.length && si < t.sizes.length) {
+            if (kInChunk >= t.perChunk(c)) {
+              c += 1; kInChunk = 0
+              if (c < t.chunkOff.length) off = t.chunkOff(c)
+            } else {
+              val sz = t.sizes(si)
+              require(off + sz <= t.mdatOff + t.mdatLen,
+                s"sample $si overruns mdat")
+              p = off; sEnd = off + sz; inSample = true
+            }
+          }
+        }
+        def hasNext: Boolean = { advanceToSample(); inSample }
+        def next(): Array[Byte] = {
+          if (!hasNext) throw new NoSuchElementException("NAL walk done")
+          var nl = 0L
+          for (b <- 0 until t.nalLenSize)
+            nl = (nl << 8) | (data((p + b).toInt) & 0xff)
+          require(p + t.nalLenSize + nl <= sEnd,
+            s"NAL overruns sample $si: len $nl")
+          require(nl >= 1, s"zero-length NAL in sample $si")
+          val out = java.util.Arrays.copyOfRange(data,
+            (p + t.nalLenSize).toInt, (p + t.nalLenSize + nl).toInt)
+          p += t.nalLenSize + nl
+          if (p >= sEnd) {
+            require(p == sEnd, s"sample $si has trailing bytes")
+            off += t.sizes(si)
+            si += 1; kInChunk += 1; inSample = false
+          }
+          out
+        }
+      }
+    }
+
     private def walk(data: Array[Byte], collectPayloads: Boolean)
         : (Mp4Index, Seq[Int], Seq[Array[Byte]]) = {
       val top = boxes(data, 0, data.length)
@@ -1284,13 +1387,18 @@ object Codecs {
       PcmFrame(wpx, hpx, y, cb, cr)
     }
 
-    /** Decode a whole muxed I_PCM stream: container walk → avcC SPS →
-      * every mdat NAL parsed as an IDR I_PCM slice → pictures in
-      * decode order. The `decodebin`-shaped hop for the uncompressed-
-      * H.264 subset: MP4 bytes in, planar pixels out, pure JVM. */
-    def decodeIPcmFrames(data: Array[Byte]): Seq[PcmFrame] = {
+    /** Decode a muxed I_PCM stream LAZILY: container walk → avcC SPS
+      * → each mdat NAL parsed as an IDR I_PCM slice on demand →
+      * pictures in decode order, ONE IN FLIGHT AT A TIME (the
+      * iterator rides [[nalPayloadIterator]]'s incremental stsc/
+      * stco/stsz walk — the m32 seek plan's random-access map — so a
+      * long video never materializes all its decoded frames at
+      * once, exactly why the reference streams frame-by-frame). The
+      * `decodebin`-shaped hop for the uncompressed-H.264 subset:
+      * MP4 bytes in, planar pixels out, pure JVM. */
+    def decodeIPcmFrames(data: Array[Byte]): Iterator[PcmFrame] = {
       val sps = spsInfo(data)
-      nalPayloads(data).map(parseIdrPcmSlice(_, sps))
+      nalPayloadIterator(data).map(parseIdrPcmSlice(_, sps))
     }
 
     /** Walk a muxed file to its avcC and parse the FIRST stored SPS —

@@ -271,62 +271,75 @@ object Graph {
     * 100 TB shape: each round is one degree partial-agg + two
     * semijoin-shaped edge filters keyed by node. SNAPSHOT BUDGET
     * (the toy-scale floor fix the 100× reading doesn't need, but
-    * costs it nothing): only TWO frames materialize per round — the
-    * candidate (node, deg) frame and the filtered edge list; the
-    * peel set, the next alive set and the running peeled union are
-    * LAZY one-deep views over those cached frames, so a round costs
-    * 2 Spark jobs + one cached-scan emptiness probe instead of the
-    * 5 jobs the checkpoint-everything spelling paid. Superseded
-    * snapshots release eagerly; the per-round cand frames (tiny
-    * node lists) pin until the result is assembled because the
-    * output reads every round's peel set — the assembled result is
-    * materialized ONCE at the end and every pinned round frame is
-    * released before returning, so repeated peels in one session
-    * don't accumulate cached frames. */
+    * costs it nothing): ONE frame materializes per round — the
+    * filtered edge list, whose plan FOLDS IN the degree recompute
+    * (the survivor set is a subplan of the filter, not a separately
+    * materialized candidate frame) — plus one cached-scan count that
+    * doubles as the convergence probe: node removal only ever
+    * SHRINKS the edge set, so count equality IS set equality and the
+    * loop stops at the true fixpoint with no emptiness probe. The
+    * alive sets, per-round peel sets and survivor degrees are LAZY
+    * one-agg views over the pinned round snapshots (alive_r =
+    * degree≥k over edges_{r-1}; the alive sets are NESTED, so a
+    * node's peel round is its deepest presence level + 1 — which
+    * also catches survivors whose last edges vanished, the degree-0
+    * peel), all evaluated as independent branches inside the single
+    * final assembly job. A round therefore costs 1 Spark job + one
+    * cached count instead of the old 2 jobs + probe. Round snapshots
+    * pin until the result is assembled (the output reads every
+    * round's alive set — a bounded-horizon peel holds ≤ `rounds`
+    * shrinking edge lists, the declared memory admission); the
+    * assembled result is materialized ONCE and every pinned frame is
+    * released before returning. */
   def kCorePeel(pairs: DataFrame, k: Long, rounds: Int): DataFrame = {
     val sym = pairs
       .select(col("doc_a").cast("long").as("s"), col("doc_b").cast("long").as("d"))
       .union(pairs
         .select(col("doc_b").cast("long").as("s"), col("doc_a").cast("long").as("d")))
       .distinct().snapshot()
-    var alive = sym.select(col("s").as("node")).distinct()
-    var edges = sym
-    val peeledParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    val pinned = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    // nodes whose INDUCED degree in `ed` meets k (degree-0 nodes are
+    // implicitly out: they have no s-rows)
+    def surv(ed: DataFrame): DataFrame =
+      ed.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("s").as("node"))
+    val edgeRounds = scala.collection.mutable.ArrayBuffer[DataFrame](sym)
+    var cnt = sym.count()
     var r = 1
     var done = false
     while (r <= rounds && !done) {
-      val deg = edges.groupBy(col("s")).agg(count(lit(1)).as("deg"))
-      val cand = alive.join(deg, alive("node") === deg("s"), "left")
-        .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"))
-        .snapshot()
-      val newPeeled = cand.filter(col("deg") < k)
-      if (newPeeled.isEmpty) {
-        cand.unpersist()
-        done = true
-      } else {
-        pinned += cand
-        peeledParts += newPeeled
-          .select(col("node"), lit(r.toLong).as("peel_round"))
-        val nextAlive = cand.filter(col("deg") >= k).select(col("node"))
-        val nextEdges = edges
-          .join(nextAlive.select(col("node").as("s")), Seq("s"))
-          .join(nextAlive.select(col("node").as("d")), Seq("d"))
-          .select(col("s"), col("d")).snapshot()
-        // the superseded edge snapshot (round 0 = sym) is dead once
-        // replaced — release it eagerly
-        edges.unpersist()
-        alive = nextAlive; edges = nextEdges
-        r += 1
-      }
+      val cur = edgeRounds.last
+      val sv = surv(cur) // subplan of the filter — not materialized
+      val next = cur
+        .join(sv.select(col("node").as("s")), Seq("s"))
+        .join(sv.select(col("node").as("d")), Seq("d"))
+        .select(col("s"), col("d")).snapshot()
+      val nextCnt = next.count() // cached scan; convergence probe
+      edgeRounds += next
+      if (nextCnt == cnt) done = true
+      cnt = nextCnt
+      r += 1
     }
-    val peeled =
-      if (peeledParts.isEmpty)
-        sym.filter(lit(false))
-          .select(col("s").as("node"), lit(0L).as("peel_round"))
-      else peeledParts.reduce(_ union _)
-    val finalDeg = edges.groupBy(col("s")).agg(count(lit(1)).as("deg"))
-    val survivors = alive.join(finalDeg, alive("node") === finalDeg("s"), "left")
+    val executed = edgeRounds.size - 1
+    def alive(i: Int): DataFrame =
+      if (i == 0) sym.select(col("s").as("node")).distinct()
+      else surv(edgeRounds(i - 1))
+    // the alive sets are NESTED (alive_{i+1} ⊆ alive_i), so a node's
+    // peel round is (deepest level it appears at) + 1 — one union of
+    // INDEPENDENT agg branches over the pinned round snapshots (the
+    // scheduler runs them concurrently inside the final job) + one
+    // groupBy, instead of a chain of per-round anti-joins
+    val presence = (0 to executed).map(i =>
+      alive(i).select(col("node"), lit(i.toLong).as("lvl")))
+      .reduce(_ union _)
+    val byNode = presence.groupBy(col("node"))
+      .agg(max(col("lvl")).as("maxl"))
+    val peeled = byNode.filter(col("maxl") < executed)
+      .select(col("node"), (col("maxl") + 1L).as("peel_round"))
+    val last = edgeRounds(executed)
+    val finalDeg = last.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+    val aliveEnd = byNode.filter(col("maxl") === executed)
+    val survivors = aliveEnd
+      .join(finalDeg, aliveEnd("node") === finalDeg("s"), "left")
       .select(col("node"), lit(-1L).as("peel_round"),
         coalesce(col("deg"), lit(0L)).as("core_degree"))
     val out = survivors.union(
@@ -334,8 +347,7 @@ object Graph {
       .select(col("node").as("doc_id"), col("peel_round"), col("core_degree"))
       .snapshot()
     // the result is materialized — release every round frame it read
-    pinned.foreach(_.unpersist())
-    edges.unpersist()
+    edgeRounds.foreach(_.unpersist())
     out
   }
 

@@ -1396,7 +1396,15 @@ object CorpusQueries {
     * join rebuilds per-document counts: the corpus-sized work is one
     * explode + one partial-agg groupBy; everything BPE-shaped runs
     * on the vocab-bounded frame. */
-  def x68BpeApplyHeldout(spark: SparkSession, dir: String): DataFrame = {
+  def x68BpeApplyHeldout(spark: SparkSession, dir: String): DataFrame =
+    bpeHeldoutPerDoc(spark, dir).drop("lang")
+
+  /** x68's per-document accounting with `lang` THREADED THROUGH from
+    * the held-out scan (the row already carries it — re-deriving it
+    * later would mean a second `documents` scan and a doc-keyed
+    * shuffle join). Shared by x68 (drops lang) and x70 (rolls it up),
+    * so the fertility report costs x68 + one ≤|langs|-row agg. */
+  private def bpeHeldoutPerDoc(spark: SparkSession, dir: String): DataFrame = {
     import graft.Engine.SnapshotOps
     val SEP = "\u001f"
     val rounds = 3
@@ -1404,7 +1412,7 @@ object CorpusQueries {
     val rules = bpeTrain(docs.filter(col("doc_id") % 10 =!= 9), rounds)
       .snapshot()
     val ht = docs.filter(col("doc_id") % 10 === 9)
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("lang"),
         explode(TextFunctions.tokens(col("text"))).as("tok"))
     var segd = ht.select(col("tok")).distinct()
       .select(col("tok"),
@@ -1418,7 +1426,7 @@ object CorpusQueries {
     val cnt = segd.select(col("tok"),
       size(split(col("seg"), SEP)).as("n_tok"))
     ht.join(cnt, Seq("tok"))
-      .groupBy(col("doc_id"))
+      .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_tok")).cast("bigint").as("n_tokens"))
   }
@@ -1469,18 +1477,20 @@ object CorpusQueries {
     bpeTrainSqlCtes(3, "") + "\n" + out
   }
 
-  /** Held-out application oracle: train CTEs on the train split,
-    * then three sequential fold applications at word-type level and
-    * the per-doc rollup — the same shape as the Spark plan. */
-  val x68Sql: String = {
+  /** Held-out application CTE chain shared by x68 and x70: train
+    * CTEs on the train split, three sequential fold applications at
+    * word-type level, then the per-doc rollup `pd` carrying `lang`
+    * straight off the held-out rows — the same shape as the Spark
+    * plan (bpeHeldoutPerDoc). */
+  private val bpeHeldoutSqlCtes: String = {
     def applyCte(i: Int): String =
       s"""a$i AS (SELECT tok, $bpeFoldSql AS seg
          |  FROM (SELECT tok, string_split(seg, chr(31)) AS sg FROM a${i - 1})
          |  CROSS JOIN (SELECT lhs AS ml, rhs AS mr FROM rule$i))""".stripMargin
     bpeTrainSqlCtes(3, " WHERE doc_id % 10 <> 9") +
       s""",
-         |ht AS (SELECT doc_id, unnest(ts) AS tok FROM
-         |  (SELECT doc_id, $tsSql AS ts FROM documents
+         |ht AS (SELECT doc_id, lang, unnest(ts) AS tok FROM
+         |  (SELECT doc_id, lang, $tsSql AS ts FROM documents
          |   WHERE doc_id % 10 = 9)),
          |ty AS (SELECT DISTINCT tok FROM ht),
          |a0 AS (SELECT tok, array_to_string(
@@ -1489,11 +1499,16 @@ object CorpusQueries {
          |  FROM ty),
          |${(1 to 3).map(applyCte).mkString(",\n")},
          |cnt AS (SELECT tok, len(string_split(seg, chr(31))) AS n_tok
-         |  FROM a3)
-         |SELECT ht.doc_id, count(*) AS n_words,
-         |  CAST(sum(cnt.n_tok) AS BIGINT) AS n_tokens
-         |FROM ht JOIN cnt ON cnt.tok = ht.tok GROUP BY 1""".stripMargin
+         |  FROM a3),
+         |pd AS (SELECT ht.doc_id, ht.lang, count(*) AS n_words,
+         |    CAST(sum(cnt.n_tok) AS BIGINT) AS n_tokens
+         |  FROM ht JOIN cnt ON cnt.tok = ht.tok GROUP BY 1, 2)""".stripMargin
   }
+
+  /** Held-out application oracle: the shared CTE chain, lang
+    * dropped. */
+  val x68Sql: String =
+    bpeHeldoutSqlCtes + "\nSELECT doc_id, n_words, n_tokens FROM pd"
 
   // ---- x47: semantic outliers vs source centroid ------------------
 
@@ -2870,21 +2885,22 @@ object CorpusQueries {
     * is the number that says by how much, and drives vocab-size and
     * mixing decisions). Consumes x68's per-document accounting (the
     * same train→apply lifecycle, so the three artifacts — x67's
-    * table, x68's counts, this report — cannot drift apart) and
-    * closes with one language join + rollup; fertility ships in ppm
+    * table, x68's counts, this report — cannot drift apart) with
+    * `lang` threaded through from the held-out scan itself — no
+    * second documents scan, no doc-keyed join — and closes with one
+    * ≤|langs|-row rollup; fertility ships in ppm
     * via integer division of exact token/word sums (carried through
     * decimal(38,0) — 10⁶·Σtokens outgrows a long at ~10¹³ tokens per
     * language, i.e. exactly the corpus size this report exists for).
     *
     * 100 TB shape: everything corpus-sized is inside x68 (one
     * explode + one partial-agg groupBy; BPE work is vocab-bounded);
-    * this adds one doc-keyed join against a two-column projection of
-    * documents and a ≤|langs|-row closing agg. */
+    * this adds only a ≤|langs|-row closing agg over x68's per-doc
+    * frame — lang rides the held-out rows, so there is no second
+    * documents scan to re-shuffle at corpus scale. */
   def x70TokenFertility(spark: SparkSession, dir: String): DataFrame = {
-    val perDoc = x68BpeApplyHeldout(spark, dir)
+    val perDoc = bpeHeldoutPerDoc(spark, dir)
     perDoc
-      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
-        Seq("doc_id"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_words")).as("n_words"),
@@ -2895,14 +2911,12 @@ object CorpusQueries {
   }
 
   val x70Sql: String =
-    s"""WITH pd AS MATERIALIZED (SELECT * FROM (
-       |$x68Sql
-       |))
-       |SELECT d.lang, count(*) AS n_docs,
-       |  CAST(sum(pd.n_words) AS BIGINT) AS n_words,
-       |  CAST(sum(pd.n_tokens) AS BIGINT) AS n_tokens,
-       |  CAST(CAST(sum(pd.n_tokens) AS HUGEINT) * 1000000 //
-       |    sum(pd.n_words) AS BIGINT) AS fertility_ppm
-       |FROM pd JOIN documents d ON d.doc_id = pd.doc_id
-       |GROUP BY 1""".stripMargin
+    bpeHeldoutSqlCtes +
+      s"""
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS n_words,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(CAST(sum(n_tokens) AS HUGEINT) * 1000000 //
+         |    sum(n_words) AS BIGINT) AS fertility_ppm
+         |FROM pd GROUP BY 1""".stripMargin
 }

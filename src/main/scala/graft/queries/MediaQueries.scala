@@ -1937,10 +1937,13 @@ object MediaQueries {
           }
           val mp4 = Codecs.Mp4.mux(nals, keyframes = (1 to n),
             timescale = 90000, sampleDelta = 3000, width = w, height = h)
+          // decodeIPcmFrames is a LAZY iterator — fold frame count
+          // into the single pass (one decoded frame in flight)
           val dec = Codecs.Mp4.decodeIPcmFrames(mp4)
-          require(dec.length == n, s"decoded ${dec.length} of $n frames")
           var ys = 0L; var cbs = 0L; var crs = 0L; var fp = 0L
+          var nDec = 0
           dec.foreach { fr =>
+            nDec += 1
             require(fr.width == w && fr.height == h,
               s"decoded dims ${fr.width}x${fr.height} != ${w}x$h")
             def fold(p: Array[Byte], add: Long => Unit): Unit =
@@ -1950,6 +1953,7 @@ object MediaQueries {
               }
             fold(fr.y, ys += _); fold(fr.cb, cbs += _); fold(fr.cr, crs += _)
           }
+          require(nDec == n, s"decoded $nDec of $n frames")
           (id, n, w, h, ys, cbs, crs, fp)
         }
       }.toDF("doc_id", "n_frames", "width", "height", "y_sum",

@@ -259,16 +259,34 @@ object RetrievalQueries {
   val lexBuckets = 64
 
   /** Run independent Spark ACTIONS (sink writes of already-pinned
-    * inputs) as concurrent jobs and wait for all: each action still
-    * sees the full session, the scheduler interleaves their stages
-    * across the executor pool. Failures rethrow on the caller. */
+    * inputs) as concurrent jobs and wait for ALL OF THEM TO SETTLE:
+    * each action still sees the full session, the scheduler
+    * interleaves their stages across the executor pool. A failure
+    * rethrows on the caller only after every sibling has finished —
+    * a fail-fast rethrow would let a foreachBatch replay's overwrite
+    * of the same ingest_id directory race a still-running zombie
+    * writer from the failed attempt, and the marker would then
+    * certify a mixed partition. */
   private[graft] def awaitAll(actions: (() => Unit)*): Unit = {
+    awaitAllWith(() => ())(actions: _*)
+    ()
+  }
+
+  /** awaitAll where one action also PRODUCES a value (e.g. an eager
+    * localCheckpoint pin riding the same concurrent wave as sink
+    * writes). All actions settle before the first failure rethrows. */
+  private[graft] def awaitAllWith[T](value: () => T)(
+      actions: (() => Unit)*): T = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    Await.result(
-      Future.sequence(actions.map(a => Future(a()))), Duration.Inf)
-    ()
+    import scala.util.{Failure, Success, Try}
+    val futures: Seq[scala.concurrent.Future[Try[Any]]] =
+      (value +: actions.map(a => () => a(): Any))
+        .map(a => Future(a()).transform(Success(_)))
+    val settled = Await.result(Future.sequence(futures), Duration.Inf)
+    settled.collectFirst { case Failure(t) => t }.foreach(throw _)
+    settled.head.get.asInstanceOf[T]
   }
 
   /** Foldable bucket-pruning predicate: the same murmur3 the writer
@@ -398,15 +416,13 @@ object RetrievalQueries {
     // it rides the same wave (the appends below, which DO share
     // directories with the overwrites, start only after the await)
     val tokStanding = tok(standing)
-    var tokBatch: DataFrame = null
-    awaitAll(
+    val tokBatch = awaitAllWith(() => tok(batch))(
       () => postings(tokStanding).write.mode("overwrite")
         .partitionBy("tbkt").parquet(s"$base/postings"),
       () => doclen(tokStanding).write.mode("overwrite")
         .parquet(s"$base/doclen"),
       () => stats(tokStanding).write.mode("overwrite")
-        .parquet(s"$base/stats"),
-      () => tokBatch = tok(batch))
+        .parquet(s"$base/stats"))
     // incremental update: batch-only passes, append + exact stats
     // merge; the two appends land in DIFFERENT directories →
     // concurrent too

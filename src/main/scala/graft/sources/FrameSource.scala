@@ -64,8 +64,14 @@ object FrameSource {
     * 100 TB shape: decode is partition-local per FILE (bytes never
     * shuffle; frames explode inside the map), so executor count
     * scales ingest linearly — the distributed `decodebin` fan-out.
-    * Transform-coded streams fail loudly at the I_PCM gate (the
-    * documented seam), never silently garble. */
+    * The decode itself is LAZY (decodeIPcmFrames iterates the stsc/
+    * stco/stsz sample tables incrementally), so the flatMap holds
+    * ONE decoded frame in flight, not the whole file's pictures —
+    * the admission unit is the file's COMPRESSED bytes (binaryFile
+    * materializes each file's content column per row; cap file size
+    * upstream if sources can exceed executor memory). Transform-
+    * coded streams fail loudly at the I_PCM gate (the documented
+    * seam), never silently garble. */
   def videoFileStream(spark: SparkSession, path: String,
       maxFilesPerTrigger: Int = 2): Dataset[Frame] = {
     import org.apache.spark.sql.functions.col
@@ -80,7 +86,13 @@ object FrameSource {
       .select(col("path"), col("modificationTime"), col("content"))
       .as[(String, java.sql.Timestamp, Array[Byte])]
       .flatMap { case (p, mt, bytes) =>
-        val vid = p.substring(p.lastIndexOf('/') + 1)
+        // binaryFile's path column is URI-formatted — decode it so a
+        // filename with spaces/non-ASCII yields its user-facing name,
+        // not a percent-encoded video_id
+        val decoded = try new java.net.URI(p).getPath catch {
+          case _: java.net.URISyntaxException => p
+        }
+        val vid = decoded.substring(decoded.lastIndexOf('/') + 1)
         Codecs.Mp4.decodeIPcmFrames(bytes).zipWithIndex.map {
           case (f, i) =>
             val planes = f.y ++ f.cb ++ f.cr

@@ -86,7 +86,7 @@ class Round11cSpec extends SparkTestBase {
     }
     val mp4 = Codecs.Mp4.mux(nals, keyframes = Seq(1, 2, 3),
       timescale = 90000, sampleDelta = 3000, width = 32, height = 16)
-    val dec = Codecs.Mp4.decodeIPcmFrames(mp4)
+    val dec = Codecs.Mp4.decodeIPcmFrames(mp4).toSeq
     assert(dec.length === 3)
     dec.zip(frames).foreach { case (d, o) =>
       assert(d.width === 32 && d.height === 16)
@@ -156,7 +156,7 @@ class Round11cSpec extends SparkTestBase {
     }
     val mp4 = Codecs.Mp4.mux(nals, keyframes = Seq(1, 2),
       timescale = 90000, sampleDelta = 3000, width = w, height = h)
-    val dec = Codecs.Mp4.decodeIPcmFrames(mp4)
+    val dec = Codecs.Mp4.decodeIPcmFrames(mp4).toSeq
     // planar YUV -> RGB through the Y4M container hop (BT.601,
     // chroma replication — the same conversion the Y4M path gates)
     val frameRows = dec.zipWithIndex.map { case (fr, i) =>
