@@ -45,7 +45,8 @@ object KMeans {
     * pinned so the caller's searches reuse them without recompute);
     * a caller running many trains in one session should
     * `.unpersist()` results it is done with. */
-  def train(vecs: DataFrame, k: Int, iters: Int = 5): DataFrame = {
+  def train(vecs: DataFrame, k: Int, iters: Int = 5,
+      dim: Int = 64): DataFrame = {
     val corpus = vecs.select(col("vec_id"), col("embedding"))
     // deterministic seed: the k lowest vec_ids, renumbered 0..k-1 so
     // cell ids are stable no matter which vectors seeded them
@@ -56,33 +57,43 @@ object KMeans {
         col("embedding"))
       .cache()
     centroids.count() // materialize the seed
-    var it = 0
-    while (it < iters) {
-      val assigned = Similarity.assignCells(corpus, centroids)
+    // one Lloyd's step as a LAZY plan over the previous centroids:
+    // assignment (narrow broadcast-fold), the no-explode micro-unit
+    // mean (dim agg columns — the partial agg reduces every
+    // partition to ≤ k rows of dim sums before the exchange; order-
+    // free exact: quantize, sum longs, truncating div, Spark `div`
+    // ≡ DuckDB `//`), and the empty-cluster keep-previous guard so
+    // k never shrinks
+    def step(prev: DataFrame): DataFrame = {
+      val assigned = Similarity.assignCells(corpus, prev)
+      val sums = (0 until dim).map(d =>
+        sum(floor(element_at(col("embedding"), d + 1).cast("double")
+          * 1000000.0 + 0.5).cast("long")).as(s"su$d"))
       val means = assigned
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy(col("cell"), col("dim"))
-        // order-free exact mean on the micro-unit lattice: quantize,
-        // sum longs, truncating div (Spark `div` ≡ DuckDB `//`)
-        .agg(sum(floor(col("v").cast("double") * 1000000.0 + 0.5)
-          .cast("long")).as("su"), count(lit(1)).as("n"))
-        .select(col("cell"), col("dim"),
-          (expr("su div n").cast("double") / 1000000.0).as("m"))
         .groupBy(col("cell"))
-        .agg(transform(
-          sort_array(collect_list(struct(col("dim"), col("m")))),
-          s => s.getField("m").cast("float")).as("memb"))
-        .select(col("cell").as("vec_id"), col("memb"))
-      // a cell that captured no vectors this round keeps its previous
-      // centroid (classic empty-cluster guard) so k never shrinks
-      val next = centroids.join(means, Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .select(col("cell").as("vec_id"),
+          array((0 until dim).map(d =>
+            (expr(s"su$d div n").cast("double") / 1000000.0)
+              .cast("float")): _*).as("memb"))
+      prev.join(means, Seq("vec_id"), "left")
         .select(col("vec_id"),
           coalesce(col("memb"), col("embedding")).as("embedding"))
+    }
+    // TWO Lloyd's steps per materialization: step i+1's broadcast
+    // centroid row is a SUBPLAN of the same job (the k-row mean agg
+    // feeds the next assignment's broadcast exchange), halving the
+    // sequential job barriers the trainer pays — the corpus is
+    // scanned once per step either way
+    var it = 0
+    while (it < iters) {
+      val steps = math.min(2, iters - it)
+      val next = (1 to steps).foldLeft(centroids)((c, _) => step(c))
         .cache()
       next.count() // materialize before dropping the previous round
       centroids.unpersist()
       centroids = next
-      it += 1
+      it += steps
     }
     centroids
   }
@@ -130,9 +141,15 @@ object KMeans {
         col("sv").as("csv"))
       .cache()
     codebook.count()
-    var it = 0
-    while (it < iters) {
-      val centArr = codebook
+    // one per-subspace Lloyd's step as a LAZY plan over the previous
+    // codebook: broadcast-fold argmin assignment, then the same
+    // micro-unit mean as `train` in the same no-explode shape — one
+    // partial agg with `sub` sum columns instead of a posexplode to
+    // (ms, j, dim, v), so the trainer's heaviest stage carries
+    // corpus×m rows, not corpus×m×sub — plus the empty-codeword
+    // keep-previous guard so k never shrinks per subspace
+    def pqStep(prev: DataFrame): DataFrame = {
+      val centArr = prev
         .select(struct(col("ms"), col("j"), col("csv")).as("c"))
         .agg(sort_array(collect_list(col("c"))).as("cs"))
       val assigned = corpus.crossJoin(broadcast(centArr))
@@ -145,28 +162,31 @@ object KMeans {
               struct(d.as("d"), c.getField("j").as("j"))).otherwise(acc)
           }))
         .select(col("ms"), col("best.j").as("j"), col("sv"))
+      val subSums = (0 until sub).map(d =>
+        sum(floor(element_at(col("sv"), d + 1).cast("double")
+          * 1000000.0 + 0.5).cast("long")).as(s"su$d"))
       val means = assigned
-        .select(col("ms"), col("j"), posexplode(col("sv")).as(Seq("dim", "v")))
-        .groupBy(col("ms"), col("j"), col("dim"))
-        // same micro-unit mean as `train`: exact long sum + trunc div
-        .agg(sum(floor(col("v").cast("double") * 1000000.0 + 0.5)
-          .cast("long")).as("su"), count(lit(1)).as("n"))
-        .select(col("ms"), col("j"), col("dim"),
-          (expr("su div n").cast("double") / 1000000.0).as("mv"))
         .groupBy(col("ms"), col("j"))
-        .agg(transform(
-          sort_array(collect_list(struct(col("dim"), col("mv")))),
-          s => s.getField("mv").cast("float")).as("msv"))
-      // empty-cell guard: a codeword no subvector chose keeps its
-      // previous value, so k never shrinks per subspace
-      val next = codebook.join(means, Seq("ms", "j"), "left")
+        .agg(count(lit(1)).as("n"), subSums: _*)
+        .select(col("ms"), col("j"),
+          array((0 until sub).map(d =>
+            (expr(s"su$d div n").cast("double") / 1000000.0)
+              .cast("float")): _*).as("msv"))
+      prev.join(means, Seq("ms", "j"), "left")
         .select(col("ms"), col("j"),
           coalesce(col("msv"), col("csv")).as("csv"))
+    }
+    // two steps per materialization (the `train` unroll): step i+1's
+    // broadcast codeword array is a subplan of the same job
+    var it = 0
+    while (it < iters) {
+      val steps = math.min(2, iters - it)
+      val next = (1 to steps).foldLeft(codebook)((c, _) => pqStep(c))
         .cache()
       next.count()
       codebook.unpersist()
       codebook = next
-      it += 1
+      it += steps
     }
     // reassemble: codeword j = its m subspace codewords concatenated
     // in subspace order
