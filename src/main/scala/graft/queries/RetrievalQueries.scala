@@ -474,10 +474,10 @@ object RetrievalQueries {
     val p = new org.apache.hadoop.fs.Path(base)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(p)) { fs.delete(p, true); () }
-    (0L until 3L).foreach { b =>
-      graft.streaming.IndexedLex.ingestBatch(spark, base,
-        docs.filter(col("doc_id") % 3 === b), b)
-    }
+    // pipelined backfill: batch i+1's tokenize overlaps batch i's
+    // sink writes (one barrier per batch instead of two)
+    graft.streaming.IndexedLex.backfill(spark, base,
+      (0L until 3L).map(b => (docs.filter(col("doc_id") % 3 === b), b)))
     graft.streaming.IndexedLex.serve(spark, base, bm25Terms)
   }
 

@@ -34,25 +34,21 @@ import graft.queries.RetrievalQueries
   */
 object IndexedLex {
 
-  /** One ingest step (exposed for batch backfills and the x69 gate):
-    * tokenize `batch` once, write postings/doclen/stats under
-    * `ingest_id=<batchId>`. */
-  def ingestBatch(spark: SparkSession, path: String, batch: DataFrame,
-      batchId: Long): Unit = {
-    val hconf = spark.sessionState.newHadoopConf()
-    val marker = new org.apache.hadoop.fs.Path(path, s"_ingested_$batchId")
-    val fs = marker.getFileSystem(hconf)
-    if (fs.exists(marker)) return
-    // one tokenize pass, pinned — postings, doclen and stats all
-    // read the token arrays (the x40/x41 discipline)
-    val tok = batch.select(col("doc_id"),
+  /** One tokenize pass, pinned — postings, doclen and stats all read
+    * the token arrays (the x40/x41 discipline). */
+  private def tokPin(batch: DataFrame): DataFrame =
+    batch.select(col("doc_id"),
       TextFunctions.tokens(col("text")).as("toks")).localCheckpoint(true)
+
+  /** The three per-batch sink writes off a pinned token frame: they
+    * land in DIFFERENT ingest_id-scoped directories, so they run as
+    * concurrent jobs (the x40/x41 awaitAll shape); the caller writes
+    * the marker strictly LAST. */
+  private def sinkActions(path: String, tok: DataFrame,
+      batchId: Long): Seq[() => Unit] = {
     val dl = tok.select(col("doc_id"),
       size(col("toks")).cast("long").as("dl"))
-    // the three sinks land in DIFFERENT ingest_id-scoped directories
-    // off the same pinned frame — concurrent jobs (the x40/x41
-    // awaitAll shape); the marker still writes strictly LAST
-    RetrievalQueries.awaitAll(
+    Seq(
       () => tok.select(col("doc_id"), explode(col("toks")).as("term"))
         .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
         .withColumn("tbkt",
@@ -64,7 +60,57 @@ object IndexedLex {
         .parquet(s"$path/doclen/ingest_id=$batchId"),
       () => dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
         .write.mode("overwrite").parquet(s"$path/stats/ingest_id=$batchId"))
+  }
+
+  private def markerOf(path: String, batchId: Long) =
+    new org.apache.hadoop.fs.Path(path, s"_ingested_$batchId")
+
+  /** One ingest step (the foreachBatch body and the x69 gate's unit):
+    * tokenize `batch` once, write postings/doclen/stats under
+    * `ingest_id=<batchId>`, marker last. */
+  def ingestBatch(spark: SparkSession, path: String, batch: DataFrame,
+      batchId: Long): Unit = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val marker = markerOf(path, batchId)
+    val fs = marker.getFileSystem(hconf)
+    if (fs.exists(marker)) return
+    val tok = tokPin(batch)
+    RetrievalQueries.awaitAll(sinkActions(path, tok, batchId): _*)
     fs.create(marker, true).close()
+    tok.unpersist()
+    ()
+  }
+
+  /** Batch BACKFILL of several corpus slices: identical artifacts,
+    * markers and replay idempotence as per-batch [[ingestBatch]]
+    * calls, but PIPELINED — batch i+1's tokenize pin rides the same
+    * concurrent wave as batch i's sink writes (the marker ordering
+    * only constrains writes WITHIN a batch; a tokenize has no
+    * on-disk effect), collapsing the backfill's two barriers per
+    * batch to one. Completed batches (marker present) are skipped,
+    * same as the streaming path. */
+  def backfill(spark: SparkSession, path: String,
+      batches: Seq[(DataFrame, Long)]): Unit = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
+    val todo = batches.filter { case (_, id) =>
+      !fs.exists(markerOf(path, id))
+    }
+    if (todo.isEmpty) return
+    val first = (tokPin(todo.head._1), todo.head._2)
+    val lastPinned = todo.tail.foldLeft(first) {
+      case ((tok, id), (nextDf, nextId)) =>
+        val nextTok = RetrievalQueries.awaitAllWith(() => tokPin(nextDf))(
+          sinkActions(path, tok, id): _*)
+        fs.create(markerOf(path, id), true).close()
+        tok.unpersist()
+        (nextTok, nextId)
+    }
+    RetrievalQueries.awaitAll(
+      sinkActions(path, lastPinned._1, lastPinned._2): _*)
+    fs.create(markerOf(path, lastPinned._2), true).close()
+    lastPinned._1.unpersist()
+    ()
   }
 
   /** The streaming wrapper (foreachBatch — the index is a

@@ -56,6 +56,31 @@ class Round12Spec extends SparkTestBase {
     assert(e.getMessage.contains("IDR"))
   }
 
+  test("IndexedLex.backfill (pipelined tokenize) == sequential " +
+    "ingestBatch, and a re-run is a marker-skipped no-op") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.IndexedLex
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("ixbf").toString
+    val seqIdx = s"$root/seq"; val pipIdx = s"$root/pip"
+    val slices = (0L until 3L).map(b =>
+      (docs.filter(col("doc_id") % 3 === b), b))
+    slices.foreach { case (df, b) =>
+      IndexedLex.ingestBatch(spark, seqIdx, df, b)
+    }
+    IndexedLex.backfill(spark, pipIdx, slices)
+    val terms = Seq("hash", "merge", "spark", "window")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val seqServe = canon(IndexedLex.serve(spark, seqIdx, terms))
+    val pipServe = canon(IndexedLex.serve(spark, pipIdx, terms))
+    assert(seqServe.nonEmpty && pipServe === seqServe)
+    // replay: all markers present -> the whole backfill is a no-op
+    IndexedLex.backfill(spark, pipIdx, slices)
+    assert(canon(IndexedLex.serve(spark, pipIdx, terms)) === seqServe)
+  }
+
   test("nalPayloadIterator matches the eager walk NAL-for-NAL") {
     val (w, h) = (32, 16)
     val frames = (0 until 4).map(f => lcgPlanes(w, h, 0xFEED5L + f))
