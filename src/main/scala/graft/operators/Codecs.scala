@@ -1420,6 +1420,302 @@ object Codecs {
         data, avcC.off + 8, avcC.off + 8 + len))
     }
 
+    // ---- H.264 CAVLC + I_16x16 DC-only intra (the m34 rung) ------
+    //
+    // The first TRANSFORM-CODED rung of the pixel seam (reference
+    // anchor: run.sh:53 decodebin on real MP4s): macroblocks of type
+    // I_16x16 with DC intra prediction and coded_block_pattern 0/0
+    // (mb_type 3), whose only residual is the Intra16x16DCLevel
+    // block — 16 DC coefficients, CAVLC-coded (ITU-T H.264 §9.2) and
+    // reconstructed through the inverse 4×4 Hadamard (§8.5.10) and
+    // the lone-DC core transform (§8.5.12). Because every AC block
+    // is absent (cbp_luma = 0), the neighbour TotalCoeff feeding
+    // coeff_token context selection (§9.2.1) is 0 everywhere, so the
+    // whole class parses in the 0 ≤ nC < 2 context. The DC-only
+    // ENVELOPE ships the coeff_token/total_zeros entries for
+    // TotalCoeff ≤ 1 and refuses anything else loudly — general
+    // CAVLC tables are the documented next rung.
+
+    /** 4×4 zigzag scan (§8.5.6): scan index → raster index. */
+    private val zigzag4x4: Array[Int] =
+      Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+
+    /** coeff_token for the 0 ≤ nC < 2 context (Table 9-5), the
+      * DC-only envelope rows: (TrailingOnes, TotalCoeff) →
+      * (code, bits). */
+    private val coeffTokenNc0: Map[(Int, Int), (Int, Int)] = Map(
+      (0, 0) -> (1, 1),   // "1"
+      (1, 1) -> (1, 2),   // "01"
+      (0, 1) -> (5, 6))   // "000101"
+
+    /** total_zeros for TotalCoeff = 1, maxNumCoeff 16 (Table 9-7):
+      * value 0..15 → (code, bits). */
+    private val totalZeros1: Array[(Int, Int)] = Array(
+      (1, 1), (3, 3), (2, 3), (3, 4), (2, 4), (3, 5), (2, 5), (3, 6),
+      (2, 6), (3, 7), (2, 7), (3, 8), (2, 8), (3, 9), (2, 9), (1, 9))
+
+    /** Write one Intra16x16DCLevel residual (§7.3.5.3.2, nC = 0
+      * context) for a DC block with at most ONE nonzero coefficient.
+      * `dc` is the 4×4 DC coefficient block in raster order. */
+    private def writeDcResidualNc0(w: BitWriter, dc: Array[Int]): Unit = {
+      require(dc.length == 16, "DC block is 4x4")
+      val nz = (0 until 16).filter(i => dc(zigzag4x4(i)) != 0)
+      require(nz.size <= 1,
+        s"DC-only envelope codes at most one coefficient, got ${nz.size}")
+      if (nz.isEmpty) {
+        val (c, b) = coeffTokenNc0((0, 0)); w.u(c.toLong, b); return
+      }
+      val z = nz.head // scan index of the lone coefficient
+      val l = dc(zigzag4x4(z))
+      if (l == 1 || l == -1) {
+        // a trailing ±1 IS a TrailingOne by definition (§7.4.5.3.2)
+        val (c, b) = coeffTokenNc0((1, 1)); w.u(c.toLong, b)
+        w.u(if (l < 0) 1L else 0L, 1) // trailing_ones_sign_flag
+      } else {
+        val (c, b) = coeffTokenNc0((0, 1)); w.u(c.toLong, b)
+        // §9.2.2 with suffixLength = 0; the decoder adds 2 to the
+        // first levelCode when TrailingOnes < 3
+        val levelCode = (if (l > 0) 2 * l - 2 else -2 * l - 1) - 2
+        require(levelCode >= 0 && levelCode <= 13,
+          s"level $l outside the envelope's prefix-only range (|l| <= 7)")
+        w.u(0L, levelCode); w.u(1L, 1) // level_prefix
+      }
+      // total_zeros: zeros preceding the lone coefficient in scan
+      // order = its scan index; run_before loops TotalCoeff-1 times
+      // → absent
+      val (tc, tb) = totalZeros1(z)
+      w.u(tc.toLong, tb)
+    }
+
+    /** Incremental prefix-free match against `table`; loud failure
+      * past `maxBits` — the envelope refusal. */
+    private def readVlc(r: BitReader, table: Map[(Int, Int), Int],
+        maxBits: Int, what: String): Int = {
+      var code = 0
+      var bits = 0
+      while (bits < maxBits) {
+        code = (code << 1) | r.u(1).toInt
+        bits += 1
+        table.get((code, bits)) match {
+          case Some(v) => return v
+          case None =>
+        }
+      }
+      throw new IllegalArgumentException(
+        s"$what codeword outside the DC-only CAVLC envelope — general " +
+          "CAVLC tables are the documented next rung")
+    }
+
+    /** Parse one Intra16x16DCLevel CAVLC block in the nC = 0 context
+      * (§9.2): general level-decoding machinery (level_prefix,
+      * suffix-size escalation rules, the +2 first-level rule), with
+      * coeff_token populated for the envelope. Returns the 4×4 DC
+      * block in raster order. */
+    private def readDcResidualNc0(r: BitReader): Array[Int] = {
+      val token = readVlc(r,
+        coeffTokenNc0.map { case (k, v) => v -> (k._1 * 100 + k._2) },
+        16, "coeff_token")
+      val t1s = token / 100
+      val total = token % 100
+      val out = new Array[Int](16)
+      if (total == 0) return out
+      val level =
+        if (t1s == 1) { if (r.u(1) == 1L) -1 else 1 }
+        else {
+          var prefix = 0
+          while (r.u(1) == 0L) {
+            prefix += 1; require(prefix <= 32, "level_prefix overrun")
+          }
+          val suffixLength = 0
+          val suffixSize =
+            if (prefix == 14 && suffixLength == 0) 4
+            else if (prefix >= 15) prefix - 3
+            else suffixLength
+          var levelCode = (math.min(15, prefix) << suffixLength) +
+            (if (suffixSize > 0) r.u(suffixSize).toInt else 0)
+          if (prefix >= 15 && suffixLength == 0) levelCode += 15
+          if (prefix >= 16) levelCode += (1 << (prefix - 3)) - 4096
+          levelCode += 2 // first level, TrailingOnes < 3 (§9.2.2)
+          if (levelCode % 2 == 0) (levelCode + 2) >> 1
+          else -((levelCode + 1) >> 1)
+        }
+      val tz = readVlc(r,
+        totalZeros1.zipWithIndex.map { case (cb, v) => cb -> v }.toMap,
+        16, "total_zeros")
+      out(zigzag4x4(tz)) = level
+      out
+    }
+
+    /** Inverse 4×4 Hadamard for the Intra16x16 luma DC block
+      * (§8.5.10): f = H·c·H with H rows (1,1,1,1), (1,1,-1,-1),
+      * (1,-1,-1,1), (1,-1,1,-1) — H is symmetric, so one routine
+      * serves rows and columns. Raster-order 4×4 in and out. */
+    private[operators] def invHadamard4x4(c: Array[Int]): Array[Int] = {
+      val h = Array(
+        Array(1, 1, 1, 1), Array(1, 1, -1, -1),
+        Array(1, -1, -1, 1), Array(1, -1, 1, -1))
+      val t = new Array[Int](16)
+      val o = new Array[Int](16)
+      for (i <- 0 until 4; j <- 0 until 4)
+        t(i * 4 + j) = (0 until 4).map(k => h(i)(k) * c(k * 4 + j)).sum
+      for (i <- 0 until 4; j <- 0 until 4)
+        o(i * 4 + j) = (0 until 4).map(k => t(i * 4 + k) * h(j)(k)).sum
+      o
+    }
+
+    /** Luma DC dequant after the Hadamard (§8.5.10, flat scaling
+      * list): v = (10,11,13,14,16,18)(qP%6), qpPer = qP/6. */
+    private[operators] def dequantDc(f: Int, qp: Int): Int = {
+      val v = Array(10, 11, 13, 14, 16, 18)(qp % 6)
+      val per = qp / 6
+      if (per >= 2) (f * v) << (per - 2)
+      else (f * v + (1 << (1 - per))) >> (2 - per)
+    }
+
+    /** Build an IDR slice whose macroblocks are all I_16x16 / DC
+      * pred / cbp 0-0 (mb_type 3): the simplest transform-coded
+      * class. `dcPerMb`: one 4×4 DC coefficient block (raster order,
+      * ≤ 1 nonzero) per macroblock in raster MB order. QPy stays at
+      * 26 (pic_init_qp_minus26 = 0 convention, zero deltas). */
+    def buildI16x16DcSlice(dcPerMb: Seq[Array[Int]], mbW: Int, mbH: Int,
+        frameNum: Int, frameNumBits: Int, idrPicId: Int = 0): Array[Byte] = {
+      require(dcPerMb.size == mbW * mbH, "one DC block per macroblock")
+      val w = new BitWriter
+      w.ue(0L)                  // first_mb_in_slice
+      w.ue(7L)                  // slice_type: I (all slices in pic)
+      w.ue(0L)                  // pic_parameter_set_id
+      w.u(frameNum.toLong, frameNumBits)
+      w.ue(idrPicId.toLong)     // idr_pic_id
+      w.u(0L, 1); w.u(0L, 1)    // dec_ref_pic_marking (IDR)
+      w.se(0L)                  // slice_qp_delta
+      dcPerMb.foreach { dc =>
+        w.ue(3L)                // mb_type: I_16x16, DC pred, cbp 0/0
+        w.ue(0L)                // intra_chroma_pred_mode: DC
+        w.se(0L)                // mb_qp_delta
+        writeDcResidualNc0(w, dc)
+      }
+      w.trailingBits()
+      (0x65.toByte +: rbspEscape(w.bytes)).toArray // nal_ref_idc 3, type 5
+    }
+
+    /** Decode an IDR I_16x16 DC-only slice to pixels: CAVLC residual
+      * parse, inverse Hadamard, §8.5.10 DC dequant, lone-DC core
+      * transform ((dc+32)>>6 uniform over the 4×4, §8.5.12),
+      * Intra_16x16_DC luma prediction from RECONSTRUCTED neighbour
+      * edges (so macroblocks decode in raster order, like any real
+      * intra decoder), and chroma DC prediction with zero residual.
+      * Any other macroblock type fails loudly. */
+    def parseI16x16DcSlice(nal: Array[Byte], sps: SpsInfo): PcmFrame = {
+      require(nal.nonEmpty && (nal(0) & 0x1f) == 5,
+        "not an IDR slice NAL (nal_unit_type != 5)")
+      require(sps.crop_left == 0 && sps.crop_right == 0 &&
+        sps.crop_top == 0 && sps.crop_bottom == 0,
+        "DC-only fixtures are uncropped whole-macroblock pictures")
+      val r = new BitReader(rbspUnescape(nal.drop(1)))
+      require(r.ue() == 0L, "first_mb_in_slice != 0")
+      val st = r.ue()
+      require(st == 7L || st == 2L, s"not an I slice (slice_type $st)")
+      require(r.ue() == 0L, "pic_parameter_set_id != 0")
+      r.u(sps.log2_max_frame_num) // frame_num
+      r.ue()                      // idr_pic_id
+      r.u(1); r.u(1)              // dec_ref_pic_marking (IDR)
+      val qpSlice = 26 + r.se().toInt // pic_init_qp_minus26 = 0
+      val (wpx, hpx) = (sps.mb_width * 16, sps.mb_height * 16)
+      val cw = wpx / 2
+      val y = new Array[Int](wpx * hpx)
+      val cbP = new Array[Int](cw * (hpx / 2))
+      val crP = new Array[Int](cw * (hpx / 2))
+      def clip(v: Int): Int = math.max(0, math.min(255, v))
+      var mb = 0
+      while (mb < sps.mb_width * sps.mb_height) {
+        val mx = (mb % sps.mb_width) * 16
+        val my = (mb / sps.mb_width) * 16
+        val t = r.ue()
+        require(t == 3L,
+          s"macroblock $mb is not I_16x16/DC-pred/cbp0 (mb_type $t) — " +
+            "general intra + CAVLC is the documented seam")
+        require(r.ue() == 0L, "intra_chroma_pred_mode != DC")
+        val mbQp = qpSlice + r.se().toInt
+        val dcCoeff = readDcResidualNc0(r)
+        val dc = invHadamard4x4(dcCoeff).map(dequantDc(_, mbQp))
+        // Intra_16x16_DC luma prediction (§8.3.3.4)
+        val topAvail = my > 0
+        val leftAvail = mx > 0
+        val sumTop =
+          if (topAvail) (0 until 16).map(i => y((my - 1) * wpx + mx + i)).sum
+          else 0
+        val sumLeft =
+          if (leftAvail) (0 until 16).map(i => y((my + i) * wpx + mx - 1)).sum
+          else 0
+        val pred =
+          if (topAvail && leftAvail) (sumTop + sumLeft + 16) >> 5
+          else if (topAvail) (sumTop + 8) >> 4
+          else if (leftAvail) (sumLeft + 8) >> 4
+          else 128
+        var b = 0
+        while (b < 16) {
+          val v = clip(pred + ((dc(b) + 32) >> 6)) // lone-DC 4x4 core
+          val bx = mx + (b % 4) * 4
+          val by = my + (b / 4) * 4
+          var i = 0
+          while (i < 16) {
+            y((by + i / 4) * wpx + bx + i % 4) = v
+            i += 1
+          }
+          b += 1
+        }
+        // chroma DC prediction, zero residual (§8.3.4.1): each 4×4
+        // of the 8×8 predicts from 4-sample strips of the
+        // NEIGHBOURING macroblocks' reconstructed edges — the top
+        // edge above the 8×8 (available iff a macroblock sits
+        // above) and the left edge beside it; the off-diagonal
+        // blocks prefer the strip aligned with their own offset and
+        // fall back to the other side
+        def chromaFill(p: Array[Int]): Unit = {
+          val cx = mx / 2
+          val cy = my / 2
+          def sTop(off: Int) =
+            (0 until 4).map(i => p((cy - 1) * cw + cx + off + i)).sum
+          def sLeft(off: Int) =
+            (0 until 4).map(i => p((cy + off + i) * cw + cx - 1)).sum
+          for (byi <- 0 to 1; bxi <- 0 to 1) {
+            val v =
+              if (bxi == 1 && byi == 0)
+                if (topAvail) (sTop(4) + 2) >> 2
+                else if (leftAvail) (sLeft(0) + 2) >> 2
+                else 128
+              else if (bxi == 0 && byi == 1)
+                if (leftAvail) (sLeft(4) + 2) >> 2
+                else if (topAvail) (sTop(0) + 2) >> 2
+                else 128
+              else { // (0,0) and (4,4): combine both when available
+                val o = bxi * 4 // == byi * 4 on the diagonal
+                if (topAvail && leftAvail) (sTop(o) + sLeft(o) + 4) >> 3
+                else if (topAvail) (sTop(o) + 2) >> 2
+                else if (leftAvail) (sLeft(o) + 2) >> 2
+                else 128
+              }
+            val ox = cx + bxi * 4
+            val oy = cy + byi * 4
+            for (yy <- 0 until 4; xx <- 0 until 4)
+              p((oy + yy) * cw + ox + xx) = clip(v)
+          }
+        }
+        chromaFill(cbP)
+        chromaFill(crP)
+        mb += 1
+      }
+      PcmFrame(wpx, hpx, y.map(_.toByte), cbP.map(_.toByte),
+        crP.map(_.toByte))
+    }
+
+    /** Decode a muxed I_16x16 DC-only stream lazily — the transform-
+      * coded sibling of [[decodeIPcmFrames]], one picture in flight. */
+    def decodeI16x16DcFrames(data: Array[Byte]): Iterator[PcmFrame] = {
+      val sps = spsInfo(data)
+      nalPayloadIterator(data).map(parseI16x16DcSlice(_, sps))
+    }
+
     // ---- fixture writer ------------------------------------------
 
     private def w16(b: java.io.ByteArrayOutputStream, v: Int): Unit = {

@@ -1992,6 +1992,119 @@ object MediaQueries {
       |    (a, b) -> (a * 31 + b) % 1000000007) AS pix_fp
       |FROM cc GROUP BY doc_id""".stripMargin
 
+  // ---- m34: CAVLC + I_16x16 DC-only transform decode ---------------
+
+  /** m34: the first TRANSFORM-CODED rung of the H.264 pixel seam
+    * (reference anchor: run.sh:53 `decodebin` on real MP4s) under
+    * the hash gate: per document, a deterministic I_16x16 DC-only
+    * stream — every macroblock mb_type 3 (DC intra prediction,
+    * coded_block_pattern 0/0), its only residual the CAVLC-coded
+    * Intra16x16DCLevel block with at most one nonzero coefficient —
+    * is ENCODED (real §9.2 bitstream: coeff_token, trailing-ones
+    * sign, level_prefix with the first-level +2 rule, total_zeros),
+    * muxed into real MP4, then decoded back through container walk →
+    * avcC SPS → CAVLC parse → inverse 4×4 Hadamard → §8.5.10 DC
+    * dequant → lone-DC core transform → DC intra prediction. The
+    * gate hashes the reconstructed pixel sums and a per-4×4-block
+    * fingerprint; the oracle restates the reconstruction in closed
+    * form (a lone coefficient at zigzag position z inverse-
+    * transforms to ±level patterns given by the Hadamard row signs).
+    *
+    * 100 TB shape: like m33 — encode+decode run partition-local per
+    * document (pixels never shuffle), one row out per doc. */
+  def m34CavlcDcDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Codecs
+    Tables.spread(Tables.documents(spark, dir).select(col("doc_id"))).as[Long]
+      .mapPartitions { it =>
+        val zig = Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+        it.map { id =>
+          val n = (2 + id % 3).toInt
+          val nals = (0 until n).map { f =>
+            val sel = (id * 31 + f * 7) % 20
+            val z = ((id * 13 + f * 11) % 16).toInt
+            val sgn = if ((id + f) % 2 == 0) 1 else -1
+            val lvl =
+              if (sel < 4) 0
+              else if (sel < 12) sgn
+              else sgn * (2 + ((id + f * 3) % 6)).toInt
+            val dc = new Array[Int](16)
+            if (lvl != 0) dc(zig(z)) = lvl
+            Seq(Codecs.Mp4.buildI16x16DcSlice(Seq(dc), 1, 1,
+              frameNum = 0, frameNumBits = 4, idrPicId = f % 8))
+          }
+          val mp4 = Codecs.Mp4.mux(nals, keyframes = (1 to n),
+            timescale = 90000, sampleDelta = 3000, width = 16, height = 16)
+          var ys = 0L; var cbs = 0L; var crs = 0L; var fp = 0L
+          var nDec = 0
+          Codecs.Mp4.decodeI16x16DcFrames(mp4).foreach { fr =>
+            nDec += 1
+            require(fr.width == 16 && fr.height == 16,
+              s"decoded dims ${fr.width}x${fr.height}")
+            fr.y.foreach(b => ys += (b & 0xffL))
+            fr.cb.foreach(b => cbs += (b & 0xffL))
+            fr.cr.foreach(b => crs += (b & 0xffL))
+            // per-4x4-block fingerprint: blocks are flat, sample the
+            // corner of each in raster order
+            var b = 0
+            while (b < 16) {
+              val v = fr.y(((b / 4) * 4) * 16 + (b % 4) * 4) & 0xffL
+              fp = (fp * 31 + v) % 1000000007L
+              b += 1
+            }
+          }
+          require(nDec == n, s"decoded $nDec of $n frames")
+          (id, n, 16, 16, ys, cbs, crs, fp)
+        }
+      }.toDF("doc_id", "n_frames", "width", "height", "y_sum",
+        "cb_sum", "cr_sum", "blk_fp")
+  }
+
+  /** Closed-form restatement: per frame, derive (z, level) by the
+    * same arithmetic, map z through the zigzag, and reconstruct each
+    * 4×4 block as 128 + floor((H(i)(r0)·H(j)(c0)·level·52 + 32) / 64)
+    * (QP 26: scale 13 << 2 = 52). The decoder's `>> 6` FLOORS while
+    * DuckDB's `//` truncates toward zero, so the division shifts by
+    * +6400 (= 64·100) first and subtracts 100 after — exact integer
+    * floor for the whole ±396 numerator range. Chroma is flat 128
+    * (no neighbours, zero residual). */
+  val m34Sql: String =
+    """WITH d AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS n
+      |  FROM documents),
+      |f AS (SELECT doc_id, n, unnest(range(n)) AS fr FROM d),
+      |par AS (SELECT doc_id, n, fr,
+      |    (doc_id * 31 + fr * 7) % 20 AS sel,
+      |    CAST((doc_id * 13 + fr * 11) % 16 AS INT) AS z,
+      |    CASE WHEN (doc_id + fr) % 2 = 0 THEN 1 ELSE -1 END AS sgn,
+      |    2 + (doc_id + fr * 3) % 6 AS bigmag
+      |  FROM f),
+      |lv AS (SELECT doc_id, n, fr,
+      |    [0,1,4,8,5,2,3,6,9,12,13,10,7,11,14,15][z + 1] AS raster,
+      |    CASE WHEN sel < 4 THEN 0
+      |         WHEN sel < 12 THEN sgn
+      |         ELSE sgn * bigmag END AS lvl
+      |  FROM par),
+      |blocks AS (SELECT doc_id, n, fr,
+      |    list_transform(range(16), b -> 128 - 100 +
+      |      ([[1,1,1,1],[1,1,-1,-1],[1,-1,-1,1],[1,-1,1,-1]]
+      |         [CAST(b // 4 AS INT) + 1][CAST(raster // 4 AS INT) + 1]
+      |       * [[1,1,1,1],[1,1,-1,-1],[1,-1,-1,1],[1,-1,1,-1]]
+      |         [CAST(b % 4 AS INT) + 1][CAST(raster % 4 AS INT) + 1]
+      |       * lvl * 52 + 32 + 6400) // 64) AS vals
+      |  FROM lv),
+      |cc AS (SELECT doc_id, n, fr, vals,
+      |    16 * list_reduce(list_prepend(CAST(0 AS BIGINT), vals),
+      |      (a, b) -> a + b) AS ys
+      |  FROM blocks)
+      |SELECT doc_id, max(n) AS n_frames, 16 AS width, 16 AS height,
+      |  CAST(sum(ys) AS BIGINT) AS y_sum,
+      |  CAST(max(n) * 8192 AS BIGINT) AS cb_sum,
+      |  CAST(max(n) * 8192 AS BIGINT) AS cr_sum,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    flatten(list(vals ORDER BY fr))),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS blk_fp
+      |FROM cc GROUP BY doc_id""".stripMargin
+
   val m32Sql: String =
     """WITH d AS (SELECT doc_id, CAST(3 + doc_id % 5 AS INT) AS n
       |  FROM documents),

@@ -81,6 +81,110 @@ class Round12Spec extends SparkTestBase {
     assert(canon(IndexedLex.serve(spark, pipIdx, terms)) === seqServe)
   }
 
+  // H matrix rows of the 4x4 Hadamard — the closed form the tests
+  // check against: a single DC coefficient `l` at raster (r0, c0)
+  // inverse-transforms to f(i,j) = H(i)(r0) * H(j)(c0) * l
+  private val H = Array(
+    Array(1, 1, 1, 1), Array(1, 1, -1, -1),
+    Array(1, -1, -1, 1), Array(1, -1, 1, -1))
+
+  // §8.5.10 DC dequant at QP 26 (per = 4, rem = 2, scale 13):
+  // dc = f * 13 << 2; then the lone-DC 4x4 core: r = (dc + 32) >> 6
+  private def dcResidual(f: Int): Int = (((f * 13) << 2) + 32) >> 6
+
+  test("I_16x16 DC-only slice round-trips: CAVLC + Hadamard + dequant " +
+    "against the closed form, single macroblock") {
+    val zig = Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+    val sps = Codecs.Mp4.parseSps(Codecs.Mp4.buildSps(16, 16))
+    for (z <- 0 until 16; l <- Seq(-7, -3, -1, 0, 1, 2, 5, 7)) {
+      val dc = new Array[Int](16)
+      val raster = zig(z)
+      if (l != 0) dc(raster) = l
+      val nal = Codecs.Mp4.buildI16x16DcSlice(Seq(dc), 1, 1,
+        frameNum = 0, frameNumBits = 4)
+      assert((nal(0) & 0x1f) === 5)
+      val f = Codecs.Mp4.parseI16x16DcSlice(nal, sps)
+      assert(f.width === 16 && f.height === 16)
+      // every 4x4 luma block is flat: 128 + residual from the
+      // closed-form Hadamard of the lone coefficient
+      val r0 = raster / 4; val c0 = raster % 4
+      for (i <- 0 until 4; j <- 0 until 4) {
+        val expected = 128 + dcResidual(
+          if (l == 0) 0 else H(i)(r0) * H(j)(c0) * l)
+        val got = f.y((i * 4) * 16 + j * 4) & 0xff
+        assert(got === expected, s"block ($i,$j) z=$z l=$l")
+        // flatness within the block
+        assert((f.y((i * 4 + 3) * 16 + j * 4 + 3) & 0xff) === expected)
+      }
+      // chroma: no neighbours, zero residual -> flat 128
+      assert(f.cb.forall(b => (b & 0xff) == 128))
+      assert(f.cr.forall(b => (b & 0xff) == 128))
+    }
+  }
+
+  test("I_16x16 DC intra prediction propagates reconstructed " +
+    "neighbour edges across a 2x2 macroblock grid") {
+    val sps = Codecs.Mp4.parseSps(Codecs.Mp4.buildSps(32, 32))
+    // MB0 shifts up (+dc at zigzag 0 -> uniform +residual), others 0
+    val dc0 = new Array[Int](16); dc0(0) = 6
+    val zero = new Array[Int](16)
+    val nal = Codecs.Mp4.buildI16x16DcSlice(
+      Seq(dc0, zero, zero, zero), 2, 2, frameNum = 0, frameNumBits = 4)
+    val f = Codecs.Mp4.parseI16x16DcSlice(nal, sps)
+    val v0 = 128 + dcResidual(6) // MB0 uniform value
+    assert((f.y(0) & 0xff) === v0)
+    // MB1 (right): left edge = MB0's right column (all v0), top
+    // unavailable -> pred = (16*v0 + 8) >> 4 = v0
+    assert((f.y(16) & 0xff) === v0)
+    // MB2 (below): top edge = MB0's bottom row -> v0
+    assert((f.y(16 * 32) & 0xff) === v0)
+    // MB3 (diag): top edge from MB1 (v0), left edge from MB2 (v0)
+    // -> (16*v0 + 16*v0 + 16) >> 5 = v0
+    assert((f.y(16 * 32 + 16) & 0xff) === v0)
+  }
+
+  test("transform rungs refuse each other loudly: I_PCM parser vs " +
+    "I_16x16 parser") {
+    val sps = Codecs.Mp4.parseSps(Codecs.Mp4.buildSps(16, 16))
+    val dc = new Array[Int](16); dc(0) = 3
+    val dcNal = Codecs.Mp4.buildI16x16DcSlice(Seq(dc), 1, 1, 0, 4)
+    val pcmNal = Codecs.Mp4.buildIdrPcmSlice(
+      lcgPlanes(16, 16, 0xCAFEL), frameNum = 0, frameNumBits = 4)
+    val e1 = intercept[IllegalArgumentException] {
+      Codecs.Mp4.parseIdrPcmSlice(dcNal, sps)
+    }
+    assert(e1.getMessage.contains("I_PCM"))
+    val e2 = intercept[IllegalArgumentException] {
+      Codecs.Mp4.parseI16x16DcSlice(pcmNal, sps)
+    }
+    assert(e2.getMessage.contains("mb_type"))
+  }
+
+  test("muxed I_16x16 DC-only stream decodes lazily through the " +
+    "container, frame for frame") {
+    val frames = (0 until 3).map { f =>
+      val dc = new Array[Int](16)
+      dc(Seq(0, 5, 10)(f)) = Seq(2, -4, 1)(f)
+      dc
+    }
+    val nals = frames.zipWithIndex.map { case (dc, f) =>
+      Seq(Codecs.Mp4.buildI16x16DcSlice(Seq(dc), 1, 1,
+        frameNum = 0, frameNumBits = 4, idrPicId = f))
+    }
+    val mp4 = Codecs.Mp4.mux(nals, keyframes = Seq(1, 2, 3),
+      timescale = 90000, sampleDelta = 3000, width = 16, height = 16)
+    val sps = Codecs.Mp4.spsInfo(mp4)
+    val direct = frames.map(dc =>
+      Codecs.Mp4.parseI16x16DcSlice(
+        Codecs.Mp4.buildI16x16DcSlice(Seq(dc), 1, 1, 0, 4), sps))
+    val viaMp4 = Codecs.Mp4.decodeI16x16DcFrames(mp4).toSeq
+    assert(viaMp4.size === 3)
+    viaMp4.zip(direct).foreach { case (a, b) =>
+      assert(a.y.toSeq === b.y.toSeq)
+      assert(a.cb.toSeq === b.cb.toSeq)
+    }
+  }
+
   test("nalPayloadIterator matches the eager walk NAL-for-NAL") {
     val (w, h) = (32, 16)
     val frames = (0 until 4).map(f => lcgPlanes(w, h, 0xFEED5L + f))
