@@ -42,8 +42,9 @@ import graft.operators.{Components, Dedup}
   *
   * Note on the mega-bucket cap: the build-time cap is a
   * corpus-population property; appends are uncapped (a batch can't
-  * see the population). The documented lifecycle is periodic
-  * re-build/compaction (the s21 analog), which re-applies it.
+  * see the population). [[compact]] is the periodic re-build (the
+  * s21 analog) that re-applies it over everything ingested and
+  * swaps the rebuilt index in atomically, marker-guarded.
   *
   * 100 TB shape: each micro-batch costs (batch-sized LSH + CC over
   * batch-local pairs) + two keyed joins against the band/feature
@@ -112,6 +113,96 @@ object IndexedDedup {
       () => verdicts.write.mode("overwrite")
         .parquet(s"$path/verdicts/ingest_id=$batchId"))
     fs.create(marker, true).close()
+  }
+
+  /** COMPACTION — the periodic re-build the mega-bucket note above
+    * documents (the s21 analog for the near-dup index): appends are
+    * uncapped because a single batch cannot see the corpus
+    * population, so over many ingests a hot band hash can grow an
+    * unbounded posting bucket that metastasizes every future probe
+    * join. Compacting re-reads ALL ingested band rows, re-applies
+    * the build-time cap (keep rows only in buckets whose population
+    * ≤ `maxBucket` — byte-identical semantics to
+    * Dedup.bandRowsOf's window filter), collapses the per-ingest
+    * small files into one write, and SWAPS the result in place:
+    * the rebuild stages under `_compact_stage` and only after a
+    * `_stage_complete` marker lands do the live directories move
+    * aside and the staged ones rename in. A crash before the marker
+    * leaves the live index untouched; a crash mid-swap is repaired
+    * by the recovery pass the next compact() runs first (the staged
+    * output is complete by marker, so finishing the renames is
+    * idempotent). The ingest_id partition layer is preserved, so
+    * probes and future ingests see the exact same layout.
+    *
+    * 100 TB shape: one keyed count over the band table + one
+    * population-filter join + two partitioned writes — no feature
+    * re-hash, no corpus rescan; the swap is O(1) metadata renames
+    * through the Hadoop FileSystem API (cluster-true on HDFS). */
+  def compact(spark: SparkSession, path: String,
+      maxBucket: Int = 64): Unit = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    finishSwap(fs, path) // repair a crashed previous compaction
+    val bandsP = new org.apache.hadoop.fs.Path(s"$path/bands")
+    val featsP = new org.apache.hadoop.fs.Path(s"$path/features")
+    require(fs.exists(bandsP) && fs.exists(featsP),
+      s"no index to compact at $path")
+    val stage = new org.apache.hadoop.fs.Path(s"$path/_compact_stage")
+    fs.delete(stage, true)
+    def withIngestId(df: DataFrame): DataFrame =
+      if (df.columns.contains("ingest_id")) df
+      else df.withColumn("ingest_id", lit(0L))
+    val bands = withIngestId(spark.read.parquet(s"$path/bands"))
+      .select(col("doc_id"), col("ingest_id"),
+        col("band").cast("int").as("band"), col("band_hash"))
+    val keep = bands.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucket)
+      .select(col("band"), col("band_hash"))
+    val capped = bands.join(keep, Seq("band", "band_hash"))
+      .select(col("doc_id"), col("ingest_id"), col("band"),
+        col("band_hash"))
+    val feats = withIngestId(spark.read.parquet(s"$path/features"))
+      .select(col("doc_id"), col("hashes"), col("ingest_id"))
+    // stage both rebuilt tables, then certify the stage — the two
+    // writes are independent directories → concurrent jobs
+    graft.queries.RetrievalQueries.awaitAll(
+      () => graft.sources.Writers.writePartitioned(capped,
+        s"$path/_compact_stage/bands", Seq("ingest_id", "band")),
+      () => graft.sources.Writers.writePartitioned(feats,
+        s"$path/_compact_stage/features", Seq("ingest_id")))
+    fs.create(new org.apache.hadoop.fs.Path(stage, "_stage_complete"),
+      true).close()
+    finishSwap(fs, path)
+  }
+
+  /** Apply (or re-apply after a crash) a certified staged
+    * compaction: move the live directories aside, rename the staged
+    * ones in, clear stage + trash. No-op without the stage marker. */
+  private def finishSwap(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit = {
+    val stage = new org.apache.hadoop.fs.Path(s"$path/_compact_stage")
+    val done = new org.apache.hadoop.fs.Path(stage, "_stage_complete")
+    if (!fs.exists(done)) { fs.delete(stage, true); return }
+    val trash = new org.apache.hadoop.fs.Path(s"$path/_compact_trash")
+    fs.mkdirs(trash)
+    Seq("bands", "features").foreach { name =>
+      val staged = new org.apache.hadoop.fs.Path(stage, name)
+      val live = new org.apache.hadoop.fs.Path(s"$path/$name")
+      if (fs.exists(staged)) { // not yet swapped in
+        if (fs.exists(live)) {
+          fs.delete(new org.apache.hadoop.fs.Path(trash, name), true)
+          fs.rename(live, new org.apache.hadoop.fs.Path(trash, name))
+          ()
+        }
+        fs.rename(staged, live)
+        ()
+      }
+    }
+    fs.delete(stage, true)
+    fs.delete(trash, true)
+    ()
   }
 
   /** The streaming wrapper: every micro-batch runs `ingestBatch`
