@@ -41,7 +41,13 @@ object Relational6 {
     *
     * 100 TB shape: the fact table collapses via ONE partial-agg
     * groupBy to the value dimension (distinct cents ≪ corpus); the
-    * ordered pass is a single window over that dimension. The win
+    * ordered pass is a single window over that dimension — an
+    * UNPARTITIONED Window.orderBy, i.e. a one-task global sort,
+    * acceptable exactly because the value dimension stays small
+    * (price cents). If distinct values can grow with the corpus, the
+    * escalation is repartitionByRange(v) + per-range partial sums of
+    * n_b with a broadcast prefix-offset join — same arithmetic, no
+    * single-task stage. The win
     * products are carried in decimal(38,0) — u2 ≤ 2·n_a·n_b
     * overflows a long once both groups pass ~2·10⁹ rows — and cast
     * to BIGINT only at the edge (past ~4·10⁹ rows per group, emit

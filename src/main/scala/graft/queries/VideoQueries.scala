@@ -963,9 +963,16 @@ object VideoQueries {
     * one narrow pass, where the previous pointer-jumping spelling
     * paid O(log track-length) join+materialize rounds for the same
     * answer. Per-partition state is bounded by the partition's edge
-    * count (boxes ≪ corpus; a partition holds whole videos). The
-    * final label attach is one left join back to the box relation:
-    * unmatched boxes and roots label themselves. */
+    * count (boxes ≪ corpus; a partition holds whole videos — the
+    * repartition(video_id) uses the session shuffle-partition count,
+    * so a pathologically long or skewed video bounds one executor's
+    * heap by THAT video's edges; if box counts can ever rival
+    * corpus scale, guard with a per-video edge-count check and fall
+    * back to the iterative pointer-jumping closure above the
+    * threshold — the declared admission unit, cf. FrameSource's
+    * whole-file note). The final label attach is one left join back
+    * to the box relation: unmatched boxes and roots label
+    * themselves. */
   def tracklets(boxes: DataFrame): DataFrame = {
     import graft.functions.TextFunctions
     def node(v: org.apache.spark.sql.Column, f: org.apache.spark.sql.Column,

@@ -127,6 +127,83 @@ object IndexedLex {
       }
       .start()
 
+  /** COMPACTION (the s21 cadence the stats note above names): many
+    * ingests leave one postings/doclen/stats partial per batch —
+    * stats grow one row per batch and the postings accumulate
+    * per-ingest small files inside each term bucket. Compacting
+    * rewrites all three as single collapsed layouts (postings
+    * re-co-located per term bucket exactly like the x40 build,
+    * stats summed to ONE row) and swaps them in with the same
+    * staged, marker-certified rename discipline as
+    * IndexedDedup.compact: a crash before `_stage_complete` leaves
+    * the live index untouched; a crash mid-swap is repaired by the
+    * next compact(). Serving is unchanged — the bucket-pruning
+    * predicate never depended on how many batches built the index.
+    *
+    * 100 TB shape: one repartition-by-bucket write over the postings
+    * (no re-tokenize — the stored rows already carry tf), one
+    * doclen rewrite, one ≤|batches|-row stats fold; O(1) metadata
+    * renames for the swap. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    finishSwap(fs, path)
+    val stage = new org.apache.hadoop.fs.Path(s"$path/_compact_stage")
+    fs.delete(stage, true)
+    def withIngestId(df: DataFrame): DataFrame =
+      if (df.columns.contains("ingest_id")) df
+      else df.withColumn("ingest_id", lit(0L))
+    val post = withIngestId(spark.read.parquet(s"$path/postings"))
+      .select(col("term"), col("doc_id"), col("tf"),
+        col("tbkt").cast("int").as("tbkt"), col("ingest_id"))
+    val dl = withIngestId(spark.read.parquet(s"$path/doclen"))
+      .select(col("doc_id"), col("dl"), col("ingest_id"))
+    val stats = spark.read.parquet(s"$path/stats")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_dl")).as("total_dl"))
+      .withColumn("ingest_id", lit(0L))
+    RetrievalQueries.awaitAll(
+      () => post.repartition(RetrievalQueries.lexBuckets, col("tbkt"))
+        .write.mode("overwrite").partitionBy("ingest_id", "tbkt")
+        .parquet(s"$path/_compact_stage/postings"),
+      () => dl.write.mode("overwrite").partitionBy("ingest_id")
+        .parquet(s"$path/_compact_stage/doclen"),
+      () => stats.write.mode("overwrite").partitionBy("ingest_id")
+        .parquet(s"$path/_compact_stage/stats"))
+    fs.create(new org.apache.hadoop.fs.Path(stage, "_stage_complete"),
+      true).close()
+    finishSwap(fs, path)
+  }
+
+  /** Apply (or re-apply after a crash) a certified staged
+    * compaction — the IndexedDedup.finishSwap discipline for the
+    * three lexical tables. No-op without the stage marker. */
+  private def finishSwap(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit = {
+    val stage = new org.apache.hadoop.fs.Path(s"$path/_compact_stage")
+    val done = new org.apache.hadoop.fs.Path(stage, "_stage_complete")
+    if (!fs.exists(done)) { fs.delete(stage, true); return }
+    val trash = new org.apache.hadoop.fs.Path(s"$path/_compact_trash")
+    fs.mkdirs(trash)
+    Seq("postings", "doclen", "stats").foreach { name =>
+      val staged = new org.apache.hadoop.fs.Path(stage, name)
+      val live = new org.apache.hadoop.fs.Path(s"$path/$name")
+      if (fs.exists(staged)) {
+        if (fs.exists(live)) {
+          fs.delete(new org.apache.hadoop.fs.Path(trash, name), true)
+          fs.rename(live, new org.apache.hadoop.fs.Path(trash, name))
+          ()
+        }
+        fs.rename(staged, live)
+        ()
+      }
+    }
+    fs.delete(stage, true)
+    fs.delete(trash, true)
+    ()
+  }
+
   /** Serve the streamed index: the exact x40 bucket-pruned BM25 plan
     * over all ingest partitions, with the corpus stats assembled by
     * summing the per-batch one-row partials. */

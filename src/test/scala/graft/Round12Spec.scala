@@ -185,6 +185,29 @@ class Round12Spec extends SparkTestBase {
     }
   }
 
+  test("IndexedLex.compact: serve is bit-identical before and after, " +
+    "stats collapse to one partial, idempotent") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.IndexedLex
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val idx = java.nio.file.Files.createTempDirectory("ixlc").toString + "/ix"
+    IndexedLex.backfill(spark, idx,
+      (0L until 3L).map(b => (docs.filter(col("doc_id") % 3 === b), b)))
+    val terms = Seq("hash", "merge", "spark", "window")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val before = canon(IndexedLex.serve(spark, idx, terms))
+    assert(before.nonEmpty)
+    IndexedLex.compact(spark, idx)
+    assert(canon(IndexedLex.serve(spark, idx, terms)) === before)
+    // the per-batch stats partials collapsed to one row
+    assert(spark.read.parquet(s"$idx/stats").count() === 1L)
+    // idempotent
+    IndexedLex.compact(spark, idx)
+    assert(canon(IndexedLex.serve(spark, idx, terms)) === before)
+  }
+
   test("IndexedDedup.compact: ingest -> compact -> probe equals " +
     "fresh-build -> probe, cap re-applied, idempotent") {
     import org.apache.spark.sql.functions._
