@@ -13,13 +13,14 @@ import graft.sources.Tables
   * and the Benford first-digit audit (r78: the classic
   * fraud/data-quality screen over order amounts).
   *
-  * All three follow the family's exactness discipline (r71's
-  * lesson): every statistic is DEFINED over exact integers — counts,
+  * All follow the family's exactness discipline (r71's lesson):
+  * every statistic is DEFINED over exact integers — counts,
   * concordance tallies, ppm ratios via integer division with an
-  * explicit sign split (Spark's `div` truncates toward zero while
-  * DuckDB's `//` floors, so negative numerators only ever divide as
-  * `sign · (abs div den)`) — and nothing fractional, decimal-typed,
-  * or double-rounded crosses the output edge.
+  * explicit sign split (`sign · (abs div den)`: both engines'
+  * integer divisions truncate toward zero — measured, round 12 —
+  * but keeping every division non-negative makes the restatement
+  * robust to either convention) — and nothing fractional,
+  * decimal-typed, or double-rounded crosses the output edge.
   */
 object Relational6 {
 
@@ -353,6 +354,137 @@ object Relational6 {
       |  CAST(1000000 + 2 * CAST(n_plus AS HUGEINT) * n_minus * 1000000
       |    // (n_plus + n_minus) AS BIGINT) AS expected_r_ppm
       |FROM t""".stripMargin
+
+  // ---- r81: Lorenz curve by spend decile ---------------------------
+
+  /** r81: LORENZ CURVE of order spend — r71's Gini as an actual
+    * curve: orders tile into spend DECILES (ntile over the exact
+    * cent lattice, o_orderkey as the total-order tiebreak so both
+    * engines tile identically) and each decile reports its order
+    * count, exact cent mass, and the CUMULATIVE share of total
+    * spend in ppm — the "bottom 50% holds X%" statement that turns
+    * the single Gini number into an auditable distribution.
+    *
+    * Exactness: cents are longs, all sums exact; the share is
+    * 1e6·cum div total carried in decimal(38,0) (1e6·Σcents
+    * outgrows a long at ~10¹³ cents of corpus spend — exactly the
+    * scale the curve is computed for). Numerators are non-negative,
+    * so truncating vs flooring division cannot diverge.
+    *
+    * 100 TB shape: the ntile is a single ordered pass over the fact
+    * table (the r76 admission); the escalation at fact-table scale
+    * is repartitionByRange(cents) + per-range counts to place the
+    * decile cuts, then a broadcast cut join — same tiling, no
+    * single-task sort. Everything after the tile is a 10-row
+    * frame. */
+  def r81Lorenz(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderkey"))
+    val tiled = o.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("cents"), col("o_orderkey"))))
+    tiled.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("cents")).as("decile_cents"))
+      .withColumn("cum_cents",
+        sum(col("decile_cents")).over(Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total_cents",
+        sum(col("decile_cents")).over(Window.partitionBy()
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      .select(col("decile").cast("bigint").as("decile"),
+        col("n_orders"), col("decile_cents"),
+        expr("cast(cast(cum_cents as decimal(38,0)) * 1000000 " +
+          "div total_cents as bigint)").as("cum_share_ppm"))
+  }
+
+  val r81Sql: String =
+    """WITH c AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT)
+      |    AS cents, o_orderkey FROM orders),
+      |t AS (SELECT cents,
+      |    ntile(10) OVER (ORDER BY cents, o_orderkey) AS decile
+      |  FROM c),
+      |g AS (SELECT decile, count(*) AS n_orders,
+      |    CAST(sum(cents) AS BIGINT) AS decile_cents
+      |  FROM t GROUP BY 1),
+      |s AS (SELECT decile, n_orders, decile_cents,
+      |    CAST(sum(decile_cents) OVER (ORDER BY decile) AS BIGINT)
+      |      AS cum_cents,
+      |    CAST(sum(decile_cents) OVER () AS BIGINT) AS total_cents
+      |  FROM g)
+      |SELECT CAST(decile AS BIGINT) AS decile, n_orders, decile_cents,
+      |  CAST(CAST(cum_cents AS HUGEINT) * 1000000 // total_cents
+      |    AS BIGINT) AS cum_share_ppm
+      |FROM s""".stripMargin
+
+  // ---- r82: chi-square independence test ----------------------------
+
+  /** r82: CHI-SQUARE INDEPENDENCE of order priority × order status —
+    * the categorical-association screen (is fulfilment status
+    * independent of priority?) completing the nonparametric family:
+    * r76 compares distributions, r77 ranks trends, r78 audits
+    * digits, r79 tests randomness; r82 tests contingency. χ² =
+    * Σ_cells (obs − E)²/E with E = rowTotal·colTotal/grand, restated
+    * exactly: per cell, 1e6·(obs·g − rt·ct)² div (rt·ct·g) — one
+    * integer-floored term per cell, summed (all terms non-negative,
+    * so truncation conventions cannot diverge). Carried in
+    * decimal(38,0): obs·g squares to ~10²⁰ at sf0.1 and to ~10³⁰ at
+    * 10⁹ orders — still inside 38 digits.
+    *
+    * 100 TB shape: ONE partial-agg groupBy collapses the fact table
+    * to ≤ |prios|·|statuses| cells; row/col/grand totals derive from
+    * the cell frame and broadcast back — nothing corpus-sized moves
+    * after the first agg. */
+  def r82ChiSquare(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("prio"),
+        col("o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("obs"))
+    val rowT = cells.groupBy(col("prio")).agg(sum(col("obs")).as("rt"))
+    val colT = cells.groupBy(col("st")).agg(sum(col("obs")).as("ct"))
+    val grand = cells.agg(sum(col("obs")).as("g"),
+      countDistinct(col("prio")).as("nr"),
+      countDistinct(col("st")).as("nc"))
+    cells.join(broadcast(rowT), Seq("prio"))
+      .join(broadcast(colT), Seq("st"))
+      .crossJoin(broadcast(grand))
+      .select(col("nr"), col("nc"),
+        expr(s"cast(1000000 as $dec) * " +
+          s"(cast(obs as $dec) * g - cast(rt as $dec) * ct) * " +
+          s"(cast(obs as $dec) * g - cast(rt as $dec) * ct) div " +
+          s"(cast(rt as $dec) * ct * g)").as("term"))
+      .groupBy()
+      .agg(max(col("nr")).as("n_prios"), max(col("nc")).as("n_statuses"),
+        sum(col("term")).as("chi2d"))
+      .select(col("n_prios"), col("n_statuses"),
+        ((col("n_prios") - 1) * (col("n_statuses") - 1)).as("dof"),
+        col("chi2d").cast("bigint").as("chi2_ppm"))
+  }
+
+  val r82Sql: String =
+    """WITH cells AS (SELECT o_orderpriority AS prio,
+      |    o_orderstatus AS st, count(*) AS obs
+      |  FROM orders GROUP BY 1, 2),
+      |rt AS (SELECT prio, CAST(sum(obs) AS BIGINT) AS rt
+      |  FROM cells GROUP BY 1),
+      |ct AS (SELECT st, CAST(sum(obs) AS BIGINT) AS ct
+      |  FROM cells GROUP BY 1),
+      |gt AS (SELECT CAST(sum(obs) AS BIGINT) AS g,
+      |    count(DISTINCT prio) AS nr, count(DISTINCT st) AS nc
+      |  FROM cells),
+      |terms AS (SELECT gt.nr, gt.nc,
+      |    CAST(1000000 AS HUGEINT)
+      |      * (CAST(obs AS HUGEINT) * gt.g - CAST(rt.rt AS HUGEINT) * ct.ct)
+      |      * (CAST(obs AS HUGEINT) * gt.g - CAST(rt.rt AS HUGEINT) * ct.ct)
+      |      // (CAST(rt.rt AS HUGEINT) * ct.ct * gt.g) AS term
+      |  FROM cells JOIN rt USING (prio) JOIN ct USING (st) CROSS JOIN gt)
+      |SELECT CAST(max(nr) AS BIGINT) AS n_prios,
+      |  CAST(max(nc) AS BIGINT) AS n_statuses,
+      |  CAST((max(nr) - 1) * (max(nc) - 1) AS BIGINT) AS dof,
+      |  CAST(sum(term) AS BIGINT) AS chi2_ppm
+      |FROM terms""".stripMargin
 
   val r78Sql: String =
     """WITH c AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents

@@ -484,6 +484,38 @@ object RetrievalQueries {
   /** Indistinguishable from a fresh full build, like x40/x41. */
   val x69Sql: String = x28Sql
 
+  // ---- x71: ingest → COMPACT → serve ------------------------------
+
+  /** x71: the COMPACTED lexical index under the hash gate — x69's
+    * three-batch ingest followed by `IndexedLex.compact` (the s21-
+    * cadence rebuild: per-batch postings/doclen/stats partials
+    * collapse into single layouts, stats to ONE row, swapped in via
+    * the staged marker-certified rename) and the same bucket-pruned
+    * BM25 serve. Oracle: x28's from-scratch SQL — compaction that
+    * loses a posting row, double-counts a stats partial, or breaks
+    * the bucket layout breaks the hash. (Crash-recovery and
+    * idempotence are spec-gated in Round12Spec.)
+    *
+    * 100 TB shape: the ingest is x69's; compaction adds one
+    * repartition-by-bucket write over stored postings (no
+    * re-tokenize), a ≤|batches|-row stats fold, and O(1) renames. */
+  def x71LexCompactServe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = s"${sys.props("java.io.tmpdir")}/graft_lexindex_cmp_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) { fs.delete(p, true); () }
+    graft.streaming.IndexedLex.backfill(spark, base,
+      (0L until 3L).map(b => (docs.filter(col("doc_id") % 3 === b), b)))
+    graft.streaming.IndexedLex.compact(spark, base)
+    graft.streaming.IndexedLex.serve(spark, base, bm25Terms)
+  }
+
+  /** The compacted index must serve exactly what a fresh build
+    * serves. */
+  val x71Sql: String = x28Sql
+
   // ---- s22: hybrid search via reciprocal-rank fusion ---------------
 
   /** s22: HYBRID retrieval — the lexical leg (x28's BM25 top-20) and

@@ -248,6 +248,53 @@ class Round12Spec extends SparkTestBase {
     assert(spark.read.parquet(s"$ing/bands").count() === compactedRows)
   }
 
+  test("r81 Lorenz deciles match a driver-side brute force") {
+    import org.apache.spark.sql.functions._
+    val got = graft.queries.Relational6.r81Lorenz(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    val cents = graft.sources.Tables.orders(spark, sf)
+      .select(floor(col("o_totalprice") * 100).cast("long").as("c"),
+        col("o_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(identity).map(_._1)
+    val n = cents.length
+    // ntile: the first (n % 10) buckets take ceil(n/10) rows
+    val base = n / 10; val extra = n % 10
+    var idx = 0
+    val total = cents.map(BigInt(_)).sum
+    var cum = BigInt(0)
+    val expected = (1 to 10).map { d =>
+      val sz = base + (if (d <= extra) 1 else 0)
+      val slice = cents.slice(idx, idx + sz)
+      idx += sz
+      val mass = slice.map(BigInt(_)).sum
+      cum += mass
+      (d.toLong, sz.toLong, mass.toLong, (cum * 1000000 / total).toLong)
+    }
+    assert(got.toSeq === expected)
+  }
+
+  test("r82 chi-square matches a driver-side BigInt brute force") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_orderstatus"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val cells = rows.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rt = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val ct = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val g = rows.length.toLong
+    val chi2 = cells.map { case ((p, s), obs) =>
+      val diff = BigInt(obs) * g - BigInt(rt(p)) * ct(s)
+      BigInt(1000000) * diff * diff / (BigInt(rt(p)) * ct(s) * g)
+    }.sum
+    val got = graft.queries.Relational6.r82ChiSquare(spark, sf).head()
+    assert(got.getLong(0) === rt.size.toLong)
+    assert(got.getLong(1) === ct.size.toLong)
+    assert(got.getLong(2) === (rt.size - 1).toLong * (ct.size - 1))
+    assert(got.getLong(3) === chi2.toLong)
+  }
+
   test("nalPayloadIterator matches the eager walk NAL-for-NAL") {
     val (w, h) = (32, 16)
     val frames = (0 until 4).map(f => lcgPlanes(w, h, 0xFEED5L + f))
