@@ -1107,4 +1107,60 @@ object VideoQueries {
       |  CAST(max(t.frame_id) AS BIGINT) AS last_frame
       |FROM tr t JOIN zb z USING (video_id, frame_id, box_ref)
       |GROUP BY 1, 2""".stripMargin
+
+  // ---- v18: zone-transition matrix ----------------------------------
+
+  /** v18: ZONE-TRANSITION MATRIX — corpus-wide traffic-flow counts
+    * between v11's 4×4 spatial zones, walked along v16's tracklets:
+    * for every consecutive box pair of a tracklet (frame order,
+    * box_ref tiebreak), one (from_zone, to_zone) transition. The
+    * standard flow analytic a deployment derives from a tracker
+    * (where do objects enter, where do they go); the diagonal is
+    * dwell, off-diagonals are motion. Invariant (spec-pinned):
+    * Σ transitions = Σ boxes − |tracklets|. RIDES the single
+    * detection pass and the same closure — no re-inference (the
+    * v-family discipline).
+    *
+    * 100 TB shape: v16's plan + one lag window per (video,
+    * tracklet) over the tiny box relation + one ≤256-cell
+    * partial-agg groupBy. */
+  def v18ZoneTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val dets = withDetections(frames(spark, dir))
+    val boxes = DetectionPipeline.boxes(dets, threshold = 0.7)
+      .select(col("video_id"), col("frame_id"), col("box_ref"),
+        col("x"), col("y"), col("w"), col("h"), col("label_id"))
+      .localCheckpoint()
+    val tr = tracklets(boxes)
+    val zb = boxes
+      .withColumn("height", lit(480) + (col("frame_id") % 3) * 240)
+      .withColumn("width", lit(640) + (col("frame_id") % 3) * 320)
+      .select(col("video_id"), col("frame_id"), col("box_ref"),
+        (least(lit(3L), expr("((x + w) div 2) * 4 div height")) * 4 +
+          least(lit(3L), expr("((y + h) div 2) * 4 div width")))
+          .as("zone"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("video_id"), col("tracklet_id"))
+      .orderBy(col("frame_id"), col("box_ref"))
+    tr.join(zb, Seq("video_id", "frame_id", "box_ref"))
+      .withColumn("prev_zone", lag(col("zone"), 1).over(w))
+      .filter(col("prev_zone").isNotNull)
+      .groupBy(col("prev_zone").cast("bigint").as("from_zone"),
+        col("zone").cast("bigint").as("to_zone"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
+  lazy val v18Sql: String = trackletCtes +
+    """,
+      |zb AS (SELECT video_id, frame_id, box_ref,
+      |    least(3, ((x + w) // 2) * 4 // (480 + (frame_id % 3) * 240)) * 4
+      |      + least(3, ((y + h) // 2) * 4 // (640 + (frame_id % 3) * 320))
+      |      AS zone
+      |  FROM boxes),
+      |sq AS (SELECT z.zone,
+      |    lag(z.zone) OVER (PARTITION BY t.video_id, t.tracklet_id
+      |      ORDER BY t.frame_id, t.box_ref) AS prev_zone
+      |  FROM tr t JOIN zb z USING (video_id, frame_id, box_ref))
+      |SELECT CAST(prev_zone AS BIGINT) AS from_zone,
+      |  CAST(zone AS BIGINT) AS to_zone, count(*) AS n_transitions
+      |FROM sq WHERE prev_zone IS NOT NULL GROUP BY 1, 2""".stripMargin
 }

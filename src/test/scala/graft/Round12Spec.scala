@@ -248,6 +248,22 @@ class Round12Spec extends SparkTestBase {
     assert(spark.read.parquet(s"$ing/bands").count() === compactedRows)
   }
 
+  test("v18 zone transitions: every tracklet of k boxes contributes " +
+    "exactly k - 1 transitions, zones stay in the 4x4 grid") {
+    import org.apache.spark.sql.functions._
+    val trans = graft.queries.VideoQueries.v18ZoneTransitions(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(trans.nonEmpty)
+    assert(trans.forall { case (f, t, n) =>
+      f >= 0 && f <= 15 && t >= 0 && t <= 15 && n > 0
+    })
+    val tl = graft.queries.VideoQueries.v16Tracklets(spark, sf)
+    val nBoxes = tl.count()
+    val nTracklets = tl.select(col("video_id"), col("tracklet_id"))
+      .distinct().count()
+    assert(trans.map(_._3).sum === nBoxes - nTracklets)
+  }
+
   test("r81 Lorenz deciles match a driver-side brute force") {
     import org.apache.spark.sql.functions._
     val got = graft.queries.Relational6.r81Lorenz(spark, sf)
