@@ -1496,6 +1496,54 @@ object LlmQueries {
        |$pqAdcSearchSql""".stripMargin
   }
 
+  // ---- s35: trained-PQ recall audit ---------------------------------
+
+  /** s35: RECALL@3 OF THE TRAINED PQ — the end-to-end quality number
+    * for the compression half of the index lifecycle, closing the
+    * audit triangle: s12 measures the COARSE quantizer's recall, s34
+    * measures the codebook's DISTORTION, s35 measures what the user
+    * feels — how many of the exact top-3 the trained ADC scan
+    * returns. Exactly the s12 instrument pointed at s15's search
+    * (same trained codebook, same ADC kernel), so a codebook change
+    * that tanks recall fails this gate even while s15's own ranking
+    * hash stays self-consistent.
+    *
+    * 100 TB shape: the brute-force truth side is query-bounded
+    * (|queries|·k rows); the ADC side is s15's scan; the join is on
+    * (query, neighbor) — nothing corpus-sized beyond the two scans
+    * already audited. */
+  def s35PqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cb = graft.operators.KMeans.trainPqCodebook(emb, m = 8, k = 16,
+      iters = 2)
+    val truth = Similarity.knnBruteForce(emb, queryVecs(spark, dir), 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val ann = Similarity.knnPqAdc(emb, queryVecs(spark, dir), cb,
+        m = 8, k = 3)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    truth.join(ann, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        round(col("n_hits") / 3.0, 6).as("recall"))
+  }
+
+  val s35Sql: String =
+    s"""WITH bf AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rnk
+       |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |    WHERE q.vec_id < 5) WHERE rnk <= 3),
+       |pq AS (SELECT query_id, neighbor_id FROM (
+       |$s15Sql
+       |))
+       |SELECT bf.query_id, count(pq.neighbor_id) AS n_hits,
+       |  round(count(pq.neighbor_id) / 3.0, 6) AS recall
+       |FROM bf LEFT JOIN pq ON pq.query_id = bf.query_id
+       |  AND pq.neighbor_id = bf.neighbor_id
+       |GROUP BY 1""".stripMargin
+
   /** s5: int8 scalar quantization quality — the storage-path op an
     * embedding corpus runs before ANN serving (4× smaller vectors):
     * per-vector symmetric scale 127/max|v|, q = floor(v·s + 0.5)

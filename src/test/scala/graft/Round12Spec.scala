@@ -264,6 +264,17 @@ class Round12Spec extends SparkTestBase {
     assert(trans.map(_._3).sum === nBoxes - nTracklets)
   }
 
+  test("s35 trained-PQ recall: one row per query, hits bounded by k, " +
+    "deterministic") {
+    val a = graft.queries.LlmQueries.s35PqRecall(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(a.length === 5)
+    assert(a.forall { case (_, h) => h >= 0 && h <= 3 })
+    val b = graft.queries.LlmQueries.s35PqRecall(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(b.toSeq === a.toSeq)
+  }
+
   test("r81 Lorenz deciles match a driver-side brute force") {
     import org.apache.spark.sql.functions._
     val got = graft.queries.Relational6.r81Lorenz(spark, sf)
