@@ -486,6 +486,103 @@ object Relational6 {
       |  CAST(sum(term) AS BIGINT) AS chi2_ppm
       |FROM terms""".stripMargin
 
+  // ---- r83: Kaplan-Meier survival curve ------------------------------
+
+  /** r83: KAPLAN-MEIER SURVIVAL — time from each user's FIRST event
+    * to their first 'error', right-censored at the last observed
+    * activity for users who never error: the standard time-to-event
+    * estimator (churn curves, reliability, time-to-conversion's
+    * distribution-level sibling r56 answers pointwise). Steps exist
+    * at failure durations only; at each step t, n_risk = subjects
+    * still under observation (duration ≥ t, failures and censored
+    * alike), n_events = failures at t, and the survivor function
+    * updates by the product-limit rule S ← S·(n−d)/n.
+    *
+    * Exactness: durations are calendar-day integers; the product
+    * limit is a SEQUENTIAL integer recurrence in ppm — S₀ = 10⁶,
+    * Sᵢ = (Sᵢ₋₁·(nᵢ−dᵢ)) div nᵢ, one floor per step — which the
+    * engine folds over the sorted step array (division spelled
+    * (x − pmod(x, n))/n, exact because the numerator is made
+    * divisible first) and the oracle restates as a recursive CTE:
+    * identical integer sequences, no float product anywhere.
+    *
+    * 100 TB shape: two partial-agg groupBys collapse the event log
+    * to one row per user; steps ≤ distinct failure days (calendar-
+    * bounded), so the at-risk counts are a broadcast non-equi join
+    * against a tiny step frame and the fold runs on one ≤|days|-row
+    * array. */
+  def r83KaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val span = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t0"), max(col("ts")).as("tlast"))
+    val firstErr = ev.filter(col("event_type") === "error")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("terr"))
+    val subj = span.join(firstErr, Seq("user_id"), "left")
+      .select(
+        when(col("terr").isNotNull,
+          datediff(to_date(col("terr")), to_date(col("t0"))))
+          .otherwise(datediff(to_date(col("tlast")), to_date(col("t0"))))
+          .cast("long").as("dur"),
+        col("terr").isNotNull.as("failed"))
+    val steps = subj.filter(col("failed"))
+      .groupBy(col("dur").as("t")).agg(count(lit(1)).as("d"))
+    val risk = subj.select(col("dur"))
+      .join(broadcast(steps.select(col("t"))), col("dur") >= col("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val stepFrame = steps.join(risk, Seq("t"))
+    // fold the product limit over the SORTED step array: acc carries
+    // (t, n, d, s) with a sentinel head s = 1e6; integer division is
+    // spelled (x - pmod(x, n)) / n so the double division is exact
+    stepFrame
+      .agg(sort_array(collect_list(struct(col("t"), col("n"), col("d"))))
+        .as("st"))
+      .select(explode(aggregate(col("st"),
+        array(struct(lit(-1L).as("t"), lit(0L).as("n"), lit(0L).as("d"),
+          lit(1000000L).as("s"))),
+        (acc, x) => {
+          val last = element_at(acc, -1).getField("s")
+          val num = last * (x.getField("n") - x.getField("d"))
+          val s = ((num - pmod(num, x.getField("n"))) / x.getField("n"))
+            .cast("long")
+          concat(acc, array(struct(x.getField("t").as("t"),
+            x.getField("n").as("n"), x.getField("d").as("d"), s.as("s"))))
+        })).as("r"))
+      .filter(col("r.t") >= 0)
+      .select(col("r.t").as("t_day"), col("r.n").as("n_risk"),
+        col("r.d").as("n_events"), col("r.s").as("surv_ppm"))
+  }
+
+  /** Recursive-CTE restatement of the same integer product-limit
+    * recurrence. */
+  val r83Sql: String =
+    """WITH RECURSIVE sp AS (SELECT user_id, min(ts) AS t0,
+      |    max(ts) AS tlast FROM events GROUP BY 1),
+      |fe AS (SELECT user_id, min(ts) AS terr FROM events
+      |  WHERE event_type = 'error' GROUP BY 1),
+      |subj AS (SELECT CASE WHEN fe.terr IS NOT NULL
+      |      THEN date_diff('day', CAST(sp.t0 AS DATE), CAST(fe.terr AS DATE))
+      |      ELSE date_diff('day', CAST(sp.t0 AS DATE), CAST(sp.tlast AS DATE))
+      |    END AS dur,
+      |    fe.terr IS NOT NULL AS failed
+      |  FROM sp LEFT JOIN fe USING (user_id)),
+      |d AS (SELECT dur AS t, count(*) AS d FROM subj WHERE failed
+      |  GROUP BY 1),
+      |n AS (SELECT d.t, count(*) AS n FROM d JOIN subj ON subj.dur >= d.t
+      |  GROUP BY 1),
+      |steps AS (SELECT d.t, n.n, d.d,
+      |    row_number() OVER (ORDER BY d.t) AS i
+      |  FROM d JOIN n ON n.t = d.t),
+      |km(i, t, n, d, s) AS (
+      |  SELECT i, t, n, d,
+      |    CAST(1000000 * (n - d) // n AS BIGINT) FROM steps WHERE i = 1
+      |  UNION ALL
+      |  SELECT st.i, st.t, st.n, st.d,
+      |    CAST(km.s * (st.n - st.d) // st.n AS BIGINT)
+      |  FROM steps st JOIN km ON st.i = km.i + 1)
+      |SELECT CAST(t AS BIGINT) AS t_day, CAST(n AS BIGINT) AS n_risk,
+      |  CAST(d AS BIGINT) AS n_events, s AS surv_ppm
+      |FROM km""".stripMargin
+
   val r78Sql: String =
     """WITH c AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
       |  FROM orders),

@@ -322,6 +322,39 @@ class Round12Spec extends SparkTestBase {
     assert(got.getLong(3) === chi2.toLong)
   }
 
+  test("r83 Kaplan-Meier matches a driver-side product-limit brute force") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        to_date(col("ts")).cast("string").as("d"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        java.time.LocalDate.parse(r.getString(2))))
+    val byUser = ev.groupBy(_._1)
+    val subj = byUser.values.map { rows =>
+      val t0 = rows.map(_._3).min
+      val errs = rows.filter(_._2 == "error").map(_._3)
+      if (errs.nonEmpty)
+        (java.time.temporal.ChronoUnit.DAYS.between(t0, errs.min), true)
+      else
+        (java.time.temporal.ChronoUnit.DAYS.between(t0, rows.map(_._3).max),
+          false)
+    }.toSeq
+    val steps = subj.filter(_._2).groupBy(_._1).view
+      .mapValues(_.size.toLong).toSeq.sortBy(_._1)
+    var s = 1000000L
+    val expected = steps.map { case (t, d) =>
+      val n = subj.count(_._1 >= t).toLong
+      s = s * (n - d) / n
+      (t, n, d, s)
+    }
+    val got = graft.queries.Relational6.r83KaplanMeier(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(got.toSeq === expected)
+    // survival is monotone non-increasing and ends in [0, 1e6]
+    assert(got.map(_._4).toSeq === got.map(_._4).sorted.reverse.toSeq)
+  }
+
   test("nalPayloadIterator matches the eager walk NAL-for-NAL") {
     val (w, h) = (32, 16)
     val frames = (0 until 4).map(f => lcgPlanes(w, h, 0xFEED5L + f))
