@@ -1397,13 +1397,16 @@ object CorpusQueries {
     * explode + one partial-agg groupBy; everything BPE-shaped runs
     * on the vocab-bounded frame. */
   def x68BpeApplyHeldout(spark: SparkSession, dir: String): DataFrame =
-    bpeHeldoutPerDoc(spark, dir).drop("lang")
+    bpeHeldoutPerDoc(spark, dir)
+      .select(col("doc_id"), col("n_words"), col("n_tokens"))
 
-  /** x68's per-document accounting with `lang` THREADED THROUGH from
-    * the held-out scan (the row already carries it — re-deriving it
-    * later would mean a second `documents` scan and a doc-keyed
-    * shuffle join). Shared by x68 (drops lang) and x70 (rolls it up),
-    * so the fertility report costs x68 + one ≤|langs|-row agg. */
+  /** x68's per-document accounting with `lang`, `source` and the
+    * document byte length THREADED THROUGH from the held-out scan
+    * (the row already carries them — re-deriving any later would
+    * mean a second `documents` scan and a doc-keyed shuffle join).
+    * Shared by x68 (drops the extras), x70 (rolls up on lang) and
+    * x72 (rolls up on source), so both reports cost x68 + one
+    * tiny closing agg. */
   private def bpeHeldoutPerDoc(spark: SparkSession, dir: String): DataFrame = {
     import graft.Engine.SnapshotOps
     val SEP = "\u001f"
@@ -1412,7 +1415,8 @@ object CorpusQueries {
     val rules = bpeTrain(docs.filter(col("doc_id") % 10 =!= 9), rounds)
       .snapshot()
     val ht = docs.filter(col("doc_id") % 10 === 9)
-      .select(col("doc_id"), col("lang"),
+      .select(col("doc_id"), col("lang"), col("source"),
+        octet_length(col("text")).as("nb"),
         explode(TextFunctions.tokens(col("text"))).as("tok"))
     var segd = ht.select(col("tok")).distinct()
       .select(col("tok"),
@@ -1426,9 +1430,10 @@ object CorpusQueries {
     val cnt = segd.select(col("tok"),
       size(split(col("seg"), SEP)).as("n_tok"))
     ht.join(cnt, Seq("tok"))
-      .groupBy(col("doc_id"), col("lang"))
+      .groupBy(col("doc_id"), col("lang"), col("source"))
       .agg(count(lit(1)).as("n_words"),
-        sum(col("n_tok")).cast("bigint").as("n_tokens"))
+        sum(col("n_tok")).cast("bigint").as("n_tokens"),
+        max(col("nb")).cast("bigint").as("n_bytes"))
   }
 
   /** The DuckDB one-pass merge fold (the SQL twin of bpeFold). */
@@ -1489,8 +1494,9 @@ object CorpusQueries {
          |  CROSS JOIN (SELECT lhs AS ml, rhs AS mr FROM rule$i))""".stripMargin
     bpeTrainSqlCtes(3, " WHERE doc_id % 10 <> 9") +
       s""",
-         |ht AS (SELECT doc_id, lang, unnest(ts) AS tok FROM
-         |  (SELECT doc_id, lang, $tsSql AS ts FROM documents
+         |ht AS (SELECT doc_id, lang, source, nb, unnest(ts) AS tok FROM
+         |  (SELECT doc_id, lang, source, strlen(text) AS nb,
+         |     $tsSql AS ts FROM documents
          |   WHERE doc_id % 10 = 9)),
          |ty AS (SELECT DISTINCT tok FROM ht),
          |a0 AS (SELECT tok, array_to_string(
@@ -1500,9 +1506,11 @@ object CorpusQueries {
          |${(1 to 3).map(applyCte).mkString(",\n")},
          |cnt AS (SELECT tok, len(string_split(seg, chr(31))) AS n_tok
          |  FROM a3),
-         |pd AS (SELECT ht.doc_id, ht.lang, count(*) AS n_words,
-         |    CAST(sum(cnt.n_tok) AS BIGINT) AS n_tokens
-         |  FROM ht JOIN cnt ON cnt.tok = ht.tok GROUP BY 1, 2)""".stripMargin
+         |pd AS (SELECT ht.doc_id, ht.lang, ht.source,
+         |    count(*) AS n_words,
+         |    CAST(sum(cnt.n_tok) AS BIGINT) AS n_tokens,
+         |    CAST(max(ht.nb) AS BIGINT) AS n_bytes
+         |  FROM ht JOIN cnt ON cnt.tok = ht.tok GROUP BY 1, 2, 3)""".stripMargin
   }
 
   /** Held-out application oracle: the shared CTE chain, lang
@@ -2909,6 +2917,44 @@ object CorpusQueries {
         expr("cast((cast(n_tokens as decimal(38,0)) * 1000000) " +
           "div n_words as bigint)").as("fertility_ppm"))
   }
+
+  // ---- x72: tokenizer compression ratio by source ------------------
+
+  /** x72: TOKENIZER COMPRESSION BY SOURCE — bytes per token on the
+    * held-out split, per source: fertility's (x70) sibling and the
+    * other tokenizer-quality number (a tokenizer that compresses one
+    * feed at 3 bytes/token and another at 1.5 doubles the effective
+    * context window of the first), driving source mixing and vocab
+    * sizing the same way fertility drives language decisions. Rides
+    * the SAME per-doc frame as x68/x70 — `source` and the document
+    * byte length are threaded through from the held-out scan, so the
+    * report is x68 + one ≤|sources|-row rollup, no second documents
+    * scan. Ratio ships in ppm via integer division over
+    * decimal(38,0) (the x70 overflow discipline).
+    *
+    * 100 TB shape: identical to x70 — everything corpus-sized is
+    * inside x68; this adds one tiny closing agg. */
+  def x72TokenCompression(spark: SparkSession, dir: String): DataFrame = {
+    bpeHeldoutPerDoc(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).as("n_bytes"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .select(col("source"), col("n_docs"), col("n_bytes"),
+        col("n_tokens"),
+        expr("cast((cast(n_bytes as decimal(38,0)) * 1000000) " +
+          "div n_tokens as bigint)").as("bytes_per_token_ppm"))
+  }
+
+  val x72Sql: String =
+    bpeHeldoutSqlCtes +
+      s"""
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(CAST(sum(n_bytes) AS HUGEINT) * 1000000 //
+         |    sum(n_tokens) AS BIGINT) AS bytes_per_token_ppm
+         |FROM pd GROUP BY 1""".stripMargin
 
   val x70Sql: String =
     bpeHeldoutSqlCtes +

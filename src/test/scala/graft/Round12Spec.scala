@@ -355,6 +355,23 @@ class Round12Spec extends SparkTestBase {
     assert(got.map(_._4).toSeq === got.map(_._4).sorted.reverse.toSeq)
   }
 
+  test("x72 token compression ties out against x68's per-doc frame") {
+    import org.apache.spark.sql.functions._
+    val x72 = graft.queries.CorpusQueries.x72TokenCompression(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(x72.nonEmpty)
+    val x68 = graft.queries.CorpusQueries.x68BpeApplyHeldout(spark, sf)
+    val (docs68, toks68) = (x68.count(),
+      x68.agg(sum(col("n_tokens"))).head().getLong(0))
+    assert(x72.map(_._2).sum === docs68)
+    assert(x72.map(_._4).sum === toks68)
+    // every source's text is at least one byte per token
+    assert(x72.forall { case (_, _, nb, nt, ppm) =>
+      nb >= nt && ppm >= 1000000L
+    })
+  }
+
   test("nalPayloadIterator matches the eager walk NAL-for-NAL") {
     val (w, h) = (32, 16)
     val frames = (0 until 4).map(f => lcgPlanes(w, h, 0xFEED5L + f))
