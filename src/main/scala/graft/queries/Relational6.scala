@@ -437,11 +437,16 @@ object Relational6 {
     * the cell frame and broadcast back — nothing corpus-sized moves
     * after the first agg. */
   def r82ChiSquare(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Engine.SnapshotOps
     val dec = "decimal(38,0)"
+    // ONE fact scan: the ≤|prios|·|statuses|-row cell frame pins and
+    // every total (row, column, grand) derives from it — without the
+    // pin Spark re-runs the corpus agg four times
     val cells = Tables.orders(spark, dir)
       .groupBy(col("o_orderpriority").as("prio"),
         col("o_orderstatus").as("st"))
       .agg(count(lit(1)).as("obs"))
+      .snapshot()
     val rowT = cells.groupBy(col("prio")).agg(sum(col("obs")).as("rt"))
     val colT = cells.groupBy(col("st")).agg(sum(col("obs")).as("ct"))
     val grand = cells.agg(sum(col("obs")).as("g"),
@@ -512,18 +517,22 @@ object Relational6 {
     * against a tiny step frame and the fold runs on one ≤|days|-row
     * array. */
   def r83KaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Engine.SnapshotOps
     val ev = Tables.events(spark, dir)
-    val span = ev.groupBy(col("user_id"))
-      .agg(min(col("ts")).as("t0"), max(col("ts")).as("tlast"))
-    val firstErr = ev.filter(col("event_type") === "error")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("terr"))
-    val subj = span.join(firstErr, Seq("user_id"), "left")
+    // ONE fact scan: first/last activity and first failure all fold
+    // in the same per-user partial agg (min of a CASE is the first
+    // error); the per-subject frame pins because steps and at-risk
+    // counts both read it
+    val subj = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t0"), max(col("ts")).as("tlast"),
+        min(when(col("event_type") === "error", col("ts"))).as("terr"))
       .select(
         when(col("terr").isNotNull,
           datediff(to_date(col("terr")), to_date(col("t0"))))
           .otherwise(datediff(to_date(col("tlast")), to_date(col("t0"))))
           .cast("long").as("dur"),
         col("terr").isNotNull.as("failed"))
+      .snapshot()
     val steps = subj.filter(col("failed"))
       .groupBy(col("dur").as("t")).agg(count(lit(1)).as("d"))
     val risk = subj.select(col("dur"))

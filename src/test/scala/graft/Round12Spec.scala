@@ -208,6 +208,31 @@ class Round12Spec extends SparkTestBase {
     assert(canon(IndexedLex.serve(spark, idx, terms)) === before)
   }
 
+  test("compaction mid-stream: ingest -> compact -> MORE ingests -> " +
+    "serve still equals a fresh build (markers survive the swap)") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.IndexedLex
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val idx = java.nio.file.Files.createTempDirectory("ixmid").toString + "/ix"
+    IndexedLex.ingestBatch(spark, idx, docs.filter(col("doc_id") % 3 === 0), 0L)
+    IndexedLex.ingestBatch(spark, idx, docs.filter(col("doc_id") % 3 === 1), 1L)
+    IndexedLex.compact(spark, idx)
+    // a post-compaction batch lands in the collapsed layout
+    IndexedLex.ingestBatch(spark, idx, docs.filter(col("doc_id") % 3 === 2), 2L)
+    val terms = Seq("hash", "merge", "spark", "window")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val got = canon(IndexedLex.serve(spark, idx, terms))
+    val scratch = canon(graft.queries.RetrievalQueries.bm25(
+      graft.sources.Tables.documents(spark, sf), terms, topK = 20))
+    assert(got.nonEmpty && got === scratch)
+    // replaying a pre-compaction batch id is STILL a no-op: the
+    // markers live at the index root and survive the swap
+    IndexedLex.ingestBatch(spark, idx, docs.filter(col("doc_id") % 3 === 0), 0L)
+    assert(canon(IndexedLex.serve(spark, idx, terms)) === scratch)
+  }
+
   test("IndexedDedup.compact: ingest -> compact -> probe equals " +
     "fresh-build -> probe, cap re-applied, idempotent") {
     import org.apache.spark.sql.functions._
