@@ -783,7 +783,13 @@ object LlmQueries {
     * truncating div, `//` ≡ Spark `div` for trunc-toward-zero) with
     * the empty-cell keep-previous guard — followed by the exact s6
     * search CTEs over the trained `cent`. */
-  val s9Sql: String = {
+  val s9Sql: String =
+    s"""WITH $s9TrainerCtes,
+       |${ivfSearchSql(nprobe = 2)}""".stripMargin
+
+  /** s9's trainer chain (seed + 3 micro-unit Lloyd rounds + the
+    * final `cent` relation), no WITH — shared by s9 and s36. */
+  private lazy val s9TrainerCtes: String = {
     val iters = 3
     def centCte(i: Int) = if (i == 0) "c0" else s"c$i"
     val seed =
@@ -809,11 +815,10 @@ object LlmQueries {
          |c$i AS MATERIALIZED (SELECT p.cell, COALESCE(n.cemb, p.cemb) AS cemb
          |  FROM $prev p LEFT JOIN n$i n ON n.cell = p.cell)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $seed,
+    s"""$seed,
        |$rounds,
        |cent AS (SELECT cell AS vec_id, cemb AS embedding
-       |  FROM ${centCte(iters)}),
-       |${ivfSearchSql(nprobe = 2)}""".stripMargin
+       |  FROM ${centCte(iters)})""".stripMargin
   }
 
   /** s7: product-quantization ANN with ADC ranking (the IVF-PQ
@@ -991,7 +996,18 @@ object LlmQueries {
     * `ad` — ONE definition shared by the s8 and s11 oracles (s11 is
     * s8's ADC stage + an exact re-rank; the compressed-domain
     * arithmetic must not diverge between them). */
-  private def ivfPqAdcCtes: String = {
+  private def ivfPqAdcCtes: String =
+    s"""WITH cent AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+       |cb AS (SELECT vec_id AS j, embedding AS cw FROM embeddings
+       |  WHERE vec_id < 16),
+       |$ivfPqSearchCtes""".stripMargin
+
+  /** The IVF-PQ search CTEs downstream of `cent` (coarse centroids:
+    * vec_id = cell id, embedding) and `cb` (codebook: j, cw) — one
+    * definition shared by the stand-in oracle (s8/s10/s31) and the
+    * fully-trained one (s36), so the search arithmetic cannot
+    * diverge between them. */
+  private def ivfPqSearchCtes: String = {
     def subSql(v: String, c: String, m: String) = pqSubSql(v, c, m)
     def assign(src: String) =
       s"""SELECT vec_id, embedding, cell FROM (
@@ -999,10 +1015,7 @@ object LlmQueries {
          |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
          |      ${cosSql("v.embedding", "c.embedding")} DESC, c.vec_id) AS crn
          |  FROM ($src) v CROSS JOIN cent c) WHERE crn = 1""".stripMargin
-    s"""WITH cent AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
-       |cb AS (SELECT vec_id AS j, embedding AS cw FROM embeddings
-       |  WHERE vec_id < 16),
-       |ms AS (SELECT m FROM range(8) t(m)),
+    s"""ms AS (SELECT m FROM range(8) t(m)),
        |corpus_cells AS (${assign("SELECT vec_id, embedding FROM embeddings")}),
        |query_cells AS (${assign(
       "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5")}),
@@ -1448,7 +1461,13 @@ object LlmQueries {
     * arithmetic) then the micro-unit integer mean with the
     * empty-codeword keep-previous guard; codewords reassemble
     * full-width in subspace order and feed the exact s7 ADC CTEs. */
-  val s15Sql: String = {
+  val s15Sql: String =
+    s"""WITH $s15TrainerCtes,
+       |$pqAdcSearchSql""".stripMargin
+
+  /** s15's trainer chain (subspace seed + 2 L2 Lloyd rounds + the
+    * reassembled `cb` relation), no WITH — shared by s15 and s36. */
+  private lazy val s15TrainerCtes: String = {
     val iters = 2
     // squared L2 over two 8-wide float lists, ascending-dim double fold
     def l2sub(a: String, b: String) =
@@ -1489,12 +1508,46 @@ object LlmQueries {
          |  FROM $prev p LEFT JOIN pn$i n ON n.ms = p.ms AND n.j = p.j)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH $seed,
+    s"""$seed,
        |$rounds,
        |cb AS (SELECT j, flatten(list(csv ORDER BY ms)) AS cw
-       |  FROM cb$iters GROUP BY j),
-       |$pqAdcSearchSql""".stripMargin
+       |  FROM cb$iters GROUP BY j)""".stripMargin
   }
+
+  // ---- s36: fully-trained IVF-PQ -------------------------------------
+
+  /** s36: the PRODUCTION END-STATE of the index lifecycle — s8's
+    * IVF-PQ search with BOTH halves trained: the coarse quantizer
+    * from `KMeans.train` (s9's cells) and the compression codebook
+    * from `KMeans.trainPqCodebook` (s15's codewords), feeding the
+    * exact s8 encode + ADC plan. Every stand-in is retired in one
+    * query: this is what a user deploys after s9 and s15 proved the
+    * trainers, and the audits (s12 recall, s34 distortion, s35
+    * recall) measure. The oracle chains BOTH trainer restatements
+    * into the shared search CTEs, so engine and oracle train AND
+    * search identically.
+    *
+    * 100 TB shape: trainers as documented at s9/s15; the search is
+    * s8's — broadcast centroid/codebook rows, one narrow encode
+    * pass, cell-pruned ADC join. */
+  def s36IvfPqTrained(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = graft.operators.KMeans.train(emb, k = 8, iters = 3)
+    val cb = graft.operators.KMeans.trainPqCodebook(emb, m = 8, k = 16,
+      iters = 2)
+    Similarity.knnIvfPq(emb, queryVecs(spark, dir), cents, cb,
+      m = 8, k = 3)
+  }
+
+  val s36Sql: String =
+    s"""WITH $s9TrainerCtes,
+       |$s15TrainerCtes,
+       |$ivfPqSearchCtes,
+       |r AS (SELECT query_id, neighbor_id, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY adist ASC, neighbor_id) AS INT) AS rnk,
+       |    adist FROM ad)
+       |SELECT query_id, neighbor_id, rnk, round(adist, 6) AS adist
+       |FROM r WHERE rnk <= 3""".stripMargin
 
   // ---- s35: trained-PQ recall audit ---------------------------------
 

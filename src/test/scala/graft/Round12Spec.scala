@@ -300,6 +300,19 @@ class Round12Spec extends SparkTestBase {
     assert(b.toSeq === a.toSeq)
   }
 
+  test("s36 fully-trained IVF-PQ: complete ranking per query, " +
+    "deterministic across runs") {
+    def run() = graft.queries.LlmQueries.s36IvfPqTrained(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    val a = run()
+    assert(a.size === 15) // 5 queries x top-3
+    assert(a.groupBy(_._1).forall { case (_, rows) =>
+      rows.map(_._3).sorted == Seq(1, 2, 3)
+    })
+    assert(run() === a)
+  }
+
   test("r81 Lorenz deciles match a driver-side brute force") {
     import org.apache.spark.sql.functions._
     val got = graft.queries.Relational6.r81Lorenz(spark, sf)
