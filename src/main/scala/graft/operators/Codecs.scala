@@ -860,6 +860,15 @@ object Codecs {
       val stsz = child(stblKids, "stsz")
       val uniform = be32(data, stsz.off + 4)
       val nSamples = be32(data, stsz.off + 8).toInt
+      // same stts-vs-stsz cross-check as the eager walk — a mismatch
+      // means the duration table and the size table disagree about
+      // how many samples exist, and the walk must not guess
+      val stts = child(stblKids, "stts")
+      val sttsEntries = be32(data, stts.off + 4).toInt
+      val nSamplesStts = (0 until sttsEntries)
+        .map(i => be32(data, stts.off + 8 + i * 8)).sum
+      require(nSamplesStts == nSamples,
+        s"stts total $nSamplesStts != stsz count $nSamples")
       val sizes = Array.tabulate(nSamples)(i =>
         if (uniform != 0) uniform.toInt
         else be32(data, stsz.off + 12 + i * 4).toInt)
@@ -908,8 +917,12 @@ object Codecs {
               if (c < t.chunkOff.length) off = t.chunkOff(c)
             } else {
               val sz = t.sizes(si)
-              require(off + sz <= t.mdatOff + t.mdatLen,
-                s"sample $si overruns mdat")
+              // both bounds: a corrupt/hostile stco pointing BEFORE
+              // mdat (into moov) must fail, not decode box metadata
+              // as sample bytes — this path ingests arbitrary
+              // watched-directory files via videoFileStream
+              require(off >= t.mdatOff && off + sz <= t.mdatOff + t.mdatLen,
+                s"sample $si outside mdat: off $off, size $sz")
               p = off; sEnd = off + sz; inSample = true
             }
           }
@@ -1015,8 +1028,8 @@ object Codecs {
         var k = 0
         while (k < perChunk(c) && si < nSamples) {
           val sz = sizes(si)
-          require(off + sz <= mdat.off + mdat.len,
-            s"sample $si overruns mdat")
+          require(off >= mdat.off && off + sz <= mdat.off + mdat.len,
+            s"sample $si outside mdat: off $off, size $sz")
           var p = off
           val sEnd = off + sz
           while (p < sEnd) {

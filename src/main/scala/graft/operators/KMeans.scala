@@ -36,6 +36,23 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
+  /** Dimensionality guard for the fixed-width trainers: the
+    * no-explode mean reads `element_at(embedding, d+1)` for
+    * d < `dim`, and element_at past the array end is NULL — a
+    * mismatched corpus would silently train truncated/null centroid
+    * components instead of failing. The check rides INSIDE the
+    * embedding column (a separate assert column would be pruned as
+    * unused), so any row with the wrong width fails the job loudly
+    * on first scan; per-row cost is one size() compare in codegen. */
+  private def checkedDim(vecs: DataFrame, dim: Int, who: String): DataFrame =
+    vecs.select(col("vec_id"),
+      when(size(col("embedding")) === dim, col("embedding"))
+        .otherwise(raise_error(concat(
+          lit(s"$who: expected $dim-dim embedding, got "),
+          size(col("embedding")).cast("string"),
+          lit(" (vec_id "), col("vec_id").cast("string"), lit(")"))))
+        .as("embedding"))
+
   /** Train `k` centroids with `iters` Lloyd's iterations; returns
     * (vec_id = cell id 0..k-1, embedding ARRAY<FLOAT>) — the exact
     * input shape `knnIvf(centroids = ...)` expects.
@@ -47,7 +64,7 @@ object KMeans {
     * `.unpersist()` results it is done with. */
   def train(vecs: DataFrame, k: Int, iters: Int = 5,
       dim: Int = 64): DataFrame = {
-    val corpus = vecs.select(col("vec_id"), col("embedding"))
+    val corpus = checkedDim(vecs, dim, "KMeans.train")
     // deterministic seed: the k lowest vec_ids, renumbered 0..k-1 so
     // cell ids are stable no matter which vectors seeded them
     var centroids = corpus.orderBy(col("vec_id")).limit(k)
@@ -119,12 +136,13 @@ object KMeans {
       dim: Int = 64): DataFrame = {
     require(m > 0 && dim % m == 0, s"dim $dim not divisible by m $m")
     val sub = dim / m
+    val checked = checkedDim(vecs, dim, "KMeans.trainPqCodebook")
     def subSlices(df: DataFrame) = df
       .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("ms"),
         col("embedding"))
       .select(col("ms"), col("vec_id"),
         slice(col("embedding"), col("ms") * sub + 1, lit(sub)).as("sv"))
-    val corpus = subSlices(vecs.select(col("vec_id"), col("embedding")))
+    val corpus = subSlices(checked)
     // squared-L2 between two sub-width float arrays, double fold in
     // ascending dim order (the PqAdc kernel's exact arithmetic)
     def l2(a: Column, b: Column): Column =
@@ -133,8 +151,7 @@ object KMeans {
           element_at(b, d).cast("double")
         acc + diff * diff
       })
-    var codebook = subSlices(vecs.select(col("vec_id"), col("embedding"))
-      .orderBy(col("vec_id")).limit(k))
+    var codebook = subSlices(checked.orderBy(col("vec_id")).limit(k))
       .select(col("ms"),
         (row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("ms")).orderBy(col("vec_id"))) - 1).as("j"),

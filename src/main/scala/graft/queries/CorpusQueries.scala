@@ -1049,8 +1049,7 @@ object CorpusQueries {
     * the merge is a |langs|-row groupBy. */
   def x39IncrementalProfile(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.spread(Tables.documents(spark, dir))
-    val path = s"${sys.props("java.io.tmpdir")}/graft_profile_" +
-      java.lang.Integer.toHexString(dir.hashCode)
+    val path = graft.TmpPaths.workDir(spark, "profile", dir)
     mergeableStats(docs.filter(col("doc_id") % 10 < 8))
       .write.mode("overwrite").parquet(path)
     spark.read.parquet(path)

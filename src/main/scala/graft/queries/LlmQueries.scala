@@ -241,8 +241,7 @@ object LlmQueries {
     * index property, not a probe-time one). */
   def d13NearDupIndex(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.spread(Tables.documents(spark, dir))
-    val path = s"${sys.props("java.io.tmpdir")}/graft_neardup_index_" +
-      java.lang.Integer.toHexString(dir.hashCode)
+    val path = graft.TmpPaths.workDir(spark, "neardup_index", dir)
     Dedup.nearDupIndexBuild(docs.filter(col("doc_id") % 10 =!= 7), path)
     Dedup.nearDupIndexProbe(spark, path,
       docs.filter(col("doc_id") % 10 === 7), threshold = 0.8)
@@ -904,8 +903,7 @@ object LlmQueries {
     val emb = Tables.embeddings(spark, dir)
     val centroids = emb.filter(col("vec_id") < 8)
     val codebook = emb.filter(col("vec_id") < 16)
-    val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_index_" +
-      java.lang.Integer.toHexString(dir.hashCode)
+    val path = graft.TmpPaths.workDir(spark, "ivfpq_index", dir)
     graft.operators.VectorIndex.build(emb, centroids, codebook, m = 8, path)
     graft.operators.VectorIndex.serve(spark, path, queryVecs(spark, dir),
       centroids, codebook, m = 8, k = 3)
@@ -927,8 +925,7 @@ object LlmQueries {
     val emb = Tables.embeddings(spark, dir)
     val centroids = emb.filter(col("vec_id") < 8)
     val codebook = emb.filter(col("vec_id") < 16)
-    val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_incr_" +
-      java.lang.Integer.toHexString(dir.hashCode)
+    val path = graft.TmpPaths.workDir(spark, "ivfpq_incr", dir)
     graft.operators.VectorIndex.build(
       emb.filter(col("vec_id") % 10 =!= 3), centroids, codebook, m = 8, path)
     graft.operators.VectorIndex.append(
@@ -951,8 +948,7 @@ object LlmQueries {
     val emb = Tables.embeddings(spark, dir)
     val centroids = emb.filter(col("vec_id") < 8)
     val codebook = emb.filter(col("vec_id") < 16)
-    val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_del_" +
-      java.lang.Integer.toHexString(dir.hashCode)
+    val path = graft.TmpPaths.workDir(spark, "ivfpq_del", dir)
     graft.operators.VectorIndex.build(emb, centroids, codebook, m = 8, path)
     graft.operators.VectorIndex.serveWithDeletes(spark, path,
       queryVecs(spark, dir), centroids, codebook, m = 8, k = 3,
@@ -981,8 +977,7 @@ object LlmQueries {
     val emb = Tables.embeddings(spark, dir)
     val centroids = emb.filter(col("vec_id") < 8)
     val codebook = emb.filter(col("vec_id") < 16)
-    val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_compact_" +
-      java.lang.Integer.toHexString(dir.hashCode)
+    val path = graft.TmpPaths.workDir(spark, "ivfpq_compact", dir)
     graft.operators.VectorIndex.build(
       emb.filter(col("vec_id") % 17 =!= 3), centroids, codebook, m = 8, path)
     graft.operators.VectorIndex.serve(spark, path, queryVecs(spark, dir),

@@ -472,8 +472,7 @@ object Relational4 {
       e.select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"),
         floor(col("value") * 100 + 0.5).cast("long").as("cents"))
-    val path = s"${sys.props("java.io.tmpdir")}/graft_scd2_" +
-      java.lang.Integer.toHexString(dir.hashCode)
+    val path = graft.TmpPaths.workDir(spark, "scd2", dir)
     Relational3.scd2(ev.filter(col("event_id") % 10 < 8))
       .write.mode("overwrite").parquet(path)
     scd2Apply(spark.read.parquet(path),

@@ -301,8 +301,7 @@ object RetrievalQueries {
   def x40LexIndexServe(spark: SparkSession, dir: String): DataFrame = {
     val ts = bm25Terms.sorted
     val docs = Tables.documents(spark, dir)
-    val base = s"${sys.props("java.io.tmpdir")}/graft_lexindex_" +
-      java.lang.Integer.toHexString(dir.hashCode)
+    val base = graft.TmpPaths.workDir(spark, "lexindex", dir)
     // tokenize ONCE (pinned) — postings, doclen and stats all read
     // the token arrays; without the pin the corpus tokenizes three
     // times, once inside each writer's plan
@@ -395,8 +394,7 @@ object RetrievalQueries {
     val docs = Tables.documents(spark, dir)
     val standing = docs.filter(col("doc_id") % 10 =!= 3)
     val batch = docs.filter(col("doc_id") % 10 === 3)
-    val base = s"${sys.props("java.io.tmpdir")}/graft_lexindex_inc_" +
-      java.lang.Integer.toHexString(dir.hashCode)
+    val base = graft.TmpPaths.workDir(spark, "lexindex_inc", dir)
     // tokenize each corpus slice ONCE (pinned) — same discipline as
     // x40: postings, doclen and stats all read the token arrays
     def tok(d: DataFrame) = d.select(col("doc_id"),
@@ -467,8 +465,7 @@ object RetrievalQueries {
     * replay idempotence are spec-gated in Round11Spec.) */
   def x69LexIndexIngest(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val base = s"${sys.props("java.io.tmpdir")}/graft_lexindex_ing_" +
-      java.lang.Integer.toHexString(dir.hashCode)
+    val base = graft.TmpPaths.workDir(spark, "lexindex_ing", dir)
     // wipe so every run re-ingests (markers would otherwise skip the
     // work and the timing would lie)
     val p = new org.apache.hadoop.fs.Path(base)
@@ -501,8 +498,7 @@ object RetrievalQueries {
     * re-tokenize), a ≤|batches|-row stats fold, and O(1) renames. */
   def x71LexCompactServe(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val base = s"${sys.props("java.io.tmpdir")}/graft_lexindex_cmp_" +
-      java.lang.Integer.toHexString(dir.hashCode)
+    val base = graft.TmpPaths.workDir(spark, "lexindex_cmp", dir)
     val p = new org.apache.hadoop.fs.Path(base)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(p)) { fs.delete(p, true); () }

@@ -179,31 +179,13 @@ object IndexedDedup {
 
   /** Apply (or re-apply after a crash) a certified staged
     * compaction: move the live directories aside, rename the staged
-    * ones in, clear stage + trash. No-op without the stage marker. */
+    * ones in, clear stage + trash — with every rename's boolean
+    * checked and destructive cleanup gated on the live tables
+    * existing (see [[CompactSwap]]). No-op without the stage
+    * marker. */
   private def finishSwap(fs: org.apache.hadoop.fs.FileSystem,
-      path: String): Unit = {
-    val stage = new org.apache.hadoop.fs.Path(s"$path/_compact_stage")
-    val done = new org.apache.hadoop.fs.Path(stage, "_stage_complete")
-    if (!fs.exists(done)) { fs.delete(stage, true); return }
-    val trash = new org.apache.hadoop.fs.Path(s"$path/_compact_trash")
-    fs.mkdirs(trash)
-    Seq("bands", "features").foreach { name =>
-      val staged = new org.apache.hadoop.fs.Path(stage, name)
-      val live = new org.apache.hadoop.fs.Path(s"$path/$name")
-      if (fs.exists(staged)) { // not yet swapped in
-        if (fs.exists(live)) {
-          fs.delete(new org.apache.hadoop.fs.Path(trash, name), true)
-          fs.rename(live, new org.apache.hadoop.fs.Path(trash, name))
-          ()
-        }
-        fs.rename(staged, live)
-        ()
-      }
-    }
-    fs.delete(stage, true)
-    fs.delete(trash, true)
-    ()
-  }
+      path: String): Unit =
+    CompactSwap.finishSwap(fs, path, Seq("bands", "features"))
 
   /** The streaming wrapper: every micro-batch runs `ingestBatch`
     * with its batch id (foreachBatch — the index is a cross-batch

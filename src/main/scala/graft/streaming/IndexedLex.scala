@@ -98,18 +98,32 @@ object IndexedLex {
     }
     if (todo.isEmpty) return
     val first = (tokPin(todo.head._1), todo.head._2)
+    // failure discipline: a sink failure must not leak pinned token
+    // frames — batch i's tok always unpersists (finally), and the
+    // eagerly-pinned batch i+1 frame is captured through a box so the
+    // catch can release it even though awaitAllWith lost the value
+    // when it rethrew (awaitAllWith settles ALL actions first, so the
+    // box write is visible here)
     val lastPinned = todo.tail.foldLeft(first) {
       case ((tok, id), (nextDf, nextId)) =>
-        val nextTok = RetrievalQueries.awaitAllWith(() => tokPin(nextDf))(
-          sinkActions(path, tok, id): _*)
+        val pinned = new java.util.concurrent.atomic.AtomicReference[DataFrame]
+        val nextTok =
+          try RetrievalQueries.awaitAllWith { () =>
+            val t = tokPin(nextDf); pinned.set(t); t
+          }(sinkActions(path, tok, id): _*)
+          catch {
+            case t: Throwable =>
+              Option(pinned.get()).foreach(_.unpersist())
+              throw t
+          } finally tok.unpersist()
         fs.create(markerOf(path, id), true).close()
-        tok.unpersist()
         (nextTok, nextId)
     }
-    RetrievalQueries.awaitAll(
-      sinkActions(path, lastPinned._1, lastPinned._2): _*)
-    fs.create(markerOf(path, lastPinned._2), true).close()
-    lastPinned._1.unpersist()
+    try {
+      RetrievalQueries.awaitAll(
+        sinkActions(path, lastPinned._1, lastPinned._2): _*)
+      fs.create(markerOf(path, lastPinned._2), true).close()
+    } finally lastPinned._1.unpersist()
     ()
   }
 
@@ -177,32 +191,12 @@ object IndexedLex {
   }
 
   /** Apply (or re-apply after a crash) a certified staged
-    * compaction — the IndexedDedup.finishSwap discipline for the
-    * three lexical tables. No-op without the stage marker. */
+    * compaction — the shared [[CompactSwap]] discipline (rename
+    * booleans checked, cleanup gated on live-table existence) for
+    * the three lexical tables. No-op without the stage marker. */
   private def finishSwap(fs: org.apache.hadoop.fs.FileSystem,
-      path: String): Unit = {
-    val stage = new org.apache.hadoop.fs.Path(s"$path/_compact_stage")
-    val done = new org.apache.hadoop.fs.Path(stage, "_stage_complete")
-    if (!fs.exists(done)) { fs.delete(stage, true); return }
-    val trash = new org.apache.hadoop.fs.Path(s"$path/_compact_trash")
-    fs.mkdirs(trash)
-    Seq("postings", "doclen", "stats").foreach { name =>
-      val staged = new org.apache.hadoop.fs.Path(stage, name)
-      val live = new org.apache.hadoop.fs.Path(s"$path/$name")
-      if (fs.exists(staged)) {
-        if (fs.exists(live)) {
-          fs.delete(new org.apache.hadoop.fs.Path(trash, name), true)
-          fs.rename(live, new org.apache.hadoop.fs.Path(trash, name))
-          ()
-        }
-        fs.rename(staged, live)
-        ()
-      }
-    }
-    fs.delete(stage, true)
-    fs.delete(trash, true)
-    ()
-  }
+      path: String): Unit =
+    CompactSwap.finishSwap(fs, path, Seq("postings", "doclen", "stats"))
 
   /** Serve the streamed index: the exact x40 bucket-pruned BM25 plan
     * over all ingest partitions, with the corpus stats assembled by
