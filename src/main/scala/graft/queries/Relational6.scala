@@ -45,18 +45,24 @@ object Relational6 {
     * ordered pass is a single window over that dimension — an
     * UNPARTITIONED Window.orderBy, i.e. a one-task global sort,
     * acceptable exactly because the value dimension stays small
-    * (price cents). If distinct values can grow with the corpus, the
-    * escalation is repartitionByRange(v) + per-range partial sums of
-    * n_b with a broadcast prefix-offset join — same arithmetic, no
-    * single-task stage. The win
+    * (price cents). GUARDED: the collapsed value frame is pinned and
+    * counted, and above `maxSingleTaskValues` the cumulative sum
+    * switches to the distributed two-phase prefix sum —
+    * repartitionByRange(v), per-range local window, per-range totals
+    * (≤ #partitions rows) folded into broadcast prefix offsets —
+    * same arithmetic, no single-task stage. The win
     * products are carried in decimal(38,0) — u2 ≤ 2·n_a·n_b
     * overflows a long once both groups pass ~2·10⁹ rows — and cast
     * to BIGINT only at the edge (past ~4·10⁹ rows per group, emit
     * u2 in thousandths via integer division; documented escalation,
     * 3 decimal orders of headroom before it matters). */
   def mannWhitney(ordersIn: DataFrame, prioA: String,
-      prioB: String): DataFrame = {
+      prioB: String, maxSingleTaskValues: Long = 1L << 22): DataFrame = {
     val dec = "decimal(38,0)"
+    val spark = ordersIn.sparkSession
+    // pin the collapsed value dimension: the guard count and the
+    // chosen cumulative-sum spelling both read it without re-scanning
+    // the fact table
     val cents = ordersIn
       .filter(col("o_orderpriority").isin(prioA, prioB))
       .select(floor(col("o_totalprice") * 100).cast("long").as("v"),
@@ -64,10 +70,41 @@ object Relational6 {
         when(col("o_orderpriority") === prioB, 1L).otherwise(0L).as("b"))
       .groupBy(col("v"))
       .agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
-    val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    cents
-      .withColumn("cumb", coalesce(sum(col("nb")).over(w), lit(0L)))
+      .localCheckpoint()
+    val nValues = cents.count()
+    val withCumb =
+      if (nValues <= maxSingleTaskValues) {
+        val w = Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        cents.withColumn("cumb", coalesce(sum(col("nb")).over(w), lit(0L)))
+      } else {
+        // two-phase distributed prefix sum over the value axis: range
+        // ids are pinned (spark_partition_id must not re-evaluate
+        // between the totals pass and the window pass), per-range
+        // B-totals collapse to ≤ #partitions rows whose running sum
+        // is each range's global offset, and the in-range window is
+        // partitioned — no single-task sort anywhere
+        val ranged = cents
+          .repartitionByRange(spark.sessionState.conf.numShufflePartitions,
+            col("v"))
+          .withColumn("r", spark_partition_id())
+          .localCheckpoint()
+        val offsets = ranged.groupBy(col("r"))
+          .agg(sum(col("nb")).as("range_nb"))
+        val wOff = Window.orderBy(col("r"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsetRows = offsets // ≤ #partitions rows: driver-scale
+          .withColumn("off", coalesce(sum(col("range_nb")).over(wOff), lit(0L)))
+          .select(col("r"), col("off"))
+        val wIn = Window.partitionBy(col("r")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        ranged
+          .withColumn("cumb_in",
+            coalesce(sum(col("nb")).over(wIn), lit(0L)))
+          .join(broadcast(offsetRows), Seq("r"))
+          .withColumn("cumb", col("cumb_in") + col("off"))
+      }
+    withCumb
       .agg(sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"),
         sum(expr(s"cast(na as $dec) * (2 * cumb + nb)")).as("u2d"))
       .select(col("n_a"), col("n_b"),

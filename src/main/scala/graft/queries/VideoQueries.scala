@@ -966,14 +966,20 @@ object VideoQueries {
     * count (boxes ≪ corpus; a partition holds whole videos — the
     * repartition(video_id) uses the session shuffle-partition count,
     * so a pathologically long or skewed video bounds one executor's
-    * heap by THAT video's edges; if box counts can ever rival
-    * corpus scale, guard with a per-video edge-count check and fall
-    * back to the iterative pointer-jumping closure above the
-    * threshold — the declared admission unit, cf. FrameSource's
-    * whole-file note). The final label attach is one left join back
+    * heap by THAT video's edges — GUARDED: a per-video box count
+    * (boxes upper-bound edges, since the argmax gives each box at
+    * most one parent) over the caller-pinned box relation routes any
+    * video above `maxEdgesPerVideo` to the distributed iterative
+    * min-label closure (Components.connectedComponents — each
+    * association forest is a tree, so the component minimum IS the
+    * chain root) while everything else keeps the one-shuffle
+    * in-partition walk; the oversized-video list itself is
+    * driver-scale by construction (only pathological keys cross the
+    * threshold). The final label attach is one left join back
     * to the box relation: unmatched boxes and roots label
     * themselves. */
-  def tracklets(boxes: DataFrame): DataFrame = {
+  def tracklets(boxes: DataFrame,
+      maxEdgesPerVideo: Long = 4L * 1000 * 1000): DataFrame = {
     import graft.functions.TextFunctions
     def node(v: org.apache.spark.sql.Column, f: org.apache.spark.sql.Column,
         r: org.apache.spark.sql.Column) =
@@ -982,10 +988,21 @@ object VideoQueries {
     val assoc = trackAssociation(boxes)
     val spark = boxes.sparkSession
     import spark.implicits._
-    val roots = assoc.select(col("video_id"),
-        node(col("video_id"), col("frame_id"), col("box_ref")).as("node"),
-        node(col("video_id"), col("prev_frame"), col("prev_ref"))
-          .as("parent"))
+    // escalation guard: per-video box counts (callers pin `boxes`, so
+    // this is one narrow agg over cached blocks); > threshold ⇒ that
+    // video's heap-bounded in-partition walk is unsafe
+    val oversized: Set[String] = boxes
+      .groupBy(col("video_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxEdgesPerVideo)
+      .select(col("video_id")).as[String].collect().toSet
+    val edges = assoc.select(col("video_id"),
+      node(col("video_id"), col("frame_id"), col("box_ref")).as("node"),
+      node(col("video_id"), col("prev_frame"), col("prev_ref"))
+        .as("parent"))
+    val walkEdges =
+      if (oversized.isEmpty) edges
+      else edges.filter(!col("video_id").isin(oversized.toSeq: _*))
+    val walkRoots = walkEdges
       .repartition(col("video_id"))
       .as[(String, Long, Long)]
       .mapPartitions { it =>
@@ -1007,6 +1024,15 @@ object VideoQueries {
         nodes.iterator.map(n => (n, root(n)))
       }
       .toDF("node", "cluster")
+    val roots =
+      if (oversized.isEmpty) walkRoots
+      else walkRoots.unionByName(
+        // fallback: distributed iterative min-label propagation over
+        // the oversized videos' forests — no single executor ever
+        // holds a video's whole edge set
+        graft.operators.Components.connectedComponents(
+          edges.filter(col("video_id").isin(oversized.toSeq: _*))
+            .select(col("node").as("a"), col("parent").as("b"))))
     boxes
       .select(col("video_id"), col("frame_id"), col("box_ref"),
         node(col("video_id"), col("frame_id"), col("box_ref")).as("node"))

@@ -56,4 +56,28 @@ private[streaming] object CompactSwap {
     fs.delete(trash, true)
     ()
   }
+
+  /** Ingest ids that have an `ingest_id=<id>` partition under any of
+    * `tables` but no `_ingested_<id>` marker at the index root — a
+    * CRASHED batch's partial output. Compaction excludes these rows
+    * and the swap drops their partitions: the marker is written
+    * strictly last, so its absence means the at-least-once source
+    * WILL replay the batch, and the replay rewrites every one of its
+    * partitions from scratch (folding an uncertified partial into
+    * the rebuild instead would double-count it against the replay —
+    * e.g. a merged stats row plus the replayed per-batch partial).
+    * Rows with no partition directory (a synchronous batch build
+    * that predates per-ingest partitioning) are certified by
+    * construction and never excluded. */
+  def uncertifiedIds(fs: FileSystem, path: String,
+      tables: Seq[String]): Seq[Long] = {
+    val ids = tables.flatMap { t =>
+      val d = new Path(s"$path/$t")
+      if (!fs.exists(d)) Seq.empty[Long]
+      else fs.listStatus(d).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("ingest_id="))
+        .map(_.stripPrefix("ingest_id=").toLong)
+    }.distinct
+    ids.filterNot(id => fs.exists(new Path(path, s"_ingested_$id")))
+  }
 }

@@ -137,7 +137,17 @@ object IndexedDedup {
     * 100 TB shape: one keyed count over the band table + one
     * population-filter join + two partitioned writes — no feature
     * re-hash, no corpus rescan; the swap is O(1) metadata renames
-    * through the Hadoop FileSystem API (cluster-true on HDFS). */
+    * through the Hadoop FileSystem API (cluster-true on HDFS).
+    *
+    * CONCURRENCY CONTRACT: compact() must not run while an ingest
+    * batch is IN FLIGHT against the same index (the swap would
+    * rename the live tables out from under the batch's writers);
+    * schedule it on the ingest thread — foreachBatch serializes
+    * micro-batches, so between-batch compaction needs no lock. A
+    * CRASHED batch is safe without external help: its markerless
+    * `ingest_id` partitions are excluded from the rebuild, dropped
+    * by the swap, and rewritten whole by the at-least-once replay
+    * (see CompactSwap.uncertifiedIds). */
   def compact(spark: SparkSession, path: String,
       maxBucket: Int = 64): Unit = {
     val hconf = spark.sessionState.newHadoopConf()
@@ -150,9 +160,14 @@ object IndexedDedup {
       s"no index to compact at $path")
     val stage = new org.apache.hadoop.fs.Path(s"$path/_compact_stage")
     fs.delete(stage, true)
-    def withIngestId(df: DataFrame): DataFrame =
-      if (df.columns.contains("ingest_id")) df
-      else df.withColumn("ingest_id", lit(0L))
+    val uncert = CompactSwap.uncertifiedIds(fs, path,
+      Seq("bands", "features"))
+    def withIngestId(df: DataFrame): DataFrame = {
+      val withId = if (df.columns.contains("ingest_id")) df
+        else df.withColumn("ingest_id", lit(0L))
+      if (uncert.isEmpty) withId
+      else withId.filter(!col("ingest_id").isin(uncert: _*))
+    }
     val bands = withIngestId(spark.read.parquet(s"$path/bands"))
       .select(col("doc_id"), col("ingest_id"),
         col("band").cast("int").as("band"), col("band_hash"))

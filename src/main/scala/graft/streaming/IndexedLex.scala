@@ -157,7 +157,21 @@ object IndexedLex {
     * 100 TB shape: one repartition-by-bucket write over the postings
     * (no re-tokenize — the stored rows already carry tf), one
     * doclen rewrite, one ≤|batches|-row stats fold; O(1) metadata
-    * renames for the swap. */
+    * renames for the swap.
+    *
+    * CONCURRENCY CONTRACT: compact() must not run while an ingest
+    * batch is IN FLIGHT against the same index — the swap renames
+    * the live directories out from under the batch's open writers,
+    * so its output would land in (and be deleted with) the trash
+    * while its marker still certifies it. Schedule compactions on
+    * the ingest thread: a foreachBatch streaming query serializes
+    * micro-batches, so invoking compact between batches (the
+    * Round12/Round13 spec shape) satisfies the contract with no
+    * lock. A CRASHED batch is handled WITHOUT external help: its
+    * partitions carry no `_ingested` marker, are excluded from the
+    * rebuild and dropped by the swap, and the at-least-once replay
+    * re-ingests them from source (spec-gated: crash → compact →
+    * replay ≡ fresh build). */
   def compact(spark: SparkSession, path: String): Unit = {
     val hconf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(path)
@@ -165,15 +179,20 @@ object IndexedLex {
     finishSwap(fs, path)
     val stage = new org.apache.hadoop.fs.Path(s"$path/_compact_stage")
     fs.delete(stage, true)
-    def withIngestId(df: DataFrame): DataFrame =
-      if (df.columns.contains("ingest_id")) df
-      else df.withColumn("ingest_id", lit(0L))
+    val uncert = CompactSwap.uncertifiedIds(fs, path,
+      Seq("postings", "doclen", "stats"))
+    def withIngestId(df: DataFrame): DataFrame = {
+      val withId = if (df.columns.contains("ingest_id")) df
+        else df.withColumn("ingest_id", lit(0L))
+      if (uncert.isEmpty) withId
+      else withId.filter(!col("ingest_id").isin(uncert: _*))
+    }
     val post = withIngestId(spark.read.parquet(s"$path/postings"))
       .select(col("term"), col("doc_id"), col("tf"),
         col("tbkt").cast("int").as("tbkt"), col("ingest_id"))
     val dl = withIngestId(spark.read.parquet(s"$path/doclen"))
       .select(col("doc_id"), col("dl"), col("ingest_id"))
-    val stats = spark.read.parquet(s"$path/stats")
+    val stats = withIngestId(spark.read.parquet(s"$path/stats"))
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("total_dl")).as("total_dl"))
       .withColumn("ingest_id", lit(0L))
