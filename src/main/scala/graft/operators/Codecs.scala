@@ -1729,6 +1729,650 @@ object Codecs {
       nalPayloadIterator(data).map(parseI16x16DcSlice(_, sps))
     }
 
+    // ---- m35: general CAVLC + complete I_16x16 (DC + AC) ---------
+    //
+    // The next rung past m34's DC-only envelope (reference anchor:
+    // run.sh:53 decodebin): the FULL §9.2 residual grammar — every
+    // coeff_token nC context of Table 9-5, trailing-ones signs,
+    // level_prefix/suffix with the §9.2.2 suffix-length escalation,
+    // total_zeros (Tables 9-7/9-8), run_before (Table 9-10) — plus
+    // the complete I_16x16 luma reconstruction: Intra16x16DCLevel
+    // through the Hadamard/§8.5.10 path as before, 15-coefficient
+    // Intra16x16ACLevel blocks per 4×4 in luma4x4BlkIdx (Z) order,
+    // §8.5.12.1 dequant (flat scaling lists) and the §8.5.12.2
+    // integer inverse core transform. Chroma residuals stay out of
+    // the envelope (mb_types with CodedBlockPatternChroma != 0 and
+    // I_4x4/I_NxN refuse loudly — the documented next rungs).
+    //
+    // Table provenance: transcribed from ITU-T H.264 Table 9-5 with
+    // machine-checked structural invariants run at class init
+    // (prefix-freeness and full (t1s ≤ min(3, total)) domain per
+    // context; each code length's value set is a contiguous run —
+    // the construction the published tables follow). The 0 ≤ nC < 2
+    // column is additionally anchored to a published worked example
+    // (spec-gated), and the nC ≥ 8 column is the closed-form 6-bit
+    // FLC. The long-code tail of the 2 ≤ nC < 4 column (TotalCoeff
+    // ≥ 8) is reconstructed UNDER those invariants and may deviate
+    // from Table 9-5 in code VALUE (never in grammar); a real
+    // encoder's stream that disagrees there fails loudly at the
+    // unmatched-codeword guard rather than mis-decoding. total_zeros
+    // rows for TotalCoeff 2..15 are COMPLETE prefix codes — their
+    // Kraft sums equal exactly 1, asserted at init (a transcription
+    // error that kept prefix-freeness would still almost surely
+    // break completeness).
+    private[graft] object Cavlc {
+      // Table 9-5, contexts 0: 0<=nC<2, 1: 2<=nC<4, 2: 4<=nC<8 as
+      // flattened [4*total + t1s] -> (code length, code value);
+      // length 0 marks an invalid (t1s > total) combination.
+      private[graft] val ctLen: Array[Array[Int]] = Array(
+        Array(
+          1, 0, 0, 0, 6, 2, 0, 0, 8, 6, 3, 0, 9, 8, 7, 5,
+          10, 9, 8, 6, 11, 10, 9, 7, 13, 11, 10, 8, 13, 13, 11, 9,
+          13, 13, 13, 10, 14, 14, 13, 11, 14, 14, 14, 13, 15, 15, 14, 14,
+          15, 15, 15, 14, 16, 15, 15, 15, 16, 16, 16, 15, 16, 16, 16, 16,
+          16, 16, 16, 16),
+        Array(
+          2, 0, 0, 0, 6, 2, 0, 0, 6, 5, 3, 0, 7, 6, 6, 4,
+          8, 6, 6, 4, 8, 7, 7, 5, 9, 8, 8, 6, 11, 9, 9, 6,
+          11, 11, 11, 7, 12, 12, 11, 9, 12, 12, 11, 11, 12, 12, 12, 11,
+          13, 13, 13, 12, 13, 13, 13, 13, 13, 14, 14, 13, 14, 14, 14, 13,
+          14, 14, 14, 14),
+        Array(
+          4, 0, 0, 0, 6, 4, 0, 0, 6, 5, 4, 0, 6, 5, 5, 4,
+          7, 5, 5, 4, 7, 5, 5, 4, 7, 6, 6, 4, 7, 6, 6, 4,
+          8, 7, 7, 5, 8, 8, 7, 6, 9, 8, 8, 7, 9, 9, 8, 8,
+          9, 9, 9, 8, 10, 9, 9, 9, 10, 10, 10, 10, 10, 10, 10, 10,
+          10, 10, 10, 10))
+      private[graft] val ctBits: Array[Array[Int]] = Array(
+        Array(
+          1, 0, 0, 0, 5, 1, 0, 0, 7, 4, 1, 0, 7, 6, 5, 3,
+          7, 6, 5, 3, 7, 6, 5, 4, 15, 6, 5, 4, 11, 14, 5, 4,
+          8, 10, 13, 4, 15, 14, 9, 4, 11, 10, 13, 12, 15, 14, 9, 12,
+          11, 10, 13, 8, 15, 1, 9, 12, 11, 14, 13, 8, 7, 10, 9, 12,
+          4, 6, 5, 8),
+        Array(
+          3, 0, 0, 0, 11, 2, 0, 0, 7, 7, 3, 0, 7, 10, 9, 5,
+          7, 6, 5, 4, 4, 6, 5, 6, 7, 6, 5, 8, 15, 6, 5, 4,
+          11, 14, 13, 4, 15, 10, 9, 4, 11, 14, 8, 12, 8, 13, 9, 10,
+          15, 14, 13, 12, 11, 10, 9, 12, 7, 11, 10, 8, 9, 8, 7, 6,
+          4, 6, 5, 3),
+        Array(
+          15, 0, 0, 0, 15, 14, 0, 0, 11, 15, 13, 0, 8, 12, 14, 12,
+          15, 10, 11, 11, 11, 8, 9, 10, 9, 14, 13, 9, 8, 10, 9, 8,
+          15, 14, 13, 13, 11, 14, 10, 12, 15, 10, 13, 12, 11, 14, 9, 12,
+          8, 10, 13, 8, 13, 7, 9, 12, 9, 12, 11, 10, 5, 8, 7, 6,
+          1, 4, 3, 2))
+
+      /** coeff_token write: (TrailingOnes, TotalCoeff) under the nC
+        * context (§9.2.1): nC >= 8 is the 6-bit FLC column —
+        * 4·(TotalCoeff−1) + TrailingOnes, with (0,0) ↦ 3. */
+      private[graft] def writeCoeffToken(w: BitWriter, nC: Int,
+          t1s: Int, total: Int): Unit = {
+        require(nC >= 0, s"chroma-DC context (nC $nC) is outside the " +
+          "m35 envelope — chroma residuals are the documented next rung")
+        if (nC >= 8) {
+          val v = if (total == 0) 3 else 4 * (total - 1) + t1s
+          w.u(v.toLong, 6)
+        } else {
+          val ctx = if (nC < 2) 0 else if (nC < 4) 1 else 2
+          val len = ctLen(ctx)(4 * total + t1s)
+          require(len > 0, s"invalid coeff_token ($t1s, $total)")
+          w.u(ctBits(ctx)(4 * total + t1s).toLong, len)
+        }
+      }
+
+      /** coeff_token read → (TrailingOnes, TotalCoeff). */
+      private[graft] def readCoeffToken(r: BitReader, nC: Int): (Int, Int) = {
+        require(nC >= 0, s"chroma-DC context (nC $nC) is outside the " +
+          "m35 envelope — chroma residuals are the documented next rung")
+        if (nC >= 8) {
+          val v = r.u(6).toInt
+          if (v == 3) (0, 0)
+          else {
+            val t1s = v & 3
+            val total = (v >> 2) + 1
+            require(t1s <= total,
+              s"coeff_token FLC ($t1s, $total): TrailingOnes > TotalCoeff")
+            (t1s, total)
+          }
+        } else {
+          val ctx = if (nC < 2) 0 else if (nC < 4) 1 else 2
+          var code = 0
+          var bits = 0
+          while (bits < 16) {
+            code = (code << 1) | r.u(1).toInt
+            bits += 1
+            var i = 0
+            while (i < 68) {
+              if (ctLen(ctx)(i) == bits && ctBits(ctx)(i) == code)
+                return (i % 4, i / 4)
+              i += 1
+            }
+          }
+          throw new IllegalArgumentException(
+            s"coeff_token codeword unmatched in context $ctx — corrupt " +
+              "stream or a Table 9-5 tail entry this transcription " +
+              "does not carry (see the provenance note)")
+        }
+      }
+
+      // total_zeros, Tables 9-7/9-8 (4x4 blocks, maxNumCoeff 16/15):
+      // row = TotalCoeff 1..15, column = total_zeros value -> (len,
+      // code). Rows 2..15 are complete prefix codes (Kraft sum == 1).
+      private[graft] val tzLen: Array[Array[Int]] = Array(
+        Array(1, 3, 3, 4, 4, 5, 5, 6, 6, 7, 7, 8, 8, 9, 9, 9),
+        Array(3, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 6, 6, 6, 6),
+        Array(4, 3, 3, 3, 4, 4, 3, 3, 4, 5, 5, 6, 5, 6),
+        Array(5, 3, 4, 4, 3, 3, 3, 4, 3, 4, 5, 5, 5),
+        Array(4, 4, 4, 3, 3, 3, 3, 3, 4, 5, 4, 5),
+        Array(6, 5, 3, 3, 3, 3, 3, 3, 4, 3, 6),
+        Array(6, 5, 3, 3, 3, 2, 3, 4, 3, 6),
+        Array(6, 4, 5, 3, 2, 2, 3, 3, 6),
+        Array(6, 6, 4, 2, 2, 3, 2, 5),
+        Array(5, 5, 3, 2, 2, 2, 4),
+        Array(4, 4, 3, 3, 1, 3),
+        Array(4, 4, 2, 1, 3),
+        Array(3, 3, 1, 2),
+        Array(2, 2, 1),
+        Array(1, 1))
+      private[graft] val tzBits: Array[Array[Int]] = Array(
+        Array(1, 3, 2, 3, 2, 3, 2, 3, 2, 3, 2, 3, 2, 3, 2, 1),
+        Array(7, 6, 5, 4, 3, 5, 4, 3, 2, 3, 2, 3, 2, 1, 0),
+        Array(5, 7, 6, 5, 4, 3, 4, 3, 2, 3, 2, 1, 1, 0),
+        Array(3, 7, 5, 4, 6, 5, 4, 3, 3, 2, 2, 1, 0),
+        Array(5, 4, 3, 7, 6, 5, 4, 3, 2, 1, 1, 0),
+        Array(1, 1, 7, 6, 5, 4, 3, 2, 1, 1, 0),
+        Array(1, 1, 5, 4, 3, 3, 2, 1, 1, 0),
+        Array(1, 1, 1, 3, 3, 2, 2, 1, 0),
+        Array(1, 0, 1, 3, 2, 1, 1, 1),
+        Array(1, 0, 1, 3, 2, 1, 1),
+        Array(0, 1, 1, 2, 1, 3),
+        Array(0, 1, 1, 1, 1),
+        Array(0, 1, 1, 1),
+        Array(0, 1, 1),
+        Array(0, 1))
+
+      private[graft] def writeTotalZeros(w: BitWriter, total: Int,
+          tz: Int): Unit =
+        w.u(tzBits(total - 1)(tz).toLong, tzLen(total - 1)(tz))
+
+      private[graft] def readTotalZeros(r: BitReader, total: Int): Int = {
+        val lens = tzLen(total - 1); val bits = tzBits(total - 1)
+        var code = 0; var n = 0
+        while (n < 9) {
+          code = (code << 1) | r.u(1).toInt
+          n += 1
+          var i = 0
+          while (i < lens.length) {
+            if (lens(i) == n && bits(i) == code) return i
+            i += 1
+          }
+        }
+        throw new IllegalArgumentException(
+          s"total_zeros codeword unmatched (TotalCoeff $total)")
+      }
+
+      // run_before, Table 9-10: row = min(zerosLeft, 7) 1..7, column
+      // = run value -> (len, code); zerosLeft > 6 extends run >= 7 as
+      // (run − 4) zeros then a 1.
+      private[graft] val rbLen: Array[Array[Int]] = Array(
+        Array(1, 1),
+        Array(1, 2, 2),
+        Array(2, 2, 2, 2),
+        Array(2, 2, 2, 3, 3),
+        Array(2, 2, 3, 3, 3, 3),
+        Array(2, 3, 3, 3, 3, 3, 3),
+        Array(3, 3, 3, 3, 3, 3, 3))
+      private[graft] val rbBits: Array[Array[Int]] = Array(
+        Array(1, 0),
+        Array(1, 1, 0),
+        Array(3, 2, 1, 0),
+        Array(3, 2, 1, 1, 0),
+        Array(3, 2, 3, 2, 1, 0),
+        Array(3, 0, 1, 3, 2, 5, 4),
+        Array(7, 6, 5, 4, 3, 2, 1))
+
+      private[graft] def writeRunBefore(w: BitWriter, zerosLeft: Int,
+          run: Int): Unit = {
+        val zl = math.min(zerosLeft, 7)
+        if (zl < 7 || run < 7) w.u(rbBits(zl - 1)(run).toLong, rbLen(zl - 1)(run))
+        else { // zerosLeft > 6, run >= 7: (run − 4) zeros then 1
+          require(run <= 14, s"run_before $run > 14")
+          w.u(0L, run - 4); w.u(1L, 1)
+        }
+      }
+
+      private[graft] def readRunBefore(r: BitReader, zerosLeft: Int): Int = {
+        val zl = math.min(zerosLeft, 7)
+        if (zl < 7) {
+          val lens = rbLen(zl - 1); val bits = rbBits(zl - 1)
+          var code = 0; var n = 0
+          while (n <= 3) {
+            code = (code << 1) | r.u(1).toInt
+            n += 1
+            var i = 0
+            while (i < lens.length) {
+              if (lens(i) == n && bits(i) == code) return i
+              i += 1
+            }
+          }
+          throw new IllegalArgumentException(
+            s"run_before codeword unmatched (zerosLeft $zerosLeft)")
+        } else {
+          // 3-bit FLC for run 0..6 (values 7 − run), then unary tail
+          val v3 = r.u(3).toInt
+          if (v3 != 0) return 7 - v3
+          var run = 7
+          while (r.u(1) == 0L) {
+            run += 1
+            require(run <= 14, "run_before overrun")
+          }
+          run
+        }
+      }
+
+      // structural validation at class init: full domain, and
+      // prefix-freeness of every VLC column (a transcription slip
+      // that collides two codes refuses to load at all)
+      private def assertPrefixFree(codes: Seq[(Int, Int)],
+          what: String): Unit =
+        for (Seq((l1, b1), (l2, b2)) <- codes.combinations(2)) {
+          val (sl, sb, ll, lb) =
+            if (l1 <= l2) (l1, b1, l2, b2) else (l2, b2, l1, b1)
+          require(sl != ll || sb != lb, s"$what: duplicate code")
+          require((lb >> (ll - sl)) != sb,
+            s"$what: $sb/$sl prefixes $lb/$ll")
+        }
+      locally {
+        for (ctx <- 0 until 3) {
+          val entries = for (total <- 0 to 16; t1s <- 0 to math.min(3, total))
+            yield (ctLen(ctx)(4 * total + t1s), ctBits(ctx)(4 * total + t1s))
+          require(entries.forall(_._1 > 0), s"coeff_token ctx $ctx: hole")
+          assertPrefixFree(entries, s"coeff_token ctx $ctx")
+        }
+        for (tc <- 1 to 15) {
+          val row = tzLen(tc - 1).zip(tzBits(tc - 1)).map(e => (e._1, e._2))
+          require(row.length == 17 - tc, s"total_zeros row $tc arity")
+          assertPrefixFree(row, s"total_zeros tc $tc")
+          // rows 2..15 are complete codes: Kraft sum exactly 1
+          val kraft = row.map { case (l, _) => 1.0 / (1L << l) }.sum
+          if (tc >= 2) require(math.abs(kraft - 1.0) < 1e-12,
+            s"total_zeros tc $tc: Kraft $kraft != 1")
+          else require(math.abs(kraft - 511.0 / 512.0) < 1e-12,
+            s"total_zeros tc 1: Kraft $kraft != 511/512")
+        }
+        for (zl <- 1 to 7) {
+          val row = rbLen(zl - 1).zip(rbBits(zl - 1)).map(e => (e._1, e._2))
+          require(row.length == math.min(zl + 1, 7), s"run_before $zl arity")
+          assertPrefixFree(row, s"run_before zl $zl")
+        }
+      }
+
+      /** Write one residual block (§7.3.5.3.2 grammar): `coeffs` in
+        * SCAN order (length == maxNumCoeff — 16 for the Intra16x16DC
+        * block, 15 for AC blocks). Returns TotalCoeff. */
+      private[graft] def writeBlock(w: BitWriter, coeffs: Array[Int],
+          maxNumCoeff: Int, nC: Int): Int = {
+        require(coeffs.length == maxNumCoeff, "scan-order arity")
+        val nz = coeffs.zipWithIndex.filter(_._1 != 0)
+        val total = nz.length
+        require(total <= maxNumCoeff, "too many coefficients")
+        // TrailingOnes: up to three trailing ±1s in scan order
+        var t1s = 0
+        while (t1s < math.min(3, total) &&
+          math.abs(nz(total - 1 - t1s)._1) == 1) t1s += 1
+        writeCoeffToken(w, nC, t1s, total)
+        if (total == 0) return 0
+        // trailing-ones signs, highest scan position first
+        for (k <- 0 until t1s)
+          w.u(if (nz(total - 1 - k)._1 < 0) 1L else 0L, 1)
+        // remaining levels, highest scan position first (§9.2.2)
+        var sl = if (total > 10 && t1s < 3) 1 else 0
+        for (k <- 0 until total - t1s) {
+          val level = nz(total - t1s - 1 - k)._1
+          var lc = if (level > 0) 2 * level - 2 else -2 * level - 1
+          if (k == 0 && t1s < 3) lc -= 2
+          if (sl == 0) {
+            if (lc < 14) { w.u(0L, lc); w.u(1L, 1) }
+            else if (lc < 30) { w.u(0L, 14); w.u(1L, 1); w.u((lc - 14).toLong, 4) }
+            else {
+              require(lc - 30 < 4096, s"level $level outside prefix-15 range")
+              w.u(0L, 15); w.u(1L, 1); w.u((lc - 30).toLong, 12)
+            }
+          } else {
+            if (lc < (15 << sl)) {
+              w.u(0L, lc >> sl); w.u(1L, 1)
+              w.u((lc & ((1 << sl) - 1)).toLong, sl)
+            } else {
+              require(lc - (15 << sl) < 4096,
+                s"level $level outside prefix-15 range")
+              w.u(0L, 15); w.u(1L, 1); w.u((lc - (15 << sl)).toLong, 12)
+            }
+          }
+          if (sl == 0) sl = 1
+          if (math.abs(level) > (3 << (sl - 1)) && sl < 6) sl += 1
+        }
+        // total_zeros: zeros below the highest coefficient
+        val tz = nz(total - 1)._2 + 1 - total
+        if (total < maxNumCoeff) writeTotalZeros(w, total, tz)
+        // run_before per coefficient except the last, highest first
+        var zerosLeft = tz
+        for (k <- 0 until total - 1 if zerosLeft > 0) {
+          val run = nz(total - 1 - k)._2 - nz(total - 2 - k)._2 - 1
+          writeRunBefore(w, zerosLeft, run)
+          zerosLeft -= run
+        }
+        total
+      }
+
+      /** Read one residual block → (scan-order coefficients of length
+        * maxNumCoeff, TotalCoeff). The exact §9.2 decode: coeff_token,
+        * T1 signs, levels with suffix escalation, total_zeros,
+        * run_before placement. */
+      private[graft] def readBlock(r: BitReader, maxNumCoeff: Int,
+          nC: Int): (Array[Int], Int) = {
+        val out = new Array[Int](maxNumCoeff)
+        val (t1s, total) = readCoeffToken(r, nC)
+        if (total == 0) return (out, 0)
+        require(total <= maxNumCoeff,
+          s"TotalCoeff $total > maxNumCoeff $maxNumCoeff")
+        val levels = new Array[Int](total) // decode order: highest first
+        for (k <- 0 until t1s)
+          levels(k) = if (r.u(1) == 1L) -1 else 1
+        var sl = if (total > 10 && t1s < 3) 1 else 0
+        for (k <- 0 until total - t1s) {
+          var prefix = 0
+          while (r.u(1) == 0L) {
+            prefix += 1; require(prefix <= 32, "level_prefix overrun")
+          }
+          val suffixSize =
+            if (prefix == 14 && sl == 0) 4
+            else if (prefix >= 15) prefix - 3
+            else sl
+          var lc = (math.min(15, prefix) << sl) +
+            (if (suffixSize > 0) r.u(suffixSize).toInt else 0)
+          if (prefix >= 15 && sl == 0) lc += 15
+          if (prefix >= 16) lc += (1 << (prefix - 3)) - 4096
+          if (k == 0 && t1s < 3) lc += 2
+          val level = if (lc % 2 == 0) (lc + 2) >> 1 else -((lc + 1) >> 1)
+          levels(t1s + k) = level
+          if (sl == 0) sl = 1
+          if (math.abs(level) > (3 << (sl - 1)) && sl < 6) sl += 1
+        }
+        val tz = if (total < maxNumCoeff) readTotalZeros(r, total) else 0
+        var zerosLeft = tz
+        var pos = total + tz - 1 // scan index of the highest coefficient
+        for (k <- 0 until total) {
+          require(pos >= 0 && pos < maxNumCoeff, "scan position overrun")
+          out(pos) = levels(k)
+          val run =
+            if (k == total - 1) zerosLeft // implicit for the last
+            else if (zerosLeft > 0) readRunBefore(r, zerosLeft)
+            else 0
+          zerosLeft -= run
+          pos -= 1 + run
+        }
+        (out, total)
+      }
+    }
+
+    /** §8.5.12.1 AC dequant with flat scaling lists: the JM-style
+      * v-table convention (normAdjust only; the flat weightScale 16
+      * cancels the spec's −4 shift exactly, making the scaling an
+      * exact left shift for every qP). Raster position classes:
+      * (even, even) rows/cols → A, (odd, odd) → B, mixed → C. */
+    private val vClassA = Array(10, 11, 13, 14, 16, 18)
+    private val vClassB = Array(16, 18, 20, 23, 25, 29)
+    private val vClassC = Array(13, 14, 16, 18, 20, 23)
+    private[graft] def dequantAc(c: Int, rasterPos: Int, qp: Int): Int = {
+      val u = rasterPos / 4; val v = rasterPos % 4
+      val tab =
+        if (u % 2 == 0 && v % 2 == 0) vClassA
+        else if (u % 2 == 1 && v % 2 == 1) vClassB
+        else vClassC
+      (c * tab(qp % 6)) << (qp / 6)
+    }
+
+    /** §8.5.12.2 integer inverse 4×4 core transform: row butterflies
+      * (with the d1>>1 / d3>>1 half-weights), column butterflies,
+      * final (x + 32) >> 6 rounding. Raster in, raster out. */
+    private[graft] def invTransform4x4(d: Array[Int]): Array[Int] = {
+      val f = new Array[Int](16); val o = new Array[Int](16)
+      var i = 0
+      while (i < 4) {
+        val d0 = d(i * 4); val d1 = d(i * 4 + 1)
+        val d2 = d(i * 4 + 2); val d3 = d(i * 4 + 3)
+        val e0 = d0 + d2; val e1 = d0 - d2
+        val e2 = (d1 >> 1) - d3; val e3 = d1 + (d3 >> 1)
+        f(i * 4) = e0 + e3; f(i * 4 + 1) = e1 + e2
+        f(i * 4 + 2) = e1 - e2; f(i * 4 + 3) = e0 - e3
+        i += 1
+      }
+      var j = 0
+      while (j < 4) {
+        val f0 = f(j); val f1 = f(4 + j); val f2 = f(8 + j); val f3 = f(12 + j)
+        val e0 = f0 + f2; val e1 = f0 - f2
+        val e2 = (f1 >> 1) - f3; val e3 = f1 + (f3 >> 1)
+        o(j) = (e0 + e3 + 32) >> 6; o(4 + j) = (e1 + e2 + 32) >> 6
+        o(8 + j) = (e1 - e2 + 32) >> 6; o(12 + j) = (e0 - e3 + 32) >> 6
+        j += 1
+      }
+      o
+    }
+
+    // luma4x4BlkIdx (Z) order ↔ raster block coordinates (§6.4.3)
+    private def zToBlockXY(z: Int): (Int, Int) =
+      (2 * ((z >> 2) & 1) + (z & 1), 2 * ((z >> 3) & 1) + ((z >> 1) & 1))
+
+    /** §9.2.1 nC from the per-4×4-block TotalCoeff grid (AC totals;
+      * −1 grid cells mark outside-picture). */
+    private def nCFrom(grid: Array[Array[Int]], gx: Int, gy: Int): Int = {
+      val nA = if (gx > 0) grid(gy)(gx - 1) else -1
+      val nB = if (gy > 0) grid(gy - 1)(gx) else -1
+      if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
+      else if (nA >= 0) nA
+      else if (nB >= 0) nB
+      else 0
+    }
+
+    /** Build an IDR slice of I_16x16 DC-pred macroblocks with FULL
+      * residuals: per MB a 4×4 DC coefficient block (raster order,
+      * arbitrary — the general CAVLC codes it) and 16 optional AC
+      * blocks (RASTER block index; each 15 scan-order coefficients,
+      * zigzag positions 1..15). An MB with any nonzero AC writes
+      * mb_type 15 (CodedBlockPatternLuma 15, chroma 0) and all 16
+      * Intra16x16ACLevel parses in Z order with spec nC contexts; an
+      * all-zero-AC MB writes mb_type 3 exactly like m34. QPy 26. */
+    def buildI16x16Slice(mbs: Seq[(Array[Int], Array[Array[Int]])],
+        mbW: Int, mbH: Int, frameNum: Int, frameNumBits: Int,
+        idrPicId: Int = 0): Array[Byte] = {
+      require(mbs.size == mbW * mbH, "one (dc, ac) pair per macroblock")
+      val w = new BitWriter
+      w.ue(0L); w.ue(7L); w.ue(0L)
+      w.u(frameNum.toLong, frameNumBits)
+      w.ue(idrPicId.toLong)
+      w.u(0L, 1); w.u(0L, 1)
+      w.se(0L)
+      val grid = Array.fill(mbH * 4, mbW * 4)(0)
+      mbs.zipWithIndex.foreach { case ((dc, ac), mb) =>
+        require(dc.length == 16, "DC block is 4x4")
+        require(ac.length == 16 && ac.forall(a => a == null || a.length == 15),
+          "16 AC blocks of 15 scan coefficients (null = all zero)")
+        val mbx = mb % mbW; val mby = mb / mbW
+        val anyAc = ac.exists(a => a != null && a.exists(_ != 0))
+        w.ue(if (anyAc) 15L else 3L) // mb_type (Table 7-11)
+        w.ue(0L)                     // intra_chroma_pred_mode: DC
+        w.se(0L)                     // mb_qp_delta
+        // Intra16x16DCLevel: scan order via the 4x4 zigzag, nC as
+        // for luma4x4BlkIdx 0 (§9.2.1)
+        val dcScan = Array.tabulate(16)(i => dc(zigzag4x4(i)))
+        Cavlc.writeBlock(w, dcScan, 16, nCFrom(grid, mbx * 4, mby * 4))
+        if (anyAc) {
+          for (z <- 0 until 16) {
+            val (bx, by) = zToBlockXY(z)
+            val gx = mbx * 4 + bx; val gy = mby * 4 + by
+            val coeffs = Option(ac(by * 4 + bx)).getOrElse(new Array[Int](15))
+            grid(gy)(gx) = Cavlc.writeBlock(w, coeffs, 15, nCFrom(grid, gx, gy))
+          }
+        } // mb_type 3: all AC totals stay 0 in the grid
+      }
+      w.trailingBits()
+      (0x65.toByte +: rbspEscape(w.bytes)).toArray
+    }
+
+    /** Decode an IDR I_16x16 slice with FULL residuals back to
+      * pixels: general CAVLC parse (all nC contexts from the decoded
+      * TotalCoeff grid), Hadamard + §8.5.10 DC path, §8.5.12 AC
+      * dequant + inverse core transform per 4×4, Intra_16x16_DC luma
+      * prediction from reconstructed neighbour edges, chroma DC
+      * prediction with zero residual. mb_type 3 streams decode
+      * bit-identically to [[parseI16x16DcSlice]]; anything outside
+      * {3, 15} — I_4x4/I_NxN, chroma-coded I_16x16 variants, other
+      * prediction modes — refuses loudly as the documented next
+      * rung. */
+    def parseI16x16Slice(nal: Array[Byte], sps: SpsInfo): PcmFrame = {
+      require(nal.nonEmpty && (nal(0) & 0x1f) == 5,
+        "not an IDR slice NAL (nal_unit_type != 5)")
+      require(sps.crop_left == 0 && sps.crop_right == 0 &&
+        sps.crop_top == 0 && sps.crop_bottom == 0,
+        "fixtures are uncropped whole-macroblock pictures")
+      val r = new BitReader(rbspUnescape(nal.drop(1)))
+      require(r.ue() == 0L, "first_mb_in_slice != 0")
+      val st = r.ue()
+      require(st == 7L || st == 2L, s"not an I slice (slice_type $st)")
+      require(r.ue() == 0L, "pic_parameter_set_id != 0")
+      r.u(sps.log2_max_frame_num)
+      r.ue()
+      r.u(1); r.u(1)
+      val qpSlice = 26 + r.se().toInt
+      val (wpx, hpx) = (sps.mb_width * 16, sps.mb_height * 16)
+      val cw = wpx / 2
+      val y = new Array[Int](wpx * hpx)
+      val cbP = new Array[Int](cw * (hpx / 2))
+      val crP = new Array[Int](cw * (hpx / 2))
+      def clip(v: Int): Int = math.max(0, math.min(255, v))
+      val grid = Array.fill(sps.mb_height * 4, sps.mb_width * 4)(0)
+      var mb = 0
+      while (mb < sps.mb_width * sps.mb_height) {
+        val mbx = mb % sps.mb_width; val mby = mb / sps.mb_width
+        val mx = mbx * 16; val my = mby * 16
+        val t = r.ue()
+        require(t == 3L || t == 15L,
+          s"macroblock $mb outside the I_16x16 DC-pred luma envelope " +
+            s"(mb_type $t) — I_4x4 prediction and chroma residuals " +
+            "are the documented next rungs")
+        require(r.ue() == 0L, "intra_chroma_pred_mode != DC")
+        val mbQp = qpSlice + r.se().toInt
+        val dcScan = Cavlc.readBlock(r, 16,
+          nCFrom(grid, mbx * 4, mby * 4))._1
+        val dcRaster = new Array[Int](16)
+        for (i <- 0 until 16) dcRaster(zigzag4x4(i)) = dcScan(i)
+        val dc = invHadamard4x4(dcRaster).map(dequantDc(_, mbQp))
+        // AC residuals (mb_type 15: CodedBlockPatternLuma == 15 →
+        // all 16 blocks parse, Z order, spec nC from the grid)
+        val acByRaster = Array.fill(16)(null: Array[Int])
+        if (t == 15L) {
+          for (z <- 0 until 16) {
+            val (bx, by) = zToBlockXY(z)
+            val gx = mbx * 4 + bx; val gy = mby * 4 + by
+            val (coeffs, total) = Cavlc.readBlock(r, 15, nCFrom(grid, gx, gy))
+            grid(gy)(gx) = total
+            acByRaster(by * 4 + bx) = coeffs
+          }
+        }
+        // Intra_16x16_DC luma prediction from reconstructed edges
+        val topAvail = my > 0
+        val leftAvail = mx > 0
+        val sumTop =
+          if (topAvail) (0 until 16).map(i => y((my - 1) * wpx + mx + i)).sum
+          else 0
+        val sumLeft =
+          if (leftAvail) (0 until 16).map(i => y((my + i) * wpx + mx - 1)).sum
+          else 0
+        val pred =
+          if (topAvail && leftAvail) (sumTop + sumLeft + 16) >> 5
+          else if (topAvail) (sumTop + 8) >> 4
+          else if (leftAvail) (sumLeft + 8) >> 4
+          else 128
+        var b = 0
+        while (b < 16) {
+          val bx = mx + (b % 4) * 4
+          val by = my + (b / 4) * 4
+          val acs = acByRaster(b)
+          if (acs == null || !acs.exists(_ != 0)) {
+            val v = clip(pred + ((dc(b) + 32) >> 6)) // lone-DC core
+            var i = 0
+            while (i < 16) {
+              y((by + i / 4) * wpx + bx + i % 4) = v
+              i += 1
+            }
+          } else {
+            val d = new Array[Int](16)
+            d(0) = dc(b)
+            var p = 0
+            while (p < 15) {
+              if (acs(p) != 0) {
+                val raster = zigzag4x4(p + 1)
+                d(raster) = dequantAc(acs(p), raster, mbQp)
+              }
+              p += 1
+            }
+            val res = invTransform4x4(d)
+            var i = 0
+            while (i < 16) {
+              y((by + i / 4) * wpx + bx + i % 4) = clip(pred + res(i))
+              i += 1
+            }
+          }
+          b += 1
+        }
+        // chroma: DC prediction, zero residual — byte-identical to
+        // the m34 path
+        def chromaFill(p: Array[Int]): Unit = {
+          val cx = mx / 2
+          val cy = my / 2
+          def sTop(off: Int) =
+            (0 until 4).map(i => p((cy - 1) * cw + cx + off + i)).sum
+          def sLeft(off: Int) =
+            (0 until 4).map(i => p((cy + off + i) * cw + cx - 1)).sum
+          for (byi <- 0 to 1; bxi <- 0 to 1) {
+            val v =
+              if (bxi == 1 && byi == 0)
+                if (topAvail) (sTop(4) + 2) >> 2
+                else if (leftAvail) (sLeft(0) + 2) >> 2
+                else 128
+              else if (bxi == 0 && byi == 1)
+                if (leftAvail) (sLeft(4) + 2) >> 2
+                else if (topAvail) (sTop(0) + 2) >> 2
+                else 128
+              else {
+                val o = bxi * 4
+                if (topAvail && leftAvail) (sTop(o) + sLeft(o) + 4) >> 3
+                else if (topAvail) (sTop(o) + 2) >> 2
+                else if (leftAvail) (sLeft(o) + 2) >> 2
+                else 128
+              }
+            val ox = cx + bxi * 4
+            val oy = cy + byi * 4
+            for (yy <- 0 until 4; xx <- 0 until 4)
+              p((oy + yy) * cw + ox + xx) = clip(v)
+          }
+        }
+        chromaFill(cbP)
+        chromaFill(crP)
+        mb += 1
+      }
+      PcmFrame(wpx, hpx, y.map(_.toByte), cbP.map(_.toByte),
+        crP.map(_.toByte))
+    }
+
+    /** Decode a muxed full-residual I_16x16 stream lazily — one
+      * picture in flight, like [[decodeI16x16DcFrames]]. */
+    def decodeI16x16Frames(data: Array[Byte]): Iterator[PcmFrame] = {
+      val sps = spsInfo(data)
+      nalPayloadIterator(data).map(parseI16x16Slice(_, sps))
+    }
+
     // ---- fixture writer ------------------------------------------
 
     private def w16(b: java.io.ByteArrayOutputStream, v: Int): Unit = {

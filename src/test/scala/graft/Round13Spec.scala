@@ -149,4 +149,218 @@ class Round13Spec extends SparkTestBase {
       assert(canon(crashed, t) === canon(ref, t), t)
     }
   }
+
+  // ---- m35: general CAVLC + complete I_16x16 -------------------------
+
+  private val zig = Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+
+  test("CAVLC external anchor: the published worked example " +
+    "(TotalCoeff 5, T1s 3, nC 0) produces the exact 24-bit stream") {
+    import graft.operators.Codecs.Mp4
+    // raster block:  0  3 -1  0 / 0 -1  1  0 / 1  0  0  0 / 0 0 0 0
+    val raster = Array(0, 3, -1, 0, 0, -1, 1, 0, 1, 0, 0, 0, 0, 0, 0, 0)
+    val scan = Array.tabulate(16)(i => raster(zig(i)))
+    assert(scan.toSeq === Seq(0, 3, 0, 1, -1, -1, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0))
+    val w = new Mp4.BitWriter
+    val total = Mp4.Cavlc.writeBlock(w, scan, 16, nC = 0)
+    assert(total === 5)
+    // 0000100 011 1 0010 111 10 1 1 01  =  0x08 0xE5 0xED
+    assert(w.bytes.toSeq === Seq(0x08.toByte, 0xE5.toByte, 0xED.toByte))
+    // and the decoder inverts it
+    val (back, t2) = Mp4.Cavlc.readBlock(
+      new Mp4.BitReader(Array(0x08.toByte, 0xE5.toByte, 0xED.toByte)),
+      16, nC = 0)
+    assert(t2 === 5 && back.toSeq === scan.toSeq)
+  }
+
+  test("CAVLC round-trips across every nC context, both block widths, " +
+    "randomized levels/positions (suffix escalation + run_before)") {
+    import graft.operators.Codecs.Mp4
+    val rnd = new scala.util.Random(13)
+    for (nC <- Seq(0, 1, 2, 3, 4, 5, 7, 8, 12); mx <- Seq(15, 16);
+        trial <- 0 until 60) {
+      val total = rnd.nextInt(mx + 1)
+      val pos = rnd.shuffle((0 until mx).toList).take(total).sorted
+      val coeffs = new Array[Int](mx)
+      pos.foreach { p =>
+        // mix of ±1s (trailing-one machinery) and big levels
+        // (suffix-length escalation up to 6)
+        val mag = rnd.nextInt(4) match {
+          case 0 => 1
+          case 1 => 1 + rnd.nextInt(3)
+          case 2 => 2 + rnd.nextInt(30)
+          case _ => 2 + rnd.nextInt(2000)
+        }
+        coeffs(p) = if (rnd.nextBoolean()) mag else -mag
+      }
+      val w = new Mp4.BitWriter
+      val t = Mp4.Cavlc.writeBlock(w, coeffs, mx, nC)
+      assert(t === coeffs.count(_ != 0))
+      w.alignZero()
+      val (back, tb) = Mp4.Cavlc.readBlock(new Mp4.BitReader(w.bytes), mx, nC)
+      assert(tb === t, s"nC=$nC mx=$mx trial=$trial")
+      assert(back.toSeq === coeffs.toSeq, s"nC=$nC mx=$mx trial=$trial")
+    }
+  }
+
+  test("inverse 4x4 core transform: lone-DC matches the shortcut, " +
+    "and 4-divisible inputs match the exact half-weight linear form") {
+    import graft.operators.Codecs.Mp4
+    val rnd = new scala.util.Random(35)
+    val B = Array(Array(2, 2, 2, 1), Array(2, 1, -2, -2),
+      Array(2, -1, -2, 2), Array(2, -2, 2, -1))
+    for (_ <- 0 until 200) {
+      val d = Array.fill(16)((rnd.nextInt(400) - 200) * 4)
+      val got = Mp4.invTransform4x4(d)
+      for (i <- 0 until 4; j <- 0 until 4) {
+        val x = (for (u <- 0 until 4; v <- 0 until 4)
+          yield B(i)(u) * B(j)(v) * d(u * 4 + v)).sum
+        assert(got(i * 4 + j) === ((x + 128) >> 8), s"($i,$j)")
+      }
+    }
+    // lone DC: uniform (d00 + 32) >> 6 — any parity
+    for (d00 <- Seq(-321, -64, -1, 0, 1, 63, 500)) {
+      val d = new Array[Int](16); d(0) = d00
+      assert(Mp4.invTransform4x4(d).toSeq ===
+        Seq.fill(16)((d00 + 32) >> 6))
+    }
+  }
+
+  test("full I_16x16 slice (DC + AC, 2x2 MBs) decodes to the " +
+    "independent linear reconstruction, prediction propagating") {
+    import graft.operators.Codecs.Mp4
+    val rnd = new scala.util.Random(1316)
+    val B = Array(Array(2, 2, 2, 1), Array(2, 1, -2, -2),
+      Array(2, -1, -2, 2), Array(2, -2, 2, -1))
+    val H = Array(Array(1, 1, 1, 1), Array(1, 1, -1, -1),
+      Array(1, -1, -1, 1), Array(1, -1, 1, -1))
+    def clip(v: Int) = math.max(0, math.min(255, v))
+    for (trial <- 0 until 6) {
+      // random DC blocks + dense AC in some blocks (drives nC into
+      // the 2<=nC<4 / 4<=nC<8 / FLC contexts across trials)
+      val mbs = (0 until 4).map { _ =>
+        val dc = Array.fill(16)(rnd.nextInt(15) - 7)
+        val ac = Array.tabulate(16) { b =>
+          if (rnd.nextInt(3) == 0) null
+          else {
+            val a = new Array[Int](15)
+            val n = rnd.nextInt(13)
+            rnd.shuffle((0 until 15).toList).take(n).foreach { p =>
+              a(p) = (if (rnd.nextBoolean()) 1 else -1) *
+                (1 + rnd.nextInt(9))
+            }
+            a
+          }
+        }
+        (dc, ac)
+      }
+      val nal = Mp4.buildI16x16Slice(mbs, 2, 2, frameNum = 0,
+        frameNumBits = 4)
+      val sps = Mp4.parseSps(Mp4.buildSps(32, 32))
+      val f = Mp4.parseI16x16Slice(nal, sps)
+      // independent reference: Hadamard closed form for the DC path,
+      // the exact B-matrix linear form for each 4x4 (valid because
+      // QP 26 makes every dequantized coefficient divisible by 4),
+      // raster MB order with real DC prediction
+      val ref = Array.fill(32 * 32)(0)
+      for (mb <- 0 until 4) {
+        val (dcC, ac) = mbs(mb)
+        val mx = (mb % 2) * 16; val my = (mb / 2) * 16
+        // Hadamard (exact, linear) then §8.5.10 dequant at qp 26
+        val had = Array.tabulate(16) { rp =>
+          val bi = rp / 4; val bj = rp % 4
+          (for (u <- 0 until 4; v <- 0 until 4)
+            yield H(bi)(u) * H(bj)(v) * dcC(u * 4 + v)).sum
+        }
+        val dc = had.map(x => x * 13 << 2)
+        val topAvail = my > 0; val leftAvail = mx > 0
+        val sumTop = if (topAvail)
+          (0 until 16).map(i => ref((my - 1) * 32 + mx + i)).sum else 0
+        val sumLeft = if (leftAvail)
+          (0 until 16).map(i => ref((my + i) * 32 + mx - 1)).sum else 0
+        val pred =
+          if (topAvail && leftAvail) (sumTop + sumLeft + 16) >> 5
+          else if (topAvail) (sumTop + 8) >> 4
+          else if (leftAvail) (sumLeft + 8) >> 4
+          else 128
+        for (b <- 0 until 16) {
+          val d = new Array[Int](16)
+          d(0) = dc(b)
+          val acs = ac(b)
+          if (acs != null) for (p <- 0 until 15 if acs(p) != 0) {
+            val rp = zig(p + 1)
+            val u = rp / 4; val v = rp % 4
+            val tab = if (u % 2 == 0 && v % 2 == 0) 13
+              else if (u % 2 == 1 && v % 2 == 1) 20 else 16
+            d(rp) = acs(p) * tab << 4
+          }
+          for (i <- 0 until 4; j <- 0 until 4) {
+            val x = (for (u <- 0 until 4; v <- 0 until 4)
+              yield B(i)(u) * B(j)(v) * d(u * 4 + v)).sum
+            val px = clip(pred + ((x + 128) >> 8))
+            ref((my + (b / 4) * 4 + i) * 32 + mx + (b % 4) * 4 + j) = px
+          }
+        }
+      }
+      assert(f.y.map(_ & 0xff).toSeq === ref.toSeq, s"trial $trial")
+      // mb_type-3-only content still decodes identically through the
+      // DC-only parser (grammar compatibility downward)
+      val dcOnly = mbs.map { case (dcC, _) =>
+        (dcC.map(v => if (v.abs > 7) 0 else v), Array.fill(16)(null: Array[Int]))
+      }
+      // keep at most one nonzero per DC block for the m34 envelope
+      val dcOne = dcOnly.map { case (dcC, ac) =>
+        val first = dcC.indexWhere(_ != 0)
+        (Array.tabulate(16)(i => if (i == first) dcC(i) else 0), ac)
+      }
+      val nalDc = Mp4.buildI16x16Slice(dcOne, 2, 2, 0, 4)
+      val a = Mp4.parseI16x16Slice(nalDc, sps)
+      val b = Mp4.parseI16x16DcSlice(nalDc, sps)
+      assert(a.y.toSeq === b.y.toSeq && a.cb.toSeq === b.cb.toSeq)
+    }
+  }
+
+  test("envelope refusals updated: DC-only parser refuses mb_type 15; " +
+    "full parser refuses I_PCM; lazy muxed decode is frame-exact") {
+    import graft.operators.Codecs.Mp4
+    val sps = Mp4.parseSps(Mp4.buildSps(16, 16))
+    val ac0 = Array.tabulate(16)(b =>
+      if (b == 0) { val a = new Array[Int](15); a(0) = 4; a(3) = -2; a }
+      else null)
+    val dc0 = new Array[Int](16); dc0(5) = 3
+    val acNal = Mp4.buildI16x16Slice(Seq((dc0, ac0)), 1, 1, 0, 4)
+    val e1 = intercept[IllegalArgumentException] {
+      Mp4.parseI16x16DcSlice(acNal, sps)
+    }
+    assert(e1.getMessage.contains("mb_type"))
+    val pcm = Mp4.buildIdrPcmSlice(Mp4.PcmFrame(16, 16,
+      Array.fill(256)(7.toByte), Array.fill(64)(3.toByte),
+      Array.fill(64)(5.toByte)), 0, 4)
+    val e2 = intercept[IllegalArgumentException] {
+      Mp4.parseI16x16Slice(pcm, sps)
+    }
+    assert(e2.getMessage.contains("next rung"))
+    // container hop: three full-residual frames through mux +
+    // decodeI16x16Frames == direct parses
+    val frames = (0 until 3).map { fidx =>
+      val dc = new Array[Int](16); dc(zig(fidx * 5)) = 2 - fidx
+      val ac = Array.tabulate(16) { b =>
+        if (b % 4 != fidx % 4) null
+        else {
+          val a = new Array[Int](15)
+          a(b % 15) = fidx + 1; if (b % 15 != 7) a(7) = -1
+          a
+        }
+      }
+      Seq(Mp4.buildI16x16Slice(Seq((dc, ac)), 1, 1, 0, 4, idrPicId = fidx))
+    }
+    val mp4 = Mp4.mux(frames, keyframes = Seq(1, 2, 3),
+      timescale = 90000, sampleDelta = 3000, width = 16, height = 16)
+    val got = Mp4.decodeI16x16Frames(mp4).toSeq
+    val want = frames.map(n => Mp4.parseI16x16Slice(n.head, sps))
+    assert(got.size === 3)
+    got.zip(want).foreach { case (a, b) =>
+      assert(a.y.toSeq === b.y.toSeq && a.cb.toSeq === b.cb.toSeq)
+    }
+  }
 }
