@@ -2105,6 +2105,184 @@ object MediaQueries {
       |    (a, b) -> (a * 31 + b) % 1000000007) AS blk_fp
       |FROM cc GROUP BY doc_id""".stripMargin
 
+  // ---- m35: general CAVLC + complete I_16x16 (DC + AC) --------------
+
+  /** m35: the FULL-RESIDUAL transform rung under the hash gate
+    * (reference anchor: run.sh:53 `decodebin`): per document, a
+    * deterministic I_16x16 stream whose macroblocks carry BOTH a
+    * CAVLC-coded Intra16x16DCLevel block and general Intra16x16AC
+    * residuals — multi-coefficient blocks with trailing-ones signs,
+    * suffix-length escalation, total_zeros and run_before, coded
+    * under the spec nC neighbour contexts (frame classes drive nC
+    * through 0≤nC<2, 2≤nC<4, 4≤nC<8 and the ≥8 FLC column) — is
+    * encoded, muxed into real MP4, and decoded back through
+    * container walk → avcC SPS → general CAVLC parse → Hadamard +
+    * §8.5.10 DC dequant → §8.5.12 AC dequant + integer inverse core
+    * transform → DC intra prediction. The gate hashes the full
+    * 16×16 luma raster per frame; the oracle restates the
+    * reconstruction in closed form (QP 26 makes every dequantized
+    * coefficient divisible by 4, so the half-weight butterflies are
+    * exactly the linear B-matrix form).
+    *
+    * Frame classes: kind 0 = DC-only (mb_type 3, the m34 grammar
+    * stays hot); kind 1 = one strided AC block (total_zeros +
+    * run_before under ctx0, and its zero neighbours' (0,0) tokens
+    * land in 2≤nC<4); kind 2 = four dense adjacent blocks
+    * (TotalCoeff 3–9 → neighbour nC walks the 2≤nC<4, 4≤nC<8 and
+    * FLC columns).
+    *
+    * 100 TB shape: the m33/m34 contract — encode + decode run
+    * partition-local per document, one row out per doc. */
+  def m35CavlcFullDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Codecs
+    Tables.spread(Tables.documents(spark, dir).select(col("doc_id"))).as[Long]
+      .mapPartitions { it =>
+        val zig = Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+        it.map { id =>
+          val n = (2 + id % 3).toInt
+          val nals = (0 until n).map { f =>
+            val kind = ((id * 31 + f * 7) % 3).toInt
+            val z = ((id * 13 + f * 11) % 16).toInt
+            val ld = (if ((id + f) % 2 == 0) 1 else -1) *
+              (1 + ((id + f * 3) % 7)).toInt
+            val dc = new Array[Int](16)
+            dc(zig(z)) = ld
+            def lvl(b: Int, k: Int): Int =
+              (if ((id + f + b + k) % 2 == 0) 1 else -1) *
+                (1 + ((id + f + b * 3 + k * 5) % 9)).toInt
+            val ac = Array.fill(16)(null: Array[Int])
+            if (kind == 1) {
+              val ba = ((id * 7 + f) % 16).toInt
+              val s = 1 + ((id + f) % 3).toInt
+              val p = 1 + ((id * 3 + f) % 4).toInt
+              val a = new Array[Int](15)
+              for (k <- 1 to p) a(k * s - 1) = lvl(0, k)
+              ac(ba) = a
+            } else if (kind == 2) {
+              for (b <- Seq(0, 1, 4, 5)) {
+                val s = 1 + ((id + f + b) % 2).toInt
+                val p0 = 3 + ((id + f + 2 * b) % 7).toInt
+                val p = if (s == 2) math.min(p0, 7) else p0
+                val a = new Array[Int](15)
+                for (k <- 1 to p) a(k * s - 1) = lvl(b, k)
+                ac(b) = a
+              }
+            }
+            Seq(Codecs.Mp4.buildI16x16Slice(Seq((dc, ac)), 1, 1,
+              frameNum = 0, frameNumBits = 4, idrPicId = f % 8))
+          }
+          val mp4 = Codecs.Mp4.mux(nals, keyframes = (1 to n),
+            timescale = 90000, sampleDelta = 3000, width = 16, height = 16)
+          var ys = 0L; var cbs = 0L; var crs = 0L; var fp = 0L
+          var nDec = 0
+          Codecs.Mp4.decodeI16x16Frames(mp4).foreach { fr =>
+            nDec += 1
+            require(fr.width == 16 && fr.height == 16,
+              s"decoded dims ${fr.width}x${fr.height}")
+            fr.y.foreach { b =>
+              val v = b & 0xffL
+              ys += v; fp = (fp * 31 + v) % 1000000007L
+            }
+            fr.cb.foreach(b => cbs += (b & 0xffL))
+            fr.cr.foreach(b => crs += (b & 0xffL))
+          }
+          require(nDec == n, s"decoded $nDec of $n frames")
+          (id, n, 16, 16, ys, cbs, crs, fp)
+        }
+      }.toDF("doc_id", "n_frames", "width", "height", "y_sum",
+        "cb_sum", "cr_sum", "pix_fp")
+  }
+
+  /** Closed-form restatement: the DC path is the m34 Hadamard closed
+    * form (lone coefficient → row-sign products × 52); the AC path
+    * dequantizes each fixture coefficient (level × v-class × 16 at
+    * QP 26 — divisible by 4, so the inverse transform is the exact
+    * linear B-matrix form) and reconstructs every pixel as
+    * clip(128 + floor((ΣBB·d + 128) / 256)). Floor-vs-truncate is
+    * handled with the +256000 offset (numerators stay within ±2·10⁵).
+    * Chroma is flat 128. */
+  val m35Sql: String =
+    """WITH d AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS n
+      |  FROM documents),
+      |f AS (SELECT doc_id, n, unnest(range(n)) AS fr FROM d),
+      |par AS (SELECT doc_id, n, fr,
+      |    CAST((doc_id * 31 + fr * 7) % 3 AS INT) AS kind,
+      |    [0,1,4,8,5,2,3,6,9,12,13,10,7,11,14,15]
+      |      [CAST((doc_id * 13 + fr * 11) % 16 AS INT) + 1] AS zr,
+      |    (CASE WHEN (doc_id + fr) % 2 = 0 THEN 1 ELSE -1 END)
+      |      * (1 + (doc_id + fr * 3) % 7) AS ld
+      |  FROM f),
+      |co AS (SELECT doc_id, n, fr, zr, ld,
+      |    flatten(list_transform(
+      |      CASE kind WHEN 0 THEN CAST([] AS BIGINT[])
+      |        WHEN 1 THEN [(doc_id * 7 + fr) % 16]
+      |        ELSE [0, 1, 4, 5] END,
+      |      b -> list_transform(
+      |        range(1, 1 + CASE WHEN kind = 1
+      |          THEN 1 + (doc_id * 3 + fr) % 4
+      |          ELSE least(3 + (doc_id + fr + 2 * b) % 7,
+      |            CASE WHEN (doc_id + fr + b) % 2 = 1 THEN 7 ELSE 15 END)
+      |          END),
+      |        k -> {'b': b,
+      |          'p': k * CASE WHEN kind = 1 THEN 1 + (doc_id + fr) % 3
+      |            ELSE 1 + (doc_id + fr + b) % 2 END,
+      |          'l': (CASE WHEN (doc_id + fr + k +
+      |              CASE WHEN kind = 1 THEN 0 ELSE b END) % 2 = 0
+      |              THEN 1 ELSE -1 END)
+      |            * (1 + (doc_id + fr + k * 5 +
+      |              CASE WHEN kind = 1 THEN 0 ELSE b END * 3) % 9)})))
+      |      AS cs
+      |  FROM par),
+      |cd AS (SELECT doc_id, n, fr, zr, ld,
+      |    list_transform(cs, s -> {'b': s.b,
+      |      'u': [0,1,4,8,5,2,3,6,9,12,13,10,7,11,14,15]
+      |        [CAST(s.p AS INT) + 1] // 4,
+      |      'v': [0,1,4,8,5,2,3,6,9,12,13,10,7,11,14,15]
+      |        [CAST(s.p AS INT) + 1] % 4,
+      |      'l': s.l}) AS cs
+      |  FROM co),
+      |cq AS (SELECT doc_id, n, fr, zr, ld,
+      |    list_transform(cs, s -> {'b': s.b, 'u': s.u, 'v': s.v,
+      |      'dq': s.l * (CASE WHEN s.u % 2 = 0 AND s.v % 2 = 0 THEN 13
+      |        WHEN s.u % 2 = 1 AND s.v % 2 = 1 THEN 20
+      |        ELSE 16 END) * 16}) AS cs
+      |  FROM cd),
+      |px AS (SELECT doc_id, n, fr,
+      |    list_transform(range(256), g ->
+      |      least(255, greatest(0, 128 - 1000 + (
+      |        4 * ([[1,1,1,1],[1,1,-1,-1],[1,-1,-1,1],[1,-1,1,-1]]
+      |              [CAST(((g // 16) // 4) AS INT) + 1]
+      |              [CAST(zr // 4 AS INT) + 1]
+      |            * [[1,1,1,1],[1,1,-1,-1],[1,-1,-1,1],[1,-1,1,-1]]
+      |              [CAST(((g % 16) // 4) AS INT) + 1]
+      |              [CAST(zr % 4 AS INT) + 1]
+      |            * ld * 52)
+      |        + list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |            list_transform(
+      |              list_filter(cs, s -> s.b =
+      |                ((g // 16) // 4) * 4 + (g % 16) // 4),
+      |              s -> CAST([[2,2,2,1],[2,1,-2,-2],[2,-1,-2,2],[2,-2,2,-1]]
+      |                     [CAST((g // 16) % 4 AS INT) + 1][s.u + 1]
+      |                   * [[2,2,2,1],[2,1,-2,-2],[2,-1,-2,2],[2,-2,2,-1]]
+      |                     [CAST((g % 16) % 4 AS INT) + 1][s.v + 1]
+      |                   * s.dq AS BIGINT))),
+      |            (a, b) -> a + b)
+      |        + 128 + 256000) // 256)) ) AS vals
+      |  FROM cq),
+      |cc AS (SELECT doc_id, n, fr, vals,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), vals),
+      |      (a, b) -> a + b) AS ys
+      |  FROM px)
+      |SELECT doc_id, max(n) AS n_frames, 16 AS width, 16 AS height,
+      |  CAST(sum(ys) AS BIGINT) AS y_sum,
+      |  CAST(max(n) * 8192 AS BIGINT) AS cb_sum,
+      |  CAST(max(n) * 8192 AS BIGINT) AS cr_sum,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    flatten(list(vals ORDER BY fr))),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS pix_fp
+      |FROM cc GROUP BY doc_id""".stripMargin
+
   val m32Sql: String =
     """WITH d AS (SELECT doc_id, CAST(3 + doc_id % 5 AS INT) AS n
       |  FROM documents),
