@@ -2175,18 +2175,32 @@ object Codecs {
       else 0
     }
 
-    /** Build an IDR slice of I_16x16 DC-pred macroblocks with FULL
-      * residuals: per MB a 4×4 DC coefficient block (raster order,
-      * arbitrary — the general CAVLC codes it) and 16 optional AC
-      * blocks (RASTER block index; each 15 scan-order coefficients,
-      * zigzag positions 1..15). An MB with any nonzero AC writes
-      * mb_type 15 (CodedBlockPatternLuma 15, chroma 0) and all 16
-      * Intra16x16ACLevel parses in Z order with spec nC contexts; an
-      * all-zero-AC MB writes mb_type 3 exactly like m34. QPy 26. */
-    def buildI16x16Slice(mbs: Seq[(Array[Int], Array[Array[Int]])],
-        mbW: Int, mbH: Int, frameNum: Int, frameNumBits: Int,
-        idrPicId: Int = 0): Array[Byte] = {
-      require(mbs.size == mbW * mbH, "one (dc, ac) pair per macroblock")
+    /** Macroblock fixture for [[buildMixedIntraSlice]]: an I_16x16
+      * DC-pred MB (4×4 DC block in raster order + 16 optional AC
+      * blocks by RASTER index, 15 scan coefficients each) or an
+      * I_4x4 MB (per-block desired prediction modes by RASTER index
+      * — 0 vertical, 1 horizontal, 2 DC, pre-clamped to sample
+      * availability — + 16 optional full residual blocks of 16 scan
+      * coefficients). */
+    sealed trait IntraMb
+    final case class I16Mb(dc: Array[Int],
+        ac: Array[Array[Int]]) extends IntraMb
+    final case class I4Mb(modes: Array[Int],
+        coeffs: Array[Array[Int]]) extends IntraMb
+
+    /** Build an IDR slice mixing I_16x16 (mb_type 3/15, DC pred) and
+      * I_4x4 (mb_type 0) macroblocks. I_4x4 syntax per §7.3.5.1:
+      * prev_intra4x4_pred_mode_flag / rem_intra4x4_pred_mode per
+      * luma4x4BlkIdx against the §8.3.1.1 Min(A, B) predictor (non-
+      * I_4x4 and unavailable neighbours predict DC), then
+      * intra_chroma_pred_mode, coded_block_pattern as me(v) via the
+      * Table 9-4 intra column (envelope: luma 0 ↦ codeNum 3, luma 15
+      * ↦ codeNum 2, chroma always 0), mb_qp_delta when coded, and
+      * full 16-coefficient LumaLevel4x4 residuals in Z order under
+      * the spec nC contexts. QPy 26. */
+    def buildMixedIntraSlice(mbs: Seq[IntraMb], mbW: Int, mbH: Int,
+        frameNum: Int, frameNumBits: Int, idrPicId: Int = 0): Array[Byte] = {
+      require(mbs.size == mbW * mbH, "one IntraMb per macroblock")
       val w = new BitWriter
       w.ue(0L); w.ue(7L); w.ue(0L)
       w.u(frameNum.toLong, frameNumBits)
@@ -2194,43 +2208,111 @@ object Codecs {
       w.u(0L, 1); w.u(0L, 1)
       w.se(0L)
       val grid = Array.fill(mbH * 4, mbW * 4)(0)
-      mbs.zipWithIndex.foreach { case ((dc, ac), mb) =>
-        require(dc.length == 16, "DC block is 4x4")
-        require(ac.length == 16 && ac.forall(a => a == null || a.length == 15),
-          "16 AC blocks of 15 scan coefficients (null = all zero)")
-        val mbx = mb % mbW; val mby = mb / mbW
-        val anyAc = ac.exists(a => a != null && a.exists(_ != 0))
-        w.ue(if (anyAc) 15L else 3L) // mb_type (Table 7-11)
-        w.ue(0L)                     // intra_chroma_pred_mode: DC
-        w.se(0L)                     // mb_qp_delta
-        // Intra16x16DCLevel: scan order via the 4x4 zigzag, nC as
-        // for luma4x4BlkIdx 0 (§9.2.1)
-        val dcScan = Array.tabulate(16)(i => dc(zigzag4x4(i)))
-        Cavlc.writeBlock(w, dcScan, 16, nCFrom(grid, mbx * 4, mby * 4))
-        if (anyAc) {
+      val modeGrid = Array.fill(mbH * 4, mbW * 4)(2)
+      mbs.zipWithIndex.foreach {
+        case (I16Mb(dc, ac), mb) =>
+          require(dc.length == 16, "DC block is 4x4")
+          require(ac.length == 16 &&
+            ac.forall(a => a == null || a.length == 15),
+            "16 AC blocks of 15 scan coefficients (null = all zero)")
+          val mbx = mb % mbW; val mby = mb / mbW
+          val anyAc = ac.exists(a => a != null && a.exists(_ != 0))
+          w.ue(if (anyAc) 15L else 3L) // mb_type (Table 7-11)
+          w.ue(0L)                     // intra_chroma_pred_mode: DC
+          w.se(0L)                     // mb_qp_delta
+          // Intra16x16DCLevel: scan order via the 4x4 zigzag, nC as
+          // for luma4x4BlkIdx 0 (§9.2.1)
+          val dcScan = Array.tabulate(16)(i => dc(zigzag4x4(i)))
+          Cavlc.writeBlock(w, dcScan, 16, nCFrom(grid, mbx * 4, mby * 4))
+          if (anyAc) {
+            for (z <- 0 until 16) {
+              val (bx, by) = zToBlockXY(z)
+              val gx = mbx * 4 + bx; val gy = mby * 4 + by
+              val coeffs =
+                Option(ac(by * 4 + bx)).getOrElse(new Array[Int](15))
+              grid(gy)(gx) =
+                Cavlc.writeBlock(w, coeffs, 15, nCFrom(grid, gx, gy))
+            }
+          } // mb_type 3: all AC totals stay 0 in the grid
+        case (I4Mb(modes, coeffs), mb) =>
+          require(modes.length == 16 && modes.forall(m => m >= 0 && m <= 2),
+            "16 raster-indexed modes in {0 vertical, 1 horizontal, 2 DC}")
+          require(coeffs.length == 16 &&
+            coeffs.forall(c => c == null || c.length == 16),
+            "16 residual blocks of 16 scan coefficients (null = all zero)")
+          val mbx = mb % mbW; val mby = mb / mbW
+          w.ue(0L) // mb_type: I_4x4
           for (z <- 0 until 16) {
             val (bx, by) = zToBlockXY(z)
             val gx = mbx * 4 + bx; val gy = mby * 4 + by
-            val coeffs = Option(ac(by * 4 + bx)).getOrElse(new Array[Int](15))
-            grid(gy)(gx) = Cavlc.writeBlock(w, coeffs, 15, nCFrom(grid, gx, gy))
+            val desired = modes(by * 4 + bx)
+            require(desired != 0 || gy > 0,
+              s"block ($gx,$gy): vertical needs samples above")
+            require(desired != 1 || gx > 0,
+              s"block ($gx,$gy): horizontal needs samples left")
+            val pm =
+              if (gx > 0 && gy > 0)
+                math.min(modeGrid(gy)(gx - 1), modeGrid(gy - 1)(gx))
+              else 2
+            modeGrid(gy)(gx) = desired
+            if (desired == pm) w.u(1L, 1) // prev_intra4x4_pred_mode_flag
+            else {
+              w.u(0L, 1)
+              w.u((if (desired < pm) desired else desired - 1).toLong, 3)
+            }
           }
-        } // mb_type 3: all AC totals stay 0 in the grid
+          w.ue(0L) // intra_chroma_pred_mode: DC
+          val anyC = coeffs.exists(c => c != null && c.exists(_ != 0))
+          // coded_block_pattern me(v), Table 9-4 intra: 0 ↦ 3, 15 ↦ 2
+          w.ue(if (anyC) 2L else 3L)
+          if (anyC) {
+            w.se(0L) // mb_qp_delta (present when any cbp bit is set)
+            for (z <- 0 until 16) {
+              val (bx, by) = zToBlockXY(z)
+              val gx = mbx * 4 + bx; val gy = mby * 4 + by
+              val cf =
+                Option(coeffs(by * 4 + bx)).getOrElse(new Array[Int](16))
+              grid(gy)(gx) =
+                Cavlc.writeBlock(w, cf, 16, nCFrom(grid, gx, gy))
+            }
+          }
       }
       w.trailingBits()
       (0x65.toByte +: rbspEscape(w.bytes)).toArray
     }
 
+    /** Build an IDR slice whose macroblocks are all I_16x16 (the m35
+      * fixture shape) — the I16-only view of
+      * [[buildMixedIntraSlice]]. */
+    def buildI16x16Slice(mbs: Seq[(Array[Int], Array[Array[Int]])],
+        mbW: Int, mbH: Int, frameNum: Int, frameNumBits: Int,
+        idrPicId: Int = 0): Array[Byte] =
+      buildMixedIntraSlice(mbs.map { case (dc, ac) => I16Mb(dc, ac) },
+        mbW, mbH, frameNum, frameNumBits, idrPicId)
+
     /** Decode an IDR I_16x16 slice with FULL residuals back to
-      * pixels: general CAVLC parse (all nC contexts from the decoded
-      * TotalCoeff grid), Hadamard + §8.5.10 DC path, §8.5.12 AC
-      * dequant + inverse core transform per 4×4, Intra_16x16_DC luma
-      * prediction from reconstructed neighbour edges, chroma DC
-      * prediction with zero residual. mb_type 3 streams decode
-      * bit-identically to [[parseI16x16DcSlice]]; anything outside
-      * {3, 15} — I_4x4/I_NxN, chroma-coded I_16x16 variants, other
-      * prediction modes — refuses loudly as the documented next
-      * rung. */
-    def parseI16x16Slice(nal: Array[Byte], sps: SpsInfo): PcmFrame = {
+      * pixels — the I16-only view of [[parseIntraSlice]] (I_4x4
+      * macroblocks refuse; use parseIntraSlice for mixed
+      * streams). mb_type 3 streams decode bit-identically to
+      * [[parseI16x16DcSlice]]. */
+    def parseI16x16Slice(nal: Array[Byte], sps: SpsInfo): PcmFrame =
+      parseIntraSlice(nal, sps, allowI4x4 = false)
+
+    /** Decode an IDR INTRA slice back to pixels — the general rung:
+      * mb_type 0 (I_4x4, prediction modes vertical/horizontal/DC,
+      * full 16-coefficient LumaLevel4x4 residuals), 3 and 15
+      * (I_16x16 DC-pred, Hadamard + §8.5.10 DC path + §8.5.12 AC),
+      * with CAVLC nC and the §8.3.1.1 mode predictor carried across
+      * macroblocks on per-4×4 grids and every prediction reading
+      * RECONSTRUCTED neighbour edges in Z order (so intra chains
+      * propagate within and across macroblocks like any real intra
+      * decoder). Chroma is DC prediction with zero residual.
+      * Anything outside the envelope — diagonal 4×4 modes, partial
+      * or chroma coded_block_pattern, I_PCM inside a mixed slice,
+      * other I_16x16 variants — refuses loudly as the documented
+      * next rung. */
+    def parseIntraSlice(nal: Array[Byte], sps: SpsInfo,
+        allowI4x4: Boolean = true): PcmFrame = {
       require(nal.nonEmpty && (nal(0) & 0x1f) == 5,
         "not an IDR slice NAL (nal_unit_type != 5)")
       require(sps.crop_left == 0 && sps.crop_right == 0 &&
@@ -2252,79 +2334,183 @@ object Codecs {
       val crP = new Array[Int](cw * (hpx / 2))
       def clip(v: Int): Int = math.max(0, math.min(255, v))
       val grid = Array.fill(sps.mb_height * 4, sps.mb_width * 4)(0)
+      // §8.3.1.1 mode predictor grid: non-I_4x4 macroblocks (and
+      // anything not yet decoded) predict DC (2)
+      val modeGrid = Array.fill(sps.mb_height * 4, sps.mb_width * 4)(2)
       var mb = 0
       while (mb < sps.mb_width * sps.mb_height) {
         val mbx = mb % sps.mb_width; val mby = mb / sps.mb_width
         val mx = mbx * 16; val my = mby * 16
         val t = r.ue()
-        require(t == 3L || t == 15L,
-          s"macroblock $mb outside the I_16x16 DC-pred luma envelope " +
-            s"(mb_type $t) — I_4x4 prediction and chroma residuals " +
-            "are the documented next rungs")
-        require(r.ue() == 0L, "intra_chroma_pred_mode != DC")
-        val mbQp = qpSlice + r.se().toInt
-        val dcScan = Cavlc.readBlock(r, 16,
-          nCFrom(grid, mbx * 4, mby * 4))._1
-        val dcRaster = new Array[Int](16)
-        for (i <- 0 until 16) dcRaster(zigzag4x4(i)) = dcScan(i)
-        val dc = invHadamard4x4(dcRaster).map(dequantDc(_, mbQp))
-        // AC residuals (mb_type 15: CodedBlockPatternLuma == 15 →
-        // all 16 blocks parse, Z order, spec nC from the grid)
-        val acByRaster = Array.fill(16)(null: Array[Int])
-        if (t == 15L) {
+        require(t == 3L || t == 15L || (t == 0L && allowI4x4),
+          if (t == 0L)
+            s"macroblock $mb is I_4x4 — outside this parser's " +
+              "I_16x16-only envelope (decode with parseIntraSlice)"
+          else
+            s"macroblock $mb outside the intra envelope (mb_type $t) " +
+              "— I_PCM inside a mixed slice, chroma residuals and " +
+              "further prediction modes are the documented next rungs")
+        val topAvail = my > 0
+        val leftAvail = mx > 0
+        if (t == 0L) {
+          // ---- I_4x4 (§7.3.5.1 syntax, §8.3.1 reconstruction) ----
+          val flagRem = Array.tabulate(16) { _ =>
+            if (r.u(1) == 1L) -1 else r.u(3).toInt
+          }
+          require(r.ue() == 0L, "intra_chroma_pred_mode != DC")
+          val cbpCode = r.ue()
+          // me(v), Table 9-4 intra column: codeNum 3 ↦ cbp 0,
+          // codeNum 2 ↦ cbp 15 (luma all, chroma none)
+          require(cbpCode == 2L || cbpCode == 3L,
+            s"coded_block_pattern codeNum $cbpCode outside the " +
+              "luma-0/15 chroma-0 envelope — partial and chroma " +
+              "patterns are the documented next rung")
+          val cbpLuma = if (cbpCode == 2L) 15 else 0
+          val mbQp = qpSlice + (if (cbpLuma != 0) r.se().toInt else 0)
+          val coeffsByRaster = Array.fill(16)(null: Array[Int])
+          if (cbpLuma == 15) {
+            for (z <- 0 until 16) {
+              val (bx, by) = zToBlockXY(z)
+              val gx = mbx * 4 + bx; val gy = mby * 4 + by
+              val (cf, total) = Cavlc.readBlock(r, 16, nCFrom(grid, gx, gy))
+              grid(gy)(gx) = total
+              coeffsByRaster(by * 4 + bx) = cf
+            }
+          }
+          // reconstruct in Z order: later blocks predict from
+          // earlier blocks' reconstructed pixels (Z order respects
+          // the left/top dependencies)
           for (z <- 0 until 16) {
             val (bx, by) = zToBlockXY(z)
             val gx = mbx * 4 + bx; val gy = mby * 4 + by
-            val (coeffs, total) = Cavlc.readBlock(r, 15, nCFrom(grid, gx, gy))
-            grid(gy)(gx) = total
-            acByRaster(by * 4 + bx) = coeffs
-          }
-        }
-        // Intra_16x16_DC luma prediction from reconstructed edges
-        val topAvail = my > 0
-        val leftAvail = mx > 0
-        val sumTop =
-          if (topAvail) (0 until 16).map(i => y((my - 1) * wpx + mx + i)).sum
-          else 0
-        val sumLeft =
-          if (leftAvail) (0 until 16).map(i => y((my + i) * wpx + mx - 1)).sum
-          else 0
-        val pred =
-          if (topAvail && leftAvail) (sumTop + sumLeft + 16) >> 5
-          else if (topAvail) (sumTop + 8) >> 4
-          else if (leftAvail) (sumLeft + 8) >> 4
-          else 128
-        var b = 0
-        while (b < 16) {
-          val bx = mx + (b % 4) * 4
-          val by = my + (b / 4) * 4
-          val acs = acByRaster(b)
-          if (acs == null || !acs.exists(_ != 0)) {
-            val v = clip(pred + ((dc(b) + 32) >> 6)) // lone-DC core
-            var i = 0
-            while (i < 16) {
-              y((by + i / 4) * wpx + bx + i % 4) = v
-              i += 1
-            }
-          } else {
-            val d = new Array[Int](16)
-            d(0) = dc(b)
-            var p = 0
-            while (p < 15) {
-              if (acs(p) != 0) {
-                val raster = zigzag4x4(p + 1)
-                d(raster) = dequantAc(acs(p), raster, mbQp)
+            val pm =
+              if (gx > 0 && gy > 0)
+                math.min(modeGrid(gy)(gx - 1), modeGrid(gy - 1)(gx))
+              else 2
+            val fr = flagRem(z)
+            val mode = if (fr < 0) pm else (if (fr < pm) fr else fr + 1)
+            require(mode <= 2,
+              s"intra 4x4 prediction mode $mode — the diagonal modes " +
+                "are the documented next rung")
+            modeGrid(gy)(gx) = mode
+            val px0 = mx + bx * 4; val py0 = my + by * 4
+            val bTop = py0 > 0
+            val bLeft = px0 > 0
+            require(mode != 0 || bTop,
+              s"vertical prediction at picture top (block $gx,$gy)")
+            require(mode != 1 || bLeft,
+              s"horizontal prediction at picture left (block $gx,$gy)")
+            val cf = coeffsByRaster(by * 4 + bx)
+            val res =
+              if (cf == null || !cf.exists(_ != 0)) null
+              else {
+                val d = new Array[Int](16)
+                var p = 0
+                while (p < 16) {
+                  if (cf(p) != 0) {
+                    val rp = zigzag4x4(p)
+                    d(rp) = dequantAc(cf(p), rp, mbQp)
+                  }
+                  p += 1
+                }
+                invTransform4x4(d)
               }
-              p += 1
-            }
-            val res = invTransform4x4(d)
+            val dcPred =
+              if (mode != 2) 0
+              else {
+                val sT = if (bTop)
+                  (0 until 4).map(j => y((py0 - 1) * wpx + px0 + j)).sum
+                else 0
+                val sL = if (bLeft)
+                  (0 until 4).map(i => y((py0 + i) * wpx + px0 - 1)).sum
+                else 0
+                if (bTop && bLeft) (sT + sL + 4) >> 3
+                else if (bTop) (sT + 2) >> 2
+                else if (bLeft) (sL + 2) >> 2
+                else 128
+              }
             var i = 0
-            while (i < 16) {
-              y((by + i / 4) * wpx + bx + i % 4) = clip(pred + res(i))
+            while (i < 4) {
+              var j = 0
+              while (j < 4) {
+                val pr = mode match {
+                  case 0 => y((py0 - 1) * wpx + px0 + j)
+                  case 1 => y((py0 + i) * wpx + px0 - 1)
+                  case _ => dcPred
+                }
+                y((py0 + i) * wpx + px0 + j) =
+                  clip(pr + (if (res == null) 0 else res(i * 4 + j)))
+                j += 1
+              }
               i += 1
             }
           }
-          b += 1
+        } else {
+          // ---- I_16x16 DC-pred (mb_type 3 / 15) -----------------
+          require(r.ue() == 0L, "intra_chroma_pred_mode != DC")
+          val mbQp = qpSlice + r.se().toInt
+          val dcScan = Cavlc.readBlock(r, 16,
+            nCFrom(grid, mbx * 4, mby * 4))._1
+          val dcRaster = new Array[Int](16)
+          for (i <- 0 until 16) dcRaster(zigzag4x4(i)) = dcScan(i)
+          val dc = invHadamard4x4(dcRaster).map(dequantDc(_, mbQp))
+          // AC residuals (mb_type 15: CodedBlockPatternLuma == 15 →
+          // all 16 blocks parse, Z order, spec nC from the grid)
+          val acByRaster = Array.fill(16)(null: Array[Int])
+          if (t == 15L) {
+            for (z <- 0 until 16) {
+              val (bx, by) = zToBlockXY(z)
+              val gx = mbx * 4 + bx; val gy = mby * 4 + by
+              val (coeffs, total) =
+                Cavlc.readBlock(r, 15, nCFrom(grid, gx, gy))
+              grid(gy)(gx) = total
+              acByRaster(by * 4 + bx) = coeffs
+            }
+          }
+          // Intra_16x16_DC luma prediction from reconstructed edges
+          val sumTop =
+            if (topAvail) (0 until 16).map(i => y((my - 1) * wpx + mx + i)).sum
+            else 0
+          val sumLeft =
+            if (leftAvail) (0 until 16).map(i => y((my + i) * wpx + mx - 1)).sum
+            else 0
+          val pred =
+            if (topAvail && leftAvail) (sumTop + sumLeft + 16) >> 5
+            else if (topAvail) (sumTop + 8) >> 4
+            else if (leftAvail) (sumLeft + 8) >> 4
+            else 128
+          var b = 0
+          while (b < 16) {
+            val bx = mx + (b % 4) * 4
+            val by = my + (b / 4) * 4
+            val acs = acByRaster(b)
+            if (acs == null || !acs.exists(_ != 0)) {
+              val v = clip(pred + ((dc(b) + 32) >> 6)) // lone-DC core
+              var i = 0
+              while (i < 16) {
+                y((by + i / 4) * wpx + bx + i % 4) = v
+                i += 1
+              }
+            } else {
+              val d = new Array[Int](16)
+              d(0) = dc(b)
+              var p = 0
+              while (p < 15) {
+                if (acs(p) != 0) {
+                  val raster = zigzag4x4(p + 1)
+                  d(raster) = dequantAc(acs(p), raster, mbQp)
+                }
+                p += 1
+              }
+              val res = invTransform4x4(d)
+              var i = 0
+              while (i < 16) {
+                y((by + i / 4) * wpx + bx + i % 4) = clip(pred + res(i))
+                i += 1
+              }
+            }
+            b += 1
+          }
         }
         // chroma: DC prediction, zero residual — byte-identical to
         // the m34 path
@@ -2371,6 +2557,13 @@ object Codecs {
     def decodeI16x16Frames(data: Array[Byte]): Iterator[PcmFrame] = {
       val sps = spsInfo(data)
       nalPayloadIterator(data).map(parseI16x16Slice(_, sps))
+    }
+
+    /** Decode a muxed MIXED intra stream (I_4x4 + I_16x16
+      * macroblocks) lazily — one picture in flight. */
+    def decodeIntraFrames(data: Array[Byte]): Iterator[PcmFrame] = {
+      val sps = spsInfo(data)
+      nalPayloadIterator(data).map(parseIntraSlice(_, sps))
     }
 
     // ---- fixture writer ------------------------------------------

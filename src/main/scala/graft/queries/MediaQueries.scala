@@ -2283,6 +2283,214 @@ object MediaQueries {
       |    (a, b) -> (a * 31 + b) % 1000000007) AS pix_fp
       |FROM cc GROUP BY doc_id""".stripMargin
 
+  // ---- m36: mixed I_4x4 / I_16x16 intra decode -----------------------
+
+  /** m36: I_4x4 INTRA PREDICTION under the hash gate — each frame is
+    * a MIXED 32×16 picture: MB0 is I_4x4 (per-block
+    * vertical/horizontal/DC modes coded against the §8.3.1.1
+    * predictor, cbp luma 15, a full 16-coefficient residual in the
+    * last-in-Z block) and MB1 is I_16x16 (m35's DC + strided-AC
+    * shape) whose DC prediction reads MB0's RECONSTRUCTED right edge
+    * — so the gate certifies the mode-predictor bitstream walk, the
+    * in-block DC dequant of the 4×4 path, and cross-macroblock
+    * prediction in one hash. The oracle stays closed-form because
+    * the residual block is LAST in Z order: every other 4×4 sees
+    * only flat-128 neighbours (any mode of a flat input is flat), so
+    * only two blocks need the linear-transform restatement. Full
+    * random-mode propagation is spec-gated against an independent
+    * reference (Round13Spec).
+    *
+    * 100 TB shape: the m33/m34/m35 contract — encode + decode run
+    * partition-local per document, one row out per doc. */
+  def m36MixedIntraDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Codecs
+    import Codecs.Mp4.{I16Mb, I4Mb}
+    Tables.spread(Tables.documents(spark, dir).select(col("doc_id"))).as[Long]
+      .mapPartitions { it =>
+        val zig = Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+        def sgn(x: Long): Int = if (x % 2 == 0) 1 else -1
+        it.map { id =>
+          val n = (2 + id % 3).toInt
+          val nals = (0 until n).map { f =>
+            // MB0: I_4x4 — modes walk {vert, horiz, DC} clamped to
+            // availability; residual only in the last-in-Z block
+            val modes = Array.tabulate(16) { b =>
+              val bx = b % 4; val by = b / 4
+              val z = 8 * (by / 2) + 4 * (bx / 2) + 2 * (by % 2) + (bx % 2)
+              if (z == 15) 2
+              else {
+                val m = ((id + f + z) % 3).toInt
+                if (m == 0 && by == 0) 2       // picture top
+                else if (m == 1 && bx == 0) 2  // picture left
+                else m
+              }
+            }
+            val ld4 = sgn(id + f) * (1 + ((id + f * 3) % 7)).toInt
+            val s4 = 1 + ((id + f) % 3).toInt
+            val p4 = 1 + ((id * 3 + f) % 4).toInt
+            val res43 = new Array[Int](16)
+            res43(0) = ld4
+            for (k <- 1 to p4)
+              res43(k * s4) = sgn(id + f + k) * (1 + ((id + f + k * 5) % 9)).toInt
+            val coeffs = Array.fill(16)(null: Array[Int])
+            coeffs(15) = res43 // raster (3,3) == Z index 15
+            // MB1: I_16x16 — lone DC + one strided AC block
+            val zd = ((id * 13 + f * 11) % 16).toInt
+            val ld16 = sgn(id + f + 1) * (1 + ((id + f) % 7)).toInt
+            val dc16 = new Array[Int](16)
+            dc16(zig(zd)) = ld16
+            val ba = ((id * 7 + f) % 16).toInt
+            val s16 = 1 + ((id + f + 1) % 3).toInt
+            val p16 = 1 + ((id * 3 + f + 2) % 4).toInt
+            val a16 = new Array[Int](15)
+            for (k <- 1 to p16)
+              a16(k * s16 - 1) =
+                sgn(id + f + k + 1) * (1 + ((id + f + k * 3) % 9)).toInt
+            val ac16 = Array.fill(16)(null: Array[Int])
+            ac16(ba) = a16
+            Seq(Codecs.Mp4.buildMixedIntraSlice(
+              Seq(I4Mb(modes, coeffs), I16Mb(dc16, ac16)), 2, 1,
+              frameNum = 0, frameNumBits = 4, idrPicId = f % 8))
+          }
+          val mp4 = Codecs.Mp4.mux(nals, keyframes = (1 to n),
+            timescale = 90000, sampleDelta = 3000, width = 32, height = 16)
+          var ys = 0L; var cbs = 0L; var crs = 0L; var fp = 0L
+          var nDec = 0
+          Codecs.Mp4.decodeIntraFrames(mp4).foreach { fr =>
+            nDec += 1
+            require(fr.width == 32 && fr.height == 16,
+              s"decoded dims ${fr.width}x${fr.height}")
+            fr.y.foreach { b =>
+              val v = b & 0xffL
+              ys += v; fp = (fp * 31 + v) % 1000000007L
+            }
+            fr.cb.foreach(b => cbs += (b & 0xffL))
+            fr.cr.foreach(b => crs += (b & 0xffL))
+          }
+          require(nDec == n, s"decoded $nDec of $n frames")
+          (id, n, 32, 16, ys, cbs, crs, fp)
+        }
+      }.toDF("doc_id", "n_frames", "width", "height", "y_sum",
+        "cb_sum", "cr_sum", "pix_fp")
+  }
+
+  /** Closed-form restatement: MB0 is flat 128 except the last-in-Z
+    * block (exact linear transform of its dequantized coefficients —
+    * the in-block DC at raster 0 uses the class-A scale); MB1's DC
+    * prediction is (12·128 + the residual block's right column + 8)
+    * >> 4, then m35's Hadamard + linear-AC form. Chroma flat 128. */
+  val m36Sql: String =
+    """WITH d AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS n
+      |  FROM documents),
+      |f AS (SELECT doc_id, n, unnest(range(n)) AS fr FROM d),
+      |par AS (SELECT doc_id, n, fr,
+      |    (CASE WHEN (doc_id + fr) % 2 = 0 THEN 1 ELSE -1 END)
+      |      * (1 + (doc_id + fr * 3) % 7) AS ld4,
+      |    1 + (doc_id + fr) % 3 AS s4,
+      |    1 + (doc_id * 3 + fr) % 4 AS p4,
+      |    [0,1,4,8,5,2,3,6,9,12,13,10,7,11,14,15]
+      |      [CAST((doc_id * 13 + fr * 11) % 16 AS INT) + 1] AS zr16,
+      |    (CASE WHEN (doc_id + fr + 1) % 2 = 0 THEN 1 ELSE -1 END)
+      |      * (1 + (doc_id + fr) % 7) AS ld16,
+      |    CAST((doc_id * 7 + fr) % 16 AS INT) AS ba,
+      |    1 + (doc_id + fr + 1) % 3 AS s16,
+      |    1 + (doc_id * 3 + fr + 2) % 4 AS p16
+      |  FROM f),
+      |c4 AS (SELECT doc_id, n, fr, zr16, ld16, ba, s16, p16,
+      |    list_prepend({'p': 0, 'l': ld4},
+      |      list_transform(range(1, 1 + p4), k ->
+      |        {'p': k * s4,
+      |         'l': (CASE WHEN (doc_id + fr + k) % 2 = 0
+      |             THEN 1 ELSE -1 END)
+      |           * (1 + (doc_id + fr + k * 5) % 9)})) AS cs4,
+      |    list_transform(range(1, 1 + p16), k ->
+      |      {'p': k * s16,
+      |       'l': (CASE WHEN (doc_id + fr + k + 1) % 2 = 0
+      |           THEN 1 ELSE -1 END)
+      |         * (1 + (doc_id + fr + k * 3) % 9)}) AS cs16
+      |  FROM par),
+      |cq AS (SELECT doc_id, n, fr, zr16, ld16, ba,
+      |    list_transform(cs4, s -> {
+      |      'u': [0,1,4,8,5,2,3,6,9,12,13,10,7,11,14,15]
+      |        [CAST(s.p AS INT) + 1] // 4,
+      |      'v': [0,1,4,8,5,2,3,6,9,12,13,10,7,11,14,15]
+      |        [CAST(s.p AS INT) + 1] % 4,
+      |      'l': s.l}) AS cs4,
+      |    list_transform(cs16, s -> {
+      |      'u': [0,1,4,8,5,2,3,6,9,12,13,10,7,11,14,15]
+      |        [CAST(s.p AS INT) + 1] // 4,
+      |      'v': [0,1,4,8,5,2,3,6,9,12,13,10,7,11,14,15]
+      |        [CAST(s.p AS INT) + 1] % 4,
+      |      'l': s.l}) AS cs16
+      |  FROM c4),
+      |dq AS (SELECT doc_id, n, fr, zr16, ld16, ba,
+      |    list_transform(cs4, s -> {'u': s.u, 'v': s.v,
+      |      'dq': s.l * (CASE WHEN s.u % 2 = 0 AND s.v % 2 = 0 THEN 13
+      |        WHEN s.u % 2 = 1 AND s.v % 2 = 1 THEN 20
+      |        ELSE 16 END) * 16}) AS cs4,
+      |    list_transform(cs16, s -> {'u': s.u, 'v': s.v,
+      |      'dq': s.l * (CASE WHEN s.u % 2 = 0 AND s.v % 2 = 0 THEN 13
+      |        WHEN s.u % 2 = 1 AND s.v % 2 = 1 THEN 20
+      |        ELSE 16 END) * 16}) AS cs16
+      |  FROM cq),
+      |p43 AS (SELECT doc_id, n, fr, zr16, ld16, ba, cs16,
+      |    list_transform(range(16), ij ->
+      |      least(255, greatest(0, 128 - 1000 + (
+      |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(cs4, s ->
+      |            CAST([[2,2,2,1],[2,1,-2,-2],[2,-1,-2,2],[2,-2,2,-1]]
+      |                [CAST(ij // 4 AS INT) + 1][s.u + 1]
+      |              * [[2,2,2,1],[2,1,-2,-2],[2,-1,-2,2],[2,-2,2,-1]]
+      |                [CAST(ij % 4 AS INT) + 1][s.v + 1]
+      |              * s.dq AS BIGINT))),
+      |          (a, b) -> a + b)
+      |        + 128 + 256000) // 256))) AS pv
+      |  FROM dq),
+      |pr AS (SELECT doc_id, n, fr, zr16, ld16, ba, cs16, pv,
+      |    (12 * 128 + pv[4] + pv[8] + pv[12] + pv[16] + 8) // 16 AS pred1
+      |  FROM p43),
+      |px AS (SELECT doc_id, n, fr,
+      |    list_transform(range(512), g ->
+      |      CASE WHEN g % 32 < 16 THEN
+      |        CASE WHEN (g // 32) // 4 = 3 AND (g % 32) // 4 = 3
+      |          THEN pv[CAST(((g // 32) % 4) * 4 + (g % 32) % 4 AS INT) + 1]
+      |          ELSE 128 END
+      |      ELSE
+      |        least(255, greatest(0, pred1 - 1000 + (
+      |          4 * ([[1,1,1,1],[1,1,-1,-1],[1,-1,-1,1],[1,-1,1,-1]]
+      |                [CAST(((g // 32) // 4) AS INT) + 1]
+      |                [CAST(zr16 // 4 AS INT) + 1]
+      |              * [[1,1,1,1],[1,1,-1,-1],[1,-1,-1,1],[1,-1,1,-1]]
+      |                [CAST((((g % 32) - 16) // 4) AS INT) + 1]
+      |                [CAST(zr16 % 4 AS INT) + 1]
+      |              * ld16 * 52)
+      |          + CASE WHEN ((g // 32) // 4) * 4 + ((g % 32) - 16) // 4 = ba
+      |            THEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |              list_transform(cs16, s ->
+      |                CAST([[2,2,2,1],[2,1,-2,-2],[2,-1,-2,2],[2,-2,2,-1]]
+      |                    [CAST((g // 32) % 4 AS INT) + 1][s.u + 1]
+      |                  * [[2,2,2,1],[2,1,-2,-2],[2,-1,-2,2],[2,-2,2,-1]]
+      |                    [CAST(((g % 32) - 16) % 4 AS INT) + 1][s.v + 1]
+      |                  * s.dq AS BIGINT))),
+      |              (a, b) -> a + b)
+      |            ELSE 0 END
+      |          + 128 + 256000) // 256))
+      |      END) AS vals
+      |  FROM pr),
+      |cc AS (SELECT doc_id, n, fr, vals,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), vals),
+      |      (a, b) -> a + b) AS ys
+      |  FROM px)
+      |SELECT doc_id, max(n) AS n_frames, 32 AS width, 16 AS height,
+      |  CAST(sum(ys) AS BIGINT) AS y_sum,
+      |  CAST(max(n) * 16384 AS BIGINT) AS cb_sum,
+      |  CAST(max(n) * 16384 AS BIGINT) AS cr_sum,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    flatten(list(vals ORDER BY fr))),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS pix_fp
+      |FROM cc GROUP BY doc_id""".stripMargin
+
   val m32Sql: String =
     """WITH d AS (SELECT doc_id, CAST(3 + doc_id % 5 AS INT) AS n
       |  FROM documents),

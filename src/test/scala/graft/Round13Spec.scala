@@ -363,4 +363,202 @@ class Round13Spec extends SparkTestBase {
       assert(a.y.toSeq === b.y.toSeq && a.cb.toSeq === b.cb.toSeq)
     }
   }
+
+  // ---- m36: I_4x4 intra prediction -----------------------------------
+
+  /** Independent sequential reference for intra pictures: same spec
+    * steps, different arithmetic path — DC via the Hadamard closed
+    * form, every 4×4 via the exact B-matrix linear transform (QP 26
+    * keeps all dequantized coefficients divisible by 4). */
+  private def refIntraDecode(mbs: Seq[graft.operators.Codecs.Mp4.IntraMb],
+      mbW: Int, mbH: Int): Array[Int] = {
+    import graft.operators.Codecs.Mp4.{I16Mb, I4Mb}
+    val B = Array(Array(2, 2, 2, 1), Array(2, 1, -2, -2),
+      Array(2, -1, -2, 2), Array(2, -2, 2, -1))
+    val H = Array(Array(1, 1, 1, 1), Array(1, 1, -1, -1),
+      Array(1, -1, -1, 1), Array(1, -1, 1, -1))
+    def clip(v: Int) = math.max(0, math.min(255, v))
+    def vtab(rp: Int) = {
+      val u = rp / 4; val v = rp % 4
+      if (u % 2 == 0 && v % 2 == 0) 13
+      else if (u % 2 == 1 && v % 2 == 1) 20 else 16
+    }
+    def lin(d: Array[Int]): Array[Int] =
+      Array.tabulate(16) { ij =>
+        val i = ij / 4; val j = ij % 4
+        val x = (for (u <- 0 until 4; v <- 0 until 4)
+          yield B(i)(u) * B(j)(v) * d(u * 4 + v)).sum
+        (x + 128) >> 8
+      }
+    val W = mbW * 16
+    val out = Array.fill(W * mbH * 16)(0)
+    val zOf = Array.tabulate(4, 4)((by, bx) =>
+      8 * (by / 2) + 4 * (bx / 2) + 2 * (by % 2) + (bx % 2))
+    mbs.zipWithIndex.foreach {
+      case (I16Mb(dcC, ac), mb) =>
+        val mx = (mb % mbW) * 16; val my = (mb / mbW) * 16
+        val had = Array.tabulate(16) { rp =>
+          (for (u <- 0 until 4; v <- 0 until 4)
+            yield H(rp / 4)(u) * H(rp % 4)(v) * dcC(u * 4 + v)).sum
+        }
+        val dc = had.map(x => x * 13 << 2)
+        val sT = if (my > 0)
+          (0 until 16).map(i => out((my - 1) * W + mx + i)).sum else 0
+        val sL = if (mx > 0)
+          (0 until 16).map(i => out((my + i) * W + mx - 1)).sum else 0
+        val pred =
+          if (my > 0 && mx > 0) (sT + sL + 16) >> 5
+          else if (my > 0) (sT + 8) >> 4
+          else if (mx > 0) (sL + 8) >> 4
+          else 128
+        for (b <- 0 until 16) {
+          val d = new Array[Int](16); d(0) = dc(b)
+          val acs = ac(b)
+          if (acs != null) for (p <- 0 until 15 if acs(p) != 0) {
+            val rp = zig(p + 1); d(rp) = acs(p) * vtab(rp) << 4
+          }
+          val res = lin(d)
+          for (i <- 0 until 4; j <- 0 until 4)
+            out((my + (b / 4) * 4 + i) * W + mx + (b % 4) * 4 + j) =
+              clip(pred + res(i * 4 + j))
+        }
+      case (I4Mb(modes, coeffs), mb) =>
+        val mx = (mb % mbW) * 16; val my = (mb / mbW) * 16
+        // Z order so earlier blocks' pixels feed later predictions
+        for (z <- 0 until 16) {
+          val bx = 2 * ((z >> 2) & 1) + (z & 1)
+          val by = 2 * ((z >> 3) & 1) + ((z >> 1) & 1)
+          assert(zOf(by)(bx) === z)
+          val px0 = mx + bx * 4; val py0 = my + by * 4
+          val mode = modes(by * 4 + bx)
+          val d = new Array[Int](16)
+          val cf = coeffs(by * 4 + bx)
+          if (cf != null) for (p <- 0 until 16 if cf(p) != 0) {
+            val rp = zig(p); d(rp) = cf(p) * vtab(rp) << 4
+          }
+          val res = lin(d)
+          val dcPred = if (mode != 2) 0 else {
+            val sT = if (py0 > 0)
+              (0 until 4).map(j => out((py0 - 1) * W + px0 + j)).sum else 0
+            val sL = if (px0 > 0)
+              (0 until 4).map(i => out((py0 + i) * W + px0 - 1)).sum else 0
+            if (py0 > 0 && px0 > 0) (sT + sL + 4) >> 3
+            else if (py0 > 0) (sT + 2) >> 2
+            else if (px0 > 0) (sL + 2) >> 2
+            else 128
+          }
+          for (i <- 0 until 4; j <- 0 until 4) {
+            val pr = mode match {
+              case 0 => out((py0 - 1) * W + px0 + j)
+              case 1 => out((py0 + i) * W + px0 - 1)
+              case _ => dcPred
+            }
+            out((py0 + i) * W + px0 + j) = clip(pr + res(i * 4 + j))
+          }
+        }
+    }
+    out
+  }
+
+  test("I_4x4 slice: random vertical/horizontal/DC modes with full " +
+    "residuals decode to the independent reference, chains " +
+    "propagating within and across macroblocks") {
+    import graft.operators.Codecs.Mp4
+    import graft.operators.Codecs.Mp4.I4Mb
+    val rnd = new scala.util.Random(436)
+    val sps = Mp4.parseSps(Mp4.buildSps(32, 32))
+    for (trial <- 0 until 6) {
+      val mbs = (0 until 4).map { mb =>
+        val mx = (mb % 2) * 16; val my = (mb / 2) * 16
+        val modes = Array.tabulate(16) { b =>
+          val bx = b % 4; val by = b / 4
+          val m = rnd.nextInt(3)
+          // clamp to sample availability at the picture edge
+          if (m == 0 && my + by * 4 == 0) 2
+          else if (m == 1 && mx + bx * 4 == 0) 2
+          else m
+        }
+        val coeffs = Array.tabulate(16) { _ =>
+          if (rnd.nextInt(4) == 0) null
+          else {
+            val a = new Array[Int](16)
+            rnd.shuffle((0 until 16).toList).take(rnd.nextInt(9))
+              .foreach(p => a(p) =
+                (if (rnd.nextBoolean()) 1 else -1) * (1 + rnd.nextInt(9)))
+            a
+          }
+        }
+        I4Mb(modes, coeffs)
+      }
+      val nal = Mp4.buildMixedIntraSlice(mbs, 2, 2, 0, 4)
+      val f = Mp4.parseIntraSlice(nal, sps)
+      assert(f.y.map(_ & 0xff).toSeq === refIntraDecode(mbs, 2, 2).toSeq,
+        s"trial $trial")
+      assert(f.cb.forall(b => (b & 0xff) == 128)) // chroma flat
+    }
+  }
+
+  test("MIXED I_4x4 / I_16x16 slice decodes to the reference; the " +
+    "I16-only parser refuses it; lazy muxed decode is frame-exact") {
+    import graft.operators.Codecs.Mp4
+    import graft.operators.Codecs.Mp4.{I16Mb, I4Mb}
+    val rnd = new scala.util.Random(1636)
+    val sps = Mp4.parseSps(Mp4.buildSps(32, 32))
+    def randI16() = I16Mb(
+      Array.fill(16)(rnd.nextInt(15) - 7),
+      Array.tabulate(16) { _ =>
+        if (rnd.nextBoolean()) null
+        else {
+          val a = new Array[Int](15)
+          rnd.shuffle((0 until 15).toList).take(rnd.nextInt(7))
+            .foreach(p => a(p) =
+              (if (rnd.nextBoolean()) 1 else -1) * (1 + rnd.nextInt(9)))
+          a
+        }
+      })
+    def randI4(mb: Int) = I4Mb(
+      Array.tabulate(16) { b =>
+        val m = rnd.nextInt(3)
+        if (m == 0 && (mb / 2) * 16 + (b / 4) * 4 == 0) 2
+        else if (m == 1 && (mb % 2) * 16 + (b % 4) * 4 == 0) 2
+        else m
+      },
+      Array.tabulate(16) { _ =>
+        val a = new Array[Int](16)
+        rnd.shuffle((0 until 16).toList).take(rnd.nextInt(6))
+          .foreach(p => a(p) =
+            (if (rnd.nextBoolean()) 1 else -1) * (1 + rnd.nextInt(9)))
+        a
+      })
+    val nals = (0 until 3).map { fidx =>
+      val mbs = (0 until 4).map(mb =>
+        if ((mb + fidx) % 2 == 0) randI16() else randI4(mb))
+      (mbs, Seq(Mp4.buildMixedIntraSlice(mbs, 2, 2, 0, 4, idrPicId = fidx)))
+    }
+    // per-frame: decoded == reference; I16-only parser refuses
+    nals.foreach { case (mbs, nal) =>
+      val f = Mp4.parseIntraSlice(nal.head, sps)
+      assert(f.y.map(_ & 0xff).toSeq === refIntraDecode(mbs, 2, 2).toSeq)
+      val e = intercept[IllegalArgumentException] {
+        Mp4.parseI16x16Slice(nal.head, sps)
+      }
+      assert(e.getMessage.contains("parseIntraSlice"))
+    }
+    // container hop, lazily
+    val mp4 = Mp4.mux(nals.map(_._2), keyframes = Seq(1, 2, 3),
+      timescale = 90000, sampleDelta = 3000, width = 32, height = 32)
+    val got = Mp4.decodeIntraFrames(mp4).toSeq
+    assert(got.size === 3)
+    got.zip(nals).foreach { case (a, (mbs, _)) =>
+      assert(a.y.map(_ & 0xff).toSeq === refIntraDecode(mbs, 2, 2).toSeq)
+    }
+    // PCM NAL refuses through the mixed parser too
+    val pcm = Mp4.buildIdrPcmSlice(Mp4.PcmFrame(16, 16,
+      Array.fill(256)(9.toByte), Array.fill(64)(1.toByte),
+      Array.fill(64)(2.toByte)), 0, 4)
+    val e2 = intercept[IllegalArgumentException] {
+      Mp4.parseIntraSlice(pcm, Mp4.parseSps(Mp4.buildSps(16, 16)))
+    }
+    assert(e2.getMessage.contains("next rung"))
+  }
 }
