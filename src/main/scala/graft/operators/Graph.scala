@@ -320,14 +320,48 @@ object Graph {
       r += 1
     }
     val executed = edgeRounds.size - 1
+    def survDeg(i: Int): DataFrame = // (node, deg) meeting k over round i
+      edgeRounds(i).groupBy(col("s")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("s").as("node"), col("deg"))
     def alive(i: Int): DataFrame =
       if (i == 0) sym.select(col("s").as("node")).distinct()
-      else surv(edgeRounds(i - 1))
+      else survDeg(i - 1).select(col("node"))
     // the alive sets are NESTED (alive_{i+1} ⊆ alive_i), so a node's
     // peel round is (deepest level it appears at) + 1 — one union of
     // INDEPENDENT agg branches over the pinned round snapshots (the
     // scheduler runs them concurrently inside the final job) + one
-    // groupBy, instead of a chain of per-round anti-joins
+    // groupBy, instead of a chain of per-round anti-joins.
+    //
+    // CONVERGED (the common exit): the last two edge sets are EQUAL,
+    // so the deepest alive agg's degrees ARE the final induced
+    // degrees — one aggregation serves both the level-`executed`
+    // presence branch and core_degree, and the old separate
+    // finalDeg groupBy + left join over edgeRounds(executed) (the
+    // largest frame still pinned) drops out of the assembly job
+    // entirely. Bounded-horizon exits (not converged) keep the
+    // two-agg spelling: a level-`executed` survivor's induced degree
+    // in the unpeeled final set can differ from its last alive
+    // degree (it may even fall below k).
+    if (done) {
+      val lastSurv = survDeg(executed - 1) // == degrees over edgeRounds(executed)
+      val presence = ((0 until executed).map(i =>
+        alive(i).select(col("node"), lit(i.toLong).as("lvl"),
+          lit(0L).as("deg"))) :+
+        lastSurv.select(col("node"), lit(executed.toLong).as("lvl"),
+          col("deg")))
+        .reduce(_ union _)
+      val byNode = presence.groupBy(col("node"))
+        .agg(max(col("lvl")).as("maxl"), max(col("deg")).as("deg"))
+      val out0 = byNode.select(col("node").as("doc_id"),
+        when(col("maxl") === executed, lit(-1L))
+          .otherwise(col("maxl") + 1L).as("peel_round"),
+        when(col("maxl") === executed, col("deg"))
+          .otherwise(lit(-1L)).as("core_degree"))
+        .snapshot()
+      edgeRounds.foreach(_.unpersist())
+      return out0
+    }
     val presence = (0 to executed).map(i =>
       alive(i).select(col("node"), lit(i.toLong).as("lvl")))
       .reduce(_ union _)

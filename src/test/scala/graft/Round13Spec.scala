@@ -150,6 +150,32 @@ class Round13Spec extends SparkTestBase {
     }
   }
 
+  // ---- g8: kCorePeel assembly fusion ---------------------------------
+
+  test("kCorePeel bounded horizon (NOT converged): level-executed " +
+    "survivors carry their induced degree in the final set, which " +
+    "can fall below k") {
+    // path 1-2-3-4-5-6, k=2, rounds=1: endpoints peel in round 1;
+    // the loop stops at the horizon before convergence. Node 2 and 5
+    // stay alive at the deepest level but their induced degree in
+    // the once-peeled edge set is 1 (< k) — the two-agg assembly
+    // branch must report that, not their pre-peel degree.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val got = graft.operators.Graph.kCorePeel(pairs, k = 2L, rounds = 1)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((1L, -1L)) && got(6L) === ((1L, -1L)))
+    assert(got(2L) === ((-1L, 1L)) && got(5L) === ((-1L, 1L)))
+    assert(got(3L) === ((-1L, 2L)) && got(4L) === ((-1L, 2L)))
+    assert(got.size === 6)
+    // and the converged run of the same graph dissolves everything
+    val full = graft.operators.Graph.kCorePeel(pairs, k = 2L, rounds = 10)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(full.values.forall(_ > 0L) && full.size === 6)
+  }
+
   // ---- m35: general CAVLC + complete I_16x16 -------------------------
 
   private val zig = Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
