@@ -2163,6 +2163,133 @@ object Codecs {
     // luma4x4BlkIdx (Z) order ↔ raster block coordinates (§6.4.3)
     private def zToBlockXY(z: Int): (Int, Int) =
       (2 * ((z >> 2) & 1) + (z & 1), 2 * ((z >> 3) & 1) + ((z >> 1) & 1))
+    private def zOfBlock(bx: Int, by: Int): Int =
+      8 * (by / 2) + 4 * (bx / 2) + 2 * (by % 2) + (bx % 2)
+
+    /** All nine Intra_4x4 prediction modes (§8.3.1.2.1–9). `top` is
+      * the 8 samples above (x = 0..7, the caller having already
+      * SUBSTITUTED unavailable above-right samples with top(3) per
+      * the spec's sample-substitution rule), `left` the 4 samples to
+      * the left, `topLeft` p[-1,-1]. Callers must only pass modes
+      * whose required samples are available (vertical/DDL/VL need
+      * top; horizontal/HU need left; DDR/VR/HD need top, left and
+      * top-left); DC handles every availability combination itself.
+      * Returns the 16 predicted samples in raster order. */
+    private[graft] def predict4x4(mode: Int, top: Array[Int],
+        left: Array[Int], topLeft: Int, topAvail: Boolean,
+        leftAvail: Boolean): Array[Int] = {
+      val o = new Array[Int](16)
+      def t(x: Int) = if (x < 0) topLeft else top(x)
+      def l(y: Int) = if (y < 0) topLeft else left(y)
+      mode match {
+        case 0 => // vertical
+          for (y <- 0 until 4; x <- 0 until 4) o(y * 4 + x) = top(x)
+        case 1 => // horizontal
+          for (y <- 0 until 4; x <- 0 until 4) o(y * 4 + x) = left(y)
+        case 2 => // DC with availability fallbacks
+          val v =
+            if (topAvail && leftAvail)
+              ((0 until 4).map(top).sum + (0 until 4).map(left).sum + 4) >> 3
+            else if (topAvail) ((0 until 4).map(top).sum + 2) >> 2
+            else if (leftAvail) ((0 until 4).map(left).sum + 2) >> 2
+            else 128
+          java.util.Arrays.fill(o, v)
+        case 3 => // diagonal down-left
+          for (y <- 0 until 4; x <- 0 until 4)
+            o(y * 4 + x) =
+              if (x == 3 && y == 3) (top(6) + 3 * top(7) + 2) >> 2
+              else (top(x + y) + 2 * top(x + y + 1) + top(x + y + 2) + 2) >> 2
+        case 4 => // diagonal down-right
+          for (y <- 0 until 4; x <- 0 until 4)
+            o(y * 4 + x) =
+              if (x > y) (t(x - y - 2) + 2 * t(x - y - 1) + t(x - y) + 2) >> 2
+              else if (x < y)
+                (l(y - x - 2) + 2 * l(y - x - 1) + l(y - x) + 2) >> 2
+              else (top(0) + 2 * topLeft + left(0) + 2) >> 2
+        case 5 => // vertical-right
+          for (y <- 0 until 4; x <- 0 until 4) {
+            val z = 2 * x - y
+            o(y * 4 + x) =
+              if (z >= 0 && z % 2 == 0)
+                (t(x - (y >> 1) - 1) + t(x - (y >> 1)) + 1) >> 1
+              else if (z > 0)
+                (t(x - (y >> 1) - 2) + 2 * t(x - (y >> 1) - 1) +
+                  t(x - (y >> 1)) + 2) >> 2
+              else if (z == -1) (left(0) + 2 * topLeft + top(0) + 2) >> 2
+              else (l(y - 1) + 2 * l(y - 2) + l(y - 3) + 2) >> 2
+          }
+        case 6 => // horizontal-down
+          for (y <- 0 until 4; x <- 0 until 4) {
+            val z = 2 * y - x
+            o(y * 4 + x) =
+              if (z >= 0 && z % 2 == 0)
+                (l(y - (x >> 1) - 1) + l(y - (x >> 1)) + 1) >> 1
+              else if (z > 0)
+                (l(y - (x >> 1) - 2) + 2 * l(y - (x >> 1) - 1) +
+                  l(y - (x >> 1)) + 2) >> 2
+              else if (z == -1) (left(0) + 2 * topLeft + top(0) + 2) >> 2
+              else (t(x - 1) + 2 * t(x - 2) + t(x - 3) + 2) >> 2
+          }
+        case 7 => // vertical-left
+          for (y <- 0 until 4; x <- 0 until 4)
+            o(y * 4 + x) =
+              if (y % 2 == 0)
+                (top(x + (y >> 1)) + top(x + (y >> 1) + 1) + 1) >> 1
+              else (top(x + (y >> 1)) + 2 * top(x + (y >> 1) + 1) +
+                top(x + (y >> 1) + 2) + 2) >> 2
+        case 8 => // horizontal-up
+          for (y <- 0 until 4; x <- 0 until 4) {
+            val z = x + 2 * y
+            o(y * 4 + x) =
+              if (z > 5) left(3)
+              else if (z == 5) (left(2) + 3 * left(3) + 2) >> 2
+              else if (z % 2 == 0)
+                (left(y + (x >> 1)) + left(y + (x >> 1) + 1) + 1) >> 1
+              else (left(y + (x >> 1)) + 2 * left(y + (x >> 1) + 1) +
+                left(y + (x >> 1) + 2) + 2) >> 2
+          }
+        case m => throw new IllegalArgumentException(
+          s"intra 4x4 prediction mode $m is not a mode")
+      }
+      o
+    }
+
+    /** The four Intra_16x16 prediction modes (§8.3.3): 0 vertical,
+      * 1 horizontal, 2 DC (with fallbacks), 3 plane. `top`/`left`
+      * are the 16 reconstructed edge samples, `topLeft` p[-1,-1].
+      * Returns 256 predicted samples in raster order. */
+    private[graft] def predict16x16(mode: Int, top: Array[Int],
+        left: Array[Int], topLeft: Int, topAvail: Boolean,
+        leftAvail: Boolean): Array[Int] = {
+      val o = new Array[Int](256)
+      def clip(v: Int) = math.max(0, math.min(255, v))
+      mode match {
+        case 0 =>
+          for (y <- 0 until 16; x <- 0 until 16) o(y * 16 + x) = top(x)
+        case 1 =>
+          for (y <- 0 until 16; x <- 0 until 16) o(y * 16 + x) = left(y)
+        case 2 =>
+          val v =
+            if (topAvail && leftAvail) (top.sum + left.sum + 16) >> 5
+            else if (topAvail) (top.sum + 8) >> 4
+            else if (leftAvail) (left.sum + 8) >> 4
+            else 128
+          java.util.Arrays.fill(o, v)
+        case 3 => // plane (§8.3.3.4)
+          def t(x: Int) = if (x < 0) topLeft else top(x)
+          def l(y: Int) = if (y < 0) topLeft else left(y)
+          val h = (0 until 8).map(i => (i + 1) * (t(8 + i) - t(6 - i))).sum
+          val v = (0 until 8).map(i => (i + 1) * (l(8 + i) - l(6 - i))).sum
+          val a = 16 * (left(15) + top(15))
+          val b = (5 * h + 32) >> 6
+          val c = (5 * v + 32) >> 6
+          for (y <- 0 until 16; x <- 0 until 16)
+            o(y * 16 + x) = clip((a + b * (x - 7) + c * (y - 7) + 16) >> 5)
+        case m => throw new IllegalArgumentException(
+          s"intra 16x16 prediction mode $m is not a mode")
+      }
+      o
+    }
 
     /** §9.2.1 nC from the per-4×4-block TotalCoeff grid (AC totals;
       * −1 grid cells mark outside-picture). */
@@ -2176,15 +2303,16 @@ object Codecs {
     }
 
     /** Macroblock fixture for [[buildMixedIntraSlice]]: an I_16x16
-      * DC-pred MB (4×4 DC block in raster order + 16 optional AC
-      * blocks by RASTER index, 15 scan coefficients each) or an
-      * I_4x4 MB (per-block desired prediction modes by RASTER index
-      * — 0 vertical, 1 horizontal, 2 DC, pre-clamped to sample
-      * availability — + 16 optional full residual blocks of 16 scan
+      * MB (4×4 DC block in raster order + 16 optional AC blocks by
+      * RASTER index, 15 scan coefficients each + a §8.3.3 prediction
+      * mode — 0 vertical, 1 horizontal, 2 DC, 3 plane) or an I_4x4
+      * MB (per-block desired prediction modes by RASTER index — the
+      * full §8.3.1 nine, 0..8, pre-clamped to sample availability —
+      * + 16 optional full residual blocks of 16 scan
       * coefficients). */
     sealed trait IntraMb
-    final case class I16Mb(dc: Array[Int],
-        ac: Array[Array[Int]]) extends IntraMb
+    final case class I16Mb(dc: Array[Int], ac: Array[Array[Int]],
+        mode: Int = 2) extends IntraMb
     final case class I4Mb(modes: Array[Int],
         coeffs: Array[Array[Int]]) extends IntraMb
 
@@ -2210,14 +2338,21 @@ object Codecs {
       val grid = Array.fill(mbH * 4, mbW * 4)(0)
       val modeGrid = Array.fill(mbH * 4, mbW * 4)(2)
       mbs.zipWithIndex.foreach {
-        case (I16Mb(dc, ac), mb) =>
+        case (I16Mb(dc, ac, mode), mb) =>
           require(dc.length == 16, "DC block is 4x4")
           require(ac.length == 16 &&
             ac.forall(a => a == null || a.length == 15),
             "16 AC blocks of 15 scan coefficients (null = all zero)")
+          require(mode >= 0 && mode <= 3, s"I_16x16 pred mode $mode")
           val mbx = mb % mbW; val mby = mb / mbW
+          require(mode != 0 || mby > 0, "I_16x16 vertical at picture top")
+          require(mode != 1 || mbx > 0, "I_16x16 horizontal at picture left")
+          require(mode != 3 || (mby > 0 && mbx > 0),
+            "I_16x16 plane needs both edges")
           val anyAc = ac.exists(a => a != null && a.exists(_ != 0))
-          w.ue(if (anyAc) 15L else 3L) // mb_type (Table 7-11)
+          // mb_type (Table 7-11): 1..4 = pred mode with cbp 0/0,
+          // 13..16 = pred mode with cbp luma 15 chroma 0
+          w.ue((if (anyAc) 13L else 1L) + mode)
           w.ue(0L)                     // intra_chroma_pred_mode: DC
           w.se(0L)                     // mb_qp_delta
           // Intra16x16DCLevel: scan order via the 4x4 zigzag, nC as
@@ -2235,8 +2370,8 @@ object Codecs {
             }
           } // mb_type 3: all AC totals stay 0 in the grid
         case (I4Mb(modes, coeffs), mb) =>
-          require(modes.length == 16 && modes.forall(m => m >= 0 && m <= 2),
-            "16 raster-indexed modes in {0 vertical, 1 horizontal, 2 DC}")
+          require(modes.length == 16 && modes.forall(m => m >= 0 && m <= 8),
+            "16 raster-indexed modes in 0..8 (§8.3.1)")
           require(coeffs.length == 16 &&
             coeffs.forall(c => c == null || c.length == 16),
             "16 residual blocks of 16 scan coefficients (null = all zero)")
@@ -2246,10 +2381,12 @@ object Codecs {
             val (bx, by) = zToBlockXY(z)
             val gx = mbx * 4 + bx; val gy = mby * 4 + by
             val desired = modes(by * 4 + bx)
-            require(desired != 0 || gy > 0,
-              s"block ($gx,$gy): vertical needs samples above")
-            require(desired != 1 || gx > 0,
-              s"block ($gx,$gy): horizontal needs samples left")
+            require(!Set(0, 3, 7)(desired) || gy > 0,
+              s"block ($gx,$gy): mode $desired needs samples above")
+            require(!Set(1, 8)(desired) || gx > 0,
+              s"block ($gx,$gy): mode $desired needs samples left")
+            require(!Set(4, 5, 6)(desired) || (gx > 0 && gy > 0),
+              s"block ($gx,$gy): mode $desired needs above AND left")
             val pm =
               if (gx > 0 && gy > 0)
                 math.min(modeGrid(gy)(gx - 1), modeGrid(gy - 1)(gx))
@@ -2342,14 +2479,18 @@ object Codecs {
         val mbx = mb % sps.mb_width; val mby = mb / sps.mb_width
         val mx = mbx * 16; val my = mby * 16
         val t = r.ue()
-        require(t == 3L || t == 15L || (t == 0L && allowI4x4),
+        // I_16x16 with CodedBlockPatternChroma 0 (Table 7-11): 1..4
+        // = pred modes 0..3 with luma cbp 0, 13..16 = the same with
+        // luma cbp 15
+        val isI16 = (t >= 1L && t <= 4L) || (t >= 13L && t <= 16L)
+        require(isI16 || (t == 0L && allowI4x4),
           if (t == 0L)
             s"macroblock $mb is I_4x4 — outside this parser's " +
               "I_16x16-only envelope (decode with parseIntraSlice)"
           else
             s"macroblock $mb outside the intra envelope (mb_type $t) " +
-              "— I_PCM inside a mixed slice, chroma residuals and " +
-              "further prediction modes are the documented next rungs")
+              "— I_PCM inside a mixed slice and chroma residuals " +
+              "are the documented next rungs")
         val topAvail = my > 0
         val leftAvail = mx > 0
         if (t == 0L) {
@@ -2389,17 +2530,17 @@ object Codecs {
               else 2
             val fr = flagRem(z)
             val mode = if (fr < 0) pm else (if (fr < pm) fr else fr + 1)
-            require(mode <= 2,
-              s"intra 4x4 prediction mode $mode — the diagonal modes " +
-                "are the documented next rung")
             modeGrid(gy)(gx) = mode
             val px0 = mx + bx * 4; val py0 = my + by * 4
             val bTop = py0 > 0
             val bLeft = px0 > 0
-            require(mode != 0 || bTop,
-              s"vertical prediction at picture top (block $gx,$gy)")
-            require(mode != 1 || bLeft,
-              s"horizontal prediction at picture left (block $gx,$gy)")
+            require((mode != 0 && mode != 3 && mode != 7) || bTop,
+              s"mode $mode needs samples above (block $gx,$gy)")
+            require((mode != 1 && mode != 8) || bLeft,
+              s"mode $mode needs samples left (block $gx,$gy)")
+            require((mode != 4 && mode != 5 && mode != 6) ||
+              (bTop && bLeft),
+              s"mode $mode needs samples above AND left (block $gx,$gy)")
             val cf = coeffsByRaster(by * 4 + bx)
             val res =
               if (cf == null || !cf.exists(_ != 0)) null
@@ -2415,38 +2556,51 @@ object Codecs {
                 }
                 invTransform4x4(d)
               }
-            val dcPred =
-              if (mode != 2) 0
-              else {
-                val sT = if (bTop)
-                  (0 until 4).map(j => y((py0 - 1) * wpx + px0 + j)).sum
-                else 0
-                val sL = if (bLeft)
-                  (0 until 4).map(i => y((py0 + i) * wpx + px0 - 1)).sum
-                else 0
-                if (bTop && bLeft) (sT + sL + 4) >> 3
-                else if (bTop) (sT + 2) >> 2
-                else if (bLeft) (sL + 2) >> 2
-                else 128
+            // gather prediction samples; above-right (top 4..7)
+            // substitutes top(3) when the source block is outside
+            // the picture or not yet decoded in MB-raster/Z order
+            // (§8.3.1.2's sample substitution)
+            val top = new Array[Int](8)
+            if (bTop) {
+              for (x <- 0 until 4) top(x) = y((py0 - 1) * wpx + px0 + x)
+              val trGx = gx + 1; val trGy = gy - 1
+              val trDecoded = trGx < sps.mb_width * 4 && trGy >= 0 && {
+                val trMb = (trGy / 4) * sps.mb_width + trGx / 4
+                trMb < mb || (trMb == mb &&
+                  zOfBlock(trGx % 4, trGy % 4) < z)
               }
+              for (x <- 4 until 8)
+                top(x) =
+                  if (trDecoded) y((py0 - 1) * wpx + px0 + x) else top(3)
+            }
+            val leftS = new Array[Int](4)
+            if (bLeft)
+              for (i <- 0 until 4) leftS(i) = y((py0 + i) * wpx + px0 - 1)
+            val tl =
+              if (bTop && bLeft) y((py0 - 1) * wpx + px0 - 1) else 0
+            val pred = predict4x4(mode, top, leftS, tl, bTop, bLeft)
             var i = 0
             while (i < 4) {
               var j = 0
               while (j < 4) {
-                val pr = mode match {
-                  case 0 => y((py0 - 1) * wpx + px0 + j)
-                  case 1 => y((py0 + i) * wpx + px0 - 1)
-                  case _ => dcPred
-                }
                 y((py0 + i) * wpx + px0 + j) =
-                  clip(pr + (if (res == null) 0 else res(i * 4 + j)))
+                  clip(pred(i * 4 + j) +
+                    (if (res == null) 0 else res(i * 4 + j)))
                 j += 1
               }
               i += 1
             }
           }
         } else {
-          // ---- I_16x16 DC-pred (mb_type 3 / 15) -----------------
+          // ---- I_16x16 (mb_type 1..4 / 13..16) ------------------
+          val predMode = (if (t <= 4L) t - 1L else t - 13L).toInt
+          val cbp15 = t >= 13L
+          require(predMode != 0 || topAvail,
+            s"I_16x16 vertical at picture top (mb $mb)")
+          require(predMode != 1 || leftAvail,
+            s"I_16x16 horizontal at picture left (mb $mb)")
+          require(predMode != 3 || (topAvail && leftAvail),
+            s"I_16x16 plane needs both edges (mb $mb)")
           require(r.ue() == 0L, "intra_chroma_pred_mode != DC")
           val mbQp = qpSlice + r.se().toInt
           val dcScan = Cavlc.readBlock(r, 16,
@@ -2454,10 +2608,10 @@ object Codecs {
           val dcRaster = new Array[Int](16)
           for (i <- 0 until 16) dcRaster(zigzag4x4(i)) = dcScan(i)
           val dc = invHadamard4x4(dcRaster).map(dequantDc(_, mbQp))
-          // AC residuals (mb_type 15: CodedBlockPatternLuma == 15 →
-          // all 16 blocks parse, Z order, spec nC from the grid)
+          // AC residuals (CodedBlockPatternLuma == 15 → all 16
+          // blocks parse, Z order, spec nC from the grid)
           val acByRaster = Array.fill(16)(null: Array[Int])
-          if (t == 15L) {
+          if (cbp15) {
             for (z <- 0 until 16) {
               val (bx, by) = zToBlockXY(z)
               val gx = mbx * 4 + bx; val gy = mby * 4 + by
@@ -2467,28 +2621,29 @@ object Codecs {
               acByRaster(by * 4 + bx) = coeffs
             }
           }
-          // Intra_16x16_DC luma prediction from reconstructed edges
-          val sumTop =
-            if (topAvail) (0 until 16).map(i => y((my - 1) * wpx + mx + i)).sum
-            else 0
-          val sumLeft =
-            if (leftAvail) (0 until 16).map(i => y((my + i) * wpx + mx - 1)).sum
-            else 0
-          val pred =
-            if (topAvail && leftAvail) (sumTop + sumLeft + 16) >> 5
-            else if (topAvail) (sumTop + 8) >> 4
-            else if (leftAvail) (sumLeft + 8) >> 4
-            else 128
+          // Intra_16x16 prediction from reconstructed edges
+          val topE = new Array[Int](16)
+          if (topAvail)
+            for (x <- 0 until 16) topE(x) = y((my - 1) * wpx + mx + x)
+          val leftE = new Array[Int](16)
+          if (leftAvail)
+            for (i <- 0 until 16) leftE(i) = y((my + i) * wpx + mx - 1)
+          val tl =
+            if (topAvail && leftAvail) y((my - 1) * wpx + mx - 1) else 0
+          val pred = predict16x16(predMode, topE, leftE, tl,
+            topAvail, leftAvail)
           var b = 0
           while (b < 16) {
             val bx = mx + (b % 4) * 4
             val by = my + (b / 4) * 4
             val acs = acByRaster(b)
             if (acs == null || !acs.exists(_ != 0)) {
-              val v = clip(pred + ((dc(b) + 32) >> 6)) // lone-DC core
+              val v = (dc(b) + 32) >> 6 // lone-DC core
               var i = 0
               while (i < 16) {
-                y((by + i / 4) * wpx + bx + i % 4) = v
+                val yy = by + i / 4; val xx = bx + i % 4
+                y(yy * wpx + xx) =
+                  clip(pred((yy - my) * 16 + (xx - mx)) + v)
                 i += 1
               }
             } else {
@@ -2505,7 +2660,9 @@ object Codecs {
               val res = invTransform4x4(d)
               var i = 0
               while (i < 16) {
-                y((by + i / 4) * wpx + bx + i % 4) = clip(pred + res(i))
+                val yy = by + i / 4; val xx = bx + i % 4
+                y(yy * wpx + xx) =
+                  clip(pred((yy - my) * 16 + (xx - mx)) + res(i))
                 i += 1
               }
             }

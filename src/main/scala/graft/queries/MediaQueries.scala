@@ -2491,6 +2491,327 @@ object MediaQueries {
       |    (a, b) -> (a * 31 + b) % 1000000007) AS pix_fp
       |FROM cc GROUP BY doc_id""".stripMargin
 
+  // ---- m37: the remaining intra prediction modes ---------------------
+
+  /** m37: ALL remaining intra prediction modes under the hash gate —
+    * with m35/m36 this completes the BASELINE INTRA PREDICTION
+    * surface (every §8.3.1 I_4x4 mode 0..8, every §8.3.3 I_16x16
+    * mode 0..3). Each frame is a 32×32 2×2-MB picture wired so every
+    * prediction reads NON-FLAT reconstructed edges yet stays
+    * closed-form for the oracle: MB0 (I_16x16 DC + AC residual, the
+    * m35 shape) seeds non-flat edges; MB1 predicts HORIZONTAL from
+    * MB0's right column and MB2 VERTICAL from MB0's bottom row (each
+    * with a lone-DC residual — mb_types 2/14 and 1/13 walk the
+    * Table 7-11 rows m35 never touched); MB3 alternates per frame
+    * between I_16x16 PLANE (mb_type 4 — the full §8.3.3.4 H/V
+    * arithmetic over MB1/MB2's reconstructed edges) and an I_4x4 MB
+    * whose first-in-Z block walks the six DIAGONAL modes (3..8)
+    * against those same edges while the remaining 15 blocks chain DC
+    * averages (each a closed-form constant because DC of flat inputs
+    * is flat). Mode-predictor flag/rem coding, cross-MB edge
+    * gathering and the top-right-availability rule are all load-
+    * bearing for the hash. Random-mode propagation incl. top-right
+    * SUBSTITUTION is spec-gated against an integration reference
+    * (Round13bSpec); the predictors themselves are property-pinned
+    * (constants, edge-copying, VR/HD transpose duality, ramp
+    * continuation, tilted-plane reproduction).
+    *
+    * 100 TB shape: the m33..m36 contract — encode + decode run
+    * partition-local per document, one row out per doc. */
+  def m37IntraModes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Codecs
+    import Codecs.Mp4.{I16Mb, I4Mb}
+    Tables.spread(Tables.documents(spark, dir).select(col("doc_id"))).as[Long]
+      .mapPartitions { it =>
+        val zig = Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+        def sgn(x: Long): Int = if (x % 2 == 0) 1 else -1
+        it.map { id =>
+          val n = (2 + id % 3).toInt
+          val nals = (0 until n).map { f =>
+            // MB0: I_16x16 DC-pred, lone DC + one strided AC block
+            val dc0 = new Array[Int](16)
+            dc0(zig(((id * 13 + f * 11) % 16).toInt)) =
+              sgn(id + f) * (1 + ((id + f * 3) % 7)).toInt
+            val ba0 = ((id * 7 + f) % 16).toInt
+            val s0 = 1 + ((id + f) % 3).toInt
+            val p0n = 1 + ((id * 3 + f) % 4).toInt
+            val a0 = new Array[Int](15)
+            for (k <- 1 to p0n)
+              a0(k * s0 - 1) = sgn(id + f + k) * (1 + ((id + f + k * 5) % 9)).toInt
+            val ac0 = Array.fill(16)(null: Array[Int]); ac0(ba0) = a0
+            // MB1: I_16x16 HORIZONTAL, lone-DC residual (mb_type 14)
+            val dc1 = new Array[Int](16)
+            dc1(zig(((id * 7 + f * 3) % 16).toInt)) =
+              sgn(id + f + 1) * (1 + ((id * 2 + f) % 7)).toInt
+            // MB2: I_16x16 VERTICAL, lone-DC residual (mb_type 13)
+            val dc2 = new Array[Int](16)
+            dc2(zig(((id * 11 + f * 5) % 16).toInt)) =
+              sgn(id + f) * (1 + ((id * 3 + f * 2) % 7)).toInt
+            // MB3: plane or an I_4x4 diagonal walk, by frame parity
+            val mb3: Codecs.Mp4.IntraMb =
+              if ((id + f) % 2 == 0)
+                I16Mb(new Array[Int](16), Array.fill(16)(null), mode = 3)
+              else {
+                val m4 = 3 + ((id + 2 * f) % 6).toInt
+                val modes = Array.fill(16)(2); modes(0) = m4
+                I4Mb(modes, Array.fill(16)(null))
+              }
+            // lone-DC MBs carry their residual in the always-present
+            // Intra16x16DC block, so cbp stays 0 (mb_types 2 and 1)
+            Seq(Codecs.Mp4.buildMixedIntraSlice(
+              Seq(I16Mb(dc0, ac0), I16Mb(dc1, Array.fill(16)(null), 1),
+                I16Mb(dc2, Array.fill(16)(null), 0), mb3), 2, 2,
+              frameNum = 0, frameNumBits = 4, idrPicId = f % 8))
+          }
+          val mp4 = Codecs.Mp4.mux(nals, keyframes = (1 to n),
+            timescale = 90000, sampleDelta = 3000, width = 32, height = 32)
+          var ys = 0L; var cbs = 0L; var crs = 0L; var fp = 0L
+          var nDec = 0
+          Codecs.Mp4.decodeIntraFrames(mp4).foreach { fr =>
+            nDec += 1
+            require(fr.width == 32 && fr.height == 32,
+              s"decoded dims ${fr.width}x${fr.height}")
+            fr.y.foreach { b =>
+              val v = b & 0xffL
+              ys += v; fp = (fp * 31 + v) % 1000000007L
+            }
+            fr.cb.foreach(b => cbs += (b & 0xffL))
+            fr.cr.foreach(b => crs += (b & 0xffL))
+          }
+          require(nDec == n, s"decoded $nDec of $n frames")
+          (id, n, 32, 32, ys, cbs, crs, fp)
+        }
+      }.toDF("doc_id", "n_frames", "width", "height", "y_sum",
+        "cb_sum", "cr_sum", "pix_fp")
+  }
+
+  /** Emit the 16 Z0 predicted-pixel SQL expressions for diagonal
+    * mode `m` over `t16` (MB1's reconstructed bottom row — Z0's top
+    * 0..3 plus available top-right 4..7), `lf16` (MB2's right
+    * column) and `tl0` (MB0's corner) — the §8.3.1.2 formulas as a
+    * DuckDB list literal (all operands non-negative, so `//` is
+    * exact floor). */
+  private def i4PredSqlList(m: Int): String = {
+    def t(k: Int) = if (k < 0) "tl0" else s"t16[${k + 1}]"
+    def l(k: Int) = if (k < 0) "tl0" else s"lf16[${k + 1}]"
+    val exprs = for (y <- 0 until 4; x <- 0 until 4) yield m match {
+      case 3 =>
+        if (x == 3 && y == 3) s"(${t(6)} + 3 * ${t(7)} + 2) // 4"
+        else s"(${t(x + y)} + 2 * ${t(x + y + 1)} + ${t(x + y + 2)} + 2) // 4"
+      case 4 =>
+        if (x > y)
+          s"(${t(x - y - 2)} + 2 * ${t(x - y - 1)} + ${t(x - y)} + 2) // 4"
+        else if (x < y)
+          s"(${l(y - x - 2)} + 2 * ${l(y - x - 1)} + ${l(y - x)} + 2) // 4"
+        else s"(${t(0)} + 2 * tl0 + ${l(0)} + 2) // 4"
+      case 5 =>
+        val z = 2 * x - y
+        if (z >= 0 && z % 2 == 0)
+          s"(${t(x - (y >> 1) - 1)} + ${t(x - (y >> 1))} + 1) // 2"
+        else if (z > 0)
+          s"(${t(x - (y >> 1) - 2)} + 2 * ${t(x - (y >> 1) - 1)} + " +
+            s"${t(x - (y >> 1))} + 2) // 4"
+        else if (z == -1) s"(${l(0)} + 2 * tl0 + ${t(0)} + 2) // 4"
+        else s"(${l(y - 1)} + 2 * ${l(y - 2)} + ${l(y - 3)} + 2) // 4"
+      case 6 =>
+        val z = 2 * y - x
+        if (z >= 0 && z % 2 == 0)
+          s"(${l(y - (x >> 1) - 1)} + ${l(y - (x >> 1))} + 1) // 2"
+        else if (z > 0)
+          s"(${l(y - (x >> 1) - 2)} + 2 * ${l(y - (x >> 1) - 1)} + " +
+            s"${l(y - (x >> 1))} + 2) // 4"
+        else if (z == -1) s"(${l(0)} + 2 * tl0 + ${t(0)} + 2) // 4"
+        else s"(${t(x - 1)} + 2 * ${t(x - 2)} + ${t(x - 3)} + 2) // 4"
+      case 7 =>
+        if (y % 2 == 0)
+          s"(${t(x + (y >> 1))} + ${t(x + (y >> 1) + 1)} + 1) // 2"
+        else s"(${t(x + (y >> 1))} + 2 * ${t(x + (y >> 1) + 1)} + " +
+          s"${t(x + (y >> 1) + 2)} + 2) // 4"
+      case 8 =>
+        val z = x + 2 * y
+        if (z > 5) l(3)
+        else if (z == 5) s"(${l(2)} + 3 * ${l(3)} + 2) // 4"
+        else if (z % 2 == 0)
+          s"(${l(y + (x >> 1))} + ${l(y + (x >> 1) + 1)} + 1) // 2"
+        else s"(${l(y + (x >> 1))} + 2 * ${l(y + (x >> 1) + 1)} + " +
+          s"${l(y + (x >> 1) + 2)} + 2) // 4"
+      case other => throw new IllegalArgumentException(s"mode $other")
+    }
+    "[" + exprs.mkString(",\n        ") + "]"
+  }
+
+  /** Closed-form restatement of m37: MB0 per the m35 linear form;
+    * MB1/MB2 copy MB0's reconstructed edges plus their lone-DC
+    * Hadamard residuals; MB3 is either the full §8.3.3.4 plane
+    * arithmetic or the generated diagonal-mode Z0 list plus 15
+    * chained DC constants. Chroma flat 128. */
+  val m37Sql: String = {
+    val hLit = "[[1,1,1,1],[1,1,-1,-1],[1,-1,-1,1],[1,-1,1,-1]]"
+    val bLit = "[[2,2,2,1],[2,1,-2,-2],[2,-1,-2,2],[2,-2,2,-1]]"
+    val zzLit = "[0,1,4,8,5,2,3,6,9,12,13,10,7,11,14,15]"
+    val diagCase = (3 to 8).map(m =>
+      s"WHEN ${m} THEN ${i4PredSqlList(m)}").mkString("\n      ")
+    s"""WITH d AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS n
+      |  FROM documents),
+      |f AS (SELECT doc_id, n, unnest(range(n)) AS fr FROM d),
+      |par AS (SELECT doc_id, n, fr,
+      |    $zzLit[CAST((doc_id * 13 + fr * 11) % 16 AS INT) + 1] AS zr0,
+      |    (CASE WHEN (doc_id + fr) % 2 = 0 THEN 1 ELSE -1 END)
+      |      * (1 + (doc_id + fr * 3) % 7) AS ld0,
+      |    CAST((doc_id * 7 + fr) % 16 AS INT) AS ba0,
+      |    1 + (doc_id + fr) % 3 AS s0,
+      |    1 + (doc_id * 3 + fr) % 4 AS p0n,
+      |    $zzLit[CAST((doc_id * 7 + fr * 3) % 16 AS INT) + 1] AS zr1,
+      |    (CASE WHEN (doc_id + fr + 1) % 2 = 0 THEN 1 ELSE -1 END)
+      |      * (1 + (doc_id * 2 + fr) % 7) AS ld1,
+      |    $zzLit[CAST((doc_id * 11 + fr * 5) % 16 AS INT) + 1] AS zr2,
+      |    (CASE WHEN (doc_id + fr) % 2 = 0 THEN 1 ELSE -1 END)
+      |      * (1 + (doc_id * 3 + fr * 2) % 7) AS ld2,
+      |    CAST((doc_id + fr) % 2 AS INT) AS q,
+      |    CAST(3 + (doc_id + 2 * fr) % 6 AS INT) AS m4
+      |  FROM f),
+      |cq AS (SELECT *,
+      |    list_transform(
+      |      list_transform(range(1, 1 + p0n), k -> {'p': k * s0,
+      |        'l': (CASE WHEN (doc_id + fr + k) % 2 = 0 THEN 1 ELSE -1 END)
+      |          * (1 + (doc_id + fr + k * 5) % 9)}),
+      |      s -> {'u': $zzLit[CAST(s.p AS INT) + 1] // 4,
+      |            'v': $zzLit[CAST(s.p AS INT) + 1] % 4,
+      |            'l': s.l}) AS cs0p
+      |  FROM par),
+      |dq AS (SELECT *,
+      |    list_transform(cs0p, s -> {'u': s.u, 'v': s.v,
+      |      'dq': s.l * (CASE WHEN s.u % 2 = 0 AND s.v % 2 = 0 THEN 13
+      |        WHEN s.u % 2 = 1 AND s.v % 2 = 1 THEN 20
+      |        ELSE 16 END) * 16}) AS cs0,
+      |    list_transform(range(16), b ->
+      |      ($hLit[CAST(b // 4 AS INT) + 1][CAST(zr1 // 4 AS INT) + 1]
+      |       * $hLit[CAST(b % 4 AS INT) + 1][CAST(zr1 % 4 AS INT) + 1]
+      |       * ld1 * 52 + 32 + 6400) // 64 - 100) AS dcr1,
+      |    list_transform(range(16), b ->
+      |      ($hLit[CAST(b // 4 AS INT) + 1][CAST(zr2 // 4 AS INT) + 1]
+      |       * $hLit[CAST(b % 4 AS INT) + 1][CAST(zr2 % 4 AS INT) + 1]
+      |       * ld2 * 52 + 32 + 6400) // 64 - 100) AS dcr2
+      |  FROM cq),
+      |p0 AS (SELECT *,
+      |    list_transform(range(256), g ->
+      |      least(255, greatest(0, 128 - 1000 + (
+      |        4 * ($hLit[CAST(((g // 16) // 4) AS INT) + 1]
+      |              [CAST(zr0 // 4 AS INT) + 1]
+      |            * $hLit[CAST(((g % 16) // 4) AS INT) + 1]
+      |              [CAST(zr0 % 4 AS INT) + 1]
+      |            * ld0 * 52)
+      |        + CASE WHEN ((g // 16) // 4) * 4 + (g % 16) // 4 = ba0
+      |          THEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |            list_transform(cs0, s ->
+      |              CAST($bLit[CAST((g // 16) % 4 AS INT) + 1][s.u + 1]
+      |                 * $bLit[CAST((g % 16) % 4 AS INT) + 1][s.v + 1]
+      |                 * s.dq AS BIGINT))), (a, b) -> a + b)
+      |          ELSE 0 END
+      |        + 128 + 256000) // 256))) AS p0v
+      |  FROM dq),
+      |ed AS (SELECT *,
+      |    list_transform(range(16), i ->
+      |      p0v[CAST(i * 16 AS INT) + 16]) AS l0,
+      |    list_transform(range(16), i -> p0v[CAST(240 + i AS INT) + 1]) AS b0,
+      |    p0v[256] AS tl0
+      |  FROM p0),
+      |eg AS (SELECT *,
+      |    list_transform(range(16), x ->
+      |      least(255, greatest(0, l0[16] + dcr1[CAST(12 + x // 4 AS INT) + 1]))) AS t16,
+      |    list_transform(range(16), yy ->
+      |      least(255, greatest(0, b0[16] + dcr2[CAST((yy // 4) * 4 + 3 AS INT) + 1]))) AS lf16
+      |  FROM ed),
+      |pl AS (SELECT *,
+      |    (1 * (t16[9] - t16[7]) + 2 * (t16[10] - t16[6])
+      |     + 3 * (t16[11] - t16[5]) + 4 * (t16[12] - t16[4])
+      |     + 5 * (t16[13] - t16[3]) + 6 * (t16[14] - t16[2])
+      |     + 7 * (t16[15] - t16[1]) + 8 * (t16[16] - tl0)) AS hh,
+      |    (1 * (lf16[9] - lf16[7]) + 2 * (lf16[10] - lf16[6])
+      |     + 3 * (lf16[11] - lf16[5]) + 4 * (lf16[12] - lf16[4])
+      |     + 5 * (lf16[13] - lf16[3]) + 6 * (lf16[14] - lf16[2])
+      |     + 7 * (lf16[15] - lf16[1]) + 8 * (lf16[16] - tl0)) AS vv,
+      |    16 * (lf16[16] + t16[16]) AS aa
+      |  FROM eg),
+      |pb AS (SELECT *,
+      |    (5 * hh + 32 + 64000) // 64 - 1000 AS bb,
+      |    (5 * vv + 32 + 64000) // 64 - 1000 AS cc2
+      |  FROM pl),
+      |z0 AS (SELECT *,
+      |    CASE m4
+      |      $diagCase
+      |      END AS z0p
+      |  FROM pb),
+      |ch1 AS (SELECT *,
+      |    (t16[5] + t16[6] + t16[7] + t16[8]
+      |     + z0p[4] + z0p[8] + z0p[12] + z0p[16] + 4) // 8 AS c1,
+      |    (z0p[13] + z0p[14] + z0p[15] + z0p[16]
+      |     + lf16[5] + lf16[6] + lf16[7] + lf16[8] + 4) // 8 AS c2
+      |  FROM z0),
+      |ch2 AS (SELECT *,
+      |    (4 * c1 + 4 * c2 + 4) // 8 AS c3,
+      |    (t16[9] + t16[10] + t16[11] + t16[12] + 4 * c1 + 4) // 8 AS c4,
+      |    (4 * c2 + lf16[9] + lf16[10] + lf16[11] + lf16[12] + 4) // 8 AS c8
+      |  FROM ch1),
+      |ch3 AS (SELECT *,
+      |    (t16[13] + t16[14] + t16[15] + t16[16] + 4 * c4 + 4) // 8 AS c5,
+      |    (4 * c4 + 4 * c3 + 4) // 8 AS c6,
+      |    (4 * c3 + 4 * c8 + 4) // 8 AS c9,
+      |    (4 * c8 + lf16[13] + lf16[14] + lf16[15] + lf16[16] + 4) // 8 AS c10
+      |  FROM ch2),
+      |ch4 AS (SELECT *,
+      |    (4 * c5 + 4 * c6 + 4) // 8 AS c7,
+      |    (4 * c9 + 4 * c10 + 4) // 8 AS c11,
+      |    (4 * c6 + 4 * c9 + 4) // 8 AS c12
+      |  FROM ch3),
+      |ch5 AS (SELECT *,
+      |    (4 * c7 + 4 * c12 + 4) // 8 AS c13,
+      |    (4 * c12 + 4 * c11 + 4) // 8 AS c14
+      |  FROM ch4),
+      |ch6 AS (SELECT *,
+      |    (4 * c13 + 4 * c14 + 4) // 8 AS c15
+      |  FROM ch5),
+      |mv AS (SELECT *,
+      |    [CAST(0 AS BIGINT), c1, c4, c5, c2, c3, c6, c7,
+      |     c8, c9, c12, c13, c10, c11, c14, c15] AS mbc
+      |  FROM ch6),
+      |px AS (SELECT doc_id, n, fr,
+      |    list_transform(range(1024), g ->
+      |      CASE
+      |        WHEN g % 32 < 16 AND g // 32 < 16
+      |          THEN p0v[CAST((g // 32) * 16 + g % 32 AS INT) + 1]
+      |        WHEN g % 32 >= 16 AND g // 32 < 16
+      |          THEN least(255, greatest(0,
+      |            l0[CAST(g // 32 AS INT) + 1]
+      |            + dcr1[CAST((g // 32 // 4) * 4 + (g % 32 - 16) // 4 AS INT) + 1]))
+      |        WHEN g % 32 < 16 AND g // 32 >= 16
+      |          THEN least(255, greatest(0,
+      |            b0[CAST(g % 32 AS INT) + 1]
+      |            + dcr2[CAST(((g // 32 - 16) // 4) * 4 + (g % 32) // 4 AS INT) + 1]))
+      |        WHEN q = 0
+      |          THEN least(255, greatest(0,
+      |            (aa + bb * ((g % 32 - 16) - 7) + cc2 * ((g // 32 - 16) - 7)
+      |             + 16 + 32000) // 32 - 1000))
+      |        WHEN (g // 32 - 16) // 4 = 0 AND (g % 32 - 16) // 4 = 0
+      |          THEN z0p[CAST(((g // 32 - 16) % 4) * 4 + (g % 32 - 16) % 4 AS INT) + 1]
+      |        ELSE mbc[CAST(((g // 32 - 16) // 4) * 4 + (g % 32 - 16) // 4 AS INT) + 1]
+      |      END) AS vals
+      |  FROM mv),
+      |cc AS (SELECT doc_id, n, fr, vals,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), vals),
+      |      (a, b) -> a + b) AS ys
+      |  FROM px)
+      |SELECT doc_id, max(n) AS n_frames, 32 AS width, 32 AS height,
+      |  CAST(sum(ys) AS BIGINT) AS y_sum,
+      |  CAST(max(n) * 32768 AS BIGINT) AS cb_sum,
+      |  CAST(max(n) * 32768 AS BIGINT) AS cr_sum,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    flatten(list(vals ORDER BY fr))),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS pix_fp
+      |FROM cc GROUP BY doc_id""".stripMargin
+  }
+
   val m32Sql: String =
     """WITH d AS (SELECT doc_id, CAST(3 + doc_id % 5 AS INT) AS n
       |  FROM documents),
