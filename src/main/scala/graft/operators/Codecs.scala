@@ -1803,13 +1803,26 @@ object Codecs {
           8, 10, 13, 8, 13, 7, 9, 12, 9, 12, 11, 10, 5, 8, 7, 6,
           1, 4, 3, 2))
 
+      // Table 9-5's chroma-DC column (nC == -1, 4:2:0 — maxNumCoeff
+      // 4): flattened [4*total + t1s] -> (len, value)
+      private[graft] val ctChromaDcLen: Array[Int] = Array(
+        2, 0, 0, 0, 6, 1, 0, 0, 6, 6, 3, 0, 6, 7, 7, 6, 6, 8, 8, 7)
+      private[graft] val ctChromaDcBits: Array[Int] = Array(
+        1, 0, 0, 0, 7, 1, 0, 0, 4, 6, 1, 0, 3, 3, 2, 5, 2, 3, 2, 0)
+
       /** coeff_token write: (TrailingOnes, TotalCoeff) under the nC
         * context (§9.2.1): nC >= 8 is the 6-bit FLC column —
-        * 4·(TotalCoeff−1) + TrailingOnes, with (0,0) ↦ 3. */
+        * 4·(TotalCoeff−1) + TrailingOnes, with (0,0) ↦ 3; nC == -1
+        * is the chroma-DC column. */
       private[graft] def writeCoeffToken(w: BitWriter, nC: Int,
           t1s: Int, total: Int): Unit = {
-        require(nC >= 0, s"chroma-DC context (nC $nC) is outside the " +
-          "m35 envelope — chroma residuals are the documented next rung")
+        if (nC == -1) {
+          val len = ctChromaDcLen(4 * total + t1s)
+          require(len > 0, s"invalid chroma-DC coeff_token ($t1s, $total)")
+          w.u(ctChromaDcBits(4 * total + t1s).toLong, len)
+          return
+        }
+        require(nC >= 0, s"coeff_token context nC $nC")
         if (nC >= 8) {
           val v = if (total == 0) 3 else 4 * (total - 1) + t1s
           w.u(v.toLong, 6)
@@ -1823,8 +1836,23 @@ object Codecs {
 
       /** coeff_token read → (TrailingOnes, TotalCoeff). */
       private[graft] def readCoeffToken(r: BitReader, nC: Int): (Int, Int) = {
-        require(nC >= 0, s"chroma-DC context (nC $nC) is outside the " +
-          "m35 envelope — chroma residuals are the documented next rung")
+        if (nC == -1) {
+          var code = 0
+          var bits = 0
+          while (bits < 8) {
+            code = (code << 1) | r.u(1).toInt
+            bits += 1
+            var i = 0
+            while (i < 20) {
+              if (ctChromaDcLen(i) == bits && ctChromaDcBits(i) == code)
+                return (i % 4, i / 4)
+              i += 1
+            }
+          }
+          throw new IllegalArgumentException(
+            "chroma-DC coeff_token codeword unmatched")
+        }
+        require(nC >= 0, s"coeff_token context nC $nC")
         if (nC >= 8) {
           val v = r.u(6).toInt
           if (v == 3) (0, 0)
@@ -1892,12 +1920,26 @@ object Codecs {
         Array(0, 1, 1),
         Array(0, 1))
 
-      private[graft] def writeTotalZeros(w: BitWriter, total: Int,
-          tz: Int): Unit =
-        w.u(tzBits(total - 1)(tz).toLong, tzLen(total - 1)(tz))
+      // total_zeros for chroma DC 4:2:0 (Table 9-9(a), maxNumCoeff
+      // 4): row = TotalCoeff 1..3 — all three rows are complete
+      // prefix codes
+      private[graft] val tzChromaLen: Array[Array[Int]] = Array(
+        Array(1, 2, 3, 3), Array(1, 2, 2), Array(1, 1))
+      private[graft] val tzChromaBits: Array[Array[Int]] = Array(
+        Array(1, 1, 1, 0), Array(1, 1, 0), Array(1, 0))
 
-      private[graft] def readTotalZeros(r: BitReader, total: Int): Int = {
-        val lens = tzLen(total - 1); val bits = tzBits(total - 1)
+      private[graft] def writeTotalZeros(w: BitWriter, total: Int,
+          tz: Int, maxNumCoeff: Int): Unit =
+        if (maxNumCoeff == 4)
+          w.u(tzChromaBits(total - 1)(tz).toLong, tzChromaLen(total - 1)(tz))
+        else w.u(tzBits(total - 1)(tz).toLong, tzLen(total - 1)(tz))
+
+      private[graft] def readTotalZeros(r: BitReader, total: Int,
+          maxNumCoeff: Int): Int = {
+        val lens = if (maxNumCoeff == 4) tzChromaLen(total - 1)
+          else tzLen(total - 1)
+        val bits = if (maxNumCoeff == 4) tzChromaBits(total - 1)
+          else tzBits(total - 1)
         var code = 0; var n = 0
         while (n < 9) {
           code = (code << 1) | r.u(1).toInt
@@ -2006,6 +2048,22 @@ object Codecs {
           require(row.length == math.min(zl + 1, 7), s"run_before $zl arity")
           assertPrefixFree(row, s"run_before zl $zl")
         }
+        // chroma-DC column: full (t1s ≤ total ≤ 4) domain, prefix-free
+        val cdc = for (total <- 0 to 4; t1s <- 0 to math.min(3, total))
+          yield (ctChromaDcLen(4 * total + t1s),
+            ctChromaDcBits(4 * total + t1s))
+        require(cdc.forall(_._1 > 0), "chroma-DC coeff_token: hole")
+        assertPrefixFree(cdc, "chroma-DC coeff_token")
+        // chroma total_zeros rows are COMPLETE codes (Kraft == 1)
+        for (tc <- 1 to 3) {
+          val row = tzChromaLen(tc - 1).zip(tzChromaBits(tc - 1))
+            .map(e => (e._1, e._2))
+          require(row.length == 5 - tc, s"chroma total_zeros $tc arity")
+          assertPrefixFree(row, s"chroma total_zeros tc $tc")
+          val kraft = row.map { case (l, _) => 1.0 / (1L << l) }.sum
+          require(math.abs(kraft - 1.0) < 1e-12,
+            s"chroma total_zeros tc $tc: Kraft $kraft != 1")
+        }
       }
 
       /** Write one residual block (§7.3.5.3.2 grammar): `coeffs` in
@@ -2054,7 +2112,7 @@ object Codecs {
         }
         // total_zeros: zeros below the highest coefficient
         val tz = nz(total - 1)._2 + 1 - total
-        if (total < maxNumCoeff) writeTotalZeros(w, total, tz)
+        if (total < maxNumCoeff) writeTotalZeros(w, total, tz, maxNumCoeff)
         // run_before per coefficient except the last, highest first
         var zerosLeft = tz
         for (k <- 0 until total - 1 if zerosLeft > 0) {
@@ -2099,7 +2157,9 @@ object Codecs {
           if (sl == 0) sl = 1
           if (math.abs(level) > (3 << (sl - 1)) && sl < 6) sl += 1
         }
-        val tz = if (total < maxNumCoeff) readTotalZeros(r, total) else 0
+        val tz =
+          if (total < maxNumCoeff) readTotalZeros(r, total, maxNumCoeff)
+          else 0
         var zerosLeft = tz
         var pos = total + tz - 1 // scan index of the highest coefficient
         for (k <- 0 until total) {
@@ -2124,6 +2184,26 @@ object Codecs {
     private val vClassA = Array(10, 11, 13, 14, 16, 18)
     private val vClassB = Array(16, 18, 20, 23, 25, 29)
     private val vClassC = Array(13, 14, 16, 18, 20, 23)
+
+    /** Chroma QP from luma QP (Table 8-15, chroma_qp_index_offset
+      * 0): identity below 30, then the saturating tail. */
+    private val qpcTail = Array(29, 30, 31, 32, 32, 33, 34, 34, 35, 35,
+      36, 36, 37, 37, 37, 38, 38, 38, 39, 39, 39, 39)
+    private[graft] def chromaQp(qpY: Int): Int =
+      if (qpY < 30) qpY else qpcTail(math.min(qpY, 51) - 30)
+
+    /** §8.5.11: inverse 2×2 chroma DC transform (raster order —
+      * chroma DC has no zigzag) followed by the chroma DC dequant
+      * ((f · v) << (qPc/6)) >> 1 in the flat-list v-convention. */
+    private[graft] def chromaDcDequant(c: Array[Int], qpY: Int): Array[Int] = {
+      require(c.length == 4, "chroma DC block is 2x2")
+      val f = Array(
+        c(0) + c(1) + c(2) + c(3), c(0) - c(1) + c(2) - c(3),
+        c(0) + c(1) - c(2) - c(3), c(0) - c(1) - c(2) + c(3))
+      val qpc = chromaQp(qpY)
+      val v = vClassA(qpc % 6)
+      f.map(x => ((x * v) << (qpc / 6)) >> 1)
+    }
     private[graft] def dequantAc(c: Int, rasterPos: Int, qp: Int): Int = {
       val u = rasterPos / 4; val v = rasterPos % 4
       val tab =
@@ -2310,11 +2390,27 @@ object Codecs {
       * full §8.3.1 nine, 0..8, pre-clamped to sample availability —
       * + 16 optional full residual blocks of 16 scan
       * coefficients). */
+    /** Chroma residual fixture: per component a 2×2 DC coefficient
+      * block in RASTER order (null = zero) and 4 optional AC blocks
+      * (raster index within the 8×8, 15 scan coefficients each).
+      * CodedBlockPatternChroma derives as 2 if any AC is nonzero,
+      * else 1 if any DC is nonzero, else 0. */
+    final case class ChromaRes(cbDc: Array[Int], cbAc: Array[Array[Int]],
+        crDc: Array[Int], crAc: Array[Array[Int]]) {
+      private[graft] def anyAc: Boolean =
+        Seq(cbAc, crAc).exists(a => a != null &&
+          a.exists(b => b != null && b.exists(_ != 0)))
+      private[graft] def anyDc: Boolean =
+        Seq(cbDc, crDc).exists(d => d != null && d.exists(_ != 0))
+      private[graft] def cbp: Int =
+        if (anyAc) 2 else if (anyDc) 1 else 0
+    }
+
     sealed trait IntraMb
     final case class I16Mb(dc: Array[Int], ac: Array[Array[Int]],
-        mode: Int = 2) extends IntraMb
-    final case class I4Mb(modes: Array[Int],
-        coeffs: Array[Array[Int]]) extends IntraMb
+        mode: Int = 2, chroma: ChromaRes = null) extends IntraMb
+    final case class I4Mb(modes: Array[Int], coeffs: Array[Array[Int]],
+        chroma: ChromaRes = null) extends IntraMb
 
     /** Build an IDR slice mixing I_16x16 (mb_type 3/15, DC pred) and
       * I_4x4 (mb_type 0) macroblocks. I_4x4 syntax per §7.3.5.1:
@@ -2337,8 +2433,33 @@ object Codecs {
       w.se(0L)
       val grid = Array.fill(mbH * 4, mbW * 4)(0)
       val modeGrid = Array.fill(mbH * 4, mbW * 4)(2)
+      val cbGrid = Array.fill(mbH * 2, mbW * 2)(0)
+      val crGrid = Array.fill(mbH * 2, mbW * 2)(0)
+      // chroma residual writes (§7.3.5.3.3 order: both DC blocks,
+      // then Cb's 4 AC blocks, then Cr's) — shared by both MB kinds
+      def writeChroma(chroma: ChromaRes, mbx: Int, mby: Int): Unit = {
+        val cc = if (chroma == null) 0 else chroma.cbp
+        if (cc == 0) return
+        Seq(chroma.cbDc, chroma.crDc).foreach { d =>
+          val cf = Option(d).getOrElse(new Array[Int](4))
+          require(cf.length == 4, "chroma DC block is 2x2")
+          Cavlc.writeBlock(w, cf, 4, -1)
+          ()
+        }
+        if (cc == 2)
+          Seq((chroma.cbAc, cbGrid), (chroma.crAc, crGrid)).foreach {
+            case (a, g) =>
+              for (b <- 0 until 4) {
+                val gx = mbx * 2 + b % 2; val gy = mby * 2 + b / 2
+                val cf =
+                  if (a == null || a(b) == null) new Array[Int](15)
+                  else a(b)
+                g(gy)(gx) = Cavlc.writeBlock(w, cf, 15, nCFrom(g, gx, gy))
+              }
+          }
+      }
       mbs.zipWithIndex.foreach {
-        case (I16Mb(dc, ac, mode), mb) =>
+        case (I16Mb(dc, ac, mode, chroma), mb) =>
           require(dc.length == 16, "DC block is 4x4")
           require(ac.length == 16 &&
             ac.forall(a => a == null || a.length == 15),
@@ -2350,9 +2471,10 @@ object Codecs {
           require(mode != 3 || (mby > 0 && mbx > 0),
             "I_16x16 plane needs both edges")
           val anyAc = ac.exists(a => a != null && a.exists(_ != 0))
-          // mb_type (Table 7-11): 1..4 = pred mode with cbp 0/0,
-          // 13..16 = pred mode with cbp luma 15 chroma 0
-          w.ue((if (anyAc) 13L else 1L) + mode)
+          val cc = if (chroma == null) 0 else chroma.cbp
+          // mb_type (Table 7-11): 1 + predMode + 4·cbpChroma +
+          // 12·[luma cbp 15]
+          w.ue((if (anyAc) 13L else 1L) + mode + 4L * cc)
           w.ue(0L)                     // intra_chroma_pred_mode: DC
           w.se(0L)                     // mb_qp_delta
           // Intra16x16DCLevel: scan order via the 4x4 zigzag, nC as
@@ -2368,8 +2490,9 @@ object Codecs {
               grid(gy)(gx) =
                 Cavlc.writeBlock(w, coeffs, 15, nCFrom(grid, gx, gy))
             }
-          } // mb_type 3: all AC totals stay 0 in the grid
-        case (I4Mb(modes, coeffs), mb) =>
+          } // mb_type 1..4: all AC totals stay 0 in the grid
+          writeChroma(chroma, mbx, mby)
+        case (I4Mb(modes, coeffs, chroma), mb) =>
           require(modes.length == 16 && modes.forall(m => m >= 0 && m <= 8),
             "16 raster-indexed modes in 0..8 (§8.3.1)")
           require(coeffs.length == 16 &&
@@ -2400,18 +2523,34 @@ object Codecs {
           }
           w.ue(0L) // intra_chroma_pred_mode: DC
           val anyC = coeffs.exists(c => c != null && c.exists(_ != 0))
-          // coded_block_pattern me(v), Table 9-4 intra: 0 ↦ 3, 15 ↦ 2
-          w.ue(if (anyC) 2L else 3L)
-          if (anyC) {
+          val cc = if (chroma == null) 0 else chroma.cbp
+          require(anyC || cc != 2,
+            "I_4x4 chroma AC without a luma residual (cbp 32) is " +
+              "outside the envelope — only the carried Table 9-4 " +
+              "intra rows are coded (see the cbp note)")
+          // coded_block_pattern me(v), carried Table 9-4 intra rows
+          // for cbp = luma + 16·chroma:
+          // 0 ↦ 3, 15 ↦ 2, 16 ↦ 16, 31 ↦ 1, 47 ↦ 0
+          w.ue((cc, anyC) match {
+            case (0, false) => 3L
+            case (0, true) => 2L
+            case (1, false) => 16L
+            case (1, true) => 1L
+            case _ => 0L
+          })
+          if (anyC || cc != 0) {
             w.se(0L) // mb_qp_delta (present when any cbp bit is set)
-            for (z <- 0 until 16) {
-              val (bx, by) = zToBlockXY(z)
-              val gx = mbx * 4 + bx; val gy = mby * 4 + by
-              val cf =
-                Option(coeffs(by * 4 + bx)).getOrElse(new Array[Int](16))
-              grid(gy)(gx) =
-                Cavlc.writeBlock(w, cf, 16, nCFrom(grid, gx, gy))
+            if (anyC) {
+              for (z <- 0 until 16) {
+                val (bx, by) = zToBlockXY(z)
+                val gx = mbx * 4 + bx; val gy = mby * 4 + by
+                val cf =
+                  Option(coeffs(by * 4 + bx)).getOrElse(new Array[Int](16))
+                grid(gy)(gx) =
+                  Cavlc.writeBlock(w, cf, 16, nCFrom(grid, gx, gy))
+              }
             }
+            writeChroma(chroma, mbx, mby)
           }
       }
       w.trailingBits()
@@ -2474,25 +2613,49 @@ object Codecs {
       // §8.3.1.1 mode predictor grid: non-I_4x4 macroblocks (and
       // anything not yet decoded) predict DC (2)
       val modeGrid = Array.fill(sps.mb_height * 4, sps.mb_width * 4)(2)
+      // per-component chroma 4x4 TotalCoeff grids (§9.2.1 nC)
+      val cbGrid = Array.fill(sps.mb_height * 2, sps.mb_width * 2)(0)
+      val crGrid = Array.fill(sps.mb_height * 2, sps.mb_width * 2)(0)
+      // chroma residual parse (§7.3.5.3.3 order: Cb DC, Cr DC, then
+      // Cb's 4 AC blocks, then Cr's) — shared by both MB kinds
+      def readChroma(cbpChroma: Int, mbx: Int, mby: Int)
+          : (Array[Int], Array[Int], Array[Array[Int]], Array[Array[Int]]) = {
+        if (cbpChroma == 0) return (null, null, null, null)
+        val cbDc = Cavlc.readBlock(r, 4, -1)._1
+        val crDc = Cavlc.readBlock(r, 4, -1)._1
+        if (cbpChroma == 1) return (cbDc, crDc, null, null)
+        def acs(g: Array[Array[Int]]): Array[Array[Int]] =
+          Array.tabulate(4) { b =>
+            val gx = mbx * 2 + b % 2; val gy = mby * 2 + b / 2
+            val (cf, total) = Cavlc.readBlock(r, 15, nCFrom(g, gx, gy))
+            g(gy)(gx) = total
+            cf
+          }
+        val cbAc = acs(cbGrid)
+        val crAc = acs(crGrid)
+        (cbDc, crDc, cbAc, crAc)
+      }
       var mb = 0
       while (mb < sps.mb_width * sps.mb_height) {
         val mbx = mb % sps.mb_width; val mby = mb / sps.mb_width
         val mx = mbx * 16; val my = mby * 16
         val t = r.ue()
-        // I_16x16 with CodedBlockPatternChroma 0 (Table 7-11): 1..4
-        // = pred modes 0..3 with luma cbp 0, 13..16 = the same with
-        // luma cbp 15
-        val isI16 = (t >= 1L && t <= 4L) || (t >= 13L && t <= 16L)
+        // I_16x16 (Table 7-11): mb_type 1..24 = 1 + predMode +
+        // 4·CodedBlockPatternChroma + 12·[luma cbp 15]
+        val isI16 = t >= 1L && t <= 24L
         require(isI16 || (t == 0L && allowI4x4),
           if (t == 0L)
             s"macroblock $mb is I_4x4 — outside this parser's " +
               "I_16x16-only envelope (decode with parseIntraSlice)"
           else
             s"macroblock $mb outside the intra envelope (mb_type $t) " +
-              "— I_PCM inside a mixed slice and chroma residuals " +
-              "are the documented next rungs")
+              "— I_PCM inside a mixed slice is the documented next rung")
         val topAvail = my > 0
         val leftAvail = mx > 0
+        // chroma residual data + the MB's qp, filled by the branch
+        var chromaData: (Array[Int], Array[Int], Array[Array[Int]],
+          Array[Array[Int]]) = (null, null, null, null)
+        var mbQpOut = qpSlice
         if (t == 0L) {
           // ---- I_4x4 (§7.3.5.1 syntax, §8.3.1 reconstruction) ----
           val flagRem = Array.tabulate(16) { _ =>
@@ -2500,14 +2663,28 @@ object Codecs {
           }
           require(r.ue() == 0L, "intra_chroma_pred_mode != DC")
           val cbpCode = r.ue()
-          // me(v), Table 9-4 intra column: codeNum 3 ↦ cbp 0,
-          // codeNum 2 ↦ cbp 15 (luma all, chroma none)
-          require(cbpCode == 2L || cbpCode == 3L,
-            s"coded_block_pattern codeNum $cbpCode outside the " +
-              "luma-0/15 chroma-0 envelope — partial and chroma " +
-              "patterns are the documented next rung")
-          val cbpLuma = if (cbpCode == 2L) 15 else 0
-          val mbQp = qpSlice + (if (cbpLuma != 0) r.se().toInt else 0)
+          // me(v), Table 9-4 intra column — the HIGH-CONFIDENCE rows
+          // for cbp = luma + 16·chroma with luma ∈ {0, 15}:
+          // codeNum 3 ↦ 0, 2 ↦ 15, 1 ↦ 31, 0 ↦ 47, 16 ↦ 16. Partial
+          // luma patterns (and the low-confidence tail of the intra
+          // column) refuse loudly rather than risk a silently wrong
+          // transcription.
+          val cbp = cbpCode match {
+            case 3L => 0
+            case 2L => 15
+            case 1L => 31
+            case 0L => 47
+            case 16L => 16
+            case c => throw new IllegalArgumentException(
+              s"coded_block_pattern codeNum $c outside the carried " +
+                "Table 9-4 intra rows (cbp 0/15/16/31/47) — partial " +
+                "luma patterns are the documented next rung")
+          }
+          val cbpLuma = cbp & 15
+          val cbpChroma = cbp >> 4
+          val mbQp = qpSlice +
+            (if (cbpLuma != 0 || cbpChroma != 0) r.se().toInt else 0)
+          mbQpOut = mbQp
           val coeffsByRaster = Array.fill(16)(null: Array[Int])
           if (cbpLuma == 15) {
             for (z <- 0 until 16) {
@@ -2518,6 +2695,7 @@ object Codecs {
               coeffsByRaster(by * 4 + bx) = cf
             }
           }
+          chromaData = readChroma(cbpChroma, mbx, mby)
           // reconstruct in Z order: later blocks predict from
           // earlier blocks' reconstructed pixels (Z order respects
           // the left/top dependencies)
@@ -2592,8 +2770,9 @@ object Codecs {
             }
           }
         } else {
-          // ---- I_16x16 (mb_type 1..4 / 13..16) ------------------
-          val predMode = (if (t <= 4L) t - 1L else t - 13L).toInt
+          // ---- I_16x16 (mb_type 1..24, Table 7-11) --------------
+          val predMode = ((t - 1L) % 4L).toInt
+          val cbpChroma = (((t - 1L) / 4L) % 3L).toInt
           val cbp15 = t >= 13L
           require(predMode != 0 || topAvail,
             s"I_16x16 vertical at picture top (mb $mb)")
@@ -2621,6 +2800,8 @@ object Codecs {
               acByRaster(by * 4 + bx) = coeffs
             }
           }
+          mbQpOut = mbQp
+          chromaData = readChroma(cbpChroma, mbx, mby)
           // Intra_16x16 prediction from reconstructed edges
           val topE = new Array[Int](16)
           if (topAvail)
@@ -2669,11 +2850,16 @@ object Codecs {
             b += 1
           }
         }
-        // chroma: DC prediction, zero residual — byte-identical to
-        // the m34 path
-        def chromaFill(p: Array[Int]): Unit = {
+        // chroma: per-4x4 DC prediction (the m34 strip logic) PLUS
+        // the coded residual — the 2×2-Hadamard-dequantized DC
+        // (§8.5.11) into d(0,0) and CAVLC AC levels dequantized at
+        // the chroma QP, through the same inverse core transform
+        def chromaRecon(p: Array[Int], dcBlk: Array[Int],
+            acBlk: Array[Array[Int]]): Unit = {
           val cx = mx / 2
           val cy = my / 2
+          val dcd = if (dcBlk == null) null
+            else chromaDcDequant(dcBlk, mbQpOut)
           def sTop(off: Int) =
             (0 until 4).map(i => p((cy - 1) * cw + cx + off + i)).sum
           def sLeft(off: Int) =
@@ -2695,14 +2881,32 @@ object Codecs {
                 else if (leftAvail) (sLeft(o) + 2) >> 2
                 else 128
               }
+            val bIdx = byi * 2 + bxi
+            val d = new Array[Int](16)
+            var any = false
+            if (dcd != null && dcd(bIdx) != 0) { d(0) = dcd(bIdx); any = true }
+            if (acBlk != null && acBlk(bIdx) != null) {
+              val cf = acBlk(bIdx)
+              var pp = 0
+              while (pp < 15) {
+                if (cf(pp) != 0) {
+                  val rp = zigzag4x4(pp + 1)
+                  d(rp) = dequantAc(cf(pp), rp, chromaQp(mbQpOut))
+                  any = true
+                }
+                pp += 1
+              }
+            }
+            val res = if (any) invTransform4x4(d) else null
             val ox = cx + bxi * 4
             val oy = cy + byi * 4
             for (yy <- 0 until 4; xx <- 0 until 4)
-              p((oy + yy) * cw + ox + xx) = clip(v)
+              p((oy + yy) * cw + ox + xx) =
+                clip(v + (if (res == null) 0 else res(yy * 4 + xx)))
           }
         }
-        chromaFill(cbP)
-        chromaFill(crP)
+        chromaRecon(cbP, chromaData._1, chromaData._3)
+        chromaRecon(crP, chromaData._2, chromaData._4)
         mb += 1
       }
       PcmFrame(wpx, hpx, y.map(_.toByte), cbP.map(_.toByte),

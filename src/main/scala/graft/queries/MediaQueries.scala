@@ -2812,6 +2812,279 @@ object MediaQueries {
       |FROM cc GROUP BY doc_id""".stripMargin
   }
 
+  // ---- m38: chroma residuals -----------------------------------------
+
+  /** m38: CHROMA RESIDUALS under the hash gate — the first rung where
+    * the chroma planes stop being flat: per document, single-MB
+    * frames carry a 2×2 Intra ChromaDCLevel per component (CAVLC in
+    * the nC = −1 chroma-DC column of Table 9-5, inverse 2×2 Hadamard
+    * + §8.5.11 dequant at the Table 8-15 chroma QP) and, on
+    * alternating frames, ChromaACLevel blocks (CodedBlockPatternChroma
+    * 2). Macroblock kinds alternate per doc: I_16x16 (whose mb_type
+    * rows 17..24 now carry the chroma cbp) and I_4x4 (whose
+    * coded_block_pattern walks the carried Table 9-4 intra rows —
+    * cbp 31, 47, and the luma-free chroma-DC-only cbp 16). Chroma
+    * prediction stays flat 128 on single MBs, so the oracle is the
+    * same exact linear machinery as the luma gates; the sums AND the
+    * fingerprint now fold all THREE decoded planes.
+    *
+    * 100 TB shape: the m33..m37 contract — encode + decode run
+    * partition-local per document, one row out per doc. */
+  def m38ChromaResiduals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Codecs
+    import Codecs.Mp4.{ChromaRes, I16Mb, I4Mb}
+    Tables.spread(Tables.documents(spark, dir).select(col("doc_id"))).as[Long]
+      .mapPartitions { it =>
+        val zig = Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+        def sgn(x: Long): Int = if (x % 2 == 0) 1 else -1
+        it.map { id =>
+          val n = (2 + id % 3).toInt
+          val q = (id % 2).toInt
+          val nals = (0 until n).map { f =>
+            val fc = ((id * 31 + f * 7) % 3).toInt
+            // chroma: lone DC coefficient per component; Cb gets one
+            // strided AC block when the frame class says cbp 2
+            val cbDc = new Array[Int](4)
+            cbDc(((id + f) % 4).toInt) =
+              sgn(id + f) * (1 + ((id * 2 + f) % 5)).toInt
+            val crDc = new Array[Int](4)
+            crDc(((id * 3 + f) % 4).toInt) =
+              sgn(id + f + 1) * (1 + ((id + f * 2) % 5)).toInt
+            val cbAc =
+              if (fc != 1) null
+              else {
+                val bab = ((id + f) % 4).toInt
+                val scb = 1 + ((id + f + 1) % 3).toInt
+                val pcb = 1 + ((id * 3 + f + 1) % 4).toInt
+                val a = new Array[Int](15)
+                for (k <- 1 to pcb)
+                  a(k * scb - 1) =
+                    sgn(id + f + k + 1) * (1 + ((id + f + k * 7) % 9)).toInt
+                val arr = Array.fill(4)(null: Array[Int]); arr(bab) = a
+                arr
+              }
+            val chroma = ChromaRes(cbDc, cbAc, crDc,
+              if (fc == 1) Array.fill(4)(null: Array[Int]) else null)
+            val mbk: Codecs.Mp4.IntraMb =
+              if (q == 0) {
+                // I_16x16: lone luma DC + one strided AC block
+                val dcY = new Array[Int](16)
+                dcY(zig(((id * 13 + f * 11) % 16).toInt)) =
+                  sgn(id + f) * (1 + ((id + f * 3) % 7)).toInt
+                val baY = ((id * 7 + f) % 16).toInt
+                val sY = 1 + ((id + f) % 3).toInt
+                val pY = 1 + ((id * 3 + f) % 4).toInt
+                val aY = new Array[Int](15)
+                for (k <- 1 to pY)
+                  aY(k * sY - 1) =
+                    sgn(id + f + k) * (1 + ((id + f + k * 5) % 9)).toInt
+                val acY = Array.fill(16)(null: Array[Int]); acY(baY) = aY
+                I16Mb(dcY, acY, 2, chroma)
+              } else if (fc == 2) {
+                // cbp 16: chroma DC only, zero luma
+                I4Mb(Array.fill(16)(2), Array.fill(16)(null), chroma)
+              } else {
+                // I_4x4 with the luma residual in the last-in-Z block
+                val ld4 = sgn(id + f) * (1 + ((id + f * 3) % 7)).toInt
+                val s4 = 1 + ((id + f) % 3).toInt
+                val p4 = 1 + ((id * 3 + f) % 4).toInt
+                val res43 = new Array[Int](16)
+                res43(0) = ld4
+                for (k <- 1 to p4)
+                  res43(k * s4) =
+                    sgn(id + f + k) * (1 + ((id + f + k * 5) % 9)).toInt
+                val cf = Array.fill(16)(null: Array[Int]); cf(15) = res43
+                I4Mb(Array.fill(16)(2), cf, chroma)
+              }
+            Seq(Codecs.Mp4.buildMixedIntraSlice(Seq(mbk), 1, 1,
+              frameNum = 0, frameNumBits = 4, idrPicId = f % 8))
+          }
+          val mp4 = Codecs.Mp4.mux(nals, keyframes = (1 to n),
+            timescale = 90000, sampleDelta = 3000, width = 16, height = 16)
+          var ys = 0L; var cbs = 0L; var crs = 0L; var fp = 0L
+          var nDec = 0
+          Codecs.Mp4.decodeIntraFrames(mp4).foreach { fr =>
+            nDec += 1
+            require(fr.width == 16 && fr.height == 16,
+              s"decoded dims ${fr.width}x${fr.height}")
+            fr.y.foreach { b =>
+              val v = b & 0xffL; ys += v
+              fp = (fp * 31 + v) % 1000000007L
+            }
+            fr.cb.foreach { b =>
+              val v = b & 0xffL; cbs += v
+              fp = (fp * 31 + v) % 1000000007L
+            }
+            fr.cr.foreach { b =>
+              val v = b & 0xffL; crs += v
+              fp = (fp * 31 + v) % 1000000007L
+            }
+          }
+          require(nDec == n, s"decoded $nDec of $n frames")
+          (id, n, 16, 16, ys, cbs, crs, fp)
+        }
+      }.toDF("doc_id", "n_frames", "width", "height", "y_sum",
+        "cb_sum", "cr_sum", "pix_fp")
+  }
+
+  /** Closed-form restatement: luma per the m35/m36 forms (flat-128
+    * for the cbp-16 class); chroma per component = flat-128
+    * prediction plus the 2×2-Hadamard chroma DC ((±level)·104 at
+    * QP 26) through the lone-DC core, with Cb's AC block in the
+    * exact linear form on cbp-2 frames. The fingerprint folds
+    * y ‖ cb ‖ cr per frame. */
+  val m38Sql: String =
+    """WITH d AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS n,
+      |    CAST(doc_id % 2 AS INT) AS q
+      |  FROM documents),
+      |f AS (SELECT doc_id, n, q, unnest(range(n)) AS fr FROM d),
+      |par AS (SELECT doc_id, n, q, fr,
+      |    CAST((doc_id * 31 + fr * 7) % 3 AS INT) AS fc,
+      |    CAST((doc_id + fr) % 4 AS INT) AS rcb,
+      |    (CASE WHEN (doc_id + fr) % 2 = 0 THEN 1 ELSE -1 END)
+      |      * (1 + (doc_id * 2 + fr) % 5) AS lcb,
+      |    CAST((doc_id * 3 + fr) % 4 AS INT) AS rcr,
+      |    (CASE WHEN (doc_id + fr + 1) % 2 = 0 THEN 1 ELSE -1 END)
+      |      * (1 + (doc_id + fr * 2) % 5) AS lcr,
+      |    CAST((doc_id + fr) % 4 AS INT) AS bab,
+      |    1 + (doc_id + fr + 1) % 3 AS scb,
+      |    1 + (doc_id * 3 + fr + 1) % 4 AS pcb,
+      |    [0,1,4,8,5,2,3,6,9,12,13,10,7,11,14,15]
+      |      [CAST((doc_id * 13 + fr * 11) % 16 AS INT) + 1] AS zry,
+      |    (CASE WHEN (doc_id + fr) % 2 = 0 THEN 1 ELSE -1 END)
+      |      * (1 + (doc_id + fr * 3) % 7) AS ldy,
+      |    CAST((doc_id * 7 + fr) % 16 AS INT) AS bay,
+      |    1 + (doc_id + fr) % 3 AS sy,
+      |    1 + (doc_id * 3 + fr) % 4 AS py
+      |  FROM f),
+      |cq AS (SELECT *,
+      |    list_transform(
+      |      list_transform(range(1, 1 + py), k -> {'p': k * sy,
+      |        'l': (CASE WHEN (doc_id + fr + k) % 2 = 0 THEN 1 ELSE -1 END)
+      |          * (1 + (doc_id + fr + k * 5) % 9)}),
+      |      s -> {'u': [0,1,4,8,5,2,3,6,9,12,13,10,7,11,14,15]
+      |              [CAST(s.p AS INT) + 1] // 4,
+      |            'v': [0,1,4,8,5,2,3,6,9,12,13,10,7,11,14,15]
+      |              [CAST(s.p AS INT) + 1] % 4,
+      |            'l': s.l}) AS csy0,
+      |    list_transform(
+      |      list_prepend({'p': 0,
+      |          'l': (CASE WHEN (doc_id + fr) % 2 = 0 THEN 1 ELSE -1 END)
+      |            * (1 + (doc_id + fr * 3) % 7)},
+      |        list_transform(range(1, 1 + py), k -> {'p': k * sy,
+      |          'l': (CASE WHEN (doc_id + fr + k) % 2 = 0 THEN 1 ELSE -1 END)
+      |            * (1 + (doc_id + fr + k * 5) % 9)})),
+      |      s -> {'u': [0,1,4,8,5,2,3,6,9,12,13,10,7,11,14,15]
+      |              [CAST(s.p AS INT) + 1] // 4,
+      |            'v': [0,1,4,8,5,2,3,6,9,12,13,10,7,11,14,15]
+      |              [CAST(s.p AS INT) + 1] % 4,
+      |            'l': s.l}) AS cs43,
+      |    list_transform(range(1, 1 + pcb), k -> {
+      |      'u': [0,1,4,8,5,2,3,6,9,12,13,10,7,11,14,15]
+      |        [CAST(k * scb AS INT) + 1] // 4,
+      |      'v': [0,1,4,8,5,2,3,6,9,12,13,10,7,11,14,15]
+      |        [CAST(k * scb AS INT) + 1] % 4,
+      |      'l': (CASE WHEN (doc_id + fr + k + 1) % 2 = 0 THEN 1 ELSE -1 END)
+      |        * (1 + (doc_id + fr + k * 7) % 9)}) AS cscb
+      |  FROM par),
+      |dq AS (SELECT *,
+      |    list_transform(csy0, s -> {'u': s.u, 'v': s.v,
+      |      'dq': s.l * (CASE WHEN s.u % 2 = 0 AND s.v % 2 = 0 THEN 13
+      |        WHEN s.u % 2 = 1 AND s.v % 2 = 1 THEN 20 ELSE 16 END) * 16})
+      |      AS csy,
+      |    list_transform(cs43, s -> {'u': s.u, 'v': s.v,
+      |      'dq': s.l * (CASE WHEN s.u % 2 = 0 AND s.v % 2 = 0 THEN 13
+      |        WHEN s.u % 2 = 1 AND s.v % 2 = 1 THEN 20 ELSE 16 END) * 16})
+      |      AS cs43q,
+      |    list_transform(cscb, s -> {'u': s.u, 'v': s.v,
+      |      'dq': s.l * (CASE WHEN s.u % 2 = 0 AND s.v % 2 = 0 THEN 13
+      |        WHEN s.u % 2 = 1 AND s.v % 2 = 1 THEN 20 ELSE 16 END) * 16})
+      |      AS cscbq,
+      |    list_transform(range(4), b ->
+      |      [[1,1],[1,-1]][CAST(b // 2 AS INT) + 1][CAST(rcb // 2 AS INT) + 1]
+      |      * [[1,1],[1,-1]][CAST(b % 2 AS INT) + 1][CAST(rcb % 2 AS INT) + 1]
+      |      * lcb * 104) AS dcb,
+      |    list_transform(range(4), b ->
+      |      [[1,1],[1,-1]][CAST(b // 2 AS INT) + 1][CAST(rcr // 2 AS INT) + 1]
+      |      * [[1,1],[1,-1]][CAST(b % 2 AS INT) + 1][CAST(rcr % 2 AS INT) + 1]
+      |      * lcr * 104) AS dcr
+      |  FROM cq),
+      |py AS (SELECT *,
+      |    list_transform(range(256), g ->
+      |      CASE
+      |        WHEN q = 0 THEN
+      |          least(255, greatest(0, 128 - 1000 + (
+      |            4 * ([[1,1,1,1],[1,1,-1,-1],[1,-1,-1,1],[1,-1,1,-1]]
+      |                  [CAST(((g // 16) // 4) AS INT) + 1]
+      |                  [CAST(zry // 4 AS INT) + 1]
+      |                * [[1,1,1,1],[1,1,-1,-1],[1,-1,-1,1],[1,-1,1,-1]]
+      |                  [CAST(((g % 16) // 4) AS INT) + 1]
+      |                  [CAST(zry % 4 AS INT) + 1]
+      |                * ldy * 52)
+      |            + CASE WHEN ((g // 16) // 4) * 4 + (g % 16) // 4 = bay
+      |              THEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |                list_transform(csy, s ->
+      |                  CAST([[2,2,2,1],[2,1,-2,-2],[2,-1,-2,2],[2,-2,2,-1]]
+      |                      [CAST((g // 16) % 4 AS INT) + 1][s.u + 1]
+      |                    * [[2,2,2,1],[2,1,-2,-2],[2,-1,-2,2],[2,-2,2,-1]]
+      |                      [CAST((g % 16) % 4 AS INT) + 1][s.v + 1]
+      |                    * s.dq AS BIGINT))), (a, b) -> a + b)
+      |              ELSE 0 END
+      |            + 128 + 256000) // 256))
+      |        WHEN fc = 2 THEN 128
+      |        WHEN (g // 16) // 4 = 3 AND (g % 16) // 4 = 3 THEN
+      |          least(255, greatest(0, 128 - 1000 + (
+      |            list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |              list_transform(cs43q, s ->
+      |                CAST([[2,2,2,1],[2,1,-2,-2],[2,-1,-2,2],[2,-2,2,-1]]
+      |                    [CAST((g // 16) % 4 AS INT) + 1][s.u + 1]
+      |                  * [[2,2,2,1],[2,1,-2,-2],[2,-1,-2,2],[2,-2,2,-1]]
+      |                    [CAST((g % 16) % 4 AS INT) + 1][s.v + 1]
+      |                  * s.dq AS BIGINT))), (a, b) -> a + b)
+      |            + 128 + 256000) // 256))
+      |        ELSE 128
+      |      END) AS yv,
+      |    list_transform(range(64), g ->
+      |      least(255, greatest(0,
+      |        CASE WHEN fc = 1 AND (g // 8 // 4) * 2 + (g % 8) // 4 = bab
+      |          THEN 128 - 1000 +
+      |            (4 * dcb[CAST((g // 8 // 4) * 2 + (g % 8) // 4 AS INT) + 1]
+      |            + list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |              list_transform(cscbq, s ->
+      |                CAST([[2,2,2,1],[2,1,-2,-2],[2,-1,-2,2],[2,-2,2,-1]]
+      |                    [CAST((g // 8) % 4 AS INT) + 1][s.u + 1]
+      |                  * [[2,2,2,1],[2,1,-2,-2],[2,-1,-2,2],[2,-2,2,-1]]
+      |                    [CAST((g % 8) % 4 AS INT) + 1][s.v + 1]
+      |                  * s.dq AS BIGINT))), (a, b) -> a + b)
+      |            + 128 + 256000) // 256
+      |          ELSE 128 - 1000 +
+      |            (dcb[CAST((g // 8 // 4) * 2 + (g % 8) // 4 AS INT) + 1]
+      |            + 32 + 64000) // 64
+      |        END))) AS cbv,
+      |    list_transform(range(64), g ->
+      |      least(255, greatest(0, 128 - 1000 + (
+      |        dcr[CAST((g // 8 // 4) * 2 + (g % 8) // 4 AS INT) + 1]
+      |        + 32 + 64000) // 64))) AS crv
+      |  FROM dq),
+      |cc AS (SELECT doc_id, n, fr,
+      |    list_concat(list_concat(yv, cbv), crv) AS vals,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), yv),
+      |      (a, b) -> a + b) AS ys,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), cbv),
+      |      (a, b) -> a + b) AS cbs,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), crv),
+      |      (a, b) -> a + b) AS crs
+      |  FROM py)
+      |SELECT doc_id, max(n) AS n_frames, 16 AS width, 16 AS height,
+      |  CAST(sum(ys) AS BIGINT) AS y_sum,
+      |  CAST(sum(cbs) AS BIGINT) AS cb_sum,
+      |  CAST(sum(crs) AS BIGINT) AS cr_sum,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    flatten(list(vals ORDER BY fr))),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS pix_fp
+      |FROM cc GROUP BY doc_id""".stripMargin
+
   val m32Sql: String =
     """WITH d AS (SELECT doc_id, CAST(3 + doc_id % 5 AS INT) AS n
       |  FROM documents),

@@ -421,7 +421,7 @@ class Round13Spec extends SparkTestBase {
     val zOf = Array.tabulate(4, 4)((by, bx) =>
       8 * (by / 2) + 4 * (bx / 2) + 2 * (by % 2) + (bx % 2))
     mbs.zipWithIndex.foreach {
-      case (I16Mb(dcC, ac, _), mb) =>
+      case (I16Mb(dcC, ac, _, _), mb) =>
         val mx = (mb % mbW) * 16; val my = (mb / mbW) * 16
         val had = Array.tabulate(16) { rp =>
           (for (u <- 0 until 4; v <- 0 until 4)
@@ -448,7 +448,7 @@ class Round13Spec extends SparkTestBase {
             out((my + (b / 4) * 4 + i) * W + mx + (b % 4) * 4 + j) =
               clip(pred + res(i * 4 + j))
         }
-      case (I4Mb(modes, coeffs), mb) =>
+      case (I4Mb(modes, coeffs, _), mb) =>
         val mx = (mb % mbW) * 16; val my = (mb / mbW) * 16
         // Z order so earlier blocks' pixels feed later predictions
         for (z <- 0 until 16) {

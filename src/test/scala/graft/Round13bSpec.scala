@@ -10,6 +10,7 @@ import graft.operators.Codecs.Mp4.{I16Mb, I4Mb}
   */
 class Round13bSpec extends SparkTestBase {
 
+  private val zig = Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
   private val rnd = new scala.util.Random(1337)
   private def rTop8() = Array.fill(8)(rnd.nextInt(256))
   private def rLeft4() = Array.fill(4)(rnd.nextInt(256))
@@ -150,6 +151,145 @@ class Round13bSpec extends SparkTestBase {
     }
   }
 
+  // ---- m38: chroma residuals ----------------------------------------
+
+  test("chroma-DC CAVLC (nC = -1, maxNumCoeff 4) round-trips every " +
+    "(TrailingOnes, TotalCoeff) combination and random levels") {
+    for (_ <- 0 until 200) {
+      val total = rnd.nextInt(5)
+      val pos = rnd.shuffle((0 until 4).toList).take(total).sorted
+      val coeffs = new Array[Int](4)
+      pos.foreach { p =>
+        val mag = if (rnd.nextBoolean()) 1 else 1 + rnd.nextInt(40)
+        coeffs(p) = if (rnd.nextBoolean()) mag else -mag
+      }
+      val w = new Mp4.BitWriter
+      val t = Mp4.Cavlc.writeBlock(w, coeffs, 4, -1)
+      assert(t === coeffs.count(_ != 0))
+      w.alignZero()
+      val (back, tb) = Mp4.Cavlc.readBlock(new Mp4.BitReader(w.bytes), 4, -1)
+      assert(tb === t && back.toSeq === coeffs.toSeq)
+    }
+  }
+
+  test("chromaDcDequant: 2x2 Hadamard sign patterns and the chroma " +
+    "QP table") {
+    // lone coefficient at raster rc spreads with [[1,1],[1,-1]] signs
+    val h2 = Array(Array(1, 1), Array(1, -1))
+    for (rc <- 0 until 4; l <- Seq(-5, -1, 1, 3)) {
+      val c = new Array[Int](4); c(rc) = l
+      val got = Mp4.chromaDcDequant(c, 26) // qPc = 26: v 13, per 4
+      for (b <- 0 until 4)
+        assert(got(b) ===
+          h2(b / 2)(rc / 2) * h2(b % 2)(rc % 2) * l * 104, s"rc=$rc b=$b")
+    }
+    // Table 8-15 spot values
+    assert(Mp4.chromaQp(26) === 26 && Mp4.chromaQp(29) === 29)
+    assert(Mp4.chromaQp(30) === 29 && Mp4.chromaQp(33) === 32)
+    assert(Mp4.chromaQp(39) === 35 && Mp4.chromaQp(51) === 39)
+  }
+
+  test("chroma residuals decode: single-MB frames (flat-128 chroma " +
+    "pred) match the linear reconstruction for cbp 1 and 2, both " +
+    "MB kinds; luma is untouched; container hop is lazy-exact") {
+    import graft.operators.Codecs.Mp4.ChromaRes
+    val sps16 = Mp4.parseSps(Mp4.buildSps(16, 16))
+    val h2 = Array(Array(1, 1), Array(1, -1))
+    def vtab(rp: Int) = {
+      val u = rp / 4; val v = rp % 4
+      if (u % 2 == 0 && v % 2 == 0) 13
+      else if (u % 2 == 1 && v % 2 == 1) 20 else 16
+    }
+    val B = Array(Array(2, 2, 2, 1), Array(2, 1, -2, -2),
+      Array(2, -1, -2, 2), Array(2, -2, 2, -1))
+    def clip(v: Int) = math.max(0, math.min(255, v))
+    def refPlane(dcC: Array[Int], ac: Array[Array[Int]]): Array[Int] = {
+      val out = Array.fill(64)(0)
+      val dcd = if (dcC == null) Array.fill(4)(0)
+        else {
+          val f = Array(
+            dcC(0) + dcC(1) + dcC(2) + dcC(3), dcC(0) - dcC(1) + dcC(2) - dcC(3),
+            dcC(0) + dcC(1) - dcC(2) - dcC(3), dcC(0) - dcC(1) - dcC(2) + dcC(3))
+          f.map(x => x * 104) // qPc 26: ((x*13)<<4)>>1
+        }
+      for (b <- 0 until 4) {
+        val d = new Array[Int](16); d(0) = dcd(b)
+        val a = if (ac == null) null else ac(b)
+        if (a != null) for (p <- 0 until 15 if a(p) != 0) {
+          val rp = zig(p + 1); d(rp) = a(p) * vtab(rp) << 4
+        }
+        for (i <- 0 until 4; j <- 0 until 4) {
+          val x = (for (u <- 0 until 4; v <- 0 until 4)
+            yield B(i)(u) * B(j)(v) * d(u * 4 + v)).sum
+          out((b / 2 * 4 + i) * 8 + (b % 2) * 4 + j) =
+            clip(128 + ((x + 128) >> 8))
+        }
+      }
+      out
+    }
+    def rndDc() = Array.fill(4)(rnd.nextInt(9) - 4)
+    def rndAc4() = Array.tabulate(4) { _ =>
+      if (rnd.nextBoolean()) null
+      else {
+        val a = new Array[Int](15)
+        rnd.shuffle((0 until 15).toList).take(rnd.nextInt(5))
+          .foreach(p => a(p) =
+            (if (rnd.nextBoolean()) 1 else -1) * (1 + rnd.nextInt(7)))
+        a
+      }
+    }
+    for (trial <- 0 until 12) {
+      val cbDc = rndDc(); val crDc = rndDc()
+      val withAc = trial % 2 == 0
+      val cbAc = if (withAc) rndAc4() else null
+      val crAc = if (withAc) rndAc4() else null
+      val chroma = ChromaRes(cbDc, cbAc, crDc, crAc)
+      val lumaDc = Array.fill(16)(rnd.nextInt(9) - 4)
+      val mbKind: Mp4.IntraMb =
+        if (trial % 3 == 0) {
+          val modes = Array.fill(16)(2)
+          val cf = Array.fill(16)(null: Array[Int])
+          cf(15) = { val a = new Array[Int](16); a(0) = 3; a(5) = -2; a }
+          Mp4.I4Mb(modes, cf, chroma)
+        } else Mp4.I16Mb(lumaDc, Array.fill(16)(null), 2, chroma)
+      val nal = Mp4.buildMixedIntraSlice(Seq(mbKind), 1, 1, 0, 4)
+      val f = Mp4.parseIntraSlice(nal, sps16)
+      val wantCb = refPlane(
+        if (chroma.cbp >= 1) cbDc else null, if (chroma.cbp == 2) cbAc else null)
+      val wantCr = refPlane(
+        if (chroma.cbp >= 1) crDc else null, if (chroma.cbp == 2) crAc else null)
+      assert(f.cb.map(_ & 0xff).toSeq === wantCb.toSeq, s"cb trial $trial")
+      assert(f.cr.map(_ & 0xff).toSeq === wantCr.toSeq, s"cr trial $trial")
+      // luma untouched by chroma: decode the same MB without chroma
+      val nal0 = Mp4.buildMixedIntraSlice(Seq(mbKind match {
+        case Mp4.I16Mb(d, a, m, _) => Mp4.I16Mb(d, a, m)
+        case Mp4.I4Mb(m, c, _) => Mp4.I4Mb(m, c)
+      }), 1, 1, 0, 4)
+      assert(f.y.toSeq === Mp4.parseIntraSlice(nal0, sps16).y.toSeq)
+    }
+    // chroma-DC-only with ZERO luma (cbp 16, codeNum 16) round-trips
+    val cdOnly = ChromaRes(Array(2, -1, 0, 1), null, Array(-3, 0, 1, 0), null)
+    val nal16 = Mp4.buildMixedIntraSlice(Seq(
+      Mp4.I4Mb(Array.fill(16)(2), Array.fill(16)(null), cdOnly)), 1, 1, 0, 4)
+    val f16 = Mp4.parseIntraSlice(nal16, sps16)
+    assert(f16.y.map(_ & 0xff).forall(_ == 128))
+    assert(f16.cb.map(_ & 0xff).toSeq ===
+      refPlane(cdOnly.cbDc, null).toSeq)
+    // container hop: chroma frames survive the lazy walk
+    val nals = (0 until 2).map(i => Seq(Mp4.buildMixedIntraSlice(Seq(
+      Mp4.I16Mb(Array.fill(16)(0), Array.fill(16)(null), 2,
+        ChromaRes(Array(i + 1, 0, 0, -1), null,
+          Array(0, 2, 0, 0), null))), 1, 1, 0, 4, idrPicId = i)))
+    val mp4 = Mp4.mux(nals, keyframes = Seq(1, 2), timescale = 90000,
+      sampleDelta = 3000, width = 16, height = 16)
+    val got = Mp4.decodeIntraFrames(mp4).toSeq
+    assert(got.size === 2)
+    got.zip(nals).foreach { case (a, n) =>
+      val b = Mp4.parseIntraSlice(n.head, sps16)
+      assert(a.cb.toSeq === b.cb.toSeq && a.cr.toSeq === b.cr.toSeq)
+    }
+  }
+
   /** Independent integration reference: its own pixel bookkeeping,
     * neighbour gathering, Z-order walk and top-right
     * decoded-before/substitution logic (the prediction FORMULAS are
@@ -182,7 +322,7 @@ class Round13bSpec extends SparkTestBase {
     def zOf(bx: Int, by: Int) =
       8 * (by / 2) + 4 * (bx / 2) + 2 * (by % 2) + (bx % 2)
     mbs.zipWithIndex.foreach {
-      case (I16Mb(dcC, ac, mode), mb) =>
+      case (I16Mb(dcC, ac, mode, _), mb) =>
         val mx = (mb % mbW) * 16; val my = (mb / mbW) * 16
         val had = Array.tabulate(16) { rp =>
           (for (u <- 0 until 4; v <- 0 until 4)
@@ -209,7 +349,7 @@ class Round13bSpec extends SparkTestBase {
               clip(pred((yy - my) * 16 + (xx - mx)) + res(i * 4 + j))
           }
         }
-      case (I4Mb(modes, coeffs), mb) =>
+      case (I4Mb(modes, coeffs, _), mb) =>
         val mbx = mb % mbW; val mby = mb / mbW
         val mx = mbx * 16; val my = mby * 16
         for (z <- 0 until 16) {
