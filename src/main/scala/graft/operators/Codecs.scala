@@ -1446,8 +1446,9 @@ object Codecs {
     // coeff_token context selection (§9.2.1) is 0 everywhere, so the
     // whole class parses in the 0 ≤ nC < 2 context. The DC-only
     // ENVELOPE ships the coeff_token/total_zeros entries for
-    // TotalCoeff ≤ 1 and refuses anything else loudly — general
-    // CAVLC tables are the documented next rung.
+    // TotalCoeff ≤ 1 and refuses anything else loudly — the GENERAL
+    // tables live in [[Cavlc]] below (the m35+ rungs); this envelope
+    // is kept verbatim as the m34 contract.
 
     /** 4×4 zigzag scan (§8.5.6): scan index → raster index. */
     private val zigzag4x4: Array[Int] =
@@ -1515,8 +1516,9 @@ object Codecs {
         }
       }
       throw new IllegalArgumentException(
-        s"$what codeword outside the DC-only CAVLC envelope — general " +
-          "CAVLC tables are the documented next rung")
+        s"$what codeword outside the DC-only CAVLC envelope — decode " +
+          "multi-coefficient streams with parseI16x16Slice/" +
+          "parseIntraSlice (the general Cavlc tables)")
     }
 
     /** Parse one Intra16x16DCLevel CAVLC block in the nC = 0 context
@@ -1646,7 +1648,7 @@ object Codecs {
         val t = r.ue()
         require(t == 3L,
           s"macroblock $mb is not I_16x16/DC-pred/cbp0 (mb_type $t) — " +
-            "general intra + CAVLC is the documented seam")
+            "decode general intra streams with parseIntraSlice")
         require(r.ue() == 0L, "intra_chroma_pred_mode != DC")
         val mbQp = qpSlice + r.se().toInt
         val dcCoeff = readDcResidualNc0(r)
