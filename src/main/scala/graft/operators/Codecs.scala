@@ -2413,6 +2413,11 @@ object Codecs {
         mode: Int = 2, chroma: ChromaRes = null) extends IntraMb
     final case class I4Mb(modes: Array[Int], coeffs: Array[Array[Int]],
         chroma: ChromaRes = null) extends IntraMb
+    /** An I_PCM macroblock inside a MIXED slice (mb_type 25): raw
+      * 16×16 luma + two 8×8 chroma planes, byte-aligned in the
+      * bitstream (§7.3.5). Raster order within the MB. */
+    final case class PcmMb(y: Array[Byte], cb: Array[Byte],
+        cr: Array[Byte]) extends IntraMb
 
     /** Build an IDR slice mixing I_16x16 (mb_type 3/15, DC pred) and
       * I_4x4 (mb_type 0) macroblocks. I_4x4 syntax per §7.3.5.1:
@@ -2554,6 +2559,24 @@ object Codecs {
             }
             writeChroma(chroma, mbx, mby)
           }
+        case (PcmMb(py, pcb, pcr), mb) =>
+          require(py.length == 256 && pcb.length == 64 && pcr.length == 64,
+            "I_PCM planes are 16x16 luma + 8x8 chroma")
+          val mbx = mb % mbW; val mby = mb / mbW
+          w.ue(25L)      // mb_type: I_PCM
+          w.alignZero()  // pcm_alignment_zero_bit run (§7.3.5)
+          py.foreach(b => w.u(b & 0xffL, 8))
+          pcb.foreach(b => w.u(b & 0xffL, 8))
+          pcr.foreach(b => w.u(b & 0xffL, 8))
+          // §9.2.1/§8.3.1.1: an I_PCM neighbour contributes
+          // TotalCoeff 16 to nC and predicts DC for the 4x4 mode
+          // predictor (the modeGrid default)
+          for (by <- 0 until 4; bx <- 0 until 4)
+            grid(mby * 4 + by)(mbx * 4 + bx) = 16
+          for (by <- 0 until 2; bx <- 0 until 2) {
+            cbGrid(mby * 2 + by)(mbx * 2 + bx) = 16
+            crGrid(mby * 2 + by)(mbx * 2 + bx) = 16
+          }
       }
       w.trailingBits()
       (0x65.toByte +: rbspEscape(w.bytes)).toArray
@@ -2645,20 +2668,47 @@ object Codecs {
         // I_16x16 (Table 7-11): mb_type 1..24 = 1 + predMode +
         // 4·CodedBlockPatternChroma + 12·[luma cbp 15]
         val isI16 = t >= 1L && t <= 24L
-        require(isI16 || (t == 0L && allowI4x4),
-          if (t == 0L)
-            s"macroblock $mb is I_4x4 — outside this parser's " +
+        require(isI16 || ((t == 0L || t == 25L) && allowI4x4),
+          if (t == 0L || t == 25L)
+            s"macroblock $mb (mb_type $t) is outside this parser's " +
               "I_16x16-only envelope (decode with parseIntraSlice)"
           else
-            s"macroblock $mb outside the intra envelope (mb_type $t) " +
-              "— I_PCM inside a mixed slice is the documented next rung")
+            s"macroblock $mb outside the intra envelope (mb_type $t)" +
+              " — not an I-slice macroblock type")
         val topAvail = my > 0
         val leftAvail = mx > 0
         // chroma residual data + the MB's qp, filled by the branch
         var chromaData: (Array[Int], Array[Int], Array[Array[Int]],
           Array[Array[Int]]) = (null, null, null, null)
         var mbQpOut = qpSlice
-        if (t == 0L) {
+        if (t == 25L) {
+          // ---- I_PCM (§7.3.5): byte-aligned raw samples ---------
+          r.alignZero() // pcm_alignment_zero_bit run, must be zeros
+          var i = 0
+          while (i < 256) {
+            y((my + i / 16) * wpx + mx + i % 16) = r.u(8).toInt
+            i += 1
+          }
+          val cx = mx / 2; val cy = my / 2
+          i = 0
+          while (i < 64) {
+            cbP((cy + i / 8) * cw + cx + i % 8) = r.u(8).toInt
+            i += 1
+          }
+          i = 0
+          while (i < 64) {
+            crP((cy + i / 8) * cw + cx + i % 8) = r.u(8).toInt
+            i += 1
+          }
+          // §9.2.1: an I_PCM neighbour contributes TotalCoeff 16 to
+          // nC; the 4x4 mode predictor sees DC (modeGrid default)
+          for (by <- 0 until 4; bx <- 0 until 4)
+            grid(mby * 4 + by)(mbx * 4 + bx) = 16
+          for (by <- 0 until 2; bx <- 0 until 2) {
+            cbGrid(mby * 2 + by)(mbx * 2 + bx) = 16
+            crGrid(mby * 2 + by)(mbx * 2 + bx) = 16
+          }
+        } else if (t == 0L) {
           // ---- I_4x4 (§7.3.5.1 syntax, §8.3.1 reconstruction) ----
           val flagRem = Array.tabulate(16) { _ =>
             if (r.u(1) == 1L) -1 else r.u(3).toInt
@@ -2907,8 +2957,10 @@ object Codecs {
                 clip(v + (if (res == null) 0 else res(yy * 4 + xx)))
           }
         }
-        chromaRecon(cbP, chromaData._1, chromaData._3)
-        chromaRecon(crP, chromaData._2, chromaData._4)
+        if (t != 25L) { // I_PCM chroma is raw — never predicted over
+          chromaRecon(cbP, chromaData._1, chromaData._3)
+          chromaRecon(crP, chromaData._2, chromaData._4)
+        }
         mb += 1
       }
       PcmFrame(wpx, hpx, y.map(_.toByte), cbP.map(_.toByte),

@@ -365,7 +365,7 @@ class Round13Spec extends SparkTestBase {
     val e2 = intercept[IllegalArgumentException] {
       Mp4.parseI16x16Slice(pcm, sps)
     }
-    assert(e2.getMessage.contains("next rung"))
+    assert(e2.getMessage.contains("parseIntraSlice"))
     // container hop: three full-residual frames through mux +
     // decodeI16x16Frames == direct parses
     val frames = (0 until 3).map { fidx =>
@@ -578,13 +578,18 @@ class Round13Spec extends SparkTestBase {
     got.zip(nals).foreach { case (a, (mbs, _)) =>
       assert(a.y.map(_ & 0xff).toSeq === refIntraDecode(mbs, 2, 2).toSeq)
     }
-    // PCM NAL refuses through the mixed parser too
-    val pcm = Mp4.buildIdrPcmSlice(Mp4.PcmFrame(16, 16,
-      Array.fill(256)(9.toByte), Array.fill(64)(1.toByte),
-      Array.fill(64)(2.toByte)), 0, 4)
-    val e2 = intercept[IllegalArgumentException] {
-      Mp4.parseIntraSlice(pcm, Mp4.parseSps(Mp4.buildSps(16, 16)))
-    }
-    assert(e2.getMessage.contains("next rung"))
+    // a whole-PCM slice decodes through the mixed parser too, byte
+    // for byte with the dedicated PCM parser
+    val pcmFrame = Mp4.PcmFrame(16, 16,
+      Array.tabulate(256)(i => (i % 251).toByte),
+      Array.tabulate(64)(i => (i * 3 % 251).toByte),
+      Array.tabulate(64)(i => (i * 5 % 251).toByte))
+    val pcm = Mp4.buildIdrPcmSlice(pcmFrame, 0, 4)
+    val sps16 = Mp4.parseSps(Mp4.buildSps(16, 16))
+    val viaMixed = Mp4.parseIntraSlice(pcm, sps16)
+    val viaPcm = Mp4.parseIdrPcmSlice(pcm, sps16)
+    assert(viaMixed.y.toSeq === viaPcm.y.toSeq)
+    assert(viaMixed.cb.toSeq === viaPcm.cb.toSeq)
+    assert(viaMixed.cr.toSeq === viaPcm.cr.toSeq)
   }
 }

@@ -290,6 +290,50 @@ class Round13bSpec extends SparkTestBase {
     }
   }
 
+  test("I_PCM inside a MIXED slice: raw planes pass through, coded " +
+    "neighbours predict from PCM edges, and PCM neighbours feed " +
+    "nC = 16 (the FLC coeff_token column)") {
+    import graft.operators.Codecs.Mp4.PcmMb
+    val sps = Mp4.parseSps(Mp4.buildSps(32, 32))
+    for (trial <- 0 until 4) {
+      val pcm = PcmMb(
+        Array.tabulate(256)(i => ((i * 7 + trial * 13) % 256).toByte),
+        Array.tabulate(64)(i => ((i * 3 + trial) % 256).toByte),
+        Array.tabulate(64)(i => ((i * 5 + trial * 2) % 256).toByte))
+      // MB1 right of the PCM block: horizontal I16 with dense AC —
+      // its DC-block nC reads the PCM neighbour's TotalCoeff 16
+      val denseAc = Array.tabulate(16) { _ =>
+        val a = new Array[Int](15)
+        rnd.shuffle((0 until 15).toList).take(4 + rnd.nextInt(8))
+          .foreach(p => a(p) =
+            (if (rnd.nextBoolean()) 1 else -1) * (1 + rnd.nextInt(9)))
+        a
+      }
+      val mb1 = I16Mb(Array.fill(16)(rnd.nextInt(9) - 4), denseAc, 1)
+      // MB2 below the PCM block: I_4x4 with DDR/VR/HD modes reading
+      // PCM's bottom edge
+      val modes2 = Array.tabulate(16) { b =>
+        if (b % 4 == 0) 2 else Seq(4, 5, 6)((b + trial) % 3)
+      }
+      val coeffs2 = Array.tabulate(16) { _ =>
+        val a = new Array[Int](16)
+        a(rnd.nextInt(16)) = 1 + rnd.nextInt(5)
+        a
+      }
+      val mb2 = I4Mb(modes2, coeffs2)
+      val mb3 = I16Mb(Array.fill(16)(rnd.nextInt(9) - 4),
+        Array.fill(16)(null), 3) // plane over MB1/MB2 edges
+      val mbs = Seq[Mp4.IntraMb](pcm, mb1, mb2, mb3)
+      val nal = Mp4.buildMixedIntraSlice(mbs, 2, 2, 0, 4)
+      val f = Mp4.parseIntraSlice(nal, sps)
+      assert(f.y.map(_ & 0xff).toSeq === refDecode(mbs, 2, 2).toSeq,
+        s"trial $trial")
+      // the PCM chroma came through raw
+      for (i <- 0 until 64)
+        assert((f.cb((i / 8) * 16 + i % 8) & 0xff) === (pcm.cb(i) & 0xff))
+    }
+  }
+
   /** Independent integration reference: its own pixel bookkeeping,
     * neighbour gathering, Z-order walk and top-right
     * decoded-before/substitution logic (the prediction FORMULAS are
@@ -322,6 +366,10 @@ class Round13bSpec extends SparkTestBase {
     def zOf(bx: Int, by: Int) =
       8 * (by / 2) + 4 * (bx / 2) + 2 * (by % 2) + (bx % 2)
     mbs.zipWithIndex.foreach {
+      case (Mp4.PcmMb(py, _, _), mb) =>
+        val mx = (mb % mbW) * 16; val my = (mb / mbW) * 16
+        for (i <- 0 until 256)
+          out((my + i / 16) * W + mx + i % 16) = py(i) & 0xff
       case (I16Mb(dcC, ac, mode, _), mb) =>
         val mx = (mb % mbW) * 16; val my = (mb / mbW) * 16
         val had = Array.tabulate(16) { rp =>
