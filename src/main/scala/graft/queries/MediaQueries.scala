@@ -3107,4 +3107,311 @@ object MediaQueries {
       |  CAST(sample_bytes * 8 * 90000 // (n * 3000) AS BIGINT)
       |    AS bitrate_bps
       |FROM pl""".stripMargin
+
+  // ---- m39: §8.7 in-loop deblocking ----------------------------------
+
+  /** m39: the DEBLOCKING rung under the hash gate (reference anchor:
+    * run.sh:53 `decodebin` — every real encoder leaves the §8.7
+    * filter on, and round 13's fixtures required it without applying
+    * it). Per document, a deterministic intra stream is built with
+    * `disable_deblocking_filter_idc = 0` in each slice header, muxed
+    * into real MP4, decoded through container walk → SPS/PPS → CAVLC
+    * intra decode → the in-loop filter, and hash-gated on all three
+    * planes. Three document classes, each y-uniform by construction
+    * so the whole filter collapses to the vertical pass on one
+    * characteristic row (columns are constant along y, so every
+    * horizontal edge sees p = q and is a provable no-op — the oracle
+    * restates exactly that row):
+    *
+    * kind 0 — two I_16x16 macroblocks with lone-DC luma steps: the
+    * bS = 4 macroblock edge walks the strong (|p0−q0| < (α≫2)+2),
+    * weak, and filterSamplesFlag-off (|δ| ≥ α) branches as the step
+    * height sweeps ±{1..16}, and the bS = 3 internal edges catch the
+    * second-order ripple where the strong filter's q1' feeds the
+    * next edge's ap test. kind 1 — flat luma with lone chroma DC
+    * residuals in MB1: the chroma bS = 4 two-tap filter at the
+    * macroblock edge (QPC = QPY at 26). kind 2 — one I_4x4
+    * macroblock whose right column of blocks carries a lone-DC step
+    * (DC + horizontal prediction keeps it y-uniform): the full
+    * bS = 3 path — clipped Δ with tC = tC0 + ap + aq, and the
+    * tC0-clipped p1/q1 adjustments.
+    *
+    * 100 TB shape: the m33..m38 contract — encode + decode run
+    * partition-local per document, one row out per doc. */
+  def m39Deblock(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Codecs
+    import Codecs.Mp4.{ChromaRes, I16Mb, I4Mb}
+    Tables.spread(Tables.documents(spark, dir).select(col("doc_id"))).as[Long]
+      .mapPartitions { it =>
+        def sgn(x: Long): Int = if (x % 2 == 0) 1 else -1
+        // lone-DC magnitudes sweeping the luma step δ = (52m+32)>>6
+        // through ±{1,2,3,4 | strong} {5,6,7,10,13 | weak} {15,16 | off}
+        val lmags = Array(1, 2, 4, 5, 6, 7, 8, 12, 16, 18, 20)
+        // chroma DC magnitudes: δc = (104m+32)>>6 ∈ {2,3,5,7,8,10,13,16}
+        val cmags = Array(1, 2, 3, 4, 5, 6, 8, 10)
+        it.map { id =>
+          val n = (2 + id % 3).toInt
+          val kind = (id % 3).toInt
+          val w = if (kind == 2) 16 else 32
+          val noAc = Array.fill(16)(null: Array[Int])
+          val nals = (0 until n).map { f =>
+            val nal = kind match {
+              case 0 =>
+                val c0 = sgn(id + f) * (1 + ((id + f * 3) % 5)).toInt
+                val c1 = sgn(id * 3 + f) *
+                  lmags(((id * 7 + f * 11) % 11).toInt)
+                val dc0 = new Array[Int](16); dc0(0) = c0
+                val dc1 = new Array[Int](16); dc1(0) = c1
+                Codecs.Mp4.buildI16x16Slice(Seq((dc0, noAc), (dc1, noAc)),
+                  2, 1, frameNum = 0, frameNumBits = 4, idrPicId = f % 8,
+                  deblockIdc = 0)
+              case 1 =>
+                val cbc = sgn(id + f) * cmags(((id * 2 + f) % 8).toInt)
+                val crc = sgn(id + f + 1) * cmags(((id + f * 3) % 8).toInt)
+                val cbDc = new Array[Int](4); cbDc(0) = cbc
+                val crDc = new Array[Int](4); crDc(0) = crc
+                Codecs.Mp4.buildMixedIntraSlice(Seq(
+                  I16Mb(new Array[Int](16), noAc),
+                  I16Mb(new Array[Int](16), noAc, 2,
+                    ChromaRes(cbDc, null, crDc, null))),
+                  2, 1, frameNum = 0, frameNumBits = 4, idrPicId = f % 8,
+                  deblockIdc = 0)
+              case _ =>
+                val c4 = sgn(id * 5 + f) * (1 + ((id * 5 + f * 3) % 5)).toInt
+                // right column of 4x4 blocks: DC pred at the top row
+                // then horizontal below — uniform 128 prediction, so
+                // the lone-DC residual is a clean y-uniform step
+                val modes = Array.fill(16)(2)
+                modes(7) = 1; modes(11) = 1; modes(15) = 1
+                val coeffs = Array.fill(16)(null: Array[Int])
+                for (bi <- Seq(3, 7, 11, 15)) {
+                  val a = new Array[Int](16); a(0) = c4; coeffs(bi) = a
+                }
+                Codecs.Mp4.buildMixedIntraSlice(
+                  Seq(I4Mb(modes, coeffs)), 1, 1,
+                  frameNum = 0, frameNumBits = 4, idrPicId = f % 8,
+                  deblockIdc = 0)
+            }
+            Seq(nal)
+          }
+          val mp4 = Codecs.Mp4.mux(nals, keyframes = (1 to n),
+            timescale = 90000, sampleDelta = 3000, width = w, height = 16)
+          var ys = 0L; var cbs = 0L; var crs = 0L; var fp = 0L
+          var nDec = 0
+          Codecs.Mp4.decodeIntraFrames(mp4).foreach { fr =>
+            nDec += 1
+            require(fr.width == w && fr.height == 16,
+              s"decoded dims ${fr.width}x${fr.height}")
+            fr.y.foreach { b =>
+              val v = b & 0xffL; ys += v
+              fp = (fp * 31 + v) % 1000000007L
+            }
+            fr.cb.foreach { b =>
+              val v = b & 0xffL; cbs += v
+              fp = (fp * 31 + v) % 1000000007L
+            }
+            fr.cr.foreach { b =>
+              val v = b & 0xffL; crs += v
+              fp = (fp * 31 + v) % 1000000007L
+            }
+          }
+          require(nDec == n, s"decoded $nDec of $n frames")
+          (id, n, w, 16, ys, cbs, crs, fp)
+        }
+      }.toDF("doc_id", "n_frames", "width", "height", "y_sum",
+        "cb_sum", "cr_sum", "pix_fp")
+  }
+
+  /** Integer floor division for possibly-negative numerators in
+    * DuckDB (whose `//` truncates toward zero): offset by `k`
+    * denominators, divide, subtract. */
+  private def fdiv(num: String, den: Int, k: Int = 8000): String =
+    s"(($num) + ${den.toLong * k}) // $den - $k"
+
+  /** §8.7.2.4 luma bS=4 edge on a 1-indexed SQL list `r` with q0 at
+    * position `q` — emits the filtered list expression. Numerators
+    * are sums of samples, so `//` needs no floor offset. */
+  private def sqlLumaBs4(r: String, q: Int, len: Int): String = {
+    val (p3, p2, p1, p0) =
+      (s"$r[${q - 4}]", s"$r[${q - 3}]", s"$r[${q - 2}]", s"$r[${q - 1}]")
+    val (q0, q1, q2, q3) =
+      (s"$r[$q]", s"$r[${q + 1}]", s"$r[${q + 2}]", s"$r[${q + 3}]")
+    val fs = s"abs($p0 - $q0) < 15 AND abs($p1 - $p0) < 6 " +
+      s"AND abs($q1 - $q0) < 6"
+    val strongP = s"abs($p2 - $p0) < 6 AND abs($p0 - $q0) < 5"
+    val strongQ = s"abs($q2 - $q0) < 6 AND abs($p0 - $q0) < 5"
+    s"""CASE WHEN NOT ($fs) THEN $r ELSE
+       |  $r[1:${q - 4}] || [
+       |  CASE WHEN $strongP
+       |    THEN (2*$p3 + 3*$p2 + $p1 + $p0 + $q0 + 4) // 8 ELSE $p2 END,
+       |  CASE WHEN $strongP
+       |    THEN ($p2 + $p1 + $p0 + $q0 + 2) // 4 ELSE $p1 END,
+       |  CASE WHEN $strongP
+       |    THEN ($p2 + 2*$p1 + 2*$p0 + 2*$q0 + $q1 + 4) // 8
+       |    ELSE (2*$p1 + $p0 + $q1 + 2) // 4 END,
+       |  CASE WHEN $strongQ
+       |    THEN ($q2 + 2*$q1 + 2*$q0 + 2*$p0 + $p1 + 4) // 8
+       |    ELSE (2*$q1 + $q0 + $p1 + 2) // 4 END,
+       |  CASE WHEN $strongQ
+       |    THEN ($q2 + $q1 + $q0 + $p0 + 2) // 4 ELSE $q1 END,
+       |  CASE WHEN $strongQ
+       |    THEN (2*$q3 + 3*$q2 + $q1 + $q0 + $p0 + 4) // 8 ELSE $q2 END
+       |  ] || $r[${q + 3}:$len] END""".stripMargin
+  }
+
+  /** §8.7.2.3 luma bS=3 edge at QP 26 (tC0 = 1, α 15, β 6) on a
+    * 1-indexed list `r`, q0 at `q`. */
+  private def sqlLumaBs3(r: String, q: Int, len: Int): String = {
+    val (p2, p1, p0) = (s"$r[${q - 3}]", s"$r[${q - 2}]", s"$r[${q - 1}]")
+    val (q0, q1, q2) = (s"$r[$q]", s"$r[${q + 1}]", s"$r[${q + 2}]")
+    val fs = s"abs($p0 - $q0) < 15 AND abs($p1 - $p0) < 6 " +
+      s"AND abs($q1 - $q0) < 6"
+    val tc = s"(1 + (CASE WHEN abs($p2 - $p0) < 6 THEN 1 ELSE 0 END)" +
+      s" + (CASE WHEN abs($q2 - $q0) < 6 THEN 1 ELSE 0 END))"
+    val delta = s"least($tc, greatest(-$tc, " +
+      fdiv(s"($q0 - $p0) * 4 + ($p1 - $q1) + 4", 8) + "))"
+    val avg = s"(($p0 + $q0 + 1) // 2)"
+    val dp1 = s"least(1, greatest(-1, " +
+      fdiv(s"$p2 + $avg - 2*$p1", 2) + "))"
+    val dq1 = s"least(1, greatest(-1, " +
+      fdiv(s"$q2 + $avg - 2*$q1", 2) + "))"
+    s"""CASE WHEN NOT ($fs) THEN $r ELSE
+       |  $r[1:${q - 3}] || [
+       |  CASE WHEN abs($p2 - $p0) < 6 THEN $p1 + $dp1 ELSE $p1 END,
+       |  least(255, greatest(0, $p0 + $delta)),
+       |  least(255, greatest(0, $q0 - $delta)),
+       |  CASE WHEN abs($q2 - $q0) < 6 THEN $q1 + $dq1 ELSE $q1 END
+       |  ] || $r[${q + 2}:$len] END""".stripMargin
+  }
+
+  /** §8.7.2.4 chroma bS=4 edge (two-tap, p0/q0 only) on a 1-indexed
+    * list `r`, q0 at `q`. */
+  private def sqlChromaBs4(r: String, q: Int, len: Int): String = {
+    val (p1, p0) = (s"$r[${q - 2}]", s"$r[${q - 1}]")
+    val (q0, q1) = (s"$r[$q]", s"$r[${q + 1}]")
+    val fs = s"abs($p0 - $q0) < 15 AND abs($p1 - $p0) < 6 " +
+      s"AND abs($q1 - $q0) < 6"
+    s"""CASE WHEN NOT ($fs) THEN $r ELSE
+       |  $r[1:${q - 2}] || [
+       |  (2*$p1 + $p0 + $q1 + 2) // 4,
+       |  (2*$q1 + $q0 + $p1 + 2) // 4
+       |  ] || $r[${q + 1}:$len] END""".stripMargin
+  }
+
+  /** Closed-form restatement of m39. Decode first: kind-0 luma is
+    * two uniform macroblocks (lone scan-0 DC → flat 52·c dequant →
+    * (x+32)≫6 offset over the 128 / left-edge prediction); kind-1
+    * chroma is 128 + (104·c + 32)≫6 in MB1; kind-2 luma is a
+    * right-column step of (832·c + 128)≫8. Then the §8.7 vertical
+    * pass is restated edge by edge on the one characteristic row
+    * (the pictures are y-uniform, so every horizontal edge has
+    * p = q — a no-op — and uniform regions make the MB0-internal
+    * and chroma-internal edges no-ops; the macroblock edge and the
+    * post-ripple internal edges are restated in full). Sums scale
+    * the row by the 16 (luma) / 8 (chroma) identical lines; the
+    * fingerprint folds y ‖ cb ‖ cr per frame. */
+  val m39Sql: String = {
+    val v0 = s"least(255, greatest(0, 128 + (${fdiv("52*c0 + 32", 64)})))"
+    val off1 = fdiv("52*c1 + 32", 64)
+    val offCb = fdiv("104*cbc + 32", 64)
+    val offCr = fdiv("104*crc + 32", 64)
+    val off4 = fdiv("832*c4 + 128", 256)
+    s"""WITH d AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS n,
+       |    CAST(doc_id % 3 AS INT) AS kind
+       |  FROM documents),
+       |f AS (SELECT doc_id, n, kind, unnest(range(n)) AS fr FROM d),
+       |par AS (SELECT doc_id, n, kind, fr,
+       |    (CASE WHEN (doc_id + fr) % 2 = 0 THEN 1 ELSE -1 END)
+       |      * (1 + (doc_id + fr * 3) % 5) AS c0,
+       |    (CASE WHEN (doc_id * 3 + fr) % 2 = 0 THEN 1 ELSE -1 END)
+       |      * ([1,2,4,5,6,7,8,12,16,18,20]
+       |          [CAST((doc_id * 7 + fr * 11) % 11 AS INT) + 1]) AS c1,
+       |    (CASE WHEN (doc_id + fr) % 2 = 0 THEN 1 ELSE -1 END)
+       |      * ([1,2,3,4,5,6,8,10]
+       |          [CAST((doc_id * 2 + fr) % 8 AS INT) + 1]) AS cbc,
+       |    (CASE WHEN (doc_id + fr + 1) % 2 = 0 THEN 1 ELSE -1 END)
+       |      * ([1,2,3,4,5,6,8,10]
+       |          [CAST((doc_id + fr * 3) % 8 AS INT) + 1]) AS crc,
+       |    (CASE WHEN (doc_id * 5 + fr) % 2 = 0 THEN 1 ELSE -1 END)
+       |      * (1 + (doc_id * 5 + fr * 3) % 5) AS c4
+       |  FROM f),
+       |base AS (SELECT doc_id, n, kind, fr,
+       |    CAST($v0 AS BIGINT) AS v0, cbc, crc, c1, c4 FROM par),
+       |rows0 AS (SELECT doc_id, n, kind, fr, cbc, crc,
+       |    CASE kind
+       |      WHEN 0 THEN list_concat(
+       |        list_transform(range(16), x -> v0),
+       |        list_transform(range(16), x ->
+       |          least(255, greatest(0, v0 + ($off1)))))
+       |      WHEN 1 THEN list_transform(range(32), x -> CAST(128 AS BIGINT))
+       |      ELSE list_concat(
+       |        list_transform(range(12), x -> CAST(128 AS BIGINT)),
+       |        list_transform(range(4), x ->
+       |          least(255, greatest(0, 128 + ($off4)))))
+       |      END AS lr,
+       |    CASE kind WHEN 1 THEN list_concat(
+       |        list_transform(range(8), x -> CAST(128 AS BIGINT)),
+       |        list_transform(range(8), x ->
+       |          least(255, greatest(0, 128 + ($offCb)))))
+       |      ELSE NULL END AS cbr0,
+       |    CASE kind WHEN 1 THEN list_concat(
+       |        list_transform(range(8), x -> CAST(128 AS BIGINT)),
+       |        list_transform(range(8), x ->
+       |          least(255, greatest(0, 128 + ($offCr)))))
+       |      ELSE NULL END AS crr0
+       |  FROM base),
+       |e1 AS (SELECT doc_id, n, kind, fr, cbr0, crr0,
+       |    CASE WHEN kind = 0 THEN ${sqlLumaBs4("lr", 17, 32)}
+       |      WHEN kind = 2 THEN ${sqlLumaBs3("lr", 13, 16)}
+       |      ELSE lr END AS lr
+       |  FROM rows0),
+       |e2 AS (SELECT doc_id, n, kind, fr, cbr0, crr0,
+       |    CASE WHEN kind = 0 THEN ${sqlLumaBs3("lr", 21, 32)}
+       |      ELSE lr END AS lr
+       |  FROM e1),
+       |e3 AS (SELECT doc_id, n, kind, fr, cbr0, crr0,
+       |    CASE WHEN kind = 0 THEN ${sqlLumaBs3("lr", 25, 32)}
+       |      ELSE lr END AS lr
+       |  FROM e2),
+       |e4 AS (SELECT doc_id, n, kind, fr,
+       |    CASE WHEN kind = 0 THEN ${sqlLumaBs3("lr", 29, 32)}
+       |      ELSE lr END AS lr,
+       |    CASE WHEN kind = 1 THEN ${sqlChromaBs4("cbr0", 9, 16)}
+       |      ELSE NULL END AS cbr,
+       |    CASE WHEN kind = 1 THEN ${sqlChromaBs4("crr0", 9, 16)}
+       |      ELSE NULL END AS crr
+       |  FROM e3),
+       |per AS (SELECT doc_id, n, kind, fr,
+       |    16 * list_reduce(list_prepend(CAST(0 AS BIGINT), lr),
+       |      (a, b) -> a + b) AS ys,
+       |    CASE kind WHEN 1 THEN 8 * list_reduce(
+       |        list_prepend(CAST(0 AS BIGINT), cbr), (a, b) -> a + b)
+       |      WHEN 0 THEN 16384 ELSE 8192 END AS cbs,
+       |    CASE kind WHEN 1 THEN 8 * list_reduce(
+       |        list_prepend(CAST(0 AS BIGINT), crr), (a, b) -> a + b)
+       |      WHEN 0 THEN 16384 ELSE 8192 END AS crs,
+       |    flatten(list_transform(range(16), x -> lr))
+       |      || flatten(list_transform(range(8),
+       |        x -> CASE WHEN kind = 1 THEN cbr
+       |          ELSE list_transform(
+       |            range(CASE kind WHEN 0 THEN 16 ELSE 8 END),
+       |            z -> CAST(128 AS BIGINT)) END))
+       |      || flatten(list_transform(range(8),
+       |        x -> CASE WHEN kind = 1 THEN crr
+       |          ELSE list_transform(
+       |            range(CASE kind WHEN 0 THEN 16 ELSE 8 END),
+       |            z -> CAST(128 AS BIGINT)) END)) AS vals
+       |  FROM e4)
+       |SELECT doc_id, max(n) AS n_frames,
+       |  CAST(CASE WHEN max(kind) = 2 THEN 16 ELSE 32 END AS INT) AS width,
+       |  16 AS height,
+       |  CAST(sum(ys) AS BIGINT) AS y_sum,
+       |  CAST(sum(cbs) AS BIGINT) AS cb_sum,
+       |  CAST(sum(crs) AS BIGINT) AS cr_sum,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    flatten(list(vals ORDER BY fr))),
+       |    (a, b) -> (a * 31 + b) % 1000000007) AS pix_fp
+       |FROM per GROUP BY doc_id""".stripMargin
+  }
 }

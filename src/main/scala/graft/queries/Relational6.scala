@@ -72,6 +72,9 @@ object Relational6 {
       .agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
       .localCheckpoint()
     val nValues = cents.count()
+    // pinned frames to release once the 1-row result is materialized
+    // (ADVICE r13: the checkpoint blocks leaked across invocations)
+    var pinned: List[DataFrame] = List(cents)
     val withCumb =
       if (nValues <= maxSingleTaskValues) {
         val w = Window.orderBy(col("v"))
@@ -89,6 +92,7 @@ object Relational6 {
             col("v"))
           .withColumn("r", spark_partition_id())
           .localCheckpoint()
+        pinned ::= ranged
         val offsets = ranged.groupBy(col("r"))
           .agg(sum(col("nb")).as("range_nb"))
         val wOff = Window.orderBy(col("r"))
@@ -104,13 +108,22 @@ object Relational6 {
           .join(broadcast(offsetRows), Seq("r"))
           .withColumn("cumb", col("cumb_in") + col("off"))
       }
-    withCumb
+    // materialize the single result row EAGERLY, then release the
+    // checkpointed frames — the unpersist discipline kCorePeel and
+    // connectedComponents already follow; returning a lazy plan over
+    // the pinned blocks would leak them for the caller's lifetime
+    val row = withCumb
       .agg(sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"),
         sum(expr(s"cast(na as $dec) * (2 * cumb + nb)")).as("u2d"))
       .select(col("n_a"), col("n_b"),
         expr("cast(u2d as bigint)").as("u2_a"),
         expr("cast(cast(2 as decimal(38,0)) * n_a * n_b - u2d as bigint)")
           .as("u2_b"))
+      .head() // 1-row scalar fetch, not a data-sized collect
+    pinned.foreach(_.unpersist())
+    import spark.implicits._
+    Seq((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)))
+      .toDF("n_a", "n_b", "u2_a", "u2_b")
   }
 
   def r76MannWhitney(spark: SparkSession, dir: String): DataFrame =
@@ -408,19 +421,62 @@ object Relational6 {
     * scale the curve is computed for). Numerators are non-negative,
     * so truncating vs flooring division cannot diverge.
     *
-    * 100 TB shape: the ntile is a single ordered pass over the fact
-    * table (the r76 admission); the escalation at fact-table scale
-    * is repartitionByRange(cents) + per-range counts to place the
-    * decile cuts, then a broadcast cut join — same tiling, no
-    * single-task sort. Everything after the tile is a 10-row
-    * frame. */
-  def r81Lorenz(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir)
+    * 100 TB shape: below `maxSingleTaskRows` the ntile is a single
+    * ordered pass over the fact table (the r76 admission); above it
+    * — the only DATA-SIZED unpartitioned window in the repo (round-14
+    * audit) — the tiling switches to a CODED two-phase global rank:
+    * repartitionByRange on the sort key, per-range counts folded
+    * into broadcast prefix offsets, per-range local row_number + its
+    * range's offset = the exact global rank, and the ntile bucket
+    * computed arithmetically from (rank, n) with Spark's
+    * larger-buckets-first semantics — same tiling, no single-task
+    * sort. Everything after the tile is a 10-row frame, which is
+    * materialized eagerly so the pinned inputs release
+    * (mannWhitney's unpersist discipline). */
+  def lorenz(ordersIn: DataFrame,
+      maxSingleTaskRows: Long = 1L << 22): DataFrame = {
+    val spark = ordersIn.sparkSession
+    val o = ordersIn
       .select(floor(col("o_totalprice") * 100).cast("long").as("cents"),
         col("o_orderkey"))
-    val tiled = o.withColumn("decile",
-      ntile(10).over(Window.orderBy(col("cents"), col("o_orderkey"))))
-    tiled.groupBy(col("decile"))
+      .localCheckpoint()
+    var pinned: List[DataFrame] = List(o)
+    val n = o.count()
+    val tiled =
+      if (n <= maxSingleTaskRows)
+        o.withColumn("decile", ntile(10)
+          .over(Window.orderBy(col("cents"), col("o_orderkey")))
+          .cast("long"))
+      else {
+        val ranged = o
+          .repartitionByRange(spark.sessionState.conf.numShufflePartitions,
+            col("cents"), col("o_orderkey"))
+          .withColumn("r", spark_partition_id())
+          .localCheckpoint() // pin the range ids (see r76)
+        pinned ::= ranged
+        val wOff = Window.orderBy(col("r"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offRows = ranged.groupBy(col("r")) // ≤ #partitions rows
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+          .select(col("r"), col("off"))
+        val wIn = Window.partitionBy(col("r"))
+          .orderBy(col("cents"), col("o_orderkey"))
+        // ntile(10) from the exact global rank: the first n%10
+        // buckets hold n/10+1 rows, the rest n/10 (Spark semantics)
+        val q = n / 10
+        val cut = (n % 10) * (q + 1)
+        val qTail = math.max(q, 1L) // unreachable divisor when q = 0
+        ranged.withColumn("lr", row_number().over(wIn))
+          .join(broadcast(offRows), Seq("r"))
+          .withColumn("rank", col("lr").cast("long") + col("off"))
+          .withColumn("decile",
+            when(col("rank") <= cut,
+              expr(s"(rank + $q) div ${q + 1}"))
+              .otherwise(expr(
+                s"${n % 10} + (rank - $cut + $qTail - 1) div $qTail")))
+      }
+    val out = tiled.groupBy(col("decile"))
       .agg(count(lit(1)).as("n_orders"),
         sum(col("cents")).as("decile_cents"))
       .withColumn("cum_cents",
@@ -434,7 +490,16 @@ object Relational6 {
         col("n_orders"), col("decile_cents"),
         expr("cast(cast(cum_cents as decimal(38,0)) * 1000000 " +
           "div total_cents as bigint)").as("cum_share_ppm"))
+      .collect() // the 10-row decile frame, never data-sized
+    pinned.foreach(_.unpersist())
+    import spark.implicits._
+    out.toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toDF("decile", "n_orders", "decile_cents", "cum_share_ppm")
   }
+
+  def r81Lorenz(spark: SparkSession, dir: String): DataFrame =
+    lorenz(Tables.orders(spark, dir))
 
   val r81Sql: String =
     """WITH c AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT)

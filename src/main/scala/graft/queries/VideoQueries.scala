@@ -1027,10 +1027,16 @@ object VideoQueries {
     val roots =
       if (oversized.isEmpty) walkRoots
       else walkRoots.unionByName(
-        // fallback: distributed iterative min-label propagation over
-        // the oversized videos' forests — no single executor ever
-        // holds a video's whole edge set
-        graft.operators.Components.connectedComponents(
+        // fallback: the TWO-PHASE distributed closure — O(log² n)
+        // rounds regardless of chain diameter. The min-label
+        // propagation variant needs O(chain-length) rounds, and a
+        // video big enough to trip this guard (> maxEdgesPerVideo
+        // boxes) almost certainly contains track chains longer than
+        // its round cap — exactly the inputs the guard exists for
+        // (ADVICE r13), so the deep-chain closure is the only safe
+        // escalation. No single executor ever holds a video's whole
+        // edge set either way.
+        graft.operators.Components.connectedComponentsTwoPhase(
           edges.filter(col("video_id").isin(oversized.toSeq: _*))
             .select(col("node").as("a"), col("parent").as("b"))))
     boxes

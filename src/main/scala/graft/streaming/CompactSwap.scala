@@ -21,6 +21,15 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 private[streaming] object CompactSwap {
 
+  /** The reserved ingest id the compacted BASE is written under.
+    * Never a legitimate micro-batch id (foreachBatch ids start at
+    * 0), so a replayed or fresh batch 0 can't overwrite the merged
+    * base with its partial, and [[uncertifiedIds]] never classifies
+    * the base as a crashed batch for lack of an `_ingested_0`
+    * marker (ADVICE r13: the old base id 0 collided with batch 0 —
+    * crash → compact → replay broke exactly there). */
+  val CompactedBaseId: Long = -1L
+
   /** Swap the staged tables named `names` in at `path`. Destructive
     * cleanup (delete stage + trash) happens ONLY after verifying
     * every table exists at its live location. */
@@ -68,7 +77,10 @@ private[streaming] object CompactSwap {
     * e.g. a merged stats row plus the replayed per-batch partial).
     * Rows with no partition directory (a synchronous batch build
     * that predates per-ingest partitioning) are certified by
-    * construction and never excluded. */
+    * construction and never excluded — as is the reserved
+    * [[CompactedBaseId]] partition, which is certified by the
+    * `_stage_complete`-gated swap that created it, not by a batch
+    * marker. */
   def uncertifiedIds(fs: FileSystem, path: String,
       tables: Seq[String]): Seq[Long] = {
     val ids = tables.flatMap { t =>
@@ -78,6 +90,7 @@ private[streaming] object CompactSwap {
         .filter(_.startsWith("ingest_id="))
         .map(_.stripPrefix("ingest_id=").toLong)
     }.distinct
-    ids.filterNot(id => fs.exists(new Path(path, s"_ingested_$id")))
+    ids.filter(_ != CompactedBaseId)
+      .filterNot(id => fs.exists(new Path(path, s"_ingested_$id")))
   }
 }

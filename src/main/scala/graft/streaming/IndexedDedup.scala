@@ -163,8 +163,11 @@ object IndexedDedup {
     val uncert = CompactSwap.uncertifiedIds(fs, path,
       Seq("bands", "features"))
     def withIngestId(df: DataFrame): DataFrame = {
+      // a non-partitioned legacy table is certified by construction —
+      // stamp it with the RESERVED base id, never a batch id (a
+      // later batch 0 would otherwise overwrite it)
       val withId = if (df.columns.contains("ingest_id")) df
-        else df.withColumn("ingest_id", lit(0L))
+        else df.withColumn("ingest_id", lit(CompactSwap.CompactedBaseId))
       if (uncert.isEmpty) withId
       else withId.filter(!col("ingest_id").isin(uncert: _*))
     }

@@ -182,8 +182,10 @@ object IndexedLex {
     val uncert = CompactSwap.uncertifiedIds(fs, path,
       Seq("postings", "doclen", "stats"))
     def withIngestId(df: DataFrame): DataFrame = {
+      // a non-partitioned legacy table is certified by construction —
+      // stamp it with the RESERVED base id, never a batch id
       val withId = if (df.columns.contains("ingest_id")) df
-        else df.withColumn("ingest_id", lit(0L))
+        else df.withColumn("ingest_id", lit(CompactSwap.CompactedBaseId))
       if (uncert.isEmpty) withId
       else withId.filter(!col("ingest_id").isin(uncert: _*))
     }
@@ -195,7 +197,10 @@ object IndexedLex {
     val stats = withIngestId(spark.read.parquet(s"$path/stats"))
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("total_dl")).as("total_dl"))
-      .withColumn("ingest_id", lit(0L))
+      // the merged base row lives under the reserved id: batch id 0
+      // (a fresh query, or a crashed batch 0's replay) overwrites
+      // ONLY its own ingest_id=0 partition, never the base totals
+      .withColumn("ingest_id", lit(CompactSwap.CompactedBaseId))
     RetrievalQueries.awaitAll(
       () => post.repartition(RetrievalQueries.lexBuckets, col("tbkt"))
         .write.mode("overwrite").partitionBy("ingest_id", "tbkt")

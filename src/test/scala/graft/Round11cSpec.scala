@@ -69,6 +69,7 @@ class Round11cSpec extends SparkTestBase {
     w.ue(0L)                     // idr_pic_id
     w.u(0L, 1); w.u(0L, 1)       // dec_ref_pic_marking
     w.se(0L)                     // slice_qp_delta
+    w.ue(1L)                     // disable_deblocking_filter_idc: off
     w.ue(0L)                     // mb_type 0: I_NxN — NOT I_PCM
     w.trailingBits()
     val nal = (0x65.toByte +: Codecs.Mp4.rbspEscape(w.bytes)).toArray
