@@ -1090,6 +1090,9 @@ object Codecs {
       /** pcm_alignment_zero_bit run (§7.3.5): zero bits to the next
         * byte boundary. */
       def alignZero(): Unit = if (nb != 0) u(0L, 8 - nb)
+      /** cabac_alignment_one_bit run (§7.3.4): ONE bits to the next
+        * byte boundary before CABAC slice data. */
+      def alignOnes(): Unit = if (nb != 0) u((1L << (8 - nb)) - 1, 8 - nb)
       /** rbsp_trailing_bits: stop bit + byte alignment (§7.3.2.11). */
       def trailingBits(): Unit = { u(1L, 1); if (nb != 0) u(0L, 8 - nb) }
       def bytes: Array[Byte] = {
@@ -1124,6 +1127,11 @@ object Codecs {
       /** consume pcm_alignment_zero_bit run; each must be 0 (§7.3.5). */
       def alignZero(): Unit =
         while (!aligned) require(u(1) == 0L, "pcm_alignment bit not zero")
+      /** consume cabac_alignment_one_bit run; each must be 1
+        * (§7.3.4) — a CAVLC payload misread as CABAC fails here. */
+      def alignOnes(): Unit =
+        while (!aligned) require(u(1) == 1L,
+          "cabac_alignment_one_bit != 1")
       def aligned: Boolean = pos % 8 == 0
     }
 
@@ -1573,7 +1581,7 @@ object Codecs {
     // is kept verbatim as the m34 contract.
 
     /** 4×4 zigzag scan (§8.5.6): scan index → raster index. */
-    private val zigzag4x4: Array[Int] =
+    private[operators] val zigzag4x4: Array[Int] =
       Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
 
     /** coeff_token for the 0 ≤ nC < 2 context (Table 9-5), the
@@ -1883,11 +1891,17 @@ object Codecs {
     // the construction the published tables follow). The 0 ≤ nC < 2
     // column is additionally anchored to a published worked example
     // (spec-gated), and the nC ≥ 8 column is the closed-form 6-bit
-    // FLC. The long-code tail of the 2 ≤ nC < 4 column (TotalCoeff
-    // ≥ 8) is reconstructed UNDER those invariants and may deviate
-    // from Table 9-5 in code VALUE (never in grammar); a real
-    // encoder's stream that disagrees there fails loudly at the
-    // unmatched-codeword guard rather than mis-decoding. total_zeros
+    // FLC. The 2 ≤ nC < 4 column's long-code tail (TotalCoeff ≥ 8)
+    // was RE-TRANSCRIBED in round 14 against the canonical published
+    // table (the round-13 structural reconstruction deviated in five
+    // cells across TotalCoeff 9–11: lengths (12,12,11,9)→(12,11,11,9)
+    // and (12,12,11,11)→(12,12,12,11), values (11,14,8,12)→
+    // (11,14,13,12) and (8,13,9,10)→(8,10,9,8)); the corrected
+    // column passes the same prefix-free/contiguous-run validators.
+    // No published worked example covers this column, so its
+    // remaining evidence is the invariants plus cross-source
+    // agreement; an unmatched codeword still fails loudly rather
+    // than mis-decoding. total_zeros
     // rows for TotalCoeff 2..15 are COMPLETE prefix codes — their
     // Kraft sums equal exactly 1, asserted at init (a transcription
     // error that kept prefix-freeness would still almost surely
@@ -1906,7 +1920,7 @@ object Codecs {
         Array(
           2, 0, 0, 0, 6, 2, 0, 0, 6, 5, 3, 0, 7, 6, 6, 4,
           8, 6, 6, 4, 8, 7, 7, 5, 9, 8, 8, 6, 11, 9, 9, 6,
-          11, 11, 11, 7, 12, 12, 11, 9, 12, 12, 11, 11, 12, 12, 12, 11,
+          11, 11, 11, 7, 12, 11, 11, 9, 12, 12, 12, 11, 12, 12, 12, 11,
           13, 13, 13, 12, 13, 13, 13, 13, 13, 14, 14, 13, 14, 14, 14, 13,
           14, 14, 14, 14),
         Array(
@@ -1925,7 +1939,7 @@ object Codecs {
         Array(
           3, 0, 0, 0, 11, 2, 0, 0, 7, 7, 3, 0, 7, 10, 9, 5,
           7, 6, 5, 4, 4, 6, 5, 6, 7, 6, 5, 8, 15, 6, 5, 4,
-          11, 14, 13, 4, 15, 10, 9, 4, 11, 14, 8, 12, 8, 13, 9, 10,
+          11, 14, 13, 4, 15, 10, 9, 4, 11, 14, 13, 12, 8, 10, 9, 8,
           15, 14, 13, 12, 11, 10, 9, 12, 7, 11, 10, 8, 9, 8, 7, 6,
           4, 6, 5, 3),
         Array(
@@ -3123,10 +3137,10 @@ object Codecs {
     def decodeIntraFrames(data: Array[Byte]): Iterator[PcmFrame] = {
       val sps = spsInfo(data)
       val pps = ppsInfo(data)
-      require(!pps.entropy_coding_mode,
-        "CABAC streams are outside the CAVLC intra envelope — the " +
-          "documented next rung")
-      nalPayloadIterator(data).map(parseIntraSlice(_, sps, pps = pps))
+      if (pps.entropy_coding_mode) // the m40 CABAC arm
+        nalPayloadIterator(data).map(Cabac.parseI16x16Slice(_, sps, pps))
+      else
+        nalPayloadIterator(data).map(parseIntraSlice(_, sps, pps = pps))
     }
 
     // ---- fixture writer ------------------------------------------

@@ -303,7 +303,13 @@ object Graph {
       ed.groupBy(col("s")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("s").as("node"))
     val edgeRounds = scala.collection.mutable.ArrayBuffer[DataFrame](sym)
-    var cnt = sym.count()
+    // round-14 fusion: sym has NO materializing job of its own — the
+    // round-1 join computes (and caches) it inside its only pass, and
+    // the convergence comparison reads the then-cached count as a
+    // block-metadata scan. Saves the init job (upstream pair-gen ran
+    // twice across init+round1 shapes before); the round-0 count is
+    // only needed lazily, after round 1 populated the cache.
+    var cnt = -1L
     var r = 1
     var done = false
     while (r <= rounds && !done) {
@@ -314,6 +320,7 @@ object Graph {
         .join(sv.select(col("node").as("d")), Seq("d"))
         .select(col("s"), col("d")).snapshot()
       val nextCnt = next.count() // cached scan; convergence probe
+      if (cnt < 0) cnt = sym.count() // now cached — metadata-cheap
       edgeRounds += next
       if (nextCnt == cnt) done = true
       cnt = nextCnt

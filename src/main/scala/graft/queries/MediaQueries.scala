@@ -3223,6 +3223,93 @@ object MediaQueries {
         "cb_sum", "cr_sum", "pix_fp")
   }
 
+  // ---- m40: CABAC entropy decode --------------------------------------
+
+  /** m40: CABAC under the hash gate (reference anchor: run.sh:53
+    * `decodebin` — CABAC is the default entropy coder of every
+    * main/high-profile encoder, and was the biggest envelope refusal
+    * a real file hit). Per document, the EXACT m35 coefficient
+    * fixtures (lone zigzag DC + strided/dense AC classes walking the
+    * neighbour-context space) are entropy-coded with the §9.3
+    * arithmetic coder instead of CAVLC — context-initialized
+    * I-slice models, mb_type/chroma-mode/qp-delta bins, residual
+    * significance maps, TU+UEG0 levels, bypass signs, per-MB
+    * terminate — muxed into real MP4 with a CABAC PPS
+    * (entropy_coding_mode_flag = 1), and decoded back through
+    * container walk → PPS dispatch → §9.3.3.2 arithmetic decode →
+    * the same reconstruction. The pixels are entropy-coder-invariant
+    * by construction, so the oracle IS m35's closed form — any
+    * engine/grammar asymmetry breaks the hash.
+    *
+    * 100 TB shape: the m33..m39 contract — encode + decode run
+    * partition-local per document, one row out per doc. */
+  def m40CabacDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{Cabac, Codecs}
+    Tables.spread(Tables.documents(spark, dir).select(col("doc_id"))).as[Long]
+      .mapPartitions { it =>
+        val zig = Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+        val cabacPps = Cabac.buildPps()
+        it.map { id =>
+          val n = (2 + id % 3).toInt
+          val nals = (0 until n).map { f =>
+            val kind = ((id * 31 + f * 7) % 3).toInt
+            val z = ((id * 13 + f * 11) % 16).toInt
+            val ld = (if ((id + f) % 2 == 0) 1 else -1) *
+              (1 + ((id + f * 3) % 7)).toInt
+            val dc = new Array[Int](16)
+            dc(zig(z)) = ld
+            def lvl(b: Int, k: Int): Int =
+              (if ((id + f + b + k) % 2 == 0) 1 else -1) *
+                (1 + ((id + f + b * 3 + k * 5) % 9)).toInt
+            val ac = Array.fill(16)(null: Array[Int])
+            if (kind == 1) {
+              val ba = ((id * 7 + f) % 16).toInt
+              val s = 1 + ((id + f) % 3).toInt
+              val p = 1 + ((id * 3 + f) % 4).toInt
+              val a = new Array[Int](15)
+              for (k <- 1 to p) a(k * s - 1) = lvl(0, k)
+              ac(ba) = a
+            } else if (kind == 2) {
+              for (b <- Seq(0, 1, 4, 5)) {
+                val s = 1 + ((id + f + b) % 2).toInt
+                val p0 = 3 + ((id + f + 2 * b) % 7).toInt
+                val p = if (s == 2) math.min(p0, 7) else p0
+                val a = new Array[Int](15)
+                for (k <- 1 to p) a(k * s - 1) = lvl(b, k)
+                ac(b) = a
+              }
+            }
+            Seq(Cabac.buildI16x16Slice(dc, ac,
+              frameNum = 0, frameNumBits = 4, idrPicId = f % 8))
+          }
+          val mp4 = Codecs.Mp4.mux(nals, keyframes = (1 to n),
+            timescale = 90000, sampleDelta = 3000, width = 16, height = 16,
+            ppsOverride = cabacPps)
+          var ys = 0L; var cbs = 0L; var crs = 0L; var fp = 0L
+          var nDec = 0
+          Codecs.Mp4.decodeIntraFrames(mp4).foreach { fr =>
+            nDec += 1
+            require(fr.width == 16 && fr.height == 16,
+              s"decoded dims ${fr.width}x${fr.height}")
+            fr.y.foreach { b =>
+              val v = b & 0xffL
+              ys += v; fp = (fp * 31 + v) % 1000000007L
+            }
+            fr.cb.foreach(b => cbs += (b & 0xffL))
+            fr.cr.foreach(b => crs += (b & 0xffL))
+          }
+          require(nDec == n, s"decoded $nDec of $n frames")
+          (id, n, 16, 16, ys, cbs, crs, fp)
+        }
+      }.toDF("doc_id", "n_frames", "width", "height", "y_sum",
+        "cb_sum", "cr_sum", "pix_fp")
+  }
+
+  /** The decoded pixels are entropy-coder-invariant, so m40's oracle
+    * is m35's closed form verbatim. */
+  val m40Sql: String = m35Sql
+
   /** Integer floor division for possibly-negative numerators in
     * DuckDB (whose `//` truncates toward zero): offset by `k`
     * denominators, divide, subtract. */

@@ -239,31 +239,32 @@ class Round14Spec extends SparkTestBase {
   }
 
   test("the decode envelope refuses what it can't decode, by class: " +
-    "a CABAC PPS refuses at the container hop; non-I_PCM refuses in " +
-    "the PCM parser; the envelope sentence in DEPLOYMENT.md is real") {
-    // hand-build a PPS with entropy_coding_mode_flag = 1 (CABAC)
-    val w = new Mp4.BitWriter
-    w.ue(0L); w.ue(0L)           // pps_id, sps_id
-    w.u(1L, 1)                   // entropy_coding_mode_flag: CABAC
-    w.u(0L, 1); w.ue(0L)         // bottom_field, slice groups
-    w.ue(0L); w.ue(0L)           // num_ref_idx defaults
-    w.u(0L, 1); w.u(0L, 2)       // weighted pred
-    w.se(0L); w.se(0L); w.se(0L) // qp, qs, chroma offset
-    w.u(1L, 1); w.u(0L, 1); w.u(0L, 1) // deblock ctl, intra, redundant
-    w.trailingBits()
-    val cabacPps = (0x68.toByte +: Mp4.rbspEscape(w.bytes)).toArray
+    "the CABAC arm's sub-envelope (multi-MB) refuses loudly, and a " +
+    "CAVLC payload mislabeled as CABAC fails at the alignment bits") {
+    val cabacPps = graft.operators.Cabac.buildPps()
     assert(Mp4.parsePps(cabacPps).entropy_coding_mode)
-    val dc = new Array[Int](16); dc(0) = 1
-    val nal = Mp4.buildI16x16Slice(
+    // a real CABAC slice muxed into a TWO-macroblock SPS: the CABAC
+    // parser's single-MB envelope refuses by name
+    val dc = new Array[Int](16); dc(0) = 2
+    val cnal = graft.operators.Cabac.buildI16x16Slice(dc,
+      Array.fill(16)(null: Array[Int]), frameNum = 0, frameNumBits = 4)
+    val wide = Mp4.mux(Seq(Seq(cnal)), keyframes = Seq(1),
+      timescale = 90000, sampleDelta = 3000, width = 32, height = 16,
+      ppsOverride = cabacPps)
+    val e1 = intercept[IllegalArgumentException] {
+      Mp4.decodeIntraFrames(wide).next()
+    }
+    assert(e1.getMessage.contains("single-macroblock"))
+    // a CAVLC-coded payload under a CABAC PPS: loud, never garbled
+    val vnal = Mp4.buildI16x16Slice(
       Seq((dc, Array.fill(16)(null: Array[Int]))), 1, 1,
       frameNum = 0, frameNumBits = 4)
-    val mp4 = Mp4.mux(Seq(Seq(nal)), keyframes = Seq(1),
+    val mixed = Mp4.mux(Seq(Seq(vnal)), keyframes = Seq(1),
       timescale = 90000, sampleDelta = 3000, width = 16, height = 16,
       ppsOverride = cabacPps)
-    val e = intercept[IllegalArgumentException] {
-      Mp4.decodeIntraFrames(mp4)
+    intercept[IllegalArgumentException] {
+      Mp4.decodeIntraFrames(mixed).next()
     }
-    assert(e.getMessage.contains("CABAC"))
   }
 
   // ---- round-14 window audit: the r81 fact-sized ntile is guarded ---
@@ -369,6 +370,118 @@ class Round14Spec extends SparkTestBase {
     Seq("bands", "features", "verdicts").foreach { t =>
       assert(canon(crashed, t) === canon(ref, t), t)
     }
+  }
+
+  // ---- ADVICE r13: the Table 9-5 ctx-1 tail, re-transcribed ----------
+
+  test("coeff_token 2≤nC<4 tail: the five re-transcribed cells carry " +
+    "the canonical codewords and the whole column round-trips") {
+    import Codecs.Mp4.Cavlc
+    // pin the corrected cells as literal (length, value) codewords so
+    // a regression back to the round-13 reconstruction is loud
+    def assertCode(total: Int, t1s: Int, len: Int, value: Long): Unit = {
+      val w = new Mp4.BitWriter
+      Cavlc.writeCoeffToken(w, nC = 2, t1s = t1s, total = total)
+      w.u(1L, 1); w.alignZero()
+      val e = new Mp4.BitWriter
+      e.u(value, len); e.u(1L, 1); e.alignZero()
+      assert(w.bytes.toSeq === e.bytes.toSeq, s"($t1s,$total)")
+    }
+    assertCode(9, 1, 11, 10L)   // was length 12 in round 13
+    assertCode(10, 2, 12, 13L)  // was value 8
+    assertCode(11, 1, 12, 10L)  // was value 13
+    assertCode(11, 3, 11, 8L)   // was value 10
+    // full-domain round trip for the column (every legal (t1s,total))
+    for (total <- 0 to 16; t1s <- 0 to math.min(3, total)) {
+      val w = new Mp4.BitWriter
+      Cavlc.writeCoeffToken(w, 2, t1s, total)
+      w.u(1L, 1); w.alignZero() // pad so short codes parse
+      val r = new Mp4.BitReader(w.bytes)
+      assert(Cavlc.readCoeffToken(r, 2) === ((t1s, total)),
+        s"(t1s=$t1s, total=$total)")
+    }
+  }
+
+  // ---- m40: CABAC ----------------------------------------------------
+
+  test("CABAC engine: randomized decision/bypass streams round-trip " +
+    "bin-exact through encode → terminate → decode (the renorm/" +
+    "carry/outstanding-bit logic has no slack)") {
+    val rnd = new scala.util.Random(0xCABAC)
+    for (trial <- 0 until 50) {
+      val n = 1 + rnd.nextInt(400)
+      val bins = Seq.tabulate(n) { _ =>
+        if (rnd.nextBoolean()) ('d', rnd.nextInt(4), rnd.nextInt(2))
+        else ('b', 0, rnd.nextInt(2))
+      }
+      val back = graft.operators.Cabac.engineRoundTrip(bins)
+      assert(back === bins.map(_._3), s"trial $trial")
+    }
+  }
+
+  test("CABAC ≡ CAVLC on pixels: the same coefficient fixtures " +
+    "decode to IDENTICAL planes through both entropy coders, " +
+    "including levels past the TU prefix (UEG0 suffix) and dense " +
+    "significance maps") {
+    val rnd = new scala.util.Random(42)
+    val noAc = Array.fill(16)(null: Array[Int])
+    for (trial <- 0 until 25) {
+      val dc = new Array[Int](16)
+      dc(rnd.nextInt(16)) = rnd.between(-40, 41)
+      val ac =
+        if (trial % 3 == 0) noAc
+        else Array.tabulate(16) { _ =>
+          if (rnd.nextInt(3) == 0) {
+            val a = new Array[Int](15)
+            for (k <- 0 until 15 if rnd.nextInt(4) == 0)
+              a(k) = { val v = rnd.between(-30, 31); if (v == 0) 7 else v }
+            a
+          } else null
+        }
+      val cavlcNal = Mp4.buildI16x16Slice(Seq((dc, ac)), 1, 1,
+        frameNum = 0, frameNumBits = 4)
+      val cavlcMp4 = Mp4.mux(Seq(Seq(cavlcNal)), keyframes = Seq(1),
+        timescale = 90000, sampleDelta = 3000, width = 16, height = 16)
+      val a1 = Mp4.decodeIntraFrames(cavlcMp4).next()
+      val cabacNal = graft.operators.Cabac.buildI16x16Slice(dc, ac,
+        frameNum = 0, frameNumBits = 4)
+      val cabacMp4 = Mp4.mux(Seq(Seq(cabacNal)), keyframes = Seq(1),
+        timescale = 90000, sampleDelta = 3000, width = 16, height = 16,
+        ppsOverride = graft.operators.Cabac.buildPps())
+      val a2 = Mp4.decodeIntraFrames(cabacMp4).next()
+      assert(a1.y.toSeq === a2.y.toSeq, s"trial $trial luma")
+      assert(a1.cb.toSeq === a2.cb.toSeq && a1.cr.toSeq === a2.cr.toSeq,
+        s"trial $trial chroma")
+    }
+  }
+
+  test("CABAC tables: Table 9-44 follows the generative model " +
+    "pσ·(64q+288) within rounding (col-0 clamp at the lowest " +
+    "states), Table 9-45 is monotone with the absorbing states") {
+    import graft.operators.Cabac
+    assert(Cabac.rangeTabLPS(0).toSeq === Seq(128, 176, 208, 240))
+    assert(Cabac.rangeTabLPS(63).toSeq === Seq(2, 2, 2, 2))
+    assert(Cabac.rangeTabLPS(62).toSeq === Seq(6, 7, 8, 9))
+    assert(Cabac.transIdxLPS(0) === 0 && Cabac.transIdxLPS(63) === 63)
+    assert(Cabac.transIdxLPS(62) === 38)
+  }
+
+  test("CABAC slices honour the deblocking header: a filter-on " +
+    "single-MB uniform picture is a §8.7 fixed point, equal to the " +
+    "filter-off decode") {
+    val dc = new Array[Int](16); dc(0) = 4
+    val noAc = Array.fill(16)(null: Array[Int])
+    def decode(idc: Int) = {
+      val nal = graft.operators.Cabac.buildI16x16Slice(dc, noAc,
+        frameNum = 0, frameNumBits = 4, deblockIdc = idc)
+      val mp4 = Mp4.mux(Seq(Seq(nal)), keyframes = Seq(1),
+        timescale = 90000, sampleDelta = 3000, width = 16, height = 16,
+        ppsOverride = graft.operators.Cabac.buildPps())
+      Mp4.decodeIntraFrames(mp4).next()
+    }
+    val on = decode(0); val off = decode(1)
+    assert(on.y.toSeq === off.y.toSeq)
+    assert(on.y.forall(b => (b & 0xff) === 128 + ((52 * 4 + 32) >> 6)))
   }
 
   test("Deblock tables: the structural guards hold and the QP-26 " +
