@@ -3310,6 +3310,217 @@ object MediaQueries {
     * is m35's closed form verbatim. */
   val m40Sql: String = m35Sql
 
+  // ---- m41: inter frames (P slices) -----------------------------------
+
+  /** m41: INTER PREDICTION under the hash gate (reference anchor:
+    * run.sh:53 `decodebin` — virtually all real video bits are
+    * inter-coded; P slices were the largest remaining refusal after
+    * m40). Per document: one IDR I_16x16 frame (two macroblocks,
+    * lone-DC luma step + a chroma-DC step in MB1 — the m39 fixture
+    * arithmetic with the filter off) followed by 1–3 P frames, each
+    * either ALL-SKIP (§8.4.1.1 zero-MV derivation → an exact copy)
+    * or all-P_L0_16x16 with one horizontal quarter-pel MV per frame
+    * (full-pel luma, so MC is a clamped gather; the chroma MV lands
+    * on eighth positions, so the §8.4.2.2.2 bilinear runs for real
+    * whenever the MV is not a multiple of 8). The builder derives
+    * mvd against the same §8.4.1.3 median prediction the decoder
+    * runs — the first MB codes the full MV, its neighbours code
+    * mvd 0 through the B/C-unavailable → mvA rule.
+    *
+    * The fixtures stay y-uniform (horizontal MVs only), so the
+    * oracle restates each frame as one characteristic row: the luma
+    * row evolves by clamped GATHER (full-pel), the chroma rows by
+    * the exact bilinear, unrolled over the ≤ 3 P steps.
+    *
+    * 100 TB shape: the m33..m40 contract — encode + decode run
+    * partition-local per document, one row out per doc; the
+    * reference picture never leaves the partition (the DPB is
+    * per-task state, exactly how a 1000-executor scan would hold
+    * it). */
+  def m41InterDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{Codecs, Inter}
+    import Codecs.Mp4.{ChromaRes, I16Mb}
+    Tables.spread(Tables.documents(spark, dir).select(col("doc_id"))).as[Long]
+      .mapPartitions { it =>
+        def sgn(x: Long): Int = if (x % 2 == 0) 1 else -1
+        val lmags = Array(1, 2, 4, 5, 6, 7, 8, 12, 16, 18, 20)
+        val cmags = Array(1, 2, 3, 4, 5, 6, 8, 10)
+        val shifts = Array(-16, -12, -8, -4, 4, 8, 12, 16)
+        val noAc = Array.fill(16)(null: Array[Int])
+        it.map { id =>
+          val n = (2 + id % 3).toInt
+          val c0 = sgn(id) * (1 + (id % 5)).toInt
+          val c1 = sgn(id * 3) * lmags((id * 7 % 11).toInt)
+          val cbc = sgn(id) * cmags((id * 2 % 8).toInt)
+          val crc = sgn(id + 1) * cmags((id * 3 % 8).toInt)
+          val dc0 = new Array[Int](16); dc0(0) = c0
+          val dc1 = new Array[Int](16); dc1(0) = c1
+          val cbDc = new Array[Int](4); cbDc(0) = cbc
+          val crDc = new Array[Int](4); crDc(0) = crc
+          val iNal = Codecs.Mp4.buildMixedIntraSlice(Seq(
+            I16Mb(dc0, noAc),
+            I16Mb(dc1, noAc, 2, ChromaRes(cbDc, null, crDc, null))),
+            2, 1, frameNum = 0, frameNumBits = 4)
+          val pNals = (1 until n).map { f =>
+            if ((id + f) % 4 == 0)
+              Inter.buildPSlice(Seq(Inter.PSkip, Inter.PSkip), 2, 1,
+                frameNum = f, frameNumBits = 4)
+            else {
+              val dx = shifts(((id * 5 + f * 3) % 8).toInt)
+              Inter.buildPSlice(
+                Seq(Inter.PMove(dx, 0), Inter.PMove(dx, 0)), 2, 1,
+                frameNum = f, frameNumBits = 4)
+            }
+          }
+          val mp4 = Codecs.Mp4.mux(
+            Seq(Seq(iNal)) ++ pNals.map(Seq(_)), keyframes = Seq(1),
+            timescale = 90000, sampleDelta = 3000, width = 32, height = 16)
+          var ys = 0L; var cbs = 0L; var crs = 0L; var fp = 0L
+          var nDec = 0
+          Inter.decodeGopFrames(mp4).foreach { fr =>
+            nDec += 1
+            require(fr.width == 32 && fr.height == 16,
+              s"decoded dims ${fr.width}x${fr.height}")
+            fr.y.foreach { b =>
+              val v = b & 0xffL; ys += v
+              fp = (fp * 31 + v) % 1000000007L
+            }
+            fr.cb.foreach { b =>
+              val v = b & 0xffL; cbs += v
+              fp = (fp * 31 + v) % 1000000007L
+            }
+            fr.cr.foreach { b =>
+              val v = b & 0xffL; crs += v
+              fp = (fp * 31 + v) % 1000000007L
+            }
+          }
+          require(nDec == n, s"decoded $nDec of $n frames")
+          (id, n, 32, 16, ys, cbs, crs, fp)
+        }
+      }.toDF("doc_id", "n_frames", "width", "height", "y_sum",
+        "cb_sum", "cr_sum", "pix_fp")
+  }
+
+  /** Clamped full-pel gather of a 1-indexed `len`-list `r` by
+    * (quarter-pel) shift expression `dq` — the luma MC row step. */
+  private def sqlGather(r: String, dq: String, len: Int): String =
+    s"""list_transform(range($len), x -> $r[
+       |  least(${len - 1}, greatest(0,
+       |    CAST(x + (($dq) + 32000) // 4 - 8000 AS INT))) + 1])""".stripMargin
+
+  /** §8.4.2.2.2 one-row chroma bilinear of 1-indexed `len`-list `r`
+    * by luma quarter-pel shift `dq` (yFrac 0): base = floor(dq/8),
+    * frac = dq − 8·base. */
+  private def sqlBilin(r: String, dq: String, len: Int): String = {
+    val base = s"(($dq) + 64000) // 8 - 8000"
+    val frac = s"(($dq) - 8 * ($base))"
+    s"""list_transform(range($len), x ->
+       |  ((8 - ($frac)) * $r[least(${len - 1}, greatest(0,
+       |      CAST(x + ($base) AS INT))) + 1]
+       |   + ($frac) * $r[least(${len - 1}, greatest(0,
+       |      CAST(x + ($base) + 1 AS INT))) + 1] + 4) // 8)""".stripMargin
+  }
+
+  /** Closed-form restatement of m41: the I frame per the m39
+    * arithmetic with the filter off (two uniform luma macroblocks,
+    * a chroma step in MB1), then each P frame's characteristic rows
+    * evolve by clamped gather (luma, full-pel) and the §8.4.2.2.2
+    * bilinear (chroma, eighth-pel), unrolled over the ≤ 3 P steps;
+    * a skipped frame is the 0-shift identity of both. */
+  val m41Sql: String = {
+    val v0 = s"least(255, greatest(0, 128 + (${fdiv("52*c0 + 32", 64)})))"
+    val off1 = fdiv("52*c1 + 32", 64)
+    val offCb = fdiv("104*cbc + 32", 64)
+    val offCr = fdiv("104*crc + 32", 64)
+    def dxCol(f: Int): String =
+      s"""CASE WHEN (doc_id + $f) % 4 = 0 THEN 0
+         |  ELSE [-16,-12,-8,-4,4,8,12,16]
+         |    [CAST((doc_id * 5 + $f * 3) % 8 AS INT) + 1] END""".stripMargin
+    s"""WITH d AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS n
+       |  FROM documents),
+       |par AS (SELECT doc_id, n,
+       |    (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END)
+       |      * (1 + doc_id % 5) AS c0,
+       |    (CASE WHEN (doc_id * 3) % 2 = 0 THEN 1 ELSE -1 END)
+       |      * ([1,2,4,5,6,7,8,12,16,18,20]
+       |          [CAST(doc_id * 7 % 11 AS INT) + 1]) AS c1,
+       |    (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END)
+       |      * ([1,2,3,4,5,6,8,10]
+       |          [CAST(doc_id * 2 % 8 AS INT) + 1]) AS cbc,
+       |    (CASE WHEN (doc_id + 1) % 2 = 0 THEN 1 ELSE -1 END)
+       |      * ([1,2,3,4,5,6,8,10]
+       |          [CAST(doc_id * 3 % 8 AS INT) + 1]) AS crc,
+       |    ${dxCol(1)} AS d1,
+       |    ${dxCol(2)} AS d2,
+       |    ${dxCol(3)} AS d3
+       |  FROM d),
+       |r0 AS (SELECT doc_id, n, d1, d2, d3,
+       |    list_concat(
+       |      list_transform(range(16), x -> CAST($v0 AS BIGINT)),
+       |      list_transform(range(16), x ->
+       |        CAST(least(255, greatest(0, ($v0) + ($off1))) AS BIGINT)))
+       |      AS lr,
+       |    list_concat(
+       |      list_transform(range(8), x -> CAST(128 AS BIGINT)),
+       |      list_transform(range(8), x ->
+       |        CAST(least(255, greatest(0, 128 + ($offCb))) AS BIGINT)))
+       |      AS cbr,
+       |    list_concat(
+       |      list_transform(range(8), x -> CAST(128 AS BIGINT)),
+       |      list_transform(range(8), x ->
+       |        CAST(least(255, greatest(0, 128 + ($offCr))) AS BIGINT)))
+       |      AS crr
+       |  FROM par),
+       |r1 AS (SELECT doc_id, n, d2, d3, lr AS lr0, cbr AS cbr0,
+       |    crr AS crr0,
+       |    ${sqlGather("lr", "d1", 32)} AS lr1,
+       |    ${sqlBilin("cbr", "d1", 16)} AS cbr1,
+       |    ${sqlBilin("crr", "d1", 16)} AS crr1
+       |  FROM r0),
+       |r2 AS (SELECT doc_id, n, d3, lr0, cbr0, crr0, lr1, cbr1, crr1,
+       |    ${sqlGather("lr1", "d2", 32)} AS lr2,
+       |    ${sqlBilin("cbr1", "d2", 16)} AS cbr2,
+       |    ${sqlBilin("crr1", "d2", 16)} AS crr2
+       |  FROM r1),
+       |r3 AS (SELECT doc_id, n, lr0, cbr0, crr0, lr1, cbr1, crr1,
+       |    lr2, cbr2, crr2,
+       |    ${sqlGather("lr2", "d3", 32)} AS lr3,
+       |    ${sqlBilin("cbr2", "d3", 16)} AS cbr3,
+       |    ${sqlBilin("crr2", "d3", 16)} AS crr3
+       |  FROM r2),
+       |fr AS (SELECT doc_id, n, unnest(range(n)) AS f, lr0, cbr0,
+       |    crr0, lr1, cbr1, crr1, lr2, cbr2, crr2, lr3, cbr3, crr3
+       |  FROM r3),
+       |pf AS (SELECT doc_id, n, f,
+       |    CASE f WHEN 0 THEN lr0 WHEN 1 THEN lr1 WHEN 2 THEN lr2
+       |      ELSE lr3 END AS lr,
+       |    CASE f WHEN 0 THEN cbr0 WHEN 1 THEN cbr1 WHEN 2 THEN cbr2
+       |      ELSE cbr3 END AS cbr,
+       |    CASE f WHEN 0 THEN crr0 WHEN 1 THEN crr1 WHEN 2 THEN crr2
+       |      ELSE crr3 END AS crr
+       |  FROM fr),
+       |per AS (SELECT doc_id, n, f,
+       |    16 * list_reduce(list_prepend(CAST(0 AS BIGINT), lr),
+       |      (a, b) -> a + b) AS ys,
+       |    8 * list_reduce(list_prepend(CAST(0 AS BIGINT), cbr),
+       |      (a, b) -> a + b) AS cbs,
+       |    8 * list_reduce(list_prepend(CAST(0 AS BIGINT), crr),
+       |      (a, b) -> a + b) AS crs,
+       |    flatten(list_transform(range(16), x -> lr))
+       |      || flatten(list_transform(range(8), x -> cbr))
+       |      || flatten(list_transform(range(8), x -> crr)) AS vals
+       |  FROM pf)
+       |SELECT doc_id, max(n) AS n_frames, 32 AS width, 16 AS height,
+       |  CAST(sum(ys) AS BIGINT) AS y_sum,
+       |  CAST(sum(cbs) AS BIGINT) AS cb_sum,
+       |  CAST(sum(crs) AS BIGINT) AS cr_sum,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    flatten(list(vals ORDER BY f))),
+       |    (a, b) -> (a * 31 + b) % 1000000007) AS pix_fp
+       |FROM per GROUP BY doc_id""".stripMargin
+  }
+
   /** Integer floor division for possibly-negative numerators in
     * DuckDB (whose `//` truncates toward zero): offset by `k`
     * denominators, divide, subtract. */

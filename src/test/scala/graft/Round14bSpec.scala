@@ -1,0 +1,147 @@
+package graft
+
+import graft.operators.{Codecs, Inter}
+import Codecs.Mp4
+
+/** Round-14 session-2 additions: the P-slice inter rung (m41) —
+  * cases the y-uniform gate fixtures cannot reach: vertical motion,
+  * mixed per-macroblock MVs through the §8.4.1.3 median prediction,
+  * 2-D chroma bilinear, and the named refusals. */
+class Round14bSpec extends SparkTestBase {
+
+  /** A deterministic non-uniform 32×16 I frame (I_PCM carries
+    * arbitrary planes losslessly — the cleanest reference picture
+    * for MC checks). */
+  private def refFrame(seed: Int): Mp4.PcmFrame = {
+    def plane(n: Int, k: Int) =
+      Array.tabulate(n)(i => (((i * 31 + seed * 17 + k * 7) % 251) + 2).toByte)
+    Mp4.PcmFrame(32, 16, plane(512, 0), plane(128, 1), plane(128, 2))
+  }
+
+  private def gop(mbs: Seq[Seq[Inter.PMb]], seed: Int = 3): Seq[Mp4.PcmFrame] = {
+    val f0 = refFrame(seed)
+    val iNal = Mp4.buildIdrPcmSlice(f0, frameNum = 0, frameNumBits = 4)
+    val pNals = mbs.zipWithIndex.map { case (m, i) =>
+      Inter.buildPSlice(m, 2, 1, frameNum = i + 1, frameNumBits = 4)
+    }
+    val mp4 = Mp4.mux(Seq(Seq(iNal)) ++ pNals.map(Seq(_)),
+      keyframes = Seq(1), timescale = 90000, sampleDelta = 3000,
+      width = 32, height = 16)
+    Inter.decodeGopFrames(mp4).toSeq
+  }
+
+  test("P_Skip: an all-skip P frame is a byte-exact copy of its " +
+    "reference (the §8.4.1.1 zero-MV derivation), chained") {
+    val fs = gop(Seq(Seq(Inter.PSkip, Inter.PSkip),
+      Seq(Inter.PSkip, Inter.PSkip)))
+    assert(fs.size === 3)
+    assert(fs(1).y.toSeq === fs(0).y.toSeq &&
+      fs(2).y.toSeq === fs(0).y.toSeq)
+    assert(fs(1).cb.toSeq === fs(0).cb.toSeq &&
+      fs(1).cr.toSeq === fs(0).cr.toSeq)
+  }
+
+  test("P_L0_16x16 full-pel MC with VERTICAL + horizontal motion: " +
+    "the decoded frame equals the clamped 2-D gather of the " +
+    "reference, luma exact; chroma equals the §8.4.2.2.2 bilinear") {
+    val (dx, dy) = (8, -12) // full-pel luma (2, -3); chroma (1, -1.5)
+    val fs = gop(Seq(Seq(Inter.PMove(dx, dy), Inter.PMove(dx, dy))))
+    val f0 = fs(0); val f1 = fs(1)
+    def cl(v: Int, hi: Int) = math.max(0, math.min(hi, v))
+    for (y <- 0 until 16; x <- 0 until 32) {
+      val exp = f0.y(cl(y + dy / 4, 15) * 32 + cl(x + dx / 4, 31)) & 0xff
+      assert((f1.y(y * 32 + x) & 0xff) === exp, s"luma ($x,$y)")
+    }
+    // chroma: base (1, -2), frac (0, 4) → vertical half-pel bilinear
+    val bx = dx >> 3; val by = dy >> 3
+    val xF = dx & 7; val yF = dy & 7
+    for (y <- 0 until 8; x <- 0 until 16) {
+      val a = f0.cb(cl(y + by, 7) * 16 + cl(x + bx, 15)) & 0xff
+      val b = f0.cb(cl(y + by, 7) * 16 + cl(x + bx + 1, 15)) & 0xff
+      val c = f0.cb(cl(y + by + 1, 7) * 16 + cl(x + bx, 15)) & 0xff
+      val d = f0.cb(cl(y + by + 1, 7) * 16 + cl(x + bx + 1, 15)) & 0xff
+      val exp = ((8 - xF) * (8 - yF) * a + xF * (8 - yF) * b +
+        (8 - xF) * yF * c + xF * yF * d + 32) >> 6
+      assert((f1.cb(y * 16 + x) & 0xff) === exp, s"chroma ($x,$y)")
+    }
+  }
+
+  test("§8.4.1.3 prediction with MIXED per-MB MVs: MB1's mvd is " +
+    "coded against mvA and both MBs land on their own MVs") {
+    val fs = gop(Seq(Seq(Inter.PMove(8, 0), Inter.PMove(-8, 4))))
+    val f0 = fs(0); val f1 = fs(1)
+    def cl(v: Int, hi: Int) = math.max(0, math.min(hi, v))
+    for (y <- 0 until 16; x <- 0 until 32) {
+      val (dx, dy) = if (x < 16) (2, 0) else (-2, 1)
+      val exp = f0.y(cl(y + dy, 15) * 32 + cl(x + dx, 31)) & 0xff
+      assert((f1.y(y * 32 + x) & 0xff) === exp, s"($x,$y)")
+    }
+  }
+
+  test("skip-after-motion: a P_Skip NEXT TO a moved macroblock " +
+    "derives the median MV, not zero — spec §8.4.1.1's else branch " +
+    "via the decoded neighbour state") {
+    // frame 1: MB0 moves (8,0), MB1 skips. A = MB0 (nonzero MV,
+    // ref 0), B unavailable → the A-or-B-unavailable clause fires →
+    // MV = 0 → MB1 is a copy. The builder derives the same, so the
+    // round trip pins the rule.
+    val fs = gop(Seq(Seq(Inter.PMove(8, 0), Inter.PSkip)))
+    val f0 = fs(0); val f1 = fs(1)
+    for (y <- 0 until 16; x <- 16 until 32)
+      assert((f1.y(y * 32 + x) & 0xff) === (f0.y(y * 32 + x) & 0xff))
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val exp = f0.y(y * 32 + math.min(31, x + 2)) & 0xff
+      assert((f1.y(y * 32 + x) & 0xff) === exp)
+    }
+  }
+
+  test("refusals, by name: fractional luma MV at the builder, " +
+    "B-slice header and P-before-IDR at the parser") {
+    val e1 = intercept[IllegalArgumentException] {
+      Inter.buildPSlice(Seq(Inter.PMove(2, 0), Inter.PSkip), 2, 1,
+        frameNum = 1, frameNumBits = 4)
+    }
+    assert(e1.getMessage.contains("fractional"))
+    // a B-slice header (slice_type 6) refuses in parsePSlice
+    val w = new Mp4.BitWriter
+    w.ue(0L); w.ue(6L); w.ue(0L); w.u(1L, 4)
+    w.trailingBits()
+    val bNal = (0x41.toByte +: Mp4.rbspEscape(w.bytes)).toArray
+    val sps = Mp4.parseSps(Mp4.buildSps(32, 16))
+    val e2 = intercept[IllegalArgumentException] {
+      Inter.parsePSlice(bNal, sps, Mp4.defaultPps, refFrame(1))
+    }
+    assert(e2.getMessage.contains("B slices"))
+    // a GOP that opens with a P frame refuses (no reference yet)
+    val pOnly = Mp4.mux(Seq(Seq(Inter.buildPSlice(
+      Seq(Inter.PSkip, Inter.PSkip), 2, 1, 1, 4))),
+      keyframes = Seq(1), timescale = 90000, sampleDelta = 3000,
+      width = 32, height = 16)
+    val e3 = intercept[IllegalArgumentException] {
+      Inter.decodeGopFrames(pOnly).next()
+    }
+    assert(e3.getMessage.contains("IDR"))
+  }
+
+  test("the GOP decoder is lazy and order-true: intra frames " +
+    "re-anchor the reference mid-stream") {
+    // I, P(move), I (different plane), P(skip): frame 3 must copy
+    // frame 2, not frame 1
+    val f0 = refFrame(3); val f2 = refFrame(9)
+    val nals = Seq(
+      Mp4.buildIdrPcmSlice(f0, frameNum = 0, frameNumBits = 4),
+      Inter.buildPSlice(Seq(Inter.PMove(4, 0), Inter.PMove(4, 0)),
+        2, 1, frameNum = 1, frameNumBits = 4),
+      Mp4.buildIdrPcmSlice(f2, frameNum = 0, frameNumBits = 4,
+        idrPicId = 1),
+      Inter.buildPSlice(Seq(Inter.PSkip, Inter.PSkip), 2, 1,
+        frameNum = 1, frameNumBits = 4))
+    val mp4 = Mp4.mux(nals.map(Seq(_)), keyframes = Seq(1, 3),
+      timescale = 90000, sampleDelta = 3000, width = 32, height = 16)
+    val out = Inter.decodeGopFrames(mp4).toSeq
+    assert(out.size === 4)
+    assert(out(2).y.toSeq === f2.y.toSeq)
+    assert(out(3).y.toSeq === out(2).y.toSeq)
+    assert(out(1).y.toSeq !== out(0).y.toSeq)
+  }
+}
