@@ -2387,7 +2387,7 @@ object Codecs {
     }
 
     // luma4x4BlkIdx (Z) order ↔ raster block coordinates (§6.4.3)
-    private def zToBlockXY(z: Int): (Int, Int) =
+    private[operators] def zToBlockXY(z: Int): (Int, Int) =
       (2 * ((z >> 2) & 1) + (z & 1), 2 * ((z >> 3) & 1) + ((z >> 1) & 1))
     private def zOfBlock(bx: Int, by: Int): Int =
       8 * (by / 2) + 4 * (bx / 2) + 2 * (by % 2) + (bx % 2)
@@ -2519,7 +2519,7 @@ object Codecs {
 
     /** §9.2.1 nC from the per-4×4-block TotalCoeff grid (AC totals;
       * −1 grid cells mark outside-picture). */
-    private def nCFrom(grid: Array[Array[Int]], gx: Int, gy: Int): Int = {
+    private[operators] def nCFrom(grid: Array[Array[Int]], gx: Int, gy: Int): Int = {
       val nA = if (gx > 0) grid(gy)(gx - 1) else -1
       val nB = if (gy > 0) grid(gy - 1)(gx) else -1
       if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1

@@ -21,28 +21,33 @@ import Codecs.Mp4.{BitReader, BitWriter, PcmFrame, PpsInfo, SpsInfo}
   *    mvA rule, intra/unavailable neighbours as (0,0)/refIdx −1;
   *  - the §8.4.1.1 P_Skip MV derivation (zero MV when A or B is
   *    unavailable or either is a zero-MV refIdx-0 neighbour);
-  *  - motion compensation: full-pel luma copy with the §8.4.2.2
-  *    picture-boundary clamp, and the EXACT §8.4.2.2.2 chroma
-  *    eighth-sample bilinear ((8−xF)(8−yF)A + xF(8−yF)B +
-  *    (8−xF)yF·C + xF·yF·D + 32) ≫ 6 — a luma full-pel MV that is
-  *    not a multiple of 8 lands chroma on half-pel positions, so
-  *    the bilinear path is exercised for real;
+  *  - motion compensation at FULL QUARTER-SAMPLE accuracy: the
+  *    §8.4.2.2.1 6-tap (1,−5,20,20,−5,1) half-sample filter with
+  *    the centre position from unrounded intermediates, the Table
+  *    8-12 quarter-sample averages, the §8.4.2.2 picture-boundary
+  *    clamp (m42 — m41 shipped full-pel only), and the EXACT
+  *    §8.4.2.2.2 chroma eighth-sample bilinear
+  *    ((8−xF)(8−yF)A + xF(8−yF)B + (8−xF)yF·C + xF·yF·D + 32) ≫ 6;
   *  - a one-reference decoded-picture buffer: IDR intra frame
   *    (decoded by the round-13/14 intra machinery) followed by P
   *    frames each referencing the previous output — the sliding
   *    window that max_num_ref_frames = 1 implies.
   *
-  * Refusals (loud, named): fractional LUMA positions (mv & 3 ≠ 0 —
-  * the §8.4.2.2.1 6-tap half-pel filter is the next rung), residual
-  *-coded inter macroblocks (cbp ≠ 0), partitions other than 16×16,
-  * multiple reference indices, B slices. */
+  * Refusals (loud, named): residual-coded inter macroblocks
+  * (cbp ≠ 0), partitions other than 16×16, multiple reference
+  * indices, deblocked P slices (inter bS derivation), B slices. */
 object Inter {
 
-  /** One inter macroblock for the builder: either a skip or a
-    * P_L0_16x16 with the given quarter-pel MV. */
+  /** One inter macroblock for the builder: a skip, a residual-free
+    * P_L0_16x16 with the given quarter-pel MV, or (m43) a
+    * RESIDUAL-CODED P_L0_16x16 — `coeffs` is 16 raster-indexed
+    * LumaLevel4x4 blocks of 16 scan coefficients (null = all-zero;
+    * CodedBlockPatternLuma is 15, chroma 0). */
   sealed trait PMb
   case object PSkip extends PMb
   final case class PMove(mvxQpel: Int, mvyQpel: Int) extends PMb
+  final case class PMoveRes(mvxQpel: Int, mvyQpel: Int,
+      coeffs: Array[Array[Int]]) extends PMb
 
   // ---- §8.4.1.3 MV prediction ----------------------------------------
 
@@ -97,18 +102,65 @@ object Inter {
 
   @inline private def clampI(v: Int, hi: Int): Int =
     if (v < 0) 0 else if (v > hi) hi else v
+  @inline private def clip255(v: Int): Int =
+    if (v < 0) 0 else if (v > 255) 255 else v
 
-  /** Full-pel luma MC for one MB (§8.4.2.2 with integer positions;
-    * fractional luma refuses at the caller). */
+  /** QUARTER-sample luma MC for one MB (§8.4.2.2.1, the m42 rung):
+    * half-sample positions through the 6-tap (1,−5,20,20,−5,1)
+    * filter — the centre position j from UNROUNDED horizontal
+    * intermediates, (j1+512)≫10 — and quarter positions as the
+    * rounded averages of Table 8-12 (a/c/d/n against integer
+    * samples, e/g/p/r against the two flanking halves, f/i/k/q
+    * against j). Reference sample positions are clamped to the
+    * picture per §8.4.2.2. `mvx`/`mvy` are quarter-pel. */
   private def mcLuma(ref: Array[Byte], w: Int, h: Int, mx: Int,
-      my: Int, dx: Int, dy: Int, out: Array[Int]): Unit = {
+      my: Int, mvx: Int, mvy: Int, out: Array[Int]): Unit = {
+    val dx = mvx >> 2; val dy = mvy >> 2 // floor of the integer part
+    val xF = mvx & 3; val yF = mvy & 3
+    @inline def L(xx: Int, yy: Int): Int =
+      ref(clampI(yy, h - 1) * w + clampI(xx, w - 1)) & 0xff
+    @inline def hsum(xx: Int, yy: Int): Int =
+      L(xx - 2, yy) - 5 * L(xx - 1, yy) + 20 * L(xx, yy) +
+        20 * L(xx + 1, yy) - 5 * L(xx + 2, yy) + L(xx + 3, yy)
+    @inline def vsum(xx: Int, yy: Int): Int =
+      L(xx, yy - 2) - 5 * L(xx, yy - 1) + 20 * L(xx, yy) +
+        20 * L(xx, yy + 1) - 5 * L(xx, yy + 2) + L(xx, yy + 3)
+    @inline def halfH(xx: Int, yy: Int): Int =
+      clip255((hsum(xx, yy) + 16) >> 5)
+    @inline def halfV(xx: Int, yy: Int): Int =
+      clip255((vsum(xx, yy) + 16) >> 5)
+    @inline def centerJ(xx: Int, yy: Int): Int = {
+      val j1 = hsum(xx, yy - 2) - 5 * hsum(xx, yy - 1) +
+        20 * hsum(xx, yy) + 20 * hsum(xx, yy + 1) -
+        5 * hsum(xx, yy + 2) + hsum(xx, yy + 3)
+      clip255((j1 + 512) >> 10)
+    }
+    @inline def avg(a: Int, b: Int): Int = (a + b + 1) >> 1
     var y = 0
     while (y < 16) {
-      val sy = clampI(my + y + dy, h - 1)
       var x = 0
       while (x < 16) {
-        val sx = clampI(mx + x + dx, w - 1)
-        out((my + y) * w + mx + x) = ref(sy * w + sx) & 0xff
+        val xx = mx + x + dx; val yy = my + y + dy
+        val v = (xF, yF) match {
+          case (0, 0) => L(xx, yy)
+          case (2, 0) => halfH(xx, yy)
+          case (0, 2) => halfV(xx, yy)
+          case (2, 2) => centerJ(xx, yy)
+          case (1, 0) => avg(L(xx, yy), halfH(xx, yy))
+          case (3, 0) => avg(halfH(xx, yy), L(xx + 1, yy))
+          case (0, 1) => avg(L(xx, yy), halfV(xx, yy))
+          case (0, 3) => avg(halfV(xx, yy), L(xx, yy + 1))
+          case (2, 1) => avg(halfH(xx, yy), centerJ(xx, yy))
+          case (2, 3) => avg(centerJ(xx, yy), halfH(xx, yy + 1))
+          case (1, 2) => avg(halfV(xx, yy), centerJ(xx, yy))
+          case (3, 2) => avg(centerJ(xx, yy), halfV(xx + 1, yy))
+          case (1, 1) => avg(halfH(xx, yy), halfV(xx, yy))
+          case (3, 1) => avg(halfH(xx, yy), halfV(xx + 1, yy))
+          case (1, 3) => avg(halfH(xx, yy + 1), halfV(xx, yy))
+          case (3, 3) => avg(halfH(xx, yy + 1), halfV(xx + 1, yy))
+          case _ => throw new IllegalStateException("unreachable")
+        }
+        out((my + y) * w + mx + x) = v
         x += 1
       }
       y += 1
@@ -151,12 +203,6 @@ object Inter {
   def buildPSlice(mbs: Seq[PMb], mbW: Int, mbH: Int, frameNum: Int,
       frameNumBits: Int, deblockIdc: Int = 1): Array[Byte] = {
     require(mbs.size == mbW * mbH, "one PMb per macroblock")
-    mbs.foreach {
-      case PMove(x, y) =>
-        require((x & 3) == 0 && (y & 3) == 0,
-          "fractional-pel luma MVs are the next rung (6-tap filter)")
-      case PSkip => ()
-    }
     val w = new BitWriter
     w.ue(0L)                 // first_mb_in_slice
     w.ue(5L)                 // slice_type: P (all slices in picture)
@@ -170,22 +216,49 @@ object Inter {
     w.ue(deblockIdc.toLong)
     if (deblockIdc != 1) { w.se(0L); w.se(0L) }
     val st = new Array[Nb](mbW * mbH)
+    // §9.2.1 nC grid (TotalCoeff per 4×4) across the slice's coded
+    // residual blocks; skipped / residual-free MBs contribute 0
+    val grid = Array.fill(mbH * 4, mbW * 4)(0)
     var skipRun = 0
-    mbs.zipWithIndex.foreach { case (mb, i) =>
+    def writeMove(i: Int, mvx: Int, mvy: Int,
+        coeffs: Array[Array[Int]]): Unit = {
       val mbx = i % mbW; val mby = i / mbW
+      w.ue(skipRun.toLong); skipRun = 0
+      val (px, py) = mvPred(mbx, mby, mbW, st)
+      w.ue(0L)                // mb_type: P_L0_16x16
+      w.se((mvx - px).toLong) // mvd_l0 x (ref_idx absent: 1 ref)
+      w.se((mvy - py).toLong) // mvd_l0 y
+      if (coeffs == null)
+        w.ue(0L)  // coded_block_pattern: inter codeNum 0 ↦ cbp 0
+      else {
+        // Table 9-4 INTER column: cbp 15 (full luma, chroma 0) ↦
+        // codeNum 11 — the carried inter rows are {0 ↦ 0, 11 ↦ 15}
+        w.ue(11L)
+        w.se(0L)  // mb_qp_delta
+        for (z <- 0 until 16) {
+          val (bx, by) = Codecs.Mp4.zToBlockXY(z)
+          val gx = mbx * 4 + bx; val gy = mby * 4 + by
+          val cf = Option(coeffs(by * 4 + bx)).getOrElse(new Array[Int](16))
+          grid(gy)(gx) = Codecs.Mp4.Cavlc.writeBlock(w, cf, 16,
+            Codecs.Mp4.nCFrom(grid, gx, gy))
+        }
+      }
+      st(i) = Nb(avail = true, 0, mvx, mvy)
+    }
+    mbs.zipWithIndex.foreach { case (mb, i) =>
       mb match {
         case PSkip =>
-          val (mx, my) = skipMv(mbx, mby, mbW, st)
+          val (mx, my) = skipMv(i % mbW, i / mbW, mbW, st)
           st(i) = Nb(avail = true, 0, mx, my)
           skipRun += 1
-        case PMove(mvx, mvy) =>
-          w.ue(skipRun.toLong); skipRun = 0
-          val (px, py) = mvPred(mbx, mby, mbW, st)
-          w.ue(0L)           // mb_type: P_L0_16x16
-          w.se((mvx - px).toLong) // mvd_l0 x (ref_idx absent: 1 ref)
-          w.se((mvy - py).toLong) // mvd_l0 y
-          w.ue(0L)           // coded_block_pattern: inter codeNum 0 = 0
-          st(i) = Nb(avail = true, 0, mvx, mvy)
+        case PMove(mvx, mvy) => writeMove(i, mvx, mvy, null)
+        case PMoveRes(mvx, mvy, cf) =>
+          require(cf.length == 16 &&
+            cf.forall(a => a == null || a.length == 16),
+            "16 residual blocks of 16 scan coefficients")
+          require(cf.exists(a => a != null && a.exists(_ != 0)),
+            "PMoveRes with all-zero residual: use PMove (cbp 0)")
+          writeMove(i, mvx, mvy, cf)
       }
     }
     if (skipRun > 0) w.ue(skipRun.toLong) // trailing skips
@@ -234,13 +307,11 @@ object Inter {
     val cb = new Array[Int](cw * chh)
     val cr = new Array[Int](cw * chh)
     val st = new Array[Nb](mbW * mbH)
+    val grid = Array.fill(mbH * 4, mbW * 4)(0)
     var i = 0
     def reconstruct(idx: Int, mvx: Int, mvy: Int): Unit = {
-      require((mvx & 3) == 0 && (mvy & 3) == 0,
-        s"MB $idx: fractional-pel luma MV ($mvx, $mvy) — the " +
-          "§8.4.2.2.1 6-tap interpolation is the next rung")
       val mbx = idx % mbW; val mby = idx / mbW
-      mcLuma(ref.y, w, h, mbx * 16, mby * 16, mvx >> 2, mvy >> 2, y)
+      mcLuma(ref.y, w, h, mbx * 16, mby * 16, mvx, mvy, y)
       mcChroma(ref.cb, cw, chh, mbx * 8, mby * 8, mvx, mvy, cb)
       mcChroma(ref.cr, cw, chh, mbx * 8, mby * 8, mvx, mvy, cr)
     }
@@ -263,15 +334,47 @@ object Inter {
         val (px, py) = mvPred(mbx, mby, mbW, st)
         val mvx = px + r.se().toInt
         val mvy = py + r.se().toInt
-        require(r.ue() == 0L,
-          "residual-coded inter macroblocks (cbp != 0) are the next " +
-            "rung")
         st(i) = Nb(avail = true, 0, mvx, mvy)
         reconstruct(i, mvx, mvy)
+        // coded_block_pattern, Table 9-4 INTER column — carried
+        // rows: codeNum 0 ↦ cbp 0, codeNum 11 ↦ cbp 15 (full luma,
+        // chroma 0); everything else refuses loudly
+        val cbpCode = r.ue()
+        if (cbpCode == 11L) {
+          val mbQp = qp + r.se().toInt // mb_qp_delta
+          for (z <- 0 until 16) {
+            val (bx, by) = Codecs.Mp4.zToBlockXY(z)
+            val gx = mbx * 4 + bx; val gy = mby * 4 + by
+            val (cf, total) = Codecs.Mp4.Cavlc.readBlock(r, 16,
+              Codecs.Mp4.nCFrom(grid, gx, gy))
+            grid(gy)(gx) = total
+            if (cf.exists(_ != 0)) {
+              val d = new Array[Int](16)
+              var p = 0
+              while (p < 16) {
+                if (cf(p) != 0) {
+                  val rp = Codecs.Mp4.zigzag4x4(p)
+                  d(rp) = Codecs.Mp4.dequantAc(cf(p), rp, mbQp)
+                }
+                p += 1
+              }
+              val res = Codecs.Mp4.invTransform4x4(d)
+              val px0 = mbx * 16 + bx * 4; val py0 = mby * 16 + by * 4
+              var k = 0
+              while (k < 16) {
+                val yy = py0 + k / 4; val xx = px0 + k % 4
+                y(yy * w + xx) = clip255(y(yy * w + xx) + res(k))
+                k += 1
+              }
+            }
+          }
+        } else require(cbpCode == 0L,
+          s"coded_block_pattern codeNum $cbpCode outside the carried " +
+            "Table 9-4 inter rows (cbp 0 and 15) — partial patterns " +
+            "and chroma residuals are the next rung")
         i += 1
       }
     }
-    val _ = qp // no residual ⇒ qp unused; kept for the grammar read
     PcmFrame(w, h, y.map(_.toByte), cb.map(_.toByte), cr.map(_.toByte))
   }
 

@@ -3521,6 +3521,448 @@ object MediaQueries {
        |FROM per GROUP BY doc_id""".stripMargin
   }
 
+  // ---- m42: quarter-pel inter interpolation ---------------------------
+
+  /** m42: QUARTER-SAMPLE MOTION under the hash gate — m41's GOP
+    * shape with FRACTIONAL MVs in both axes: the §8.4.2.2.1 6-tap
+    * half-sample filter (centre position from unrounded
+    * intermediates), the Table 8-12 quarter averages, and the
+    * chroma eighth-pel bilinear at arbitrary (xF, yF).
+    *
+    * Oracle reduction, proved by the filter arithmetic: the fixture
+    * pictures are Y-UNIFORM, and the 6-tap's taps sum to 32, so
+    * every vertical filter pass is an exact identity
+    * ((32·L+16)≫5 = L; j = (32·hsum+512)≫10 = (hsum+16)≫5 = b) and
+    * all 16 (xF, yF) positions collapse to the xF-only row values —
+    * the oracle restates just the horizontal 6-tap/quarter-average
+    * row step, while the decoded path still executes the full 2-D
+    * interpolation (the 2-D positions themselves are pinned against
+    * a vertical-first restatement in Round14bSpec). Chroma likewise:
+    * on y-uniform rows the bilinear's yF terms cancel exactly.
+    *
+    * 100 TB shape: the m33..m41 contract — per-doc encode + decode
+    * inside one partition pass, one row out. */
+  def m42QpelDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{Codecs, Inter}
+    import Codecs.Mp4.{ChromaRes, I16Mb}
+    Tables.spread(Tables.documents(spark, dir).select(col("doc_id"))).as[Long]
+      .mapPartitions { it =>
+        def sgn(x: Long): Int = if (x % 2 == 0) 1 else -1
+        val lmags = Array(1, 2, 4, 5, 6, 7, 8, 12, 16, 18, 20)
+        val cmags = Array(1, 2, 3, 4, 5, 6, 8, 10)
+        // quarter-pel: every xFrac class, both signs, incl. full-pel
+        val dxs = Array(-10, -7, -6, -5, -3, -2, 2, 3, 5, 6, 7, 8)
+        val dys = Array(-9, -5, -2, 0, 2, 5, 9, 12)
+        val noAc = Array.fill(16)(null: Array[Int])
+        it.map { id =>
+          val n = (2 + id % 3).toInt
+          val c0 = sgn(id) * (1 + (id % 5)).toInt
+          val c1 = sgn(id * 3) * lmags((id * 7 % 11).toInt)
+          val cbc = sgn(id) * cmags((id * 2 % 8).toInt)
+          val crc = sgn(id + 1) * cmags((id * 3 % 8).toInt)
+          val dc0 = new Array[Int](16); dc0(0) = c0
+          val dc1 = new Array[Int](16); dc1(0) = c1
+          val cbDc = new Array[Int](4); cbDc(0) = cbc
+          val crDc = new Array[Int](4); crDc(0) = crc
+          val iNal = Codecs.Mp4.buildMixedIntraSlice(Seq(
+            I16Mb(dc0, noAc),
+            I16Mb(dc1, noAc, 2, ChromaRes(cbDc, null, crDc, null))),
+            2, 1, frameNum = 0, frameNumBits = 4)
+          val pNals = (1 until n).map { f =>
+            if ((id + f) % 4 == 0)
+              Inter.buildPSlice(Seq(Inter.PSkip, Inter.PSkip), 2, 1,
+                frameNum = f, frameNumBits = 4)
+            else {
+              val dx = dxs(((id * 5 + f * 3) % 12).toInt)
+              val dy = dys(((id * 3 + f * 7) % 8).toInt)
+              Inter.buildPSlice(
+                Seq(Inter.PMove(dx, dy), Inter.PMove(dx, dy)), 2, 1,
+                frameNum = f, frameNumBits = 4)
+            }
+          }
+          val mp4 = Codecs.Mp4.mux(
+            Seq(Seq(iNal)) ++ pNals.map(Seq(_)), keyframes = Seq(1),
+            timescale = 90000, sampleDelta = 3000, width = 32, height = 16)
+          var ys = 0L; var cbs = 0L; var crs = 0L; var fp = 0L
+          var nDec = 0
+          Inter.decodeGopFrames(mp4).foreach { fr =>
+            nDec += 1
+            require(fr.width == 32 && fr.height == 16,
+              s"decoded dims ${fr.width}x${fr.height}")
+            fr.y.foreach { b =>
+              val v = b & 0xffL; ys += v
+              fp = (fp * 31 + v) % 1000000007L
+            }
+            fr.cb.foreach { b =>
+              val v = b & 0xffL; cbs += v
+              fp = (fp * 31 + v) % 1000000007L
+            }
+            fr.cr.foreach { b =>
+              val v = b & 0xffL; crs += v
+              fp = (fp * 31 + v) % 1000000007L
+            }
+          }
+          require(nDec == n, s"decoded $nDec of $n frames")
+          (id, n, 32, 16, ys, cbs, crs, fp)
+        }
+      }.toDF("doc_id", "n_frames", "width", "height", "y_sum",
+        "cb_sum", "cr_sum", "pix_fp")
+  }
+
+  /** §8.4.2.2.1 quarter-pel row step on a 1-indexed `len`-list:
+    * full / half (6-tap, +16 ≫ 5, clipped) / quarter (rounded
+    * average against the flanking integer sample) by xFrac. The
+    * (possibly negative) 6-tap numerator may be divided with
+    * truncating `//` because the result is clamped at 0 either
+    * way. */
+  private def sqlQpelRow(r: String, dq: String, len: Int): String = {
+    val s = s"(($dq) + 32000) // 4 - 8000"
+    val xf = s"(($dq) - 4 * ($s))"
+    def at(off: Int) =
+      s"$r[least(${len - 1}, greatest(0, " +
+        s"CAST(x + ($s) + ($off) AS INT))) + 1]"
+    val hs = s"(${at(-2)} - 5*${at(-1)} + 20*${at(0)} + " +
+      s"20*${at(1)} - 5*${at(2)} + ${at(3)})"
+    val b = s"least(255, greatest(0, ($hs + 16) // 32))"
+    s"""list_transform(range($len), x -> CASE ($xf)
+       |  WHEN 0 THEN ${at(0)}
+       |  WHEN 2 THEN $b
+       |  WHEN 1 THEN (${at(0)} + $b + 1) // 2
+       |  ELSE ($b + ${at(1)} + 1) // 2 END)""".stripMargin
+  }
+
+  /** Closed-form restatement of m42 (see the query scaladoc for the
+    * y-uniform reduction that folds yFrac out exactly). */
+  val m42Sql: String = {
+    val v0 = s"least(255, greatest(0, 128 + (${fdiv("52*c0 + 32", 64)})))"
+    val off1 = fdiv("52*c1 + 32", 64)
+    val offCb = fdiv("104*cbc + 32", 64)
+    val offCr = fdiv("104*crc + 32", 64)
+    def dxCol(f: Int): String =
+      s"""CASE WHEN (doc_id + $f) % 4 = 0 THEN 0
+         |  ELSE [-10,-7,-6,-5,-3,-2,2,3,5,6,7,8]
+         |    [CAST((doc_id * 5 + $f * 3) % 12 AS INT) + 1] END""".stripMargin
+    s"""WITH d AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS n
+       |  FROM documents),
+       |par AS (SELECT doc_id, n,
+       |    (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END)
+       |      * (1 + doc_id % 5) AS c0,
+       |    (CASE WHEN (doc_id * 3) % 2 = 0 THEN 1 ELSE -1 END)
+       |      * ([1,2,4,5,6,7,8,12,16,18,20]
+       |          [CAST(doc_id * 7 % 11 AS INT) + 1]) AS c1,
+       |    (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END)
+       |      * ([1,2,3,4,5,6,8,10]
+       |          [CAST(doc_id * 2 % 8 AS INT) + 1]) AS cbc,
+       |    (CASE WHEN (doc_id + 1) % 2 = 0 THEN 1 ELSE -1 END)
+       |      * ([1,2,3,4,5,6,8,10]
+       |          [CAST(doc_id * 3 % 8 AS INT) + 1]) AS crc,
+       |    ${dxCol(1)} AS d1,
+       |    ${dxCol(2)} AS d2,
+       |    ${dxCol(3)} AS d3
+       |  FROM d),
+       |r0 AS (SELECT doc_id, n, d1, d2, d3,
+       |    list_concat(
+       |      list_transform(range(16), x -> CAST($v0 AS BIGINT)),
+       |      list_transform(range(16), x ->
+       |        CAST(least(255, greatest(0, ($v0) + ($off1))) AS BIGINT)))
+       |      AS lr,
+       |    list_concat(
+       |      list_transform(range(8), x -> CAST(128 AS BIGINT)),
+       |      list_transform(range(8), x ->
+       |        CAST(least(255, greatest(0, 128 + ($offCb))) AS BIGINT)))
+       |      AS cbr,
+       |    list_concat(
+       |      list_transform(range(8), x -> CAST(128 AS BIGINT)),
+       |      list_transform(range(8), x ->
+       |        CAST(least(255, greatest(0, 128 + ($offCr))) AS BIGINT)))
+       |      AS crr
+       |  FROM par),
+       |r1 AS (SELECT doc_id, n, d2, d3, lr AS lr0, cbr AS cbr0,
+       |    crr AS crr0,
+       |    ${sqlQpelRow("lr", "d1", 32)} AS lr1,
+       |    ${sqlBilin("cbr", "d1", 16)} AS cbr1,
+       |    ${sqlBilin("crr", "d1", 16)} AS crr1
+       |  FROM r0),
+       |r2 AS (SELECT doc_id, n, d3, lr0, cbr0, crr0, lr1, cbr1, crr1,
+       |    ${sqlQpelRow("lr1", "d2", 32)} AS lr2,
+       |    ${sqlBilin("cbr1", "d2", 16)} AS cbr2,
+       |    ${sqlBilin("crr1", "d2", 16)} AS crr2
+       |  FROM r1),
+       |r3 AS (SELECT doc_id, n, lr0, cbr0, crr0, lr1, cbr1, crr1,
+       |    lr2, cbr2, crr2,
+       |    ${sqlQpelRow("lr2", "d3", 32)} AS lr3,
+       |    ${sqlBilin("cbr2", "d3", 16)} AS cbr3,
+       |    ${sqlBilin("crr2", "d3", 16)} AS crr3
+       |  FROM r2),
+       |fr AS (SELECT doc_id, n, unnest(range(n)) AS f, lr0, cbr0,
+       |    crr0, lr1, cbr1, crr1, lr2, cbr2, crr2, lr3, cbr3, crr3
+       |  FROM r3),
+       |pf AS (SELECT doc_id, n, f,
+       |    CASE f WHEN 0 THEN lr0 WHEN 1 THEN lr1 WHEN 2 THEN lr2
+       |      ELSE lr3 END AS lr,
+       |    CASE f WHEN 0 THEN cbr0 WHEN 1 THEN cbr1 WHEN 2 THEN cbr2
+       |      ELSE cbr3 END AS cbr,
+       |    CASE f WHEN 0 THEN crr0 WHEN 1 THEN crr1 WHEN 2 THEN crr2
+       |      ELSE crr3 END AS crr
+       |  FROM fr),
+       |per AS (SELECT doc_id, n, f,
+       |    16 * list_reduce(list_prepend(CAST(0 AS BIGINT), lr),
+       |      (a, b) -> a + b) AS ys,
+       |    8 * list_reduce(list_prepend(CAST(0 AS BIGINT), cbr),
+       |      (a, b) -> a + b) AS cbs,
+       |    8 * list_reduce(list_prepend(CAST(0 AS BIGINT), crr),
+       |      (a, b) -> a + b) AS crs,
+       |    flatten(list_transform(range(16), x -> lr))
+       |      || flatten(list_transform(range(8), x -> cbr))
+       |      || flatten(list_transform(range(8), x -> crr)) AS vals
+       |  FROM pf)
+       |SELECT doc_id, max(n) AS n_frames, 32 AS width, 16 AS height,
+       |  CAST(sum(ys) AS BIGINT) AS y_sum,
+       |  CAST(sum(cbs) AS BIGINT) AS cb_sum,
+       |  CAST(sum(crs) AS BIGINT) AS cr_sum,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    flatten(list(vals ORDER BY f))),
+       |    (a, b) -> (a * 31 + b) % 1000000007) AS pix_fp
+       |FROM per GROUP BY doc_id""".stripMargin
+  }
+
+  // ---- m43: residual-coded inter macroblocks --------------------------
+
+  /** m43: MOTION COMPENSATION + TRANSFORM-CODED RESIDUAL under the
+    * hash gate — the m42 GOP shape where some P frames carry
+    * CodedBlockPatternLuma 15 macroblocks: per frame, two 4×4 block
+    * COLUMNS get a lone scan-0 LumaLevel4x4 coefficient in all four
+    * block rows (uniform (208·c+32)≫6 offsets — y-uniformity holds),
+    * CAVLC-coded under the §9.2.1 nC grid that now spans skipped,
+    * residual-free and coded inter macroblocks, then added onto the
+    * quarter-pel prediction with Clip1. The Table 9-4 INTER column's
+    * carried rows are {0 ↦ 0, 11 ↦ 15}; other patterns refuse.
+    *
+    * 100 TB shape: the m33..m42 contract — per-doc encode + decode
+    * inside one partition pass, one row out. */
+  def m43InterResidual(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{Codecs, Inter}
+    import Codecs.Mp4.{ChromaRes, I16Mb}
+    Tables.spread(Tables.documents(spark, dir).select(col("doc_id"))).as[Long]
+      .mapPartitions { it =>
+        def sgn(x: Long): Int = if (x % 2 == 0) 1 else -1
+        val lmags = Array(1, 2, 4, 5, 6, 7, 8, 12, 16, 18, 20)
+        val cmags = Array(1, 2, 3, 4, 5, 6, 8, 10)
+        val dxs = Array(-10, -7, -6, -5, -3, -2, 2, 3, 5, 6, 7, 8)
+        val dys = Array(-9, -5, -2, 0, 2, 5, 9, 12)
+        val noAc = Array.fill(16)(null: Array[Int])
+        it.map { id =>
+          val n = (2 + id % 3).toInt
+          val c0 = sgn(id) * (1 + (id % 5)).toInt
+          val c1 = sgn(id * 3) * lmags((id * 7 % 11).toInt)
+          val cbc = sgn(id) * cmags((id * 2 % 8).toInt)
+          val crc = sgn(id + 1) * cmags((id * 3 % 8).toInt)
+          val dc0 = new Array[Int](16); dc0(0) = c0
+          val dc1 = new Array[Int](16); dc1(0) = c1
+          val cbDc = new Array[Int](4); cbDc(0) = cbc
+          val crDc = new Array[Int](4); crDc(0) = crc
+          val iNal = Codecs.Mp4.buildMixedIntraSlice(Seq(
+            I16Mb(dc0, noAc),
+            I16Mb(dc1, noAc, 2, ChromaRes(cbDc, null, crDc, null))),
+            2, 1, frameNum = 0, frameNumBits = 4)
+          val pNals = (1 until n).map { f =>
+            val kind = ((id + f) % 4).toInt
+            if (kind == 0)
+              Inter.buildPSlice(Seq(Inter.PSkip, Inter.PSkip), 2, 1,
+                frameNum = f, frameNumBits = 4)
+            else {
+              val dx = dxs(((id * 5 + f * 3) % 12).toInt)
+              val dy = dys(((id * 3 + f * 7) % 8).toInt)
+              if (kind != 2)
+                Inter.buildPSlice(
+                  Seq(Inter.PMove(dx, dy), Inter.PMove(dx, dy)), 2, 1,
+                  frameNum = f, frameNumBits = 4)
+              else {
+                // residual frame: lone scan-0 coefficients in two
+                // distinct 4x4 block columns (of the 8 across 2 MBs)
+                val g1 = ((id * 3 + f) % 8).toInt
+                val g2 = (g1 + 1 + ((id + f) % 7).toInt) % 8
+                val cA = sgn(id + f) * (1 + ((id + f * 3) % 4)).toInt
+                val cB = sgn(id + f + 1) * (1 + ((id * 3 + f) % 4)).toInt
+                val per = Array.fill(2)(Array.fill(16)(null: Array[Int]))
+                for ((g, c) <- Seq((g1, cA), (g2, cB)); by <- 0 until 4) {
+                  val a = new Array[Int](16); a(0) = c
+                  per(g / 4)(by * 4 + g % 4) = a
+                }
+                def mb(k: Int): Inter.PMb =
+                  if (per(k).exists(_ != null)) Inter.PMoveRes(dx, dy, per(k))
+                  else Inter.PMove(dx, dy)
+                Inter.buildPSlice(Seq(mb(0), mb(1)), 2, 1,
+                  frameNum = f, frameNumBits = 4)
+              }
+            }
+          }
+          val mp4 = Codecs.Mp4.mux(
+            Seq(Seq(iNal)) ++ pNals.map(Seq(_)), keyframes = Seq(1),
+            timescale = 90000, sampleDelta = 3000, width = 32, height = 16)
+          var ys = 0L; var cbs = 0L; var crs = 0L; var fp = 0L
+          var nDec = 0
+          Inter.decodeGopFrames(mp4).foreach { fr =>
+            nDec += 1
+            require(fr.width == 32 && fr.height == 16,
+              s"decoded dims ${fr.width}x${fr.height}")
+            fr.y.foreach { b =>
+              val v = b & 0xffL; ys += v
+              fp = (fp * 31 + v) % 1000000007L
+            }
+            fr.cb.foreach { b =>
+              val v = b & 0xffL; cbs += v
+              fp = (fp * 31 + v) % 1000000007L
+            }
+            fr.cr.foreach { b =>
+              val v = b & 0xffL; crs += v
+              fp = (fp * 31 + v) % 1000000007L
+            }
+          }
+          require(nDec == n, s"decoded $nDec of $n frames")
+          (id, n, 32, 16, ys, cbs, crs, fp)
+        }
+      }.toDF("doc_id", "n_frames", "width", "height", "y_sum",
+        "cb_sum", "cr_sum", "pix_fp")
+  }
+
+  /** m43's row step: the quarter-pel prediction row plus the
+    * per-4×4-column residual offsets, Clip1'd. */
+  private def sqlQpelRowRes(r: String, dq: String, offs: String,
+      len: Int): String = {
+    val s = s"(($dq) + 32000) // 4 - 8000"
+    val xf = s"(($dq) - 4 * ($s))"
+    def at(off: Int) =
+      s"$r[least(${len - 1}, greatest(0, " +
+        s"CAST(x + ($s) + ($off) AS INT))) + 1]"
+    val hs = s"(${at(-2)} - 5*${at(-1)} + 20*${at(0)} + " +
+      s"20*${at(1)} - 5*${at(2)} + ${at(3)})"
+    val b = s"least(255, greatest(0, ($hs + 16) // 32))"
+    s"""list_transform(range($len), x -> least(255, greatest(0,
+       |  (CASE ($xf)
+       |  WHEN 0 THEN ${at(0)}
+       |  WHEN 2 THEN $b
+       |  WHEN 1 THEN (${at(0)} + $b + 1) // 2
+       |  ELSE ($b + ${at(1)} + 1) // 2 END)
+       |  + $offs[CAST(x // 4 AS INT) + 1])))""".stripMargin
+  }
+
+  /** Closed-form restatement of m43: m42's evolution with per-frame
+    * residual-offset lists (lone scan-0 coefficient c → uniform
+    * (208·c+32)≫6 over its 4×4 column) added under Clip1. */
+  val m43Sql: String = {
+    val v0 = s"least(255, greatest(0, 128 + (${fdiv("52*c0 + 32", 64)})))"
+    val off1 = fdiv("52*c1 + 32", 64)
+    val offCb = fdiv("104*cbc + 32", 64)
+    val offCr = fdiv("104*crc + 32", 64)
+    def dxCol(f: Int): String =
+      s"""CASE WHEN (doc_id + $f) % 4 = 0 THEN 0
+         |  ELSE [-10,-7,-6,-5,-3,-2,2,3,5,6,7,8]
+         |    [CAST((doc_id * 5 + $f * 3) % 12 AS INT) + 1] END""".stripMargin
+    def offCol(f: Int): String = {
+      val g1 = s"CAST((doc_id * 3 + $f) % 8 AS INT)"
+      val g2 = s"CAST(($g1 + 1 + (doc_id + $f) % 7) % 8 AS INT)"
+      val cA = s"(CASE WHEN (doc_id + $f) % 2 = 0 THEN 1 ELSE -1 END)" +
+        s" * (1 + (doc_id + $f * 3) % 4)"
+      val cB = s"(CASE WHEN (doc_id + $f + 1) % 2 = 0 THEN 1 ELSE -1 END)" +
+        s" * (1 + (doc_id * 3 + $f) % 4)"
+      s"""CASE WHEN (doc_id + $f) % 4 = 2 THEN
+         |  list_transform(range(8), g -> CAST(
+         |    CASE WHEN g = $g1 THEN ${fdiv(s"208 * ($cA) + 32", 64)}
+         |      WHEN g = $g2 THEN ${fdiv(s"208 * ($cB) + 32", 64)}
+         |      ELSE 0 END AS BIGINT))
+         |  ELSE list_transform(range(8), g -> CAST(0 AS BIGINT)) END"""
+        .stripMargin
+    }
+    s"""WITH d AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS n
+       |  FROM documents),
+       |par AS (SELECT doc_id, n,
+       |    (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END)
+       |      * (1 + doc_id % 5) AS c0,
+       |    (CASE WHEN (doc_id * 3) % 2 = 0 THEN 1 ELSE -1 END)
+       |      * ([1,2,4,5,6,7,8,12,16,18,20]
+       |          [CAST(doc_id * 7 % 11 AS INT) + 1]) AS c1,
+       |    (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END)
+       |      * ([1,2,3,4,5,6,8,10]
+       |          [CAST(doc_id * 2 % 8 AS INT) + 1]) AS cbc,
+       |    (CASE WHEN (doc_id + 1) % 2 = 0 THEN 1 ELSE -1 END)
+       |      * ([1,2,3,4,5,6,8,10]
+       |          [CAST(doc_id * 3 % 8 AS INT) + 1]) AS crc,
+       |    ${dxCol(1)} AS d1,
+       |    ${dxCol(2)} AS d2,
+       |    ${dxCol(3)} AS d3,
+       |    ${offCol(1)} AS o1,
+       |    ${offCol(2)} AS o2,
+       |    ${offCol(3)} AS o3
+       |  FROM d),
+       |r0 AS (SELECT doc_id, n, d1, d2, d3, o1, o2, o3,
+       |    list_concat(
+       |      list_transform(range(16), x -> CAST($v0 AS BIGINT)),
+       |      list_transform(range(16), x ->
+       |        CAST(least(255, greatest(0, ($v0) + ($off1))) AS BIGINT)))
+       |      AS lr,
+       |    list_concat(
+       |      list_transform(range(8), x -> CAST(128 AS BIGINT)),
+       |      list_transform(range(8), x ->
+       |        CAST(least(255, greatest(0, 128 + ($offCb))) AS BIGINT)))
+       |      AS cbr,
+       |    list_concat(
+       |      list_transform(range(8), x -> CAST(128 AS BIGINT)),
+       |      list_transform(range(8), x ->
+       |        CAST(least(255, greatest(0, 128 + ($offCr))) AS BIGINT)))
+       |      AS crr
+       |  FROM par),
+       |r1 AS (SELECT doc_id, n, d2, d3, o2, o3, lr AS lr0, cbr AS cbr0,
+       |    crr AS crr0,
+       |    ${sqlQpelRowRes("lr", "d1", "o1", 32)} AS lr1,
+       |    ${sqlBilin("cbr", "d1", 16)} AS cbr1,
+       |    ${sqlBilin("crr", "d1", 16)} AS crr1
+       |  FROM r0),
+       |r2 AS (SELECT doc_id, n, d3, o3, lr0, cbr0, crr0, lr1, cbr1, crr1,
+       |    ${sqlQpelRowRes("lr1", "d2", "o2", 32)} AS lr2,
+       |    ${sqlBilin("cbr1", "d2", 16)} AS cbr2,
+       |    ${sqlBilin("crr1", "d2", 16)} AS crr2
+       |  FROM r1),
+       |r3 AS (SELECT doc_id, n, lr0, cbr0, crr0, lr1, cbr1, crr1,
+       |    lr2, cbr2, crr2,
+       |    ${sqlQpelRowRes("lr2", "d3", "o3", 32)} AS lr3,
+       |    ${sqlBilin("cbr2", "d3", 16)} AS cbr3,
+       |    ${sqlBilin("crr2", "d3", 16)} AS crr3
+       |  FROM r2),
+       |fr AS (SELECT doc_id, n, unnest(range(n)) AS f, lr0, cbr0,
+       |    crr0, lr1, cbr1, crr1, lr2, cbr2, crr2, lr3, cbr3, crr3
+       |  FROM r3),
+       |pf AS (SELECT doc_id, n, f,
+       |    CASE f WHEN 0 THEN lr0 WHEN 1 THEN lr1 WHEN 2 THEN lr2
+       |      ELSE lr3 END AS lr,
+       |    CASE f WHEN 0 THEN cbr0 WHEN 1 THEN cbr1 WHEN 2 THEN cbr2
+       |      ELSE cbr3 END AS cbr,
+       |    CASE f WHEN 0 THEN crr0 WHEN 1 THEN crr1 WHEN 2 THEN crr2
+       |      ELSE crr3 END AS crr
+       |  FROM fr),
+       |per AS (SELECT doc_id, n, f,
+       |    16 * list_reduce(list_prepend(CAST(0 AS BIGINT), lr),
+       |      (a, b) -> a + b) AS ys,
+       |    8 * list_reduce(list_prepend(CAST(0 AS BIGINT), cbr),
+       |      (a, b) -> a + b) AS cbs,
+       |    8 * list_reduce(list_prepend(CAST(0 AS BIGINT), crr),
+       |      (a, b) -> a + b) AS crs,
+       |    flatten(list_transform(range(16), x -> lr))
+       |      || flatten(list_transform(range(8), x -> cbr))
+       |      || flatten(list_transform(range(8), x -> crr)) AS vals
+       |  FROM pf)
+       |SELECT doc_id, max(n) AS n_frames, 32 AS width, 16 AS height,
+       |  CAST(sum(ys) AS BIGINT) AS y_sum,
+       |  CAST(sum(cbs) AS BIGINT) AS cb_sum,
+       |  CAST(sum(crs) AS BIGINT) AS cr_sum,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    flatten(list(vals ORDER BY f))),
+       |    (a, b) -> (a * 31 + b) % 1000000007) AS pix_fp
+       |FROM per GROUP BY doc_id""".stripMargin
+  }
+
   /** Integer floor division for possibly-negative numerators in
     * DuckDB (whose `//` truncates toward zero): offset by `k`
     * denominators, divide, subtract. */

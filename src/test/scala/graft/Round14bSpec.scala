@@ -95,13 +95,23 @@ class Round14bSpec extends SparkTestBase {
     }
   }
 
-  test("refusals, by name: fractional luma MV at the builder, " +
-    "B-slice header and P-before-IDR at the parser") {
+  test("refusals, by name: residual-coded inter MBs, B-slice header " +
+    "and P-before-IDR at the parser") {
+    // a residual-coded P MB (cbp codeNum 1) refuses by name
+    val wr = new Mp4.BitWriter
+    wr.ue(0L); wr.ue(5L); wr.ue(0L); wr.u(1L, 4)
+    wr.u(0L, 1); wr.u(0L, 1); wr.u(0L, 1); wr.se(0L); wr.ue(1L)
+    wr.ue(0L)            // mb_skip_run
+    wr.ue(0L)            // mb_type P_L0_16x16
+    wr.se(0L); wr.se(0L) // mvd
+    wr.ue(1L)            // coded_block_pattern codeNum 1 != 0
+    wr.trailingBits()
+    val resNal = (0x41.toByte +: Mp4.rbspEscape(wr.bytes)).toArray
+    val spsW = Mp4.parseSps(Mp4.buildSps(32, 16))
     val e1 = intercept[IllegalArgumentException] {
-      Inter.buildPSlice(Seq(Inter.PMove(2, 0), Inter.PSkip), 2, 1,
-        frameNum = 1, frameNumBits = 4)
+      Inter.parsePSlice(resNal, spsW, Mp4.defaultPps, refFrame(1))
     }
-    assert(e1.getMessage.contains("fractional"))
+    assert(e1.getMessage.contains("Table 9-4 inter"))
     // a B-slice header (slice_type 6) refuses in parsePSlice
     val w = new Mp4.BitWriter
     w.ue(0L); w.ue(6L); w.ue(0L); w.u(1L, 4)
@@ -121,6 +131,64 @@ class Round14bSpec extends SparkTestBase {
       Inter.decodeGopFrames(pOnly).next()
     }
     assert(e3.getMessage.contains("IDR"))
+  }
+
+  test("quarter-pel luma (m42): all 16 (xFrac,yFrac) positions match " +
+    "a vertical-first restatement of §8.4.2.2.1 (the spec's two " +
+    "derivations of the centre position must agree), incl. clamping") {
+    val f0 = refFrame(7)
+    def cl(v: Int, hi: Int) = math.max(0, math.min(hi, v))
+    def L(x: Int, y: Int) = f0.y(cl(y, 15) * 32 + cl(x, 31)) & 0xff
+    def c255(v: Int) = math.max(0, math.min(255, v))
+    // vertical-first: vsum intermediates, then the horizontal 6-tap
+    def vsum(x: Int, y: Int) =
+      L(x, y - 2) - 5 * L(x, y - 1) + 20 * L(x, y) + 20 * L(x, y + 1) -
+        5 * L(x, y + 2) + L(x, y + 3)
+    def hH(x: Int, y: Int) = c255((L(x - 2, y) - 5 * L(x - 1, y) +
+      20 * L(x, y) + 20 * L(x + 1, y) - 5 * L(x + 2, y) +
+      L(x + 3, y) + 16) >> 5)
+    def hV(x: Int, y: Int) = c255((vsum(x, y) + 16) >> 5)
+    def jj(x: Int, y: Int) = c255((vsum(x - 2, y) - 5 * vsum(x - 1, y) +
+      20 * vsum(x, y) + 20 * vsum(x + 1, y) - 5 * vsum(x + 2, y) +
+      vsum(x + 3, y) + 512) >> 10)
+    def av(a: Int, b: Int) = (a + b + 1) >> 1
+    def expect(x: Int, y: Int, mvx: Int, mvy: Int): Int = {
+      val xx = x + (mvx >> 2); val yy = y + (mvy >> 2)
+      ((mvx & 3, mvy & 3): @unchecked) match {
+        case (0, 0) => L(xx, yy)
+        case (2, 0) => hH(xx, yy)
+        case (0, 2) => hV(xx, yy)
+        case (2, 2) => jj(xx, yy)
+        case (1, 0) => av(L(xx, yy), hH(xx, yy))
+        case (3, 0) => av(hH(xx, yy), L(xx + 1, yy))
+        case (0, 1) => av(L(xx, yy), hV(xx, yy))
+        case (0, 3) => av(hV(xx, yy), L(xx, yy + 1))
+        case (2, 1) => av(hH(xx, yy), jj(xx, yy))
+        case (2, 3) => av(jj(xx, yy), hH(xx, yy + 1))
+        case (1, 2) => av(hV(xx, yy), jj(xx, yy))
+        case (3, 2) => av(jj(xx, yy), hV(xx + 1, yy))
+        case (1, 1) => av(hH(xx, yy), hV(xx, yy))
+        case (3, 1) => av(hH(xx, yy), hV(xx + 1, yy))
+        case (1, 3) => av(hH(xx, yy + 1), hV(xx, yy))
+        case (3, 3) => av(hH(xx, yy + 1), hV(xx + 1, yy))
+      }
+    }
+    for (xF <- 0 to 3; yF <- 0 to 3) {
+      val mv = (-8 + xF, 4 + yF)
+      val fs = gop(Seq(Seq(Inter.PMove(mv._1, mv._2),
+        Inter.PMove(mv._1, mv._2))), seed = 7)
+      val f1 = fs(1)
+      for (y <- 0 until 16; x <- 0 until 32)
+        assert((f1.y(y * 32 + x) & 0xff) === expect(x, y, mv._1, mv._2),
+          s"pos ($x,$y) frac ($xF,$yF)")
+    }
+    // hand anchor: a step edge 100→200 with zero wings gives the
+    // 6-tap overshoot (0−0+2000+4000−0+0+16)>>5 = 188, not the
+    // bilinear 150 — pins the taps themselves
+    val row = Array(0, 0, 100, 200, 0, 0)
+    val s = row(0) - 5 * row(1) + 20 * row(2) + 20 * row(3) -
+      5 * row(4) + row(5)
+    assert(((s + 16) >> 5) === 188)
   }
 
   test("the GOP decoder is lazy and order-true: intra frames " +
