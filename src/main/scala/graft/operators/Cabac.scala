@@ -412,21 +412,46 @@ object Cabac {
     (levels, 1)
   }
 
-  // ---- the m40 slice: single-MB I_16x16 pictures ---------------------
+  // ---- the m40/m44 slices: I_16x16 macroblock rows --------------------
 
-  /** Build a CABAC-coded IDR slice of ONE I_16x16 macroblock
-    * (16×16 picture, the m35 fixture shape): DC-pred mb_type with
-    * cbp derived from the coefficients, chroma cbp 0, QP 26. The
-    * header is Exp-Golomb as always; slice DATA is CABAC. `dc` is
-    * the raster-order 4×4 DC block, `ac` 16 raster-indexed AC blocks
-    * of 15 scan coefficients (null = all zero). */
+  /** One CABAC I_16x16 macroblock fixture: raster-order 4×4 DC
+    * block, 16 raster-indexed AC blocks of 15 scan coefficients
+    * (null = zero), and optional lone chroma DC coefficients per
+    * component (0 = no chroma residual → that component contributes
+    * cbpChroma 0). */
+  final case class CabacI16(dc: Array[Int], ac: Array[Array[Int]],
+      cbDc: Int = 0, crDc: Int = 0)
+
+  /** Build a CABAC-coded IDR slice of ONE I_16x16 macroblock — the
+    * m40 shape, kept verbatim as the single-MB view of
+    * [[buildI16x16Row]] (identical bits by construction). */
   def buildI16x16Slice(dc: Array[Int], ac: Array[Array[Int]],
       frameNum: Int, frameNumBits: Int, idrPicId: Int = 0,
+      deblockIdc: Int = 1): Array[Byte] =
+    buildI16x16Row(Seq(CabacI16(dc, ac)), frameNum, frameNumBits,
+      idrPicId, deblockIdc)
+
+  /** Build a CABAC-coded IDR slice of a ROW of I_16x16 macroblocks
+    * (m44): DC-pred mb_type with cbp derived per MB — chroma DC
+    * residuals ride CodedBlockPatternChroma 1 through the mb_type
+    * suffix bins — QP 26, CABAC slice data after the Exp-Golomb
+    * header. Cross-MB context increments are the real ones: the
+    * mb_type prefix bin's condTermFlagA (the left MB is I_16x16 ⇒
+    * 1), the cat-0 coded_block_flag chaining on the left MB's DC
+    * cbf, the cat-1 grid spanning macroblocks, and the per-component
+    * cat-3 chroma-DC cbf chain (unavailable intra neighbours
+    * default to 1). One end_of_slice terminate bin per MB. */
+  def buildI16x16Row(mbs: Seq[CabacI16], frameNum: Int,
+      frameNumBits: Int, idrPicId: Int = 0,
       deblockIdc: Int = 1): Array[Byte] = {
-    require(dc.length == 16, "DC block is 4x4")
-    require(ac.length == 16 &&
-      ac.forall(a => a == null || a.length == 15),
-      "16 AC blocks of 15 scan coefficients (null = all zero)")
+    require(mbs.nonEmpty, "at least one macroblock")
+    mbs.foreach { m =>
+      require(m.dc.length == 16, "DC block is 4x4")
+      require(m.ac.length == 16 &&
+        m.ac.forall(a => a == null || a.length == 15),
+        "16 AC blocks of 15 scan coefficients (null = all zero)")
+    }
+    val mbW = mbs.size
     val w = new BitWriter
     w.ue(0L); w.ue(7L); w.ue(0L)
     w.u(frameNum.toLong, frameNumBits)
@@ -439,39 +464,60 @@ object Cabac {
     w.alignOnes() // cabac_alignment_one_bit run
     val ctx = initContexts(26)
     val e = new Encoder(w)
-    val anyAc = ac.exists(a => a != null && a.exists(_ != 0))
-    val cbpLuma15 = if (anyAc) 1 else 0
-    // mb_type bins per Table 9-36/9-39 (ctxIdxOffset 3): prefix 1
-    // (not I_4x4; neighbours unavailable → ctxIdxInc 0), terminate 0
-    // (not I_PCM), cbp-luma bin (inc 3 → ctx 6), chroma prefix "0"
-    // (inc 4 → ctx 7; a nonzero chroma cbp would add its second bin
-    // at inc 5), then the two pred-mode bins at inc 6, 7 (ctx 9, 10)
-    e.decision(ctx(3), 1)
-    e.terminate(0)
-    e.decision(ctx(6), cbpLuma15)
-    e.decision(ctx(7), 0) // cbpChroma = 0
-    e.decision(ctx(9), 0) // predMode >> 1
-    e.decision(ctx(10), 0) // predMode & 1
-    // intra_chroma_pred_mode = DC: one 0 bin, neighbours unavailable
-    e.decision(ctx(64), 0)
-    // mb_qp_delta = 0: single 0 bin (previous delta 0 → inc 0)
-    e.decision(ctx(60), 0)
-    // Intra16x16DCLevel (cat 0): neighbours unavailable + intra → 3
-    val dcScan = Array.tabulate(16)(i => dc(Mp4.zigzag4x4(i)))
-    encodeBlock(e, ctx, dcScan, 0, 3)
-    // Intra16x16ACLevel (cat 1), Z order, when cbp says so
-    if (anyAc) {
-      val cbfGrid = Array.fill(4, 4)(false)
-      for (z <- 0 until 16) {
-        val (bx, by) = (zToX(z), zToY(z))
-        val levels = Option(ac(by * 4 + bx)).getOrElse(new Array[Int](15))
-        val condA = if (bx == 0) 1 else if (cbfGrid(by)(bx - 1)) 1 else 0
-        val condB = if (by == 0) 1 else if (cbfGrid(by - 1)(bx)) 1 else 0
-        val cbf = encodeBlock(e, ctx, levels, 1, condA + 2 * condB)
-        cbfGrid(by)(bx) = cbf == 1
+    val dcCbf = new Array[Boolean](mbW)
+    val cbCbf = new Array[Boolean](mbW)
+    val crCbf = new Array[Boolean](mbW)
+    val acGrid = Array.fill(4, 4 * mbW)(false)
+    mbs.zipWithIndex.foreach { case (m, i) =>
+      val anyAc = m.ac.exists(a => a != null && a.exists(_ != 0))
+      val cbpLuma15 = if (anyAc) 1 else 0
+      val cbpChroma = if (m.cbDc != 0 || m.crDc != 0) 1 else 0
+      // mb_type bins per Table 9-36/9-39 (ctxIdxOffset 3): prefix 1
+      // at inc condA+condB (left I_16x16 neighbour ⇒ 1; above row
+      // absent), terminate 0 (not I_PCM), cbp-luma bin (inc 3 →
+      // ctx 6), chroma prefix (inc 4 → ctx 7) + second chroma bin
+      // (inc 5 → ctx 8) when nonzero, pred-mode bins (ctx 9, 10)
+      e.decision(ctx(3 + (if (i > 0) 1 else 0)), 1)
+      e.terminate(0)
+      e.decision(ctx(6), cbpLuma15)
+      e.decision(ctx(7), cbpChroma)
+      if (cbpChroma != 0) e.decision(ctx(8), 0) // never AC (cbp 2)
+      e.decision(ctx(9), 0) // predMode >> 1 (DC)
+      e.decision(ctx(10), 0) // predMode & 1
+      // intra_chroma_pred_mode = DC everywhere ⇒ neighbour modes are
+      // 0 ⇒ ctxIdxInc 0 regardless of availability
+      e.decision(ctx(64), 0)
+      // mb_qp_delta = 0: single 0 bin (previous delta 0 → inc 0)
+      e.decision(ctx(60), 0)
+      // Intra16x16DCLevel (cat 0): condA from the left MB's DC cbf,
+      // condB from the absent row above (intra default 1)
+      val dcScan = Array.tabulate(16)(k => m.dc(Mp4.zigzag4x4(k)))
+      val condA0 = if (i == 0) 1 else if (dcCbf(i - 1)) 1 else 0
+      dcCbf(i) = encodeBlock(e, ctx, dcScan, 0, condA0 + 2) == 1
+      // Intra16x16ACLevel (cat 1), Z order, grid across MBs
+      if (anyAc) {
+        for (z <- 0 until 16) {
+          val (bx, by) = (zToX(z), zToY(z))
+          val gx = i * 4 + bx
+          val levels =
+            Option(m.ac(by * 4 + bx)).getOrElse(new Array[Int](15))
+          val condA = if (gx == 0) 1 else if (acGrid(by)(gx - 1)) 1 else 0
+          val condB = if (by == 0) 1 else if (acGrid(by - 1)(gx)) 1 else 0
+          acGrid(by)(gx) =
+            encodeBlock(e, ctx, levels, 1, condA + 2 * condB) == 1
+        }
+      } // cbp-0 MBs leave their grid entries 0 (cbf inferred 0)
+      // ChromaDCLevel (cat 3), Cb then Cr, when cbpChroma == 1
+      if (cbpChroma != 0) {
+        val cbL = new Array[Int](4); cbL(0) = m.cbDc
+        val crL = new Array[Int](4); crL(0) = m.crDc
+        val cA = if (i == 0) 1 else if (cbCbf(i - 1)) 1 else 0
+        cbCbf(i) = encodeBlock(e, ctx, cbL, 3, cA + 2) == 1
+        val cA2 = if (i == 0) 1 else if (crCbf(i - 1)) 1 else 0
+        crCbf(i) = encodeBlock(e, ctx, crL, 3, cA2 + 2) == 1
       }
+      e.terminate(if (i == mbW - 1) 1 else 0) // end_of_slice_flag
     }
-    e.terminate(1) // end_of_slice_flag: the single MB is the last
     w.alignZero()  // flush's trailing 1 was the rbsp stop bit
     (0x65.toByte +: Mp4.rbspEscape(w.bytes)).toArray
   }
@@ -480,17 +526,23 @@ object Cabac {
   private def zToY(z: Int): Int = ((z >> 3) & 1) * 2 + ((z >> 1) & 1)
 
   /** Decode a CABAC IDR I_16x16 slice back to pixels — the inverse
-    * of [[buildI16x16Slice]], reconstruction identical to the CAVLC
-    * path (Hadamard + §8.5.10 DC, §8.5.12 AC, DC prediction, flat
-    * chroma), deblocked per the slice header. mb_type outside the
-    * I_16x16/chroma-0 envelope refuses loudly. */
+    * of [[buildI16x16Row]]: a row of macroblocks, DC prediction from
+    * reconstructed left edges (luma and per-quadrant chroma),
+    * chroma-DC residuals through the 2×2 Hadamard dequant, deblocked
+    * per the slice header. mb_type outside the I_16x16 envelope,
+    * chroma AC, non-DC prediction and multi-ROW pictures refuse
+    * loudly. */
   def parseI16x16Slice(nal: Array[Byte], sps: SpsInfo,
       pps: PpsInfo): PcmFrame = {
     require(nal.nonEmpty && (nal(0) & 0x1f) == 5,
       "not an IDR slice NAL (nal_unit_type != 5)")
-    require(sps.mb_width == 1 && sps.mb_height == 1,
-      "the CABAC rung decodes single-macroblock pictures (the m40 " +
-        "fixture shape) — multi-MB CABAC is the documented next rung")
+    require(sps.mb_height == 1,
+      "the CABAC rung decodes one-macroblock-ROW pictures (the " +
+        "m40/m44 fixture shapes) — vertical MB neighbours under " +
+        "CABAC are the documented next rung")
+    val mbW = sps.mb_width
+    val w = mbW * 16
+    val cw = mbW * 8
     val r = new BitReader(Mp4.rbspUnescape(nal.drop(1)))
     require(r.ue() == 0L, "first_mb_in_slice != 0")
     val st = r.ue()
@@ -510,84 +562,136 @@ object Cabac {
     r.alignOnes()
     val ctx = initContexts(qp)
     val d = new Decoder(r)
-    // mb_type
-    require(d.decision(ctx(3)) == 1,
-      "mb_type I_4x4 under CABAC is outside the envelope — the " +
-        "documented next rung")
-    require(d.terminate() == 0,
-      "mb_type I_PCM under CABAC is outside the envelope — the " +
-        "documented next rung")
-    val cbpLuma15 = d.decision(ctx(6))
-    val cbpChroma = d.decision(ctx(7))
-    require(cbpChroma == 0,
-      "chroma residuals under CABAC are outside the envelope — the " +
-        "documented next rung")
-    val predHi = d.decision(ctx(9))
-    val predLo = d.decision(ctx(10))
-    require(predHi == 0 && predLo == 0,
-      "non-DC I_16x16 prediction under CABAC is outside the envelope")
-    require(d.decision(ctx(64)) == 0, "intra_chroma_pred_mode != DC")
-    require(d.decision(ctx(60)) == 0, "mb_qp_delta != 0 is outside " +
-      "the fixture envelope")
-    val (dcScan, _) = decodeBlock(d, ctx, 16, 0, 3)
-    val acByRaster = Array.fill(16)(null: Array[Int])
-    if (cbpLuma15 == 1) {
-      val cbfGrid = Array.fill(4, 4)(false)
-      for (z <- 0 until 16) {
-        val (bx, by) = (zToX(z), zToY(z))
-        val condA = if (bx == 0) 1 else if (cbfGrid(by)(bx - 1)) 1 else 0
-        val condB = if (by == 0) 1 else if (cbfGrid(by - 1)(bx)) 1 else 0
-        val (lv, cbf) = decodeBlock(d, ctx, 15, 1, condA + 2 * condB)
-        cbfGrid(by)(bx) = cbf == 1
-        acByRaster(by * 4 + bx) = lv
-      }
-    }
-    require(d.terminate() == 1, "end_of_slice_flag expected after " +
-      "the single macroblock")
-    // ---- reconstruction: identical arithmetic to the CAVLC path ----
-    val dcRaster = new Array[Int](16)
-    for (i <- 0 until 16) dcRaster(Mp4.zigzag4x4(i)) = dcScan(i)
-    val dcq = Mp4.invHadamard4x4(dcRaster).map(Mp4.dequantDc(_, qp))
-    val y = new Array[Int](256)
-    var b = 0
-    while (b < 16) {
-      val bx = (b % 4) * 4; val by = (b / 4) * 4
-      val acs = acByRaster(b)
-      if (acs == null || !acs.exists(_ != 0)) {
-        val v = (dcq(b) + 32) >> 6
-        var i = 0
-        while (i < 16) {
-          y((by + i / 4) * 16 + bx + i % 4) =
-            math.max(0, math.min(255, 128 + v))
-          i += 1
+    val y = new Array[Int](w * 16)
+    val cb = Array.fill(cw * 8)(128)
+    val cr = Array.fill(cw * 8)(128)
+    val dcCbf = new Array[Boolean](mbW)
+    val cbCbf = new Array[Boolean](mbW)
+    val crCbf = new Array[Boolean](mbW)
+    val acGrid = Array.fill(4, 4 * mbW)(false)
+    var i = 0
+    var ended = false
+    while (i < mbW) {
+      require(!ended, "end_of_slice_flag before the last macroblock")
+      // mb_type
+      require(d.decision(ctx(3 + (if (i > 0) 1 else 0))) == 1,
+        "mb_type I_4x4 under CABAC is outside the envelope — the " +
+          "documented next rung")
+      require(d.terminate() == 0,
+        "mb_type I_PCM under CABAC is outside the envelope — the " +
+          "documented next rung")
+      val cbpLuma15 = d.decision(ctx(6))
+      val cbpChroma1 = d.decision(ctx(7))
+      if (cbpChroma1 == 1)
+        require(d.decision(ctx(8)) == 0,
+          "chroma AC residuals under CABAC are outside the envelope " +
+            "— the documented next rung")
+      val predHi = d.decision(ctx(9))
+      val predLo = d.decision(ctx(10))
+      require(predHi == 0 && predLo == 0,
+        "non-DC I_16x16 prediction under CABAC is outside the envelope")
+      require(d.decision(ctx(64)) == 0, "intra_chroma_pred_mode != DC")
+      require(d.decision(ctx(60)) == 0, "mb_qp_delta != 0 is outside " +
+        "the fixture envelope")
+      val condA0 = if (i == 0) 1 else if (dcCbf(i - 1)) 1 else 0
+      val (dcScan, dcf) = decodeBlock(d, ctx, 16, 0, condA0 + 2)
+      dcCbf(i) = dcf == 1
+      val acByRaster = Array.fill(16)(null: Array[Int])
+      if (cbpLuma15 == 1) {
+        for (z <- 0 until 16) {
+          val (bx, by) = (zToX(z), zToY(z))
+          val gx = i * 4 + bx
+          val condA = if (gx == 0) 1 else if (acGrid(by)(gx - 1)) 1 else 0
+          val condB = if (by == 0) 1 else if (acGrid(by - 1)(gx)) 1 else 0
+          val (lv, cbf) = decodeBlock(d, ctx, 15, 1, condA + 2 * condB)
+          acGrid(by)(gx) = cbf == 1
+          acByRaster(by * 4 + bx) = lv
         }
-      } else {
-        val dd = new Array[Int](16)
-        dd(0) = dcq(b)
-        var p = 0
-        while (p < 15) {
-          if (acs(p) != 0) {
-            val rp = Mp4.zigzag4x4(p + 1)
-            dd(rp) = Mp4.dequantAc(acs(p), rp, qp)
+      }
+      var cbBlk: Array[Int] = null
+      var crBlk: Array[Int] = null
+      if (cbpChroma1 == 1) {
+        val cA = if (i == 0) 1 else if (cbCbf(i - 1)) 1 else 0
+        val (cbl, cbf1) = decodeBlock(d, ctx, 4, 3, cA + 2)
+        cbCbf(i) = cbf1 == 1; cbBlk = cbl
+        val cA2 = if (i == 0) 1 else if (crCbf(i - 1)) 1 else 0
+        val (crl, cbf2) = decodeBlock(d, ctx, 4, 3, cA2 + 2)
+        crCbf(i) = cbf2 == 1; crBlk = crl
+      }
+      ended = d.terminate() == 1 // end_of_slice_flag
+      // ---- reconstruction (identical arithmetic to CAVLC) ----------
+      val mx = i * 16
+      val dcRaster = new Array[Int](16)
+      for (k <- 0 until 16) dcRaster(Mp4.zigzag4x4(k)) = dcScan(k)
+      val dcq = Mp4.invHadamard4x4(dcRaster).map(Mp4.dequantDc(_, qp))
+      val leftE = new Array[Int](16)
+      if (i > 0) for (k <- 0 until 16) leftE(k) = y(k * w + mx - 1)
+      val pred = Mp4.predict16x16(2, new Array[Int](16), leftE, 0,
+        topAvail = false, leftAvail = i > 0)
+      var b = 0
+      while (b < 16) {
+        val bx = (b % 4) * 4; val by = (b / 4) * 4
+        val acs = acByRaster(b)
+        if (acs == null || !acs.exists(_ != 0)) {
+          val v = (dcq(b) + 32) >> 6
+          var k = 0
+          while (k < 16) {
+            val yy = by + k / 4; val xx = bx + k % 4
+            y(yy * w + mx + xx) =
+              math.max(0, math.min(255, pred(yy * 16 + xx) + v))
+            k += 1
           }
-          p += 1
+        } else {
+          val dd = new Array[Int](16)
+          dd(0) = dcq(b)
+          var p = 0
+          while (p < 15) {
+            if (acs(p) != 0) {
+              val rp = Mp4.zigzag4x4(p + 1)
+              dd(rp) = Mp4.dequantAc(acs(p), rp, qp)
+            }
+            p += 1
+          }
+          val res = Mp4.invTransform4x4(dd)
+          var k = 0
+          while (k < 16) {
+            val yy = by + k / 4; val xx = bx + k % 4
+            y(yy * w + mx + xx) =
+              math.max(0, math.min(255, pred(yy * 16 + xx) + res(k)))
+            k += 1
+          }
         }
-        val res = Mp4.invTransform4x4(dd)
-        var i = 0
-        while (i < 16) {
-          y((by + i / 4) * 16 + bx + i % 4) =
-            math.max(0, math.min(255, 128 + res(i)))
-          i += 1
+        b += 1
+      }
+      // chroma: per-quadrant DC prediction from the reconstructed
+      // left edge (the row above never exists), plus the uniform
+      // (dcd+32)>>6 residual of the 2×2-Hadamard-dequantized DC
+      def chromaMb(p: Array[Int], blk: Array[Int]): Unit = {
+        val cx = i * 8
+        val dcd = if (blk == null) null
+          else Mp4.chromaDcDequant(blk, qp)
+        def sLeft(off: Int): Int =
+          (0 until 4).map(k => p((off + k) * cw + cx - 1)).sum
+        for (byi <- 0 to 1; bxi <- 0 to 1) {
+          val base =
+            if (i == 0) 128
+            else (sLeft(if (byi == 0) 0 else 4) + 2) >> 2
+          val off =
+            if (dcd == null) 0 else (dcd(byi * 2 + bxi) + 32) >> 6
+          val v = math.max(0, math.min(255, base + off))
+          for (yy <- 0 until 4; xx <- 0 until 4)
+            p((byi * 4 + yy) * cw + cx + bxi * 4 + xx) = v
         }
       }
-      b += 1
+      chromaMb(cb, cbBlk)
+      chromaMb(cr, crBlk)
+      i += 1
     }
-    val cb = Array.fill(64)(128)
-    val cr = Array.fill(64)(128)
+    require(ended, "end_of_slice_flag missing after the last macroblock")
     if (deblockIdc != 1)
-      Deblock.filterIntra(y, cb, cr, 16, 16, 1, 1, Array(qp),
+      Deblock.filterIntra(y, cb, cr, w, 16, mbW, 1, Array.fill(mbW)(qp),
         pps.chroma_qp_index_offset, offA, offB)
-    PcmFrame(16, 16, y.map(_.toByte), cb.map(_.toByte), cr.map(_.toByte))
+    PcmFrame(w, 16, y.map(_.toByte), cb.map(_.toByte), cr.map(_.toByte))
   }
 
   /** Decode a muxed CABAC I_16x16 stream lazily — the CABAC arm of

@@ -3963,6 +3963,154 @@ object MediaQueries {
        |FROM per GROUP BY doc_id""".stripMargin
   }
 
+  // ---- m44: multi-MB CABAC with chroma residuals ----------------------
+
+  /** m44: CABAC ACROSS MACROBLOCKS under the hash gate — an I_16x16
+    * macroblock ROW whose context increments genuinely chain: the
+    * mb_type prefix bin reads the left neighbour's type, the cat-0
+    * coded_block_flag chains on the left MB's DC cbf, and the cat-3
+    * CHROMA-DC residuals (the first chroma decode under CABAC) chain
+    * per component — with the intra default (1) at the picture edge
+    * and the decoded cbf inside. Reconstruction chains too: MB1's
+    * luma DC prediction reads MB0's reconstructed right edge, and
+    * its per-quadrant chroma prediction reads MB0's reconstructed
+    * chroma, so a wrong bin anywhere shifts every later pixel.
+    *
+    * 100 TB shape: the m33..m43 contract — per-doc encode + decode
+    * inside one partition pass, one row out. */
+  def m44CabacChroma(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{Cabac, Codecs}
+    Tables.spread(Tables.documents(spark, dir).select(col("doc_id"))).as[Long]
+      .mapPartitions { it =>
+        def sgn(x: Long): Int = if (x % 2 == 0) 1 else -1
+        val lmags = Array(1, 2, 4, 5, 6, 7, 8, 12, 16, 18, 20)
+        val cmags = Array(1, 2, 3, 4, 5, 6, 8, 10)
+        val noAc = Array.fill(16)(null: Array[Int])
+        val cabacPps = Cabac.buildPps()
+        it.map { id =>
+          val n = (2 + id % 3).toInt
+          val nals = (0 until n).map { f =>
+            val c0 = sgn(id + f) * (1 + ((id + f * 3) % 5)).toInt
+            val c1 = sgn(id * 3 + f) * lmags(((id * 7 + f * 11) % 11).toInt)
+            val cbc1 = sgn(id + f) * cmags(((id * 2 + f) % 8).toInt)
+            val crc1 = sgn(id + f + 1) * cmags(((id + f * 3) % 8).toInt)
+            val mb0Chroma = (id + f) % 2 == 0
+            val cbc0 =
+              if (mb0Chroma) sgn(id * 5 + f) * cmags(((id + f * 5) % 8).toInt)
+              else 0
+            val crc0 =
+              if (mb0Chroma)
+                sgn(id * 5 + f + 1) * cmags(((id * 3 + f * 7) % 8).toInt)
+              else 0
+            val dc0 = new Array[Int](16); dc0(0) = c0
+            val dc1 = new Array[Int](16); dc1(0) = c1
+            Seq(Cabac.buildI16x16Row(Seq(
+              Cabac.CabacI16(dc0, noAc, cbc0, crc0),
+              Cabac.CabacI16(dc1, noAc, cbc1, crc1)),
+              frameNum = 0, frameNumBits = 4, idrPicId = f % 8))
+          }
+          val mp4 = Codecs.Mp4.mux(nals, keyframes = (1 to n),
+            timescale = 90000, sampleDelta = 3000, width = 32, height = 16,
+            ppsOverride = cabacPps)
+          var ys = 0L; var cbs = 0L; var crs = 0L; var fp = 0L
+          var nDec = 0
+          Codecs.Mp4.decodeIntraFrames(mp4).foreach { fr =>
+            nDec += 1
+            require(fr.width == 32 && fr.height == 16,
+              s"decoded dims ${fr.width}x${fr.height}")
+            fr.y.foreach { b =>
+              val v = b & 0xffL; ys += v
+              fp = (fp * 31 + v) % 1000000007L
+            }
+            fr.cb.foreach { b =>
+              val v = b & 0xffL; cbs += v
+              fp = (fp * 31 + v) % 1000000007L
+            }
+            fr.cr.foreach { b =>
+              val v = b & 0xffL; crs += v
+              fp = (fp * 31 + v) % 1000000007L
+            }
+          }
+          require(nDec == n, s"decoded $nDec of $n frames")
+          (id, n, 32, 16, ys, cbs, crs, fp)
+        }
+      }.toDF("doc_id", "n_frames", "width", "height", "y_sum",
+        "cb_sum", "cr_sum", "pix_fp")
+  }
+
+  /** Closed-form restatement of m44: two uniform luma macroblocks
+    * (lone DC, MB1 predicted from MB0's edge) and PER-MB uniform
+    * chroma where MB1's prediction chains on MB0's reconstructed
+    * value: cb0 = clip(128 + (104·cbc0+32)≫6),
+    * cb1 = clip(cb0 + (104·cbc1+32)≫6). */
+  val m44Sql: String = {
+    val v0 = s"least(255, greatest(0, 128 + (${fdiv("52*c0 + 32", 64)})))"
+    val off1 = fdiv("52*c1 + 32", 64)
+    val offCb0 = fdiv("104*cbc0 + 32", 64)
+    val offCb1 = fdiv("104*cbc1 + 32", 64)
+    val offCr0 = fdiv("104*crc0 + 32", 64)
+    val offCr1 = fdiv("104*crc1 + 32", 64)
+    s"""WITH d AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS n
+       |  FROM documents),
+       |f AS (SELECT doc_id, n, unnest(range(n)) AS fr FROM d),
+       |par AS (SELECT doc_id, n, fr,
+       |    (CASE WHEN (doc_id + fr) % 2 = 0 THEN 1 ELSE -1 END)
+       |      * (1 + (doc_id + fr * 3) % 5) AS c0,
+       |    (CASE WHEN (doc_id * 3 + fr) % 2 = 0 THEN 1 ELSE -1 END)
+       |      * ([1,2,4,5,6,7,8,12,16,18,20]
+       |          [CAST((doc_id * 7 + fr * 11) % 11 AS INT) + 1]) AS c1,
+       |    (CASE WHEN (doc_id + fr) % 2 = 0 THEN 1 ELSE -1 END)
+       |      * ([1,2,3,4,5,6,8,10]
+       |          [CAST((doc_id * 2 + fr) % 8 AS INT) + 1]) AS cbc1,
+       |    (CASE WHEN (doc_id + fr + 1) % 2 = 0 THEN 1 ELSE -1 END)
+       |      * ([1,2,3,4,5,6,8,10]
+       |          [CAST((doc_id + fr * 3) % 8 AS INT) + 1]) AS crc1,
+       |    CASE WHEN (doc_id + fr) % 2 = 0 THEN
+       |      (CASE WHEN (doc_id * 5 + fr) % 2 = 0 THEN 1 ELSE -1 END)
+       |        * ([1,2,3,4,5,6,8,10]
+       |            [CAST((doc_id + fr * 5) % 8 AS INT) + 1])
+       |      ELSE 0 END AS cbc0,
+       |    CASE WHEN (doc_id + fr) % 2 = 0 THEN
+       |      (CASE WHEN (doc_id * 5 + fr + 1) % 2 = 0 THEN 1 ELSE -1 END)
+       |        * ([1,2,3,4,5,6,8,10]
+       |            [CAST((doc_id * 3 + fr * 7) % 8 AS INT) + 1])
+       |      ELSE 0 END AS crc0
+       |  FROM f),
+       |vals AS (SELECT doc_id, n, fr, cbc1, crc1,
+       |    CAST($v0 AS BIGINT) AS v0,
+       |    CAST(least(255, greatest(0, ($v0) + ($off1))) AS BIGINT) AS v1,
+       |    CAST(least(255, greatest(0, 128 + ($offCb0))) AS BIGINT) AS cb0,
+       |    CAST(least(255, greatest(0, 128 + ($offCr0))) AS BIGINT) AS cr0
+       |  FROM par),
+       |vals2 AS (SELECT doc_id, n, fr, v0, v1, cb0, cr0,
+       |    CAST(least(255, greatest(0, cb0 + ($offCb1))) AS BIGINT) AS cb1,
+       |    CAST(least(255, greatest(0, cr0 + ($offCr1))) AS BIGINT) AS cr1
+       |  FROM vals),
+       |per AS (SELECT doc_id, n, fr,
+       |    16 * (16 * v0 + 16 * v1) AS ys,
+       |    8 * (8 * cb0 + 8 * cb1) AS cbs,
+       |    8 * (8 * cr0 + 8 * cr1) AS crs,
+       |    flatten(list_transform(range(16), x ->
+       |      list_transform(range(32), z ->
+       |        CASE WHEN z < 16 THEN v0 ELSE v1 END)))
+       |      || flatten(list_transform(range(8), x ->
+       |        list_transform(range(16), z ->
+       |          CASE WHEN z < 8 THEN cb0 ELSE cb1 END)))
+       |      || flatten(list_transform(range(8), x ->
+       |        list_transform(range(16), z ->
+       |          CASE WHEN z < 8 THEN cr0 ELSE cr1 END))) AS vals
+       |  FROM vals2)
+       |SELECT doc_id, max(n) AS n_frames, 32 AS width, 16 AS height,
+       |  CAST(sum(ys) AS BIGINT) AS y_sum,
+       |  CAST(sum(cbs) AS BIGINT) AS cb_sum,
+       |  CAST(sum(crs) AS BIGINT) AS cr_sum,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    flatten(list(vals ORDER BY fr))),
+       |    (a, b) -> (a * 31 + b) % 1000000007) AS pix_fp
+       |FROM per GROUP BY doc_id""".stripMargin
+  }
+
   /** Integer floor division for possibly-negative numerators in
     * DuckDB (whose `//` truncates toward zero): offset by `k`
     * denominators, divide, subtract. */

@@ -191,6 +191,50 @@ class Round14bSpec extends SparkTestBase {
     assert(((s + 16) >> 5) === 188)
   }
 
+  test("m44: multi-MB CABAC ≡ CAVLC on pixels — a two-macroblock " +
+    "row with chroma-DC residuals decodes identically through both " +
+    "entropy coders (cross-MB mb_type/cbf/chroma context chains vs " +
+    "the CAVLC nC grid)") {
+    import graft.operators.Cabac
+    val rnd = new scala.util.Random(0x44)
+    val noAc = Array.fill(16)(null: Array[Int])
+    for (trial <- 0 until 15) {
+      val c0 = rnd.between(-5, 6)
+      val c1 = rnd.between(-8, 9)
+      val cb0 = if (trial % 2 == 0) rnd.between(-6, 7) else 0
+      val cr0 = if (trial % 2 == 0) rnd.between(-6, 7) else 0
+      val cb1 = rnd.between(-6, 7)
+      val cr1 = rnd.between(-6, 7)
+      val dc0 = new Array[Int](16); dc0(0) = c0
+      val dc1 = new Array[Int](16); dc1(0) = c1
+      def chroma(cbc: Int, crc: Int): Mp4.ChromaRes =
+        if (cbc == 0 && crc == 0) null
+        else {
+          val a = new Array[Int](4); a(0) = cbc
+          val b = new Array[Int](4); b(0) = crc
+          Mp4.ChromaRes(a, null, b, null)
+        }
+      val vNal = Mp4.buildMixedIntraSlice(Seq(
+        Mp4.I16Mb(dc0, noAc, 2, chroma(cb0, cr0)),
+        Mp4.I16Mb(dc1, noAc, 2, chroma(cb1, cr1))),
+        2, 1, frameNum = 0, frameNumBits = 4)
+      val vMp4 = Mp4.mux(Seq(Seq(vNal)), keyframes = Seq(1),
+        timescale = 90000, sampleDelta = 3000, width = 32, height = 16)
+      val a1 = Mp4.decodeIntraFrames(vMp4).next()
+      val cNal = Cabac.buildI16x16Row(Seq(
+        Cabac.CabacI16(dc0, noAc, cb0, cr0),
+        Cabac.CabacI16(dc1, noAc, cb1, cr1)),
+        frameNum = 0, frameNumBits = 4)
+      val cMp4 = Mp4.mux(Seq(Seq(cNal)), keyframes = Seq(1),
+        timescale = 90000, sampleDelta = 3000, width = 32, height = 16,
+        ppsOverride = Cabac.buildPps())
+      val a2 = Mp4.decodeIntraFrames(cMp4).next()
+      assert(a1.y.toSeq === a2.y.toSeq, s"trial $trial luma")
+      assert(a1.cb.toSeq === a2.cb.toSeq, s"trial $trial cb")
+      assert(a1.cr.toSeq === a2.cr.toSeq, s"trial $trial cr")
+    }
+  }
+
   test("the GOP decoder is lazy and order-true: intra frames " +
     "re-anchor the reference mid-stream") {
     // I, P(move), I (different plane), P(skip): frame 3 must copy
