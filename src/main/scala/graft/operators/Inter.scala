@@ -386,13 +386,15 @@ object Inter {
   def decodeGopFrames(data: Array[Byte]): Iterator[PcmFrame] = {
     val sps = Mp4.spsInfo(data)
     val pps = Mp4.ppsInfo(data)
-    require(!pps.entropy_coding_mode,
-      "CABAC GOPs are the next rung — this decoder is CAVLC")
     var ref: PcmFrame = null
     Mp4.nalPayloadIterator(data).map { nal =>
       val out = (nal(0) & 0x1f) match {
-        case 5 => Mp4.parseIntraSlice(nal, sps, pps = pps)
+        case 5 =>
+          if (pps.entropy_coding_mode) Cabac.parseI16x16Slice(nal, sps, pps)
+          else Mp4.parseIntraSlice(nal, sps, pps = pps)
         case 1 =>
+          require(!pps.entropy_coding_mode,
+            "CABAC P slices are the documented next rung")
           require(ref != null, "P frame before any IDR reference")
           parsePSlice(nal, sps, pps, ref)
         case t => throw new IllegalArgumentException(

@@ -64,14 +64,18 @@ object FrameSource {
     * 100 TB shape: decode is partition-local per FILE (bytes never
     * shuffle; frames explode inside the map), so executor count
     * scales ingest linearly — the distributed `decodebin` fan-out.
-    * The decode itself is LAZY (decodeIPcmFrames iterates the stsc/
+    * The decode itself is LAZY (the GOP iterator walks the stsc/
     * stco/stsz sample tables incrementally), so the flatMap holds
-    * ONE decoded frame in flight, not the whole file's pictures —
-    * the admission unit is the file's COMPRESSED bytes (binaryFile
-    * materializes each file's content column per row; cap file size
-    * upstream if sources can exceed executor memory). Transform-
-    * coded streams fail loudly at the I_PCM gate (the documented
-    * seam), never silently garble. */
+    * one decoded picture plus one reference in flight, not the whole
+    * file's pictures — the admission unit is the file's COMPRESSED
+    * bytes (binaryFile materializes each file's content column per
+    * row; cap file size upstream if sources can exceed executor
+    * memory). Since round 14 the source rides the FULL decode
+    * envelope — every intra rung (I_PCM, CAVLC I_16x16/I_4x4 with
+    * chroma, deblocking) AND P slices with quarter-pel motion
+    * (Inter.decodeGopFrames' one-reference DPB is per-task state);
+    * anything outside refuses loudly by class, never silently
+    * garbled. */
   def videoFileStream(spark: SparkSession, path: String,
       maxFilesPerTrigger: Int = 2): Dataset[Frame] = {
     import org.apache.spark.sql.functions.col
@@ -93,7 +97,7 @@ object FrameSource {
           case _: java.net.URISyntaxException => p
         }
         val vid = decoded.substring(decoded.lastIndexOf('/') + 1)
-        Codecs.Mp4.decodeIPcmFrames(bytes).zipWithIndex.map {
+        graft.operators.Inter.decodeGopFrames(bytes).zipWithIndex.map {
           case (f, i) =>
             val planes = f.y ++ f.cb ++ f.cr
             Frame(vid, i.toLong, mt, f.height, f.width,

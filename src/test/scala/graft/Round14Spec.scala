@@ -239,22 +239,22 @@ class Round14Spec extends SparkTestBase {
   }
 
   test("the decode envelope refuses what it can't decode, by class: " +
-    "the CABAC arm's sub-envelope (multi-MB) refuses loudly, and a " +
+    "the CABAC arm's sub-envelope (multi-ROW) refuses loudly, and a " +
     "CAVLC payload mislabeled as CABAC fails at the alignment bits") {
     val cabacPps = graft.operators.Cabac.buildPps()
     assert(Mp4.parsePps(cabacPps).entropy_coding_mode)
-    // a real CABAC slice muxed into a TWO-macroblock SPS: the CABAC
-    // parser's single-MB envelope refuses by name
+    // a real CABAC slice muxed into a TWO-ROW SPS: the CABAC
+    // parser's one-MB-row envelope (m44) refuses by name
     val dc = new Array[Int](16); dc(0) = 2
     val cnal = graft.operators.Cabac.buildI16x16Slice(dc,
       Array.fill(16)(null: Array[Int]), frameNum = 0, frameNumBits = 4)
-    val wide = Mp4.mux(Seq(Seq(cnal)), keyframes = Seq(1),
-      timescale = 90000, sampleDelta = 3000, width = 32, height = 16,
+    val tall = Mp4.mux(Seq(Seq(cnal)), keyframes = Seq(1),
+      timescale = 90000, sampleDelta = 3000, width = 16, height = 32,
       ppsOverride = cabacPps)
     val e1 = intercept[IllegalArgumentException] {
-      Mp4.decodeIntraFrames(wide).next()
+      Mp4.decodeIntraFrames(tall).next()
     }
-    assert(e1.getMessage.contains("single-macroblock"))
+    assert(e1.getMessage.contains("one-macroblock-ROW"))
     // a CAVLC-coded payload under a CABAC PPS: loud, never garbled
     val vnal = Mp4.buildI16x16Slice(
       Seq((dc, Array.fill(16)(null: Array[Int]))), 1, 1,
