@@ -99,11 +99,34 @@ object Engine {
     } else df.localCheckpoint(true)
   }
 
+  /** Restore task fan-out after a lineage-truncating snapshot.
+    * AQE legitimately coalesces a small shuffle to few partitions,
+    * but a checkpoint FREEZES that layout: heavy narrow work
+    * downstream (a prefix explode + self-join probe side, say) then
+    * runs as one task while the other cores idle — measured on d19
+    * at sf0.1 as a single 21 CPU-second task. Round-robin
+    * repartition to the default parallelism when the snapshot
+    * landed below it; a no-op at scale, where any data-sized
+    * snapshot already carries >= cores partitions (AQE never
+    * re-splits an explicit repartition count). */
+  def ensureParallelism(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target)
+      // re-snapshot so multi-consumer plans read the fanned-out
+      // layout directly instead of re-planning the repartition
+      // exchange once per consumer
+      snapshot(df.repartition(target))
+    else df
+  }
+
   /** postfix sugar so operator loops read `frame.snapshot()` at the
     * same spot `.localCheckpoint(true)` used to sit. */
   implicit class SnapshotOps(private val df: org.apache.spark.sql.DataFrame)
       extends AnyVal {
     def snapshot(): org.apache.spark.sql.DataFrame = Engine.snapshot(df)
+    def ensureParallelism(): org.apache.spark.sql.DataFrame =
+      Engine.ensureParallelism(df)
   }
 
   /** S9: the debug-graph-dump sink analog

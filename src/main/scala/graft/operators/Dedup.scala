@@ -250,25 +250,39 @@ object Dedup {
     * need the d2 mega-bucket cap, which would perturb the very
     * counts being measured — sample, don't cap. */
   def lshTuning(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val sigs = shingleFeatures(docs).snapshot()
-    def cands(b: Int, r: Int): DataFrame = {
-      val structs = (0 until b).map { i =>
+    // One TAGGED band frame carries all four sweep arms: each
+    // config's band rows ride a `cfg` index, so the four per-arm
+    // candidate self-joins fuse into a single (cfg, band, hash)
+    // equi-join and the per-arm counts come back as one groupBy —
+    // the sweep drops from ~15 sequential jobs (5 pipelines × scan/
+    // join/agg) to ~5, with identical candidate sets per arm.
+    val configs = Seq((12, 1), (6, 2), (4, 3), (3, 4))
+    val allStructs = configs.zipWithIndex.flatMap { case ((b, r), ci) =>
+      (0 until b).map { i =>
         val bh = (0 until r).map(j => col(s"mh${i * r + j}"))
           .reduce((x, y) => (x * 31 + y) % MinhashP)
-        struct(lit(i).as("band"), bh.as("band_hash"))
+        struct(lit(ci).as("cfg"), lit(i).as("band"), bh.as("band_hash"))
       }
-      val rows = sigs
-        .select(col("doc_id"), explode(array(structs: _*)).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"),
-          col("bs.band_hash").as("band_hash"))
-      rows.alias("a").join(rows.alias("b"),
-          col("a.band") === col("b.band") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
     }
-    val truth = cands(12, 1)
+    val rows = sigs
+      .select(col("doc_id"), explode(array(allStructs: _*)).as("bs"))
+      .select(col("bs.cfg").as("cfg"), col("bs.band").as("band"),
+        col("bs.band_hash").as("band_hash"), col("doc_id"))
+    val cands = rows.alias("a").join(rows.alias("b"),
+        col("a.cfg") === col("b.cfg") &&
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.cfg").as("cfg"), col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"))
+      .distinct()
+      .snapshot() // 3 consumers: truth build, arm counts, semi-join
+      .ensureParallelism()
+    // cfg 0 is (12,1) — the truth universe, exactly as before
+    val truth = cands.filter(col("cfg") === 0)
       .join(sigs.select(col("doc_id").as("doc_a"), col("hashes").as("ha")),
         Seq("doc_a"))
       .join(sigs.select(col("doc_id").as("doc_b"), col("hashes").as("hb")),
@@ -276,22 +290,28 @@ object Dedup {
       .filter(jaccard(col("ha"), col("hb")) >= threshold)
       .select(col("doc_a"), col("doc_b")).snapshot()
     val nTrue = truth.agg(count(lit(1)).as("n_true"))
-    val configs = Seq((12, 1), (6, 2), (4, 3), (3, 4))
-    configs.map { case (b, r) =>
-      val c = cands(b, r)
-      val nc = c.agg(count(lit(1)).as("n_candidates"))
-      val nt = c.join(truth, Seq("doc_a", "doc_b"), "left_semi")
-        .agg(count(lit(1)).as("n_true_candidates"))
-      nc.crossJoin(nt).crossJoin(nTrue)
-        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
-          col("n_candidates"), col("n_true_candidates"),
-          when(col("n_candidates") > 0,
-            expr("n_true_candidates * 1000000 div n_candidates"))
-            .otherwise(lit(0L)).as("precision_micro"),
-          when(col("n_true") > 0,
-            expr("n_true_candidates * 1000000 div n_true"))
-            .otherwise(lit(0L)).as("recall_micro"))
-    }.reduce(_ unionByName _)
+    val perArm = cands.groupBy(col("cfg")).agg(count(lit(1)).as("nc"))
+    val perArmTrue = cands.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+      .groupBy(col("cfg")).agg(count(lit(1)).as("nt"))
+    val cfgFrame = configs.zipWithIndex
+      .map { case ((b, r), ci) => (ci, b, r) }
+      .toDF("cfg", "bands", "rows_per_band")
+    cfgFrame
+      .join(perArm, Seq("cfg"), "left")
+      .join(perArmTrue, Seq("cfg"), "left")
+      .crossJoin(nTrue)
+      .select(col("bands"), col("rows_per_band"),
+        coalesce(col("nc"), lit(0L)).as("n_candidates"),
+        coalesce(col("nt"), lit(0L)).as("n_true_candidates"),
+        col("n_true"))
+      .select(col("bands"), col("rows_per_band"),
+        col("n_candidates"), col("n_true_candidates"),
+        when(col("n_candidates") > 0,
+          expr("n_true_candidates * 1000000 div n_candidates"))
+          .otherwise(lit(0L)).as("precision_micro"),
+        when(col("n_true") > 0,
+          expr("n_true_candidates * 1000000 div n_true"))
+          .otherwise(lit(0L)).as("recall_micro"))
   }
 
   /** Per-document 64-bit SimHash fingerprint over distinct token
@@ -537,6 +557,9 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("tf"), col("th"))))
         .as("ord"), count(lit(1)).as("n"))
       .snapshot()
+      // the snapshot freezes AQE's coalesced layout; fan the probe/
+      // explode work back out across the task slots (no-op at scale)
+      .ensureParallelism()
     val pfxLen = (col("n") -
       ((col("n") * tNum + (tDen - 1)) / tDen).cast("long") + 1).cast("int")
     val prefixes = perDoc.select(col("doc_id"), col("n"),
