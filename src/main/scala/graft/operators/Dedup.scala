@@ -414,11 +414,18 @@ object Dedup {
       lenBand: Int = 20, maxBlock: Int = 256): DataFrame = {
     val blockW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"), col("bucket"))
+    // Materialized once: BOTH join sides read the blocked gram table
+    // (without this the char-3-gram hashing — the CPU-dominant pass —
+    // runs twice, once per alias), and the fan-out restore keeps the
+    // verify join's probe side parallel when AQE coalesced the tiny
+    // post-window exchange (the jaccard verify is compute-bound, not
+    // byte-bound, so byte-based coalescing starves it of cores).
     val g = charGramHashSets(docs)
       .withColumn("bucket", floor(col("n_chars") / lenBand))
       .withColumn("block_n", count(lit(1)).over(blockW))
       .filter(col("block_n") <= maxBlock)
       .drop("block_n")
+      .snapshot().ensureParallelism()
     val nbrs = g.withColumn("nbr",
       explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)))
     val a = g.alias("a"); val b = nbrs.alias("b")

@@ -302,7 +302,9 @@ object CorpusQueries {
     * near-dup anything). Tiebreak (quality DESC, doc_id ASC) keeps
     * the pick deterministic. */
   def x24ClusterRep(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    // spread: the quality-stats pass is a heavy row-local kernel on
+    // a single-split scan — fan it out (row-local, results unchanged)
+    val docs = Tables.spread(Tables.documents(spark, dir))
     val clusters = LlmQueries.d9DedupClusters(spark, dir)
       .select(col("doc_id"), col("cluster"))
     val quality = docs
@@ -2802,9 +2804,15 @@ object CorpusQueries {
     import org.apache.spark.sql.expressions.Window
     val keep = docs.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
-    val kept = docs.select(col("doc_id"), col("source"),
-        col("n_chars"), LlmQueries.textStatsCol.as("s"))
-      .withColumn("q", LlmQueries.qualityFrom(col("s")))
+    // barrier after the quality scoring: left lazy, the q-gate
+    // pushes below spread()'s fan-out into the single-split scan
+    // (measured: one task, 2.3 s wall) — materialize the scored
+    // narrow frame fanned out, then gate on the column
+    val kept = graft.Engine.ensureParallelism(graft.Engine.snapshot(
+        docs.select(col("doc_id"), col("source"),
+            col("n_chars"), LlmQueries.textStatsCol.as("s"))
+          .withColumn("q", LlmQueries.qualityFrom(col("s")))
+          .select(col("doc_id"), col("source"), col("q"))))
       .filter(col("q") >= 0.5)
       .join(keep, Seq("doc_id"))
       .select(col("doc_id"), col("source"))

@@ -1689,7 +1689,10 @@ object LlmQueries {
   }
 
   def x1TextStats(spark: SparkSession, dir: String): DataFrame =
-    textStats(Tables.documents(spark, dir))
+    // spread: the stats struct is a heavy row-local pass and the
+    // table is a single parquet split — without the fan-out it
+    // computes on one core (row-local, so results are unchanged)
+    textStats(Tables.spread(Tables.documents(spark, dir)))
 
   /** the x1 stats CTE pair over `documents` (per-doc n_tokens /
     * n_stop / n_punct, n_chars and any `extra` passthrough columns
@@ -2404,12 +2407,22 @@ object LlmQueries {
     * pre-materialized by the connectedComponents fixpoint (driver-
     * side iteration at construction time — see PLANS.md's caveat). */
   def x20CurationV2(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Engine.SnapshotOps
     val docs = Tables.spread(Tables.documents(spark, dir))
     val nonSurvivors = d9DedupClusters(spark, dir)
       .filter(!col("survivor")).select(col("doc_id"))
-    docs.join(nonSurvivors, Seq("doc_id"), "left_anti")
-      .select(col("lang"), col("n_chars"),
+    // The dup-word gate is a HEAVY row-local expression; left lazy,
+    // predicate pushdown hoists it below spread()'s fan-out exchange
+    // into the single-split scan (measured: one task burning 4.9
+    // CPU-seconds with the stats struct re-evaluated per field).
+    // Materialize the derived column once, fanned out, and gate on
+    // the column — same rows, the anti-join and the per-doc gate
+    // commute.
+    val scored = docs
+      .select(col("doc_id"), col("lang"), col("n_chars"),
         dupWordFracFrom(repetitionStatsCol).as("dup_word_frac"))
+      .snapshot().ensureParallelism()
+    scored.join(nonSurvivors, Seq("doc_id"), "left_anti")
       .filter(col("dup_word_frac") <= 0.5)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
@@ -2563,8 +2576,13 @@ object LlmQueries {
     val docs = Tables.spread(Tables.documents(spark, dir))
     val dropIds = Dedup.nearDupPairs(docs, threshold = 0.8)
       .select(col("doc_b").as("doc_id")).distinct()
+    // barrier after the scored projection: the quality gate would
+    // otherwise push below every join and exchange into the
+    // single-split scan (measured: one task, 1.7 CPU-s)
+    import graft.Engine.SnapshotOps
     val stats = x1TextStats(spark, dir)
       .select(col("doc_id"), col("n_tokens"), col("quality"))
+      .snapshot().ensureParallelism()
     docs.select(col("doc_id"), col("lang"))
       .join(dropIds, Seq("doc_id"), "left_anti")
       .join(stats, Seq("doc_id"))

@@ -256,7 +256,8 @@ object RetrievalQueries {
     * join is keyed by doc_id (broadcastable while postings for a
     * query are small — the high-selectivity regime an inverted index
     * exists for). */
-  val lexBuckets = 64
+  val lexBuckets: Int =
+    sys.env.get("SPARK_GRAFT_LEX_BUCKETS").map(_.toInt).getOrElse(64)
 
   /** Run independent Spark ACTIONS (sink writes of already-pinned
     * inputs) as concurrent jobs and wait for ALL OF THEM TO SETTLE:

@@ -22,6 +22,14 @@ object VideoQueries {
 
   /** Frame stream stand-in: events → (video_id, frame_id, ts, h, w). */
   private def frames(spark: SparkSession, dir: String): DataFrame =
+    // NOT spread: a round-14 experiment fanned this scan out
+    // (Tables.spread) to parallelize the per-frame kernels — v1/v2
+    // improved ~0.5 s each, but v14 regressed 1.7 s -> 17 s: the
+    // repartition put the detection transform below the
+    // zone-window's video_id shuffle, where alias substitution
+    // re-evaluated it per window reference (60 CPU-s). Reverted;
+    // the single-split scan is the lesser cost at this SF and real
+    // deployments have many splits here anyway.
     Tables.events(spark, dir).select(
       col("event_type").as("video_id"),
       col("event_id").as("frame_id"),
