@@ -502,7 +502,20 @@ object Dedup {
     val sh = docs.select(col("doc_id"),
       explode(shingles3(tokens(col("text")))).as("g"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val shared = sh.groupBy(col("g"))
+    // The posting-list stage DOWNSTREAM of this groupBy multiplies
+    // records (capped pair explode), but AQE coalesces the exchange
+    // by the MAP side's bytes (the posting table is small), so the
+    // explode ran at a handful of tasks (measured: 6 tasks burning
+    // 25 CPU-s, 4.8 s wall at sf0.1). Pinning the grouping exchange
+    // at the session's shuffle-partition count (an explicit
+    // repartition satisfies the aggregate's distribution, so it
+    // REPLACES the agg exchange rather than adding one, and AQE
+    // never coalesces an explicit REPARTITION_BY_NUM) keeps the
+    // record-multiplying stage fanned out; the shuffled bytes are
+    // identical. Scale-neutral: the count is the cluster-sized
+    // shuffle-partition knob, not a local constant.
+    val fanout = sh.sparkSession.sessionState.conf.numShufflePartitions
+    val shared = sh.repartition(fanout, col("g")).groupBy(col("g"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxDocs))
       .select(explode(flatten(transform(col("ids"), (a, i) =>
